@@ -1,0 +1,330 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.log._
+import graft.sources.DeltaScan
+import graft.stats.Statistics
+import graft.storage.Location
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Pluggable commit primitive (reference xdlake/__init__.py:425-442 keeps
+  * the commit context overridable for external locking services).
+  */
+trait CommitContext {
+  def write(loc: Location, content: String): Unit
+}
+
+/** Default: `FileSystem.create(path, overwrite=false)` — atomic on
+  * local/HDFS; object stores retain the reference's documented TOCTOU race.
+  */
+object CreateIfAbsentCommit extends CommitContext {
+  def write(loc: Location, content: String): Unit = loc.createIfAbsent(content)
+}
+
+/** An immutable handle on a versioned Delta table: every mutation commits a
+  * new log entry and returns a NEW DeltaTable (reference
+  * xdlake/__init__.py:444-446). All relational compute happens on the
+  * DataFrame returned by [[toDF]] — scans, filters, joins, aggregations,
+  * windows are inherited from Catalyst, not reimplemented (SURVEY.md §0).
+  *
+  * @param loc    table root (data files live under it)
+  * @param logLoc transaction log dir — may differ from `loc` ("remote log",
+  *               reference xdlake/__init__.py:25)
+  */
+final case class DeltaTable(
+    loc: Location,
+    logLoc: Location,
+    dlog: DeltaLog,
+    conf: Configuration,
+    commitContext: CommitContext = CreateIfAbsentCommit) {
+
+  def version: Long = if (dlog.isEmpty) -1L else dlog.version
+  def versions: Seq[Long] = dlog.versions
+  def schema: StructType = dlog.schema
+  def partitionColumns: Seq[String] = dlog.partitionColumns
+
+  /** Absolute URIs of live files (reference xdlake/__init__.py:122-125). */
+  def fileUris: Seq[String] =
+    dlog.addActions.keys.toSeq.map(p => Location.resolve(p, loc, conf).uri)
+
+  /** commitInfo + version, newest first (reference delta_log/__init__.py:312-318). */
+  def history: Seq[(Long, CommitInfo)] = dlog.history
+
+  def historyDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    history.map { case (v, c) =>
+      (v, c.timestamp, c.operation, c.clientVersion, c.readVersion)
+    }.toDF("version", "timestamp", "operation", "clientVersion", "readVersion")
+  }
+
+  /** Time travel from in-memory entries (reference xdlake/__init__.py:73-82). */
+  def loadAsVersion(v: Long): DeltaTable = copy(dlog = dlog.loadAsVersion(v))
+
+  /** The snapshot as a lazy DataFrame — the scan entry point (§3.1). */
+  def toDF(spark: SparkSession): DataFrame =
+    DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+      dlog.addActions.values.toSeq, conf)
+
+  // ------------------------------------------------------------------
+  // WRITE (reference xdlake/__init__.py:153-190, traced in SURVEY.md §3.2)
+  // ------------------------------------------------------------------
+
+  def write(
+      df: DataFrame,
+      mode: WriteMode = WriteMode.Append,
+      schemaMode: String = "overwrite",
+      partitionBy: Option[Seq[String]] = None,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+
+    val resolvedPartitionBy: Seq[String] =
+      if (!dlog.isEmpty) {
+        mode match {
+          case WriteMode.ErrorIfExists =>
+            throw new java.nio.file.FileAlreadyExistsException(
+              s"Table already exists at version ${dlog.version}")
+          case WriteMode.Ignore => return this
+          case _ => dlog.validatePartitionBy(partitionBy)
+        }
+      } else partitionBy.getOrElse(Seq.empty)
+
+    val evaluated = dlog.evaluateSchema(df.schema, mode, schemaMode)
+    val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+    val entry = dlog.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
+      .withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
+
+  /** Executors write partitioned parquet into a staging dir; the driver
+    * renames the files into the table under per-commit unique names
+    * `"{version}-{uuid}-{i}.parquet"` (reference basename template,
+    * xdlake/__init__.py:390) and reads footers for stats. Staging-then-
+    * rename also gives crash-cleanliness: an aborted job leaves only an
+    * ignorable `_staging-*` dir (SURVEY.md §7 "file attribution").
+    */
+  private def writeData(df: DataFrame, forVersion: Long,
+      partitionBy: Seq[String]): Seq[AddFile] = {
+    val writeUuid = java.util.UUID.randomUUID().toString
+    val staging = loc.child(s"_staging-$writeUuid")
+    try {
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(staging.uri)
+
+      val files = staging.listDataFilesRecursive()
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
+
+      files.zipWithIndex.map { case (st, i) =>
+        val stagingRel = relativize(st.getPath, staging.path)
+        val partDirs = stagingRel.split("/").dropRight(1).toSeq
+        val partValues = DeltaScan.partitionValuesFromPath(stagingRel)
+        val name = s"$forVersion-$writeUuid-$i.parquet"
+        val relPath = (partDirs :+ name).mkString("/")
+        val dest = Location.resolve(relPath, loc, conf)
+        dest.fs.mkdirs(dest.path.getParent)
+        if (!dest.fs.rename(st.getPath, dest.path))
+          throw new java.io.IOException(s"rename ${st.getPath} -> ${dest.path} failed")
+        val destStatus = dest.status
+        AddFile(
+          path = relPath,
+          partitionValues = partitionBy.map(c => c -> partValues.getOrElse(c, None)).toMap,
+          size = destStatus.getLen,
+          modificationTime = destStatus.getModificationTime,
+          stats = Some(Statistics.fromFooter(dest.path, conf).json),
+          dataChange = true)
+      }
+    } finally staging.delete()
+  }
+
+  private def relativize(p: Path, base: Path): String = {
+    val ps = p.toUri.getPath
+    val bs = base.toUri.getPath
+    ps.stripPrefix(bs).stripPrefix("/")
+  }
+
+  // ------------------------------------------------------------------
+  // DELETE — two-phase copy-on-write (reference xdlake/__init__.py:259-315,
+  // SURVEY.md §3.3): (1) find files owning matching rows; (2) rewrite only
+  // those files' kept rows; untouched files stay live.
+  // ------------------------------------------------------------------
+
+  def delete(spark: SparkSession, where: Option[Column] = None,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    val pred = where.getOrElse(lit(true))
+    val adds = dlog.addActions
+
+    val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+      Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+    }.toMap
+
+    // Phase 1: which files own rows matching the predicate? At cluster
+    // scale this is the one full scan; it reads only predicate columns
+    // (column pruning) and skips via pushed filters + file stats.
+    val touchedCanonical: Set[String] =
+      toDF(spark).filter(pred)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => Location.canonical(r.getString(0))).toSet
+
+    val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+
+    // Phase 2: rewrite kept rows of touched files only. Keep = rows where
+    // the predicate is NOT true (null-safe: null predicate keeps the row).
+    var numCopied = 0L
+    var numDeleted = 0L
+    val newAdds: Seq[AddFile] =
+      if (touchedAdds.isEmpty) Seq.empty
+      else {
+        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
+          dlog.partitionColumns, touchedAdds, conf)
+        val totalTouched = touchedDF.count()
+        val kept = touchedDF.filter(not(coalesce(pred, lit(false))))
+        val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
+        numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+        numDeleted = totalTouched - numCopied
+        written
+      }
+
+    val predicateText = where.map(_.toString).getOrElse("true")
+    val entry = DeltaLogEntry.deleteTable(predicateText, touchedAdds, newAdds,
+      dlog.version, numCopied, numDeleted).withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
+
+  private def parseNumRecords(statsJson: String): Long =
+    Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+
+  // ------------------------------------------------------------------
+  // RESTORE (reference xdlake/__init__.py:317-333): pure log diff.
+  // ------------------------------------------------------------------
+
+  def restore(restoreVersion: Long,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    val prev = dlog.loadAsVersion(restoreVersion)
+    val prevAdds = prev.addActions
+    val currAdds = dlog.addActions
+    val restoreAdds = prevAdds.collect {
+      case (p, a) if !currAdds.contains(p) => a
+    }.toSeq
+    val removeAdds = currAdds.collect {
+      case (p, a) if !prevAdds.contains(p) => a
+    }.toSeq
+    val entry = DeltaLogEntry.restoreTable(dlog.version, restoreVersion,
+      prev.schema, prev.partitionColumns, removeAdds, restoreAdds)
+      .withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
+
+  // ------------------------------------------------------------------
+  // CLONE (reference xdlake/__init__.py:231-257): copy every log entry,
+  // rewriting relative file paths to absolute source paths. Zero data copy;
+  // full history preserved; the clone is independently writable.
+  // ------------------------------------------------------------------
+
+  def cloneTo(dstPath: String, dstLogPath: Option[String] = None): DeltaTable = {
+    val dstLoc = Location(dstPath, conf)
+    val dstLogLoc = dstLogPath.map(Location(_, conf)).getOrElse(dstLoc.child("_delta_log"))
+    dstLogLoc.mkdirs()
+    dlog.entries.foreach { case (v, entry) =>
+      val rewritten = entry.actions.map {
+        case a: AddFile    => a.copy(path = Location.resolve(a.path, loc, conf).uri)
+        case r: RemoveFile => r.copy(path = Location.resolve(r.path, loc, conf).uri)
+        case other         => other
+      }
+      dstLogLoc.child(DeltaLog.filenameForVersion(v))
+        .writeString(DeltaLogEntry(rewritten).toNdjson)
+    }
+    DeltaTable.forPath(dstPath, logPath = dstLogPath, conf = conf)
+  }
+
+  // ------------------------------------------------------------------
+  // IMPORT (reference xdlake/__init__.py:192-229, 398-423): register
+  // foreign parquet files by absolute URI without copying bytes.
+  // ------------------------------------------------------------------
+
+  def importRefs(
+      spark: SparkSession,
+      refs: Seq[String],
+      mode: WriteMode = WriteMode.Append,
+      schemaMode: String = "overwrite",
+      partitionBy: Option[Seq[String]] = None,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+
+    val resolvedPartitionBy: Seq[String] =
+      if (!dlog.isEmpty) {
+        mode match {
+          case WriteMode.ErrorIfExists =>
+            throw new java.nio.file.FileAlreadyExistsException(
+              s"Table already exists at version ${dlog.version}")
+          case WriteMode.Ignore => return this
+          case _ => dlog.validatePartitionBy(partitionBy)
+        }
+      } else partitionBy.getOrElse(Seq.empty)
+
+    val adds = refs.flatMap { ref =>
+      val refLoc = Location(ref, conf)
+      val files =
+        if (refLoc.status.isDirectory)
+          refLoc.listDataFilesRecursive().filter(_.getPath.getName.endsWith(".parquet"))
+        else Seq(refLoc.status)
+      files.map { st =>
+        val rel = relativize(st.getPath, refLoc.path)
+        val partValues = DeltaScan.partitionValuesFromPath(rel)
+        AddFile(
+          path = refLoc.fs.makeQualified(st.getPath).toString,
+          partitionValues = resolvedPartitionBy.map(c => c -> partValues.getOrElse(c, None)).toMap,
+          size = st.getLen,
+          modificationTime = st.getModificationTime,
+          stats = Some(Statistics.fromFooter(st.getPath, conf).json),
+          dataChange = true)
+      }
+    }
+
+    // Schema: infer over the refs, letting Spark resolve hive partition
+    // columns when the ref roots are partitioned directories.
+    val reader = spark.read.option("mergeSchema", "true")
+    val inferred =
+      if (resolvedPartitionBy.nonEmpty)
+        refs.map(r => reader.option("basePath", r).parquet(r).schema)
+          .reduce(DeltaLog.mergeSchemas)
+      else
+        StructType(reader.parquet(refs: _*).schema)
+
+    val evaluated = dlog.evaluateSchema(inferred, mode, schemaMode)
+    val entry = dlog.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
+      .withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
+
+  // ------------------------------------------------------------------
+
+  private def commit(entry: DeltaLogEntry): DeltaTable =
+    copy(dlog = dlog.commit(entry, commitContext))
+}
+
+object DeltaTable {
+
+  /** Open (or point at a future) table; `version` time-travels (reference
+    * xdlake/__init__.py:32-59).
+    */
+  def forPath(
+      path: String,
+      version: Option[Long] = None,
+      logPath: Option[String] = None,
+      conf: Configuration = new Configuration(),
+      commitContext: CommitContext = CreateIfAbsentCommit): DeltaTable = {
+    val loc = Location(path, conf)
+    val logLoc = logPath.map(Location(_, conf)).getOrElse(loc.child("_delta_log"))
+    val dlog = DeltaLog.load(logLoc, version).loadVersionOrAll(version)
+    DeltaTable(loc, logLoc, dlog, conf, commitContext)
+  }
+
+  private implicit class DeltaLogOps(val dlog: DeltaLog) extends AnyVal {
+    /** Slice to `version` when requested (load already stopped early). */
+    def loadVersionOrAll(version: Option[Long]): DeltaLog =
+      version.map(dlog.loadAsVersion).getOrElse(dlog)
+  }
+}

@@ -1,0 +1,401 @@
+package graft.log
+
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+/** Delta transaction-log actions — the row types of the log.
+  *
+  * Modeled after the reference's action dataclasses
+  * (xdlake/delta_log/actions.py:57-248) with the same forward-compat rule:
+  * unknown JSON keys inside a known action round-trip through an `extra`
+  * map, and entirely unknown action types round-trip as [[RawAction]]
+  * (reference actions.py:30-31, 49-55). Unlike the reference (which nests
+  * unknown keys under an `extra_info` field on re-serialization), we merge
+  * them back at the top level of the action body — true forward compat.
+  */
+sealed trait Action {
+  def actionName: String
+
+  /** Body of the action (everything under the single top-level key). */
+  def bodyNode: ObjectNode
+
+  /** One NDJSON line: `{"<actionName>": {...body...}}`. */
+  final def toLine: String = {
+    val root = Json.obj()
+    root.set[JsonNode](actionName, bodyNode)
+    Json.mapper.writeValueAsString(root)
+  }
+}
+
+/** Minimal JSON helpers over Jackson (ships in /opt/spark/jars). */
+object Json {
+  val mapper = new ObjectMapper()
+  private val f = JsonNodeFactory.instance
+
+  def obj(): ObjectNode = f.objectNode()
+  def text(s: String): JsonNode = f.textNode(s)
+  def num(l: Long): JsonNode = f.numberNode(l)
+  def num(d: Double): JsonNode = f.numberNode(d)
+  def bool(b: Boolean): JsonNode = f.booleanNode(b)
+  def nul: JsonNode = f.nullNode()
+  def arr(items: Iterable[JsonNode]): JsonNode = {
+    val a = f.arrayNode()
+    items.foreach(a.add)
+    a
+  }
+
+  def fieldsOf(n: JsonNode): ListMap[String, JsonNode] =
+    ListMap.from(n.fields().asScala.map(e => e.getKey -> e.getValue))
+
+  def strOpt(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText)
+  def longOpt(n: JsonNode, field: String): Option[Long] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asLong)
+  def boolOpt(n: JsonNode, field: String): Option[Boolean] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asBoolean)
+  def strSeq(n: JsonNode, field: String): Seq[String] =
+    Option(n.get(field)).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq.empty)
+  def strMap(n: JsonNode, field: String): Map[String, String] =
+    Option(n.get(field)).filterNot(_.isNull)
+      .map(o => fieldsOf(o).map { case (k, v) => k -> v.asText() })
+      .getOrElse(ListMap.empty)
+
+  /** null-valued entries become None (hive default partitions). */
+  def strOptMap(n: JsonNode, field: String): Map[String, Option[String]] =
+    Option(n.get(field)).filterNot(_.isNull)
+      .map(o => fieldsOf(o).map { case (k, v) =>
+        k -> (if (v.isNull) None else Some(v.asText()))
+      })
+      .getOrElse(ListMap.empty)
+
+  def putStrOptMap(o: ObjectNode, field: String, m: Map[String, Option[String]]): Unit = {
+    val mo = obj()
+    m.foreach {
+      case (k, Some(v)) => mo.put(k, v)
+      case (k, None)    => mo.set[JsonNode](k, nul)
+    }
+    o.set[JsonNode](field, mo)
+  }
+
+  def putStrMap(o: ObjectNode, field: String, m: Map[String, String]): Unit = {
+    val mo = obj()
+    m.foreach { case (k, v) => mo.put(k, v) }
+    o.set[JsonNode](field, mo)
+  }
+
+  def putExtra(o: ObjectNode, extra: Map[String, JsonNode]): Unit =
+    extra.foreach { case (k, v) => o.set[JsonNode](k, v) }
+}
+
+/** Reader/writer protocol versions (reference actions.py:57-62). */
+final case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 2,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "protocol"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("minReaderVersion", minReaderVersion)
+    o.put("minWriterVersion", minWriterVersion)
+    Json.putExtra(o, extra)
+    o
+  }
+  def json: String = Json.mapper.writeValueAsString(bodyNode)
+}
+
+/** Table metadata (reference actions.py:70-95). `schemaString` is the JSON
+  * form of a Spark [[StructType]] — Delta's schema JSON is exactly
+  * `StructType.json` / `DataType.fromJson` (SURVEY.md §1.3).
+  */
+final case class Metadata(
+    id: String,
+    schemaString: String,
+    partitionColumns: Seq[String] = Seq.empty,
+    name: Option[String] = None,
+    description: Option[String] = None,
+    formatProvider: String = "parquet",
+    formatOptions: Map[String, String] = Map.empty,
+    configuration: Map[String, String] = Map.empty,
+    createdTime: Long = System.currentTimeMillis(),
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "metaData"
+
+  lazy val schema: StructType = DataType.fromJson(schemaString).asInstanceOf[StructType]
+
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("id", id)
+    name.foreach(o.put("name", _))
+    description.foreach(o.put("description", _))
+    val fmt = Json.obj()
+    fmt.put("provider", formatProvider)
+    Json.putStrMap(fmt, "options", formatOptions)
+    o.set[JsonNode]("format", fmt)
+    o.put("schemaString", schemaString)
+    o.set[JsonNode]("partitionColumns", Json.arr(partitionColumns.map(Json.text)))
+    Json.putStrMap(o, "configuration", configuration)
+    o.put("createdTime", createdTime)
+    Json.putExtra(o, extra)
+    o
+  }
+  def json: String = Json.mapper.writeValueAsString(bodyNode)
+}
+
+object Metadata {
+  def create(schema: StructType, partitionColumns: Seq[String]): Metadata =
+    Metadata(
+      id = java.util.UUID.randomUUID().toString,
+      schemaString = schema.json,
+      partitionColumns = partitionColumns)
+}
+
+/** A live data file (reference actions.py:201-218). `stats` is a JSON
+  * string `{numRecords, minValues, maxValues, nullCount}`; partition values
+  * are log-authoritative strings (None = hive default/null).
+  */
+final case class AddFile(
+    path: String,
+    partitionValues: Map[String, Option[String]] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    stats: Option[String] = None,
+    dataChange: Boolean = true,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "add"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("path", path)
+    Json.putStrOptMap(o, "partitionValues", partitionValues)
+    o.put("size", size)
+    o.put("modificationTime", modificationTime)
+    o.put("dataChange", dataChange)
+    stats.foreach(o.put("stats", _))
+    Json.putExtra(o, extra)
+    o
+  }
+}
+
+/** A logically-deleted file (reference actions.py:220-228). */
+final case class RemoveFile(
+    path: String,
+    dataChange: Boolean = true,
+    deletionTimestamp: Long = 0L,
+    partitionValues: Map[String, Option[String]] = Map.empty,
+    size: Long = 0L,
+    extendedFileMetadata: Boolean = true,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "remove"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("path", path)
+    o.put("dataChange", dataChange)
+    o.put("deletionTimestamp", deletionTimestamp)
+    Json.putStrOptMap(o, "partitionValues", partitionValues)
+    o.put("size", size)
+    o.put("extendedFileMetadata", extendedFileMetadata)
+    Json.putExtra(o, extra)
+    o
+  }
+}
+
+/** Commit provenance (reference actions.py:115-135). Null-valued fields are
+  * omitted on write, matching the reference's `to_action_dict`.
+  */
+final case class CommitInfo(
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, JsonNode] = Map.empty,
+    operationMetrics: Map[String, JsonNode] = Map.empty,
+    readVersion: Option[Long] = None,
+    clientVersion: String = CommitInfo.ClientVersion,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "commitInfo"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("timestamp", timestamp)
+    val op = Json.obj()
+    operationParameters.foreach { case (k, v) => op.set[JsonNode](k, v) }
+    o.set[JsonNode]("operationParameters", op)
+    if (operationMetrics.nonEmpty) {
+      val om = Json.obj()
+      operationMetrics.foreach { case (k, v) => om.set[JsonNode](k, v) }
+      o.set[JsonNode]("operationMetrics", om)
+    }
+    o.put("operation", operation)
+    o.put("clientVersion", clientVersion)
+    readVersion.foreach(o.put("readVersion", _))
+    Json.putExtra(o, extra)
+    o
+  }
+
+  /** partitionBy from operationParameters, tolerating delta-rs's
+    * JSON-string-encoded form (reference delta_log/__init__.py:92-94).
+    */
+  def partitionBy: Option[Seq[String]] =
+    operationParameters.get("partitionBy").map { n =>
+      val node = if (n.isTextual) Json.mapper.readTree(n.asText()) else n
+      node.elements().asScala.map(_.asText).toSeq
+    }
+
+  /** CREATE TABLE commits carry the metadata JSON in operationParameters
+    * (reference actions.py:137-143).
+    */
+  def metadataPartitionColumns: Option[Seq[String]] =
+    operationParameters.get("metadata").map { n =>
+      val node = if (n.isTextual) Json.mapper.readTree(n.asText()) else n
+      Json.strSeq(node, "partitionColumns")
+    }
+}
+
+object CommitInfo {
+  val ClientVersion = "graft.0.1.0"
+
+  object Op {
+    val Create = "CREATE TABLE"
+    val Write = "WRITE"
+    val Merge = "MERGE"
+    val Delete = "DELETE"
+    val Restore = "RESTORE"
+  }
+
+  def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Create,
+      operationParameters = ListMap(
+        "metadata" -> Json.text(metadata.json),
+        "protocol" -> Json.text(protocol.json),
+        "location" -> Json.text(location),
+        "mode" -> Json.text("ErrorIfExists")))
+
+  def write(mode: String, partitionBy: Seq[String]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Write,
+      operationParameters = ListMap(
+        "partitionBy" -> Json.arr(partitionBy.map(Json.text)),
+        "mode" -> Json.text(mode)))
+
+  def delete(predicate: String, readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Delete,
+      operationParameters = ListMap("predicate" -> Json.text(predicate)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
+  def restore(readVersion: Long, restoreVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Restore,
+      operationParameters = ListMap("version" -> Json.num(restoreVersion)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+}
+
+/** Unknown action type, preserved verbatim (forward compat: e.g. `txn`,
+  * `cdc`, `domainMetadata` written by other engines).
+  */
+final case class RawAction(actionName: String, body: ObjectNode) extends Action {
+  def bodyNode: ObjectNode = body
+}
+
+object Action {
+
+  /** Parse one NDJSON line. Dispatch is by the single top-level key
+    * (reference delta_log/__init__.py:56-66).
+    */
+  def parse(line: String): Action = {
+    val root = Json.mapper.readTree(line)
+    val name = root.fieldNames().next()
+    val b = root.get(name)
+    name match {
+      case "protocol"   => parseProtocol(b)
+      case "metaData"   => parseMetadata(b)
+      case "add"        => parseAdd(b)
+      case "remove"     => parseRemove(b)
+      case "commitInfo" => parseCommitInfo(b)
+      case other        => RawAction(other, b.asInstanceOf[ObjectNode])
+    }
+  }
+
+  private def extraOf(b: JsonNode, known: Set[String]): Map[String, JsonNode] =
+    Json.fieldsOf(b).filterNot { case (k, _) => known(k) }
+
+  private def parseProtocol(b: JsonNode): Protocol =
+    Protocol(
+      minReaderVersion = Json.longOpt(b, "minReaderVersion").map(_.toInt).getOrElse(1),
+      minWriterVersion = Json.longOpt(b, "minWriterVersion").map(_.toInt).getOrElse(2),
+      extra = extraOf(b, Set("minReaderVersion", "minWriterVersion")))
+
+  private def parseMetadata(b: JsonNode): Metadata = {
+    val fmt = Option(b.get("format"))
+    Metadata(
+      id = Json.strOpt(b, "id").getOrElse(java.util.UUID.randomUUID().toString),
+      schemaString = Json.strOpt(b, "schemaString").getOrElse("""{"type":"struct","fields":[]}"""),
+      partitionColumns = Json.strSeq(b, "partitionColumns"),
+      name = Json.strOpt(b, "name"),
+      description = Json.strOpt(b, "description"),
+      formatProvider = fmt.flatMap(f => Json.strOpt(f, "provider")).getOrElse("parquet"),
+      formatOptions = fmt.map(f => Json.strMap(f, "options")).getOrElse(Map.empty),
+      configuration = Json.strMap(b, "configuration"),
+      createdTime = Json.longOpt(b, "createdTime").getOrElse(0L),
+      extra = extraOf(b, Set("id", "schemaString", "partitionColumns", "name",
+        "description", "format", "configuration", "createdTime")))
+  }
+
+  private def parseAdd(b: JsonNode): AddFile =
+    AddFile(
+      path = Json.strOpt(b, "path").get,
+      partitionValues = Json.strOptMap(b, "partitionValues"),
+      size = Json.longOpt(b, "size").getOrElse(0L),
+      modificationTime = Json.longOpt(b, "modificationTime").getOrElse(0L),
+      stats = Json.strOpt(b, "stats"),
+      dataChange = Json.boolOpt(b, "dataChange").getOrElse(false),
+      extra = extraOf(b, Set("path", "partitionValues", "size",
+        "modificationTime", "stats", "dataChange")))
+
+  private def parseRemove(b: JsonNode): RemoveFile =
+    RemoveFile(
+      path = Json.strOpt(b, "path").get,
+      dataChange = Json.boolOpt(b, "dataChange").getOrElse(true),
+      deletionTimestamp = Json.longOpt(b, "deletionTimestamp").getOrElse(0L),
+      partitionValues = Json.strOptMap(b, "partitionValues"),
+      size = Json.longOpt(b, "size").getOrElse(0L),
+      extendedFileMetadata = Json.boolOpt(b, "extendedFileMetadata").getOrElse(false),
+      extra = extraOf(b, Set("path", "dataChange", "deletionTimestamp",
+        "partitionValues", "size", "extendedFileMetadata")))
+
+  private def parseCommitInfo(b: JsonNode): CommitInfo =
+    CommitInfo(
+      timestamp = Json.longOpt(b, "timestamp").getOrElse(0L),
+      operation = Json.strOpt(b, "operation").getOrElse(""),
+      operationParameters = Option(b.get("operationParameters"))
+        .filterNot(_.isNull).map(Json.fieldsOf).getOrElse(ListMap.empty),
+      operationMetrics = Option(b.get("operationMetrics"))
+        .filterNot(_.isNull).map(Json.fieldsOf).getOrElse(ListMap.empty),
+      readVersion = Json.longOpt(b, "readVersion"),
+      clientVersion = Json.strOpt(b, "clientVersion").getOrElse(""),
+      extra = extraOf(b, Set("timestamp", "operation", "operationParameters",
+        "operationMetrics", "readVersion", "clientVersion")))
+
+  /** RemoveFile mirroring an AddFile (reference actions.py:230-248). */
+  def removeFor(add: AddFile): RemoveFile =
+    RemoveFile(
+      path = add.path,
+      dataChange = true,
+      deletionTimestamp = System.currentTimeMillis(),
+      partitionValues = add.partitionValues,
+      size = add.size,
+      extendedFileMetadata = true)
+}

@@ -1,0 +1,300 @@
+package graft.log
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.storage.Location
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import scala.collection.immutable.{ListMap, SortedMap}
+
+/** Write modes (reference delta_log/__init__.py:15-19); semantics mirror
+  * Spark's SaveMode but gate on the *log*, not the directory.
+  */
+sealed abstract class WriteMode(val value: String)
+object WriteMode {
+  case object Append extends WriteMode("Append")
+  case object Overwrite extends WriteMode("Overwrite")
+  case object ErrorIfExists extends WriteMode("Error")
+  case object Ignore extends WriteMode("Ignore")
+
+  def fromString(s: String): WriteMode = s.toLowerCase match {
+    case "append"    => Append
+    case "overwrite" => Overwrite
+    case "error" | "errorifexists" => ErrorIfExists
+    case "ignore"    => Ignore
+    case other       => throw new IllegalArgumentException(s"Unknown write mode: $other")
+  }
+}
+
+/** One numbered commit file: an ordered list of actions, stored as NDJSON
+  * (reference delta_log/__init__.py:21-118).
+  */
+final case class DeltaLogEntry(actions: Vector[Action]) {
+
+  def adds: Vector[AddFile] = actions.collect { case a: AddFile => a }
+  def removes: Vector[RemoveFile] = actions.collect { case r: RemoveFile => r }
+  def commitInfos: Vector[CommitInfo] = actions.collect { case c: CommitInfo => c }
+  def metadataAction: Option[Metadata] = actions.collectFirst { case m: Metadata => m }
+
+  /** Partition columns declared by this entry, if any (reference
+    * delta_log/__init__.py:86-98): WRITE commits carry `partitionBy`
+    * (possibly string-encoded by delta-rs), CREATE commits carry them inside
+    * the metadata JSON; DELETE/RESTORE entries declare nothing.
+    */
+  def partitionColumns: Option[Seq[String]] =
+    actions.collectFirst { case c: CommitInfo => c }.flatMap { c =>
+      c.operation match {
+        case CommitInfo.Op.Write  => c.partitionBy
+        case CommitInfo.Op.Create => c.metadataPartitionColumns
+        case _                    => None
+      }
+    }
+
+  def toNdjson: String = actions.map(_.toLine).mkString("\n")
+
+  /** Merge user-provided metadata into every commitInfo (reference
+    * delta_log/__init__.py:226-230); round-trips via `extra`.
+    */
+  def withExtraCommitInfo(info: Map[String, JsonNode]): DeltaLogEntry =
+    if (info.isEmpty) this
+    else DeltaLogEntry(actions.map {
+      case c: CommitInfo => c.copy(extra = c.extra ++ info)
+      case a             => a
+    })
+}
+
+object DeltaLogEntry {
+
+  def fromNdjson(content: String): DeltaLogEntry =
+    DeltaLogEntry(content.linesIterator.filter(_.nonEmpty).map(Action.parse).toVector)
+
+  /** v0 entry: [protocol, metaData, adds…, commitInfo(CREATE TABLE)]
+    * (reference delta_log/__init__.py:114-130).
+    */
+  def createTable(location: String, schema: StructType, partitionBy: Seq[String],
+      adds: Seq[AddFile]): DeltaLogEntry = {
+    val protocol = Protocol()
+    val metadata = Metadata.create(schema, partitionBy)
+    val commit = CommitInfo.create(location, metadata, protocol)
+    DeltaLogEntry(Vector(protocol, metadata) ++ adds :+ commit)
+  }
+
+  /** Append entry: [metaData?, adds…, commitInfo(WRITE/Append)] — metadata
+    * included whenever a schema is supplied, as the reference does
+    * (delta_log/__init__.py:132-149).
+    */
+  def appendTable(partitionBy: Seq[String], adds: Seq[AddFile],
+      schema: Option[StructType]): DeltaLogEntry = {
+    val commit = CommitInfo.write(WriteMode.Append.value, partitionBy)
+    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    DeltaLogEntry(meta.toVector ++ adds :+ commit)
+  }
+
+  /** Overwrite = logical delete of every live file + new adds (reference
+    * delta_log/__init__.py:151-170); data files are never deleted.
+    */
+  def overwriteTable(partitionBy: Seq[String], existingAdds: Iterable[AddFile],
+      adds: Seq[AddFile], schema: Option[StructType]): DeltaLogEntry = {
+    val commit = CommitInfo.write(WriteMode.Overwrite.value, partitionBy)
+    val removes = existingAdds.map(Action.removeFor).toVector
+    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    DeltaLogEntry(meta.toVector ++ removes ++ adds :+ commit)
+  }
+
+  /** Copy-on-write DELETE entry (reference delta_log/__init__.py:172-204). */
+  def deleteTable(predicate: String, addsToRemove: Iterable[AddFile],
+      adds: Seq[AddFile], readVersion: Long, numCopiedRows: Long,
+      numDeletedRows: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "num_added_files" -> Json.num(adds.size.toLong),
+      "num_removed_files" -> Json.num(addsToRemove.size.toLong),
+      "num_copied_rows" -> Json.num(numCopiedRows),
+      "num_deleted_rows" -> Json.num(numDeletedRows))
+    val commit = CommitInfo.delete(predicate, readVersion, metrics)
+    val removes = addsToRemove.map(Action.removeFor).toVector
+    DeltaLogEntry(removes ++ adds :+ commit)
+  }
+
+  /** RESTORE entry (reference delta_log/__init__.py:206-224): re-commit the
+    * target version's metadata, re-add its missing files, remove extras.
+    */
+  def restoreTable(readVersion: Long, restoreVersion: Long, restoreSchema: StructType,
+      restorePartitionBy: Seq[String], addsToRemove: Iterable[AddFile],
+      adds: Seq[AddFile]): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "num_removed_files" -> Json.num(addsToRemove.size.toLong),
+      "num_restored_files" -> Json.num(adds.size.toLong))
+    val commit = CommitInfo.restore(readVersion, restoreVersion, metrics)
+    val removes = addsToRemove.map(Action.removeFor).toVector
+    val meta = Metadata.create(restoreSchema, restorePartitionBy)
+    DeltaLogEntry(meta +: (removes ++ adds) :+ commit)
+  }
+}
+
+/** The transaction log: ordered map version → entry, replayed into snapshot
+  * state (reference delta_log/__init__.py:232-429).
+  */
+final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]) {
+
+  def isEmpty: Boolean = entries.isEmpty
+  def versions: Seq[Long] = entries.keys.toSeq
+  def version: Long = {
+    require(entries.nonEmpty, "This delta log is empty!")
+    entries.lastKey
+  }
+  def versionToWrite: Long = if (entries.isEmpty) 0L else version + 1
+
+  /** Latest schema: newest metaData action, scanning backwards (reference
+    * delta_log/__init__.py:328-334).
+    */
+  def schema: StructType = {
+    entries.keys.toSeq.reverseIterator
+      .flatMap(v => entries(v).metadataAction)
+      .nextOption()
+      .map(_.schema)
+      .getOrElse(throw new IllegalStateException("No schema found in log entries"))
+  }
+
+  /** Live files: fold add/remove by path in version order (reference
+    * delta_log/__init__.py:336-346). Insertion order preserved.
+    */
+  def addActions: ListMap[String, AddFile] = {
+    var adds = ListMap.empty[String, AddFile]
+    entries.foreach { case (_, entry) =>
+      entry.adds.foreach(a => adds = adds.updated(a.path, a))
+      entry.removes.foreach(r => adds = adds.removed(r.path))
+    }
+    adds
+  }
+
+  /** Partition columns of the latest version that declares them (reference
+    * delta_log/__init__.py:348-355).
+    */
+  def partitionColumns: Seq[String] =
+    entries.keys.toSeq.reverseIterator
+      .flatMap(v => entries(v).partitionColumns)
+      .nextOption()
+      .getOrElse(Seq.empty)
+
+  /** New partition_by must set-equal existing; None inherits (reference
+    * delta_log/__init__.py:357-371).
+    */
+  def validatePartitionBy(newPartitionBy: Option[Seq[String]]): Seq[String] = {
+    val existing = partitionColumns
+    newPartitionBy match {
+      case Some(pb) if existing.toSet != pb.toSet =>
+        throw new IllegalArgumentException(
+          s"Expected partition columns $existing, got $pb")
+      case _ => existing
+    }
+  }
+
+  /** Schema handling per write/schema mode (reference
+    * delta_log/__init__.py:373-394): append requires equality (order- and
+    * metadata-insensitive, like the reference's name-keyed comparison)
+    * unless schema_mode=merge; overwrite always takes the new schema.
+    */
+  def evaluateSchema(newSchema: StructType, mode: WriteMode, schemaMode: String): StructType = {
+    if (entries.isEmpty) newSchema
+    else {
+      val existing = schema
+      if (mode == WriteMode.Append) {
+        if (schemaMode == "merge") DeltaLog.mergeSchemas(existing, newSchema)
+        else if (!DeltaLog.schemasEquivalent(existing, newSchema))
+          throw new IllegalArgumentException("Schema mismatch")
+        else newSchema
+      } else newSchema
+    }
+  }
+
+  /** Entry construction for a write (reference delta_log/__init__.py:396-420). */
+  def entryForWriteMode(mode: WriteMode, schema: StructType, adds: Seq[AddFile],
+      partitionBy: Seq[String]): DeltaLogEntry = {
+    if (versionToWrite == 0L)
+      DeltaLogEntry.createTable(loc.uri, schema, partitionBy, adds)
+    else mode match {
+      case WriteMode.Append =>
+        DeltaLogEntry.appendTable(partitionBy, adds, Some(schema))
+      case WriteMode.Overwrite =>
+        DeltaLogEntry.overwriteTable(partitionBy, addActions.values, adds, Some(schema))
+      case other =>
+        throw new IllegalStateException(s"No entry for mode $other")
+    }
+  }
+
+  /** commitInfo dicts newest-first (reference delta_log/__init__.py:312-318). */
+  def history: Seq[(Long, CommitInfo)] =
+    entries.keys.toSeq.sorted.reverse.flatMap { v =>
+      entries(v).commitInfos.map(v -> _)
+    }
+
+  /** Time travel: entries ≤ version (reference delta_log/__init__.py:279-297). */
+  def loadAsVersion(v: Long): DeltaLog =
+    if (entries.contains(v)) DeltaLog(loc, entries.rangeTo(v))
+    else DeltaLog.load(loc)
+
+  /** Optimistic commit: create-if-absent the next numbered entry file, then
+    * re-read the log (reference xdlake/__init__.py:425-446).
+    */
+  def commit(entry: DeltaLogEntry,
+      ctx: graft.CommitContext = graft.CreateIfAbsentCommit): DeltaLog = {
+    val v = versionToWrite
+    if (v == 0L) loc.mkdirs()
+    val entryLoc = loc.child(DeltaLog.filenameForVersion(v))
+    ctx.write(entryLoc, entry.toNdjson)
+    DeltaLog.load(loc)
+  }
+}
+
+object DeltaLog {
+
+  private val EntryFilenameRe = "^\\d+\\.json$".r
+
+  def filenameForVersion(v: Long): String = f"$v%020d.json"
+
+  /** List + parse the log dir, optionally stopping once `version` is loaded
+    * (reference delta_log/__init__.py:250-277).
+    */
+  def load(loc: Location, version: Option[Long] = None): DeltaLog = {
+    var entries = SortedMap.empty[Long, DeltaLogEntry]
+    if (loc.exists) {
+      val it = loc.listSorted().iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (EntryFilenameRe.matches(name)) {
+          val v = name.split("\\.", 2)(0).toLong
+          val entryLoc = loc.child(name)
+          entries = entries.updated(v, DeltaLogEntry.fromNdjson(entryLoc.readString()))
+          if (version.contains(v)) done = true
+        }
+      }
+    }
+    DeltaLog(loc, entries)
+  }
+
+  /** Order-insensitive, metadata-insensitive schema equality by field name
+    * (reference schema.py:106-109).
+    */
+  def schemasEquivalent(a: StructType, b: StructType): Boolean = {
+    def key(s: StructType): Map[String, (String, Boolean)] =
+      s.fields.map(f => f.name -> ((f.dataType.json, f.nullable))).toMap
+    key(a) == key(b)
+  }
+
+  /** Field-union schema merge (reference `pa.unify_schemas`,
+    * schema.py:92-104): existing field order kept, new fields appended,
+    * same-name fields must have identical types.
+    */
+  def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
+    val existingNames = existing.fieldNames.toSet
+    val conflicts = incoming.fields.filter(f =>
+      existingNames(f.name) &&
+        existing(f.name).dataType != f.dataType)
+    if (conflicts.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot merge schemas: conflicting types for ${conflicts.map(_.name).mkString(", ")}")
+    val appended = incoming.fields.filterNot(f => existingNames(f.name))
+    StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+}

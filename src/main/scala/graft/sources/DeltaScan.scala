@@ -1,0 +1,122 @@
+package graft.sources
+
+import graft.log.AddFile
+import graft.storage.Location
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Snapshot → DataFrame scan construction.
+  *
+  * Spark-native replacement for the reference's
+  * `to_pyarrow_dataset` (xdlake/__init__.py:84-143): the snapshot's live
+  * files are read as ONE parquet relation over the **explicit file list**
+  * (never the directory — removed files still exist on disk), with
+  * partition columns re-attached from the log.
+  *
+  * Scale design: when every add's path layout agrees with its
+  * log-recorded partition values (always true for our own writes), we use a
+  * single `spark.read.option("basePath", …)` scan — one relation, native
+  * partition pruning and predicate/column pushdown, unbroken whole-stage
+  * codegen. Only "foreign" files whose partition values are not encoded in
+  * their paths (zero-copy imports, clones of such) fall back to a per-
+  * partition-group union with `lit()`-cast partition columns, which Catalyst
+  * still constant-folds and prunes (SURVEY.md §4).
+  */
+object DeltaScan {
+
+  /** Hive-style `%xx` unescape for partition dir values (matches Spark's
+    * ExternalCatalogUtils.unescapePathName semantics).
+    */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Parse `k=v` dir segments of a relative file path into partition values. */
+  def partitionValuesFromPath(relPath: String): Map[String, Option[String]] = {
+    val segs = relPath.split("/").dropRight(1)
+    segs.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val v = unescapePathName(seg.substring(i + 1))
+        Some(seg.substring(0, i) -> (if (v == HiveDefaultPartition) None else Some(v)))
+      }
+    }.toMap
+  }
+
+  /** True when the add's path dir segments encode exactly its log-recorded
+    * partition values — the precondition for the single-relation basePath
+    * fast path. Partition values are log-authoritative (SURVEY.md §2 S2),
+    * so the path layout must agree before we let Spark parse it.
+    */
+  private def hiveConsistent(add: AddFile, partitionColumns: Seq[String]): Boolean = {
+    if (new org.apache.hadoop.fs.Path(add.path).toUri.getScheme != null) false
+    else {
+      val fromPath = partitionValuesFromPath(add.path)
+      partitionColumns.forall(c =>
+        fromPath.get(c).contains(add.partitionValues.getOrElse(c, None)))
+    }
+  }
+
+  def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
+  /** Build the snapshot DataFrame over the given adds. */
+  def snapshotDF(
+      spark: SparkSession,
+      tableRoot: Location,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      adds: Seq[AddFile],
+      conf: Configuration): DataFrame = {
+
+    if (adds.isEmpty) return emptyDF(spark, schema)
+
+    val ordered = schema.fieldNames.map(col).toSeq
+
+    if (partitionColumns.isEmpty) {
+      val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
+      spark.read.schema(schema).parquet(paths: _*)
+    } else if (adds.forall(hiveConsistent(_, partitionColumns))) {
+      val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
+      spark.read
+        .option("basePath", tableRoot.uri)
+        .schema(schema)
+        .parquet(paths: _*)
+        .select(ordered: _*)
+    } else {
+      // Foreign layout: group files by identical partition tuple, attach
+      // partition columns as typed literals, union the groups. Catalyst
+      // constant-folds filters on the literal columns to prune groups.
+      val dataSchema = StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+      val groups = adds.groupBy(a => partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
+      val parts = groups.toSeq.map { case (values, groupAdds) =>
+        val paths = groupAdds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
+        var df = spark.read.schema(dataSchema).parquet(paths: _*)
+        partitionColumns.zip(values).foreach { case (c, v) =>
+          val dt = schema(c).dataType
+          df = df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
+        }
+        df.select(ordered: _*)
+      }
+      parts.reduce(_.union(_))
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft.stats
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.log.Json
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, LocalDate, ZoneOffset}
+import scala.collection.immutable.ListMap
+import scala.jdk.CollectionConverters._
+
+/** Per-file statistics folded across parquet row-group footers:
+  * numRecords, minValues, maxValues, nullCount — the shape the Delta
+  * protocol stores as a JSON string in `add.stats` (reference
+  * xdlake/delta_log/statistics.py:14-36, actions.py:216-218).
+  *
+  * Beyond the reference (which collects stats but never uses them —
+  * its own TODO at xdlake/__init__.py:104), these stats feed driver-side
+  * data skipping in [[graft.sources.DeltaScan]]: at 100 TB the win is not
+  * the footer read, it's the files a query never opens.
+  */
+final case class Statistics(
+    numRecords: Long,
+    minValues: ListMap[String, JsonNode],
+    maxValues: ListMap[String, JsonNode],
+    nullCount: ListMap[String, JsonNode]
+) {
+  def json: String = {
+    val o = Json.obj()
+    o.put("numRecords", numRecords)
+    val mins = Json.obj(); minValues.foreach { case (k, v) => mins.set[JsonNode](k, v) }
+    val maxs = Json.obj(); maxValues.foreach { case (k, v) => maxs.set[JsonNode](k, v) }
+    val nulls = Json.obj(); nullCount.foreach { case (k, v) => nulls.set[JsonNode](k, v) }
+    o.set[JsonNode]("minValues", mins)
+    o.set[JsonNode]("maxValues", maxs)
+    o.set[JsonNode]("nullCount", nulls)
+    Json.mapper.writeValueAsString(o)
+  }
+}
+
+object Statistics {
+
+  private val tsFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX").withZone(ZoneOffset.UTC)
+
+  /** Read footer metadata and fold min/max/nullCount across row groups.
+    * Comparable scalar types only; binary and nested columns contribute
+    * nullCount/numRecords but no min/max (SURVEY.md §7 "stats for
+    * binary/string min-max").
+    */
+  def fromFooter(path: Path, conf: Configuration): Statistics = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+
+      // column name -> (min, max, nullCount) accumulated across blocks
+      var mins = ListMap.empty[String, Any]
+      var maxs = ListMap.empty[String, Any]
+      var nulls = ListMap.empty[String, Long]
+
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val pathParts = col.getPath.toArray
+        if (pathParts.length == 1) { // top-level primitives only
+          val name = pathParts(0)
+          val st = col.getStatistics
+          if (st != null) {
+            if (st.isNumNullsSet)
+              nulls = nulls.updated(name, nulls.getOrElse(name, 0L) + st.getNumNulls)
+            if (st.hasNonNullValue) {
+              val prim = col.getPrimitiveType
+              (convert(st.genericGetMin, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation),
+                convert(st.genericGetMax, prim.getPrimitiveTypeName, prim.getLogicalTypeAnnotation)) match {
+                case (Some(mn), Some(mx)) =>
+                  mins = mins.updated(name,
+                    mins.get(name).map(cur => if (lt(mn, cur)) mn else cur).getOrElse(mn))
+                  maxs = maxs.updated(name,
+                    maxs.get(name).map(cur => if (lt(cur, mx)) mx else cur).getOrElse(mx))
+                case _ =>
+              }
+            }
+          }
+        }
+      }
+      Statistics(
+        numRecords,
+        mins.map { case (k, v) => k -> toNode(v) },
+        maxs.map { case (k, v) => k -> toNode(v) },
+        nulls.map { case (k, v) => k -> Json.num(v) })
+    } finally reader.close()
+  }
+
+  /** Parquet-physical value → comparable JVM value with Delta JSON
+    * rendering semantics. NaN is excluded from min/max (meaningless bound).
+    */
+  private def convert(v: Any, prim: PrimitiveTypeName,
+      logical: LogicalTypeAnnotation): Option[Any] = (prim, logical) match {
+    case (PrimitiveTypeName.INT32, _: DateLogicalTypeAnnotation) =>
+      Some(LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
+    case (PrimitiveTypeName.INT64, ts: TimestampLogicalTypeAnnotation) =>
+      val raw = v.asInstanceOf[Number].longValue()
+      val micros = ts.getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+        case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+        case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+      }
+      Some(tsFormatter.format(Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)))
+    case (PrimitiveTypeName.BINARY, _: StringLogicalTypeAnnotation) =>
+      Some(v.asInstanceOf[Binary].toStringUsingUTF8)
+    case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, _) =>
+      Some(v.asInstanceOf[Number].longValue())
+    case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
+      val d = v.asInstanceOf[Number].doubleValue()
+      if (d.isNaN) None else Some(d)
+    case (PrimitiveTypeName.BOOLEAN, _) => Some(v.asInstanceOf[Boolean])
+    case _ => None // binary, int96, fixed-len: no min/max
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)       => x < y
+    case (x: Double, y: Double)   => x < y
+    case (x: String, y: String)   => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case _                        => false
+  }
+
+  private def toNode(v: Any): JsonNode = v match {
+    case l: Long    => Json.num(l)
+    case d: Double  => Json.num(d)
+    case s: String  => Json.text(s)
+    case b: Boolean => Json.bool(b)
+    case other      => Json.text(other.toString)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.storage
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+import java.nio.charset.StandardCharsets
+
+/** A storage location: a Hadoop [[Path]] plus its owning [[FileSystem]].
+  *
+  * Spark-native re-expression of the reference's fsspec-based
+  * `storage.Location` (xdlake/storage.py:79-205): Hadoop FS already
+  * dispatches on URI scheme (`file://`, `s3a://`, `gs://`, `abfs://`), so no
+  * filesystem registry is needed. Paths are always held fully qualified so
+  * that string comparisons between log paths and scan-reported file names are
+  * stable.
+  */
+final class Location private (val path: Path, val fs: FileSystem) {
+
+  def uri: String = path.toString
+
+  def child(name: String): Location = new Location(fs.makeQualified(new Path(path, name)), fs)
+
+  def exists: Boolean = fs.exists(path)
+
+  def mkdirs(): Unit = fs.mkdirs(path)
+
+  def delete(recursive: Boolean = true): Unit =
+    if (exists) fs.delete(path, recursive)
+
+  def status: FileStatus = fs.getFileStatus(path)
+
+  /** Sorted, non-recursive listing (reference storage.py:184-187). */
+  def listSorted(): Seq[FileStatus] =
+    if (!exists) Seq.empty
+    else fs.listStatus(path).sortBy(_.getPath.getName).toSeq
+
+  /** Recursive listing of data files, skipping hidden/_-prefixed entries. */
+  def listDataFilesRecursive(): Seq[FileStatus] = {
+    def visible(p: Path): Boolean = {
+      val n = p.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    def walk(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.filter(st => visible(st.getPath)).flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st)
+      }
+    if (exists) walk(path) else Seq.empty
+  }
+
+  def readString(): String = {
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Plain (clobbering) write — used for clone's log copies. */
+  def writeString(content: String): Unit = {
+    val out = fs.create(path, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomic-ish create-if-absent write: the optimistic-concurrency commit
+    * primitive (reference xdlake/__init__.py:425-442 checks existence then
+    * writes; we additionally pass overwrite=false so local/HDFS enforce it
+    * at create time). Object stores keep the reference's documented TOCTOU
+    * race unless a locking [[graft.CommitContext]] is plugged in.
+    */
+  def createIfAbsent(content: String): Unit = {
+    if (exists)
+      throw new java.nio.file.FileAlreadyExistsException(uri)
+    val out = fs.create(path, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  override def toString: String = uri
+}
+
+object Location {
+  def apply(s: String, conf: Configuration = new Configuration()): Location = {
+    val p = new Path(s)
+    val fs = p.getFileSystem(conf)
+    new Location(fs.makeQualified(p), fs)
+  }
+
+  /** `absloc` semantics (reference storage.py:220-237): a path carrying a
+    * URI scheme is absolute; anything else resolves relative to the table
+    * root. Covers both `scheme://auth/...` and Hadoop's qualified
+    * `file:/...` single-slash form.
+    */
+  def resolve(pathStr: String, tableRoot: Location, conf: Configuration): Location =
+    if (new Path(pathStr).toUri.getScheme != null) Location(pathStr, conf)
+    else {
+      val p = new Path(tableRoot.path, pathStr)
+      new Location(tableRoot.fs.makeQualified(p), tableRoot.fs)
+    }
+
+  /** Canonical `scheme://authority/path` form for comparing log paths with
+    * `input_file_name()` output (which Spark renders with `://`).
+    */
+  def canonical(s: String): String = {
+    val u = new Path(s).toUri
+    val scheme = Option(u.getScheme).getOrElse("file")
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"$scheme://$auth${u.getPath}"
+  }
+}

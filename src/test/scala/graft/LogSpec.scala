@@ -1,0 +1,100 @@
+package graft
+
+import graft.log._
+import graft.storage.Location
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Log-machinery unit tests against the golden delta-rs-written fixture
+  * (reference tests/test_delta_log.py; fixture copied verbatim from the
+  * public reference repo as the protocol-conformance anchor).
+  */
+class LogSpec extends AnyFunSuite {
+
+  private def fixtureLogDir(): String = {
+    val dir = Files.createTempDirectory("graft-fixture")
+    for (v <- 0 to 2) {
+      val name = f"$v%020d.json"
+      val in = getClass.getResourceAsStream(s"/_delta_log/$name")
+      assert(in != null, s"missing fixture $name")
+      Files.copy(in, Paths.get(dir.toString, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  test("golden fixture: schema resolution picks latest metaData") {
+    val dlog = DeltaLog.load(Location(fixtureLogDir()))
+    assert(dlog.versions == Seq(0L, 1L, 2L))
+    // reference tests/test_delta_log.py:18-36: evolved schema adds new_column
+    val names = dlog.schema.fieldNames.toSeq
+    assert(names == Seq("bob", "sue", "george", "rebecca", "morgain", "cats", "bats", "order", "new_column"))
+    assert(dlog.schema.fields.forall(_.nullable))
+  }
+
+  test("golden fixture: replay folds adds and removes") {
+    val dlog = DeltaLog.load(Location(fixtureLogDir()))
+    val adds = dlog.addActions
+    // v1 overwrote v0's file (add+remove), v2 appended one more: 2 live files
+    assert(adds.size == 2)
+    val v0 = dlog.loadAsVersion(0L)
+    assert(v0.addActions.size == 1)
+    val v1 = dlog.loadAsVersion(1L)
+    assert(v1.addActions.size == 1)
+    assert(v1.addActions.keys != v0.addActions.keys)
+  }
+
+  test("golden fixture: delta-rs string-encoded partitionBy quirk") {
+    val dlog = DeltaLog.load(Location(fixtureLogDir()))
+    // fixture's WRITE commits carry partitionBy as the JSON *string* "[]"
+    // (reference delta_log/__init__.py:92-94)
+    assert(dlog.partitionColumns == Seq.empty)
+  }
+
+  test("actions round-trip NDJSON byte-semantically, keeping unknown keys") {
+    val dir = fixtureLogDir()
+    for (v <- 0 to 2) {
+      val content = new String(Files.readAllBytes(Paths.get(dir, f"$v%020d.json")))
+      for (line <- content.linesIterator if line.nonEmpty) {
+        val action = Action.parse(line)
+        val reparsed = Action.parse(action.toLine)
+        assert(reparsed == action, s"round-trip mismatch for: $line")
+      }
+    }
+  }
+
+  test("unknown action types and unknown fields survive round-trip") {
+    val line = """{"txn":{"appId":"app-1","version":7,"weird":{"x":1}}}"""
+    val a = Action.parse(line)
+    assert(a.isInstanceOf[RawAction])
+    assert(Action.parse(a.toLine) == a)
+
+    val addLine = """{"add":{"path":"p.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"futureField":[1,2]}}"""
+    val add = Action.parse(addLine).asInstanceOf[AddFile]
+    assert(add.extra.contains("futureField"))
+    assert(Action.parse(add.toLine) == add)
+  }
+
+  test("version filenames are 20-digit zero-padded") {
+    assert(DeltaLog.filenameForVersion(0) == "00000000000000000000.json")
+    assert(DeltaLog.filenameForVersion(123) == "00000000000000000123.json")
+  }
+
+  test("schema merge: appends new fields, rejects conflicts") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    val b = StructType(Seq(StructField("y", StringType), StructField("z", DoubleType)))
+    val merged = DeltaLog.mergeSchemas(a, b)
+    assert(merged.fieldNames.toSeq == Seq("x", "y", "z"))
+    val conflict = StructType(Seq(StructField("x", StringType)))
+    assertThrows[IllegalArgumentException](DeltaLog.mergeSchemas(a, conflict))
+  }
+
+  test("schema equivalence is order-insensitive") {
+    import org.apache.spark.sql.types._
+    val a = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    val b = StructType(Seq(StructField("y", StringType), StructField("x", LongType)))
+    assert(DeltaLog.schemasEquivalent(a, b))
+    assert(!DeltaLog.schemasEquivalent(a, StructType(Seq(StructField("x", LongType)))))
+  }
+}
