@@ -1,5 +1,7 @@
 package graft
 
+import graft.log.WriteMode
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.concurrent.TrieMap
@@ -8,9 +10,9 @@ import scala.collection.concurrent.TrieMap
   *
   * Relational queries run over OUR snapshot scans (DeltaTable.toDF), not raw
   * parquet — every query therefore exercises the log-replay + explicit-file
-  * scan path end-to-end. Tables are written once per (sfDir, table) and
-  * reused across queries; lifecycle queries (append/overwrite/delete/…)
-  * build their own throwaway tables instead.
+  * scan path end-to-end. Tables are written once per (sfDir, key) and reused
+  * across queries; lifecycle queries (append/overwrite/delete/restore/…)
+  * get purpose-built cached tables below.
   */
 object QueryLib {
 
@@ -20,19 +22,112 @@ object QueryLib {
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The table written into a graft Delta table (once) and scanned back. */
-  def delta(spark: SparkSession, sfDir: String, name: String,
-      partitionBy: Seq[String] = Seq.empty): DataFrame = {
-    val key = (sfDir, name + partitionBy.mkString(":", ",", ""))
-    val dir = cache.getOrElseUpdate(key, {
-      val d = java.nio.file.Files.createTempDirectory(s"graft-$name-").toString
-      DeltaTable.forPath(d).write(raw(spark, sfDir, name),
-        partitionBy = if (partitionBy.isEmpty) None else Some(partitionBy))
+  /** Build a table once per (sfDir, key); return its directory. */
+  def cachedDir(sfDir: String, key: String)(build: String => Unit): String =
+    cache.getOrElseUpdate((sfDir, key), {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-$key-").toString
+      build(d)
       d
     })
+
+  /** The named raw table written into a graft Delta table and scanned back. */
+  def delta(spark: SparkSession, sfDir: String, name: String,
+      partitionBy: Seq[String] = Seq.empty): DataFrame = {
+    val dir = cachedDir(sfDir, name + partitionBy.mkString(":", ",", "")) { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, name),
+        partitionBy = if (partitionBy.isEmpty) None else Some(partitionBy))
+    }
     DeltaTable.forPath(dir).toDF(spark)
   }
 
-  def tempTableDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // ---- lifecycle fixtures (built once per sfDir, exercised by queries) ----
+
+  /** orders appended twice: v0 = orders, v1 = orders again. */
+  def ordersX2Dir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_x2") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df).write(df)
+    }
+
+  /** v0 append, v1 append, v2 = restore(0). */
+  def ordersRestoredDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_restore") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df).write(df).restore(0L)
+    }
+
+  /** v0 = orders, v1 = overwrite with only status-F orders. */
+  def ordersOverwrittenDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_overwrite") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df)
+        .write(df.filter(col("o_orderstatus") === "F"), mode = WriteMode.Overwrite)
+    }
+
+  /** lineitem with `l_returnflag = 'A' or l_quantity > 45` deleted
+    * copy-on-write.
+    */
+  def lineitemDeletedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_delete") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .delete(spark, Some(col("l_returnflag") === "A" || col("l_quantity") > 45))
+    }
+
+  /** documents appended with 3 columns, then evolved (schema merge) to 5. */
+  def docsEvolvedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "docs_evolve") { d =>
+      val df = raw(spark, sfDir, "documents")
+      DeltaTable.forPath(d).write(df.select("doc_id", "text", "lang"))
+        .write(df, schemaMode = "merge")
+    }
+
+  /** documents appended twice (duplicate corpus for dedup queries). */
+  def docsX2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "docs_x2") { d =>
+      val df = raw(spark, sfDir, "documents")
+      DeltaTable.forPath(d).write(df).write(df)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
+  /** embeddings plus a shifted-id copy (vec_id + 10000) appended as v1 —
+    * the duplicate corpus for embedding near-dup detection.
+    */
+  def embX2(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "emb_x2") { d =>
+      val df = raw(spark, sfDir, "embeddings")
+      DeltaTable.forPath(d).write(df)
+        .write(df.withColumn("vec_id", col("vec_id") + 10000))
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
+  /** create + append + delete + restore — the history/metadata fixture. */
+  def historyTableDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "history_fixture") { d =>
+      val df = raw(spark, sfDir, "nation")
+      DeltaTable.forPath(d).write(df).write(df)
+        .delete(spark, Some(col("n_regionkey") === 0)).restore(1L)
+    }
+
+  /** events with the TIMESTAMP(NANOS) column read as long and converted to
+    * a microsecond timestamp (Spark's parquet reader rejects NANOS without
+    * `spark.sql.legacy.parquet.nanosAsLong`).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+
+  /** events written through the Structured Streaming path: parquet stream
+    * source -> 1-hour windowed aggregation (complete mode) -> foreachBatch
+    * Delta sink -> snapshot scan of the sink table.
+    */
+  def eventsHourlyViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_hourly") { d =>
+      streaming.DeltaStreamSink.runHourlyAggregate(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
 }

