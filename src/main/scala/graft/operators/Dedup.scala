@@ -92,18 +92,29 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sh = shingled(df, idCol, textCol, n).cache()
-    val sig = sh.withColumn("_sig", minHashSignature(col("_sh"), numHashes))
-    val banded = sig.select(col("_id"), col("_sh"),
+    // signature minima via explode + partial aggregation: the min() combine
+    // happens map-side and the shuffle MATERIALIZES the 64 minima — without
+    // this barrier, projection collapse would inline the whole signature
+    // expression into each of the 16 band expressions (16x recompute), and
+    // at scale the agg shape moves 64 longs/doc instead of re-reading text
+    val tok = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("_s"), lit(i))).as(s"_m$i"))
+    val sig = tok.groupBy("_id").agg(minCols.head, minCols.tail: _*)
+    // banded index and self-join stay NARROW (id, band, bucket); shingle
+    // arrays are re-attached per candidate pair afterwards
+    val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("_sig"), b * rows + 1, rows))): _*)))
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"_m$i")): _*)): _*)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
     val cand = banded.as("x").join(banded.as("y"),
         col("x._band") === col("y._band") && col("x._bucket") === col("y._bucket") &&
           col("x._id") < col("y._id"))
-      .select(col("x._id").as("a"), col("x._sh").as("_sha"),
-        col("y._id").as("b"), col("y._sh").as("_shb"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
       .dropDuplicates("a", "b")
     cand
+      .join(sh.select(col("_id").as("a"), col("_sh").as("_sha")), "a")
+      .join(sh.select(col("_id").as("b"), col("_sh").as("_shb")), "b")
       .withColumn("_i", size(array_intersect(col("_sha"), col("_shb"))).cast("long"))
       .withColumn("jaccard",
         col("_i") / (size(col("_sha")) + size(col("_shb")) - col("_i")))

@@ -91,13 +91,18 @@ object Similarity {
               .bitwiseAND(lit((1L << width) - 1))): _*)))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bv")
     }
+    // narrow banded join on ids only; vectors re-attached per candidate
     val c = banded(corpus, "neighbor_id", "_cv")
     val q = banded(queries, "query_id", "_qv")
-    val cand = c.join(broadcast(q),
+    val cand = c.drop("_cv").join(broadcast(q.drop("_qv")),
         c("_band") === q("_band") && c("_bv") === q("_bv") &&
           col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("_qv"), col("neighbor_id"), col("_cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("_qv"))), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("_cv")), "neighbor_id")
       .withColumn("_cos", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("_cos").desc, col("neighbor_id"))
@@ -116,9 +121,11 @@ object Similarity {
     val width = planes / bands
     val hp = hyperplanes(planes, 64)
     val v = toDouble(col(vecCol))
-    val sig = df.select(col(idCol).as("_id"), v.as("_v"),
+    val vecs = df.select(col(idCol).as("_id"), v.as("_v"))
+    // narrow banded self-join on ids; vectors re-attached per candidate
+    val sig = df.select(col(idCol).as("_id"),
         lshSignature(v, hp).as("_sig"))
-      .select(col("_id"), col("_v"),
+      .select(col("_id"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("_sig"), b * width)
             .bitwiseAND(lit((1L << width) - 1))): _*)))
@@ -126,9 +133,10 @@ object Similarity {
     sig.as("x").join(sig.as("y"),
         col("x._band") === col("y._band") && col("x._bv") === col("y._bv") &&
           col("x._id") < col("y._id"))
-      .select(col("x._id").as("a"), col("x._v").as("_va"),
-        col("y._id").as("b"), col("y._v").as("_vb"))
+      .select(col("x._id").as("a"), col("y._id").as("b"))
       .dropDuplicates("a", "b")
+      .join(vecs.select(col("_id").as("a"), col("_v").as("_va")), "a")
+      .join(vecs.select(col("_id").as("b"), col("_v").as("_vb")), "b")
       .withColumn("cos_sim", cosine(col("_va"), col("_vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
