@@ -2,7 +2,7 @@ package graft
 
 import com.fasterxml.jackson.databind.JsonNode
 import graft.log._
-import graft.sources.DeltaScan
+import graft.sources.{DataSkipping, DeltaScan}
 import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
@@ -68,6 +68,24 @@ final case class DeltaTable(
   def toDF(spark: SparkSession): DataFrame =
     DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
       dlog.addActions.values.toSeq, conf)
+
+  /** Live adds that MAY contain rows matching `pred`, per log-recorded
+    * partition values and per-file min/max/nullCount stats — driver-side
+    * data skipping (exceeds the reference; its TODO at
+    * xdlake/__init__.py:104). Conservative: never drops a file that could
+    * match.
+    */
+  def prunedAdds(pred: Column): Seq[AddFile] =
+    DataSkipping.prune(dlog.addActions.values.toSeq, pred, dlog.schema,
+      dlog.partitionColumns)
+
+  /** Filtered snapshot scan that opens only stats-surviving files, then
+    * applies the exact predicate. Equivalent to `toDF(spark).filter(pred)`
+    * but the plan never references skipped files at all.
+    */
+  def toDFWhere(spark: SparkSession, pred: Column): DataFrame =
+    DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+      prunedAdds(pred), conf).filter(pred)
 
   // ------------------------------------------------------------------
   // WRITE (reference xdlake/__init__.py:153-190, traced in SURVEY.md §3.2)
@@ -161,11 +179,16 @@ final case class DeltaTable(
       Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
     }.toMap
 
-    // Phase 1: which files own rows matching the predicate? At cluster
-    // scale this is the one full scan; it reads only predicate columns
-    // (column pruning) and skips via pushed filters + file stats.
+    // Phase 1: which files own rows matching the predicate? Candidate
+    // files are pre-pruned driver-side via partition values + min/max
+    // stats (files outside the predicate's range are never opened); the
+    // scan then reads only predicate columns with pushed filters.
+    val candidateAdds =
+      where.map(prunedAdds).getOrElse(adds.values.toSeq)
     val touchedCanonical: Set[String] =
-      toDF(spark).filter(pred)
+      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+          candidateAdds, conf)
+        .filter(pred)
         .select(input_file_name().as("f")).distinct()
         .collect().map(r => Location.canonical(r.getString(0))).toSet
 

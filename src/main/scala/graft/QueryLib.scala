@@ -102,6 +102,15 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** lineitem written as range-partitioned files on l_orderkey so per-file
+    * min/max stats are selective — the data-skipping fixture.
+    */
+  def lineitemRangedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_ranged") { d =>
+      DeltaTable.forPath(d).write(
+        raw(spark, sfDir, "lineitem").repartitionByRange(8, col("l_orderkey")))
+    }
+
   /** create + append + delete + restore — the history/metadata fixture. */
   def historyTableDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "history_fixture") { d =>

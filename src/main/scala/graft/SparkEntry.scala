@@ -180,6 +180,13 @@ object SparkEntry {
           Multimodal.attachPayload(QueryLib.delta(s, d, "documents"), "doc_id", "text")))
         .orderBy("doc_id", "frame_idx")),
 
+    // ---- data skipping: scan plans only the stats-surviving files ----
+    "q33_stats_skipping_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemRangedDir(s, d))
+        .toDFWhere(s, col("l_orderkey").between(1000, 2000) && col("l_discount") > 0.07)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // ---- streaming ----
     "q32_events_hourly_stream" -> ((s, d) =>
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
@@ -343,6 +350,10 @@ object SparkEntry {
     "q31_frame_sample" ->
       """WITH f AS (SELECT doc_id, CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS nf FROM documents)
         |SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q33_stats_skipping_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q32_events_hourly_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value

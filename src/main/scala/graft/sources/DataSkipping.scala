@@ -1,0 +1,289 @@
+package graft.sources
+
+import graft.log.{AddFile, Json}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.time.{Instant, LocalDate}
+
+/** Driver-side data skipping: evaluate a predicate conservatively against
+  * each live file's log-recorded partition values and min/max/nullCount
+  * statistics, and drop files that provably contain no matching row —
+  * BEFORE any Spark plan is built.
+  *
+  * This exceeds the reference (which collects stats but leaves using them
+  * as a TODO, xdlake/__init__.py:104) and is the decisive 100 TB lever: a
+  * selective predicate on a sorted/partitioned column turns a full-table
+  * scan into a handful of file reads, and DELETE's find-touched-files
+  * phase (SURVEY.md §3.3) only opens candidate files.
+  *
+  * Semantics: `mayMatch` must never return false for a file that could
+  * hold a matching row. Unknown expressions, missing stats, and
+  * unsupported types all return true (keep the file); exact filtering
+  * still happens in the scan, so skipping is purely an optimization.
+  */
+object DataSkipping {
+
+  /** Per-column stats parsed from an add's JSON `stats` string, normalized
+    * to the comparison domain (Long / Double / String / Boolean; dates →
+    * epoch day Long, timestamps → epoch micros Long).
+    */
+  final case class FileStats(
+      numRecords: Option[Long],
+      min: Map[String, Any],
+      max: Map[String, Any],
+      nullCount: Map[String, Long])
+
+  def parseStats(add: AddFile, schema: StructType): FileStats = {
+    add.stats.flatMap { s =>
+      try {
+        val root = Json.mapper.readTree(s)
+        def side(field: String): Map[String, Any] = {
+          val node = root.path(field)
+          schema.fields.flatMap { f =>
+            val v = node.path(f.name)
+            if (v.isMissingNode || v.isNull) None
+            else normalizeStat(v, f.dataType).map(f.name -> _)
+          }.toMap
+        }
+        val nulls = {
+          val node = root.path("nullCount")
+          schema.fields.flatMap { f =>
+            val v = node.path(f.name)
+            if (v.isIntegralNumber) Some(f.name -> v.asLong()) else None
+          }.toMap
+        }
+        Some(FileStats(
+          if (root.path("numRecords").isIntegralNumber) Some(root.path("numRecords").asLong()) else None,
+          side("minValues"), side("maxValues"), nulls))
+      } catch { case _: Exception => None }
+    }.getOrElse(FileStats(None, Map.empty, Map.empty, Map.empty))
+  }
+
+  /** Stats JSON value → comparison-domain value for the column's type. */
+  private def normalizeStat(v: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(v.asLong())
+      case FloatType | DoubleType => Some(v.asDouble())
+      case StringType => Some(v.asText())
+      case BooleanType => Some(v.asBoolean())
+      case DateType => Some(LocalDate.parse(v.asText()).toEpochDay)
+      case _: TimestampType | _: TimestampNTZType =>
+        val inst = java.time.OffsetDateTime.parse(v.asText()).toInstant
+        Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Catalyst literal value → the same comparison domain. */
+  private def normalizeLit(value: Any, dt: DataType): Option[Any] = value match {
+    case null => None
+    case u: UTF8String => Some(u.toString)
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => dt match {
+      case DateType => Some(i.toLong) // epoch days
+      case _ => Some(i.toLong)
+    }
+    case l: Long => Some(l) // micros for timestamp types
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case b: Boolean => Some(b)
+    case d: java.math.BigDecimal => Some(d.doubleValue())
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Hive partition string → comparison domain for the column's type. */
+  private def normalizePartition(s: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(s.toLong)
+      case FloatType | DoubleType => Some(s.toDouble)
+      case StringType => Some(s)
+      case BooleanType => Some(s.toBoolean)
+      case DateType => Some(LocalDate.parse(s).toEpochDay)
+      case _: TimestampType | _: TimestampNTZType =>
+        val inst =
+          try java.time.OffsetDateTime.parse(s).toInstant
+          catch { case _: Exception =>
+            java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC)
+          }
+        Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** Evaluate a foldable scalar subexpression (e.g. `Cast(Literal, ts)`),
+    * supplying the session timezone to tz-aware casts.
+    */
+  private def evalFoldable(e: Expression): Option[(Any, DataType)] = try {
+    val withTz = e.transformUp {
+      case c: Cast if c.needsTimeZone && c.timeZoneId.isEmpty => c.withTimeZone("UTC")
+    }
+    if (withTz.foldable) Option(withTz.eval(null)).map(_ -> withTz.dataType)
+    else None
+  } catch { case _: Exception => None }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  /** The classic Column DSL reaches the converter as `UnresolvedFunction`
+    * nodes named "=", "<", "and", … — rewrite the known predicate shapes
+    * into their Catalyst counterparts so the pruner can pattern-match.
+    */
+  private[sources] def normalize(e: Expression): Expression = e match {
+    case f: UnresolvedFunction =>
+      val as = f.arguments.map(normalize)
+      (f.nameParts.last.toLowerCase, as) match {
+        case ("=" | "==", Seq(l, r)) => EqualTo(l, r)
+        case ("<=>", Seq(l, r)) => EqualNullSafe(l, r)
+        case ("<", Seq(l, r)) => LessThan(l, r)
+        case ("<=", Seq(l, r)) => LessThanOrEqual(l, r)
+        case (">", Seq(l, r)) => GreaterThan(l, r)
+        case (">=", Seq(l, r)) => GreaterThanOrEqual(l, r)
+        case ("and", Seq(l, r)) => And(l, r)
+        case ("or", Seq(l, r)) => Or(l, r)
+        case ("!" | "not", Seq(c)) => Not(c)
+        case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
+        case ("isnull", Seq(c)) => IsNull(c)
+        case ("isnotnull", Seq(c)) => IsNotNull(c)
+        case _ => f.copy(arguments = as)
+      }
+    case other => other.mapChildren(normalize)
+  }
+
+  /** Per-file conservative predicate evaluator. */
+  final class FilePruner(schema: StructType, partitionColumns: Seq[String]) {
+
+    private val fieldByLower: Map[String, StructField] =
+      schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    private val partitionLower = partitionColumns.map(_.toLowerCase).toSet
+
+    def mayMatch(pred: Expression, add: AddFile): Boolean = {
+      lazy val stats = parseStats(add, schema)
+      eval(pred, add, stats)
+    }
+
+    // three-valued not needed: conservative boolean (true = can't exclude)
+    private def eval(e: Expression, add: AddFile, st: FileStats): Boolean = e match {
+      case And(l, r) => eval(l, add, st) && eval(r, add, st)
+      case Or(l, r) => eval(l, add, st) || eval(r, add, st)
+      case EqualTo(l, r) =>
+        if (attrName(l).isDefined) binary(l, r, add, st)(eq)
+        else binary(r, l, add, st)(eq)
+      case EqualNullSafe(l, r) =>
+        if (attrName(l).isDefined) binary(l, r, add, st)(eq)
+        else binary(r, l, add, st)(eq)
+      case LessThan(a, v) if attrName(a).isDefined => binary(a, v, add, st)(ltOp)
+      case LessThan(v, a) => binary(a, v, add, st)(gtOp)
+      case LessThanOrEqual(a, v) if attrName(a).isDefined => binary(a, v, add, st)(leOp)
+      case LessThanOrEqual(v, a) => binary(a, v, add, st)(geOp)
+      case GreaterThan(a, v) if attrName(a).isDefined => binary(a, v, add, st)(gtOp)
+      case GreaterThan(v, a) => binary(a, v, add, st)(ltOp)
+      case GreaterThanOrEqual(a, v) if attrName(a).isDefined => binary(a, v, add, st)(geOp)
+      case GreaterThanOrEqual(v, a) => binary(a, v, add, st)(leOp)
+      case In(a, vs) if attrName(a).isDefined =>
+        vs.exists(v => binary(a, v, add, st)(eq))
+      case IsNull(a) => attrName(a) match {
+        case Some(name) =>
+          val f = fieldByLower.get(name.toLowerCase)
+          if (f.isEmpty) true
+          else if (partitionLower.contains(name.toLowerCase))
+            add.partitionValues.get(f.get.name).orElse(
+              add.partitionValues.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(name) => v
+              }).forall(_.isEmpty)
+          else st.nullCount.get(f.get.name).forall(_ > 0)
+        case None => true
+      }
+      case IsNotNull(a) => attrName(a) match {
+        case Some(name) =>
+          val f = fieldByLower.get(name.toLowerCase)
+          if (f.isEmpty) true
+          else if (partitionLower.contains(name.toLowerCase))
+            add.partitionValues.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(name) => v
+            }.forall(_.nonEmpty)
+          else (st.nullCount.get(f.get.name), st.numRecords) match {
+            case (Some(n), Some(total)) => n < total
+            case _ => true
+          }
+        case None => true
+      }
+      case _ => true // unknown shape: never skip
+    }
+
+    private def eq(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.forall(l => cmp(l, v).forall(_ <= 0)) &&
+        hi.forall(h => cmp(v, h).forall(_ <= 0))
+    private def ltOp(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.forall(l => cmp(l, v).forall(_ < 0))
+    private def leOp(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.forall(l => cmp(l, v).forall(_ <= 0))
+    private def gtOp(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      hi.forall(h => cmp(v, h).forall(_ < 0))
+    private def geOp(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      hi.forall(h => cmp(v, h).forall(_ <= 0))
+
+    /** Compare attribute `a`'s file range against foldable value `v` with
+      * the operator's interval test. Missing info → keep the file.
+      */
+    private def binary(a: Expression, v: Expression, add: AddFile,
+        st: FileStats)(test: (Option[Any], Option[Any], Any) => Boolean): Boolean = {
+      (attrName(a), evalFoldable(v)) match {
+        case (Some(name), Some((raw, dt))) =>
+          fieldByLower.get(name.toLowerCase) match {
+            case None => true
+            case Some(field) =>
+              normalizeLit(raw, dt) match {
+                case None => true
+                case Some(value) =>
+                  if (partitionLower.contains(field.name.toLowerCase)) {
+                    add.partitionValues.collectFirst {
+                      case (k, pv) if k.equalsIgnoreCase(field.name) => pv
+                    }.flatten match {
+                      case Some(pvStr) => normalizePartition(pvStr, field.dataType) match {
+                        case Some(pv) => test(Some(pv), Some(pv), value)
+                        case None => true
+                      }
+                      case None => false // null partition value never compares true
+                    }
+                  } else {
+                    val lo = st.min.get(field.name)
+                    val hi = st.max.get(field.name)
+                    if (lo.isEmpty && hi.isEmpty) true else test(lo, hi, value)
+                  }
+              }
+          }
+        case _ => true
+      }
+    }
+  }
+
+  /** Prune an add-list with a user predicate (public entry point). */
+  def prune(adds: Seq[AddFile], pred: Column, schema: StructType,
+      partitionColumns: Seq[String]): Seq[AddFile] = {
+    val pruner = new FilePruner(schema, partitionColumns)
+    val e = normalize(ColumnShim.expression(pred))
+    adds.filter(pruner.mayMatch(e, _))
+  }
+}

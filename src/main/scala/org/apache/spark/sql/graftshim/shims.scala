@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
+
+/** Bridge to `private[sql]` Column internals (the same package-location
+  * technique delta-spark uses): graft's driver-side data skipping walks the
+  * Catalyst expression tree of a user predicate before any plan exists.
+  * The eager converter (not `ExpressionUtils.expression`, which returns a
+  * lazy `ColumnNodeExpression` wrapper) yields real Catalyst nodes
+  * (`EqualTo`/`UnresolvedFunction`/…) that the pruner can pattern-match.
+  */
+object ColumnShim {
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-side data skipping: pruning must be conservative (result
+  * equality with the unpruned scan) and effective (files actually
+  * dropped when stats/partitions allow it).
+  */
+class DataSkippingSpec extends SparkSuite {
+
+  private lazy val dir: String = {
+    val d = tempDir("skip")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartitionByRange(4, col("l_orderkey"))
+    DeltaTable.forPath(d).write(li, partitionBy = Some(Seq("l_returnflag")))
+    d
+  }
+
+  private def table = DeltaTable.forPath(dir)
+
+  test("partition pruning drops non-matching partitions") {
+    val t = table
+    val all = t.prunedAdds(lit(true))
+    val a = t.prunedAdds(col("l_returnflag") === "A")
+    assert(all.size > a.size, s"expected pruning: ${all.size} vs ${a.size}")
+    assert(a.forall(_.partitionValues.get("l_returnflag").flatten.contains("A")))
+  }
+
+  test("min/max stats pruning drops out-of-range files") {
+    val t = table
+    val lowKey = t.prunedAdds(col("l_orderkey") < 10)
+    assert(lowKey.size < t.prunedAdds(lit(true)).size)
+    // an impossible range keeps nothing
+    assert(t.prunedAdds(col("l_orderkey") < -1).isEmpty)
+  }
+
+  test("pruned scan equals unpruned filter (range + partition + In)") {
+    val t = table
+    val preds = Seq(
+      col("l_orderkey") < 100,
+      col("l_returnflag") === "A" && col("l_quantity") > 30,
+      col("l_shipdate") < lit("1996-01-01").cast("timestamp"),
+      col("l_orderkey").isin(1, 7, 42),
+      col("l_linestatus").isNull || col("l_orderkey") >= 5000)
+    preds.foreach { p =>
+      assertSameRows(t.toDFWhere(spark, p), t.toDF(spark).filter(p))
+    }
+  }
+
+  test("delete with skipping rewrites only touched partitions") {
+    val d = tempDir("skipdel")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .repartitionByRange(4, col("l_orderkey"))
+    val t0 = DeltaTable.forPath(d).write(li, partitionBy = Some(Seq("l_returnflag")))
+    val before = t0.fileUris.toSet
+    val t1 = t0.delete(spark, Some(col("l_returnflag") === "N" && col("l_quantity") > 49))
+    // files of partitions A/R must survive untouched
+    val after = t1.fileUris.toSet
+    val untouched = before.filter(u => u.contains("l_returnflag=A") || u.contains("l_returnflag=R"))
+    assert(untouched.subsetOf(after), "untouched partitions must keep their files")
+    assertSameRows(t1.toDF(spark),
+      t0.toDF(spark).filter(!(col("l_returnflag") === "N" && col("l_quantity") > 49)))
+  }
+}
