@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per duplicate group") {
+    val df = docs(3L -> "same text here", 1L -> "same text here", 2L -> "other text")
+    val out = Dedup.exact(df, "doc_id").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("ngram jaccard computes exact pair similarity") {
+    val df = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d e f", // trigrams 3 vs 4, intersection 3 -> j = 0.75
+      3L -> "x y z w")
+    val out = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.7)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 0.75)
+  }
+
+  test("maxDocFreq drops boilerplate shingles") {
+    val boiler = "common prefix shared by all docs"
+    val df = docs((1L to 6L).map(i => i -> s"$boiler unique$i tail$i words$i"): _*)
+    val strict = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3)
+    val filtered = Dedup.ngramJaccardPairs(df, "doc_id", "text", threshold = 0.3,
+      maxDocFreq = 3)
+    assert(filtered.count() <= strict.count())
+  }
+
+  test("minhash-lsh finds identical and near-identical docs") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy dog again and again",
+      3L -> "completely different content with no overlap at all whatsoever")
+    val out = Dedup.minHashLshPairs(df, "doc_id", "text", threshold = 0.9).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0; disjoint docs not paired") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "one two three four five six seven eight nine ten")
+    val out = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+    assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+}
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tie-break") {
+    val out = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L)) // by cos desc, id
+    assert(out(0).getDouble(3) > 0.99)
+  }
+
+  test("lsh near-dup pairs finds exact duplicates with cos 1.0") {
+    val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
+    val out = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding",
+      threshold = 0.95)
+    val rows = out.collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L to 5L).forall(i => pairs.contains(i -> (i + 100))))
+    // identical-vector pairs score exactly 1.0; all pairs meet the threshold
+    assert(rows.filter(r => r.getLong(1) == r.getLong(0) + 100)
+      .forall(_.getDouble(2) == 1.0))
+    assert(rows.forall(_.getDouble(2) >= 0.95))
+  }
+
+  test("lshTopK returns the identical-vector neighbor first") {
+    val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
+    val out = Similarity.lshTopK(dup, dup.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3)
+    val first = out.filter(col("rank") === 1).collect()
+    assert(first.length == 1 && first(0).getLong(2) == 101L)
+  }
+}
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("shingles: fewer tokens than n yields empty array") {
+    val df = Seq((1L, "two words"), (2L, "three word text")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      size(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 0 && out(1).getInt(1) == 1)
+  }
+
+  test("quality score: ratios match hand computation") {
+    val df = Seq((1L, "the cat sat on the mat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 6L) // tokens
+    assert(r.getDouble(3) == round2(3.0 / 6.0, 4)) // the, on, the
+    assert(r.getDouble(4) == round2(1.0 / 23.0, 4)) // one '.' of 23 chars
+  }
+
+  test("langId picks the profile with most marker hits; und when none") {
+    val df = Seq(
+      (1L, "der hund und die katze ist da"),
+      (2L, "le chat et le chien dans la maison"),
+      (3L, "qqq www zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").orderBy("doc_id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("de", "fr", "und"))
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1) != out(2).getString(1))
+  }
+
+  private def round2(v: Double, p: Int): Double =
+    BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("extractFeatures: payload identity + deterministic fake dims") {
+    val df = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val out = Multimodal.extractFeatures(
+      Multimodal.attachPayload(df, "doc_id", "text")).collect()(0)
+    val bytes = "hello world".getBytes("UTF-8")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(out.getLong(2) == bytes.length.toLong)
+    assert(out.getString(3) == md5)
+    val (w, h, f) = Multimodal.FakeCodec.dims(bytes.length.toLong)
+    assert(out.getLong(4) == w && out.getLong(5) == h && out.getLong(6) == f)
+  }
+
+  test("sampleFrames: stride-2 indices below n_frames") {
+    val feats = Seq((1L, "image/fake", 10L, "x", 64L, 64L, 5L))
+      .toDF("doc_id", "media_type", "payload_len", "payload_md5", "width", "height", "n_frames")
+    val idx = Multimodal.sampleFrames(feats, stride = 2)
+      .orderBy("frame_idx").collect().map(_.getLong(1)).toSeq
+    assert(idx == Seq(0L, 2L, 4L))
+  }
+}
+
+class StreamingSinkSpec extends SparkSuite {
+
+  test("availableNow hourly aggregate equals the batch aggregation") {
+    val dir = tempDir("stream-agg")
+    streaming.DeltaStreamSink.runHourlyAggregate(spark, sfDir, dir)
+    val got = DeltaTable.forPath(dir).toDF(spark)
+    val batch = QueryLib.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    assertSameRows(got, batch)
+  }
+}
