@@ -1,0 +1,85 @@
+package graft
+
+import graft.log.Json
+import graft.storage.Location
+import org.apache.spark.sql.functions._
+
+/** Reference-surface features not covered by Smoke: zero-copy import,
+  * remote log, custom commit metadata, optimistic-commit conflicts.
+  */
+class TableSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("importRefs registers foreign files without copying") {
+    val foreign = tempDir("foreign")
+    nation.coalesce(1).write.mode("overwrite").parquet(foreign)
+    val d = tempDir("import")
+    val t = DeltaTable.forPath(d).importRefs(spark, Seq(foreign))
+    // adds carry absolute URIs; no bytes under the table dir
+    assert(t.fileUris.forall(_.contains(foreign.stripPrefix("/"))))
+    assertSameRows(t.toDF(spark), nation)
+  }
+
+  test("importRefs with hive-partitioned foreign layout") {
+    val foreign = tempDir("foreign-hive")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(foreign)
+    val d = tempDir("import-hive")
+    val t = DeltaTable.forPath(d).importRefs(spark, Seq(foreign),
+      partitionBy = Some(Seq("n_regionkey")))
+    assert(t.partitionColumns == Seq("n_regionkey"))
+    assertSameRows(t.toDF(spark), nation)
+    // partition pruning works on imported absolute-path adds too
+    assert(t.prunedAdds(col("n_regionkey") === 0).size <
+      t.prunedAdds(lit(true)).size)
+  }
+
+  test("remote log: data dir and log dir are independent") {
+    val data = tempDir("remote-data")
+    val logd = tempDir("remote-log")
+    DeltaTable.forPath(data, logPath = Some(s"$logd/_delta_log")).write(nation)
+    // no _delta_log under the data dir
+    assert(!new java.io.File(s"$data/_delta_log").exists())
+    val t = DeltaTable.forPath(data, logPath = Some(s"$logd/_delta_log"))
+    assert(t.version == 0L)
+    assertSameRows(t.toDF(spark), nation)
+  }
+
+  test("custom commit metadata round-trips through history") {
+    val d = tempDir("meta")
+    val t = DeltaTable.forPath(d).write(nation,
+      customMetadata = Map("pipeline" -> Json.text("ingest-v2")))
+    val (v, ci) = t.history.head
+    assert(v == 0L)
+    assert(ci.extra.get("pipeline").exists(_.asText() == "ingest-v2"))
+    // survives a log re-read from disk
+    val ci2 = DeltaTable.forPath(d).history.head._2
+    assert(ci2.extra.get("pipeline").exists(_.asText() == "ingest-v2"))
+  }
+
+  test("optimistic commit: second writer at the same version fails") {
+    val d = tempDir("conflict")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    // two handles at version 0 both try to commit version 1
+    val a = DeltaTable.forPath(d)
+    val b = DeltaTable.forPath(d)
+    a.write(nation)
+    intercept[Exception] { b.write(nation) }
+    // winner's commit is intact
+    assert(DeltaTable.forPath(d).version == 1L)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == nation.count() * 2)
+  }
+
+  test("time travel on a clone preserves every version") {
+    val src = tempDir("clone-src")
+    val t = DeltaTable.forPath(src).write(nation).write(nation)
+    val cloneDir = tempDir("clone-dst")
+    val c = t.cloneTo(cloneDir)
+    assert(c.versions == Seq(0L, 1L))
+    assertSameRows(c.loadAsVersion(0L).toDF(spark), nation)
+    // clone is independently writable without touching the source
+    val c2 = c.write(nation)
+    assert(c2.version == 2L)
+    assert(DeltaTable.forPath(src).version == 1L)
+  }
+}
