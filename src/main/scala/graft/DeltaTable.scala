@@ -221,6 +221,88 @@ final case class DeltaTable(
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
 
   // ------------------------------------------------------------------
+  // OPTIMIZE / VACUUM / CHANGES — table maintenance beyond the reference
+  // (it only READS tables after other engines compact/vacuum,
+  // tests/test_compatibility.py:112-130; op names reserved in
+  // actions.py:104-113).
+  // ------------------------------------------------------------------
+
+  /** Compact: rewrite every partition that holds more than one live file
+    * into coalesced files. `dataChange=false` on removes and adds — any
+    * reader sees identical rows before and after. At cluster scale each
+    * partition group rewrites independently (one executor-side parquet
+    * job), and untouched single-file partitions cost nothing.
+    */
+  def compact(spark: SparkSession): DeltaTable = {
+    val groups = dlog.addActions.values.toSeq
+      .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
+    val toCompact = groups.filter(_._2.size > 1).values.flatten.toSeq
+    if (toCompact.isEmpty) return this
+    val df = DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+      toCompact, conf)
+    // one output file per partition tuple: the write path re-splits by
+    // hive dir, so coalesce(1) per group is expressed as a repartition on
+    // the partition columns (no-op shuffle for unpartitioned tables)
+    val compacted =
+      if (dlog.partitionColumns.nonEmpty)
+        df.repartition(dlog.partitionColumns.map(col): _*)
+      else df.coalesce(1)
+    val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
+    commit(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version))
+  }
+
+  /** Remove data files under the table root that no live add references
+    * and whose modification time is older than `retentionMs`. Destroys
+    * time travel to versions that referenced them (standard VACUUM
+    * semantics). Returns deleted (or, with `dryRun`, deletable) URIs.
+    */
+  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val live: Set[String] =
+      dlog.addActions.keys.map(p => Location.canonical(Location.resolve(p, loc, conf).uri)).toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val candidates = loc.listDataFilesRecursive()
+      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      .filterNot(st => st.getPath.toString.contains("/_delta_log/") ||
+        st.getPath.toString.contains("/_staging-"))
+      .filter(_.getModificationTime < cutoff)
+      .filterNot(st => live.contains(Location.canonical(
+        loc.fs.makeQualified(st.getPath).toString)))
+    if (!dryRun) candidates.foreach(st => loc.fs.delete(st.getPath, false))
+    candidates.map(st => loc.fs.makeQualified(st.getPath).toString)
+  }
+
+  /** CDF-lite: row-level changes between versions (exclusive, inclusive].
+    * `dataChange=true` adds yield `insert` rows; `dataChange=true` removes
+    * yield `remove_file` rows (copy-on-write keeps removed files on disk,
+    * so their content is still readable). Compaction entries
+    * (`dataChange=false`) produce nothing, by design.
+    */
+  def changesBetween(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val slices = dlog.entries.range(fromVersion + 1, toVersion + 1).toSeq.flatMap {
+      case (v, entry) =>
+        val inserts = entry.actions.collect { case a: AddFile if a.dataChange => a }
+        val removes = entry.actions.collect { case r: RemoveFile if r.dataChange =>
+          AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
+        }
+        Seq((v, "insert", inserts), (v, "remove_file", removes))
+          .filter(_._3.nonEmpty)
+    }
+    val frames = slices.map { case (v, change, adds) =>
+      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns, adds, conf)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(change))
+    }
+    if (frames.isEmpty)
+      DeltaScan.emptyDF(spark, dlog.schema)
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_change_type", lit(""))
+        .limit(0)
+    else frames.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------------------------------
   // RESTORE (reference xdlake/__init__.py:317-333): pure log diff.
   // ------------------------------------------------------------------
 

@@ -266,6 +266,8 @@ object CommitInfo {
     val Merge = "MERGE"
     val Delete = "DELETE"
     val Restore = "RESTORE"
+    val Optimize = "OPTIMIZE"
+    val Vacuum = "VACUUM"
   }
 
   def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
@@ -299,6 +301,18 @@ object CommitInfo {
       timestamp = System.currentTimeMillis(),
       operation = Op.Restore,
       operationParameters = ListMap("version" -> Json.num(restoreVersion)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
+  /** OPTIMIZE (file compaction) commit: a metadata-only data reorganization
+    * — `dataChange=false` on both sides, as other engines write it
+    * (op name reserved by the reference, actions.py:104-113).
+    */
+  def optimize(readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Optimize,
+      operationParameters = ListMap("targetSize" -> Json.text("auto")),
       operationMetrics = metrics,
       readVersion = Some(readVersion))
 }
@@ -390,10 +404,10 @@ object Action {
         "operationMetrics", "readVersion", "clientVersion")))
 
   /** RemoveFile mirroring an AddFile (reference actions.py:230-248). */
-  def removeFor(add: AddFile): RemoveFile =
+  def removeFor(add: AddFile, dataChange: Boolean = true): RemoveFile =
     RemoveFile(
       path = add.path,
-      dataChange = true,
+      dataChange = dataChange,
       deletionTimestamp = System.currentTimeMillis(),
       partitionValues = add.partitionValues,
       size = add.size,

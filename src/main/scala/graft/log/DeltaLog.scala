@@ -95,7 +95,7 @@ object DeltaLogEntry {
   def overwriteTable(partitionBy: Seq[String], existingAdds: Iterable[AddFile],
       adds: Seq[AddFile], schema: Option[StructType]): DeltaLogEntry = {
     val commit = CommitInfo.write(WriteMode.Overwrite.value, partitionBy)
-    val removes = existingAdds.map(Action.removeFor).toVector
+    val removes = existingAdds.map(a => Action.removeFor(a)).toVector
     val meta = schema.map(s => Metadata.create(s, partitionBy))
     DeltaLogEntry(meta.toVector ++ removes ++ adds :+ commit)
   }
@@ -110,8 +110,22 @@ object DeltaLogEntry {
       "num_copied_rows" -> Json.num(numCopiedRows),
       "num_deleted_rows" -> Json.num(numDeletedRows))
     val commit = CommitInfo.delete(predicate, readVersion, metrics)
-    val removes = addsToRemove.map(Action.removeFor).toVector
+    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
     DeltaLogEntry(removes ++ adds :+ commit)
+  }
+
+  /** OPTIMIZE entry: replace small files with compacted ones,
+    * `dataChange=false` throughout — readers of any version see identical
+    * rows; only the physical layout changes.
+    */
+  def optimizeTable(addsToRemove: Iterable[AddFile], adds: Seq[AddFile],
+      readVersion: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "numRemovedFiles" -> Json.num(addsToRemove.size.toLong),
+      "numAddedFiles" -> Json.num(adds.size.toLong))
+    val commit = CommitInfo.optimize(readVersion, metrics)
+    val removes = addsToRemove.map(Action.removeFor(_, dataChange = false)).toVector
+    DeltaLogEntry(removes ++ adds.map(_.copy(dataChange = false)) :+ commit)
   }
 
   /** RESTORE entry (reference delta_log/__init__.py:206-224): re-commit the
@@ -124,7 +138,7 @@ object DeltaLogEntry {
       "num_removed_files" -> Json.num(addsToRemove.size.toLong),
       "num_restored_files" -> Json.num(adds.size.toLong))
     val commit = CommitInfo.restore(readVersion, restoreVersion, metrics)
-    val removes = addsToRemove.map(Action.removeFor).toVector
+    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
     val meta = Metadata.create(restoreSchema, restorePartitionBy)
     DeltaLogEntry(meta +: (removes ++ adds) :+ commit)
   }

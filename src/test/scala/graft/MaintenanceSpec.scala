@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** OPTIMIZE / VACUUM / changesBetween semantics. */
+class MaintenanceSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("compact merges multi-file partitions without changing rows") {
+    val d = tempDir("compact")
+    var t = DeltaTable.forPath(d)
+      .write(nation).write(nation).write(nation) // 3 files
+    val before = t.fileUris.size
+    val rows = t.toDF(spark).count()
+    t = t.compact(spark)
+    assert(t.history.head._2.operation == "OPTIMIZE")
+    assert(t.fileUris.size < before)
+    assert(t.toDF(spark).count() == rows)
+    // pre-compaction versions still time-travel (files not deleted)
+    assert(t.loadAsVersion(1L).toDF(spark).count() == rows / 3 * 2)
+  }
+
+  test("compact on a partitioned table keeps partition layout") {
+    val d = tempDir("compact-part")
+    var t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation)
+    val rows = t.toDF(spark).count()
+    t = t.compact(spark)
+    assert(t.partitionColumns == Seq("n_regionkey"))
+    assertSameRows(t.toDF(spark),
+      nation.union(nation))
+    assert(t.toDF(spark).count() == rows)
+  }
+
+  test("vacuum removes only unreferenced files past retention") {
+    val d = tempDir("vacuum")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.write(nation.filter(col("n_regionkey") === 0), mode = graft.log.WriteMode.Overwrite)
+    // dry run with zero retention lists the overwritten (dead) file(s)
+    val deletable = t.vacuum(retentionMs = 0L, dryRun = true)
+    assert(deletable.nonEmpty)
+    val liveCount = t.toDF(spark).count()
+    val deleted = t.vacuum(retentionMs = 0L)
+    assert(deleted.toSet == deletable.toSet)
+    // current snapshot unaffected; time travel to v0 now broken by design
+    assert(DeltaTable.forPath(d).toDF(spark).count() == liveCount)
+    val v0 = DeltaTable.forPath(d).loadAsVersion(0L)
+    intercept[Exception] { v0.toDF(spark).count() }
+  }
+
+  test("changesBetween yields inserts per version and skips compaction") {
+    val d = tempDir("cdf")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.write(nation.filter(col("n_regionkey") === 1))
+    t = t.compact(spark)
+    val ch = t.changesBetween(spark, -1L, t.version)
+    val byType = ch.groupBy("_change_type", "_commit_version").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byType(("insert", 0L)) == nation.count())
+    assert(byType(("insert", 1L)) == nation.filter(col("n_regionkey") === 1).count())
+    // the OPTIMIZE commit (v2) contributes no change rows
+    assert(!byType.keys.exists(_._2 == 2L))
+    // delete produces remove_file rows for the rewritten file's old content
+    val t2 = t.delete(spark, Some(col("n_regionkey") === 2))
+    val ch2 = t2.changesBetween(spark, t.version, t2.version)
+    assert(ch2.filter(col("_change_type") === "remove_file").count() > 0)
+  }
+}
