@@ -129,6 +129,16 @@ object QueryLib {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
   }
 
+  /** events (ns timestamps converted to µs NTZ) written into a Delta
+    * table — the fixture for event-series queries.
+    */
+  def eventsDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_delta") { d =>
+      DeltaTable.forPath(d).write(events(spark, sfDir))
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events written through the Structured Streaming path: parquet stream
     * source -> 1-hour windowed aggregation (complete mode) -> foreachBatch
     * Delta sink -> snapshot scan of the sink table.

@@ -187,6 +187,20 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- event series: gap-based sessionization ----
+    "q34_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("_us"), col("event_id"))
+      QueryLib.eventsDelta(s, d)
+        .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("_gap").isNull || col("_gap") > 1800000000L, 1)
+            .otherwise(0)).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
     // ---- streaming ----
     "q32_events_hourly_stream" -> ((s, d) =>
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
@@ -354,6 +368,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q32_events_hourly_stream" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
