@@ -7,7 +7,7 @@ import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -91,12 +91,19 @@ final case class DeltaTable(
   // WRITE (reference xdlake/__init__.py:153-190, traced in SURVEY.md §3.2)
   // ------------------------------------------------------------------
 
+  /** @param maxRetries optimistic-concurrency retries for APPEND commits:
+    *        on a version-file conflict the log is reloaded and the same
+    *        already-written data files are re-committed at the next
+    *        version. 0 (default) preserves the reference's behavior of
+    *        surfacing the conflict to the caller.
+    */
   def write(
       df: DataFrame,
       mode: WriteMode = WriteMode.Append,
       schemaMode: String = "overwrite",
       partitionBy: Option[Seq[String]] = None,
-      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+      customMetadata: Map[String, JsonNode] = Map.empty,
+      maxRetries: Int = 0): DeltaTable = {
 
     val resolvedPartitionBy: Seq[String] =
       if (!dlog.isEmpty) {
@@ -109,11 +116,24 @@ final case class DeltaTable(
         }
       } else partitionBy.getOrElse(Seq.empty)
 
-    val evaluated = dlog.evaluateSchema(df.schema, mode, schemaMode)
     val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
-    val entry = dlog.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
-      .withExtraCommitInfo(customMetadata)
-    commit(entry)
+    var logState = dlog
+    var attempts = 0
+    var result: DeltaTable = null
+    while (result == null) {
+      val evaluated = logState.evaluateSchema(df.schema, mode, schemaMode)
+      val entry = logState.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
+        .withExtraCommitInfo(customMetadata)
+      try result = copy(dlog = logState.commit(entry, commitContext))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (mode != WriteMode.Append || attempts >= maxRetries) throw e
+          attempts += 1
+          logState = DeltaLog.load(logLoc, None)
+          logState.validatePartitionBy(partitionBy) // table may have changed
+      }
+    }
+    result
   }
 
   /** Executors write partitioned parquet into a staging dir; the driver
@@ -219,6 +239,72 @@ final case class DeltaTable(
 
   private def parseNumRecords(statsJson: String): Long =
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+
+  // ------------------------------------------------------------------
+  // MERGE — copy-on-write upsert by key (op name reserved by the
+  // reference; delta-rs merge output is read back in its
+  // tests/test_compatibility.py:132-154).
+  // ------------------------------------------------------------------
+
+  /** Upsert `source` into the table by equality on `keyCols`: target rows
+    * whose key appears in the source are REPLACED by the source row
+    * (whole-row update); source rows with no matching key are INSERTED.
+    * Source must not contain duplicate keys.
+    *
+    * Scale shape: phase 1 discovers touched files with a semi-join of the
+    * snapshot against the (usually broadcastable) distinct source keys —
+    * untouched files are never rewritten; phase 2 rewrites only kept rows
+    * of touched files; inserts append as new files. One scan, no driver
+    * row materialization beyond the touched-file list.
+    */
+  def merge(spark: SparkSession, source: DataFrame,
+      keyCols: Seq[String],
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    require(keys.count() == source.count(), "source has duplicate keys")
+
+    val adds = dlog.addActions
+    val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+      Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+    }.toMap
+
+    // phase 1: files owning rows whose key matches a source key
+    // (input_file_name is captured scan-side, before the multi-source join)
+    val touchedCanonical: Set[String] =
+      toDF(spark).withColumn("_graft_file", input_file_name())
+        .join(broadcast(keys), keyCols, "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(r => Location.canonical(r.getString(0))).toSet
+    val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+
+    // phase 2: rewrite touched files without their matched rows
+    var numCopied = 0L
+    var numUpdated = 0L
+    val keptAdds: Seq[AddFile] =
+      if (touchedAdds.isEmpty) Seq.empty
+      else {
+        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
+          dlog.partitionColumns, touchedAdds, conf)
+        val total = touchedDF.count()
+        val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
+        val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
+        numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+        numUpdated = total - numCopied
+        written
+      }
+
+    // all source rows land as new files (updates + inserts)
+    val sourceAligned = source.select(dlog.schema.fieldNames.map(col): _*)
+    val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
+    val numInserted = source.count() - numUpdated
+
+    val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+    val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
+        keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied)
+      .withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
 
   // ------------------------------------------------------------------
   // OPTIMIZE / VACUUM / CHANGES — table maintenance beyond the reference

@@ -111,6 +111,19 @@ object QueryLib {
         raw(spark, sfDir, "lineitem").repartitionByRange(8, col("l_orderkey")))
     }
 
+  /** customer upserted: acctbal zeroed for custkey < 100 (update) plus the
+    * same rows re-keyed +100000 (insert) — the MERGE fixture.
+    */
+  def customerMergedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_merge") { d =>
+      val c = raw(spark, sfDir, "customer")
+      val updates = c.filter(col("c_custkey") < 100).withColumn("c_acctbal", lit(0.0))
+      val inserts = c.filter(col("c_custkey") < 100)
+        .withColumn("c_custkey", col("c_custkey") + 100000)
+      DeltaTable.forPath(d).write(c)
+        .merge(spark, updates.union(inserts), Seq("c_custkey"))
+    }
+
   /** create + append + delete + restore — the history/metadata fixture. */
   def historyTableDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "history_fixture") { d =>

@@ -187,6 +187,11 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- MERGE (copy-on-write upsert) ----
+    "q35_merge_upsert" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerMergedDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
+
     // ---- event series: gap-based sessionization ----
     "q34_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -368,6 +373,16 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q35_merge_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+        | c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
+        | c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
     "q34_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id,

@@ -304,6 +304,19 @@ object CommitInfo {
       operationMetrics = metrics,
       readVersion = Some(readVersion))
 
+  /** MERGE (upsert) commit (op name reserved by the reference,
+    * actions.py:104-113; delta-rs merge results are read back in
+    * tests/test_compatibility.py:132-154).
+    */
+  def merge(predicate: String, readVersion: Long,
+      metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Merge,
+      operationParameters = ListMap("predicate" -> Json.text(predicate)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
   /** OPTIMIZE (file compaction) commit: a metadata-only data reorganization
     * — `dataChange=false` on both sides, as other engines write it
     * (op name reserved by the reference, actions.py:104-113).

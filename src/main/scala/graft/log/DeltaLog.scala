@@ -114,6 +114,23 @@ object DeltaLogEntry {
     DeltaLogEntry(removes ++ adds :+ commit)
   }
 
+  /** MERGE entry: copy-on-write upsert — removes for every touched file,
+    * adds for their rewritten content plus inserted rows.
+    */
+  def mergeTable(predicate: String, addsToRemove: Iterable[AddFile],
+      adds: Seq[AddFile], readVersion: Long, numUpdated: Long,
+      numInserted: Long, numCopied: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "num_added_files" -> Json.num(adds.size.toLong),
+      "num_removed_files" -> Json.num(addsToRemove.size.toLong),
+      "num_updated_rows" -> Json.num(numUpdated),
+      "num_inserted_rows" -> Json.num(numInserted),
+      "num_copied_rows" -> Json.num(numCopied))
+    val commit = CommitInfo.merge(predicate, readVersion, metrics)
+    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
+    DeltaLogEntry(removes ++ adds :+ commit)
+  }
+
   /** OPTIMIZE entry: replace small files with compacted ones,
     * `dataChange=false` throughout — readers of any version see identical
     * rows; only the physical layout changes.
