@@ -40,19 +40,28 @@ final case class DeltaTable(
     logLoc: Location,
     dlog: DeltaLog,
     conf: Configuration,
-    commitContext: CommitContext = CreateIfAbsentCommit) {
+    commitContext: CommitContext = CreateIfAbsentCommit,
+    checkpointInterval: Int = 10) {
 
   def version: Long = if (dlog.isEmpty) -1L else dlog.version
-  def versions: Seq[Long] = dlog.versions
+  def versions: Seq[Long] = withFullHistory.versions
   def schema: StructType = dlog.schema
   def partitionColumns: Seq[String] = dlog.partitionColumns
+
+  /** Per-version views (history/clone/CDF) need every JSON entry; a
+    * checkpoint-based load only carries a synthetic base + tail, so
+    * re-replay the JSON commits (never deleted) in that case.
+    */
+  private def withFullHistory: DeltaLog =
+    if (dlog.entries.isEmpty || dlog.entries.firstKey == 0L) dlog
+    else DeltaLog.load(logLoc, None)
 
   /** Absolute URIs of live files (reference xdlake/__init__.py:122-125). */
   def fileUris: Seq[String] =
     dlog.addActions.keys.toSeq.map(p => Location.resolve(p, loc, conf).uri)
 
   /** commitInfo + version, newest first (reference delta_log/__init__.py:312-318). */
-  def history: Seq[(Long, CommitInfo)] = dlog.history
+  def history: Seq[(Long, CommitInfo)] = withFullHistory.history
 
   def historyDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -124,7 +133,7 @@ final case class DeltaTable(
       val evaluated = logState.evaluateSchema(df.schema, mode, schemaMode)
       val entry = logState.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
         .withExtraCommitInfo(customMetadata)
-      try result = copy(dlog = logState.commit(entry, commitContext))
+      try result = copy(dlog = maybeCheckpoint(logState.commit(entry, commitContext)))
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (mode != WriteMode.Append || attempts >= maxRetries) throw e
@@ -318,11 +327,20 @@ final case class DeltaTable(
     * reader sees identical rows before and after. At cluster scale each
     * partition group rewrites independently (one executor-side parquet
     * job), and untouched single-file partitions cost nothing.
+    *
+    * @param sortBy optional clustering columns (Z-order-lite): rewritten
+    *        data is range-partitioned and sorted on them, making per-file
+    *        min/max stats disjoint so [[prunedAdds]] skips aggressively.
+    *        When set, ALL live files are rewritten (layout, not just
+    *        small-file count, is the point).
     */
-  def compact(spark: SparkSession): DeltaTable = {
+  def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
+      targetFiles: Int = 0): DeltaTable = {
     val groups = dlog.addActions.values.toSeq
       .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
-    val toCompact = groups.filter(_._2.size > 1).values.flatten.toSeq
+    val toCompact =
+      if (sortBy.nonEmpty) dlog.addActions.values.toSeq
+      else groups.filter(_._2.size > 1).values.flatten.toSeq
     if (toCompact.isEmpty) return this
     val df = DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
       toCompact, conf)
@@ -330,7 +348,12 @@ final case class DeltaTable(
     // hive dir, so coalesce(1) per group is expressed as a repartition on
     // the partition columns (no-op shuffle for unpartitioned tables)
     val compacted =
-      if (dlog.partitionColumns.nonEmpty)
+      if (sortBy.nonEmpty) {
+        val n = if (targetFiles > 0) targetFiles
+          else math.max(1, spark.sparkContext.defaultParallelism / 4)
+        df.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      } else if (dlog.partitionColumns.nonEmpty)
         df.repartition(dlog.partitionColumns.map(col): _*)
       else df.coalesce(1)
     val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
@@ -366,7 +389,7 @@ final case class DeltaTable(
     */
   def changesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val slices = dlog.entries.range(fromVersion + 1, toVersion + 1).toSeq.flatMap {
+    val slices = withFullHistory.entries.range(fromVersion + 1, toVersion + 1).toSeq.flatMap {
       case (v, entry) =>
         val inserts = entry.actions.collect { case a: AddFile if a.dataChange => a }
         val removes = entry.actions.collect { case r: RemoveFile if r.dataChange =>
@@ -419,7 +442,7 @@ final case class DeltaTable(
     val dstLoc = Location(dstPath, conf)
     val dstLogLoc = dstLogPath.map(Location(_, conf)).getOrElse(dstLoc.child("_delta_log"))
     dstLogLoc.mkdirs()
-    dlog.entries.foreach { case (v, entry) =>
+    withFullHistory.entries.foreach { case (v, entry) =>
       val rewritten = entry.actions.map {
         case a: AddFile    => a.copy(path = Location.resolve(a.path, loc, conf).uri)
         case r: RemoveFile => r.copy(path = Location.resolve(r.path, loc, conf).uri)
@@ -493,7 +516,26 @@ final case class DeltaTable(
   // ------------------------------------------------------------------
 
   private def commit(entry: DeltaLogEntry): DeltaTable =
-    copy(dlog = dlog.commit(entry, commitContext))
+    copy(dlog = maybeCheckpoint(dlog.commit(entry, commitContext)))
+
+  /** Auto-checkpoint every `checkpointInterval` commits (delta's default
+    * cadence); failures never fail the commit — a checkpoint is purely a
+    * replay accelerator.
+    */
+  private def maybeCheckpoint(newLog: DeltaLog): DeltaLog = {
+    if (checkpointInterval > 0 && newLog.version > 0 &&
+        newLog.version % checkpointInterval == 0) {
+      try Checkpoint.write(newLog, conf)
+      catch { case _: Exception => () }
+    }
+    newLog
+  }
+
+  /** Write a checkpoint for the current version explicitly. */
+  def checkpoint(): DeltaTable = {
+    Checkpoint.write(dlog, conf)
+    this
+  }
 }
 
 object DeltaTable {
@@ -509,7 +551,12 @@ object DeltaTable {
       commitContext: CommitContext = CreateIfAbsentCommit): DeltaTable = {
     val loc = Location(path, conf)
     val logLoc = logPath.map(Location(_, conf)).getOrElse(loc.child("_delta_log"))
-    val dlog = DeltaLog.load(logLoc, version).loadVersionOrAll(version)
+    // checkpoint fast path for head loads; time travel replays JSON
+    val dlog = version match {
+      case Some(_) => DeltaLog.load(logLoc, version).loadVersionOrAll(version)
+      case None => Checkpoint.loadFrom(logLoc, conf)
+        .getOrElse(DeltaLog.load(logLoc, None))
+    }
     DeltaTable(loc, logLoc, dlog, conf, commitContext)
   }
 

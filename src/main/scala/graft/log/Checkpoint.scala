@@ -1,0 +1,124 @@
+package graft.log
+
+import graft.storage.Location
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetReader}
+import org.apache.parquet.schema.{MessageTypeParser, Types}
+
+import scala.collection.immutable.SortedMap
+
+/** Log checkpoints: a parquet snapshot of the table state at version V, so
+  * opening a long-lived table replays ONE parquet file plus the JSON
+  * entries after V instead of every commit since version 0.
+  *
+  * This is the driver-side scale feature the reference lacks entirely: at
+  * 100 TB a table accumulates 10^4–10^6 commits, and listing + parsing
+  * every JSON file per table open dominates planning time.
+  *
+  * Format: one UTF-8 action-JSON line per row (the exact NDJSON objects
+  * the log stores), in `%020d.checkpoint.parquet` beside the commits,
+  * discovered via `_last_checkpoint` — same file naming and discovery
+  * protocol as delta; the row layout is graft-native (a `json` column
+  * rather than delta's nested per-action structs; conversion is
+  * mechanical since the content is identical).
+  *
+  * JSON commit files are never deleted, so time travel below the
+  * checkpoint falls back to full JSON replay.
+  */
+object Checkpoint {
+
+  val LastCheckpointFile = "_last_checkpoint"
+
+  private val parquetSchema = MessageTypeParser.parseMessageType(
+    "message graft_checkpoint { required binary json (UTF8); }")
+
+  def checkpointFilename(v: Long): String = f"$v%020d.checkpoint.parquet"
+
+  /** Snapshot-state actions at the log's head: protocol, latest metadata,
+    * every live add (replay result, not history).
+    */
+  private def snapshotActions(dlog: DeltaLog): Seq[Action] = {
+    val protocol = dlog.entries.valuesIterator
+      .flatMap(_.actions.collect { case p: Protocol => p })
+      .toSeq.lastOption.getOrElse(Protocol())
+    val metadata = dlog.entries.keys.toSeq.reverseIterator
+      .flatMap(v => dlog.entries(v).metadataAction)
+      .nextOption()
+      .getOrElse(throw new IllegalStateException("cannot checkpoint an empty log"))
+    Seq(protocol, metadata) ++ dlog.addActions.values
+  }
+
+  /** Write the checkpoint for the log's current version and point
+    * `_last_checkpoint` at it.
+    */
+  def write(dlog: DeltaLog, conf: Configuration): Unit = {
+    val v = dlog.version
+    val actions = snapshotActions(dlog)
+    val out = dlog.loc.child(checkpointFilename(v))
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(out.path, conf))
+      .withType(parquetSchema)
+      .withConf(conf)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(parquetSchema)
+    try actions.foreach { a =>
+      writer.write(factory.newGroup().append("json", a.toLine))
+    } finally writer.close()
+    dlog.loc.child(LastCheckpointFile)
+      .writeString(s"""{"version":$v,"size":${actions.size}}""")
+  }
+
+  /** The `_last_checkpoint` pointer, if present and parseable. */
+  def lastCheckpointVersion(loc: Location): Option[Long] = {
+    val ptr = loc.child(LastCheckpointFile)
+    if (!ptr.exists) None
+    else
+      try Json.longOpt(Json.mapper.readTree(ptr.readString()), "version")
+      catch { case _: Exception => None }
+  }
+
+  /** Read the checkpoint at version `v` into a synthetic base entry. */
+  def read(loc: Location, v: Long, conf: Configuration): DeltaLogEntry = {
+    val file = loc.child(checkpointFilename(v))
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), file.path)
+      .withConf(conf)
+      .build()
+    val actions = Vector.newBuilder[Action]
+    try {
+      var g: Group = reader.read()
+      while (g != null) {
+        actions += Action.parse(g.getString("json", 0))
+        g = reader.read()
+      }
+    } finally reader.close()
+    DeltaLogEntry(actions.result())
+  }
+
+  /** Load the log via the checkpoint fast path: the checkpoint becomes the
+    * base entry at its version; only JSON entries AFTER it are parsed.
+    * Returns None when no usable checkpoint exists (caller falls back to
+    * full JSON replay).
+    */
+  def loadFrom(loc: Location, conf: Configuration): Option[DeltaLog] =
+    lastCheckpointVersion(loc).flatMap { v =>
+      try {
+        val base = read(loc, v, conf)
+        var entries = SortedMap[Long, DeltaLogEntry](v -> base)
+        loc.listSorted().foreach { st =>
+          val name = st.getPath.getName
+          if (DeltaLog.EntryFilenameRe.matches(name)) {
+            val ev = name.split("\\.", 2)(0).toLong
+            if (ev > v)
+              entries = entries.updated(ev, DeltaLogEntry.fromNdjson(loc.child(name).readString()))
+          }
+        }
+        Some(DeltaLog(loc, entries))
+      } catch { case _: Exception => None }
+    }
+}

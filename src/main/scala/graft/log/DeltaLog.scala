@@ -47,7 +47,9 @@ final case class DeltaLogEntry(actions: Vector[Action]) {
         case CommitInfo.Op.Create => c.metadataPartitionColumns
         case _                    => None
       }
-    }
+    }.orElse(
+      // commitInfo-less entries (checkpoint base) declare them via metaData
+      metadataAction.map(_.partitionColumns).filter(_.nonEmpty))
 
   def toNdjson: String = actions.map(_.toLine).mkString("\n")
 
@@ -258,10 +260,13 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       entries(v).commitInfos.map(v -> _)
     }
 
-  /** Time travel: entries ≤ version (reference delta_log/__init__.py:279-297). */
+  /** Time travel: entries ≤ version (reference delta_log/__init__.py:279-297).
+    * When `v` predates the in-memory window (checkpoint-based load), fall
+    * back to full JSON replay — commit files are never deleted.
+    */
   def loadAsVersion(v: Long): DeltaLog =
     if (entries.contains(v)) DeltaLog(loc, entries.rangeTo(v))
-    else DeltaLog.load(loc)
+    else DeltaLog(loc, DeltaLog.load(loc, Some(v)).entries.rangeTo(v))
 
   /** Optimistic commit: create-if-absent the next numbered entry file, then
     * re-read the log (reference xdlake/__init__.py:425-446).
@@ -278,7 +283,7 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
 
 object DeltaLog {
 
-  private val EntryFilenameRe = "^\\d+\\.json$".r
+  private[log] val EntryFilenameRe = "^\\d+\\.json$".r
 
   def filenameForVersion(v: Long): String = f"$v%020d.json"
 

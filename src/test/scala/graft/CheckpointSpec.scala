@@ -1,0 +1,68 @@
+package graft
+
+import graft.log.{Checkpoint, DeltaLog}
+import org.apache.spark.sql.functions._
+
+/** Log checkpoints: fast-path loads must equal full JSON replay, and
+  * per-version views (history, time travel, clone) must survive them.
+  */
+class CheckpointSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("auto-checkpoint fires at the interval and fast-path load matches") {
+    val d = tempDir("ckpt")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 5)
+    t = t.write(nation)
+    (1 to 5).foreach(_ => t = t.write(nation))
+    // version 5 -> checkpoint written + pointer
+    assert(Checkpoint.lastCheckpointVersion(t.logLoc).contains(5L))
+    // a fresh open takes the fast path (base entry at 5) …
+    val fast = DeltaTable.forPath(d)
+    assert(fast.dlog.entries.firstKey == 5L)
+    assert(fast.version == 5L)
+    // … and equals full JSON replay
+    val full = DeltaLog.load(t.logLoc, None)
+    assert(fast.dlog.addActions.keySet == full.addActions.keySet)
+    assert(fast.schema == full.schema)
+    assertSameRows(fast.toDF(spark), t.toDF(spark))
+  }
+
+  test("history, time travel and clone see versions below the checkpoint") {
+    val d = tempDir("ckpt-hist")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 3)
+    t = t.write(nation)
+    (1 to 3).foreach(_ => t = t.write(nation))
+    val fresh = DeltaTable.forPath(d) // checkpoint-based
+    assert(fresh.versions == Seq(0L, 1L, 2L, 3L))
+    assert(fresh.history.size == 4)
+    assert(fresh.loadAsVersion(1L).toDF(spark).count() == nation.count() * 2)
+    val clone = fresh.cloneTo(tempDir("ckpt-clone"))
+    assert(clone.versions == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("explicit checkpoint() and further commits after it") {
+    val d = tempDir("ckpt-explicit")
+    var t = DeltaTable.forPath(d).write(nation).write(nation)
+    t.checkpoint()
+    assert(Checkpoint.lastCheckpointVersion(t.logLoc).contains(1L))
+    // commits after the checkpoint replay as tail entries
+    t = t.write(nation.filter(col("n_regionkey") === 0), mode = graft.log.WriteMode.Overwrite)
+    val fresh = DeltaTable.forPath(d)
+    assert(fresh.version == 2L)
+    assertSameRows(fresh.toDF(spark), nation.filter(col("n_regionkey") === 0))
+  }
+
+  test("partitioned table state survives a checkpoint round-trip") {
+    val d = tempDir("ckpt-part")
+    var t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation)
+    t.checkpoint()
+    val fresh = DeltaTable.forPath(d)
+    assert(fresh.partitionColumns == Seq("n_regionkey"))
+    assert(fresh.prunedAdds(col("n_regionkey") === 0).size <
+      fresh.prunedAdds(lit(true)).size)
+    assertSameRows(fresh.toDF(spark), nation.union(nation))
+  }
+}

@@ -34,6 +34,19 @@ class MaintenanceSpec extends SparkSuite {
     assert(t.toDF(spark).count() == rows)
   }
 
+  test("sorted compaction makes min/max pruning selective") {
+    val d = tempDir("zorder")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
+    var t = DeltaTable.forPath(d).write(li)
+    // hash layout: every file spans the full key range, nothing prunes
+    val before = t.prunedAdds(col("l_orderkey") < 50).size
+    assert(before == t.fileUris.size)
+    t = t.compact(spark, sortBy = Seq("l_orderkey"), targetFiles = 8)
+    val after = t.prunedAdds(col("l_orderkey") < 50).size
+    assert(after < t.fileUris.size, s"expected pruning after sort: $after")
+    assertSameRows(t.toDF(spark), li)
+  }
+
   test("vacuum removes only unreferenced files past retention") {
     val d = tempDir("vacuum")
     var t = DeltaTable.forPath(d).write(nation)
