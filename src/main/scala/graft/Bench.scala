@@ -10,12 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Representative subset: scan, agg, join, window, dedup-join, ANN. */
+  /** Representative subset: scan, agg, join, window, dedup-join, ANN,
+    * data skipping, sessionization.
+    */
   val headline: Seq[String] = Seq(
     "q05_delete", "q06_partitioned_scan", "q08_filter_project", "q09_q1_agg",
     "q10_join_agg", "q13_window_latest_order", "q14_topk_orders",
     "q20_ngram_jaccard", "q21_minhash_lsh", "q23_knn_bruteforce",
-    "q27_quality_score", "q30_multimodal_features")
+    "q27_quality_score", "q30_multimodal_features", "q33_stats_skipping_scan",
+    "q34_sessionize")
 
   val RUNS = 2
 
