@@ -31,6 +31,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Single-pass codegen'd cosine over raw float/double arrays — the
+    * custom Catalyst Expression fast path. Identical doubles to
+    * [[cosine]] over [[toDouble]]-cast inputs (same accumulation order).
+    */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.expression(b)))
+
   /** Exact top-k cosine neighbors of each query vector.
     *
     * @param corpus  (idCol, vecCol) table — scanned once, never shuffled
@@ -39,13 +49,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("_cv"))
-    val q = queries.select(col(idCol).as("query_id"),
-      toDouble(col(vecCol)).as("_qv"))
+    // raw arrays + the single-pass custom Expression: no cast copies, no
+    // zipped intermediates in the corpus × queries inner loop
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_cos", cosineFast(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("_cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

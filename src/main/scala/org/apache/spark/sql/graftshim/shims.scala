@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
   */
 object ColumnShim {
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a Catalyst expression back into a DSL Column (for custom
+    * expressions like graft.functions.CosineSimilarity).
+    */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

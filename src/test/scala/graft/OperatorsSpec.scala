@@ -89,6 +89,19 @@ class SimilaritySpec extends SparkSuite {
     assert(rows.forall(_.getDouble(2) >= 0.95))
   }
 
+  test("cosineFast expression equals the HOF composition bit-for-bit") {
+    val pairs = corpus.as("x").crossJoin(corpus.as("y"))
+      .select(
+        Similarity.cosineFast(col("x.embedding"), col("y.embedding")).as("fast"),
+        Similarity.cosine(Similarity.toDouble(col("x.embedding")),
+          Similarity.toDouble(col("y.embedding"))).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+  }
+
   test("lshTopK returns the identical-vector neighbor first") {
     val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
     val out = Similarity.lshTopK(dup, dup.filter(col("vec_id") === 1),
