@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL surface for graft's custom expressions.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] via
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (the
+  *    SparkSessionExtensions injection point) for cluster-wide setup;
+  *  - [[GraftFunctions.register]] for an already-running session.
+  *
+  * After either, `SELECT cosine_sim(a.embedding, b.embedding)` runs the
+  * codegen'd [[CosineSimilarity]].
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cosine_sim expects 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+
+  /** Register into a live session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

@@ -102,6 +102,16 @@ class SimilaritySpec extends SparkSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(1))))
   }
 
+  test("cosine_sim is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    corpus.createOrReplaceTempView("emb_sql")
+    val out = spark.sql(
+      """SELECT x.vec_id, cosine_sim(x.embedding, y.embedding) AS c
+        |FROM emb_sql x JOIN emb_sql y ON y.vec_id = 1 AND x.vec_id = 2""".stripMargin)
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(1) > 0.99)
+  }
+
   test("lshTopK returns the identical-vector neighbor first") {
     val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
     val out = Similarity.lshTopK(dup, dup.filter(col("vec_id") === 1),
