@@ -459,13 +459,22 @@ final case class DeltaTable(
   // foreign parquet files by absolute URI without copying bytes.
   // ------------------------------------------------------------------
 
+  /** @param partitionValuesFor non-hive partitioning flavors (reference
+    *        imports hive/filename/directory layouts,
+    *        tests/test_xdlake.py:171-212): maps a file's ref-relative path
+    *        to its partition values, replacing `key=value` dir parsing.
+    * @param partitionSchema required with `partitionValuesFor`: the typed
+    *        partition columns (not recoverable from non-hive layouts).
+    */
   def importRefs(
       spark: SparkSession,
       refs: Seq[String],
       mode: WriteMode = WriteMode.Append,
       schemaMode: String = "overwrite",
       partitionBy: Option[Seq[String]] = None,
-      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+      customMetadata: Map[String, JsonNode] = Map.empty,
+      partitionValuesFor: Option[String => Map[String, Option[String]]] = None,
+      partitionSchema: Option[StructType] = None): DeltaTable = {
 
     val resolvedPartitionBy: Seq[String] =
       if (!dlog.isEmpty) {
@@ -486,7 +495,8 @@ final case class DeltaTable(
         else Seq(refLoc.status)
       files.map { st =>
         val rel = relativize(st.getPath, refLoc.path)
-        val partValues = DeltaScan.partitionValuesFromPath(rel)
+        val partValues = partitionValuesFor.map(_.apply(rel))
+          .getOrElse(DeltaScan.partitionValuesFromPath(rel))
         AddFile(
           path = refLoc.fs.makeQualified(st.getPath).toString,
           partitionValues = resolvedPartitionBy.map(c => c -> partValues.getOrElse(c, None)).toMap,
@@ -498,10 +508,18 @@ final case class DeltaTable(
     }
 
     // Schema: infer over the refs, letting Spark resolve hive partition
-    // columns when the ref roots are partitioned directories.
+    // columns when the ref roots are partitioned directories; non-hive
+    // flavors append the caller-declared partition schema instead.
     val reader = spark.read.option("mergeSchema", "true")
     val inferred =
-      if (resolvedPartitionBy.nonEmpty)
+      if (partitionValuesFor.isDefined) {
+        val ps = partitionSchema.getOrElse(throw new IllegalArgumentException(
+          "partitionSchema is required with partitionValuesFor"))
+        // recursive lookup: non-hive dir layouts defeat partition discovery
+        val dataSchema = reader.option("recursiveFileLookup", "true")
+          .parquet(refs: _*).schema
+        StructType(dataSchema.fields ++ ps.fields)
+      } else if (resolvedPartitionBy.nonEmpty)
         refs.map(r => reader.option("basePath", r).parquet(r).schema)
           .reduce(DeltaLog.mergeSchemas)
       else

@@ -34,6 +34,27 @@ class TableSpec extends SparkSuite {
       t.prunedAdds(lit(true)).size)
   }
 
+  test("importRefs with directory-flavor layout via partitionValuesFor") {
+    // build <dir>/<regionkey>/<file>.parquet (no key= prefix)
+    val hive = tempDir("flavor-hive")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(hive)
+    val plain = tempDir("flavor-dir")
+    new java.io.File(hive).listFiles().filter(_.isDirectory).foreach { d =>
+      val v = d.getName.split("=", 2)(1)
+      val dst = new java.io.File(plain, v)
+      assert(d.renameTo(dst))
+    }
+    val t = DeltaTable.forPath(tempDir("flavor-import")).importRefs(spark, Seq(plain),
+      partitionBy = Some(Seq("n_regionkey")),
+      partitionValuesFor = Some(rel =>
+        Map("n_regionkey" -> Some(rel.split("/")(0)))),
+      partitionSchema = Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType)))))
+    assert(t.partitionColumns == Seq("n_regionkey"))
+    assertSameRows(t.toDF(spark), nation)
+  }
+
   test("remote log: data dir and log dir are independent") {
     val data = tempDir("remote-data")
     val logd = tempDir("remote-log")
