@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Randomized round-trip tests over the full supported type matrix —
+  * the reference's TableGen layer (tests/utils.py:21-98): K generated
+  * tables appended, read back, compared order-insensitively to the
+  * in-memory union; then delete/restore/clone/partitioned variants.
+  * Seeded, so failures reproduce.
+  */
+class RoundTripSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("order", LongType, nullable = false),
+    StructField("bool", BooleanType),
+    StructField("i8", ByteType),
+    StructField("i16", ShortType),
+    StructField("i32", IntegerType),
+    StructField("i64", LongType),
+    StructField("f32", FloatType),
+    StructField("f64", DoubleType),
+    StructField("str", StringType),
+    StructField("bin", BinaryType),
+    StructField("date", DateType),
+    StructField("ts_ntz", TimestampNTZType),
+    StructField("cats", StringType),
+    StructField("bats", IntegerType)))
+
+  private var orderCounter = 0L
+
+  /** 11-row table over the whole type matrix (reference rows=11). */
+  private def genTable(rng: scala.util.Random): DataFrame = {
+    val rows = (0 until 11).map { _ =>
+      orderCounter += 1
+      Row(
+        orderCounter,
+        rng.nextBoolean(),
+        rng.nextInt().toByte,
+        rng.nextInt().toShort,
+        rng.nextInt(),
+        rng.nextLong(),
+        rng.nextFloat(),
+        rng.nextDouble(),
+        rng.alphanumeric.take(8).mkString,
+        Array.fill(6)(rng.nextInt().toByte),
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rng.nextInt(20000).toLong)),
+        java.time.LocalDateTime.ofEpochSecond(rng.nextInt(1600000000).toLong, 0,
+          java.time.ZoneOffset.UTC),
+        Seq("S", "A", "D")(rng.nextInt(3)),
+        rng.nextInt(3) + 1)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("K appends read back as the union (all types)") {
+    val rng = new scala.util.Random(42)
+    val tables = (1 to 3).map(_ => genTable(rng))
+    val d = tempDir("rt-append")
+    var t = DeltaTable.forPath(d)
+    tables.foreach(df => t = t.write(df))
+    assert(t.version == 2L)
+    assertSameRows(t.toDF(spark), tables.reduce(_.union(_)))
+    // every intermediate version time-travels to its prefix
+    (0 until 3).foreach { v =>
+      assertSameRows(t.loadAsVersion(v.toLong).toDF(spark),
+        tables.take(v + 1).reduce(_.union(_)))
+    }
+  }
+
+  test("delete predicate over generated data equals filter complement") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 2).map(_ => genTable(rng)).reduce(_.union(_))
+    val d = tempDir("rt-del")
+    val pred = col("cats") === "A" || col("f64") > 0.9
+    val t = DeltaTable.forPath(d).write(df).delete(spark, Some(pred))
+    assertSameRows(t.toDF(spark), df.filter(!pred))
+    val m = t.history.head._2.operationMetrics
+    assert(m("num_deleted_rows").asLong() == df.filter(pred).count())
+  }
+
+  test("partitioned write round-trips typed partition values (string + int)") {
+    val rng = new scala.util.Random(11)
+    val df = genTable(rng)
+    val d = tempDir("rt-part")
+    val t = DeltaTable.forPath(d).write(df, partitionBy = Some(Seq("cats", "bats")))
+    assertSameRows(t.toDF(spark), df)
+    assert(t.toDF(spark).schema("bats").dataType == IntegerType)
+    // partition + stats pruning agree with the actual content
+    val a = t.toDFWhere(spark, col("cats") === "A" && col("bats") === 1)
+    assertSameRows(a, df.filter(col("cats") === "A" && col("bats") === 1))
+  }
+
+  test("restore and clone preserve generated content across versions") {
+    val rng = new scala.util.Random(23)
+    val t1 = genTable(rng); val t2 = genTable(rng)
+    val d = tempDir("rt-restore")
+    var t = DeltaTable.forPath(d).write(t1).write(t2)
+    t = t.restore(0L)
+    assert(t.version == 2L)
+    assertSameRows(t.toDF(spark), t1)
+    val clone = t.cloneTo(tempDir("rt-clone"))
+    (0 to 2).foreach { v =>
+      assertSameRows(clone.loadAsVersion(v.toLong).toDF(spark),
+        t.loadAsVersion(v.toLong).toDF(spark))
+    }
+  }
+
+  test("schema evolution: appended columns null-backfill on generated data") {
+    val rng = new scala.util.Random(31)
+    val df = genTable(rng)
+    val d = tempDir("rt-evolve")
+    var t = DeltaTable.forPath(d).write(df.drop("bin", "ts_ntz"))
+    t = t.write(df, schemaMode = "merge")
+    val out = t.toDF(spark)
+    assert(out.columns.toSet == schema.fieldNames.toSet)
+    assert(out.filter(col("bin").isNull).count() == 11)
+    assert(out.count() == 22)
+  }
+}
