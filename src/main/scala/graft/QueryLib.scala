@@ -152,6 +152,16 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** events sessionized through flatMapGroupsWithState (custom streaming
+    * state) into a Delta sink.
+    */
+  def eventsSessionsViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_sessions") { d =>
+      streaming.DeltaStreamSink.runStatefulSessionize(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events written through the Structured Streaming path: parquet stream
     * source -> 1-hour windowed aggregation (complete mode) -> foreachBatch
     * Delta sink -> snapshot scan of the sink table.

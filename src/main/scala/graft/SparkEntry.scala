@@ -209,6 +209,8 @@ object SparkEntry {
     // ---- streaming ----
     "q32_events_hourly_stream" -> ((s, d) =>
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
+    "q36_stateful_sessionize" -> ((s, d) =>
+      QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
   )
 
   private val StopList =
@@ -383,6 +385,13 @@ object SparkEntry {
         | c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "q36_stateful_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q34_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id,

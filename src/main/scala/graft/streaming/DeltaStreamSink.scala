@@ -81,4 +81,52 @@ object DeltaStreamSink {
     val t = DeltaTable.forPath(tableDir)
     if (t.version < 0) t.write(batch) else t.write(batch, mode = WriteMode.Append)
   }
+
+  /** Custom stateful streaming: per-user gap sessionization with
+    * `flatMapGroupsWithState` — state is distributed by the group key and
+    * survives across micro-batches; each group emits its final
+    * (n_events, n_sessions) row once its data is complete (AvailableNow
+    * processes the full input, so emission per group is final here; a
+    * continuous deployment would add an event-time timeout to flush idle
+    * users). Same 30-min gap rule as the batch q34 query.
+    */
+  def runStatefulSessionize(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val stream = spark.readStream
+      .schema(eventsLongSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .as[(Long, Long, Long)]
+
+    def sessionize(userId: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      val sorted = rows.map(r => (r._3, r._2)).toArray.sorted // (us, event_id)
+      var (nEvents, nSessions, lastUs) =
+        state.getOption.getOrElse((0L, 0L, Long.MinValue))
+      sorted.foreach { case (us, _) =>
+        if (lastUs == Long.MinValue || us - lastUs > 1800000000L) nSessions += 1
+        lastUs = us
+        nEvents += 1
+      }
+      state.update((nEvents, nSessions, lastUs))
+      Iterator.single((userId, nEvents, nSessions))
+    }
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
+      .toDF("user_id", "n_events", "n_sessions")
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
 }
