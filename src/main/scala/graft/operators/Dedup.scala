@@ -52,21 +52,21 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 0L): DataFrame = {
     val sh = shingled(df, idCol, textCol, n).cache()
-    val sizes = sh.select(col("_id"), size(col("_sh")).as("_n"))
-    val inv0 = sh.select(col("_id"), explode(col("_sh")).as("_s"))
+    // set size rides along the inverted index (8 bytes/row), so |A| and
+    // |B| fall out of the pair aggregation itself — no size-lookup joins
+    val inv0 = sh.select(col("_id"), size(col("_sh")).as("_n"),
+      explode(col("_sh")).as("_s"))
     val inv =
       if (maxDocFreq <= 0L) inv0
       else {
         val hot = inv0.groupBy("_s").count().filter(col("count") > maxDocFreq).select("_s")
         inv0.join(broadcast(hot), Seq("_s"), "left_anti")
       }
-    val inter = inv.as("x").join(inv.as("y"),
+    inv.as("x").join(inv.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
-      .agg(count(lit(1)).as("_i"))
-    inter
-      .join(sizes.withColumnRenamed("_id", "a").withColumnRenamed("_n", "_na"), "a")
-      .join(sizes.withColumnRenamed("_id", "b").withColumnRenamed("_n", "_nb"), "b")
+      .agg(count(lit(1)).as("_i"),
+        first(col("x._n")).as("_na"), first(col("y._n")).as("_nb"))
       .withColumn("jaccard", col("_i") / (col("_na") + col("_nb") - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
