@@ -166,6 +166,7 @@ object DataSkipping {
         case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
         case ("isnull", Seq(c)) => IsNull(c)
         case ("isnotnull", Seq(c)) => IsNotNull(c)
+        case ("startswith", Seq(l, r)) => StartsWith(l, r)
         case _ => f.copy(arguments = as)
       }
     case other => other.mapChildren(normalize)
@@ -229,7 +230,61 @@ object DataSkipping {
           }
         case None => true
       }
+      // Not(attr = v): skippable only when the file provably contains ONLY
+      // v (min == max == v and no nulls) — then no row can satisfy the Not
+      case Not(EqualTo(a, v)) if attrName(a).isDefined =>
+        !provablyConstantEqual(a, v, add, st)
+      case Not(EqualTo(v, a)) if attrName(a).isDefined =>
+        !provablyConstantEqual(a, v, add, st)
+      case StartsWith(a, v) if attrName(a).isDefined =>
+        (attrName(a), evalFoldable(v)) match {
+          case (Some(name), Some((raw: UTF8String, _))) =>
+            fieldByLower.get(name.toLowerCase) match {
+              case Some(f) if f.dataType == StringType &&
+                  !partitionLower.contains(f.name.toLowerCase) =>
+                val prefix = raw.toString
+                // [min, max] must intersect the prefix range
+                val lo = st.min.get(f.name).collect { case s: String => s }
+                val hi = st.max.get(f.name).collect { case s: String => s }
+                lo.forall(l => l.take(prefix.length) <= prefix) &&
+                  hi.forall(h => h.take(prefix.length) >= prefix)
+              case _ => true
+            }
+          case _ => true
+        }
       case _ => true // unknown shape: never skip
+    }
+
+    /** File provably holds only value v in column a: min == max == v and
+      * zero nulls (or a partition column equal to v).
+      */
+    private def provablyConstantEqual(a: Expression, v: Expression,
+        add: AddFile, st: FileStats): Boolean = {
+      (attrName(a), evalFoldable(v)) match {
+        case (Some(name), Some((raw, dt))) =>
+          fieldByLower.get(name.toLowerCase) match {
+            case None => false
+            case Some(field) =>
+              normalizeLit(raw, dt) match {
+                case None => false
+                case Some(value) =>
+                  if (partitionLower.contains(field.name.toLowerCase))
+                    add.partitionValues.collectFirst {
+                      case (k, pv) if k.equalsIgnoreCase(field.name) => pv
+                    }.flatten.flatMap(normalizePartition(_, field.dataType))
+                      .exists(pv => cmp(pv, value).contains(0))
+                  else {
+                    val noNulls = st.nullCount.get(field.name).contains(0L)
+                    val constant = for {
+                      lo <- st.min.get(field.name)
+                      hi <- st.max.get(field.name)
+                    } yield cmp(lo, value).contains(0) && cmp(hi, value).contains(0)
+                    noNulls && constant.getOrElse(false)
+                  }
+              }
+          }
+        case _ => false
+      }
     }
 
     private def eq(lo: Option[Any], hi: Option[Any], v: Any): Boolean =

@@ -47,6 +47,20 @@ class DataSkippingSpec extends SparkSuite {
     }
   }
 
+  test("Not(= ) skips single-valued files; prefix range skips strings") {
+    val t = table
+    // partition l_returnflag=A files contain ONLY 'A' -> Not(=A) skips them
+    val all = t.prunedAdds(lit(true)).size
+    val notA = t.prunedAdds(col("l_returnflag") =!= "A")
+    assert(notA.size < all)
+    assert(notA.forall(!_.partitionValues.get("l_returnflag").flatten.contains("A")))
+    assertSameRows(t.toDFWhere(spark, col("l_returnflag") =!= "A"),
+      t.toDF(spark).filter(col("l_returnflag") =!= "A"))
+    // startsWith on a data column stays conservative-correct
+    assertSameRows(t.toDFWhere(spark, col("l_linestatus").startsWith("F")),
+      t.toDF(spark).filter(col("l_linestatus").startsWith("F")))
+  }
+
   test("delete with skipping rewrites only touched partitions") {
     val d = tempDir("skipdel")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
