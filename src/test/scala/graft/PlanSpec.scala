@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan contracts: the physical plans our scan layer promises (SURVEY.md
+  * §4) — predicate pushdown, column pruning, native partition pruning,
+  * broadcast joins — asserted against `.explain` output so regressions
+  * fail loudly.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filter+project pushes filters and prunes columns at the scan") {
+    val li = QueryLib.delta(spark, sfDir, "lineitem")
+    val plan = explainOf(
+      li.filter(col("l_discount") > 0.05)
+        .select("l_orderkey", "l_extendedprice"))
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThan(l_discount,0.05)"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate"),
+      s"projection must prune unused columns: $readSchema")
+  }
+
+  test("partitioned delta scan prunes partitions natively") {
+    val lp = QueryLib.delta(spark, sfDir, "lineitem", partitionBy = Seq("l_returnflag"))
+    val plan = explainOf(lp.filter(col("l_returnflag") === "A").groupBy().count())
+    assert(plan.contains("PartitionFilters"), plan.take(800))
+    assert(plan.contains("l_returnflag"), plan.take(800))
+  }
+
+  test("dim join broadcasts the small side with map-side partial agg") {
+    val plan = explainOf(
+      QueryLib.delta(spark, sfDir, "orders")
+        .join(QueryLib.delta(spark, sfDir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1))))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("custom cosine expression participates in whole-stage codegen") {
+    val emb = QueryLib.raw(spark, sfDir, "embeddings")
+    val df = emb.select(
+      operators.Similarity.cosineFast(col("embedding"), col("embedding")).as("self"))
+    val plan = explainOf(df)
+    assert(plan.contains("WholeStageCodegen"), plan.take(800))
+    // and it evaluates: self-cosine is exactly 1.0
+    assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+}
