@@ -48,7 +48,8 @@ class PlanSpec extends SparkSuite {
     val df = emb.select(
       operators.Similarity.cosineFast(col("embedding"), col("embedding")).as("self"))
     val plan = explainOf(df)
-    assert(plan.contains("WholeStageCodegen"), plan.take(800))
+    // formatted mode marks codegen stages with "[codegen id : N]"
+    assert(plan.contains("codegen id"), plan.take(800))
     // and it evaluates: self-cosine is exactly 1.0
     assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
