@@ -107,6 +107,45 @@ class RoundTripSpec extends SparkSuite {
     }
   }
 
+  test("null partition values round-trip via __HIVE_DEFAULT_PARTITION__") {
+    val rng = new scala.util.Random(47)
+    val df = genTable(rng)
+      .withColumn("cats", when(col("bats") === 1, lit(null)).otherwise(col("cats")))
+    val d = tempDir("rt-nullpart")
+    val t = DeltaTable.forPath(d).write(df, partitionBy = Some(Seq("cats")))
+    // the log records None for the default partition
+    assert(t.dlog.addActions.values.exists(_.partitionValues.get("cats").contains(None)))
+    assertSameRows(t.toDF(spark), df)
+    assertSameRows(t.toDF(spark).filter(col("cats").isNull),
+      df.filter(col("cats").isNull))
+  }
+
+  test("concurrent appenders with retry all land distinct versions") {
+    val rng = new scala.util.Random(53)
+    val df = genTable(rng)
+    val d = tempDir("rt-concurrent")
+    DeltaTable.forPath(d).write(df)
+    val threads = 4
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (1 to threads).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val t = DeltaTable.forPath(d).write(df, maxRetries = 10)
+            results.add(t.version)
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet.size == threads, s"versions: $results")
+    val t = DeltaTable.forPath(d)
+    assert(t.version == threads.toLong)
+    assert(t.toDF(spark).count() == 11L * (threads + 1))
+  }
+
   test("schema evolution: appended columns null-backfill on generated data") {
     val rng = new scala.util.Random(31)
     val df = genTable(rng)
