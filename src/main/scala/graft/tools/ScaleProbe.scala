@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -50,6 +50,32 @@ object ScaleProbe {
         f"minhash_lsh=$lshSec%6.2fs pairs=$lshRows%5d")
       corpus.unpersist()
       k *= 4
+    }
+
+    // ANN: deterministically perturbed copies of the embedding corpus;
+    // fixed 10-query set, so brute force grows linearly with the corpus
+    // while the banded-LSH candidate join touches only matching buckets.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    def perturbed(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        emb.select((col("vec_id") + i.toLong * 1000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, j) => x * (lit(1.0f) + (pmod(j * 31 + i, lit(13)) - 6).cast("float") * 0.05f))
+            .as("embedding"))
+      }.reduce(_.union(_))
+    var c = 1
+    while (c <= maxCopies) {
+      val corpus = perturbed(c).cache()
+      val n = corpus.count()
+      val queries = corpus.filter(col("vec_id") < 10)
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val bf = time(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10).count())
+      val lsh = time(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 10).count())
+      println(f"ANNSCALE vecs=$n%6d brute=$bf%6.2fs lsh=$lsh%6.2fs")
+      corpus.unpersist()
+      c *= 4
     }
     spark.stop()
   }
