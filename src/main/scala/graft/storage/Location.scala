@@ -60,18 +60,32 @@ final class Location private (val path: Path, val fs: FileSystem) {
     finally out.close()
   }
 
-  /** Atomic-ish create-if-absent write: the optimistic-concurrency commit
+  /** Atomic create-if-absent write: the optimistic-concurrency commit
     * primitive (reference xdlake/__init__.py:425-442 checks existence then
-    * writes; we additionally pass overwrite=false so local/HDFS enforce it
-    * at create time). Object stores keep the reference's documented TOCTOU
-    * race unless a locking [[graft.CommitContext]] is plugged in.
+    * writes — a TOCTOU race under concurrent committers).
+    *
+    * On `file://` we use POSIX O_CREAT|O_EXCL (`createNewFile` +
+    * write-to-temp + atomic move is unnecessary since losers error before
+    * writing): exactly one same-version committer can win. HDFS enforces
+    * `create(overwrite=false)` server-side. Object stores keep the
+    * reference's documented race unless a locking [[graft.CommitContext]]
+    * is plugged in.
     */
   def createIfAbsent(content: String): Unit = {
-    if (exists)
-      throw new java.nio.file.FileAlreadyExistsException(uri)
-    val out = fs.create(path, false)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val scheme = Option(path.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val f = new java.io.File(path.toUri.getPath)
+      f.getParentFile.mkdirs()
+      if (!f.createNewFile()) // atomic O_CREAT|O_EXCL
+        throw new java.nio.file.FileAlreadyExistsException(uri)
+      java.nio.file.Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+    } else {
+      if (exists)
+        throw new java.nio.file.FileAlreadyExistsException(uri)
+      val out = fs.create(path, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
   override def toString: String = uri

@@ -63,6 +63,27 @@ class MaintenanceSpec extends SparkSuite {
     intercept[Exception] { v0.toDF(spark).count() }
   }
 
+  test("no-match delete commits metrics-zero entry and keeps all files") {
+    val d = tempDir("del-nomatch")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    val files = t0.fileUris.toSet
+    val t1 = t0.delete(spark, Some(col("n_nationkey") === -999))
+    assert(t1.version == 1L)
+    assert(t1.fileUris.toSet == files)
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_deleted_rows").asLong() == 0L)
+    assert(m("num_removed_files").asLong() == 0L)
+    assertSameRows(t1.toDF(spark), nation)
+  }
+
+  test("restore to the current version is a no-op diff") {
+    val d = tempDir("restore-noop")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    val t1 = t0.restore(0L)
+    assert(t1.version == 1L)
+    assertSameRows(t1.toDF(spark), nation)
+  }
+
   test("changesBetween yields inserts per version and skips compaction") {
     val d = tempDir("cdf")
     var t = DeltaTable.forPath(d).write(nation)
