@@ -187,6 +187,15 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- rollup (multi-level aggregation) ----
+    "q37_rollup" -> ((s, d) =>
+      QueryLib.delta(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // ---- MERGE (copy-on-write upsert) ----
     "q35_merge_upsert" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergedDir(s, d)).toDF(s)
@@ -375,6 +384,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q37_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q35_merge_upsert" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
