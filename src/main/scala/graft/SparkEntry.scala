@@ -196,6 +196,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // ---- embedding aggregates + JSON column extraction ----
+    "q38_embed_norms" -> ((s, d) => {
+      val v = Similarity.toDouble(col("embedding"))
+      QueryLib.delta(s, d, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(sqrt(Similarity.dot(v, v))), 4).as("avg_norm"))
+        .orderBy("label")
+    }),
+    "q39_json_props" -> ((s, d) =>
+      QueryLib.eventsDelta(s, d)
+        .withColumn("k_bucket",
+          pmod(get_json_object(col("props"), "$.k").cast("long"), lit(10)))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("k_bucket")),
+
     // ---- MERGE (copy-on-write upsert) ----
     "q35_merge_upsert" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergedDir(s, d)).toDF(s)
@@ -384,6 +401,14 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q38_embed_norms" ->
+      """SELECT label, count(*) AS n,
+        | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q39_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q37_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice), 2) AS sum_price
