@@ -71,6 +71,25 @@ object Checkpoint {
     } finally writer.close()
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
+    gcOldCheckpoints(dlog.loc, keep = 2)
+  }
+
+  private val CheckpointRe = "^(\\d+)\\.checkpoint\\.parquet$".r
+
+  /** Drop superseded checkpoint files, keeping the newest `keep` so a
+    * reader that just fetched `_last_checkpoint` never loses its file.
+    */
+  private def gcOldCheckpoints(loc: Location, keep: Int): Unit = {
+    val versions = loc.listSorted().flatMap { st =>
+      st.getPath.getName match {
+        case CheckpointRe(v) => Some(v.toLong)
+        case _ => None
+      }
+    }
+    versions.sorted.dropRight(keep).foreach { v =>
+      try loc.fs.delete(loc.child(checkpointFilename(v)).path, false)
+      catch { case _: Exception => () }
+    }
   }
 
   /** The `_last_checkpoint` pointer, if present and parseable. */

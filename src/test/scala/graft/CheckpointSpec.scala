@@ -53,6 +53,18 @@ class CheckpointSpec extends SparkSuite {
     assertSameRows(fresh.toDF(spark), nation.filter(col("n_regionkey") === 0))
   }
 
+  test("superseded checkpoints are garbage-collected, newest two kept") {
+    val d = tempDir("ckpt-gc")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
+    t = t.write(nation)
+    (1 to 6).foreach(_ => t = t.write(nation)) // checkpoints at 2, 4, 6
+    val ckpts = new java.io.File(s"$d/_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".checkpoint.parquet")).sorted
+    assert(ckpts.length == 2, ckpts.mkString(","))
+    assert(Checkpoint.lastCheckpointVersion(t.logLoc).contains(6L))
+    assert(DeltaTable.forPath(d).version == 6L)
+  }
+
   test("partitioned table state survives a checkpoint round-trip") {
     val d = tempDir("ckpt-part")
     var t = DeltaTable.forPath(d)
