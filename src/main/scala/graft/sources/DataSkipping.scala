@@ -42,12 +42,14 @@ object DataSkipping {
     add.stats.flatMap { s =>
       try {
         val root = Json.mapper.readTree(s)
-        def side(field: String): Map[String, Any] = {
+        def side(field: String, isMax: Boolean): Map[String, Any] = {
           val node = root.path(field)
           schema.fields.flatMap { f =>
             val v = node.path(f.name)
             if (v.isMissingNode || v.isNull) None
-            else normalizeStat(v, f.dataType).map(f.name -> _)
+            else normalizeStat(v, f.dataType).map { n =>
+              f.name -> (if (isMax) widenTruncatedMax(v, f.dataType, n) else n)
+            }
           }.toMap
         }
         val nulls = {
@@ -59,9 +61,33 @@ object DataSkipping {
         }
         Some(FileStats(
           if (root.path("numRecords").isIntegralNumber) Some(root.path("numRecords").asLong()) else None,
-          side("minValues"), side("maxValues"), nulls))
+          side("minValues", isMax = false), side("maxValues", isMax = true), nulls))
       } catch { case _: Exception => None }
     }.getOrElse(FileStats(None, Map.empty, Map.empty, Map.empty))
+  }
+
+  /** A timestamp max written with fewer than 6 fractional-second digits
+    * (delta-rs/delta-spark truncate to milliseconds; Delta's own spec
+    * rounds max UP by 1 ms for exactly this reason) may be floored below
+    * the file's true maximum. Widen it to the end of its millisecond so
+    * the bound is conservative: a widened max only ever KEEPS files.
+    * Min truncation floors downward, which is already conservative.
+    */
+  private def widenTruncatedMax(v: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType, normalized: Any): Any = dt match {
+    case _: TimestampType | _: TimestampNTZType =>
+      (normalized, fractionalDigits(v.asText())) match {
+        case (micros: Long, d) if d < 6 => micros + 999L
+        case _ => normalized
+      }
+    case _ => normalized
+  }
+
+  /** Count fractional-second digits in an ISO-8601 timestamp string. */
+  private def fractionalDigits(s: String): Int = {
+    val dot = s.indexOf('.')
+    if (dot < 0) 0
+    else s.drop(dot + 1).takeWhile(_.isDigit).length
   }
 
   /** Stats JSON value → comparison-domain value for the column's type. */

@@ -47,8 +47,14 @@ final case class Statistics(
 
 object Statistics {
 
+  // Full microsecond precision: Spark timestamps are µs-grained, and the
+  // skipping pruner treats min/max as exact bounds. Writing ms-truncated
+  // values (delta-rs style .SSS) would silently floor a max of
+  // 10:00:00.999999 to .999 and let `ts > .999` wrongly prune the file.
+  // Read-side widening in DataSkipping.parseStats covers foreign tables
+  // that do write truncated stats.
   private val tsFormatter =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX").withZone(ZoneOffset.UTC)
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").withZone(ZoneOffset.UTC)
 
   /** Read footer metadata and fold min/max/nullCount across row groups.
     * Comparable scalar types only; binary and nested columns contribute

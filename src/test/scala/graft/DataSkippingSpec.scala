@@ -61,6 +61,32 @@ class DataSkippingSpec extends SparkSuite {
       t.toDF(spark).filter(col("l_linestatus").startsWith("F")))
   }
 
+  test("sub-millisecond timestamp bounds never wrongly prune") {
+    import spark.implicits._
+    val d = tempDir("skipts")
+    // true max 10:00:00.999999 — an ms-floored max stat (.999) would let
+    // `ts > .999` or `ts = .999999` wrongly drop the file
+    val df = Seq(
+      (1L, "2024-01-01T10:00:00.000123Z"),
+      (2L, "2024-01-01T10:00:00.999999Z"))
+      .toDF("id", "s")
+      .select(col("id"), to_timestamp(col("s")).as("ts"))
+    val t = DeltaTable.forPath(d).write(df)
+    val predGt = col("ts") > lit("2024-01-01T10:00:00.999Z").cast("timestamp")
+    val predEq = col("ts") === lit("2024-01-01T10:00:00.999999Z").cast("timestamp")
+    Seq(predGt, predEq).foreach { p =>
+      assert(t.prunedAdds(p).nonEmpty, s"file wrongly pruned for $p")
+      assert(t.toDFWhere(spark, p).count() == 1L)
+    }
+    // legacy/foreign ms-truncated stats: widened max keeps the file too
+    val add = t.dlog.addActions.values.head
+    val truncated = add.copy(stats = add.stats.map(
+      _.replace("10:00:00.999999", "10:00:00.999")))
+    assert(graft.sources.DataSkipping.prune(
+        Seq(truncated), predGt, df.schema, Nil).nonEmpty,
+      "ms-truncated foreign max stat must be widened, not trusted exactly")
+  }
+
   test("delete with skipping rewrites only touched partitions") {
     val d = tempDir("skipdel")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
