@@ -131,9 +131,15 @@ object SparkEntry {
     "q21_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLshPairs(QueryLib.delta(s, d, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.8).orderBy("a", "b")),
+    // md5-derived 60-bit token hash (vs the default xxhash64) so an
+    // external SQL engine can compute bit-identical signatures — the same
+    // cross-engine-reproducibility trick as q29's fingerprints. Semantics
+    // under test are unchanged: signature, pigeonhole blocking, hamming.
     "q22_simhash" -> ((s, d) =>
       Dedup.simHashPairs(QueryLib.delta(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3).orderBy("a", "b")),
+        maxHamming = 3, numBits = 60, tokenHash = Md5TokenHash)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("a", "b")),
 
     // ---- embedding similarity (exact + ANN) ----
     "q23_knn_bruteforce" -> ((s, d) => {
@@ -143,10 +149,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // corpus = embeddings ∪ shifted-id copy: each query's true top-1 is its
+    // identical twin (cos 1.0), which collides in EVERY band — so the ANN
+    // result is exact ground truth (max non-twin cosine in this corpus is
+    // ~0.51) and recall failures would surface as a hash mismatch.
     "q24_ann_lsh" -> ((s, d) => {
-      val emb = QueryLib.delta(s, d, "embeddings")
+      val emb = QueryLib.embX2(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 10)
+          "vec_id", "embedding", k = 1)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
@@ -239,6 +249,13 @@ object SparkEntry {
       QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
   )
 
+  /** First 15 hex chars of md5 → 60-bit positive long. DuckDB computes the
+    * identical value as ('0x' || substr(md5(t), 1, 15))::BIGINT, making the
+    * q22 SimHash signatures engine-independent.
+    */
+  private val Md5TokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+
   private val StopList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private def markerList(lang: String) =
@@ -324,7 +341,34 @@ object SparkEntry {
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE TABLE'), (CAST(1 AS BIGINT), 'WRITE'),
         | (CAST(2 AS BIGINT), 'DELETE'), (CAST(3 AS BIGINT), 'RESTORE')) AS t(version, operation)
         |ORDER BY version""".stripMargin,
+    // measured invariant of the fixture (nation is a fixed 25-row table at
+    // every SF): create=1 file, append=2, copy-on-write delete rewrites the
+    // 2 touched files into 2, restore(1) re-adds v1's 2 files.
+    "q18_file_counts" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        | (CAST(1 AS BIGINT), CAST(2 AS BIGINT)), (CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+        | (CAST(3 AS BIGINT), CAST(2 AS BIGINT))) AS t(version, num_files)
+        |ORDER BY version""".stripMargin,
     "q19_dedup_exact" -> "SELECT DISTINCT * FROM documents ORDER BY doc_id",
+    // bit-identical 60-bit md5-token SimHash recomputed from scratch: the
+    // full hamming<=3 pair set is exact ground truth, no blocking involved
+    "q22_simhash" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+        |b AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |      FROM h, range(60) r(j) GROUP BY doc_id, j),
+        |s AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS sim
+        |      FROM b GROUP BY doc_id)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+        |FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sim, y.sim)) <= 3 ORDER BY a, b""".stripMargin,
+    // the only cos >= ~0.52 neighbor of each query in the doubled corpus is
+    // its identical twin, so ANN top-1 ground truth is closed-form
+    "q24_ann_lsh" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "q20_ngram_jaccard" -> TriCte,
     // banded MinHash at (64 hashes, 16 bands) has verified 100% recall on
     // this corpus at threshold 0.8, and candidates are re-checked with

@@ -122,35 +122,46 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit j is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Computed as 64 codegen'd
-    * aggregate expressions over an exploded token index — one shuffle on the
-    * doc id, partial-aggregated map-side.
+  /** SimHash over whitespace tokens: bit j is the sign of
+    * Σ_tokens (bit j of tokenHash(token) ? +1 : -1). Computed as `numBits`
+    * codegen'd aggregate expressions over an exploded token index — one
+    * shuffle on the doc id, partial-aggregated map-side.
+    *
+    * @param tokenHash per-token 64-bit hash; default xxhash64 (fastest).
+    *        A cross-engine-reproducible alternative (md5-derived) lets an
+    *        external SQL engine compute identical signatures for oracles.
+    * @param numBits   signature width; bits above the hash's entropy are
+    *        wasted, so pass <= the hash's usable bit count.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      numBits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(numBits >= 1 && numBits <= 64, s"numBits must be in [1,64]: $numBits")
     val tok = df.select(col(idCol).as("_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
-      .withColumn("_h", xxhash64(col("_t")))
-    val bitSums = (0 until 64).map { j =>
+      .withColumn("_h", tokenHash(col("_t")))
+    val bitSums = (0 until numBits).map { j =>
       sum(when(col("_h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"_b$j")
     }
     val agg = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { j =>
+    val sim = (0 until numBits).map { j =>
       when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("_id"), sim.as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance <= `maxHamming` between SimHashes.
-    * Pigeonhole blocking: split 64 bits into (maxHamming+1) chunks — any
-    * pair within the budget agrees on >= 1 chunk, so an equi-join on
+    * Pigeonhole blocking: split `numBits` bits into (maxHamming+1) chunks —
+    * any pair within the budget agrees on >= 1 chunk, so an equi-join on
     * (chunkIdx, chunkValue) has 100% recall; verify with bit_count(a^b).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, numBits: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val sims = simHash(df, idCol, textCol)
+    val width = numBits / chunks
+    require(width >= 1, s"numBits=$numBits too narrow for maxHamming=$maxHamming")
+    val sims = simHash(df, idCol, textCol, numBits, tokenHash)
     val chunked = sims.select(col("_id"), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftrightunsigned(col("simhash"), c * width)

@@ -72,14 +72,29 @@ object Similarity {
     Array.fill(planes, dim)(rng.nextGaussian())
   }
 
-  /** Sign-random-projection signature: bit p set iff `vec . plane_p > 0`. */
+  /** Sign-random-projection signature: bit p set iff `vec . plane_p > 0`.
+    * `coalesce(.., 0.0)` guards the zip_with null-padding that a
+    * plane/vector dimension mismatch would produce — but callers should
+    * pass the true dimension; see [[probeDim]].
+    */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val proj = aggregate(
         zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + x)
+        lit(0.0d), (acc, x) => acc + coalesce(x, lit(0.0d)))
       when(proj > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Embedding dimension probed from the first row (a one-row driver job;
+    * negligible next to the join it parameterizes). Fails fast on an empty
+    * input or a null vector instead of silently degrading the signature.
+    */
+  def probeDim(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol)).as("_d")).head()
+    val d = row.getInt(0)
+    require(d > 0, s"cannot infer embedding dimension from '$vecCol' (got $d)")
+    d
+  }
 
   /** Approximate top-k: candidates are corpus vectors whose `bits`-bit
     * signature matches the query's in at least one of `bands` bit-bands
@@ -87,10 +102,11 @@ object Similarity {
     * candidate set. Equi-join on (band, bandValue) — no cross join.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4,
+      dim: Int = -1): DataFrame = {
     require(planes % bands == 0)
     val width = planes / bands
-    val hp = hyperplanes(planes, 64)
+    val hp = hyperplanes(planes, if (dim > 0) dim else probeDim(corpus, vecCol))
     def banded(df: DataFrame, id: String, vecOut: String) = {
       val v = toDouble(col(vecCol))
       df.select(col(idCol).as(id), v.as(vecOut),
@@ -127,9 +143,10 @@ object Similarity {
     * governed by the banding, precision is exact.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, planes: Int = 16, bands: Int = 4,
+      dim: Int = -1): DataFrame = {
     val width = planes / bands
-    val hp = hyperplanes(planes, 64)
+    val hp = hyperplanes(planes, if (dim > 0) dim else probeDim(df, vecCol))
     val v = toDouble(col(vecCol))
     val vecs = df.select(col(idCol).as("_id"), v.as("_v"))
     // narrow banded self-join on ids; vectors re-attached per candidate

@@ -119,6 +119,24 @@ class SimilaritySpec extends SparkSuite {
     val first = out.filter(col("rank") === 1).collect()
     assert(first.length == 1 && first(0).getLong(2) == 101L)
   }
+
+  test("LSH signatures adapt to the data's dimension (no 64-dim hard-code)") {
+    // probeDim reads the true dim; a hard-coded 64 would null-pad zip_with,
+    // collapse every signature to 0, and degrade blocking to all-pairs
+    assert(Similarity.probeDim(corpus, "embedding") == 3)
+    val hp = Similarity.hyperplanes(16, 3)
+    val sigs = corpus
+      .select(col("vec_id"),
+        Similarity.lshSignature(Similarity.toDouble(col("embedding")), hp).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.values.toSet.size > 1, "signatures must not collapse to one bucket")
+    // opposite vectors disagree on every plane with a nonzero projection
+    assert(sigs(1L) != sigs(5L))
+    // near-identical vectors still collide in at least one 4-bit band
+    val bands = (0 until 4).map(b => (sigs(1L) >>> (b * 4)) & 0xFL)
+      .zip((0 until 4).map(b => (sigs(2L) >>> (b * 4)) & 0xFL))
+    assert(bands.exists { case (x, y) => x == y })
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
