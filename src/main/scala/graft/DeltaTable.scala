@@ -139,7 +139,18 @@ final case class DeltaTable(
           if (mode != WriteMode.Append || attempts >= maxRetries) throw e
           attempts += 1
           logState = DeltaLog.load(logLoc, None)
-          logState.validatePartitionBy(partitionBy) // table may have changed
+          // The staged files were laid out for resolvedPartitionBy; if the
+          // winning commit changed the table's partitioning, re-committing
+          // them would corrupt the layout. Compare against the ORIGINAL
+          // resolution — the caller's Option is None in the common case and
+          // would vacuously pass. (Schema conflicts are caught by
+          // evaluateSchema on the next loop iteration.)
+          val current = logState.partitionColumns
+          if (current.toSet != resolvedPartitionBy.toSet)
+            throw new IllegalStateException(
+              s"Concurrent commit changed partition columns " +
+                s"${resolvedPartitionBy.mkString("[", ",", "]")} -> " +
+                s"${current.mkString("[", ",", "]")}; append retry aborted", e)
       }
     }
     result

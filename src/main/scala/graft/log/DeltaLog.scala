@@ -269,7 +269,15 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     else DeltaLog(loc, DeltaLog.load(loc, Some(v)).entries.rangeTo(v))
 
   /** Optimistic commit: create-if-absent the next numbered entry file, then
-    * re-read the log (reference xdlake/__init__.py:425-446).
+    * apply the entry to the in-memory state (reference
+    * xdlake/__init__.py:425-446 re-reads the whole log instead — O(N²) JSON
+    * reads over N sequential writes, which at checkpoint-scale commit counts
+    * burns the driver's win on every write).
+    *
+    * In-memory apply is sound: create-if-absent succeeding means version `v`
+    * is durably exactly `entry`; a concurrent writer that won `v` makes
+    * `ctx.write` throw instead, and commits landing AFTER ours don't belong
+    * in this handle's snapshot (which represents version `v`).
     */
   def commit(entry: DeltaLogEntry,
       ctx: graft.CommitContext = graft.CreateIfAbsentCommit): DeltaLog = {
@@ -277,7 +285,7 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     if (v == 0L) loc.mkdirs()
     val entryLoc = loc.child(DeltaLog.filenameForVersion(v))
     ctx.write(entryLoc, entry.toNdjson)
-    DeltaLog.load(loc)
+    DeltaLog(loc, entries.updated(v, entry))
   }
 }
 

@@ -48,6 +48,7 @@ final class Location private (val path: Path, val fs: FileSystem) {
   }
 
   def readString(): String = {
+    Location.readCount.incrementAndGet()
     val in = fs.open(path)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
@@ -92,6 +93,13 @@ final class Location private (val path: Path, val fs: FileSystem) {
 }
 
 object Location {
+
+  /** Whole-file reads issued through [[Location.readString]] — cheap
+    * observability for I/O-complexity assertions (e.g. "N commits must not
+    * re-read the log N² times").
+    */
+  val readCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def apply(s: String, conf: Configuration = new Configuration()): Location = {
     val p = new Path(s)
     val fs = p.getFileSystem(conf)

@@ -75,6 +75,26 @@ class LogSpec extends AnyFunSuite {
     assert(Action.parse(add.toLine) == add)
   }
 
+  test("N sequential commits cost O(1) log reads each, not O(N) re-replay") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val loc = Location(Files.createTempDirectory("graft-o1commit").toString)
+    def add(i: Int) = AddFile(path = s"f$i.parquet", partitionValues = Map.empty,
+      size = 1L, modificationTime = 0L, stats = None, dataChange = true)
+    var dlog = DeltaLog.load(loc)
+    dlog = dlog.commit(DeltaLogEntry.createTable(loc.uri, schema, Seq.empty, Seq(add(0))))
+    val before = Location.readCount.get()
+    for (i <- 1 to 100)
+      dlog = dlog.commit(DeltaLogEntry.appendTable(Seq.empty, Seq(add(i)), Some(schema)))
+    val reads = Location.readCount.get() - before
+    assert(reads <= 5, s"100 commits issued $reads log reads; O(N²) reload is back")
+    // the in-memory apply must equal a fresh full replay from disk
+    val replayed = DeltaLog.load(loc)
+    assert(replayed.versions == dlog.versions)
+    assert(replayed.addActions.keySet == dlog.addActions.keySet)
+    assert(dlog.version == 100L)
+  }
+
   test("version filenames are 20-digit zero-padded") {
     assert(DeltaLog.filenameForVersion(0) == "00000000000000000000.json")
     assert(DeltaLog.filenameForVersion(123) == "00000000000000000123.json")

@@ -146,6 +146,26 @@ class RoundTripSpec extends SparkSuite {
     assert(t.toDF(spark).count() == 11L * (threads + 1))
   }
 
+  test("append retry aborts when a concurrent create changed partitioning") {
+    val rng = new scala.util.Random(67)
+    val df = genTable(rng)
+    val d = tempDir("rt-partconflict")
+    // handle A resolves against an EMPTY table (partitionBy=None -> Seq())
+    val a = DeltaTable.forPath(d)
+    // writer B wins version 0 with a partitioned create
+    DeltaTable.forPath(d).write(df, partitionBy = Some(Seq("cats")))
+    // A's staged unpartitioned files must NOT be re-committed on retry:
+    // they'd sit outside the hive layout B established
+    val e = intercept[IllegalStateException] {
+      a.write(df, maxRetries = 5)
+    }
+    assert(e.getMessage.contains("partition columns"))
+    // the table B created is intact
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 0L && t.partitionColumns == Seq("cats"))
+    assert(t.toDF(spark).count() == 11L)
+  }
+
   test("schema evolution: appended columns null-backfill on generated data") {
     val rng = new scala.util.Random(31)
     val df = genTable(rng)
