@@ -7,7 +7,7 @@ import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, input_file_name, lit, not}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, count_distinct, input_file_name, lit, not, struct}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -281,49 +281,62 @@ final case class DeltaTable(
       keyCols: Seq[String],
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
     require(keyCols.nonEmpty, "merge requires key columns")
-    val keys = source.select(keyCols.map(col): _*).distinct()
-    require(keys.count() == source.count(), "source has duplicate keys")
+    // the source plan is reused by three jobs (uniqueness check, touched-file
+    // discovery via its keys, data write) — cache so a 100 GB source is
+    // computed once, not once per job
+    val src = source.cache()
+    try {
+      // one pass: row count + distinct-key count (duplicate-key check)
+      val srcAgg = src.agg(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
+      val srcTotal = srcAgg.getLong(0)
+      require(srcAgg.getLong(1) == srcTotal, "source has duplicate keys")
+      val keys = src.select(keyCols.map(col): _*).distinct()
 
-    val adds = dlog.addActions
-    val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
-      Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
-    }.toMap
+      val adds = dlog.addActions
+      val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+        Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+      }.toMap
 
-    // phase 1: files owning rows whose key matches a source key
-    // (input_file_name is captured scan-side, before the multi-source join)
-    val touchedCanonical: Set[String] =
-      toDF(spark).withColumn("_graft_file", input_file_name())
+      // phase 1, one job: files owning rows whose key matches a source key
+      // (input_file_name is captured scan-side, before the multi-source
+      // join) AND the matched distinct-key count. Counting KEYS, not rows,
+      // keeps the metrics right when the target holds duplicate rows per
+      // key (legal — only the source is checked): rows-based counting
+      // over-counted updates and could drive numInserted negative.
+      val p1 = toDF(spark).withColumn("_graft_file", input_file_name())
         .join(broadcast(keys), keyCols, "left_semi")
-        .select(col("_graft_file")).distinct()
-        .collect().map(r => Location.canonical(r.getString(0))).toSet
-    val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+      val p1Row = p1.agg(collect_set(col("_graft_file")).as("_files"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_mk")).head()
+      val touchedCanonical: Set[String] =
+        p1Row.getSeq[String](0).map(Location.canonical).toSet
+      val numUpdated = p1Row.getLong(1)
+      val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
 
-    // phase 2: rewrite touched files without their matched rows
-    var numCopied = 0L
-    var numUpdated = 0L
-    val keptAdds: Seq[AddFile] =
-      if (touchedAdds.isEmpty) Seq.empty
-      else {
-        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
-          dlog.partitionColumns, touchedAdds, conf)
-        val total = touchedDF.count()
-        val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
-        val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
-        numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
-        numUpdated = total - numCopied
-        written
-      }
+      // phase 2: rewrite touched files without their matched rows
+      var numCopied = 0L
+      val keptAdds: Seq[AddFile] =
+        if (touchedAdds.isEmpty) Seq.empty
+        else {
+          val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
+            dlog.partitionColumns, touchedAdds, conf)
+          val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
+          val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
+          numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+          written
+        }
 
-    // all source rows land as new files (updates + inserts)
-    val sourceAligned = source.select(dlog.schema.fieldNames.map(col): _*)
-    val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
-    val numInserted = source.count() - numUpdated
+      // all source rows land as new files (updates + inserts)
+      val sourceAligned = src.select(dlog.schema.fieldNames.map(col): _*)
+      val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
+      val numInserted = srcTotal - numUpdated
 
-    val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
-    val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
-        keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied)
-      .withExtraCommitInfo(customMetadata)
-    commit(entry)
+      val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+      val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
+          keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied)
+        .withExtraCommitInfo(customMetadata)
+      commit(entry)
+    } finally src.unpersist()
   }
 
   // ------------------------------------------------------------------

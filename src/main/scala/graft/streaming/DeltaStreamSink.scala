@@ -82,22 +82,39 @@ object DeltaStreamSink {
     if (t.version < 0) t.write(batch) else t.write(batch, mode = WriteMode.Append)
   }
 
+  /** Streaming upsert sink: MERGE each micro-batch into the Delta table by
+    * `keys`. For stateful operators that re-emit a group's updated
+    * cumulative row on every batch the group appears in, append semantics
+    * would duplicate keys across batches — upsert makes the last emission
+    * win, so the final table is correct under ANY batch split.
+    */
+  def upsertSink(tableDir: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val t = DeltaTable.forPath(tableDir)
+    if (t.version < 0) t.write(batch)
+    else t.merge(batch.sparkSession, batch, keys)
+  }
+
   /** Custom stateful streaming: per-user gap sessionization with
     * `flatMapGroupsWithState` — state is distributed by the group key and
-    * survives across micro-batches; each group emits its final
-    * (n_events, n_sessions) row once its data is complete (AvailableNow
-    * processes the full input, so emission per group is final here; a
-    * continuous deployment would add an event-time timeout to flush idle
-    * users). Same 30-min gap rule as the batch q34 query.
+    * survives across micro-batches. Each batch a user appears in emits the
+    * user's UPDATED cumulative (n_events, n_sessions) row, and the upsert
+    * sink replaces the previous one, so the final table holds exactly one
+    * correct row per user even when AvailableNow splits the input across
+    * micro-batches (`maxFilesPerTrigger`). Cross-batch arrival is assumed
+    * time-ordered per user (file-source batches arrive in modification-time
+    * order); same 30-min gap rule as the batch q34 query.
     */
-  def runStatefulSessionize(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+  def runStatefulSessionize(spark: SparkSession, sfDir: String, tableDir: String,
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
-    val stream = spark.readStream
+    val reader = spark.readStream
       .schema(eventsLongSchema)
       .option("basePath", sfDir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
       .parquet(s"$sfDir/events*.parquet")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
       .as[(Long, Long, Long)]
@@ -125,7 +142,7 @@ object DeltaStreamSink {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch(appendSink(tableDir) _)
+      .foreachBatch(upsertSink(tableDir, Seq("user_id")) _)
       .start()
     q.awaitTermination()
   }

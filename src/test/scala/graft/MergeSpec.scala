@@ -40,6 +40,39 @@ class MergeSpec extends SparkSuite {
     assert(m("num_copied_rows").asLong() == nation.count() - 2)
   }
 
+  test("merge evaluates the source plan once (cached), not once per job") {
+    val d = tempDir("merge-once")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    val evals = spark.sparkContext.longAccumulator("src-evals")
+    val base = nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("SEEN"))
+    val counted = spark.createDataFrame(
+      base.rdd.map { r => evals.add(1L); r }, base.schema)
+    val n = base.count()
+    evals.reset()
+    t0.merge(spark, counted, Seq("n_nationkey"))
+    assert(evals.value == n,
+      s"source rows evaluated ${evals.value} times for $n rows; expected one pass")
+  }
+
+  test("merge metrics stay sane when the target has duplicate rows per key") {
+    val d = tempDir("merge-dup-target")
+    // target holds every nation row TWICE (duplicate keys are legal there)
+    val t0 = DeltaTable.forPath(d).write(nation.union(nation))
+    val src = nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_name", lit("UPS"))
+    val t1 = t0.merge(spark, src, Seq("n_nationkey"))
+    val m = t1.history.head._2.operationMetrics
+    // 3 source keys matched; rows-based counting would report 6 updates
+    // and numInserted = 3 - 6 = -3
+    assert(m("num_updated_rows").asLong() == 3L)
+    assert(m("num_inserted_rows").asLong() == 0L)
+    // both duplicates of each matched key are replaced by ONE source row
+    val out = t1.toDF(spark)
+    assert(out.filter(col("n_nationkey") < 3).count() == 3)
+    assert(out.count() == nation.count() * 2 - 3)
+  }
+
   test("merge rejects duplicate source keys") {
     val d = tempDir("merge-dup")
     val t0 = DeltaTable.forPath(d).write(nation)

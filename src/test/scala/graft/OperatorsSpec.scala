@@ -218,4 +218,42 @@ class StreamingSinkSpec extends SparkSuite {
         col("cnt"), col("sum_value"))
     assertSameRows(got, batch)
   }
+
+  test("stateful sessionize stays correct when input spans micro-batches") {
+    // Split events into 3 time-ranged files with increasing modification
+    // times: maxFilesPerTrigger=1 forces one micro-batch per file, in time
+    // order — users spanning batches re-emit cumulative rows, which the
+    // upsert sink must replace, not append.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = QueryLib.raw(spark, sfDir, "events")
+    val src = tempDir("stream-split")
+    val cuts = raw.stat.approxQuantile("ts", Array(0.34, 0.67), 0.0)
+    val ranges = Seq(
+      col("ts") <= cuts(0),
+      col("ts") > cuts(0) && col("ts") <= cuts(1),
+      col("ts") > cuts(1))
+    ranges.zipWithIndex.foreach { case (p, i) =>
+      raw.filter(p).coalesce(1).write.parquet(s"$src/events_$i.parquet")
+      // deterministic batch order: the file source sorts by modTime
+      new java.io.File(s"$src/events_$i.parquet").listFiles()
+        .foreach(f => f.setLastModified(1700000000000L + i * 60000L))
+    }
+    val dir = tempDir("stream-sess")
+    streaming.DeltaStreamSink.runStatefulSessionize(spark, src, dir,
+      maxFilesPerTrigger = Some(1))
+    val t = DeltaTable.forPath(dir)
+    // multiple micro-batches really happened: one commit per non-empty batch
+    assert(t.version >= 1, s"expected multi-batch run, got version ${t.version}")
+    // and the result equals the single-pass batch computation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+    val batch = QueryLib.events(spark, sfDir)
+      .withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("_gap").isNull || col("_gap") > 1800000000L, 1)
+          .otherwise(0)).cast("long").as("n_sessions"))
+    assertSameRows(t.toDF(spark), batch)
+  }
 }
