@@ -20,23 +20,28 @@ import scala.collection.immutable.SortedMap
   * every JSON file per table open dominates planning time.
   *
   * Format: one UTF-8 action-JSON line per row (the exact NDJSON objects
-  * the log stores), in `%020d.checkpoint.parquet` beside the commits,
-  * discovered via `_last_checkpoint` — same file naming and discovery
-  * protocol as delta; the row layout is graft-native (a `json` column
-  * rather than delta's nested per-action structs; conversion is
-  * mechanical since the content is identical).
+  * the log stores), in `%020d.graft-checkpoint.parquet` beside the
+  * commits, discovered via `_graft_last_checkpoint`. The names are
+  * deliberately NOT delta's (`_last_checkpoint` / `N.checkpoint.parquet`):
+  * the row layout here is graft-native (a `json` column rather than
+  * delta's nested per-action structs), and a Delta-protocol engine that
+  * honored delta's pointer would fail to parse it and refuse to open a
+  * table it could otherwise read. With graft-specific names, foreign
+  * readers never see the checkpoint and fall back to plain JSON replay —
+  * cross-engine readability is preserved; only the replay speedup is
+  * graft-local.
   *
   * JSON commit files are never deleted, so time travel below the
   * checkpoint falls back to full JSON replay.
   */
 object Checkpoint {
 
-  val LastCheckpointFile = "_last_checkpoint"
+  val LastCheckpointFile = "_graft_last_checkpoint"
 
   private val parquetSchema = MessageTypeParser.parseMessageType(
     "message graft_checkpoint { required binary json (UTF8); }")
 
-  def checkpointFilename(v: Long): String = f"$v%020d.checkpoint.parquet"
+  def checkpointFilename(v: Long): String = f"$v%020d.graft-checkpoint.parquet"
 
   /** Snapshot-state actions at the log's head: protocol, latest metadata,
     * every live add (replay result, not history).
@@ -53,7 +58,7 @@ object Checkpoint {
   }
 
   /** Write the checkpoint for the log's current version and point
-    * `_last_checkpoint` at it.
+    * the pointer file at it.
     */
   def write(dlog: DeltaLog, conf: Configuration): Unit = {
     val v = dlog.version
@@ -74,10 +79,10 @@ object Checkpoint {
     gcOldCheckpoints(dlog.loc, keep = 2)
   }
 
-  private val CheckpointRe = "^(\\d+)\\.checkpoint\\.parquet$".r
+  private val CheckpointRe = "^(\\d+)\\.graft-checkpoint\\.parquet$".r
 
   /** Drop superseded checkpoint files, keeping the newest `keep` so a
-    * reader that just fetched `_last_checkpoint` never loses its file.
+    * reader that just fetched the pointer never loses its file.
     */
   private def gcOldCheckpoints(loc: Location, keep: Int): Unit = {
     val versions = loc.listSorted().flatMap { st =>
@@ -92,7 +97,7 @@ object Checkpoint {
     }
   }
 
-  /** The `_last_checkpoint` pointer, if present and parseable. */
+  /** The checkpoint pointer, if present and parseable. */
   def lastCheckpointVersion(loc: Location): Option[Long] = {
     val ptr = loc.child(LastCheckpointFile)
     if (!ptr.exists) None

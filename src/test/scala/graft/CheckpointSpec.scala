@@ -59,7 +59,7 @@ class CheckpointSpec extends SparkSuite {
     t = t.write(nation)
     (1 to 6).foreach(_ => t = t.write(nation)) // checkpoints at 2, 4, 6
     val ckpts = new java.io.File(s"$d/_delta_log").listFiles()
-      .map(_.getName).filter(_.endsWith(".checkpoint.parquet")).sorted
+      .map(_.getName).filter(_.endsWith(".graft-checkpoint.parquet")).sorted
     assert(ckpts.length == 2, ckpts.mkString(","))
     assert(Checkpoint.lastCheckpointVersion(t.logLoc).contains(6L))
     assert(DeltaTable.forPath(d).version == 6L)
