@@ -124,6 +124,41 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** two appends, then OPTIMIZE-compacted and vacuumed: the scan after both
+    * maintenance ops must equal the plain doubled table (compaction is
+    * dataChange=false; vacuum only removes unreferenced files).
+    */
+  def ordersCompactedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_compacted") { d =>
+      val df = raw(spark, sfDir, "orders")
+      val t = DeltaTable.forPath(d).write(df).write(df).compact(spark)
+      // negative retention => cutoff in the future, so the just-superseded
+      // pre-compaction files are old enough to collect
+      val deleted = t.vacuum(retentionMs = -60000L)
+      require(deleted.nonEmpty, "vacuum should have removed the compacted-away files")
+    }
+
+  /** append + append + delete — the CDF (changes feed) fixture. */
+  def ordersChangesDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_changes") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df).write(df)
+        .delete(spark, Some(col("o_orderkey") < 100))
+    }
+
+  /** 12 appends of nation (checkpoint interval is 10): reopening goes
+    * through the checkpoint fast path; the scan must equal 12 copies.
+    */
+  def nationCheckpointedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "nation_ckpt") { d =>
+      val df = raw(spark, sfDir, "nation")
+      var t = DeltaTable.forPath(d).write(df)
+      for (_ <- 1 to 11) t = t.write(df)
+      val reopened = DeltaTable.forPath(d)
+      require(reopened.dlog.entries.firstKey == 10L,
+        s"expected checkpoint base at v10, got ${reopened.dlog.entries.firstKey}")
+    }
+
   /** create + append + delete + restore — the history/metadata fixture. */
   def historyTableDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "history_fixture") { d =>

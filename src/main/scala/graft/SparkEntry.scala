@@ -247,6 +247,18 @@ object SparkEntry {
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
     "q36_stateful_sessionize" -> ((s, d) =>
       QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
+
+    // ---- maintenance: OPTIMIZE + VACUUM, CDF, checkpointed open ----
+    "q40_optimize_vacuum_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersCompactedDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
+    "q41_changes_feed" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersChangesDir(s, d))
+        .changesBetween(s, 0L, 2L)
+        .orderBy("_commit_version", "_change_type", "o_orderkey")),
+    "q42_checkpointed_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.nationCheckpointedDir(s, d)).toDF(s)
+        .orderBy("n_nationkey")),
   )
 
   /** First 15 hex chars of md5 → 60-bit positive long. DuckDB computes the
@@ -486,5 +498,19 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // compaction is dataChange=false and vacuum removes only unreferenced
+    // files, so the maintained table reads identically to the plain union
+    "q40_optimize_vacuum_scan" ->
+      "SELECT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders) t ORDER BY o_orderkey",
+    // v1 appends every orders row; v2's copy-on-write delete removes both
+    // full files (each holds o_orderkey < 100 rows) and re-adds kept rows
+    "q41_changes_feed" ->
+      """WITH x2 AS (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+        |SELECT o.*, CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type FROM orders o
+        |UNION ALL SELECT x.*, CAST(2 AS BIGINT), 'remove_file' FROM x2 x
+        |UNION ALL SELECT x.*, CAST(2 AS BIGINT), 'insert' FROM x2 x WHERE o_orderkey >= 100
+        |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
+    "q42_checkpointed_scan" ->
+      "SELECT n.* FROM nation n CROSS JOIN range(12) ORDER BY n_nationkey",
   )
 }

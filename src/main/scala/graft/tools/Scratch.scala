@@ -15,7 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q18_file_counts", "q22_simhash", "q24_ann_lsh")) {
+    for (name <- Seq("q40_optimize_vacuum_scan", "q41_changes_feed", "q42_checkpointed_scan")) {
       SparkEntry.queries(name)(spark, sf)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       println(s"WROTE $name")
