@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times the headline queries at SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line. Each query is run once to warm (builds the cached
@@ -10,15 +11,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Representative subset: scan, agg, join, window, dedup-join, ANN,
-    * data skipping, sessionization.
+  /** Representative subset: scan, agg, join, window, dedup (exact/Jaccard/
+    * MinHash/SimHash), ANN + near-dup, rollup, embedding/JSON aggregates,
+    * data skipping, sessionization, changes feed.
     */
   val headline: Seq[String] = Seq(
     "q05_delete", "q06_partitioned_scan", "q08_filter_project", "q09_q1_agg",
     "q10_join_agg", "q13_window_latest_order", "q14_topk_orders",
-    "q20_ngram_jaccard", "q21_minhash_lsh", "q23_knn_bruteforce",
+    "q19_dedup_exact", "q20_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
+    "q23_knn_bruteforce", "q24_ann_lsh", "q25_embed_neardup",
     "q27_quality_score", "q30_multimodal_features", "q33_stats_skipping_scan",
-    "q34_sessionize")
+    "q34_sessionize", "q37_rollup", "q38_embed_norms", "q39_json_props",
+    "q41_changes_feed")
 
   val RUNS = 2
 
@@ -48,11 +52,51 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       name -> sec
-    }
+    } ++ maintenanceTimings(spark, sfDir)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Write-path timings: MERGE upsert and OPTIMIZE compaction, each over a
+    * freshly-built table per run (these mutate state, so the `queries`
+    * warm-and-repeat pattern doesn't apply); the timed section covers only
+    * the maintenance op, not the fixture build.
+    */
+  private def maintenanceTimings(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    def tmp(): String = java.nio.file.Files.createTempDirectory("graft-bench-").toString
+
+    def onceMerge(): Double = {
+      val t = DeltaTable.forPath(tmp()).write(customer)
+      val updates = customer.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(0.0))
+      val inserts = customer.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_custkey", col("c_custkey") + 10000000)
+      val src = updates.union(inserts)
+      val t0 = System.nanoTime()
+      t.merge(spark, src, Seq("c_custkey"))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def onceCompact(): Double = {
+      var t = DeltaTable.forPath(tmp()).write(customer.repartition(8))
+      t = t.write(customer.repartition(8))
+      val t0 = System.nanoTime()
+      t.compact(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _).map {
+      case (name, f) =>
+        val sec =
+          try { f(); (1 to RUNS).map(_ => f()).min }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        name -> sec
+    }
   }
 }

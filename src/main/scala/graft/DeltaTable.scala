@@ -156,6 +156,20 @@ final case class DeltaTable(
     result
   }
 
+  /** Multi-input write (reference xdlake/__init__.py:153-190 accepts
+    * iterables of heterogeneous inputs): union `dfs` under `schemaMode`
+    * ("merge" null-backfills missing columns; "common" keeps the shared
+    * ones) and commit the result as ONE atomic version.
+    */
+  def write(dfs: Seq[DataFrame], mode: WriteMode, schemaMode: String,
+      partitionBy: Option[Seq[String]], customMetadata: Map[String, JsonNode],
+      maxRetries: Int): DeltaTable =
+    write(sources.DatasetUtils.unionInputs(dfs, schemaMode), mode, schemaMode,
+      partitionBy, customMetadata, maxRetries)
+
+  def write(dfs: Seq[DataFrame], schemaMode: String): DeltaTable =
+    write(dfs, WriteMode.Append, schemaMode, None, Map.empty, 0)
+
   /** Executors write partitioned parquet into a staging dir; the driver
     * renames the files into the table under per-commit unique names
     * `"{version}-{uuid}-{i}.parquet"` (reference basename template,

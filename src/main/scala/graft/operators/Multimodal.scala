@@ -29,12 +29,21 @@ object Multimodal {
     StructField("height", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
 
+  /** A media decoder: payload bytes → (width, height, n_frames). Real
+    * implementations (JNI ffmpeg, javacv, …) plug in here and run through
+    * the batched [[extractFeaturesWith]] path.
+    */
+  trait Codec extends Serializable {
+    def decode(payload: Array[Byte]): (Long, Long, Long)
+  }
+
   /** STUB decoder: deterministic features from payload length. A real
     * implementation would parse the container format here.
     */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     def dims(payloadLen: Long): (Long, Long, Long) =
       (64 + payloadLen % 512, 64 + (payloadLen * 7) % 512, 1 + payloadLen % 8)
+    def decode(payload: Array[Byte]): (Long, Long, Long) = dims(payload.length.toLong)
   }
 
   /** Attach a binary payload column (UTF-8 bytes of `textCol` — the
@@ -45,11 +54,29 @@ object Multimodal {
       lit("image/fake").as("media_type"),
       col(textCol).cast("binary").as("payload"))
 
-  /** Batched decode/feature-extract over (doc_id, media_type, payload).
-    * Partition-local: one decoder instance per partition, rows streamed
-    * through it — no shuffle, no driver involvement.
+  /** Feature extraction with the stub codec, expressed as pure codegen'd
+    * column algebra (md5 / octet_length / arithmetic) — everything the stub
+    * computes is expressible without leaving Tungsten, so the default path
+    * stays inside whole-stage codegen. A REAL native decoder cannot be a
+    * column expression; that is what [[extractFeaturesWith]] is for.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
+    val len = octet_length(col("payload")).cast("long")
+    media.select(col("doc_id"), col("media_type"),
+      len.as("payload_len"),
+      md5(col("payload")).as("payload_md5"),
+      (lit(64L) + len % 512L).as("width"),
+      (lit(64L) + (len * 7L) % 512L).as("height"),
+      (lit(1L) + len % 8L).as("n_frames"))
+  }
+
+  /** Batched decode/feature-extract over (doc_id, media_type, payload)
+    * through an opaque [[Codec]]. Partition-local: one decoder instance per
+    * partition, rows streamed through it — no shuffle, no driver
+    * involvement; `mapPartitions` gives native decoders the amortized-init,
+    * sequential-buffer batch shape (the JVM analogue of `mapInPandas`).
+    */
+  def extractFeaturesWith(media: DataFrame, codec: Codec): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "media_type", "payload").rdd
       .mapPartitions { rows =>
@@ -60,7 +87,7 @@ object Multimodal {
           val payload = r.getAs[Array[Byte]](2)
           digest.reset()
           val md5hex = digest.digest(payload).map("%02x".format(_)).mkString
-          val (w, h, f) = FakeCodec.dims(payload.length.toLong)
+          val (w, h, f) = codec.decode(payload)
           Row(id, mt, payload.length.toLong, md5hex, w, h, f)
         }
       }

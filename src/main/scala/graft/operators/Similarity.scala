@@ -73,17 +73,30 @@ object Similarity {
   }
 
   /** Sign-random-projection signature: bit p set iff `vec . plane_p > 0`.
-    * `coalesce(.., 0.0)` guards the zip_with null-padding that a
-    * plane/vector dimension mismatch would produce — but callers should
-    * pass the true dimension; see [[probeDim]].
+    * Backed by the codegen'd [[graft.functions.LshSignature]] Expression —
+    * the plane matrix is a constant reference object and the whole
+    * planes x dims loop runs inside whole-stage codegen (the HOF
+    * formulation pays interpreted lambda dispatch per element, which
+    * dominates the ANN blocking stage).
     */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vec, typedLit(p.toSeq), (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + coalesce(x, lit(0.0d)))
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.LshSignature(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(vec), planes))
+
+  /** The HOF composition of the same signature (interpreted lambdas) —
+    * kept as the cross-check oracle for the codegen'd Expression.
+    */
+  def lshSignatureHof(vec: Column, planes: Array[Array[Double]]): Column = {
+    val planeLit = typedLit(planes.map(_.toSeq).toSeq)
+    val bitLit = typedLit(planes.indices.map(i => 1L << i))
+    val projections = transform(planeLit, p =>
+      aggregate(zip_with(vec, p, (x, w) => x * w),
+        lit(0.0d), (acc, x) => acc + coalesce(x, lit(0.0d))))
+    val bits = zip_with(projections, bitLit,
+      (proj, bit) => when(proj > 0, bit).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
 
   /** Embedding dimension probed from the first row (a one-row driver job;
     * negligible next to the join it parameterizes). Fails fast on an empty
@@ -102,7 +115,7 @@ object Similarity {
     * candidate set. Equi-join on (band, bandValue) — no cross join.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int = 16, bands: Int = 4,
+      vecCol: String, k: Int, planes: Int = 64, bands: Int = 8,
       dim: Int = -1): DataFrame = {
     require(planes % bands == 0)
     val width = planes / bands
@@ -129,7 +142,7 @@ object Similarity {
         toDouble(col(vecCol)).as("_qv"))), "query_id")
       .join(corpus.select(col(idCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("_cv")), "neighbor_id")
-      .withColumn("_cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_cos", cosineFast(col("_qv"), col("_cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("_cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -141,9 +154,15 @@ object Similarity {
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
     * by LSH band buckets (same inverted-index pattern as Dedup): recall is
     * governed by the banding, precision is exact.
+    *
+    * Default banding is 64 planes / 8 bands = 8-bit buckets: 256 buckets
+    * per band keeps candidate sets ~16x smaller than 4-bit buckets while a
+    * cos-0.95 pair still collides in >= 1 band with p ~0.99 (per-bit
+    * agreement 1 - theta/pi ~ 0.90, so per-band 0.90^8 ~ 0.43 over 8
+    * bands). Identical vectors collide in EVERY band regardless.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 16, bands: Int = 4,
+      threshold: Double, planes: Int = 64, bands: Int = 8,
       dim: Int = -1): DataFrame = {
     val width = planes / bands
     val hp = hyperplanes(planes, if (dim > 0) dim else probeDim(df, vecCol))
@@ -164,7 +183,7 @@ object Similarity {
       .dropDuplicates("a", "b")
       .join(vecs.select(col("_id").as("a"), col("_v").as("_va")), "a")
       .join(vecs.select(col("_id").as("b"), col("_v").as("_vb")), "b")
-      .withColumn("cos_sim", cosine(col("_va"), col("_vb")))
+      .withColumn("cos_sim", cosineFast(col("_va"), col("_vb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }

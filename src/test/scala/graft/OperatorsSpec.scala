@@ -120,6 +120,22 @@ class SimilaritySpec extends SparkSuite {
     assert(first.length == 1 && first(0).getLong(2) == 101L)
   }
 
+  test("codegen'd LSH signature equals the HOF composition bit-for-bit") {
+    val rng = new scala.util.Random(7)
+    val dims = Seq(3, 17, 64)
+    dims.foreach { d =>
+      val vecs = (1L to 50L).map(i => i -> Array.fill(d)(rng.nextFloat() * 2 - 1))
+        .toDF("vec_id", "embedding")
+      val hp = Similarity.hyperplanes(64, d)
+      val v = Similarity.toDouble(col("embedding"))
+      val out = vecs.select(
+        Similarity.lshSignature(v, hp).as("fast"),
+        Similarity.lshSignatureHof(v, hp).as("hof")).collect()
+      out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"dim $d: ${r.getLong(0)} != ${r.getLong(1)}"))
+    }
+  }
+
   test("LSH signatures adapt to the data's dimension (no 64-dim hard-code)") {
     // probeDim reads the true dim; a hard-coded 64 would null-pad zip_with,
     // collapse every signature to 0, and degrade blocking to all-pairs
@@ -194,6 +210,15 @@ class MultimodalSpec extends SparkSuite {
     assert(out.getString(3) == md5)
     val (w, h, f) = Multimodal.FakeCodec.dims(bytes.length.toLong)
     assert(out.getLong(4) == w && out.getLong(5) == h && out.getLong(6) == f)
+  }
+
+  test("codegen stub features equal the batched-codec path row for row") {
+    val media = Multimodal.attachPayload(
+      Seq((1L, "alpha"), (2L, "a much longer payload body here"), (3L, ""))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assertSameRows(
+      Multimodal.extractFeatures(media),
+      Multimodal.extractFeaturesWith(media, Multimodal.FakeCodec))
   }
 
   test("sampleFrames: stride-2 indices below n_frames") {

@@ -30,6 +30,24 @@ class DatasetUtilsSpec extends SparkSuite {
         Seq(Seq(1).toDF("a"), Seq(2).toDF("b")), "common")
     }
   }
+
+  test("multi-input write commits heterogeneous frames as one version") {
+    // reference tests/test_dataset.py:37-82: a batch of schema-divergent
+    // inputs lands as a single atomic commit under the merged schema
+    val d = tempDir("multi-write")
+    val t = DeltaTable.forPath(d).write(Seq(abc, abd), schemaMode = "merge")
+    assert(t.version == 0L)
+    val out = t.toDF(spark)
+    assert(out.columns.toSet == Set("a", "b", "c", "d"))
+    assert(out.count() == 2)
+    assert(out.filter(col("a") === 1L).select("d").collect()(0).isNullAt(0))
+    // appending another heterogeneous batch evolves the schema atomically
+    val abe = Seq((3L, "z", 9L)).toDF("a", "b", "e")
+    val t2 = t.write(Seq(abc, abe), schemaMode = "merge")
+    assert(t2.version == 1L)
+    assert(t2.toDF(spark).columns.toSet == Set("a", "b", "c", "d", "e"))
+    assert(t2.toDF(spark).count() == 4)
+  }
 }
 
 class DeltaStreamSourceSpec extends SparkSuite {
