@@ -163,6 +163,16 @@ object SparkEntry {
     "q25_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(QueryLib.embX2(s, d),
         "vec_id", "embedding", threshold = 0.95).orderBy("a", "b")),
+    // IVF with k=1 over the doubled corpus: the identical twin shares the
+    // query's nearest cell by construction, so the approximate result has
+    // the same closed-form ground truth as q24
+    "q43_ann_ivf" -> ((s, d) => {
+      val emb = QueryLib.embX2(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
 
     // ---- text analysis ----
     "q26_token_count" -> ((s, d) =>
@@ -179,6 +189,9 @@ object SparkEntry {
     "q29_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(QueryLib.delta(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    "q44_subword_count" -> ((s, d) =>
+      TextAnalysis.subwordCount(QueryLib.delta(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // ---- multimodal binary-column plumbing ----
     "q30_multimodal_features" -> ((s, d) =>
@@ -189,6 +202,11 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.extractFeatures(
           Multimodal.attachPayload(QueryLib.delta(s, d, "documents"), "doc_id", "text")))
         .orderBy("doc_id", "frame_idx")),
+    "q45_resize_plan" -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.extractFeatures(
+          Multimodal.attachPayload(QueryLib.delta(s, d, "documents"), "doc_id", "text")),
+        maxW = 256L, maxH = 256L)
+        .orderBy("doc_id")),
 
     // ---- data skipping: scan plans only the stats-surviving files ----
     "q33_stats_skipping_scan" -> ((s, d) =>
@@ -381,6 +399,10 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q43_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "q20_ngram_jaccard" -> TriCte,
     // banded MinHash at (64 hashes, 16 bands) has verified 100% recall on
     // this corpus at threshold 0.8, and candidates are re-checked with
@@ -442,6 +464,23 @@ object SparkEntry {
         |SELECT doc_id, md5(array_to_string(ts, ' ')) AS canonical_md5,
         | list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS min_shingle_md5
         |FROM tri ORDER BY doc_id""".stripMargin,
+    "q44_subword_count" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
+        | len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q45_resize_plan" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |  least(256.0 / width, 256.0 / height, 1.0) AS sc FROM f)
+        |SELECT doc_id, width, height,
+        | CAST(floor(width * sc) AS BIGINT) AS out_width,
+        | CAST(floor(height * sc) AS BIGINT) AS out_height,
+        | round(sc, 4) AS scale
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q30_multimodal_features" ->
       """SELECT doc_id, 'image/fake' AS media_type,
         | CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,

@@ -51,11 +51,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 0L): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n).cache()
+    val sh = shingled(df, idCol, textCol, n)
     // set size rides along the inverted index (8 bytes/row), so |A| and
     // |B| fall out of the pair aggregation itself — no size-lookup joins
-    val inv0 = sh.select(col("_id"), size(col("_sh")).as("_n"),
+    val inv0raw = sh.select(col("_id"), size(col("_sh")).as("_n"),
       explode(col("_sh")).as("_s"))
+    // default path has exactly one consumer — caching would cost a full
+    // extra materialization pass; the doc-frequency guard reads the index
+    // twice, so only then is the cache worth its write
+    val inv0 = if (maxDocFreq > 0L) inv0raw.cache() else inv0raw
     val inv =
       if (maxDocFreq <= 0L) inv0
       else {

@@ -102,4 +102,21 @@ object Multimodal {
     features.select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
           .as("frame_idx"))
+
+  /** Resize planning: fit each media's (width, height) into a
+    * (maxW, maxH) box preserving aspect ratio, never upscaling. The
+    * geometry is the real pipeline stage (it decides per-row decode
+    * parameters and output batch shapes); applying it to pixels belongs to
+    * a [[Codec]]. Pure column arithmetic — codegen'd, row-local.
+    */
+  def resizePlan(features: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0d))
+    features.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("long").as("out_width"),
+      floor(col("height") * scale).cast("long").as("out_height"),
+      round(scale, 4).as("scale"))
+  }
 }

@@ -151,6 +151,75 @@ object Similarity {
         round(col("_cos"), 4).as("cos_sim"))
   }
 
+  /** Probe-cell column backed by the codegen'd
+    * [[graft.functions.NearestCentroids]] Expression.
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]],
+      nProbe: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.NearestCentroids(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(vec), centroids, nProbe))
+
+  /** IVF (inverted-file) approximate top-k: the corpus is partitioned into
+    * `nCells` Voronoi cells around trained centroids; each query probes its
+    * `nProbe` most-similar cells and ranks ONLY those cells' vectors by
+    * exact cosine. The classic big-corpus ANN trade: recall is governed by
+    * nProbe/nCells, per-query work drops from |corpus| to ~nProbe/nCells
+    * of it.
+    *
+    * Scale shape: centroids are trained with Lloyd iterations expressed as
+    * Spark aggregations (assignment is the codegen'd NearestCentroids
+    * expression; the update is a (cell, dim) average — two narrow shuffles
+    * per iteration, centroid matrix collected driver-side at
+    * nCells x dim doubles). The probe join is an equi-join on the cell id
+    * with the small query side broadcast — never a cross join.
+    *
+    * Deterministic: seed centroids are the `nCells` corpus vectors with
+    * the smallest xxhash64(id, seed), so results are reproducible across
+    * runs and engines.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 8,
+      iters: Int = 1, seed: Int = 42): DataFrame = {
+    val dim = probeDim(corpus, vecCol)
+    // deterministic seed sample: nCells vectors with smallest hashed id
+    var centroids: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("_v"),
+        xxhash64(col(idCol).cast("string"), lit(seed)).as("_h"))
+      .orderBy("_h").limit(nCells)
+      .collect().map(_.getSeq[Double](0).toArray)
+    // Lloyd refinement: assign (codegen'd argmax) -> per-(cell, dim) mean
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(toDouble(col(vecCol)).as("_v"))
+        .withColumn("_cell", element_at(nearestCentroids(col("_v"), centroids, 1), 1))
+      val sums = assigned.select(col("_cell"), posexplode(col("_v")))
+        .groupBy("_cell", "pos").agg(avg("col").as("_m"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c).map { rows =>
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          arr
+        }.getOrElse(centroids(c)) // empty cell keeps its seed
+      }.toArray
+    }
+    // index + multi-probe search
+    val cin = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
+      .withColumn("_cell", element_at(nearestCentroids(col("_cv"), centroids, 1), 1))
+    val qin = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
+      .withColumn("_cell", explode(nearestCentroids(col("_qv"), centroids, nProbe)))
+    val cand = cin.join(broadcast(qin), Seq("_cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_cos", cosineFast(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
     * by LSH band buckets (same inverted-index pattern as Dedup): recall is
     * governed by the banding, precision is exact.

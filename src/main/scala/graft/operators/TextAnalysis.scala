@@ -35,6 +35,24 @@ object TextAnalysis {
   def withTokenCount(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", size(tokens(col(textCol))).cast("long"))
 
+  /** BPE-ish subword segmentation: letter runs, digit runs, and single
+    * other-symbol fallbacks (CJK decomposes per character) — the
+    * pre-tokenization regex shape BPE vocabularies are trained over. ASCII
+    * classes only, so the pattern behaves identically under Java regex and
+    * RE2 (cross-engine-reproducible for oracles). Codegen'd, row-local.
+    */
+  def subwordTokens(textCol: Column): Column =
+    regexp_extract_all(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Subword count per document — the "token budget" signal an LLM-data
+    * pipeline filters and bins on.
+    */
+  def subwordCount(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(subwordTokens(col(textCol))).cast("long").as("n_subwords"),
+      size(array_distinct(subwordTokens(col(textCol)))).cast("long")
+        .as("n_distinct_subwords"))
+
   /** English-ish stopword list used by quality scoring (fixed contract —
     * the oracle SQL embeds the same list).
     */

@@ -120,6 +120,15 @@ class SimilaritySpec extends SparkSuite {
     assert(first.length == 1 && first(0).getLong(2) == 101L)
   }
 
+  test("ivfTopK returns the identical-vector neighbor first") {
+    val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
+    val out = Similarity.ivfTopK(dup, dup.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 3, nCells = 4, nProbe = 2)
+    val first = out.filter(col("rank") === 1).collect()
+    assert(first.length == 1 && first(0).getLong(2) == 101L)
+    assert(first(0).getDouble(3) == 1.0)
+  }
+
   test("codegen'd LSH signature equals the HOF composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val dims = Seq(3, 17, 64)
@@ -164,6 +173,15 @@ class TextAnalysisSpec extends SparkSuite {
       size(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("n"))
       .orderBy("doc_id").collect()
     assert(out(0).getInt(1) == 0 && out(1).getInt(1) == 1)
+  }
+
+  test("subword tokens: letter runs, digit runs, symbol/CJK per-char fallback") {
+    val df = Seq((1L, "Hello, world42! 你好")).toDF("doc_id", "text")
+    val out = df.select(TextAnalysis.subwordTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("hello", ",", "world", "42", "!", "你", "好"))
+    val counts = TextAnalysis.subwordCount(df, "doc_id", "text").collect()(0)
+    assert(counts.getLong(1) == 7L && counts.getLong(2) == 7L)
   }
 
   test("quality score: ratios match hand computation") {
@@ -227,6 +245,20 @@ class MultimodalSpec extends SparkSuite {
     val idx = Multimodal.sampleFrames(feats, stride = 2)
       .orderBy("frame_idx").collect().map(_.getLong(1)).toSeq
     assert(idx == Seq(0L, 2L, 4L))
+  }
+
+  test("resizePlan fits into the box, preserves aspect, never upscales") {
+    val feats = Seq(
+      (1L, 512L, 256L), // downscale, width-bound
+      (2L, 100L, 400L), // downscale, height-bound
+      (3L, 100L, 100L)) // already fits: untouched
+      .toDF("doc_id", "width", "height")
+    val out = Multimodal.resizePlan(feats, 256L, 256L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(3) == 256L && out(0).getLong(4) == 128L)
+    assert(out(1).getLong(3) == 64L && out(1).getLong(4) == 256L)
+    assert(out(2).getLong(3) == 100L && out(2).getLong(4) == 100L &&
+      out(2).getDouble(5) == 1.0)
   }
 }
 
