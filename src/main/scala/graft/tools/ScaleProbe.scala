@@ -73,7 +73,8 @@ object ScaleProbe {
       }
       val bf = time(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 10).count())
       val lsh = time(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 10).count())
-      println(f"ANNSCALE vecs=$n%6d brute=$bf%6.2fs lsh=$lsh%6.2fs")
+      val ivf = time(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 10).count())
+      println(f"ANNSCALE vecs=$n%6d brute=$bf%6.2fs lsh=$lsh%6.2fs ivf=$ivf%6.2fs")
       corpus.unpersist()
       c *= 4
     }

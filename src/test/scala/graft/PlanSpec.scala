@@ -53,4 +53,28 @@ class PlanSpec extends SparkSuite {
     // and it evaluates: self-cosine is exactly 1.0
     assert(df.limit(5).collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
+
+  test("LshSignature and NearestCentroids stay in whole-stage codegen") {
+    val emb = QueryLib.raw(spark, sfDir, "embeddings")
+    val dim = operators.Similarity.probeDim(emb, "embedding")
+    val hp = operators.Similarity.hyperplanes(64, dim)
+    val cents = Array.fill(4)(Array.fill(dim)(0.1))
+    val df = emb.select(
+      operators.Similarity.lshSignature(col("embedding"), hp).as("sig"),
+      operators.Similarity.nearestCentroids(col("embedding"), cents, 2).as("cells"))
+    val plan = explainOf(df)
+    assert(plan.contains("codegen id"), plan.take(800))
+    val rows = df.limit(5).collect()
+    assert(rows.forall(_.getSeq[Int](1).length == 2))
+  }
+
+  test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val df = operators.Multimodal.extractFeatures(
+      operators.Multimodal.attachPayload(docs, "doc_id", "text"))
+    val plan = explainOf(df)
+    assert(plan.contains("codegen id"), plan.take(800))
+    assert(!plan.contains("Scan ExistingRDD"),
+      "stub features must not leave Tungsten for an RDD mapPartitions hop")
+  }
 }
