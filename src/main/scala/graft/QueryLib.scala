@@ -207,4 +207,14 @@ object QueryLib {
     }
     DeltaTable.forPath(dir).toDF(spark)
   }
+
+  /** Same aggregation under an event-time watermark in APPEND mode: only
+    * windows the final watermark (max ts - 30 min) passed are in the sink.
+    */
+  def eventsWatermarkedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_watermarked") { d =>
+      streaming.DeltaStreamSink.runWatermarkedHourlyAggregate(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
 }

@@ -265,6 +265,8 @@ object SparkEntry {
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
     "q36_stateful_sessionize" -> ((s, d) =>
       QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
+    "q46_watermarked_stream" -> ((s, d) =>
+      QueryLib.eventsWatermarkedViaStream(s, d).orderBy("window_start", "event_type")),
 
     // ---- maintenance: OPTIMIZE + VACUUM, CDF, checkpointed open ----
     "q40_optimize_vacuum_scan" -> ((s, d) =>
@@ -537,6 +539,17 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // append mode emits a window exactly when the watermark (max event time
+    // - 30 min) passes its end; windows the final watermark never reaches
+    // stay in state and are absent from the sink
+    "q46_watermarked_stream" ->
+      """WITH a AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |    count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT * FROM a
+        |WHERE window_start + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+        |ORDER BY window_start, event_type""".stripMargin,
     // compaction is dataChange=false and vacuum removes only unreferenced
     // files, so the maintained table reads identically to the plain union
     "q40_optimize_vacuum_scan" ->

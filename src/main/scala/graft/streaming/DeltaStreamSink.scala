@@ -73,6 +73,43 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** events → 1-hour tumbling windows under an event-time WATERMARK in
+    * append output mode: a window row is emitted exactly once, when the
+    * watermark (max event time − `delay`) passes its end — the
+    * late-data-bounded streaming shape a continuous deployment runs
+    * (complete mode re-emits everything per batch and keeps all state
+    * forever; a watermark lets Spark evict finalized windows). Windows the
+    * final watermark never passes are retained as state and NOT emitted —
+    * the oracle is the batch aggregation restricted to
+    * `window_end <= max(ts) − delay`.
+    */
+  def runWatermarkedHourlyAggregate(spark: SparkSession, sfDir: String,
+      tableDir: String, delay: String = "30 minutes"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val stream = spark.readStream
+      .schema(eventsLongSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+      // watermarks require TimestampType; session tz is UTC, so the naive
+      // micros become the same wall-clock instants and the output window
+      // start converts back to NTZ losslessly
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Generic streaming append sink: commit every micro-batch of `df` as a
     * Delta append at `tableDir` (exactly the `foreachBatch` →
     * `DeltaTable.write(append)` composition SURVEY.md §2.f sketches).

@@ -15,7 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q43_ann_ivf", "q44_subword_count", "q45_resize_plan")) {
+    for (name <- Seq("q46_watermarked_stream")) {
       SparkEntry.queries(name)(spark, sf)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       println(s"WROTE $name")

@@ -276,6 +276,25 @@ class StreamingSinkSpec extends SparkSuite {
     assertSameRows(got, batch)
   }
 
+  test("watermarked append-mode windows equal batch agg minus unfinalized tail") {
+    val dir = tempDir("stream-wm")
+    streaming.DeltaStreamSink.runWatermarkedHourlyAggregate(spark, sfDir, dir)
+    val got = DeltaTable.forPath(dir).toDF(spark)
+    val events = QueryLib.events(spark, sfDir)
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getAs[java.time.LocalDateTime](0)
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+        lit(maxTs.minusMinutes(30)))
+    assertSameRows(got, batch)
+    // the unfinalized tail really exists (otherwise this tests nothing)
+    assert(got.count() <
+      events.select(window(col("ts"), "1 hour"), col("event_type")).distinct().count())
+  }
+
   test("stateful sessionize stays correct when input spans micro-batches") {
     // Split events into 3 time-ranged files with increasing modification
     // times: maxFilesPerTrigger=1 forces one micro-batch per file, in time
