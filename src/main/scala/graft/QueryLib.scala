@@ -159,6 +159,37 @@ object QueryLib {
         s"expected checkpoint base at v10, got ${reopened.dlog.entries.firstKey}")
     }
 
+  /** zero-copy import of the raw parquet by absolute reference — no bytes
+    * copied; the table's single add points at the source file.
+    */
+  def lineitemImportedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_imported") { d =>
+      DeltaTable.forPath(d).importRefs(spark, Seq(s"$sfDir/lineitem.parquet"))
+    }
+
+  /** orders with keys < 100 deleted, then soft-cloned — the clone scan must
+    * equal the source content (no data copied, abs-path log rewrite).
+    */
+  def ordersClonedDir(spark: SparkSession, sfDir: String): String = {
+    val src = cachedDir(sfDir, "orders_clone_src") { s =>
+      DeltaTable.forPath(s).write(raw(spark, sfDir, "orders"))
+        .delete(spark, Some(col("o_orderkey") < 100))
+    }
+    cachedDir(sfDir, "orders_cloned") { d =>
+      DeltaTable.forPath(src).cloneTo(d)
+    }
+  }
+
+  /** lineitem compacted with sortBy (Z-order-lite): rewritten range-sorted
+    * on (l_orderkey, l_quantity) so per-file stats are disjoint and the
+    * skipping scan opens few files.
+    */
+  def lineitemZorderedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_zorder") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .compact(spark, sortBy = Seq("l_orderkey", "l_quantity"), targetFiles = 8)
+    }
+
   /** create + append + delete + restore — the history/metadata fixture. */
   def historyTableDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "history_fixture") { d =>

@@ -279,6 +279,19 @@ object SparkEntry {
     "q42_checkpointed_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.nationCheckpointedDir(s, d)).toDF(s)
         .orderBy("n_nationkey")),
+
+    // ---- zero-copy import, clone, Z-order-lite + skipping ----
+    "q47_import_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemImportedDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q48_clone_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersClonedDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
+    "q49_zorder_skipping_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemZorderedDir(s, d))
+        .toDFWhere(s, col("l_orderkey").between(500, 1500) && col("l_quantity") >= 40)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
   )
 
   /** First 15 hex chars of md5 → 60-bit positive long. DuckDB computes the
@@ -564,5 +577,13 @@ object SparkEntry {
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "q42_checkpointed_scan" ->
       "SELECT n.* FROM nation n CROSS JOIN range(12) ORDER BY n_nationkey",
+    "q47_import_scan" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q48_clone_scan" ->
+      "SELECT * FROM orders WHERE NOT (o_orderkey < 100) ORDER BY o_orderkey",
+    "q49_zorder_skipping_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 1500 AND l_quantity >= 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

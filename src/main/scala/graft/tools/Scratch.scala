@@ -15,7 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q46_watermarked_stream")) {
+    for (name <- Seq("q47_import_scan", "q48_clone_scan", "q49_zorder_skipping_scan")) {
       SparkEntry.queries(name)(spark, sf)
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       println(s"WROTE $name")

@@ -87,6 +87,16 @@ class DataSkippingSpec extends SparkSuite {
       "ms-truncated foreign max stat must be widened, not trusted exactly")
   }
 
+  test("Z-order-lite compaction makes range predicates prune most files") {
+    val t = DeltaTable.forPath(QueryLib.lineitemZorderedDir(spark, sfDir))
+    val all = t.prunedAdds(org.apache.spark.sql.functions.lit(true)).size
+    // ~7% of the key range: after a range-sorted rewrite this lands in few files
+    val hit = t.prunedAdds(col("l_orderkey") <= 100).size
+    assert(all >= 4, s"fixture should have several files, got $all")
+    assert(hit <= all / 2,
+      s"range-sorted files should mostly prune: $hit of $all survived")
+  }
+
   test("delete with skipping rewrites only touched partitions") {
     val d = tempDir("skipdel")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
