@@ -18,6 +18,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q05_delete", "q06_partitioned_scan", "q08_filter_project", "q09_q1_agg",
     "q10_join_agg", "q13_window_latest_order", "q14_topk_orders",
+    "q50_q5_multijoin",
     "q19_dedup_exact", "q20_ngram_jaccard", "q21_minhash_lsh", "q22_simhash",
     "q23_knn_bruteforce", "q24_ann_lsh", "q25_embed_neardup", "q43_ann_ivf",
     "q27_quality_score", "q30_multimodal_features", "q33_stats_skipping_scan",

@@ -106,6 +106,24 @@ object SparkEntry {
         .except(orders.filter(col("o_orderstatus") === "O").select("o_custkey"))
         .orderBy("o_custkey")
     }),
+    // TPC-H Q5 shape: 6-table join — the fact table streams through a
+    // chain of broadcast hash joins against the dimensions; Catalyst
+    // pushes the region/date filters below the joins
+    "q50_q5_multijoin" -> ((s, d) => {
+      QueryLib.delta(s, d, "customer")
+        .join(QueryLib.delta(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(QueryLib.delta(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(QueryLib.delta(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(QueryLib.delta(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(QueryLib.delta(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("n_name")
+    }),
 
     // ---- log/metadata queries ----
     "q17_history" -> ((s, d) => {
@@ -382,6 +400,16 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+    "q50_q5_multijoin" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q17_history" ->
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), 'CREATE TABLE'), (CAST(1 AS BIGINT), 'WRITE'),
         | (CAST(2 AS BIGINT), 'DELETE'), (CAST(3 AS BIGINT), 'RESTORE')) AS t(version, operation)
