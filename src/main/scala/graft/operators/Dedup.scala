@@ -100,7 +100,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sh = shingled(df, idCol, textCol, n).cache()
+    // shingle sets carried as 64-bit hashes end to end: the signature,
+    // band join, AND the exact-Jaccard verify all operate on long arrays
+    // (8 B/element vs ~25 B strings; array_intersect on longs). Set
+    // cardinalities are collision-exact to ~2^-64 per pair.
+    val sh = shingled(df, idCol, textCol, n)
+      .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_sh"))
+      .cache()
     // signature minima via explode + partial aggregation: the min() combine
     // happens map-side and the shuffle MATERIALIZES the 64 minima — without
     // this barrier, projection collapse would inline the whole signature

@@ -15,7 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q50_q5_multijoin")) {
+    for (name <- Seq("q21_minhash_lsh")) {
       val df = SparkEntry.queries(name)(spark, sf)
       df.explain("formatted")
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
