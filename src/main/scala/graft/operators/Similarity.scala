@@ -204,11 +204,13 @@ object Similarity {
         }.getOrElse(centroids(c)) // empty cell keeps its seed
       }.toArray
     }
-    // index + multi-probe search
+    // index + multi-probe search (probe count clamped to the trained cells:
+    // a corpus smaller than nCells yields fewer centroids)
+    val probeN = math.min(nProbe, centroids.length)
     val cin = corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("_cv"))
       .withColumn("_cell", element_at(nearestCentroids(col("_cv"), centroids, 1), 1))
     val qin = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("_qv"))
-      .withColumn("_cell", explode(nearestCentroids(col("_qv"), centroids, nProbe)))
+      .withColumn("_cell", explode(nearestCentroids(col("_qv"), centroids, probeN)))
     val cand = cin.join(broadcast(qin), Seq("_cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("_cos", cosineFast(col("_qv"), col("_cv")))

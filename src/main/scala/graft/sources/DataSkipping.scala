@@ -77,7 +77,11 @@ object DataSkipping {
       dt: DataType, normalized: Any): Any = dt match {
     case _: TimestampType | _: TimestampNTZType =>
       (normalized, fractionalDigits(v.asText())) match {
-        case (micros: Long, d) if d < 6 => micros + 999L
+        case (micros: Long, d) if d < 6 =>
+          // d fractional digits → truncation grain 10^(6-d) µs; widen to
+          // the end of that grain (ms-truncated "….999" → +999 µs,
+          // second-truncated "…:00" → +999999 µs)
+          micros + (math.pow(10, 6 - d).toLong - 1L)
         case _ => normalized
       }
     case _ => normalized
