@@ -23,7 +23,7 @@ object Bench {
     "q23_knn_bruteforce", "q24_ann_lsh", "q25_embed_neardup", "q43_ann_ivf",
     "q27_quality_score", "q30_multimodal_features", "q33_stats_skipping_scan",
     "q34_sessionize", "q37_rollup", "q38_embed_norms", "q39_json_props",
-    "q41_changes_feed")
+    "q41_changes_feed", "q51_session_window", "q52_percentiles")
 
   val RUNS = 2
 

@@ -278,6 +278,25 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- session windows (native operator, vs q34's lag-window algebra) ----
+    "q51_session_window" -> ((s, d) =>
+      QueryLib.eventsDelta(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(sum("n").cast("long").as("n_events"), count(lit(1)).as("n_sessions"))
+        .orderBy("user_id")),
+
+    // ---- exact percentiles (TypedImperativeAggregate / ObjectHashAggregate) ----
+    "q52_percentiles" -> ((s, d) =>
+      QueryLib.delta(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+
     // ---- streaming ----
     "q32_events_hourly_stream" -> ((s, d) =>
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
@@ -580,6 +599,23 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native session_window(gap) merges events whose spacing is <= gap, so
+    // per-user (n_events, n_sessions) equals the lag-based q34 computation
+    "q51_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT user_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Spark `percentile` and DuckDB `quantile_cont` are both exact with
+    // linear interpolation
+    "q52_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // append mode emits a window exactly when the watermark (max event time
     // - 30 min) passes its end; windows the final watermark never reaches
     // stay in state and are absent from the sink

@@ -15,9 +15,9 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q21_minhash_lsh")) {
+    for (name <- Seq("q51_session_window", "q52_percentiles")) {
       val df = SparkEntry.queries(name)(spark, sf)
-      df.explain("formatted")
+      
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
       println(s"WROTE $name")
     }
