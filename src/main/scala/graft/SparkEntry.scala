@@ -210,6 +210,14 @@ object SparkEntry {
     "q44_subword_count" -> ((s, d) =>
       TextAnalysis.subwordCount(QueryLib.delta(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // deterministic hash splits: membership is a pure function of doc_id,
+    // reproducible by any engine via the md5-prefix hash
+    "q53_hash_split" -> ((s, d) =>
+      operators.Sampling.hashSplit(QueryLib.delta(s, d, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("split")),
 
     // ---- multimodal binary-column plumbing ----
     "q30_multimodal_features" -> ((s, d) =>
@@ -531,6 +539,13 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
         | len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q53_hash_split" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+        |  text FROM documents),
+        |s AS (SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+        |  text FROM h)
+        |SELECT split, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q45_resize_plan" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling/splitting for training pipelines.
+  *
+  * Random sampling is useless for reproducible dataset curation: the
+  * membership of train/val/test must be a pure function of the document
+  * id, stable across runs, engines, and corpus growth (adding documents
+  * never moves an existing one between splits). The standard trick is
+  * bucketing a cryptographic hash of the id — pure codegen'd column
+  * algebra, zero shuffle.
+  */
+object Sampling {
+
+  /** Engine-independent 60-bit hash of the id's decimal string: the first
+    * 15 hex digits of md5, so any SQL engine reproduces the same buckets
+    * (DuckDB: ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT).
+    */
+  def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Assign each row a split label by hash bucket: buckets [0, trainPct)
+    * → "train", [trainPct, trainPct+valPct) → "val", rest → "test".
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5, buckets: Int = 100): DataFrame = {
+    require(trainPct + valPct <= buckets, "split fractions exceed bucket count")
+    val b = pmod(idHash(col(idCol)), lit(buckets.toLong))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic `pct`% sample: rows whose hash bucket falls below pct.
+    * Supersets are stable: sampleFraction(5) ⊆ sampleFraction(20).
+    */
+  def sampleFraction(df: DataFrame, idCol: String, pct: Int,
+      buckets: Int = 100): DataFrame =
+    df.filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < pct)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
@@ -182,6 +182,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out == Seq("hello", ",", "world", "42", "!", "你", "好"))
     val counts = TextAnalysis.subwordCount(df, "doc_id", "text").collect()(0)
     assert(counts.getLong(1) == 7L && counts.getLong(2) == 7L)
+  }
+
+  test("hash splits are stable, exhaustive, and superset-monotone") {
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val split = Sampling.hashSplit(df, "doc_id")
+    assert(split.count() == 1000)
+    val byLabel = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    // deterministic: same assignment on re-evaluation
+    val again = Sampling.hashSplit(df, "doc_id")
+    assert(split.select("doc_id", "split").exceptAll(
+      again.select("doc_id", "split")).count() == 0)
+    // monotone supersets: 5% sample ⊆ 20% sample
+    val s5 = Sampling.sampleFraction(df, "doc_id", 5).select("doc_id")
+    val s20 = Sampling.sampleFraction(df, "doc_id", 20).select("doc_id")
+    assert(s5.exceptAll(s20).count() == 0)
+    assert(s5.count() < s20.count())
   }
 
   test("quality score: ratios match hand computation") {
