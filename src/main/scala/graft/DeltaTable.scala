@@ -341,7 +341,7 @@ final case class DeltaTable(
         }
 
       // all source rows land as new files (updates + inserts)
-      val sourceAligned = src.select(dlog.schema.fieldNames.map(col): _*)
+      val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated
 
