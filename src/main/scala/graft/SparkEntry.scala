@@ -250,6 +250,23 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
 
+    // ---- pivot (wide matrix) and CUBE (all grouping sets) ----
+    "q54_pivot" -> ((s, d) =>
+      QueryLib.eventsDelta(s, d)
+        .withColumn("hour_of_day", hour(col("ts")).cast("long"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("hour_of_day")),
+    "q55_cube" -> ((s, d) =>
+      QueryLib.delta(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // ---- embedding aggregates + JSON column extraction ----
     "q38_embed_norms" -> ((s, d) => {
       val v = Similarity.toDouble(col("embedding"))
@@ -573,6 +590,19 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 2000 AND l_discount > 0.07
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q54_pivot" ->
+      """SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q55_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q38_embed_norms" ->
       """SELECT label, count(*) AS n,
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm

@@ -15,7 +15,7 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
     val out = if (args.length > 1) args(1) else "/tmp/scratch_out"
-    for (name <- Seq("q53_hash_split")) {
+    for (name <- Seq("q54_pivot", "q55_cube")) {
       val df = SparkEntry.queries(name)(spark, sf)
       
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/$name")
