@@ -68,6 +68,15 @@ class PlanSpec extends SparkSuite {
     assert(rows.forall(_.getSeq[Int](1).length == 2))
   }
 
+  test("percentile runs on ObjectHashAggregate, not a sort-based fallback") {
+    val li = QueryLib.delta(spark, sfDir, "lineitem")
+    val plan = explainOf(li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50")))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+    assert(!plan.contains("SortAggregate"),
+      "TypedImperativeAggregate should use the object-hash path")
+  }
+
   test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val df = operators.Multimodal.extractFeatures(
