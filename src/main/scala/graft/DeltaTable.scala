@@ -346,8 +346,12 @@ final case class DeltaTable(
       val numInserted = srcTotal - numUpdated
 
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+      // row-based complement to the key-based update count: physical rows
+      // dropped from rewritten files (touched totals minus rows copied)
+      val touchedTotal = touchedAdds.flatMap(_.stats).map(parseNumRecords).sum
       val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
-          keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied)
+          keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
+          numTargetRowsRemoved = touchedTotal - numCopied)
         .withExtraCommitInfo(customMetadata)
       commit(entry)
     } finally src.unpersist()

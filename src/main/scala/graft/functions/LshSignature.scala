@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
 final case class LshSignature(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression {
 
+  // `1L << p` wraps mod 64 in Java: a 65th plane would silently alias bit 0
+  // and degrade recall with no error, so reject it at construction.
+  require(planes.length <= 64,
+    s"lsh_signature packs bits into one long; got ${planes.length} planes (max 64)")
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

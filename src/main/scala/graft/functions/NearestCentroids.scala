@@ -22,6 +22,17 @@ final case class NearestCentroids(child: Expression,
   require(nProbe >= 1 && nProbe <= centroids.length,
     s"nProbe must be in [1, ${centroids.length}]: $nProbe")
 
+  // Centroid norms are row-invariant; computing them inside the per-row
+  // loop would add O(cells x dims) redundant work to the hot path. sqrt is
+  // taken once here; a zero-norm centroid gets 1.0 so the division is a
+  // no-op on its (necessarily zero) dot product.
+  private val invNorms: Array[Double] =
+    centroids.map { cent =>
+      var nc = 0.0; var i = 0
+      while (i < cent.length) { nc += cent(i) * cent(i); i += 1 }
+      if (nc > 0) 1.0 / math.sqrt(nc) else 1.0
+    }
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -48,16 +59,13 @@ final case class NearestCentroids(child: Expression,
       val cent = centroids(c)
       val n = math.min(arr.numElements(), cent.length)
       var dot = 0.0
-      var nc = 0.0
       var i = 0
       while (i < n) {
         val x = if (f) arr.getFloat(i).toDouble else arr.getDouble(i)
         dot += x * cent(i)
         i += 1
       }
-      i = 0
-      while (i < cent.length) { nc += cent(i) * cent(i); i += 1 }
-      out(c) = if (nc > 0) dot / math.sqrt(nc) else dot
+      out(c) = dot * invNorms(c)
       c += 1
     }
     out
@@ -84,13 +92,14 @@ final case class NearestCentroids(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centRef = ctx.addReferenceObj("ivfCentroids", centroids, "double[][]")
+    val normRef = ctx.addReferenceObj("ivfInvNorms", invNorms, "double[]")
     val getter =
       if (isFloat) (arr: String, i: String) => s"(double) $arr.getFloat($i)"
       else (arr: String, i: String) => s"$arr.getDouble($i)"
     nullSafeCodeGen(ctx, ev, v => {
       val c = ctx.freshName("c"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
-      val nc = ctx.freshName("nc"); val cent = ctx.freshName("cent")
+      val cent = ctx.freshName("cent")
       val s = ctx.freshName("sims"); val used = ctx.freshName("used")
       val picks = ctx.freshName("picks"); val p = ctx.freshName("p")
       val best = ctx.freshName("best")
@@ -99,12 +108,11 @@ final case class NearestCentroids(child: Expression,
          |for (int $c = 0; $c < $centRef.length; $c++) {
          |  double[] $cent = $centRef[$c];
          |  int $n = java.lang.Math.min($v.numElements(), $cent.length);
-         |  double $dot = 0.0; double $nc = 0.0;
+         |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $dot += ${getter(v, i)} * $cent[$i];
          |  }
-         |  for (int $i = 0; $i < $cent.length; $i++) { $nc += $cent[$i] * $cent[$i]; }
-         |  $s[$c] = $nc > 0 ? $dot / java.lang.Math.sqrt($nc) : $dot;
+         |  $s[$c] = $dot * $normRef[$c];
          |}
          |boolean[] $used = new boolean[$s.length];
          |int[] $picks = new int[$nProbe];

@@ -76,24 +76,65 @@ object Checkpoint {
     } finally writer.close()
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
-    gcOldCheckpoints(dlog.loc, keep = 2)
+    gcOldCheckpoints(dlog.loc, keep = 2, conf)
   }
 
   private val CheckpointRe = "^(\\d+)\\.graft-checkpoint\\.parquet$".r
+  private val LegacyCheckpointRe = "^(\\d+)\\.checkpoint\\.parquet$".r
+
+  /** True iff `name` is a parquet file with graft's one-json-column row
+    * layout — i.e. a checkpoint written by a pre-rename graft build under
+    * Delta's filename. A genuine Delta-protocol checkpoint (nested
+    * per-action structs) never matches.
+    */
+  private def isGraftLayout(loc: Location, name: String, conf: Configuration): Boolean =
+    try {
+      val in = HadoopInputFile.fromPath(loc.child(name).path, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try reader.getFooter.getFileMetaData.getSchema.equals(parquetSchema)
+      finally reader.close()
+    } catch { case _: Exception => false }
 
   /** Drop superseded checkpoint files, keeping the newest `keep` so a
     * reader that just fetched the pointer never loses its file.
+    *
+    * Also removes checkpoints orphaned by the round-3 rename: earlier graft
+    * builds wrote `N.checkpoint.parquet` + `_last_checkpoint` (Delta's
+    * names) with graft's row layout, which breaks foreign readers that
+    * honor Delta's pointer. Those are deleted here — gated on the layout
+    * check, so a real Delta engine's checkpoint is never touched — and the
+    * legacy pointer goes with them once its target is gone (for a Delta
+    * reader a missing pointer just means JSON replay).
     */
-  private def gcOldCheckpoints(loc: Location, keep: Int): Unit = {
+  private def gcOldCheckpoints(loc: Location, keep: Int, conf: Configuration): Unit = {
+    var legacy = List.empty[String]
     val versions = loc.listSorted().flatMap { st =>
       st.getPath.getName match {
         case CheckpointRe(v) => Some(v.toLong)
+        case LegacyCheckpointRe(_) => legacy ::= st.getPath.getName; None
         case _ => None
       }
     }
     versions.sorted.dropRight(keep).foreach { v =>
       try loc.fs.delete(loc.child(checkpointFilename(v)).path, false)
       catch { case _: Exception => () }
+    }
+    val removedLegacy = legacy.filter(isGraftLayout(loc, _, conf))
+    removedLegacy.foreach { name =>
+      try loc.fs.delete(loc.child(name).path, false)
+      catch { case _: Exception => () }
+    }
+    if (removedLegacy.nonEmpty) {
+      val ptr = loc.child("_last_checkpoint")
+      val target =
+        try Json.longOpt(Json.mapper.readTree(ptr.readString()), "version")
+        catch { case _: Exception => None }
+      val targetGone = target.exists { v =>
+        removedLegacy.contains(f"$v%020d.checkpoint.parquet")
+      }
+      if (targetGone)
+        try loc.fs.delete(ptr.path, false)
+        catch { case _: Exception => () }
     }
   }
 

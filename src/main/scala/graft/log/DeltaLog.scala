@@ -121,13 +121,23 @@ object DeltaLogEntry {
     */
   def mergeTable(predicate: String, addsToRemove: Iterable[AddFile],
       adds: Seq[AddFile], readVersion: Long, numUpdated: Long,
-      numInserted: Long, numCopied: Long): DeltaLogEntry = {
+      numInserted: Long, numCopied: Long, numTargetRowsRemoved: Long): DeltaLogEntry = {
+    // Units are mixed by design and declared in-band via metrics_units:
+    // num_updated_rows counts distinct matched KEYS (row-based counting
+    // over-counts when the target legally holds duplicate rows per key and
+    // can drive num_inserted_rows negative), while num_copied_rows /
+    // num_target_rows_removed are physical ROW counts from file stats, so
+    // external tooling can reconcile either way.
     val metrics = ListMap[String, JsonNode](
       "num_added_files" -> Json.num(adds.size.toLong),
       "num_removed_files" -> Json.num(addsToRemove.size.toLong),
       "num_updated_rows" -> Json.num(numUpdated),
       "num_inserted_rows" -> Json.num(numInserted),
-      "num_copied_rows" -> Json.num(numCopied))
+      "num_copied_rows" -> Json.num(numCopied),
+      "num_target_rows_removed" -> Json.num(numTargetRowsRemoved),
+      "metrics_units" -> Json.mapper.getNodeFactory.textNode(
+        "num_updated_rows,num_inserted_rows=distinct source keys; " +
+          "num_copied_rows,num_target_rows_removed=physical rows"))
     val commit = CommitInfo.merge(predicate, readVersion, metrics)
     val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
     DeltaLogEntry(removes ++ adds :+ commit)

@@ -117,7 +117,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 64, bands: Int = 8,
       dim: Int = -1): DataFrame = {
-    require(planes % bands == 0)
+    require(planes % bands == 0 && planes <= 64,
+      s"signature is one 64-bit long: need planes % bands == 0 and planes <= 64, got planes=$planes bands=$bands")
     val width = planes / bands
     val hp = hyperplanes(planes, if (dim > 0) dim else probeDim(corpus, vecCol))
     def banded(df: DataFrame, id: String, vecOut: String) = {
@@ -235,6 +236,8 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 64, bands: Int = 8,
       dim: Int = -1): DataFrame = {
+    require(planes % bands == 0 && planes <= 64,
+      s"signature is one 64-bit long: need planes % bands == 0 and planes <= 64, got planes=$planes bands=$bands")
     val width = planes / bands
     val hp = hyperplanes(planes, if (dim > 0) dim else probeDim(df, vecCol))
     val v = toDouble(col(vecCol))

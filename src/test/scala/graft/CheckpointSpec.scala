@@ -65,6 +65,33 @@ class CheckpointSpec extends SparkSuite {
     assert(DeltaTable.forPath(d).version == 6L)
   }
 
+  test("pre-rename graft checkpoints under Delta's names are GC'd; foreign ones kept") {
+    val d = tempDir("ckpt-legacy")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
+    t = t.write(nation)
+    (1 to 2).foreach(_ => t = t.write(nation)) // checkpoint at 2
+    val logDir = new java.io.File(s"$d/_delta_log")
+    val graftCkpt = logDir.listFiles().map(_.getName)
+      .find(_.endsWith(".graft-checkpoint.parquet")).get
+    // simulate a pre-rename build: same row layout, Delta's names
+    val legacyName = graftCkpt.replace(".graft-checkpoint", ".checkpoint")
+    java.nio.file.Files.copy(
+      new java.io.File(logDir, graftCkpt).toPath,
+      new java.io.File(logDir, legacyName).toPath)
+    t.logLoc.child("_last_checkpoint").writeString(s"""{"version":2,"size":1}""")
+    // a FOREIGN checkpoint (different parquet layout) must never be touched
+    val foreignName = f"${0L}%020d.checkpoint.parquet"
+    java.nio.file.Files.copy(
+      new java.io.File(s"$sfDir/nation.parquet").toPath,
+      new java.io.File(logDir, foreignName).toPath)
+    (1 to 2).foreach(_ => t = t.write(nation)) // next checkpoint triggers GC
+    val names = logDir.listFiles().map(_.getName).toSet
+    assert(!names.contains(legacyName), "graft-layout legacy checkpoint should be GC'd")
+    assert(!names.contains("_last_checkpoint"), "orphaned legacy pointer should be GC'd")
+    assert(names.contains(foreignName), "foreign-layout checkpoint must be kept")
+    assert(DeltaTable.forPath(d).version == 4L)
+  }
+
   test("partitioned table state survives a checkpoint round-trip") {
     val d = tempDir("ckpt-part")
     var t = DeltaTable.forPath(d)

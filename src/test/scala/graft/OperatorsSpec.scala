@@ -145,6 +145,20 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("LSH rejects more than 64 planes instead of silently aliasing bits") {
+    // 1L << p wraps mod 64 in Java: plane 64 would alias plane 0's bit and
+    // silently degrade recall, so construction must fail fast
+    assertThrows[IllegalArgumentException](graft.functions.LshSignature(
+      org.apache.spark.sql.graftshim.ColumnShim.expression(col("embedding")),
+      Similarity.hyperplanes(65, 3)))
+    assertThrows[IllegalArgumentException](
+      Similarity.lshTopK(corpus, corpus.limit(1), "vec_id", "embedding",
+        k = 1, planes = 128, bands = 8))
+    assertThrows[IllegalArgumentException](
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.9, planes = 72, bands = 8))
+  }
+
   test("LSH signatures adapt to the data's dimension (no 64-dim hard-code)") {
     // probeDim reads the true dim; a hard-coded 64 would null-pad zip_with,
     // collapse every signature to 0, and degrade blocking to all-pairs
