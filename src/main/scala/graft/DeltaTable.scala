@@ -7,7 +7,7 @@ import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, count_distinct, input_file_name, lit, not, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, count_distinct, input_file_name, lit, not, struct, sum, when}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -273,6 +273,76 @@ final case class DeltaTable(
 
   private def parseNumRecords(statsJson: String): Long =
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+
+  // ------------------------------------------------------------------
+  // UPDATE — copy-on-write in-place mutation. Same two-phase shape as
+  // DELETE (the reference's only row-level mutation, xdlake/__init__
+  // .py:259-315): files with no matching row are never rewritten.
+  // ------------------------------------------------------------------
+
+  /** Set `set` columns to their new expressions on rows matching `where`;
+    * all other rows and columns are copied unchanged.
+    *
+    * Scale shape: phase-1 candidates are pre-pruned driver-side by
+    * partition values + min/max stats before any Spark plan exists, the
+    * probe scan reads only predicate columns with pushed filters, and
+    * phase 2 rewrites ONLY the touched files — an update matching 1 file
+    * out of 10^5 rewrites 1 file. New values are evaluated per-row inside
+    * whole-stage codegen (`CASE WHEN pred THEN expr ELSE old END`).
+    */
+  def update(spark: SparkSession, where: Option[Column],
+      set: Map[String, Column],
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    val fields = dlog.schema.fields.map(f => f.name -> f.dataType).toMap
+    set.keys.foreach(k => require(fields.contains(k), s"unknown SET column: $k"))
+    set.keys.foreach(k => require(!dlog.partitionColumns.contains(k),
+      s"cannot UPDATE partition column $k (delete + rewrite instead)"))
+    val pred = where.getOrElse(lit(true))
+    val adds = dlog.addActions
+
+    val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+      Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+    }.toMap
+
+    val candidateAdds =
+      where.map(prunedAdds).getOrElse(adds.values.toSeq)
+    val touchedCanonical: Set[String] =
+      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+          candidateAdds, conf)
+        .filter(pred)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => Location.canonical(r.getString(0))).toSet
+    val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+
+    var numUpdated = 0L
+    var numCopied = 0L
+    val newAdds: Seq[AddFile] =
+      if (touchedAdds.isEmpty) Seq.empty
+      else {
+        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
+          dlog.partitionColumns, touchedAdds, conf)
+        // one job for both metric counts (null predicate = row not matched)
+        val counts = touchedDF.agg(count(lit(1)).as("_n"),
+          sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("_m")).head()
+        numUpdated = counts.getLong(1)
+        numCopied = counts.getLong(0) - numUpdated
+        val matched = coalesce(pred, lit(false))
+        val rewritten = touchedDF.select(dlog.schema.fields.toIndexedSeq.map { f =>
+          set.get(f.name) match {
+            case Some(v) =>
+              when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+        writeData(rewritten, dlog.versionToWrite, dlog.partitionColumns)
+      }
+
+    val predicateText = where.map(_.toString).getOrElse("true")
+    val entry = DeltaLogEntry.updateTable(predicateText, touchedAdds, newAdds,
+      dlog.version, numUpdated, numCopied).withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
 
   // ------------------------------------------------------------------
   // MERGE — copy-on-write upsert by key (op name reserved by the

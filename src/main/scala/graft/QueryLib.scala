@@ -124,6 +124,18 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** lineitem with `l_discount` zeroed copy-on-write where
+    * `l_quantity > 45` — the UPDATE fixture (written range-partitioned so
+    * stats-pruning leaves genuinely untouched files).
+    */
+  def lineitemUpdatedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_update") { d =>
+      DeltaTable.forPath(d)
+        .write(raw(spark, sfDir, "lineitem").repartitionByRange(8, col("l_orderkey")))
+        .update(spark, Some(col("l_quantity") > 45),
+          Map("l_discount" -> lit(0.0)))
+    }
+
   /** two appends, then OPTIMIZE-compacted and vacuumed: the scan after both
     * maintenance ops must equal the plain doubled table (compaction is
     * dataChange=false; vacuum only removes unreferenced files).
@@ -245,6 +257,17 @@ object QueryLib {
   def eventsWatermarkedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = cachedDir(sfDir, "events_stream_watermarked") { d =>
       streaming.DeltaStreamSink.runWatermarkedHourlyAggregate(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
+  /** events streamed twice (duplicates forced across micro-batches) through
+    * streaming `dropDuplicates` into a Delta sink — the deduped table must
+    * equal ONE copy of events.
+    */
+  def eventsDedupedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_deduped") { d =>
+      streaming.DeltaStreamSink.runStreamingDedup(spark, sfDir, d)
     }
     DeltaTable.forPath(dir).toDF(spark)
   }

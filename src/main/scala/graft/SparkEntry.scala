@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -289,6 +289,62 @@ object SparkEntry {
       DeltaTable.forPath(QueryLib.customerMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
 
+    // ---- UPDATE (copy-on-write in-place mutation) ----
+    "q56_update" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemUpdatedDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- as-of join: latest purchase at or before each event ----
+    "q57_asof_join" -> ((s, d) => {
+      val ev = QueryLib.eventsDelta(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"))
+      Temporal.asOfJoin(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          valueCols = Seq("purchase_ts"))
+        .orderBy("event_id")
+    }),
+
+    // ---- range join: orders falling in 7-day windows around seed orders ----
+    "q58_range_join" -> ((s, d) => {
+      val day = (c: org.apache.spark.sql.Column) =>
+        datediff(c.cast("date"), lit("1992-01-01").cast("date")).cast("long")
+      val orders = QueryLib.delta(s, d, "orders")
+      val points = orders.select(col("o_orderkey"), col("o_totalprice"),
+        day(col("o_orderdate")).as("o_day"))
+      val intervals = orders.filter(col("o_orderkey") < 50)
+        .select(col("o_orderkey").as("range_id"),
+          day(col("o_orderdate")).as("start_day"))
+        .withColumn("end_day", col("start_day") + 7)
+      Temporal.rangeJoin(points, intervals, "o_day", "start_day", "end_day",
+          bucketWidth = 7L)
+        .groupBy("range_id")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("range_id")
+    }),
+
+    // ---- near-dup clusters: pairwise evidence -> connected components ----
+    "q59_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccardPairs(QueryLib.delta(s, d, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- salted skew-resistant join (result ≡ the plain join) ----
+    "q60_salted_join" -> ((s, d) =>
+      Joins.saltedJoin(
+          QueryLib.delta(s, d, "lineitem"),
+          QueryLib.delta(s, d, "supplier"),
+          bigKeys = Seq("l_suppkey"), smallKeys = Seq("s_suppkey"), salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("s_nationkey")),
+
     // ---- event series: gap-based sessionization ----
     "q34_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
@@ -329,6 +385,11 @@ object SparkEntry {
       QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
     "q46_watermarked_stream" -> ((s, d) =>
       QueryLib.eventsWatermarkedViaStream(s, d).orderBy("window_start", "event_type")),
+    "q61_stream_dedup" -> ((s, d) =>
+      QueryLib.eventsDedupedViaStream(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("user_id")),
 
     // ---- maintenance: OPTIMIZE + VACUUM, CDF, checkpointed open ----
     "q40_optimize_vacuum_scan" -> ((s, d) =>
@@ -370,18 +431,25 @@ object SparkEntry {
   private val AllScores = "score_en, score_de, score_es, score_fr, score_zh"
   private val Greatest = s"greatest($AllScores)"
 
-  /** DuckDB trigram-shingle CTE shared by the Jaccard oracles. */
-  private val TriCte =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+  /** DuckDB trigram-shingle CTE body shared by the Jaccard and
+    * dedup-cluster oracles: `pj` = all candidate pairs with their exact
+    * Jaccard (`j` unrounded for thresholding, `jaccard` rounded for
+    * output).
+    */
+  private val TriBase =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
       |  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh FROM toks),
       |e AS (SELECT doc_id, unnest(sh) AS s FROM tri),
       |sz AS (SELECT doc_id, len(sh) AS n FROM tri),
       |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-      |      FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
-      |SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
-      |FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
-      |WHERE i / (sa.n + sb.n - i) >= 0.8 ORDER BY a, b""".stripMargin
+      |      FROM e x JOIN e y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+      |pj AS (SELECT a, b, i / (sa.n + sb.n - i) AS j, round(i / (sa.n + sb.n - i), 4) AS jaccard
+      |       FROM p JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)""".stripMargin
+
+  private val TriCte =
+    s"""WITH $TriBase
+       |SELECT a, b, jaccard FROM pj WHERE j >= 0.8 ORDER BY a, b""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (hash-seeded LSH internals) get the
@@ -694,5 +762,44 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         |WHERE l_orderkey BETWEEN 500 AND 1500 AND l_quantity >= 40
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q56_update" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        | CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END AS l_discount,
+        | l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // inclusive as-of semantics: a purchase AT the event's instant matches;
+    // carrying the matched row's own timestamp makes ties value-identical
+    "q57_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        | (SELECT max(p.ts) FROM events p WHERE p.user_id = e.user_id
+        |    AND p.event_type = 'purchase' AND p.ts <= e.ts) AS asof_purchase_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin,
+    "q58_range_join" ->
+      """WITH pts AS (SELECT o_orderkey, o_totalprice,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d FROM orders),
+        |iv AS (SELECT o_orderkey AS range_id,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS s
+        |  FROM orders WHERE o_orderkey < 50)
+        |SELECT range_id, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM iv JOIN pts ON pts.d BETWEEN iv.s AND iv.s + 7
+        |GROUP BY range_id ORDER BY range_id""".stripMargin,
+    // transitive closure over the SAME exact-Jaccard pair set the engine
+    // clusters (components here are small, so the closure is cheap for the
+    // oracle; the engine side is the scalable star-contraction)
+    "q59_dedup_clusters" ->
+      s"""WITH RECURSIVE $TriBase,
+         |pr AS (SELECT a, b FROM pj WHERE j >= 0.8),
+         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach AS (SELECT DISTINCT u, u AS l FROM edges
+         |          UNION
+         |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
+         |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q60_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q61_stream_dedup" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -264,6 +264,7 @@ object CommitInfo {
     val Create = "CREATE TABLE"
     val Write = "WRITE"
     val Merge = "MERGE"
+    val Update = "UPDATE"
     val Delete = "DELETE"
     val Restore = "RESTORE"
     val Optimize = "OPTIMIZE"
@@ -292,6 +293,17 @@ object CommitInfo {
     CommitInfo(
       timestamp = System.currentTimeMillis(),
       operation = Op.Delete,
+      operationParameters = ListMap("predicate" -> Json.text(predicate)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
+  /** UPDATE (copy-on-write in-place mutation) commit — op name written the
+    * way delta engines spell it so foreign history readers classify it.
+    */
+  def update(predicate: String, readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Update,
       operationParameters = ListMap("predicate" -> Json.text(predicate)),
       operationMetrics = metrics,
       readVersion = Some(readVersion))

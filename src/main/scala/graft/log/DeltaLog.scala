@@ -116,6 +116,22 @@ object DeltaLogEntry {
     DeltaLogEntry(removes ++ adds :+ commit)
   }
 
+  /** UPDATE entry: copy-on-write in-place mutation — removes for every
+    * touched file, adds for their rewritten content (updated + copied rows).
+    */
+  def updateTable(predicate: String, addsToRemove: Iterable[AddFile],
+      adds: Seq[AddFile], readVersion: Long, numUpdated: Long,
+      numCopied: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "num_added_files" -> Json.num(adds.size.toLong),
+      "num_removed_files" -> Json.num(addsToRemove.size.toLong),
+      "num_updated_rows" -> Json.num(numUpdated),
+      "num_copied_rows" -> Json.num(numCopied))
+    val commit = CommitInfo.update(predicate, readVersion, metrics)
+    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
+    DeltaLogEntry(removes ++ adds :+ commit)
+  }
+
   /** MERGE entry: copy-on-write upsert — removes for every touched file,
     * adds for their rewritten content plus inserted rows.
     */

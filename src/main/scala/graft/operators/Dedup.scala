@@ -165,6 +165,80 @@ object Dedup {
     agg.select(col("_id"), sim.as("simhash"))
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns PAIRWISE near-dup evidence (q20/q21/q22/q25 output) into
+    * dedup CLUSTERS with one canonical representative each.
+    *
+    * Algorithm: alternating large-star / small-star contraction (the
+    * published MapReduce connected-components formulation — Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14), chosen
+    * over 1-hop min-label propagation because its round count is
+    * O(log² n) regardless of component DIAMETER — a 10^6-long duplication
+    * chain converges in ~20 rounds, not 10^6. Each round is two
+    * shuffle aggregations over the edge list (no driver-side graph);
+    * `localCheckpoint` truncates lineage so plans stay flat across rounds.
+    *
+    *  - large-star: every neighbor LARGER than u re-points at u's minimum
+    *    neighbor (strictly decreases big-node eccentricity).
+    *  - small-star: u and all its smaller neighbors point at their
+    *    collective minimum (flattens local stars).
+    *
+    * Returns (node, component): component = smallest node id in the
+    * node's component. Nodes appearing in no pair are absent (callers
+    * treat them as their own singleton cluster).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 32): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id")))
+      .distinct().localCheckpoint()
+    var e = pairs
+      .select(col(aCol).cast("long").as("_x"), col(bCol).cast("long").as("_y"))
+      .filter(col("_x") =!= col("_y"))
+      .select(greatest(col("_x"), col("_y")).as("u"), least(col("_x"), col("_y")).as("v"))
+      .distinct().localCheckpoint()
+
+    // xor-fold is order-independent and overflow-free (ANSI sum() of 2^63-
+    // scale hashes overflows); e is distinct, so no pair self-cancels
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var round = 0
+    var converged = sig._1 == 0L
+    while (!converged && round < maxRounds) {
+      // large-star over symmetric neighborhoods
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the (u > v)-oriented result
+      val sMins = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(sMins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      e = small
+      round += 1
+    }
+    // at the fixpoint every edge points a node straight at its component
+    // minimum; minima themselves carry no outgoing edge
+    nodes.join(e, nodes("id") === e("u"), "left")
+      .select(nodes("id").as("node"), coalesce(e("v"), nodes("id")).as("component"))
+  }
+
   /** Near-dup pairs with Hamming distance <= `maxHamming` between SimHashes.
     * Pigeonhole blocking: split `numBits` bits into (maxHamming+1) chunks —
     * any pair within the budget agrees on >= 1 chunk, so an equi-join on

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Temporal joins Spark has no native operator for: as-of join and
+  * point-in-interval range join. Both are re-expressed as shuffle-friendly
+  * compositions instead of the naive inequality join (which Spark can only
+  * execute as BroadcastNestedLoopJoin — a scan of every right row per left
+  * row, unusable at scale).
+  *
+  * The reference delegates all relational compute to pyarrow and has
+  * neither operator; these follow the public union-sort formulation used
+  * by time-series stores (kdb's aj, pandas merge_asof) and the
+  * bucketed-interval-join formulation from the Spark/Flink literature.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single latest right row whose time
+    * is <= the left row's time (inclusive), matched within `keyCols`.
+    * Right columns come back null when no right row precedes the left row.
+    *
+    * Scale shape: ONE shuffle of (left ∪ right) on the key, then a
+    * per-key sort — no row ever compares against more than its own key's
+    * history, and the window's running `last(ignoreNulls)` is O(n) per
+    * partition. Contrast with the inequality-join formulation, which is
+    * |left| x |right| per key.
+    *
+    * @param valueCols right-side columns to carry onto each left row
+    *                  (aliased as-is in the output)
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asOfJoin requires key columns")
+    val leftCols = left.columns.toSeq
+    val valueTypes = valueCols.map(v => v -> right.schema(v).dataType)
+    // tag sides; right rows sort BEFORE left rows at the same instant so
+    // the join is inclusive (right.ts == left.ts matches)
+    val l = left.withColumn("_t", col(leftTimeCol).cast("timestamp_ntz"))
+      .withColumn("_side", lit(1))
+      .withColumns(valueTypes.map { case (v, dt) =>
+        s"_v_$v" -> lit(null).cast(dt)
+      }.toMap)
+    val r = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTimeCol).cast("timestamp_ntz").as("_t"), lit(0).as("_side")) ++
+        valueCols.map(v => col(v).as(s"_v_$v")): _*)
+    val unioned = l.select(
+        (keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++
+          valueCols.map(v => col(s"_v_$v")) ++
+          leftCols.filterNot(keyCols.contains).map(col)): _*)
+      .unionByName(r, allowMissingColumns = true)
+    // value columns in the ordering make ties among same-instant right rows
+    // deterministic (the greatest value tuple wins)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_t") +: col("_side") +: valueCols.map(v => col(s"_v_$v")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"_asof_$v", last(col(s"_v_$v"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(v => col(s"_asof_$v").as(s"asof_$v")): _*)
+  }
+
+  /** Point-in-interval range join: pairs each left row whose `pointCol`
+    * falls in [startCol, endCol] of a right-side interval (inclusive).
+    *
+    * Scale shape: both sides are bucketed at `bucketWidth` granularity —
+    * an interval explodes into the buckets it covers, a point lands in
+    * exactly one — turning the inequality join into an EQUI-join on the
+    * bucket id followed by the exact between-filter. Work is proportional
+    * to genuinely-overlapping pairs (plus bucket-boundary near-misses),
+    * not |left| x |right|; each pair is seen exactly once because a
+    * point's single bucket meets each interval's bucket list at most once.
+    *
+    * Intervals wider than ~1000 buckets explode combinatorially; pick
+    * `bucketWidth` near the typical interval length.
+    *
+    * @param bucketWidth bucket granularity in the point/start/end unit
+    *                    (they must share one: epoch seconds, days, a key…)
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_b", floor(col(pointCol) / bucketWidth))
+    val iv = intervals
+      .withColumn("_b", explode(sequence(
+        floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
+    p.join(iv, Seq("_b"))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
+      .drop("_b")
+  }
+}

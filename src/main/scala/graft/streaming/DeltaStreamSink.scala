@@ -131,6 +131,44 @@ object DeltaStreamSink {
     else t.merge(batch.sparkSession, batch, keys)
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` on the id keeps a
+    * keyed state store across micro-batches, so a duplicate arriving in a
+    * LATER batch than its original is still dropped — the streaming
+    * counterpart of X1's batch exact dedup, and the shape a continuous
+    * ingestion pipeline dedups with.
+    *
+    * The input directory holds TWO copies of the events file and
+    * `maxFilesPerTrigger=1` forces them into separate micro-batches, so
+    * every duplicate crosses a batch boundary — append-sink correctness
+    * therefore proves the state survives between batches. State here is
+    * unbounded by design (exact dedup over all history); the bounded
+    * variant is `dropDuplicatesWithinWatermark`, which this corpus can't
+    * use honestly (its duplicates arrive later than any realistic
+    * watermark delay would retain).
+    */
+  def runStreamingDedup(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dedup-in-")
+    Seq("events_a.parquet", "events_b.parquet").foreach { name =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"), inDir.resolve(name))
+    }
+    val deduped = spark.readStream
+      .schema(eventsLongSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Custom stateful streaming: per-user gap sessionization with
     * `flatMapGroupsWithState` — state is distributed by the group key and
     * survives across micro-batches. Each batch a user appears in emits the
