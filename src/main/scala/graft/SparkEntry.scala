@@ -419,10 +419,14 @@ object SparkEntry {
 
   /** First 15 hex chars of md5 → 60-bit positive long. DuckDB computes the
     * identical value as ('0x' || substr(md5(t), 1, 15))::BIGINT, making the
-    * q22 SimHash signatures engine-independent.
+    * q22 SimHash signatures engine-independent. Backed by the codegen'd
+    * [[graft.functions.Md5Prefix60]] Expression (digest bytes straight to
+    * long — no hex-string allocation or radix parse per token).
     */
   private val Md5TokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")
+    t => org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(t.cast("binary"))))
 
   private val StopList =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

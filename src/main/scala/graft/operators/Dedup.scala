@@ -138,9 +138,12 @@ object Dedup {
   }
 
   /** SimHash over whitespace tokens: bit j is the sign of
-    * Σ_tokens (bit j of tokenHash(token) ? +1 : -1). Computed as `numBits`
-    * codegen'd aggregate expressions over an exploded token index — one
-    * shuffle on the doc id, partial-aggregated map-side.
+    * Σ_tokens (bit j of tokenHash(token) ? +1 : -1). One shuffle on the
+    * doc id; the per-doc bit counters live in a single custom
+    * [[graft.functions.SimHashAgg]] buffer (long[numBits]) with map-side
+    * partial aggregation — the shuffle moves one counter array per doc,
+    * and the 60-wide sum(when(...)) column formulation this replaces
+    * measured ~2x slower (60 separate aggregate buffers per row).
     *
     * @param tokenHash per-token 64-bit hash; default xxhash64 (fastest).
     *        A cross-engine-reproducible alternative (md5-derived) lets an
@@ -152,17 +155,14 @@ object Dedup {
       numBits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(numBits >= 1 && numBits <= 64, s"numBits must be in [1,64]: $numBits")
+    import org.apache.spark.sql.graftshim.ColumnShim
     val tok = df.select(col(idCol).as("_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("_t"))
       .withColumn("_h", tokenHash(col("_t")))
-    val bitSums = (0 until numBits).map { j =>
-      sum(when(col("_h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"_b$j")
-    }
-    val agg = tok.groupBy("_id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until numBits).map { j =>
-      when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("_id"), sim.as("simhash"))
+    val sig = ColumnShim.column(
+      graft.functions.SimHashAgg(ColumnShim.expression(col("_h")), numBits)
+        .toAggregateExpression())
+    tok.groupBy("_id").agg(sig.as("simhash"))
   }
 
   /** Connected components over an undirected pair list — the step that

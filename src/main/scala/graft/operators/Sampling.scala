@@ -17,10 +17,14 @@ object Sampling {
   /** Engine-independent 60-bit hash of the id's decimal string: the first
     * 15 hex digits of md5, so any SQL engine reproduces the same buckets
     * (DuckDB: ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT).
+    * Computed by the codegen'd [[graft.functions.Md5Prefix60]] — digest
+    * bytes straight to long, no hex-string/radix-parse detour.
     */
   def idHash(id: Column): Column =
-    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("long")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(
+          id.cast("string").cast("binary"))))
 
   /** Assign each row a split label by hash bucket: buckets [0, trainPct)
     * → "train", [trainPct, trainPct+valPct) → "val", rest → "test".
