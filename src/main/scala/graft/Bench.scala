@@ -23,7 +23,9 @@ object Bench {
     "q23_knn_bruteforce", "q24_ann_lsh", "q25_embed_neardup", "q43_ann_ivf",
     "q27_quality_score", "q30_multimodal_features", "q33_stats_skipping_scan",
     "q34_sessionize", "q37_rollup", "q38_embed_norms", "q39_json_props",
-    "q41_changes_feed", "q51_session_window", "q52_percentiles")
+    "q41_changes_feed", "q51_session_window", "q52_percentiles",
+    "q53_hash_split", "q57_asof_join", "q58_range_join", "q59_dedup_clusters",
+    "q60_salted_join")
 
   val RUNS = 2
 
@@ -90,7 +92,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _).map {
+    def onceUpdate(): Double = {
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t = DeltaTable.forPath(tmp())
+        .write(lineitem.repartitionByRange(8, col("l_orderkey")))
+      val t0 = System.nanoTime()
+      t.update(spark, Some(col("l_orderkey") < 1000), Map("l_tax" -> lit(0.0)))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
+      "m03_update" -> onceUpdate _).map {
       case (name, f) =>
         val sec =
           try { f(); (1 to RUNS).map(_ => f()).min }

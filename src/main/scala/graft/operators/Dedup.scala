@@ -189,11 +189,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxRounds: Int = 32): DataFrame = {
-    val nodes = pairs.select(col(aCol).cast("long").as("id"))
-      .union(pairs.select(col(bCol).cast("long").as("id")))
-      .distinct().localCheckpoint()
-    var e = pairs
-      .select(col(aCol).cast("long").as("_x"), col(bCol).cast("long").as("_y"))
+    // the pair evidence is usually an expensive pipeline (a near-dup
+    // self-join); persist it so the node list and round 0 share ONE
+    // computation instead of re-running it per consumer
+    val p = pairs.select(col(aCol).cast("long").as("_x"), col(bCol).cast("long").as("_y"))
+      .persist()
+    val nodes = p.select(col("_x").as("id"))
+      .union(p.select(col("_y").as("id")))
+      .distinct()
+    // each round references its input many times (symmetrization, min
+    // join), so the LOGICAL plan would grow exponentially across rounds:
+    // localCheckpoint both truncates lineage and materializes the round
+    var e = p
       .filter(col("_x") =!= col("_y"))
       .select(greatest(col("_x"), col("_y")).as("u"), least(col("_x"), col("_y")).as("v"))
       .distinct().localCheckpoint()
@@ -234,9 +241,14 @@ object Dedup {
       round += 1
     }
     // at the fixpoint every edge points a node straight at its component
-    // minimum; minima themselves carry no outgoing edge
-    nodes.join(e, nodes("id") === e("u"), "left")
+    // minimum; minima themselves carry no outgoing edge. localCheckpoint
+    // (cheap: one row per paired node) pins the result so the pairs cache
+    // can be released before returning.
+    val labels = nodes.join(e, nodes("id") === e("u"), "left")
       .select(nodes("id").as("node"), coalesce(e("v"), nodes("id")).as("component"))
+      .localCheckpoint()
+    p.unpersist(blocking = false)
+    labels
   }
 
   /** Near-dup pairs with Hamming distance <= `maxHamming` between SimHashes.

@@ -77,6 +77,47 @@ class PlanSpec extends SparkSuite {
       "TypedImperativeAggregate should use the object-hash path")
   }
 
+  test("SimHashAgg runs on ObjectHashAggregate with partial aggregation") {
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val plan = explainOf(operators.Dedup.simHash(docs, "doc_id", "text"))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(800))
+    assert(plan.contains("partial_simhash_agg"),
+      "map-side partial aggregation must combine before the shuffle")
+    assert(!plan.contains("SortAggregate"))
+  }
+
+  test("Md5Prefix60 participates in whole-stage codegen") {
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val df = docs.select(operators.Sampling.idHash(col("doc_id")).as("h"))
+    val plan = explainOf(df)
+    assert(plan.contains("codegen id"), plan.take(800))
+    assert(df.limit(20).collect().forall(_.getLong(0) >= 0))
+  }
+
+  test("asOfJoin plans one shuffle + window, no join operator at all") {
+    val ev = QueryLib.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"))
+    val plan = explainOf(operators.Temporal.asOfJoin(
+      ev.select("event_id", "user_id", "ts"), purchases,
+      Seq("user_id"), "ts", "ts", Seq("purchase_ts")))
+    assert(plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Join"), "union+window as-of must not plan any join")
+  }
+
+  test("rangeJoin plans an equi-join, never a nested-loop/cartesian") {
+    val orders = QueryLib.raw(spark, sfDir, "orders")
+    val day = datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).cast("long")
+    val points = orders.select(col("o_orderkey"), day.as("d"))
+    val iv = orders.limit(50).select(col("o_orderkey").as("rid"), day.as("s"))
+      .withColumn("e", col("s") + 7)
+    val plan = explainOf(
+      operators.Temporal.rangeJoin(points, iv, "d", "s", "e", 7L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "bucketed range join must be an equi-join: " + plan.take(800))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
   test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val df = operators.Multimodal.extractFeatures(
