@@ -275,6 +275,79 @@ final case class DeltaTable(
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
 
   // ------------------------------------------------------------------
+  // replaceWhere — predicate-scoped overwrite (delta-spark semantics;
+  // the reference only has whole-table overwrite).
+  // ------------------------------------------------------------------
+
+  /** Atomically replace the rows matching `predicate` with `df`: the
+    * delete of the matching rows (copy-on-write, touched files only) and
+    * the append of the replacement land in ONE commit, so readers never
+    * see the gap a delete-then-append pair would expose.
+    *
+    * Every row of `df` must satisfy `predicate` (checked with one
+    * validation job) — the scoping contract that makes concurrent
+    * replaceWhere commits on disjoint predicates logically independent.
+    *
+    * Scale shape: phase 1 prunes candidate files driver-side via
+    * partition values + min/max stats; on a table partitioned by the
+    * predicate column this touches no data file at all (partition-level
+    * replacement, the classic backfill pattern).
+    */
+  def replaceWhere(spark: SparkSession, predicate: Column, df: DataFrame,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(!dlog.isEmpty, "replaceWhere requires an existing table")
+    val violating = df.filter(not(coalesce(predicate, lit(false))))
+    require(violating.isEmpty,
+      s"replaceWhere data contains rows not matching the predicate $predicate")
+
+    val adds = dlog.addActions
+    val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+      Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+    }.toMap
+    val candidateAdds = prunedAdds(predicate)
+    val touchedCanonical: Set[String] =
+      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+          candidateAdds, conf)
+        .filter(predicate)
+        .select(input_file_name().as("f")).distinct()
+        .collect().map(r => Location.canonical(r.getString(0))).toSet
+    val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+
+    var numCopied = 0L
+    var numDeleted = 0L
+    val keptAdds: Seq[AddFile] =
+      if (touchedAdds.isEmpty) Seq.empty
+      else {
+        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
+          dlog.partitionColumns, touchedAdds, conf)
+        val totalTouched = touchedDF.count()
+        val kept = touchedDF.filter(not(coalesce(predicate, lit(false))))
+        val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
+        numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+        numDeleted = totalTouched - numCopied
+        written
+      }
+    // strict no-evolution contract: same field names and types as the
+    // table (nullability may tighten — a non-nullable replacement value in
+    // a nullable column is always safe); the committed metadata keeps the
+    // TABLE's schema
+    require(df.columns.toSet == dlog.schema.fieldNames.toSet,
+      s"Schema mismatch: replaceWhere data columns ${df.columns.sorted.mkString(",")} " +
+        s"vs table ${dlog.schema.fieldNames.sorted.mkString(",")}")
+    val aligned = df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val typesMatch = aligned.schema.fields.map(f => f.name -> f.dataType.json)
+      .sameElements(dlog.schema.fields.map(f => f.name -> f.dataType.json))
+    require(typesMatch, s"Schema mismatch: replaceWhere data " +
+      s"${aligned.schema.simpleString} vs table ${dlog.schema.simpleString}")
+    val newAdds = writeData(aligned, dlog.versionToWrite, dlog.partitionColumns)
+    val entry = DeltaLogEntry.replaceWhereTable(predicate.toString,
+        dlog.partitionColumns, touchedAdds, keptAdds ++ newAdds, dlog.version,
+        numDeleted, numCopied, Some(dlog.schema))
+      .withExtraCommitInfo(customMetadata)
+    commit(entry)
+  }
+
+  // ------------------------------------------------------------------
   // UPDATE — copy-on-write in-place mutation. Same two-phase shape as
   // DELETE (the reference's only row-level mutation, xdlake/__init__
   // .py:259-315): files with no matching row are never rewritten.

@@ -124,6 +124,20 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** orders partitioned by o_orderstatus, then `replaceWhere` of the 'F'
+    * partition with a zero-priced copy of the same rows — the
+    * partition-backfill pattern; non-F partitions must be untouched.
+    */
+  def ordersReplacedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_replacewhere") { d =>
+      val df = raw(spark, sfDir, "orders")
+      val replacement = df.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", lit(0.0))
+      DeltaTable.forPath(d)
+        .write(df, partitionBy = Some(Seq("o_orderstatus")))
+        .replaceWhere(spark, col("o_orderstatus") === "F", replacement)
+    }
+
   /** lineitem with `l_discount` zeroed copy-on-write where
     * `l_quantity > 45` — the UPDATE fixture (written range-partitioned so
     * stats-pruning leaves genuinely untouched files).
@@ -257,6 +271,16 @@ object QueryLib {
   def eventsWatermarkedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = cachedDir(sfDir, "events_stream_watermarked") { d =>
       streaming.DeltaStreamSink.runWatermarkedHourlyAggregate(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
+  /** purchases ⋈ clicks per user within [purchase, purchase + 1 h], as a
+    * watermarked stream-stream inner join into a Delta sink.
+    */
+  def eventsStreamJoined(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_joined") { d =>
+      streaming.DeltaStreamSink.runStreamStreamJoin(spark, sfDir, d)
     }
     DeltaTable.forPath(dir).toDF(spark)
   }

@@ -294,6 +294,11 @@ object SparkEntry {
       DeltaTable.forPath(QueryLib.lineitemUpdatedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // ---- replaceWhere (predicate-scoped atomic overwrite) ----
+    "q62_replace_where" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersReplacedDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
+
     // ---- as-of join: latest purchase at or before each event ----
     "q57_asof_join" -> ((s, d) => {
       val ev = QueryLib.eventsDelta(s, d)
@@ -390,6 +395,24 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id")),
+    "q63_stream_stream_join" -> ((s, d) =>
+      QueryLib.eventsStreamJoined(s, d).orderBy("purchase_id", "click_id")),
+
+    // ---- tokenizer-prep text ops: vocabulary induction, TF-IDF ----
+    "q64_vocab" -> ((s, d) =>
+      TextAnalysis.induceVocab(QueryLib.delta(s, d, "documents"), "text", topK = 100)
+        .orderBy("vocab_id")),
+    "q65_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text", topPerDoc = 3)
+        .orderBy("doc_id", "term_rank")),
+
+    // ---- embedding compression: scalar int8 quantization ----
+    "q66_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(QueryLib.delta(s, d, "embeddings"),
+          "vec_id", "embedding")
+        .filter(col("vec_id") < 100)
+        .orderBy("vec_id", "dim")),
 
     // ---- maintenance: OPTIMIZE + VACUUM, CDF, checkpointed open ----
     "q40_optimize_vacuum_scan" -> ((s, d) =>
@@ -805,5 +828,52 @@ object SparkEntry {
     "q61_stream_dedup" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the replaceWhere partition backfill: F rows replaced, others untouched
+    "q62_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, 0.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    // a streaming inner join emits exactly the batch join's matches; the
+    // watermark only bounds state retention, never the inner-join output
+    "q63_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "q64_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),
+        |r AS (SELECT token, freq,
+        |  CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS vocab_id FROM c)
+        |SELECT token, freq, vocab_id FROM r WHERE vocab_id <= 100 ORDER BY vocab_id""".stripMargin,
+    // tf-idf ranking compares the ROUNDED score (both engines round the
+    // same 4 digits) so last-ulp ln() differences cannot flip ranks
+    "q65_tfidf" ->
+      """WITH tf AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tfa AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+        |dfa AS (SELECT token, count(*) AS df FROM tfa GROUP BY token),
+        |s AS (SELECT doc_id, t.token, tf, df,
+        |  round(tf * ln((SELECT count(*) FROM documents) / df), 4) AS tfidf
+        |  FROM tfa t JOIN dfa d ON t.token = d.token),
+        |r AS (SELECT doc_id, token, tf, df, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS term_rank
+        |  FROM s)
+        |SELECT doc_id, term_rank, token, tf, df, tfidf FROM r
+        |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q66_quantize_int8" ->
+      """WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+        |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+        |c AS (SELECT vec_id, d.dim, x, mn, mx,
+        |  CASE WHEN mx = mn THEN 0
+        |       ELSE CAST(round((x - mn) / (mx - mn) * 254) - 127 AS INT) END AS code
+        |  FROM d JOIN s ON d.dim = s.dim)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim, code,
+        |  round((code + 127) / 254.0 * (mx - mn) + mn, 4) AS dequantized
+        |FROM c WHERE vec_id < 100 ORDER BY vec_id, dim""".stripMargin,
   )
 }

@@ -289,6 +289,21 @@ object CommitInfo {
         "partitionBy" -> Json.arr(partitionBy.map(Json.text)),
         "mode" -> Json.text(mode)))
 
+  /** Predicate-scoped overwrite commit — WRITE/Overwrite with the scoping
+    * predicate recorded the way delta-spark spells it.
+    */
+  def replaceWhere(predicate: String, partitionBy: Seq[String],
+      readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Write,
+      operationParameters = ListMap(
+        "partitionBy" -> Json.arr(partitionBy.map(Json.text)),
+        "mode" -> Json.text("Overwrite"),
+        "predicate" -> Json.text(predicate)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
   def delete(predicate: String, readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
     CommitInfo(
       timestamp = System.currentTimeMillis(),

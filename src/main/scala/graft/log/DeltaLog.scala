@@ -116,6 +116,26 @@ object DeltaLogEntry {
     DeltaLogEntry(removes ++ adds :+ commit)
   }
 
+  /** replaceWhere entry: predicate-scoped overwrite — removes for every
+    * file owning matching rows, adds for their kept-row rewrites plus the
+    * replacement data, in ONE atomic commit (delta-spark's `replaceWhere`
+    * semantics; the reference only has whole-table overwrite,
+    * delta_log/__init__.py:151-170).
+    */
+  def replaceWhereTable(predicate: String, partitionBy: Seq[String],
+      addsToRemove: Iterable[AddFile], adds: Seq[AddFile], readVersion: Long,
+      numDeleted: Long, numCopied: Long, schema: Option[StructType]): DeltaLogEntry = {
+    val commit = CommitInfo.replaceWhere(predicate, partitionBy, readVersion,
+      ListMap[String, JsonNode](
+        "num_added_files" -> Json.num(adds.size.toLong),
+        "num_removed_files" -> Json.num(addsToRemove.size.toLong),
+        "num_deleted_rows" -> Json.num(numDeleted),
+        "num_copied_rows" -> Json.num(numCopied)))
+    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
+    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    DeltaLogEntry(meta.toVector ++ removes ++ adds :+ commit)
+  }
+
   /** UPDATE entry: copy-on-write in-place mutation — removes for every
     * touched file, adds for their rewritten content (updated + copied rows).
     */

@@ -223,6 +223,35 @@ object Similarity {
         round(col("_cos"), 4).as("cos_sim"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the 4×
+    * storage/bandwidth compression an embedding store applies before
+    * ANN indexing at 100 TB. Per-dimension affine codes:
+    * `code = round((x - min_d) / (max_d - min_d) * 254) - 127` ∈ [-127,127]
+    * (a constant dimension quantizes to 0).
+    *
+    * Scale shape: the per-dimension min/max is ONE map-side-combined
+    * aggregation over (dim, value) pairs; the (dims × 2 doubles) stats
+    * table is broadcast back and codes are computed row-locally inside
+    * codegen. Returns (id, dim, code) rows plus the dequantized value for
+    * error inspection.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"),
+      posexplode(toDouble(col(vecCol))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "x")
+    val stats = exploded.groupBy("dim")
+      .agg(min("x").as("_mn"), max("x").as("_mx"))
+    val scaled = exploded.join(broadcast(stats), "dim")
+      .withColumn("code",
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise((round((col("x") - col("_mn")) / (col("_mx") - col("_mn")) * 254)
+            - 127).cast("int")))
+    scaled.select(col("_id").as(idCol), col("dim").cast("long").as("dim"),
+      col("code"),
+      round((col("code") + 127).cast("double") / 254 * (col("_mx") - col("_mn"))
+        + col("_mn"), 4).as("dequantized"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
     * by LSH band buckets (same inverted-index pattern as Dedup): recall is
     * governed by the banding, precision is exact.

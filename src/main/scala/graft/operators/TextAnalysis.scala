@@ -104,6 +104,51 @@ object TextAnalysis {
       :+ pred.as("pred_lang"): _*)
   }
 
+  /** Vocabulary induction: the `topK` most frequent whitespace tokens
+    * across the corpus with stable ids — the first step of training any
+    * subword/word tokenizer.
+    *
+    * Scale shape: explode → map-side-combined count per token → global
+    * top-k (Spark plans `orderBy().limit()` as TakeOrderedAndProject:
+    * each partition keeps its local top-k and only k rows reach the
+    * driver-side merge) → id assignment by a window over the k surviving
+    * rows (k rows — not a global sort of the vocabulary).
+    * Ties break lexicographically, so ids are deterministic.
+    */
+  def induceVocab(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    counts.withColumn("vocab_id", row_number().over(w).cast("long"))
+  }
+
+  /** TF-IDF distinctive terms: the `topPerDoc` highest-scoring tokens per
+    * document, score = tf × ln(N / df). The corpus-level document
+    * frequencies are one aggregation; docs join the (small, broadcast)
+    * df table and rank row-locally — no per-pair work.
+    *
+    * Ranking uses the score ROUNDED to 4 digits (ties then break on the
+    * token) so the ordering is reproducible across engines whose `ln`
+    * may differ in the last ulp.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int = 3): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= topPerDoc)
+      .select(col(idCol), col("term_rank"), col("token"), col("tf"),
+        col("df"), col("tfidf"))
+  }
+
   /** Document fingerprints: a canonical whole-text hash plus a min-shingle
     * fingerprint (winnowing-lite) that is stable under small edits.
     * md5 (not xxhash) so the fingerprint is reproducible by any engine.

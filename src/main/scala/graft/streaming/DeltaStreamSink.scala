@@ -131,6 +131,46 @@ object DeltaStreamSink {
     else t.merge(batch.sparkSession, batch, keys)
   }
 
+  /** Stream-stream inner join with an event-time range condition: for
+    * every purchase, the clicks by the same user within the hour AFTER it.
+    * Both sides are unbounded streams; Spark buffers each side's rows in
+    * keyed state and the WATERMARKS plus the time-range condition bound
+    * how much state is retained (left rows older than watermark−1h can
+    * never match a future right row and are evicted) — the canonical
+    * funnel/attribution join a clickstream pipeline runs continuously.
+    */
+  def runStreamStreamJoin(spark: SparkSession, sfDir: String, tableDir: String,
+      delay: String = "30 minutes"): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    def side(eventType: String, prefix: String) = {
+      val s = spark.readStream
+        .schema(eventsLongSchema)
+        .option("basePath", sfDir)
+        .parquet(s"$sfDir/events*.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === eventType)
+        .withWatermark("ts", delay)
+      s.select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+    }
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"),
+        col("p_id").as("purchase_id"), col("c_id").as("click_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact deduplication: `dropDuplicates` on the id keeps a
     * keyed state store across micro-batches, so a duplicate arriving in a
     * LATER batch than its original is still dropped — the streaming
