@@ -25,7 +25,7 @@ object Bench {
     "q34_sessionize", "q37_rollup", "q38_embed_norms", "q39_json_props",
     "q41_changes_feed", "q51_session_window", "q52_percentiles",
     "q53_hash_split", "q57_asof_join", "q58_range_join", "q59_dedup_clusters",
-    "q60_salted_join")
+    "q60_salted_join", "q64_vocab", "q65_tfidf", "q66_quantize_int8")
 
   val RUNS = 2
 
@@ -101,8 +101,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    def onceReplaceWhere(): Double = {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val t = DeltaTable.forPath(tmp())
+        .write(orders, partitionBy = Some(Seq("o_orderstatus")))
+      val replacement = orders.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", lit(0.0))
+      val t0 = System.nanoTime()
+      t.replaceWhere(spark, col("o_orderstatus") === "F", replacement)
+      (System.nanoTime() - t0) / 1e9
+    }
+
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
-      "m03_update" -> onceUpdate _).map {
+      "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _).map {
       case (name, f) =>
         val sec =
           try { f(); (1 to RUNS).map(_ => f()).min }
