@@ -125,6 +125,7 @@ final case class DeltaTable(
         }
       } else partitionBy.getOrElse(Seq.empty)
 
+    validateConstraints(df)
     val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
     var logState = dlog
     var attempts = 0
@@ -169,6 +170,34 @@ final case class DeltaTable(
 
   def write(dfs: Seq[DataFrame], schemaMode: String): DeltaTable =
     write(dfs, WriteMode.Append, schemaMode, None, Map.empty, 0)
+
+  /** Idempotent append for streaming sinks: commit `df` together with a
+    * `txn` marker (Delta's SetTransaction handshake). If the table already
+    * records `txnVersion` (or later) for `appId`, the write is a NO-OP —
+    * so a replayed micro-batch (driver retry, foreachBatch re-delivery)
+    * commits exactly once. On a commit-file conflict the log is reloaded:
+    * if a competing replay of the SAME batch won, its result is adopted;
+    * otherwise the conflict surfaces to the caller.
+    */
+  def writeWithTxn(df: DataFrame, appId: String, txnVersion: Long): DeltaTable = {
+    require(appId.nonEmpty, "writeWithTxn requires an application id")
+    if (dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) return this
+    val resolvedPartitionBy =
+      if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
+    validateConstraints(df)
+    val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+    val evaluated = dlog.evaluateSchema(df.schema, WriteMode.Append, "overwrite")
+    val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
+    val entry = DeltaLogEntry(
+      Txn(appId, txnVersion, Some(System.currentTimeMillis())) +: base.actions)
+    try commit(entry)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        val fresh = copy(dlog = DeltaLog.load(logLoc, None))
+        if (fresh.dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) fresh
+        else throw e
+    }
+  }
 
   /** Executors write partitioned parquet into a staging dir; the driver
     * renames the files into the table under per-commit unique names
@@ -273,6 +302,67 @@ final case class DeltaTable(
 
   private def parseNumRecords(statsJson: String): Long =
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+
+  // ------------------------------------------------------------------
+  // CHECK constraints — write-time data-quality guards stored in table
+  // configuration (delta's `delta.constraints.<name>` convention), the
+  // first defense of a training-data pipeline against poisoned batches.
+  // ------------------------------------------------------------------
+
+  /** Declared CHECK constraints: name -> SQL boolean expression. */
+  def constraints: Map[String, String] = dlog.constraints
+
+  /** Add a CHECK constraint. Existing rows are validated first (one scan;
+    * delta refuses to add a constraint current data violates), then a
+    * metadata-only commit records it; every subsequent write validates
+    * its batch against all constraints before any file lands.
+    */
+  def addConstraint(spark: SparkSession, name: String, sqlExpr: String,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(!dlog.isEmpty, "addConstraint requires an existing table")
+    require(name.nonEmpty && !constraints.contains(name), s"constraint exists: $name")
+    val bad = toDF(spark).filter(not(coalesce(org.apache.spark.sql.functions.expr(sqlExpr), lit(false))))
+    require(bad.isEmpty, s"existing rows violate CHECK constraint $name ($sqlExpr)")
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val newMeta = meta.copy(configuration =
+      meta.configuration + (s"delta.constraints.$name" -> sqlExpr))
+    val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.AddConstraint,
+      name, Some(sqlExpr), dlog.version)
+    commit(DeltaLogEntry(Vector(newMeta, commitInfo)).withExtraCommitInfo(customMetadata))
+  }
+
+  /** Drop a CHECK constraint (metadata-only commit). */
+  def dropConstraint(name: String): DeltaTable = {
+    require(constraints.contains(name), s"no such constraint: $name")
+    val meta = dlog.latestMetadata.get
+    val newMeta = meta.copy(configuration =
+      meta.configuration - s"delta.constraints.$name")
+    val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.DropConstraint,
+      name, None, dlog.version)
+    commit(DeltaLogEntry(Vector(newMeta, commitInfo)))
+  }
+
+  /** One validation job over the batch: throws naming the first violated
+    * constraint. Null predicate results count as violations (delta's
+    * CHECK semantics require TRUE).
+    */
+  private def validateConstraints(df: DataFrame): Unit = {
+    val cs = dlog.constraints
+    if (cs.nonEmpty) {
+      val anyViolation = cs.values
+        .map(sql => not(coalesce(org.apache.spark.sql.functions.expr(sql), lit(false))))
+        .reduce(_ || _)
+      if (!df.filter(anyViolation).isEmpty) {
+        val culprit = cs.find { case (_, sql) =>
+          !df.filter(not(coalesce(org.apache.spark.sql.functions.expr(sql), lit(false)))).isEmpty
+        }
+        val (n, sql) = culprit.getOrElse(("?", "?"))
+        throw new IllegalArgumentException(
+          s"write violates CHECK constraint $n ($sql)")
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   // replaceWhere — predicate-scoped overwrite (delta-spark semantics;

@@ -285,6 +285,16 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** events streamed through the txn-idempotent sink with every batch
+    * delivered TWICE — the table must hold exactly one copy.
+    */
+  def eventsIdempotentViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_idempotent") { d =>
+      streaming.DeltaStreamSink.runIdempotentStream(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events streamed twice (duplicates forced across micro-batches) through
     * streaming `dropDuplicates` into a Delta sink — the deduped table must
     * equal ONE copy of events.

@@ -397,6 +397,11 @@ object SparkEntry {
         .orderBy("user_id")),
     "q63_stream_stream_join" -> ((s, d) =>
       QueryLib.eventsStreamJoined(s, d).orderBy("purchase_id", "click_id")),
+    "q67_idempotent_sink" -> ((s, d) =>
+      QueryLib.eventsIdempotentViaStream(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("user_id")),
 
     // ---- tokenizer-prep text ops: vocabulary induction, TF-IDF ----
     "q64_vocab" -> ((s, d) =>
@@ -844,6 +849,10 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // every batch was delivered twice; the txn handshake must keep ONE copy
+    "q67_idempotent_sink" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q64_vocab" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),

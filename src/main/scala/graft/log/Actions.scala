@@ -109,6 +109,32 @@ final case class Protocol(
   def json: String = Json.mapper.writeValueAsString(bodyNode)
 }
 
+/** Streaming transaction marker (Delta's `txn` / SetTransaction action —
+  * a protocol name the reference round-trips only as an unknown action,
+  * delta_log/__init__.py:56-66): records that writer application `appId`
+  * has durably committed its source progress up to `version`. A sink that
+  * checks the recorded version before writing makes micro-batch commits
+  * IDEMPOTENT — a replayed batch (driver retry, foreachBatch re-delivery)
+  * is recognized and skipped, the exactly-once handshake streaming
+  * engines use against Delta tables.
+  */
+final case class Txn(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long] = None,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "txn"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("appId", appId)
+    o.put("version", version)
+    lastUpdated.foreach(o.put("lastUpdated", _))
+    Json.putExtra(o, extra)
+    o
+  }
+}
+
 /** Table metadata (reference actions.py:70-95). `schemaString` is the JSON
   * form of a Spark [[StructType]] — Delta's schema JSON is exactly
   * `StructType.json` / `DataType.fromJson` (SURVEY.md §1.3).
@@ -269,6 +295,8 @@ object CommitInfo {
     val Restore = "RESTORE"
     val Optimize = "OPTIMIZE"
     val Vacuum = "VACUUM"
+    val AddConstraint = "ADD CONSTRAINT"
+    val DropConstraint = "DROP CONSTRAINT"
   }
 
   def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
@@ -288,6 +316,16 @@ object CommitInfo {
       operationParameters = ListMap(
         "partitionBy" -> Json.arr(partitionBy.map(Json.text)),
         "mode" -> Json.text(mode)))
+
+  /** Constraint add/drop commit (delta's operation names). */
+  def constraintChange(op: String, name: String, sqlExpr: Option[String],
+      readVersion: Long): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = op,
+      operationParameters = ListMap(
+        "name" -> Json.text(name)) ++ sqlExpr.map("expr" -> Json.text(_)),
+      readVersion = Some(readVersion))
 
   /** Predicate-scoped overwrite commit — WRITE/Overwrite with the scoping
     * predicate recorded the way delta-spark spells it.
@@ -379,12 +417,20 @@ object Action {
       case "add"        => parseAdd(b)
       case "remove"     => parseRemove(b)
       case "commitInfo" => parseCommitInfo(b)
+      case "txn"        => parseTxn(b)
       case other        => RawAction(other, b.asInstanceOf[ObjectNode])
     }
   }
 
   private def extraOf(b: JsonNode, known: Set[String]): Map[String, JsonNode] =
     Json.fieldsOf(b).filterNot { case (k, _) => known(k) }
+
+  private def parseTxn(b: JsonNode): Txn =
+    Txn(
+      appId = Json.strOpt(b, "appId").getOrElse(""),
+      version = Json.longOpt(b, "version").getOrElse(-1L),
+      lastUpdated = Json.longOpt(b, "lastUpdated"),
+      extra = extraOf(b, Set("appId", "version", "lastUpdated")))
 
   private def parseProtocol(b: JsonNode): Protocol =
     Protocol(

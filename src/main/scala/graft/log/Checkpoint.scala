@@ -44,6 +44,8 @@ object Checkpoint {
   def checkpointFilename(v: Long): String = f"$v%020d.graft-checkpoint.parquet"
 
   /** Snapshot-state actions at the log's head: protocol, latest metadata,
+    * the latest `txn` per streaming app (so idempotent sinks keep their
+    * progress across the checkpoint fast path, as Delta checkpoints do),
     * every live add (replay result, not history).
     */
   private def snapshotActions(dlog: DeltaLog): Seq[Action] = {
@@ -54,7 +56,12 @@ object Checkpoint {
       .flatMap(v => dlog.entries(v).metadataAction)
       .nextOption()
       .getOrElse(throw new IllegalStateException("cannot checkpoint an empty log"))
-    Seq(protocol, metadata) ++ dlog.addActions.values
+    var txns = scala.collection.immutable.ListMap.empty[String, Txn]
+    dlog.entries.valuesIterator.foreach(_.actions.foreach {
+      case t: Txn => txns = txns.updated(t.appId, t)
+      case _ => ()
+    })
+    Seq(protocol, metadata) ++ txns.values ++ dlog.addActions.values
   }
 
   /** Write the checkpoint for the log's current version and point

@@ -85,9 +85,11 @@ object DeltaLogEntry {
     * (delta_log/__init__.py:132-149).
     */
   def appendTable(partitionBy: Seq[String], adds: Seq[AddFile],
-      schema: Option[StructType]): DeltaLogEntry = {
+      schema: Option[StructType],
+      configuration: Map[String, String] = Map.empty): DeltaLogEntry = {
     val commit = CommitInfo.write(WriteMode.Append.value, partitionBy)
-    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    val meta = schema.map(s =>
+      Metadata.create(s, partitionBy).copy(configuration = configuration))
     DeltaLogEntry(meta.toVector ++ adds :+ commit)
   }
 
@@ -95,10 +97,12 @@ object DeltaLogEntry {
     * delta_log/__init__.py:151-170); data files are never deleted.
     */
   def overwriteTable(partitionBy: Seq[String], existingAdds: Iterable[AddFile],
-      adds: Seq[AddFile], schema: Option[StructType]): DeltaLogEntry = {
+      adds: Seq[AddFile], schema: Option[StructType],
+      configuration: Map[String, String] = Map.empty): DeltaLogEntry = {
     val commit = CommitInfo.write(WriteMode.Overwrite.value, partitionBy)
     val removes = existingAdds.map(a => Action.removeFor(a)).toVector
-    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    val meta = schema.map(s =>
+      Metadata.create(s, partitionBy).copy(configuration = configuration))
     DeltaLogEntry(meta.toVector ++ removes ++ adds :+ commit)
   }
 
@@ -245,6 +249,17 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     adds
   }
 
+  /** Highest committed `txn` version for a streaming application id —
+    * None if the app has never committed. Checkpoint-safe: the snapshot
+    * checkpoint preserves the latest txn per app (see Checkpoint).
+    */
+  def latestTxnVersion(appId: String): Option[Long] = {
+    val versions = entries.valuesIterator.flatMap(_.actions.collect {
+      case t: Txn if t.appId == appId => t.version
+    })
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
   /** Partition columns of the latest version that declares them (reference
     * delta_log/__init__.py:348-355).
     */
@@ -288,17 +303,34 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
   /** Entry construction for a write (reference delta_log/__init__.py:396-420). */
   def entryForWriteMode(mode: WriteMode, schema: StructType, adds: Seq[AddFile],
       partitionBy: Seq[String]): DeltaLogEntry = {
+    // table configuration (constraints etc.) survives every metadata rewrite
+    val config = latestMetadata.map(_.configuration).getOrElse(Map.empty)
     if (versionToWrite == 0L)
       DeltaLogEntry.createTable(loc.uri, schema, partitionBy, adds)
     else mode match {
       case WriteMode.Append =>
-        DeltaLogEntry.appendTable(partitionBy, adds, Some(schema))
+        DeltaLogEntry.appendTable(partitionBy, adds, Some(schema), config)
       case WriteMode.Overwrite =>
-        DeltaLogEntry.overwriteTable(partitionBy, addActions.values, adds, Some(schema))
+        DeltaLogEntry.overwriteTable(partitionBy, addActions.values, adds, Some(schema), config)
       case other =>
         throw new IllegalStateException(s"No entry for mode $other")
     }
   }
+
+  /** The latest committed metadata action, scanning versions backwards. */
+  def latestMetadata: Option[Metadata] =
+    entries.keys.toSeq.reverseIterator
+      .flatMap(v => entries(v).metadataAction)
+      .nextOption()
+
+  /** CHECK constraints from table configuration (delta's
+    * `delta.constraints.<name> -> <sql>` convention).
+    */
+  def constraints: Map[String, String] =
+    latestMetadata.map(_.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }).getOrElse(Map.empty)
 
   /** commitInfo dicts newest-first (reference delta_log/__init__.py:312-318). */
   def history: Seq[(Long, CommitInfo)] =

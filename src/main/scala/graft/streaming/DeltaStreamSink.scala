@@ -119,6 +119,41 @@ object DeltaStreamSink {
     if (t.version < 0) t.write(batch) else t.write(batch, mode = WriteMode.Append)
   }
 
+  /** Exactly-once streaming append sink: each micro-batch commits together
+    * with a `txn(appId, batchId)` marker, and a batch the table has
+    * already recorded is SKIPPED — so foreachBatch re-deliveries (Spark
+    * retries a batch whose sink failed mid-flight) cannot duplicate rows.
+    * This is the SetTransaction idempotence handshake Delta sinks use.
+    */
+  def idempotentAppendSink(tableDir: String, appId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    DeltaTable.forPath(tableDir).writeWithTxn(batch, appId, batchId)
+  }
+
+  /** Streams events through the idempotent sink and DELIVERS EVERY BATCH
+    * TWICE (simulating foreachBatch replay after a sink failure): the txn
+    * handshake must keep exactly one copy.
+    */
+  def runIdempotentStream(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val stream = spark.readStream
+      .schema(eventsLongSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        idempotentAppendSink(tableDir, "graft-events-app")(b, id)
+        idempotentAppendSink(tableDir, "graft-events-app")(b, id) // replay
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming upsert sink: MERGE each micro-batch into the Delta table by
     * `keys`. For stateful operators that re-emit a group's updated
     * cumulative row on every batch the group appears in, append semantics

@@ -64,10 +64,17 @@ class LogSpec extends AnyFunSuite {
   }
 
   test("unknown action types and unknown fields survive round-trip") {
-    val line = """{"txn":{"appId":"app-1","version":7,"weird":{"x":1}}}"""
+    val line = """{"domainMetadata":{"domain":"d","configuration":"{}","removed":false}}"""
     val a = Action.parse(line)
     assert(a.isInstanceOf[RawAction])
     assert(Action.parse(a.toLine) == a)
+
+    // txn is first-class (idempotent sinks) but still keeps unknown fields
+    val txnLine = """{"txn":{"appId":"app-1","version":7,"weird":{"x":1}}}"""
+    val txn = Action.parse(txnLine).asInstanceOf[Txn]
+    assert(txn.appId == "app-1" && txn.version == 7L)
+    assert(txn.extra.contains("weird"))
+    assert(Action.parse(txn.toLine) == txn)
 
     val addLine = """{"add":{"path":"p.parquet","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true,"futureField":[1,2]}}"""
     val add = Action.parse(addLine).asInstanceOf[AddFile]

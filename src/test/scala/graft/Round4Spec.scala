@@ -237,6 +237,92 @@ class HashFunctionsSpec extends SparkSuite {
   }
 }
 
+/** txn (SetTransaction) idempotent writes. */
+class TxnSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("writeWithTxn skips an already-committed batch") {
+    val d = tempDir("txn")
+    var t = DeltaTable.forPath(d).writeWithTxn(nation, "app-1", 0L)
+    assert(t.version == 0L)
+    // replay of batch 0 is a no-op
+    t = t.writeWithTxn(nation, "app-1", 0L)
+    assert(t.version == 0L)
+    assert(t.toDF(spark).count() == 25)
+    // next batch commits; replays of both batches are no-ops
+    t = t.writeWithTxn(nation, "app-1", 1L)
+    t = t.writeWithTxn(nation, "app-1", 0L)
+    t = t.writeWithTxn(nation, "app-1", 1L)
+    assert(t.version == 1L)
+    assert(t.toDF(spark).count() == 50)
+    // another app's batch 0 is independent
+    t = t.writeWithTxn(nation, "app-2", 0L)
+    assert(t.toDF(spark).count() == 75)
+  }
+
+  test("a STALE handle adopts the competing replay's commit on conflict") {
+    val d = tempDir("txn-race")
+    val t0 = DeltaTable.forPath(d).writeWithTxn(nation, "app", 0L)
+    // two handles at version 0 both try batch 1: the second, stale handle
+    // must adopt the winner's commit instead of duplicating or failing
+    val winner = t0.writeWithTxn(nation, "app", 1L)
+    val loser = t0.writeWithTxn(nation, "app", 1L)
+    assert(winner.version == 1L && loser.version == 1L)
+    assert(loser.toDF(spark).count() == 50)
+  }
+
+  test("txn survives the checkpoint fast path") {
+    val d = tempDir("txn-ckpt")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 3)
+    t = t.writeWithTxn(nation, "app", 0L)
+    (1L to 3L).foreach(v => t = t.writeWithTxn(nation, "app", v))
+    val fresh = DeltaTable.forPath(d) // checkpoint-based open
+    assert(fresh.dlog.entries.firstKey == 3L, "expected checkpoint base")
+    assert(fresh.dlog.latestTxnVersion("app").contains(3L))
+    // replay after reopen is still a no-op
+    assert(fresh.writeWithTxn(nation, "app", 2L).version == fresh.version)
+  }
+}
+
+/** CHECK constraints: write-time data-quality enforcement. */
+class ConstraintSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("addConstraint validates existing data and gates future writes") {
+    val d = tempDir("ck")
+    var t = DeltaTable.forPath(d).write(nation)
+      .addConstraint(spark, "valid_region", "n_regionkey BETWEEN 0 AND 4")
+    assert(t.constraints == Map("valid_region" -> "n_regionkey BETWEEN 0 AND 4"))
+    // conforming write passes; violating write is rejected before any commit
+    t = t.write(nation)
+    val vBefore = t.version
+    val bad = nation.withColumn("n_regionkey", lit(99L))
+    val ex = intercept[IllegalArgumentException](t.write(bad))
+    assert(ex.getMessage.contains("valid_region"))
+    assert(DeltaTable.forPath(d).version == vBefore, "no partial commit")
+  }
+
+  test("constraints persist across writes, reopen, and drop") {
+    val d = tempDir("ck-persist")
+    var t = DeltaTable.forPath(d).write(nation)
+      .addConstraint(spark, "named", "n_name IS NOT NULL")
+    t = t.write(nation) // metadata rewrite must carry configuration forward
+    assert(DeltaTable.forPath(d).constraints.contains("named"))
+    t = t.dropConstraint("named")
+    assert(DeltaTable.forPath(d).constraints.isEmpty)
+    t.write(nation.withColumn("n_name", lit(null).cast("string"))) // now allowed
+  }
+
+  test("addConstraint refuses when existing rows violate it") {
+    val d = tempDir("ck-bad")
+    val t = DeltaTable.forPath(d).write(nation)
+    assertThrows[IllegalArgumentException](
+      t.addConstraint(spark, "impossible", "n_nationkey < 0"))
+  }
+}
+
 /** Streaming dedup: duplicates that cross micro-batch boundaries. */
 class StreamDedupSpec extends SparkSuite {
 
