@@ -78,6 +78,24 @@ object ScaleProbe {
       corpus.unpersist()
       c *= 4
     }
+
+    // connected components: chains of length 64 (diameter stress — 1-hop
+    // label propagation would need 64 rounds; star contraction ~log²).
+    // Ground truth: edges/63 components, verified each step.
+    val chainLen = 64L
+    var m = 100000L
+    while (m <= 1600000L) {
+      val edges = spark.range(m)
+        .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val t0 = System.nanoTime()
+      val labels = Dedup.connectedComponents(edges)
+      val comps = labels.select("component").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expected = (m + chainLen - 1) / chainLen
+      println(f"CCSCALE edges=${m}%8d components=$comps%7d (expected $expected) time=$sec%6.2fs")
+      m *= 4
+    }
     spark.stop()
   }
 }
