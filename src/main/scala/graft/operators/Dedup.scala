@@ -65,12 +65,17 @@ object Dedup {
     val inv0 = sh.select(col("_id"), size(col("_sh")).as("_n"),
         explode(col("_sh")).as("_s0"))
       .select(col("_id"), col("_n"), xxhash64(col("_s0")).as("_s"))
-    val inv =
-      if (maxDocFreq <= 0L) inv0
-      else {
-        val hot = inv0.groupBy("_s").count().filter(col("count") > maxDocFreq).select("_s")
-        inv0.join(broadcast(hot), Seq("_s"), "left_anti")
-      }
+    // singleton shingles (document frequency 1 — the vast majority in a
+    // real corpus) can never produce a pair but would dominate the
+    // self-join's shuffle volume. A window count over the SAME key the
+    // join shuffles on drops them; Spark reuses that hash partitioning
+    // for the join, so the df filter costs a per-partition sort, not an
+    // extra shuffle. The upper maxDocFreq guard rides the same count.
+    val w = Window.partitionBy("_s")
+    val inv = inv0.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") >= 2 &&
+        (if (maxDocFreq > 0L) col("_df") <= maxDocFreq else lit(true)))
+      .drop("_df")
     inv.as("x").join(inv.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
@@ -118,6 +123,10 @@ object Dedup {
     val sig = tok.groupBy("_id").agg(minCols.head, minCols.tail: _*)
     // banded index and self-join stay NARROW (id, band, bucket); shingle
     // arrays are re-attached per candidate pair afterwards
+    // NB: a singleton-bucket window filter (as in the inverted index
+    // above) was MEASURED SLOWER here — band rows are fixed at
+    // bands/doc and already narrow, so the per-partition window sort
+    // costs more than the join probe it saves
     val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => col(s"_m$i")): _*)): _*)))

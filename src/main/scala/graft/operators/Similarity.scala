@@ -272,6 +272,8 @@ object Similarity {
     val v = toDouble(col(vecCol))
     val vecs = df.select(col(idCol).as("_id"), v.as("_v"))
     // narrow banded self-join on ids; vectors re-attached per candidate
+    // (a singleton-bucket pre-filter was measured slower here — see
+    // Dedup.minHashLshPairs)
     val sig = df.select(col(idCol).as("_id"),
         lshSignature(v, hp).as("_sig"))
       .select(col("_id"),
