@@ -609,8 +609,15 @@ final case class DeltaTable(
     *        When set, ALL live files are rewritten (layout, not just
     *        small-file count, is the point).
     */
+  /** @param sortBy  clustering columns: linear range-sort rewrite, so
+    *                per-file stats are disjoint on the FIRST column
+    * @param zOrder  when true with >= 2 sortBy columns, cluster by the
+    *                Morton code of per-column rank buckets instead of the
+    *                linear sort — per-file min/max stay selective for
+    *                predicates on ANY clustered column, not just the first
+    */
   def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
-      targetFiles: Int = 0): DeltaTable = {
+      targetFiles: Int = 0, zOrder: Boolean = false): DeltaTable = {
     val groups = dlog.addActions.values.toSeq
       .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
     val toCompact =
@@ -619,13 +626,44 @@ final case class DeltaTable(
     if (toCompact.isEmpty) return this
     val df = DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
       toCompact, conf)
+    val n = if (targetFiles > 0) targetFiles
+      else math.max(1, spark.sparkContext.defaultParallelism / 4)
     // one output file per partition tuple: the write path re-splits by
     // hive dir, so coalesce(1) per group is expressed as a repartition on
     // the partition columns (no-op shuffle for unpartitioned tables)
     val compacted =
-      if (sortBy.nonEmpty) {
-        val n = if (targetFiles > 0) targetFiles
-          else math.max(1, spark.sparkContext.defaultParallelism / 4)
+      if (sortBy.nonEmpty && zOrder && sortBy.size >= 2) {
+        // per-column equi-WIDTH rank buckets from one global min/max agg
+        // (an equi-depth ntile would need a single-partition global sort —
+        // the exact anti-pattern Z-order exists to avoid). Buckets feed
+        // the codegen'd Morton interleave; range-partition + sort on the
+        // code clusters files in all dims at once.
+        val bits = 64 / sortBy.size
+        val buckets = 1 << math.min(bits, 16)
+        val aggs = sortBy.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("double"),
+          org.apache.spark.sql.functions.max(col(c)).cast("double")))
+        val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+        val bounds: Map[String, (Double, Double)] = sortBy.zipWithIndex.map {
+          case (c, i) => c -> ((statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1)))
+        }.toMap
+        val ranked = sortBy.foldLeft(df) { (acc, c) =>
+          val (mn, mx) = bounds(c)
+          val span = if (mx > mn) mx - mn else 1.0
+          acc.withColumn(s"_rk_$c",
+            org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.floor(
+                (col(c).cast("double") - lit(mn)) / lit(span) * buckets),
+              lit(buckets - 1L)).cast("long"))
+        }
+        val morton = org.apache.spark.sql.graftshim.ColumnShim.column(
+          graft.functions.InterleaveBits(sortBy.map(c =>
+            org.apache.spark.sql.graftshim.ColumnShim.expression(col(s"_rk_$c")))))
+        ranked.withColumn("_morton", morton)
+          .repartitionByRange(n, col("_morton"))
+          .sortWithinPartitions("_morton")
+          .drop("_morton" +: sortBy.map(c => s"_rk_$c"): _*)
+      } else if (sortBy.nonEmpty) {
         df.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       } else if (dlog.partitionColumns.nonEmpty)

@@ -216,6 +216,17 @@ object QueryLib {
         .compact(spark, sortBy = Seq("l_orderkey", "l_quantity"), targetFiles = 8)
     }
 
+  /** lineitem compacted with TRUE Morton-code Z-ordering on
+    * (l_orderkey, l_quantity): per-file stats stay selective for
+    * predicates on EITHER column.
+    */
+  def lineitemMortonDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_morton") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .compact(spark, sortBy = Seq("l_orderkey", "l_quantity"),
+          targetFiles = 8, zOrder = true)
+    }
+
   /** create + append + delete + restore — the history/metadata fixture. */
   def historyTableDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "history_fixture") { d =>
@@ -281,6 +292,32 @@ object QueryLib {
   def eventsStreamJoined(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = cachedDir(sfDir, "events_stream_joined") { d =>
       streaming.DeltaStreamSink.runStreamStreamJoin(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
+  /** A graft Delta table consumed AS a streaming source: nation appended
+    * twice into a source table, streamed out via
+    * [[streaming.DeltaStreamSource.appendOnlyStream]], aggregated, and
+    * committed to a sink table — closing the table→stream→table loop.
+    */
+  def nationViaDeltaSourceStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "nation_delta_source_stream") { d =>
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src-").toString
+      val df = raw(spark, sfDir, "nation")
+      DeltaTable.forPath(srcDir).write(df).write(df)
+      val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+      val agg = streaming.DeltaStreamSource.appendOnlyStream(spark, srcDir)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum(col("n_nationkey")).cast("long").as("sum_key"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(streaming.DeltaStreamSink.completeModeSink(d) _)
+        .start()
+      q.awaitTermination()
     }
     DeltaTable.forPath(dir).toDF(spark)
   }

@@ -402,6 +402,8 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id")),
+    "q68_delta_source_stream" -> ((s, d) =>
+      QueryLib.nationViaDeltaSourceStream(s, d).orderBy("n_regionkey")),
 
     // ---- tokenizer-prep text ops: vocabulary induction, TF-IDF ----
     "q64_vocab" -> ((s, d) =>
@@ -440,6 +442,13 @@ object SparkEntry {
         .orderBy("o_orderkey")),
     "q49_zorder_skipping_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemZorderedDir(s, d))
+        .toDFWhere(s, col("l_orderkey").between(500, 1500) && col("l_quantity") >= 40)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+    // true Morton-code Z-order: the same scan stays correct when files are
+    // clustered by interleaved rank bits instead of a linear sort
+    "q69_morton_zorder_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemMortonDir(s, d))
         .toDFWhere(s, col("l_orderkey").between(500, 1500) && col("l_quantity") >= 40)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
@@ -794,6 +803,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         |WHERE l_orderkey BETWEEN 500 AND 1500 AND l_quantity >= 40
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q69_morton_zorder_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_orderkey BETWEEN 500 AND 1500 AND l_quantity >= 40
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q56_update" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         | CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END AS l_discount,
@@ -853,6 +866,13 @@ object SparkEntry {
     "q67_idempotent_sink" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // graft table -> stream -> aggregate -> graft table: the sink must
+    // equal the batch aggregation over the doubled source
+    "q68_delta_source_stream" ->
+      """WITH x2 AS (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        |SELECT n_regionkey, count(*) AS n_nations,
+        | CAST(sum(n_nationkey) AS BIGINT) AS sum_key
+        |FROM x2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q64_vocab" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),

@@ -24,6 +24,18 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_sim expects 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5_prefix60 expects 1 argument")
+        Md5Prefix60(children.head)
+      }),
+    (FunctionIdentifier("interleave_bits"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "interleave_bits"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2, "interleave_bits expects >= 2 arguments")
+        InterleaveBits(children)
       }))
 
   /** Register into a live session's function registry. */

@@ -237,6 +237,61 @@ class HashFunctionsSpec extends SparkSuite {
   }
 }
 
+/** Morton-code Z-ordering: the InterleaveBits expression and the
+  * OPTIMIZE zOrder rewrite.
+  */
+class MortonSpec extends SparkSuite {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  import spark.implicits._
+
+  private def morton(cols: org.apache.spark.sql.Column*) =
+    ColumnShim.column(graft.functions.InterleaveBits(cols.map(ColumnShim.expression)))
+
+  test("InterleaveBits matches a reference implementation (codegen path)") {
+    def ref(a: Long, b: Long): Long = {
+      var out = 0L
+      for (bit <- 0 until 32) {
+        out |= ((a >>> bit) & 1L) << (bit * 2)
+        out |= ((b >>> bit) & 1L) << (bit * 2 + 1)
+      }
+      out
+    }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L),
+      (65535L, 1L), (123456L, 654321L))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"), morton(col("a"), col("b")).as("m"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, m) => assert(m == ref(a, b), s"($a,$b)") }
+    // z-curve basics: interleave is monotone in each dim at the origin
+    assert(ref(0, 0) < ref(1, 0) && ref(1, 0) < ref(0, 1) && ref(0, 1) < ref(1, 1))
+  }
+
+  test("zOrder compact keeps rows identical and stats selective in BOTH dims") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val dM = tempDir("morton")
+    val tM = DeltaTable.forPath(dM).write(li)
+      .compact(spark, sortBy = Seq("l_orderkey", "l_quantity"),
+        targetFiles = 8, zOrder = true)
+    assertSameRows(tM.toDF(spark), li)
+    assert(tM.fileUris.length >= 4, "expected a multi-file layout")
+    // linear sort on (l_orderkey, l_quantity) clusters only the first key
+    val dL = tempDir("linear")
+    val tL = DeltaTable.forPath(dL).write(li)
+      .compact(spark, sortBy = Seq("l_orderkey", "l_quantity"), targetFiles = 8)
+    val total = tM.fileUris.length
+    def pruned(t: DeltaTable, p: org.apache.spark.sql.Column) = t.prunedAdds(p).size
+    // first-dim predicate: both layouts prune
+    assert(pruned(tM, col("l_orderkey") < 500) < total)
+    // SECOND-dim predicate: the Morton layout must prune where the
+    // linear layout cannot (every linear file spans all quantities)
+    val qPred = col("l_quantity") >= 45
+    assert(pruned(tL, qPred) == tL.fileUris.length,
+      "linear layout should not prune on the second dim (sanity)")
+    assert(pruned(tM, qPred) < total,
+      s"Morton layout failed to prune on the second dim: ${pruned(tM, qPred)}/$total")
+  }
+}
+
 /** txn (SetTransaction) idempotent writes. */
 class TxnSpec extends SparkSuite {
 
