@@ -125,8 +125,14 @@ final case class DeltaTable(
         }
       } else partitionBy.getOrElse(Seq.empty)
 
+    // constrained writes evaluate df twice (validate + write): cache it so
+    // an expensive upstream pipeline runs once
+    val constrained = dlog.constraints.nonEmpty
+    if (constrained) df.persist()
     validateConstraints(df)
-    val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+    val adds =
+      try writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+      finally if (constrained) df.unpersist(blocking = false)
     var logState = dlog
     var attempts = 0
     var result: DeltaTable = null
@@ -184,8 +190,12 @@ final case class DeltaTable(
     if (dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) return this
     val resolvedPartitionBy =
       if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
+    val constrained = dlog.constraints.nonEmpty
+    if (constrained) df.persist()
     validateConstraints(df)
-    val adds = writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+    val adds =
+      try writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+      finally if (constrained) df.unpersist(blocking = false)
     val evaluated = dlog.evaluateSchema(df.schema, WriteMode.Append, "overwrite")
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
     val entry = DeltaLogEntry(
@@ -386,9 +396,24 @@ final case class DeltaTable(
   def replaceWhere(spark: SparkSession, predicate: Column, df: DataFrame,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
     require(!dlog.isEmpty, "replaceWhere requires an existing table")
-    val violating = df.filter(not(coalesce(predicate, lit(false))))
+    // all cheap validation BEFORE the copy-on-write rewrite, so a bad
+    // replacement never pays for (and orphans) a phase-2 rewrite.
+    // Strict no-evolution contract: same field names and types as the
+    // table (nullability may tighten — a non-nullable replacement value
+    // in a nullable column is always safe); the committed metadata keeps
+    // the TABLE's schema.
+    require(df.columns.toSet == dlog.schema.fieldNames.toSet,
+      s"Schema mismatch: replaceWhere data columns ${df.columns.sorted.mkString(",")} " +
+        s"vs table ${dlog.schema.fieldNames.sorted.mkString(",")}")
+    val aligned = df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val typesMatch = aligned.schema.fields.map(f => f.name -> f.dataType.json)
+      .sameElements(dlog.schema.fields.map(f => f.name -> f.dataType.json))
+    require(typesMatch, s"Schema mismatch: replaceWhere data " +
+      s"${aligned.schema.simpleString} vs table ${dlog.schema.simpleString}")
+    val violating = aligned.filter(not(coalesce(predicate, lit(false))))
     require(violating.isEmpty,
       s"replaceWhere data contains rows not matching the predicate $predicate")
+    validateConstraints(aligned)
 
     val adds = dlog.addActions
     val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
@@ -417,22 +442,11 @@ final case class DeltaTable(
         numDeleted = totalTouched - numCopied
         written
       }
-    // strict no-evolution contract: same field names and types as the
-    // table (nullability may tighten — a non-nullable replacement value in
-    // a nullable column is always safe); the committed metadata keeps the
-    // TABLE's schema
-    require(df.columns.toSet == dlog.schema.fieldNames.toSet,
-      s"Schema mismatch: replaceWhere data columns ${df.columns.sorted.mkString(",")} " +
-        s"vs table ${dlog.schema.fieldNames.sorted.mkString(",")}")
-    val aligned = df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
-    val typesMatch = aligned.schema.fields.map(f => f.name -> f.dataType.json)
-      .sameElements(dlog.schema.fields.map(f => f.name -> f.dataType.json))
-    require(typesMatch, s"Schema mismatch: replaceWhere data " +
-      s"${aligned.schema.simpleString} vs table ${dlog.schema.simpleString}")
     val newAdds = writeData(aligned, dlog.versionToWrite, dlog.partitionColumns)
     val entry = DeltaLogEntry.replaceWhereTable(predicate.toString,
         dlog.partitionColumns, touchedAdds, keptAdds ++ newAdds, dlog.version,
-        numDeleted, numCopied, Some(dlog.schema))
+        numDeleted, numCopied, Some(dlog.schema),
+        dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty))
       .withExtraCommitInfo(customMetadata)
     commit(entry)
   }
@@ -498,6 +512,9 @@ final case class DeltaTable(
             case None => col(f.name)
           }
         }: _*)
+        // CHECK constraints must hold for the post-update rows (untouched
+        // files were validated when written)
+        validateConstraints(rewritten)
         writeData(rewritten, dlog.versionToWrite, dlog.partitionColumns)
       }
 
@@ -573,8 +590,11 @@ final case class DeltaTable(
           written
         }
 
-      // all source rows land as new files (updates + inserts)
+      // all source rows land as new files (updates + inserts); CHECK
+      // constraints gate them like any other write (src is cached, so
+      // the validation job is a cache scan)
       val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+      validateConstraints(sourceAligned)
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated
 
@@ -638,14 +658,34 @@ final case class DeltaTable(
         // the exact anti-pattern Z-order exists to avoid). Buckets feed
         // the codegen'd Morton interleave; range-partition + sort on the
         // code clusters files in all dims at once.
+        sortBy.foreach { c =>
+          val dt = dlog.schema(c).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+              dt == org.apache.spark.sql.types.DateType ||
+              dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+              dt == org.apache.spark.sql.types.TimestampNTZType,
+            s"zOrder requires numeric/date/timestamp columns; $c is $dt " +
+              "(use the linear sortBy rewrite for string keys)")
+        }
+        // dates/timestamps bucket through their numeric epoch form
+        def numeric(c: String): Column = dlog.schema(c).dataType match {
+          case org.apache.spark.sql.types.DateType => col(c).cast("int").cast("double")
+          case _: org.apache.spark.sql.types.TimestampType => col(c).cast("double")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            col(c).cast("timestamp").cast("double")
+          case _ => col(c).cast("double")
+        }
         val bits = 64 / sortBy.size
         val buckets = 1 << math.min(bits, 16)
         val aggs = sortBy.flatMap(c => Seq(
-          org.apache.spark.sql.functions.min(col(c)).cast("double"),
-          org.apache.spark.sql.functions.max(col(c)).cast("double")))
+          org.apache.spark.sql.functions.min(numeric(c)),
+          org.apache.spark.sql.functions.max(numeric(c))))
         val statsRow = df.agg(aggs.head, aggs.tail: _*).head()
+        // an all-NULL column degenerates to one bucket instead of crashing
+        def boundAt(i: Int): Double =
+          if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
         val bounds: Map[String, (Double, Double)] = sortBy.zipWithIndex.map {
-          case (c, i) => c -> ((statsRow.getDouble(2 * i), statsRow.getDouble(2 * i + 1)))
+          case (c, i) => c -> ((boundAt(2 * i), boundAt(2 * i + 1)))
         }.toMap
         val ranked = sortBy.foldLeft(df) { (acc, c) =>
           val (mn, mx) = bounds(c)
@@ -653,7 +693,7 @@ final case class DeltaTable(
           acc.withColumn(s"_rk_$c",
             org.apache.spark.sql.functions.least(
               org.apache.spark.sql.functions.floor(
-                (col(c).cast("double") - lit(mn)) / lit(span) * buckets),
+                (numeric(c) - lit(mn)) / lit(span) * buckets),
               lit(buckets - 1L)).cast("long"))
         }
         val morton = org.apache.spark.sql.graftshim.ColumnShim.column(

@@ -128,7 +128,8 @@ object DeltaLogEntry {
     */
   def replaceWhereTable(predicate: String, partitionBy: Seq[String],
       addsToRemove: Iterable[AddFile], adds: Seq[AddFile], readVersion: Long,
-      numDeleted: Long, numCopied: Long, schema: Option[StructType]): DeltaLogEntry = {
+      numDeleted: Long, numCopied: Long, schema: Option[StructType],
+      configuration: Map[String, String] = Map.empty): DeltaLogEntry = {
     val commit = CommitInfo.replaceWhere(predicate, partitionBy, readVersion,
       ListMap[String, JsonNode](
         "num_added_files" -> Json.num(adds.size.toLong),
@@ -136,7 +137,10 @@ object DeltaLogEntry {
         "num_deleted_rows" -> Json.num(numDeleted),
         "num_copied_rows" -> Json.num(numCopied)))
     val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
-    val meta = schema.map(s => Metadata.create(s, partitionBy))
+    // carry configuration forward — a bare Metadata.create here would wipe
+    // constraints (and any other table config) on every replaceWhere
+    val meta = schema.map(s =>
+      Metadata.create(s, partitionBy).copy(configuration = configuration))
     DeltaLogEntry(meta.toVector ++ removes ++ adds :+ commit)
   }
 

@@ -249,6 +249,13 @@ object Dedup {
       e = small
       round += 1
     }
+    // wrong labels are worse than no labels: a maxRounds bailout would
+    // silently return PARTIALLY merged components (and duplicate rows per
+    // node) indistinguishable from a real answer
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          s"(edge signature still changing at ${sig._1} edges); raise maxRounds")
     // at the fixpoint every edge points a node straight at its component
     // minimum; minima themselves carry no outgoing edge. localCheckpoint
     // (cheap: one row per paired node) pins the result so the pairs cache

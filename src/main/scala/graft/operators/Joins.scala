@@ -35,6 +35,14 @@ object Joins {
     require(salt >= 1, s"salt must be >= 1: $salt")
     require(bigKeys.length == smallKeys.length && bigKeys.nonEmpty,
       "bigKeys and smallKeys must be same-length and non-empty")
+    // right/full outer would emit `salt` null-padded copies of every
+    // unmatched small-side row (each replica fails to match) — only join
+    // types whose result is salt-invariant are allowed
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "semi",
+        "leftanti", "anti").contains(normalized),
+      s"saltedJoin supports inner/left/semi/anti joins; $joinType would " +
+        "duplicate unmatched replicated rows (flip the sides instead)")
     val b = big.withColumn("_salt",
       pmod(xxhash64(bigKeys.map(col) :+ monotonically_increasing_id(): _*),
         lit(salt.toLong)).cast("int"))

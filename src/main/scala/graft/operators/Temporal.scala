@@ -35,34 +35,35 @@ object Temporal {
       valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "asOfJoin requires key columns")
     val leftCols = left.columns.toSeq
-    val valueTypes = valueCols.map(v => v -> right.schema(v).dataType)
+    // the value columns ride as ONE struct, so the output always comes
+    // from the single latest right ROW — per-column `last(ignoreNulls)`
+    // would resurrect a stale value when the as-of row holds a genuine
+    // NULL (and could mix columns from different right rows)
+    val structType = org.apache.spark.sql.types.StructType(
+      valueCols.map(v => right.schema(v).copy(name = v)))
     // tag sides; right rows sort BEFORE left rows at the same instant so
     // the join is inclusive (right.ts == left.ts matches)
     val l = left.withColumn("_t", col(leftTimeCol).cast("timestamp_ntz"))
       .withColumn("_side", lit(1))
-      .withColumns(valueTypes.map { case (v, dt) =>
-        s"_v_$v" -> lit(null).cast(dt)
-      }.toMap)
+      .withColumn("_vs", lit(null).cast(structType))
     val r = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTimeCol).cast("timestamp_ntz").as("_t"), lit(0).as("_side")) ++
-        valueCols.map(v => col(v).as(s"_v_$v")): _*)
+        Seq(col(rightTimeCol).cast("timestamp_ntz").as("_t"), lit(0).as("_side"),
+          struct(valueCols.map(col): _*).as("_vs")): _*)
     val unioned = l.select(
-        (keyCols.map(col) ++ Seq(col("_t"), col("_side")) ++
-          valueCols.map(v => col(s"_v_$v")) ++
+        (keyCols.map(col) ++ Seq(col("_t"), col("_side"), col("_vs")) ++
           leftCols.filterNot(keyCols.contains).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
-    // value columns in the ordering make ties among same-instant right rows
+    // the struct in the ordering makes ties among same-instant right rows
     // deterministic (the greatest value tuple wins)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t") +: col("_side") +: valueCols.map(v => col(s"_v_$v")): _*)
+      .orderBy(col("_t"), col("_side"), col("_vs"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"_asof_$v", last(col(s"_v_$v"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_asof",
+      last(col("_vs"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(v => col(s"_asof_$v").as(s"asof_$v")): _*)
+        valueCols.map(v => col(s"_asof.$v").as(s"asof_$v")): _*)
   }
 
   /** Point-in-interval range join: pairs each left row whose `pointCol`

@@ -126,8 +126,11 @@ object TextAnalysis {
 
   /** TF-IDF distinctive terms: the `topPerDoc` highest-scoring tokens per
     * document, score = tf × ln(N / df). The corpus-level document
-    * frequencies are one aggregation; docs join the (small, broadcast)
-    * df table and rank row-locally — no per-pair work.
+    * frequencies are one aggregation; docs equi-join the df table on the
+    * token and rank row-locally — no per-pair work. The df table is
+    * VOCABULARY-sized (can be hundreds of millions of rows on a web
+    * corpus), so it is NOT broadcast-hinted: the optimizer broadcasts it
+    * when it is small and shuffle-joins on the token otherwise.
     *
     * Ranking uses the score ROUNDED to 4 digits (ties then break on the
     * token) so the ordering is reproducible across engines whose `ln`
@@ -139,7 +142,7 @@ object TextAnalysis {
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token"))

@@ -131,6 +131,19 @@ class TemporalSpec extends SparkSuite {
     assert(out("e3").isEmpty)        // key 2 has no right rows at all
   }
 
+  test("asOfJoin returns the LATEST row's value even when it is NULL") {
+    // per-column last(ignoreNulls) would resurrect the stale 10.0 here;
+    // as-of semantics require the t=11:00 row's NULL
+    val left = Seq((1L, "2024-01-01 12:00:00")).toDF("k", "t")
+      .withColumn("t", col("t").cast("timestamp_ntz"))
+    val right = Seq((1L, "2024-01-01 09:30:00", Some(10.0)),
+        (1L, "2024-01-01 11:00:00", None: Option[Double]))
+      .toDF("k", "t", "price").withColumn("t", col("t").cast("timestamp_ntz"))
+    val out = Temporal.asOfJoin(left, right, Seq("k"), "t", "t", Seq("price"))
+    assert(out.select("asof_price").as[Option[Double]].head().isEmpty,
+      "stale non-null value must not shadow the as-of row's NULL")
+  }
+
   test("asOfJoin is inclusive at the exact instant") {
     val left = Seq((1L, "2024-01-01 10:00:00")).toDF("k", "t")
       .withColumn("t", col("t").cast("timestamp_ntz"))
@@ -193,6 +206,21 @@ class GraphJoinSpec extends SparkSuite {
     val got = Joins.saltedJoin(big, small, Seq("k"), Seq("sk"), salt = 3, "left")
     val expected = big.join(small, col("k") === col("sk"), "left")
     assertSameRows(got, expected)
+  }
+
+  test("saltedJoin rejects right/full joins that would duplicate replicas") {
+    val big = Seq((1L, "x")).toDF("k", "p")
+    val small = Seq((1L, "a"), (7L, "b")).toDF("sk", "q")
+    assertThrows[IllegalArgumentException](
+      Joins.saltedJoin(big, small, Seq("k"), Seq("sk"), 3, "right"))
+    assertThrows[IllegalArgumentException](
+      Joins.saltedJoin(big, small, Seq("k"), Seq("sk"), 3, "full_outer"))
+  }
+
+  test("connectedComponents refuses to return a non-converged answer") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(chain, maxRounds = 1))
   }
 }
 
@@ -264,6 +292,20 @@ class MortonSpec extends SparkSuite {
     got.foreach { case (a, b, m) => assert(m == ref(a, b), s"($a,$b)") }
     // z-curve basics: interleave is monotone in each dim at the origin
     assert(ref(0, 0) < ref(1, 0) && ref(1, 0) < ref(0, 1) && ref(0, 1) < ref(1, 1))
+  }
+
+  test("zOrder rejects string keys with a clear error; timestamps work") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val d = tempDir("morton-str")
+    val t = DeltaTable.forPath(d).write(li)
+    val ex = intercept[IllegalArgumentException](
+      t.compact(spark, sortBy = Seq("l_returnflag", "l_orderkey"),
+        targetFiles = 4, zOrder = true))
+    assert(ex.getMessage.contains("l_returnflag"))
+    // timestamp dims bucket through their epoch form
+    val t2 = t.compact(spark, sortBy = Seq("l_shipdate", "l_orderkey"),
+      targetFiles = 4, zOrder = true)
+    assertSameRows(t2.toDF(spark), li)
   }
 
   test("zOrder compact keeps rows identical and stats selective in BOTH dims") {
@@ -375,6 +417,37 @@ class ConstraintSpec extends SparkSuite {
     val t = DeltaTable.forPath(d).write(nation)
     assertThrows[IllegalArgumentException](
       t.addConstraint(spark, "impossible", "n_nationkey < 0"))
+  }
+
+  test("constraints gate UPDATE, MERGE and replaceWhere too") {
+    val d = tempDir("ck-mut")
+    val t = DeltaTable.forPath(d).write(nation)
+      .addConstraint(spark, "small_key", "n_nationkey < 1000")
+    val ex1 = intercept[IllegalArgumentException](
+      t.update(spark, Some(col("n_regionkey") === 0), Map("n_nationkey" -> lit(5000L))))
+    assert(ex1.getMessage.contains("small_key"))
+    val ex2 = intercept[IllegalArgumentException](
+      t.merge(spark, nation.limit(1).withColumn("n_nationkey", lit(5000L)),
+        Seq("n_nationkey")))
+    assert(ex2.getMessage.contains("small_key"))
+    // replacement satisfies the predicate but violates the constraint
+    val ex3 = intercept[IllegalArgumentException](
+      t.replaceWhere(spark, col("n_regionkey") === 0,
+        nation.filter(col("n_regionkey") === 0)
+          .withColumn("n_nationkey",
+            (col("n_nationkey") + 5000L).cast(nation.schema("n_nationkey").dataType))))
+    assert(ex3.getMessage.contains("small_key"))
+  }
+
+  test("replaceWhere carries table configuration (constraints) forward") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val d = tempDir("ck-rw")
+    var t = DeltaTable.forPath(d).write(orders)
+      .addConstraint(spark, "priced", "o_totalprice >= 0")
+    t = t.replaceWhere(spark, col("o_orderstatus") === "F",
+      orders.filter(col("o_orderstatus") === "F"))
+    assert(DeltaTable.forPath(d).constraints.contains("priced"),
+      "replaceWhere metadata rewrite must not wipe constraints")
   }
 }
 
