@@ -218,6 +218,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("n_chars"))
         .orderBy("split")),
+    // stratified class rebalancing: keep 20% of English docs, all others
+    "q70_stratified_sample" -> ((s, d) =>
+      operators.Sampling.stratifiedSample(QueryLib.delta(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 20))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
 
     // ---- multimodal binary-column plumbing ----
     "q30_multimodal_features" -> ((s, d) =>
@@ -672,6 +679,13 @@ object SparkEntry {
         |  text FROM h)
         |SELECT split, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q70_stratified_sample" ->
+      """WITH h AS (SELECT lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs FROM h
+        |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 100 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q45_resize_plan" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,

@@ -45,4 +45,22 @@ object Sampling {
   def sampleFraction(df: DataFrame, idCol: String, pct: Int,
       buckets: Int = 100): DataFrame =
     df.filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < pct)
+
+  /** Deterministic STRATIFIED sample: a per-stratum percentage, applied
+    * with the same id-hash bucketing — the class-rebalancing step of a
+    * training-data pipeline (e.g. downsample boilerplate `lang`s, keep
+    * all of the rare ones). Strata absent from `pctByStratum` fall back
+    * to `defaultPct`. Pure row-local filtering: no shuffle, no sampling
+    * state, stable under corpus growth and re-runs.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 100,
+      buckets: Int = 100): DataFrame = {
+    require((pctByStratum.values ++ Seq(defaultPct)).forall(p => p >= 0 && p <= buckets),
+      "percentages must be within [0, buckets]")
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(col(stratumCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < pct)
+  }
 }
