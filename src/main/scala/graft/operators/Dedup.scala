@@ -230,11 +230,13 @@ object Dedup {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("_mn"))
         .select(col("u"), least(col("_mn"), col("u")).as("m"))
+      // no distinct here: duplicate edges are harmless to the min
+      // aggregations and the round ends in small-star's distinct — one
+      // fewer shuffle per round
       val large = sym.filter(col("v") > col("u"))
         .join(mins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       // small-star over the (u > v)-oriented result
       val sMins = large.groupBy("u").agg(min("v").as("m"))
       val small = large.join(sMins, "u")
