@@ -38,7 +38,12 @@ object Json {
 
   def obj(): ObjectNode = f.objectNode()
   def text(s: String): JsonNode = f.textNode(s)
-  def num(l: Long): JsonNode = f.numberNode(l)
+  // int-ranged longs become IntNode — the node type Jackson PARSES small
+  // JSON numbers back to — so written trees compare equal to re-parsed
+  // ones (JSON numbers are typeless; LongNode(42) != IntNode(42))
+  def num(l: Long): JsonNode =
+    if (l >= Int.MinValue && l <= Int.MaxValue) f.numberNode(l.toInt)
+    else f.numberNode(l)
   def num(d: Double): JsonNode = f.numberNode(d)
   def bool(b: Boolean): JsonNode = f.booleanNode(b)
   def nul: JsonNode = f.nullNode()

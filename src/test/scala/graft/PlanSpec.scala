@@ -118,6 +118,13 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("vocab induction plans a partial top-k, not a global sort") {
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val plan = explainOf(operators.TextAnalysis.induceVocab(docs, "text", 100))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be per-partition partial (TakeOrderedAndProject): " + plan.take(600))
+  }
+
   test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val df = operators.Multimodal.extractFeatures(
