@@ -67,31 +67,40 @@ object Temporal {
   }
 
   /** Point-in-interval range join: pairs each left row whose `pointCol`
-    * falls in [startCol, endCol] of a right-side interval (inclusive).
+    * falls in [startCol, endCol] of a right-side interval (inclusive),
+    * optionally also matching on `keyCols` equality.
     *
     * Scale shape: both sides are bucketed at `bucketWidth` granularity —
     * an interval explodes into the buckets it covers, a point lands in
-    * exactly one — turning the inequality join into an EQUI-join on the
-    * bucket id followed by the exact between-filter. Work is proportional
-    * to genuinely-overlapping pairs (plus bucket-boundary near-misses),
-    * not |left| x |right|; each pair is seen exactly once because a
-    * point's single bucket meets each interval's bucket list at most once.
+    * exactly one — turning the inequality join into an EQUI-join on
+    * (keys, bucket) followed by the exact between-filter. Work is
+    * proportional to genuinely-overlapping pairs (plus bucket-boundary
+    * near-misses), not |left| x |right|; each pair is seen exactly once
+    * because a point's single bucket meets each interval's bucket list at
+    * most once.
+    *
+    * PASS keyCols whenever the semantics have one (per-user windows,
+    * per-device sessions): an UNKEYED dense range join has inherently
+    * quadratic OUTPUT — every interval matches every co-bucketed point —
+    * which no join strategy can make cheap (measured: the same probe that
+    * scales linearly keyed exploded unkeyed).
     *
     * Intervals wider than ~1000 buckets explode combinatorially; pick
     * `bucketWidth` near the typical interval length.
     *
     * @param bucketWidth bucket granularity in the point/start/end unit
     *                    (they must share one: epoch seconds, days, a key…)
+    * @param keyCols     equality columns present on BOTH sides
     */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, keyCols: Seq[String] = Seq.empty): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val p = points.withColumn("_b", floor(col(pointCol) / bucketWidth))
     val iv = intervals
       .withColumn("_b", explode(sequence(
         floor(col(startCol) / bucketWidth), floor(col(endCol) / bucketWidth))))
-    p.join(iv, Seq("_b"))
+    p.join(iv, ("_b" +: keyCols).toSeq)
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("_b")
   }

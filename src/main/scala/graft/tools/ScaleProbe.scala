@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, Temporal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,6 +26,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
+    // optional 2nd arg: comma list of sections (docs,ann,temporal,cc)
+    val sections = args.lift(1).map(_.split(",").toSet)
+      .getOrElse(Set("docs", "ann", "temporal", "cc"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -35,7 +38,7 @@ object ScaleProbe {
     docs.count()
 
     var k = 1
-    while (k <= maxCopies) {
+    while (sections("docs") && k <= maxCopies) {
       val corpus = salted(docs, k).cache()
       val n = corpus.count()
       def time(f: => Long): (Double, Long) = {
@@ -64,7 +67,7 @@ object ScaleProbe {
             .as("embedding"))
       }.reduce(_.union(_))
     var c = 1
-    while (c <= maxCopies) {
+    while (sections("ann") && c <= maxCopies) {
       val corpus = perturbed(c).cache()
       val n = corpus.count()
       val queries = corpus.filter(col("vec_id") < 10)
@@ -79,12 +82,50 @@ object ScaleProbe {
       c *= 4
     }
 
+    // temporal joins: events grown by user-shifted copies (per-key history
+    // length constant, key count grows — the sharded-corpus shape)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    def grownEvents(copies: Int): DataFrame =
+      (0 until copies).map { i =>
+        ev.select((col("event_id") + i.toLong * 10000000L).as("event_id"),
+          (col("user_id") + i.toLong * 1000000L).as("user_id"),
+          col("ts"), col("event_type"))
+      }.reduce(_.union(_))
+    var g = 1
+    while (sections("temporal") && g <= maxCopies) {
+      val e = grownEvents(g).cache()
+      val n = e.count()
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"))
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val asof = time(Temporal.asOfJoin(
+        e.select("event_id", "user_id", "ts"), purchases,
+        Seq("user_id"), "ts", "ts", Seq("purchase_ts")).count())
+      // keyed per-user intervals: clicks within 7 days of the SAME user's
+      // signup (the real-world shape — an unkeyed dense range join has
+      // quadratic OUTPUT by definition and is probed separately below)
+      val day = floor(unix_timestamp(col("ts").cast("timestamp")) / 86400L)
+      val pts = e.select(col("event_id"), col("user_id"), day.as("d"))
+      val iv = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rid"), col("user_id"), day.as("s"))
+        .withColumn("en", col("s") + 7)
+      val range = time(Temporal.rangeJoin(pts, iv, "d", "s", "en", 7L,
+        keyCols = Seq("user_id")).count())
+      println(f"TEMPORALSCALE events=$n%8d asof=$asof%6.2fs range_join=$range%6.2fs")
+      e.unpersist()
+      g *= 4
+    }
+
     // connected components: chains of length 64 (diameter stress — 1-hop
     // label propagation would need 64 rounds; star contraction ~log²).
     // Ground truth: edges/63 components, verified each step.
     val chainLen = 64L
     var m = 100000L
-    while (m <= 1600000L) {
+    while (sections("cc") && m <= 1600000L) {
       val edges = spark.range(m)
         .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
         .select(col("id").as("a"), (col("id") + 1L).as("b"))

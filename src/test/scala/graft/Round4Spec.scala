@@ -165,6 +165,21 @@ class TemporalSpec extends SparkSuite {
     // boundary membership: x=20 is in BOTH [10,20] and [20,22]
     assert(got.filter(col("pid") === 20L).count() == 2)
   }
+
+  test("keyed rangeJoin restricts matches to the same key") {
+    val points = Seq((1L, 10L, 15L), (2L, 10L, 15L), (3L, 99L, 15L))
+      .toDF("pid", "k", "x")
+    val intervals = Seq((7L, 10L, 10L, 20L), (8L, 11L, 10L, 20L))
+      .toDF("rid", "k", "lo", "hi")
+    val got = Temporal.rangeJoin(points, intervals, "x", "lo", "hi",
+        bucketWidth = 7L, keyCols = Seq("k"))
+      .select("pid", "rid")
+    val expected = points.join(intervals,
+        points("k") === intervals("k") && col("x").between(col("lo"), col("hi")))
+      .select("pid", "rid")
+    assertSameRows(got, expected)
+    assert(got.count() == 2) // pids 1 and 2 match rid 7 only
+  }
 }
 
 /** Connected components (large-star/small-star) and salted joins. */
