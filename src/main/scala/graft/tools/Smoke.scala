@@ -55,6 +55,14 @@ object Smoke {
     check("delete(l_quantity>25) count", dt.toDF(spark).count(), nr - nDel)
     check("delete history op", dt.history.head._2.operation, "DELETE")
 
+    // UPDATE copy-on-write
+    val preUpdate = dt.toDF(spark).filter(col("l_quantity") <= 10).count()
+    dt = dt.update(spark, Some(col("l_quantity") <= 10), Map("l_tax" -> lit(0.0)))
+    check("update history op", dt.history.head._2.operation, "UPDATE")
+    check("update zeroed rows",
+      dt.toDF(spark).filter(col("l_tax") === 0.0 && col("l_quantity") <= 10).count(),
+      preUpdate)
+
     // restore to pre-overwrite state (version 1)
     dt = dt.restore(1L)
     check("restore(1) count", dt.toDF(spark).count(), 2 * n)
@@ -87,6 +95,18 @@ object Smoke {
     pt = pt.write(extra, schemaMode = "merge")
     check("merge append count", pt.toDF(spark).count(), 2 * n)
     check("merge null backfill", pt.toDF(spark).filter(col("extra_col").isNull).count(), n)
+
+    // replaceWhere: atomic partition backfill
+    val rwDir = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    var rw = DeltaTable.forPath(rwDir)
+      .write(li, partitionBy = Some(Seq("l_returnflag")))
+    val rwVersion = rw.version
+    rw = rw.replaceWhere(spark, col("l_returnflag") === "R",
+      li.filter(col("l_returnflag") === "R").withColumn("l_tax", lit(0.0)))
+    check("replaceWhere one commit", rw.version, rwVersion + 1)
+    check("replaceWhere count", rw.toDF(spark).count(), n)
+    check("replaceWhere zeroed",
+      rw.toDF(spark).filter(col("l_returnflag") === "R" && col("l_tax") =!= 0.0).count(), 0L)
 
     // delete everything (no predicate)
     pt = pt.delete(spark)

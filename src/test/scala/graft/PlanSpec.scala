@@ -118,6 +118,13 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan.take(800))
   }
 
+  test("the six-table TPC-H Q5 shape plans all-broadcast, no sort-merge") {
+    val plan = explainOf(SparkEntry.queries("q50_q5_multijoin")(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "dimension chain must broadcast — a SMJ here shuffles the fact table per join")
+  }
+
   test("vocab induction plans a partial top-k, not a global sort") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val plan = explainOf(operators.TextAnalysis.induceVocab(docs, "text", 100))
