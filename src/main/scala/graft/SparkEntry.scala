@@ -225,6 +225,19 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
+    // composed curation pipeline: quality signals -> per-language top-3
+    // by token count (operators feed each other like a real pipeline)
+    "q71_curation_topk" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+      scored.withColumn("lang_rank", row_number().over(w).cast("long"))
+        .filter(col("lang_rank") <= 3)
+        .select("lang", "lang_rank", "doc_id", "n_tokens", "stopword_ratio")
+        .orderBy("lang", "lang_rank")
+    }),
 
     // ---- multimodal binary-column plumbing ----
     "q30_multimodal_features" -> ((s, d) =>
@@ -686,6 +699,16 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs FROM h
         |WHERE b < CASE WHEN lang = 'en' THEN 20 ELSE 100 END
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q71_curation_topk" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ts FROM documents),
+         |q AS (SELECT doc_id, lang, len(ts) AS n_tokens,
+         |  round(len(list_filter(ts, t -> list_contains($StopList, t))) / len(ts), 4) AS stopword_ratio
+         |  FROM t),
+         |r AS (SELECT lang, doc_id, n_tokens, stopword_ratio,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS lang_rank
+         |  FROM q)
+         |SELECT lang, lang_rank, doc_id, n_tokens, stopword_ratio
+         |FROM r WHERE lang_rank <= 3 ORDER BY lang, lang_rank""".stripMargin,
     "q45_resize_plan" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
