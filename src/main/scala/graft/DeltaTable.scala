@@ -129,9 +129,10 @@ final case class DeltaTable(
     // an expensive upstream pipeline runs once
     val constrained = dlog.constraints.nonEmpty
     if (constrained) df.persist()
-    validateConstraints(df)
+    // validate INSIDE the try: a constraint violation must not leave the
+    // batch pinned in executor memory
     val adds =
-      try writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy) }
       finally if (constrained) df.unpersist(blocking = false)
     var logState = dlog
     var attempts = 0
@@ -192,9 +193,8 @@ final case class DeltaTable(
       if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
     val constrained = dlog.constraints.nonEmpty
     if (constrained) df.persist()
-    validateConstraints(df)
     val adds =
-      try writeData(df, dlog.versionToWrite, resolvedPartitionBy)
+      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy) }
       finally if (constrained) df.unpersist(blocking = false)
     val evaluated = dlog.evaluateSchema(df.schema, WriteMode.Append, "overwrite")
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
@@ -410,9 +410,22 @@ final case class DeltaTable(
       .sameElements(dlog.schema.fields.map(f => f.name -> f.dataType.json))
     require(typesMatch, s"Schema mismatch: replaceWhere data " +
       s"${aligned.schema.simpleString} vs table ${dlog.schema.simpleString}")
-    val violating = aligned.filter(not(coalesce(predicate, lit(false))))
+    // nullability may only TIGHTEN: a replacement column that is
+    // nullable-declared where the table field is non-nullable must be
+    // proven null-free, or the commit would plant nulls the table schema
+    // forbids. The null probes ride the same validation job as the
+    // predicate-scoping check.
+    val mustBeNullFree = aligned.schema.fields.zip(dlog.schema.fields).collect {
+      case (src, tbl) if src.nullable && !tbl.nullable => tbl.name
+    }
+    val scopeViolation = not(coalesce(predicate, lit(false)))
+    val nullViolation = mustBeNullFree.map(col(_).isNull)
+      .foldLeft(scopeViolation)(_ || _)
+    val violating = aligned.filter(nullViolation)
     require(violating.isEmpty,
-      s"replaceWhere data contains rows not matching the predicate $predicate")
+      s"replaceWhere data contains rows not matching the predicate $predicate " +
+        (if (mustBeNullFree.isEmpty) ""
+         else s"or nulls in non-nullable table columns ${mustBeNullFree.mkString(",")}"))
     validateConstraints(aligned)
 
     val adds = dlog.addActions

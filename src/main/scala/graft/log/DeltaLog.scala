@@ -253,16 +253,18 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     adds
   }
 
-  /** Highest committed `txn` version for a streaming application id —
-    * None if the app has never committed. Checkpoint-safe: the snapshot
-    * checkpoint preserves the latest txn per app (see Checkpoint).
+  /** Last-committed `txn` version for a streaming application id — None if
+    * the app has never committed. Delta's SetTransaction replay is
+    * last-writer-wins (in commit order), NOT max: an external writer that
+    * records a lower version after a higher one resets the skip watermark.
+    * The checkpoint snapshot keeps the same last-in-replay-order txn per
+    * app (see Checkpoint.snapshotActions), so the decision is identical
+    * before and after a checkpoint is taken.
     */
-  def latestTxnVersion(appId: String): Option[Long] = {
-    val versions = entries.valuesIterator.flatMap(_.actions.collect {
+  def latestTxnVersion(appId: String): Option[Long] =
+    entries.valuesIterator.flatMap(_.actions.collect {
       case t: Txn if t.appId == appId => t.version
-    })
-    if (versions.isEmpty) None else Some(versions.max)
-  }
+    }).reduceOption((_, last) => last)
 
   /** Partition columns of the latest version that declares them (reference
     * delta_log/__init__.py:348-355).

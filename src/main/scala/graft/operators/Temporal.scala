@@ -46,7 +46,12 @@ object Temporal {
     val l = left.withColumn("_t", col(leftTimeCol).cast("timestamp_ntz"))
       .withColumn("_side", lit(1))
       .withColumn("_vs", lit(null).cast(structType))
-    val r = right.select(
+    // SQL join semantics: NULL keys never match. partitionBy groups NULLs
+    // together, so NULL-keyed right rows must not enter the union or a
+    // NULL-keyed left row would pick their values up; dropping them leaves
+    // NULL-keyed left rows with the correct all-null as-of struct.
+    val rightNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val r = right.filter(rightNonNull).select(
       keyCols.map(col) ++
         Seq(col(rightTimeCol).cast("timestamp_ntz").as("_t"), lit(0).as("_side"),
           struct(valueCols.map(col): _*).as("_vs")): _*)
