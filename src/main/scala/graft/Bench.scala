@@ -32,6 +32,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // local-iteration filter (comma-separated names); absent = full run
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,7 +45,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+    val qs = headline.filter(n => only.forall(_.contains(n)))
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
     val results = qs.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -55,7 +59,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       name -> sec
-    } ++ maintenanceTimings(spark, sfDir)
+    } ++ maintenanceTimings(spark, sfDir, only)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -68,7 +72,8 @@ object Bench {
     * warm-and-repeat pattern doesn't apply); the timed section covers only
     * the maintenance op, not the fixture build.
     */
-  private def maintenanceTimings(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+  private def maintenanceTimings(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Seq[(String, Double)] = {
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     def tmp(): String = java.nio.file.Files.createTempDirectory("graft-bench-").toString
 
@@ -113,7 +118,8 @@ object Bench {
     }
 
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
-      "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _).map {
+      "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _)
+      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =
           try { f(); (1 to RUNS).map(_ => f()).min }

@@ -112,15 +112,20 @@ object Dedup {
     val sh = shingled(df, idCol, textCol, n)
       .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_sh"))
       .cache()
-    // signature minima via explode + partial aggregation: the min() combine
+    // signature minima via explode + partial aggregation: the combine
     // happens map-side and the shuffle MATERIALIZES the 64 minima — without
     // this barrier, projection collapse would inline the whole signature
     // expression into each of the 16 band expressions (16x recompute), and
-    // at scale the agg shape moves 64 longs/doc instead of re-reading text
+    // at scale the agg shape moves 64 longs/doc instead of re-reading text.
+    // All numHashes minima live in ONE MinHashAgg buffer (bit-identical to
+    // numHashes separate min(xxhash64(_s, i)) aggregates, which hash every
+    // shingle 64x into 64 buffers — measured ~2x slower).
+    import org.apache.spark.sql.graftshim.ColumnShim
     val tok = sh.select(col("_id"), explode(col("_sh")).as("_s"))
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("_s"), lit(i))).as(s"_m$i"))
-    val sig = tok.groupBy("_id").agg(minCols.head, minCols.tail: _*)
+    val sigAgg = ColumnShim.column(
+      graft.functions.MinHashAgg(ColumnShim.expression(col("_s")), numHashes)
+        .toAggregateExpression())
+    val sig = tok.groupBy("_id").agg(sigAgg.as("_sig"))
     // banded index and self-join stay NARROW (id, band, bucket); shingle
     // arrays are re-attached per candidate pair afterwards
     // NB: a singleton-bucket window filter (as in the inverted index
@@ -129,7 +134,8 @@ object Dedup {
     // costs more than the join probe it saves
     val banded = sig.select(col("_id"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"_m$i")): _*)): _*)))
+        xxhash64((b * rows until (b + 1) * rows).map(i =>
+          element_at(col("_sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
     val cand = banded.as("x").join(banded.as("y"),
         col("x._band") === col("y._band") && col("x._bucket") === col("y._bucket") &&
@@ -208,47 +214,53 @@ object Dedup {
       .distinct()
     // each round references its input many times (symmetrization, min
     // join), so the LOGICAL plan would grow exponentially across rounds:
-    // localCheckpoint both truncates lineage and materializes the round
-    var e = p
-      .filter(col("_x") =!= col("_y"))
-      .select(greatest(col("_x"), col("_y")).as("u"), least(col("_x"), col("_y")).as("v"))
-      .distinct().localCheckpoint()
-
-    // xor-fold is order-independent and overflow-free (ANSI sum() of 2^63-
-    // scale hashes overflows); e is distinct, so no pair self-cancels
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // localCheckpoint both truncates lineage and materializes the round.
+    // The convergence signature rides the SAME materialization job as an
+    // observed metric — a separate agg job per round would double the
+    // round's job count for data the checkpoint already scanned. xor-fold
+    // is order-independent and overflow-free (ANSI sum() of 2^63-scale
+    // hashes overflows); edges are distinct, so no pair self-cancels.
+    def checkpointWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n"),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)).as("x"))
+        .localCheckpoint()
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
 
-    var sig = signature(e)
+    var (e, sig) = checkpointWithSig(p
+      .filter(col("_x") =!= col("_y"))
+      .select(greatest(col("_x"), col("_y")).as("u"), least(col("_x"), col("_y")).as("v"))
+      .distinct())
     var round = 0
     var converged = sig._1 == 0L
+    val wU = Window.partitionBy("u")
     while (!converged && round < maxRounds) {
-      // large-star over symmetric neighborhoods
+      // Each star step needs min(neighbors(u)) attached back to every
+      // edge of u — a window over the SAME key a groupBy+join pair would
+      // shuffle twice. Per round: two windows + the closing distinct,
+      // three shuffles and NO join operator (the join formulation paid
+      // 2 aggregations + 2 joins + distinct).
+      // large-star over symmetric neighborhoods: every neighbor LARGER
+      // than u re-points at u's minimum neighbor (or u itself)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min("v").as("_mn"))
-        .select(col("u"), least(col("_mn"), col("u")).as("m"))
-      // no distinct here: duplicate edges are harmless to the min
-      // aggregations and the round ends in small-star's distinct — one
-      // fewer shuffle per round
-      val large = sym.filter(col("v") > col("u"))
-        .join(mins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+      val large = sym
+        .withColumn("_m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
         .filter(col("u") =!= col("v"))
-      // small-star over the (u > v)-oriented result
-      val sMins = large.groupBy("u").agg(min("v").as("m"))
-      val small = large.join(sMins, "u")
-        .select(col("v").as("u"), col("m").as("v"))
+      // small-star over the (u > v)-oriented result: u and its smaller
+      // neighbors all re-point at their collective minimum
+      val withMin = large.withColumn("_m", min(col("v")).over(wU))
+      val small = withMin.select(col("v").as("u"), col("_m").as("v"))
+        .union(withMin.select(col("u"), col("_m").as("v")))
         .filter(col("u") =!= col("v"))
-        .union(sMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
-      val nextSig = signature(small)
+      val (ck, nextSig) = checkpointWithSig(small)
       converged = nextSig == sig
       sig = nextSig
-      e = small
+      e = ck
       round += 1
     }
     // wrong labels are worse than no labels: a maxRounds bailout would

@@ -65,6 +65,25 @@ class Round5Spec extends SparkSuite {
     assertSameRows(replaced.toDF(spark), nullFree.toDF("id", "v"))
   }
 
+  test("MinHashAgg is bit-identical to the min(xxhash64(_s, i)) columns") {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val numHashes = 64
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("_t"))
+      .select(col("_id"), xxhash64(col("_t")).as("_s"))
+    val viaAgg = tok.groupBy("_id").agg(ColumnShim.column(
+        graft.functions.MinHashAgg(ColumnShim.expression(col("_s")), numHashes)
+          .toAggregateExpression()).as("_sig"))
+      .select(col("_id"), posexplode(col("_sig")))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("_s"), lit(i))).as(s"_m$i"))
+    val viaCols = tok.groupBy("_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("_id"), posexplode(array((0 until numHashes).map(i =>
+        col(s"_m$i")): _*)))
+    assertSameRows(viaAgg, viaCols)
+  }
+
   test("asOfJoin never matches NULL keys (SQL join semantics)") {
     val left = Seq((Some(1L), "2024-01-01 10:00:00", "keyed"),
         (None: Option[Long], "2024-01-01 10:00:00", "nullkey"))
