@@ -141,8 +141,12 @@ object TextAnalysis {
     val n = df.count()
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "token")
+    // document frequency = count over a token window: tf rows are unique
+    // per (doc, token), so the window count IS df — no df-table aggregation
+    // to recompute tf for, and no vocabulary-sized join back (one shuffle
+    // on token instead of two plus a join)
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token"))
