@@ -25,7 +25,9 @@ object Bench {
     "q34_sessionize", "q37_rollup", "q38_embed_norms", "q39_json_props",
     "q41_changes_feed", "q51_session_window", "q52_percentiles",
     "q53_hash_split", "q57_asof_join", "q58_range_join", "q59_dedup_clusters",
-    "q60_salted_join", "q64_vocab", "q65_tfidf", "q66_quantize_int8")
+    "q60_salted_join", "q64_vocab", "q65_tfidf", "q66_quantize_int8",
+    "q72_decontaminate", "q73_pack_sequences", "q74_mixture_sample",
+    "q75_repetition_signals")
 
   val RUNS = 2
 

@@ -239,6 +239,38 @@ object SparkEntry {
         .orderBy("lang", "lang_rank")
     }),
 
+    // benchmark decontamination: flag corpus docs sharing any trigram
+    // with the "benchmark" subset (doc_id % 37 == 0)
+    "q72_decontaminate" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      operators.Decontaminate.flagOverlap(docs,
+          docs.filter(col("doc_id") % 37 === 0), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // concat-and-chunk sequence packing: 256-token sequences over 8
+    // deterministic id-hash shards
+    "q73_pack_sequences" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      operators.Packing.packChunked(docs, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), budget = 256, numShards = 8)
+        .orderBy("doc_id")
+    }),
+    // dataset mixture: sample ~60 docs at 40/30/20/10% from four named
+    // sources, dropping the rest of the corpus
+    "q74_mixture_sample" -> ((s, d) =>
+      operators.Sampling.mixtureSample(QueryLib.delta(s, d, "documents"),
+          "doc_id", "source",
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+          totalTarget = 60L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")),
+    // Gopher-style within-document repetition signals
+    "q75_repetition_signals" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ---- multimodal binary-column plumbing ----
     "q30_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
@@ -709,6 +741,57 @@ object SparkEntry {
          |  FROM q)
          |SELECT lang, lang_rank, doc_id, n_tokens, stopword_ratio
          |FROM r WHERE lang_rank <= 3 ORDER BY lang, lang_rank""".stripMargin,
+    // decontamination: trigram construction mirrors q29's; the hashed
+    // shingle join in the engine matches string equality to 2^-64
+    "q72_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh FROM t),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM tri WHERE doc_id % 37 = 0),
+        |m AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+        |c AS (SELECT m.doc_id, count(*) AS n FROM m JOIN bench USING (s) GROUP BY m.doc_id)
+        |SELECT t.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_matched_ngrams,
+        | c.n IS NOT NULL AS contaminated
+        |FROM t LEFT JOIN c ON t.doc_id = c.doc_id ORDER BY t.doc_id""".stripMargin,
+    // packing placement is integer arithmetic over a deterministic order:
+    // md5-bucket shard, per-shard exclusive cumsum, integer division
+    "q73_pack_sequences" ->
+      """WITH h AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM h)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        | start_offset // 256 AS pack_first,
+        | (start_offset + greatest(n_tokens, 1) - 1) // 256 AS pack_last
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the keep-threshold replays the engine's exact IEEE sequence
+    // (T*w / count * buckets, all DOUBLE), so floor() agrees
+    "q74_mixture_sample" ->
+      """WITH cn AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+        |k AS (SELECT source, least(10000, floor(60.0::DOUBLE * (CASE source
+        |    WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
+        |    WHEN 'src3' THEN 0.1 ELSE 0.0 END)::DOUBLE / c * 10000)) AS kb FROM cn),
+        |s AS (SELECT d.source FROM documents d JOIN k USING (source)
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < kb)
+        |SELECT source, count(*) AS n_docs FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q75_repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS tk FROM t),
+        |f AS (SELECT doc_id, tk, count(*) AS f FROM tok GROUP BY doc_id, tk),
+        |s AS (SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens, count(*) AS nd, max(f) AS top
+        |      FROM f GROUP BY doc_id),
+        |tri AS (SELECT doc_id, greatest(len(ts) - 2, 0) AS ntri,
+        |  len(list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS ntrid FROM t)
+        |SELECT s.doc_id, n_tokens,
+        | round(nd / n_tokens, 4) AS distinct_token_ratio,
+        | round(top / n_tokens, 4) AS top_token_ratio,
+        | CASE WHEN ntri > 0 THEN round(1 - ntrid / CAST(ntri AS DOUBLE), 4)
+        |      ELSE 0.0::DOUBLE END AS dup_trigram_ratio
+        |FROM s JOIN tri ON s.doc_id = tri.doc_id ORDER BY s.doc_id""".stripMargin,
     "q45_resize_plan" ->
       """WITH f AS (SELECT doc_id,
         |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,

@@ -63,4 +63,33 @@ object Sampling {
     }
     df.filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < pct)
   }
+
+  /** Deterministic MIXTURE sampling: downsample each class toward a target
+    * mixture — "sample ~`totalTarget` documents with class proportions
+    * `weights`" (the dataset-mixture step of a pretraining pipeline: weight
+    * web/books/code sources, drop the rest). Classes absent from `weights`
+    * are dropped; a class too small for its target keeps everything
+    * (capped at 100%), shifting the realized mixture rather than inventing
+    * rows.
+    *
+    * Scale shape: per-class counts are a tiny aggregate broadcast back;
+    * membership is then a pure row-local hash filter — deterministic,
+    * engine-reproducible, stable under re-runs.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, classCol: String,
+      weights: Map[String, Double], totalTarget: Long,
+      buckets: Int = 10000): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("_cn"))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (c, p)) =>
+      when(col(classCol) === c, lit(p)).otherwise(acc)
+    }
+    // fixed operation order (T*w / count * buckets) so any engine
+    // replaying this IEEE sequence lands on the identical threshold
+    val keepBuckets = least(lit(buckets.toLong),
+      floor(lit(totalTarget.toDouble) * w / col("_cn") * buckets))
+    df.join(broadcast(counts), classCol)
+      .filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < keepBuckets)
+      .drop("_cn")
+  }
 }

@@ -104,6 +104,43 @@ object TextAnalysis {
       :+ pred.as("pred_lang"): _*)
   }
 
+  /** Gopher-style repetition quality signals: the within-document
+    * repetition ratios published dataset-curation pipelines filter on
+    * (Rae et al., "Scaling Language Models: ... Gopher", and C4's
+    * boilerplate rules) — highly repetitive documents are low-quality
+    * machine output or boilerplate.
+    *
+    * Scale shape: one explode, then two chained partial-combined
+    * aggregations ((doc, token) → doc); the trigram ratios are row-local
+    * column algebra carried through the explode (constant per document,
+    * `first()` in the final aggregation). No join, two shuffles.
+    *
+    * @return per document: n_tokens, distinct_token_ratio,
+    *         top_token_ratio (most frequent token's share) and
+    *         dup_trigram_ratio (1 − distinct/total trigrams).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val tok = df.select(col(idCol),
+        greatest(size(ts) - 2, lit(0)).cast("long").as("_ntri"),
+        size(shingles(ts, 3)).cast("long").as("_ntrid"),
+        explode(ts).as("_t"))
+    val perTok = tok.groupBy(col(idCol), col("_t"))
+      .agg(count(lit(1)).as("_f"), first(col("_ntri")).as("_ntri"),
+        first(col("_ntrid")).as("_ntrid"))
+    perTok.groupBy(col(idCol))
+      .agg(sum("_f").as("n_tokens"), count(lit(1)).as("_nd"),
+        max("_f").as("_top"), first(col("_ntri")).as("_ntri"),
+        first(col("_ntrid")).as("_ntrid"))
+      .select(col(idCol),
+        col("n_tokens"),
+        round(col("_nd") / col("n_tokens"), 4).as("distinct_token_ratio"),
+        round(col("_top") / col("n_tokens"), 4).as("top_token_ratio"),
+        when(col("_ntri") > 0,
+            round(lit(1) - col("_ntrid") / col("_ntri").cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_trigram_ratio"))
+  }
+
   /** Vocabulary induction: the `topK` most frequent whitespace tokens
     * across the corpus with stable ids — the first step of training any
     * subword/word tokenizer.

@@ -1,7 +1,7 @@
 package graft
 
 import graft.log.{Checkpoint, DeltaLog, DeltaLogEntry, Txn}
-import graft.operators.Temporal
+import graft.operators.{Decontaminate, Packing, Sampling, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -96,5 +96,81 @@ class Round5Spec extends SparkSuite {
     assert(out("keyed").contains(10.0))
     assert(out("nullkey").isEmpty,
       "a NULL-keyed left row must not pick up NULL-keyed right values")
+  }
+}
+
+/** Training-pipeline operators added in round 5: decontamination, sequence
+  * packing, mixture sampling, repetition signals.
+  */
+class TrainingPipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("flagOverlap flags exactly the docs sharing a trigram with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),       // shares 'the quick brown' etc.
+      (2L, "totally unrelated words here now"),
+      (3L, "slow red fox jumps high")          // no 3-gram overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "we saw the quick brown fox yesterday"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.flagOverlap(corpus, bench, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ((2L, true))) // 'the quick brown' and 'quick brown fox'
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("packChunked lays docs end to end and cuts at the budget") {
+    val docs = Seq((1L, 100), (2L, 100), (3L, 100)).toDF("doc_id", "n")
+    val out = Packing.packChunked(docs, "doc_id", col("n"), budget = 128,
+        numShards = 1)
+      .select("doc_id", "start_offset", "pack_first", "pack_last")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 0L, 0L, 0L)))
+    assert(out(1) == ((2L, 100L, 0L, 1L))) // straddles the first boundary
+    assert(out(2) == ((3L, 200L, 1L, 2L)))
+  }
+
+  test("packChunked shards are independent contiguous streams") {
+    val docs = (0L until 200L).map(i => (i, 10 + (i % 7).toInt)).toDF("doc_id", "n")
+    val out = Packing.packChunked(docs, "doc_id", col("n"), budget = 64, numShards = 4)
+    // within each shard, offsets are the exclusive prefix sum in id order
+    val rows = out.select("shard", "doc_id", "n_tokens", "start_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    rows.foreach { shard =>
+      var expected = 0L
+      shard.sortBy(_._2).foreach { case (_, _, n, off) =>
+        assert(off == expected, "offsets must be contiguous per shard")
+        expected += n
+      }
+    }
+  }
+
+  test("mixtureSample drops unweighted classes and caps tiny ones at 100%") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val kept = Sampling.mixtureSample(df, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.5), totalTarget = 500L)
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(!bySrc.contains("src2"), "unweighted class must be dropped")
+    // target 250 per class > 100 available: cap keeps everything
+    assert(bySrc("src0") == 100L && bySrc("src1") == 100L)
+    // sub-sampling is deterministic and a subset of the corpus
+    val sub = Sampling.mixtureSample(df, "doc_id", "source",
+      Map("src0" -> 1.0), totalTarget = 40L)
+    val ids1 = sub.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.mixtureSample(df, "doc_id", "source",
+      Map("src0" -> 1.0), totalTarget = 40L).select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2 && ids1.nonEmpty && ids1.size < 100)
+  }
+
+  test("repetitionSignals on a fully-repetitive doc") {
+    val df = Seq((1L, "a a a a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    // 'a a a a': 4 tokens, 1 distinct, top share 1.0; trigrams 2 total 1 distinct
+    assert(out(0) == ((1L, 4L, 0.25, 1.0, 0.5)))
+    // all-distinct doc: ratios 0.25-free, zero duplication
+    assert(out(1) == ((2L, 4L, 1.0, 0.25, 0.0)))
   }
 }
