@@ -27,7 +27,7 @@ object Bench {
     "q53_hash_split", "q57_asof_join", "q58_range_join", "q59_dedup_clusters",
     "q60_salted_join", "q64_vocab", "q65_tfidf", "q66_quantize_int8",
     "q72_decontaminate", "q73_pack_sequences", "q74_mixture_sample",
-    "q75_repetition_signals")
+    "q75_repetition_signals", "q76_dv_delete")
 
   val RUNS = 2
 
@@ -119,8 +119,29 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // same fixture + predicate for both delete flavors: the pair is the
+    // write-amplification story (CoW rewrites every touched file; MoR
+    // writes a sidecar proportional to the deleted rows)
+    def deleteFixture(): DeltaTable = {
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      DeltaTable.forPath(tmp()).write(lineitem.repartition(8))
+    }
+    def onceDeleteCow(): Double = {
+      val t = deleteFixture()
+      val t0 = System.nanoTime()
+      t.delete(spark, Some(col("l_quantity") < 2))
+      (System.nanoTime() - t0) / 1e9
+    }
+    def onceDeleteDv(): Double = {
+      val t = deleteFixture()
+      val t0 = System.nanoTime()
+      t.deleteMergeOnRead(spark, Some(col("l_quantity") < 2))
+      (System.nanoTime() - t0) / 1e9
+    }
+
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
-      "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _)
+      "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _,
+      "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =

@@ -2,12 +2,12 @@ package graft
 
 import com.fasterxml.jackson.databind.JsonNode
 import graft.log._
-import graft.sources.{DataSkipping, DeltaScan}
+import graft.sources.{DataSkipping, DeletionVectors, DeltaScan}
 import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, count_distinct, input_file_name, lit, not, struct, sum, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_set, count, count_distinct, lit, not, struct, sum, when}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -75,8 +75,63 @@ final case class DeltaTable(
 
   /** The snapshot as a lazy DataFrame — the scan entry point (§3.1). */
   def toDF(spark: SparkSession): DataFrame =
-    DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-      dlog.addActions.values.toSeq, conf)
+    scanAdds(spark, dlog.addActions.values.toSeq)
+
+  // ------------------------------------------------------------------
+  // DV-aware scans. Clean files keep the join-free whole-stage-codegen
+  // plan; files carrying a deletionVector ref anti-join their recorded
+  // dead rows (see sources/DeletionVectors.scala). Every internal read
+  // of live data goes through these, so DELETE/UPDATE/MERGE/compact/CDF
+  // all observe merge-on-read deletes.
+  // ------------------------------------------------------------------
+
+  private def pathName(p: String): String = new Path(p).getName
+
+  /** Scan `adds` applying deletion vectors; schema columns only. */
+  private[graft] def scanAdds(spark: SparkSession, adds: Seq[AddFile]): DataFrame = {
+    val (dved, clean) = adds.partition(a => DeletionVectors.refOf(a).isDefined)
+    if (dved.isEmpty)
+      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns, clean, conf)
+    else {
+      val dvDF = dvScan(spark, dved).drop(DeltaScan.MetaPath, DeltaScan.MetaRow)
+      if (clean.isEmpty) dvDF
+      else DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
+        clean, conf).unionByName(dvDF)
+    }
+  }
+
+  /** Scan `adds` applying deletion vectors, keeping [[DeltaScan.MetaPath]]
+    * (each row's absolute source-file URI) and [[DeltaScan.MetaRow]].
+    * Phase-1 touched-file discovery keys on MetaPath instead of
+    * `input_file_name()` because the latter evaluates empty on the probe
+    * side of shuffled joins — including the DV anti-join itself.
+    */
+  private[graft] def scanAddsWithMeta(spark: SparkSession, adds: Seq[AddFile]): DataFrame = {
+    val (dved, clean) = adds.partition(a => DeletionVectors.refOf(a).isDefined)
+    val cleanDF = DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
+      dlog.partitionColumns, clean, conf)
+    if (dved.isEmpty) cleanDF
+    else if (clean.isEmpty) dvScan(spark, dved)
+    else cleanDF.unionByName(dvScan(spark, dved))
+  }
+
+  /** DV'd files' surviving rows, with meta columns. Bulk anti-join on file
+    * basename when basenames are unique (always true for graft-written
+    * UUID files); exact per-file joins otherwise (imported-file collision).
+    */
+  private def dvScan(spark: SparkSession, dved: Seq[AddFile]): DataFrame = {
+    val names = dved.map(a => pathName(a.path))
+    if (names.distinct.size == names.size)
+      DeletionVectors.dropDead(spark,
+        DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema, dlog.partitionColumns,
+          dved, conf),
+        dved, loc, conf)
+    else
+      DeletionVectors.dropDeadPerFile(spark,
+        a => DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
+          dlog.partitionColumns, Seq(a), conf),
+        dved, loc, conf)
+  }
 
   /** Live adds that MAY contain rows matching `pred`, per log-recorded
     * partition values and per-file min/max/nullCount stats — driver-side
@@ -93,8 +148,7 @@ final case class DeltaTable(
     * but the plan never references skipped files at all.
     */
   def toDFWhere(spark: SparkSession, pred: Column): DataFrame =
-    DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-      prunedAdds(pred), conf).filter(pred)
+    scanAdds(spark, prunedAdds(pred)).filter(pred)
 
   // ------------------------------------------------------------------
   // WRITE (reference xdlake/__init__.py:153-190, traced in SURVEY.md §3.2)
@@ -279,23 +333,23 @@ final case class DeltaTable(
     val candidateAdds =
       where.map(prunedAdds).getOrElse(adds.values.toSeq)
     val touchedCanonical: Set[String] =
-      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-          candidateAdds, conf)
+      scanAddsWithMeta(spark, candidateAdds)
         .filter(pred)
-        .select(input_file_name().as("f")).distinct()
+        .select(col(DeltaScan.MetaPath).as("f")).distinct()
         .collect().map(r => Location.canonical(r.getString(0))).toSet
 
     val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
 
     // Phase 2: rewrite kept rows of touched files only. Keep = rows where
     // the predicate is NOT true (null-safe: null predicate keeps the row).
+    // The DV-aware scan drops prior-dead rows, so rewriting a DV'd file
+    // both applies this delete and purges its deletion vector.
     var numCopied = 0L
     var numDeleted = 0L
     val newAdds: Seq[AddFile] =
       if (touchedAdds.isEmpty) Seq.empty
       else {
-        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
-          dlog.partitionColumns, touchedAdds, conf)
+        val touchedDF = scanAdds(spark, touchedAdds)
         val totalTouched = touchedDF.count()
         val kept = touchedDF.filter(not(coalesce(pred, lit(false))))
         val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
@@ -312,6 +366,122 @@ final case class DeltaTable(
 
   private def parseNumRecords(statsJson: String): Long =
     Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+
+  /** DELETE via merge-on-read deletion vectors: matching rows are marked
+    * dead in a `_graft_dv/` sidecar and the touched files are re-added with
+    * a `deletionVector` ref — no data file is rewritten. The write cost is
+    * proportional to the number of DELETED rows, not to the size of the
+    * files that contain them; at 100 TB that is the difference between a
+    * GDPR-erasure commit writing kilobytes and rewriting terabytes
+    * (the reference deletes copy-on-write only, xdlake/__init__.py:259-315).
+    * Scans, UPDATE, MERGE, compact and CDF all read through the vector;
+    * `compact()` purges it; `vacuum()` protects referenced sidecars.
+    *
+    * A file whose LAST live row dies is removed from the log outright, so
+    * a full-table merge-on-read delete degenerates to the copy-on-write
+    * one (empty table, no sidecar lookups left behind).
+    */
+  def deleteMergeOnRead(spark: SparkSession, where: Option[Column] = None,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    val pred = where.getOrElse(lit(true))
+    val addByPath = dlog.addActions
+    val candidateAdds =
+      where.map(prunedAdds).getOrElse(addByPath.values.toSeq)
+    val predicateText = where.map(_.toString).getOrElse("true")
+
+    // New dead rows = predicate-TRUE rows of candidate files, scanned
+    // THROUGH existing vectors (already-dead rows are not re-recorded).
+    // Keyed back to the add's log path via a broadcast basename lookup
+    // (basenames are UUID-unique for graft writes); per-file scans on the
+    // rare imported-file basename collision.
+    val names = candidateAdds.map(a => pathName(a.path))
+    val newDead: DataFrame =
+      if (candidateAdds.isEmpty)
+        DeltaScan.emptyDF(spark, DeletionVectors.sidecarSchema)
+      else if (names.distinct.size == names.size) {
+        import spark.implicits._
+        val lookup = broadcast(
+          candidateAdds.map(a => (pathName(a.path), a.path)).toDF("_dv_name", "path"))
+        scanAddsWithMeta(spark, candidateAdds)
+          .filter(coalesce(pred, lit(false)))
+          .select(
+            org.apache.spark.sql.functions.substring_index(
+              col(DeltaScan.MetaPath), "/", -1).as("_dv_name"),
+            col(DeltaScan.MetaRow).as("row_index"))
+          .join(lookup, "_dv_name")
+          .select("path", "row_index")
+      } else
+        candidateAdds.map { a =>
+          scanAddsWithMeta(spark, Seq(a))
+            .filter(coalesce(pred, lit(false)))
+            .select(lit(a.path).as("path"), col(DeltaScan.MetaRow).as("row_index"))
+        }.reduce(_.union(_))
+
+    newDead.persist()
+    try {
+      // per-file dead counts: one job, driver result is file-count-scale
+      val newCounts: Map[String, Long] = newDead.groupBy("path").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newCounts.isEmpty) {
+        // nothing matched: still commit (parity with copy-on-write delete)
+        return commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText,
+          Seq.empty, Seq.empty, dlog.version, 0L).withExtraCommitInfo(customMetadata))
+      }
+      val touched = newCounts.keys.toSeq.sorted.map(addByPath(_))
+      val numDeleted = newCounts.values.sum
+      def totalDeadOf(a: AddFile): Long =
+        DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L) + newCounts(a.path)
+
+      // A file whose every row is now dead leaves the log instead of
+      // carrying a 100%-dead vector; its rows never enter the sidecar.
+      val (fullDead, stillLive) = touched.partition(a =>
+        a.stats.map(parseNumRecords).contains(totalDeadOf(a)))
+
+      val dvAdds =
+        if (stillLive.isEmpty) Seq.empty[AddFile]
+        else {
+          val livePaths = stillLive.map(_.path)
+          // The newest sidecar is TOTAL per file: merge prior dead rows of
+          // re-deleted files in, so scans never need >1 sidecar lookup.
+          // Prior rows were recorded under the path the file had THEN —
+          // a clone rewrites relative paths absolute — so remap them by
+          // basename to the file's CURRENT log path (basenames unique ⇒
+          // safe; on the rare imported-collision, exact-path match).
+          val priorRefs = stillLive.flatMap(DeletionVectors.refOf(_))
+          val allDead =
+            if (priorRefs.isEmpty) newDead
+            else {
+              import spark.implicits._
+              val prior0 = DeletionVectors.deadRows(spark, priorRefs, loc, conf)
+              val liveNames = stillLive.map(a => pathName(a.path))
+              val prior =
+                if (liveNames.distinct.size == liveNames.size) {
+                  val nameToPath = broadcast(
+                    stillLive.map(a => (pathName(a.path), a.path))
+                      .toDF("_dv_name", "_live_path"))
+                  prior0
+                    .withColumn("_dv_name",
+                      org.apache.spark.sql.functions.substring_index(col("path"), "/", -1))
+                    .join(nameToPath, "_dv_name")
+                    .select(col("_live_path").as("path"), col("row_index"))
+                } else prior0
+              newDead.union(prior)
+            }
+          val sidecarRel = s"${DeletionVectors.DvDirName}/dv-${java.util.UUID.randomUUID()}"
+          // clustered by owning file so a scan-side broadcast build reads
+          // contiguous row groups; dead-row volume scales with the delete,
+          // so the write stays distributed (no coalesce(1))
+          allDead.filter(col("path").isin(livePaths: _*))
+            .repartition(col("path")).sortWithinPartitions("path", "row_index")
+            .write.parquet(Location.resolve(sidecarRel, loc, conf).uri)
+          stillLive.map(a => DeletionVectors.withRef(a,
+            DeletionVectors.DvRef(sidecarRel, totalDeadOf(a))))
+        }
+
+      commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
+        fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata))
+    } finally newDead.unpersist(blocking = false)
+  }
 
   // ------------------------------------------------------------------
   // CHECK constraints — write-time data-quality guards stored in table
@@ -434,10 +604,9 @@ final case class DeltaTable(
     }.toMap
     val candidateAdds = prunedAdds(predicate)
     val touchedCanonical: Set[String] =
-      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-          candidateAdds, conf)
+      scanAddsWithMeta(spark, candidateAdds)
         .filter(predicate)
-        .select(input_file_name().as("f")).distinct()
+        .select(col(DeltaScan.MetaPath).as("f")).distinct()
         .collect().map(r => Location.canonical(r.getString(0))).toSet
     val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
 
@@ -446,8 +615,7 @@ final case class DeltaTable(
     val keptAdds: Seq[AddFile] =
       if (touchedAdds.isEmpty) Seq.empty
       else {
-        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
-          dlog.partitionColumns, touchedAdds, conf)
+        val touchedDF = scanAdds(spark, touchedAdds)
         val totalTouched = touchedDF.count()
         val kept = touchedDF.filter(not(coalesce(predicate, lit(false))))
         val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
@@ -498,10 +666,9 @@ final case class DeltaTable(
     val candidateAdds =
       where.map(prunedAdds).getOrElse(adds.values.toSeq)
     val touchedCanonical: Set[String] =
-      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-          candidateAdds, conf)
+      scanAddsWithMeta(spark, candidateAdds)
         .filter(pred)
-        .select(input_file_name().as("f")).distinct()
+        .select(col(DeltaScan.MetaPath).as("f")).distinct()
         .collect().map(r => Location.canonical(r.getString(0))).toSet
     val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
 
@@ -510,8 +677,7 @@ final case class DeltaTable(
     val newAdds: Seq[AddFile] =
       if (touchedAdds.isEmpty) Seq.empty
       else {
-        val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
-          dlog.partitionColumns, touchedAdds, conf)
+        val touchedDF = scanAdds(spark, touchedAdds)
         // one job for both metric counts (null predicate = row not matched)
         val counts = touchedDF.agg(count(lit(1)).as("_n"),
           sum(when(coalesce(pred, lit(false)), 1L).otherwise(0L)).as("_m")).head()
@@ -581,7 +747,9 @@ final case class DeltaTable(
       // keeps the metrics right when the target holds duplicate rows per
       // key (legal — only the source is checked): rows-based counting
       // over-counted updates and could drive numInserted negative.
-      val p1 = toDF(spark).withColumn("_graft_file", input_file_name())
+      val p1 = scanAddsWithMeta(spark, adds.values.toSeq)
+        .drop(DeltaScan.MetaRow)
+        .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
         .join(broadcast(keys), keyCols, "left_semi")
       val p1Row = p1.agg(collect_set(col("_graft_file")).as("_files"),
         count_distinct(struct(keyCols.map(col): _*)).as("_mk")).head()
@@ -595,8 +763,7 @@ final case class DeltaTable(
       val keptAdds: Seq[AddFile] =
         if (touchedAdds.isEmpty) Seq.empty
         else {
-          val touchedDF = DeltaScan.snapshotDF(spark, loc, dlog.schema,
-            dlog.partitionColumns, touchedAdds, conf)
+          val touchedDF = scanAdds(spark, touchedAdds)
           val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
           val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
           numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
@@ -653,12 +820,15 @@ final case class DeltaTable(
       targetFiles: Int = 0, zOrder: Boolean = false): DeltaTable = {
     val groups = dlog.addActions.values.toSeq
       .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
+    // singleton files still benefit from compaction when they carry a
+    // deletion vector: the rewrite purges dead rows and drops the sidecar
     val toCompact =
       if (sortBy.nonEmpty) dlog.addActions.values.toSeq
-      else groups.filter(_._2.size > 1).values.flatten.toSeq
+      else (groups.filter(_._2.size > 1).values.flatten ++
+        groups.filter(_._2.size == 1).values.flatten
+          .filter(a => DeletionVectors.refOf(a).isDefined)).toSeq
     if (toCompact.isEmpty) return this
-    val df = DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns,
-      toCompact, conf)
+    val df = scanAdds(spark, toCompact)
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, spark.sparkContext.defaultParallelism / 4)
     // one output file per partition tuple: the write path re-splits by
@@ -733,16 +903,27 @@ final case class DeltaTable(
     */
   def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
       dryRun: Boolean = false): Seq[String] = {
+    val adds = dlog.addActions
     val live: Set[String] =
-      dlog.addActions.keys.map(p => Location.canonical(Location.resolve(p, loc, conf).uri)).toSet
+      adds.keys.map(p => Location.canonical(Location.resolve(p, loc, conf).uri)).toSet
+    // sidecar dirs a live deletionVector ref points at are load-bearing;
+    // sidecars of purged/rewritten vectors age out like data files
+    val liveDvDirs: Set[String] =
+      DeletionVectors.referencedSidecarUris(adds.values, loc, conf)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val candidates = loc.listDataFilesRecursive()
+    // the recursive data listing skips _-prefixed dirs, so DV sidecars
+    // under _graft_dv/ are walked explicitly (unreferenced ones age out)
+    val dvDir = loc.child(DeletionVectors.DvDirName)
+    val dvFiles = if (dvDir.exists) dvDir.listDataFilesRecursive() else Seq.empty
+    val candidates = (loc.listDataFilesRecursive() ++ dvFiles)
       .filter(st => st.getPath.getName.endsWith(".parquet"))
       .filterNot(st => st.getPath.toString.contains("/_delta_log/") ||
         st.getPath.toString.contains("/_staging-"))
       .filter(_.getModificationTime < cutoff)
       .filterNot(st => live.contains(Location.canonical(
         loc.fs.makeQualified(st.getPath).toString)))
+      .filterNot(st => liveDvDirs.exists(d => Location.canonical(
+        loc.fs.makeQualified(st.getPath).toString).startsWith(d + "/")))
     if (!dryRun) candidates.foreach(st => loc.fs.delete(st.getPath, false))
     candidates.map(st => loc.fs.makeQualified(st.getPath).toString)
   }
@@ -765,7 +946,7 @@ final case class DeltaTable(
           .filter(_._3.nonEmpty)
     }
     val frames = slices.map { case (v, change, adds) =>
-      DeltaScan.snapshotDF(spark, loc, dlog.schema, dlog.partitionColumns, adds, conf)
+      scanAdds(spark, adds)
         .withColumn("_commit_version", lit(v))
         .withColumn("_change_type", lit(change))
     }
@@ -810,7 +991,10 @@ final case class DeltaTable(
     dstLogLoc.mkdirs()
     withFullHistory.entries.foreach { case (v, entry) =>
       val rewritten = entry.actions.map {
-        case a: AddFile    => a.copy(path = Location.resolve(a.path, loc, conf).uri)
+        case a: AddFile =>
+          // DV sidecar refs are table-root-relative: re-point at the source
+          DeletionVectors.rewriteRefAbsolute(
+            a.copy(path = Location.resolve(a.path, loc, conf).uri), loc, conf)
         case r: RemoveFile => r.copy(path = Location.resolve(r.path, loc, conf).uri)
         case other         => other
       }

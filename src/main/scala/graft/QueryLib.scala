@@ -73,6 +73,18 @@ object QueryLib {
         .delete(spark, Some(col("l_returnflag") === "A" || col("l_quantity") > 45))
     }
 
+  /** lineitem deleted via merge-on-read deletion vectors — same predicate
+    * as the copy-on-write delete, then a SECOND MoR delete so the
+    * sidecar-merge (total-per-file) path is exercised end-to-end.
+    */
+  def lineitemDvDeletedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_dv_delete") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .deleteMergeOnRead(spark,
+          Some(col("l_returnflag") === "A" || col("l_quantity") > 45))
+        .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
+    }
+
   /** documents appended with 3 columns, then evolved (schema merge) to 5. */
   def docsEvolvedDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "docs_evolve") { d =>

@@ -51,6 +51,9 @@ object SparkEntry {
     "q05_delete" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDeletedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    "q76_dv_delete" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
     "q06_partitioned_scan" -> ((s, d) =>
       QueryLib.delta(s, d, "lineitem", partitionBy = Seq("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -557,6 +560,10 @@ object SparkEntry {
       "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey",
     "q05_delete" ->
       "SELECT * FROM lineitem WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) ORDER BY l_orderkey, l_linenumber",
+    "q76_dv_delete" ->
+      """SELECT * FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_partitioned_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q07_schema_evolution" ->

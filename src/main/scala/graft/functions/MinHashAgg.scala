@@ -47,14 +47,16 @@ final case class MinHashAgg(child: Expression, numHashes: Int,
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h0 = XXH64.hashLong(v.asInstanceOf[Long], 42L)
-      var i = 0
-      while (i < numHashes) {
-        val h = XXH64.hashInt(i, h0)
-        if (h < buf(i)) buf(i) = h
-        i += 1
-      }
+    // Spark's XxHash64 SKIPS null children, so xxhash64(null, lit(i))
+    // evaluates to hashInt(i, seed) — a null row still contributes that
+    // constant per permutation. Folding the same way keeps the
+    // bit-identical-to-`min(xxhash64(col, lit(i)))` contract for any input.
+    val h0 = if (v != null) XXH64.hashLong(v.asInstanceOf[Long], 42L) else 42L
+    var i = 0
+    while (i < numHashes) {
+      val h = XXH64.hashInt(i, h0)
+      if (h < buf(i)) buf(i) = h
+      i += 1
     }
     buf
   }

@@ -120,6 +120,27 @@ object DeltaLogEntry {
     DeltaLogEntry(removes ++ adds :+ commit)
   }
 
+  /** Merge-on-read DELETE entry: each touched file is RE-ADDED (same data
+    * file, a new deletionVector ref in `extra`) — no RemoveFile, because
+    * replay applies an entry's adds before its removes, so a same-path
+    * remove+add pair would kill the file; `addActions.updated` replaces the
+    * prior add in place. Files whose every row is now dead are removed
+    * outright (`fullDead`).
+    */
+  def deleteMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
+      fullDead: Iterable[AddFile], readVersion: Long,
+      numDeletedRows: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "mode" -> Json.text("merge-on-read"),
+      "num_dv_files" -> Json.num(dvAdds.size.toLong),
+      "num_removed_files" -> Json.num(fullDead.size.toLong),
+      "num_copied_rows" -> Json.num(0L),
+      "num_deleted_rows" -> Json.num(numDeletedRows))
+    val commit = CommitInfo.delete(predicate, readVersion, metrics)
+    val removes = fullDead.map(a => Action.removeFor(a)).toVector
+    DeltaLogEntry(dvAdds.toVector ++ removes :+ commit)
+  }
+
   /** replaceWhere entry: predicate-scoped overwrite — removes for every
     * file owning matching rows, adds for their kept-row rewrites plus the
     * replacement data, in ONE atomic commit (delta-spark's `replaceWhere`

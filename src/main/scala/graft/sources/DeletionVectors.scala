@@ -27,9 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    The JSON `extra` field round-trips through log replay, checkpoints
   *    (raw-line format) and foreign-file import untouched.
   *  - Scans anti-join only the DV'd files' rows against the dead set
-  *    (`DeltaScan.snapshotDF`); clean files keep their join-free
-  *    whole-stage-codegen plan. Dead-set size is known driver-side from
-  *    the recorded cardinalities, so the broadcast decision needs no job.
+  *    (`DeltaTable.scanAdds`/`dvScan` — the path every internal read,
+  *    DELETE/UPDATE/MERGE/compact/CDF included, goes through); clean files
+  *    keep their join-free whole-stage-codegen plan. Dead-set size is known
+  *    driver-side from the recorded cardinalities, so the broadcast
+  *    decision needs no job. `compact()` purges vectors (its rewrite reads
+  *    through them); `vacuum()` keeps referenced sidecar dirs.
   *
   * Row identity is `(file basename, parquet row index)` via Spark's
   * `_metadata.file_path` / `_metadata.row_index` scan columns. Basenames
@@ -79,7 +82,8 @@ object DeletionVectors {
       conf: Configuration): DataFrame = {
     val dirs = refs.map(_.sidecar).toSeq.distinct
       .map(s => Location.resolve(s, tableRoot, conf).uri)
-    spark.read.schema(sidecarSchema).parquet(dirs: _*)
+    if (dirs.isEmpty) DeltaScan.emptyDF(spark, sidecarSchema)
+    else spark.read.schema(sidecarSchema).parquet(dirs: _*)
   }
 
   /** Sidecar directory URIs referenced by any of `adds` (vacuum's live set). */
@@ -105,6 +109,7 @@ object DeletionVectors {
   def dropDead(spark: SparkSession, df: DataFrame, dved: Seq[AddFile],
       tableRoot: Location, conf: Configuration): DataFrame = {
     val refs = dved.flatMap(refOf(_))
+    if (refs.isEmpty) return df
     val totalDead = refs.map(_.cardinality).sum
     val dead0 = deadRows(spark, refs, tableRoot, conf)
       .select(substring_index(col("path"), "/", -1).as("_dv_name"),
@@ -121,12 +126,17 @@ object DeletionVectors {
     * log path (unique per table), so same-named files cannot cross-kill.
     */
   def dropDeadPerFile(spark: SparkSession, dfFor: AddFile => DataFrame,
-      dved: Seq[AddFile], tableRoot: Location, conf: Configuration): DataFrame =
+      dved: Seq[AddFile], tableRoot: Location, conf: Configuration): DataFrame = {
+    require(dved.nonEmpty, "dropDeadPerFile needs at least one add")
     dved.map { a =>
-      val ref = refOf(a).get
-      val dead = deadRows(spark, Seq(ref), tableRoot, conf)
-        .filter(col("path") === lit(a.path))
-        .select(col("row_index").as("_dv_idx"))
-      dfFor(a).join(broadcast(dead), col(DeltaScan.MetaRow) === col("_dv_idx"), "left_anti")
+      refOf(a) match {
+        case None => dfFor(a) // ref-less add: nothing dead, scan as-is
+        case Some(ref) =>
+          val dead = deadRows(spark, Seq(ref), tableRoot, conf)
+            .filter(col("path") === lit(a.path))
+            .select(col("row_index").as("_dv_idx"))
+          dfFor(a).join(broadcast(dead), col(DeltaScan.MetaRow) === col("_dv_idx"), "left_anti")
+      }
     }.reduce(_.union(_))
+  }
 }

@@ -26,6 +26,20 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   */
 object DeltaScan {
 
+  /** Flat column name carrying `_metadata.file_path` (absolute file URI of
+    * each row's source file) in meta-scans. Unlike `input_file_name()` —
+    * which evaluates empty on the probe side of shuffled joins — this is a
+    * real projected column that survives any downstream join/shuffle, so
+    * deletion-vector anti-joins and phase-1 touched-file discovery key on it.
+    */
+  val MetaPath = "_graft_meta_path"
+
+  /** Flat column name carrying `_metadata.row_index` (row ordinal within the
+    * source parquet file) in meta-scans — the row half of the
+    * `(file, row_index)` identity deletion vectors address.
+    */
+  val MetaRow = "_graft_meta_row"
+
   /** Hive-style `%xx` unescape for partition dir values (matches Spark's
     * ExternalCatalogUtils.unescapePathName semantics).
     */
@@ -85,15 +99,51 @@ object DeltaScan {
       schema: StructType,
       partitionColumns: Seq[String],
       adds: Seq[AddFile],
-      conf: Configuration): DataFrame = {
+      conf: Configuration): DataFrame =
+    scan(spark, tableRoot, schema, partitionColumns, adds, conf, withMeta = false)
 
-    if (adds.isEmpty) return emptyDF(spark, schema)
+  /** Snapshot DataFrame carrying two extra columns, [[MetaPath]] and
+    * [[MetaRow]], materialized from the parquet reader's `_metadata` struct.
+    * Used by deletion-vector scans and phase-1 touched-file discovery; the
+    * extra project is constant-folded into the scan's codegen stage.
+    */
+  def snapshotDFWithMeta(
+      spark: SparkSession,
+      tableRoot: Location,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      adds: Seq[AddFile],
+      conf: Configuration): DataFrame =
+    scan(spark, tableRoot, schema, partitionColumns, adds, conf, withMeta = true)
 
-    val ordered = schema.fieldNames.map(col).toSeq
+  private def scan(
+      spark: SparkSession,
+      tableRoot: Location,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      adds: Seq[AddFile],
+      conf: Configuration,
+      withMeta: Boolean): DataFrame = {
+
+    if (adds.isEmpty) {
+      val base = emptyDF(spark, schema)
+      return if (!withMeta) base
+        else base
+          .withColumn(MetaPath, lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn(MetaRow, lit(null).cast(org.apache.spark.sql.types.LongType))
+    }
+
+    val ordered: Seq[org.apache.spark.sql.Column] =
+      schema.fieldNames.map(col).toSeq ++
+        (if (withMeta)
+           Seq(col("_metadata.file_path").as(MetaPath),
+             col("_metadata.row_index").as(MetaRow))
+         else Seq.empty)
 
     if (partitionColumns.isEmpty) {
       val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
-      spark.read.schema(schema).parquet(paths: _*)
+      val df = spark.read.schema(schema).parquet(paths: _*)
+      if (withMeta) df.select(ordered: _*) else df
     } else if (adds.forall(hiveConsistent(_, partitionColumns))) {
       val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
       spark.read

@@ -15,6 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Non-append tables (delete/overwrite/restore rewrite files) need
   * version-aware change feeds — that is the batch
   * [[graft.DeltaTable.changesBetween]] API.
+  *
+  * Merge-on-read deletes (deletion vectors) don't rewrite data files, so
+  * they cannot DUPLICATE rows here — and `_graft_dv/` sidecars are
+  * invisible to the stream (Spark's file index skips `_`-prefixed dirs) —
+  * but already-streamed rows later marked dead are NOT retracted and a
+  * DV'd file's dead rows still stream on first discovery: this source is
+  * for append-only ingest; DV-aware feeds go through `changesBetween`.
   */
 object DeltaStreamSource {
 

@@ -1,0 +1,164 @@
+package graft
+
+import graft.sources.{DeletionVectors, DeltaScan}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read DELETE via deletion vectors: sidecar creation, DV-aware
+  * scans, interaction with copy-on-write ops, compaction purge, vacuum
+  * protection, time travel, clone.
+  */
+class DeletionVectorsSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+  private def lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  private def dataFileCount(t: DeltaTable): Int = t.fileUris.size
+
+  test("deleteMergeOnRead drops rows without rewriting data files") {
+    val d = tempDir("dv-basic")
+    var t = DeltaTable.forPath(d).write(nation).write(nation.filter(col("n_regionkey") < 3))
+    val urisBefore = t.fileUris.toSet
+
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 1))
+    // same data files, re-added with a DV ref
+    assert(t.fileUris.toSet == urisBefore, "MoR delete must not rewrite data files")
+    val dved = t.dlog.addActions.values.filter(a => DeletionVectors.refOf(a).isDefined)
+    assert(dved.nonEmpty, "touched adds should carry deletionVector refs")
+    assertSameRows(t.toDF(spark),
+      nation.union(nation.filter(col("n_regionkey") < 3))
+        .filter(not(col("n_regionkey") === 1)))
+    assert(t.history.head._2.operation == "DELETE")
+  }
+
+  test("re-delete merges prior dead rows: newest sidecar is total per file") {
+    val d = tempDir("dv-redelete")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 0))
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 1))
+    val expected = nation.filter(col("n_regionkey") =!= 0 && col("n_regionkey") =!= 1)
+    assertSameRows(t.toDF(spark), expected)
+    // every DV'd add references exactly ONE sidecar whose cardinality is
+    // the file's TOTAL dead count (prior + new merged in)
+    val refs = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_)).toSeq
+    assert(refs.nonEmpty)
+    val totalDead = refs.map(_.cardinality).sum
+    assert(totalDead == nation.filter(col("n_regionkey").isin(0, 1)).count())
+  }
+
+  test("a fully-dead file leaves the log instead of carrying a 100% DV") {
+    val d = tempDir("dv-fulldead")
+    // two files: one entirely region 0, one mixed
+    var t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_regionkey") === 0))
+      .write(nation.filter(col("n_regionkey") > 0))
+    assert(dataFileCount(t) == 2)
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 0))
+    assert(dataFileCount(t) == 1, "all-dead file should be removed from the log")
+    assert(t.dlog.addActions.values.forall(a => DeletionVectors.refOf(a).isEmpty),
+      "surviving file was untouched; no sidecar should be written")
+    assertSameRows(t.toDF(spark), nation.filter(col("n_regionkey") > 0))
+  }
+
+  test("time travel reads pre-delete versions in full") {
+    val d = tempDir("dv-timetravel")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 10))
+    assertSameRows(t.loadAsVersion(0L).toDF(spark), nation)
+    assertSameRows(t.toDF(spark), nation.filter(col("n_nationkey") >= 10))
+  }
+
+  test("copy-on-write delete after MoR delete reads through the vector") {
+    val d = tempDir("dv-cow-after")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
+    t = t.delete(spark, Some(col("n_nationkey") === 5))
+    // the rewrite purged the DV: no add carries a ref anymore
+    assert(t.dlog.addActions.values.forall(a => DeletionVectors.refOf(a).isEmpty))
+    assertSameRows(t.toDF(spark),
+      nation.filter(col("n_nationkey") =!= 3 && col("n_nationkey") =!= 5))
+  }
+
+  test("update and merge observe MoR-deleted rows") {
+    val d = tempDir("dv-update")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    // update must not resurrect dead rows
+    t = t.update(spark, Some(col("n_nationkey") < 8), Map("n_name" -> lit("X")))
+    val got = t.toDF(spark)
+    assert(got.count() == nation.filter(col("n_nationkey") >= 5).count())
+    assert(got.filter(col("n_name") === "X").count() == 3) // keys 5,6,7
+    // merge: upsert a row whose key was MoR-deleted re-inserts exactly once
+    val src = nation.filter(col("n_nationkey") === 2)
+      .withColumn("n_name", lit("REBORN"))
+    t = t.merge(spark, src, Seq("n_nationkey"))
+    assert(t.toDF(spark).filter(col("n_nationkey") === 2).count() == 1)
+  }
+
+  test("compact purges deletion vectors; vacuum protects live sidecars") {
+    val d = tempDir("dv-compact")
+    var t = DeltaTable.forPath(d).write(nation).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 4))
+    val expected = nation.union(nation).filter(col("n_regionkey") =!= 4)
+
+    // vacuum with zero retention must NOT delete the referenced sidecar
+    t.vacuum(retentionMs = 0L)
+    assertSameRows(t.toDF(spark), expected)
+
+    t = t.compact(spark)
+    assert(t.dlog.addActions.values.forall(a => DeletionVectors.refOf(a).isEmpty),
+      "compaction should purge vectors")
+    assertSameRows(t.toDF(spark), expected)
+
+    // now the sidecar is unreferenced: vacuum reclaims it
+    val deleted = t.vacuum(retentionMs = 0L)
+    assert(deleted.exists(_.contains(DeletionVectors.DvDirName)),
+      s"expected sidecar reclaim, got $deleted")
+    assertSameRows(t.toDF(spark), expected)
+  }
+
+  test("clone re-points sidecar refs; MoR table survives cloning") {
+    val d = tempDir("dv-clone-src")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") >= 20))
+    val c = t.cloneTo(tempDir("dv-clone-dst"))
+    assertSameRows(c.toDF(spark), nation.filter(col("n_nationkey") < 20))
+    // the clone is independently deletable (writes its own sidecar)
+    val c2 = c.deleteMergeOnRead(spark, Some(col("n_nationkey") === 0))
+    assertSameRows(c2.toDF(spark),
+      nation.filter(col("n_nationkey") < 20 && col("n_nationkey") =!= 0))
+  }
+
+  test("MoR delete on a partitioned table prunes candidate files") {
+    val d = tempDir("dv-part")
+    var t = DeltaTable.forPath(d)
+      .write(lineitem, partitionBy = Some(Seq("l_returnflag")))
+    val before = t.fileUris.toSet
+    t = t.deleteMergeOnRead(spark, Some(col("l_returnflag") === "R" && col("l_quantity") < 10))
+    assert(t.fileUris.toSet == before)
+    // only files of the R partition may carry refs
+    val dved = t.dlog.addActions.values.filter(a => DeletionVectors.refOf(a).isDefined)
+    assert(dved.forall(_.partitionValues.get("l_returnflag").flatten.contains("R")))
+    assertSameRows(t.toDF(spark),
+      lineitem.filter(not(col("l_returnflag") === "R" && col("l_quantity") < 10)))
+  }
+
+  test("DV scan plan: clean tables stay join-free, DV'd files broadcast the dead set") {
+    val d = tempDir("dv-plan")
+    var t = DeltaTable.forPath(d).write(nation)
+    val cleanPlan = t.toDF(spark).queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Join"), "clean scan must not contain a join")
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 0))
+    val dvPlan = t.toDF(spark).queryExecution.executedPlan.toString
+    assert(dvPlan.contains("BroadcastHashJoin") && dvPlan.contains("LeftAnti"),
+      s"DV scan should broadcast-anti-join the dead set:\n$dvPlan")
+  }
+
+  test("changesBetween reads inserts through vectors") {
+    val d = tempDir("dv-cdf")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 24))
+    val changes = t.changesBetween(spark, 0L, 1L)
+    // the DV re-add surfaces as an insert of the SURVIVING row only
+    assert(changes.filter(col("_change_type") === "insert").count() == 1)
+  }
+}

@@ -82,6 +82,19 @@ class Round5Spec extends SparkSuite {
       .select(col("_id"), posexplode(array((0 until numHashes).map(i =>
         col(s"_m$i")): _*)))
     assertSameRows(viaAgg, viaCols)
+
+    // null inputs too: XxHash64 skips null children, so a null row
+    // contributes hashInt(i, seed) exactly like the column form
+    val withNulls = Seq((1L, Some(7L)), (1L, None), (2L, None))
+      .toDF("_id", "_s")
+    val nAgg = withNulls.groupBy("_id").agg(ColumnShim.column(
+        graft.functions.MinHashAgg(ColumnShim.expression(col("_s")), 8)
+          .toAggregateExpression()).as("_sig"))
+      .select(col("_id"), posexplode(col("_sig")))
+    val nMinCols = (0 until 8).map(i => min(xxhash64(col("_s"), lit(i))).as(s"_m$i"))
+    val nCols = withNulls.groupBy("_id").agg(nMinCols.head, nMinCols.tail: _*)
+      .select(col("_id"), posexplode(array((0 until 8).map(i => col(s"_m$i")): _*)))
+    assertSameRows(nAgg, nCols)
   }
 
   test("asOfJoin never matches NULL keys (SQL join semantics)") {
