@@ -933,22 +933,68 @@ final case class DeltaTable(
     * yield `remove_file` rows (copy-on-write keeps removed files on disk,
     * so their content is still readable). Compaction entries
     * (`dataChange=false`) produce nothing, by design.
+    *
+    * Merge-on-read deletes are EXACT: a DV re-add of an already-live file
+    * emits `delete` rows — precisely the newly-dead rows, recovered as the
+    * set difference of the commit's total-per-file sidecar minus the
+    * pre-commit one (already-dead rows are never re-reported). Removes of
+    * DV'd files scan through the pre-commit vector, so their dead rows —
+    * reported `delete` in earlier versions — don't reappear as
+    * `remove_file`. File-path/ref state is replayed driver-side from
+    * version 0 (metadata-scale).
     */
   def changesBetween(spark: SparkSession, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val slices = withFullHistory.entries.range(fromVersion + 1, toVersion + 1).toSeq.flatMap {
-      case (v, entry) =>
-        val inserts = entry.actions.collect { case a: AddFile if a.dataChange => a }
-        val removes = entry.actions.collect { case r: RemoveFile if r.dataChange =>
-          AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
+    import org.apache.spark.sql.functions.substring_index
+    var liveRefs = Map.empty[String, Option[DeletionVectors.DvRef]]
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    def tagged(df: DataFrame, v: Long, change: String): DataFrame =
+      df.withColumn("_commit_version", lit(v)).withColumn("_change_type", lit(change))
+
+    /** (file basename, row_index) key of every dead row of `refs`,
+      * restricted to the given basenames.
+      */
+    def keyedDead(refs: Seq[DeletionVectors.DvRef], names: Seq[String]): DataFrame =
+      DeletionVectors.deadRows(spark, refs, loc, conf)
+        .select(substring_index(col("path"), "/", -1).as("_dv_name"), col("row_index"))
+        .filter(col("_dv_name").isin(names: _*))
+
+    withFullHistory.entries.range(0, toVersion + 1).foreach { case (v, entry) =>
+      val adds = entry.actions.collect { case a: AddFile => a }
+      val removes = entry.actions.collect { case r: RemoveFile => r }
+      if (v > fromVersion) {
+        // a DV'd re-add of a LIVE path is a row-level delete, not an insert
+        val (dvDelta, plainAdds) = adds.filter(_.dataChange).partition(a =>
+          DeletionVectors.refOf(a).isDefined && liveRefs.contains(a.path))
+        if (plainAdds.nonEmpty) frames += tagged(scanAdds(spark, plainAdds), v, "insert")
+        if (dvDelta.nonEmpty) {
+          val names = dvDelta.map(a => pathName(a.path))
+          val newKeys = keyedDead(dvDelta.flatMap(DeletionVectors.refOf(_)), names)
+          val priorRefs = dvDelta.flatMap(a => liveRefs(a.path))
+          val newlyDead =
+            if (priorRefs.isEmpty) newKeys else newKeys.except(keyedDead(priorRefs, names))
+          val raw = DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
+            dlog.partitionColumns, dvDelta, conf)
+          frames += tagged(
+            raw.join(broadcast(newlyDead),
+                substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_dv_name") &&
+                  col(DeltaScan.MetaRow) === col("row_index"),
+                "left_semi")
+              .drop(DeltaScan.MetaPath, DeltaScan.MetaRow), v, "delete")
         }
-        Seq((v, "insert", inserts), (v, "remove_file", removes))
-          .filter(_._3.nonEmpty)
-    }
-    val frames = slices.map { case (v, change, adds) =>
-      scanAdds(spark, adds)
-        .withColumn("_commit_version", lit(v))
-        .withColumn("_change_type", lit(change))
+        val removed = removes.filter(_.dataChange).map { r =>
+          val synth = AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
+          liveRefs.get(r.path).flatten match {
+            case Some(ref) => DeletionVectors.withRef(synth, ref)
+            case None      => synth
+          }
+        }
+        if (removed.nonEmpty) frames += tagged(scanAdds(spark, removed), v, "remove_file")
+      }
+      // replay order: adds first, then removes (matches DeltaLog.addActions)
+      adds.foreach(a => liveRefs = liveRefs.updated(a.path, DeletionVectors.refOf(a)))
+      removes.foreach(r => liveRefs = liveRefs.removed(r.path))
     }
     if (frames.isEmpty)
       DeltaScan.emptyDF(spark, dlog.schema)

@@ -85,6 +85,18 @@ object QueryLib {
         .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
     }
 
+  /** orders written in two batches under a CHECK constraint — the
+    * read-after-constrained-write path (every batch validated in one job
+    * before any file lands; the constraint rides table configuration).
+    */
+  def ordersConstrainedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_constrained") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df.filter(col("o_orderkey") % 2 === 0))
+        .addConstraint(spark, "price_nonneg", "o_totalprice >= 0")
+        .write(df.filter(col("o_orderkey") % 2 === 1))
+    }
+
   /** documents appended with 3 columns, then evolved (schema merge) to 5. */
   def docsEvolvedDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "docs_evolve") { d =>

@@ -54,6 +54,17 @@ object SparkEntry {
     "q76_dv_delete" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    "q77_check_constraint" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersConstrainedDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
+    // exact MoR change feed: v2's delete rows = newly-dead only (v1's
+    // dead rows must NOT re-appear) — sidecar set difference, oracled
+    "q78_dv_changes" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d))
+        .changesBetween(s, 1L, 2L)
+        .filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type")
+        .orderBy("l_orderkey", "l_linenumber")),
     "q06_partitioned_scan" -> ((s, d) =>
       QueryLib.delta(s, d, "lineitem", partitionBy = Seq("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber")),
@@ -563,6 +574,12 @@ object SparkEntry {
     "q76_dv_delete" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q77_check_constraint" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    "q78_dv_changes" ->
+      """SELECT * FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND l_discount > 0.09
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_partitioned_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",

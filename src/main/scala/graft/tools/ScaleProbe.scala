@@ -26,9 +26,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
-    // optional 2nd arg: comma list of sections (docs,ann,temporal,cc)
+    // optional 2nd arg: comma list of sections (docs,ann,temporal,cc,dv)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "ann", "temporal", "cc"))
+      .getOrElse(Set("docs", "ann", "temporal", "cc", "dv"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -136,6 +136,36 @@ object ScaleProbe {
       val expected = (m + chainLen - 1) / chainLen
       println(f"CCSCALE edges=${m}%8d components=$comps%7d (expected $expected) time=$sec%6.2fs")
       m *= 4
+    }
+
+    // DELETE write cost as the table grows: copy-on-write rewrites every
+    // touched file (≈ the whole table when deleted rows are scattered);
+    // merge-on-read writes a sidecar proportional to the deleted rows.
+    // The gap should WIDEN with table size — that is the 100 TB argument.
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    var dvK = 1
+    while (sections("dv") && dvK <= maxCopies) {
+      val data = (0 until dvK).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + i.toLong * 100000000L))
+        .reduce(_.union(_))
+      def fresh(): graft.DeltaTable = {
+        val d = java.nio.file.Files.createTempDirectory("graft-probe-dv-").toString
+        graft.DeltaTable.forPath(d).write(data.repartition(8 * dvK))
+      }
+      val pred = col("l_quantity") === 1.0 // ~2% of rows, in EVERY file
+      val rows = data.count()
+      val tc = fresh(); val c0 = System.nanoTime()
+      tc.delete(spark, Some(pred))
+      val cow = (System.nanoTime() - c0) / 1e9
+      val tm = fresh(); val m0 = System.nanoTime()
+      val tm2 = tm.deleteMergeOnRead(spark, Some(pred))
+      val mor = (System.nanoTime() - m0) / 1e9
+      val s0 = System.nanoTime()
+      val live = tm2.toDF(spark).count()
+      val scan = (System.nanoTime() - s0) / 1e9
+      println(f"DVSCALE rows=$rows%9d cow_delete=$cow%6.2fs mor_delete=$mor%6.2fs " +
+        f"dv_scan=$scan%6.2fs live=$live%9d")
+      dvK *= 4
     }
     spark.stop()
   }

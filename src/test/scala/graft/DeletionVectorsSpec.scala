@@ -153,12 +153,50 @@ class DeletionVectorsSpec extends SparkSuite {
       s"DV scan should broadcast-anti-join the dead set:\n$dvPlan")
   }
 
-  test("changesBetween reads inserts through vectors") {
+  test("DV refs survive the checkpoint fast path") {
+    val d = tempDir("dv-checkpoint")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
+    t = t.write(nation).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 2))
+    // force at least one checkpoint at-or-after the DV commit
+    t = t.write(nation.limit(0))
+    assert(graft.storage.Location(s"$d/_delta_log", t.conf)
+      .child(graft.log.Checkpoint.LastCheckpointFile).exists,
+      "expected a checkpoint to have been taken")
+    // reopen head via the checkpoint fast path: ref must still be applied
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.dlog.addActions.values.exists(a =>
+      DeletionVectors.refOf(a).isDefined), "ref lost through checkpoint")
+    assertSameRows(reopened.toDF(spark),
+      nation.union(nation).filter(col("n_regionkey") =!= 2))
+  }
+
+  test("changesBetween emits EXACT delete rows for MoR deletes") {
     val d = tempDir("dv-cdf")
     var t = DeltaTable.forPath(d).write(nation)
-    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 24))
-    val changes = t.changesBetween(spark, 0L, 1L)
-    // the DV re-add surfaces as an insert of the SURVIVING row only
-    assert(changes.filter(col("_change_type") === "insert").count() == 1)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 10))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 15))
+    // v1: delete rows = exactly keys 0-9, no inserts
+    val c1 = t.changesBetween(spark, 0L, 1L)
+    assertSameRows(c1.filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") < 10))
+    assert(c1.filter(col("_change_type") === "insert").count() == 0)
+    // v2: only the NEWLY dead keys 10-14 — 0-9 are not re-reported
+    val c2 = t.changesBetween(spark, 1L, 2L)
+    assertSameRows(c2.filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 15))
+
+    // CoW rewrite of a DV'd file: remove_file reads through the
+    // pre-commit vector (dead rows don't reappear), insert = kept rows
+    t = t.delete(spark, Some(col("n_nationkey") === 20))
+    val c3 = t.changesBetween(spark, 2L, 3L)
+    assertSameRows(c3.filter(col("_change_type") === "remove_file")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") >= 15))
+    assertSameRows(c3.filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") >= 15 && col("n_nationkey") =!= 20))
   }
 }
