@@ -428,6 +428,15 @@ final case class DeltaTable(
           Seq.empty, Seq.empty, dlog.version, 0L).withExtraCommitInfo(customMetadata))
       }
       val touched = newCounts.keys.toSeq.sorted.map(addByPath(_))
+      // WRITE-SIDE INVARIANT: one sidecar never holds two paths with the
+      // same basename — every read path (bulk and per-file) matches dead
+      // rows by basename, which stays exact through clones ONLY under
+      // this invariant. Colliding imported files take copy-on-write.
+      val touchedNames = touched.map(a => pathName(a.path))
+      require(touchedNames.distinct.size == touchedNames.size,
+        "merge-on-read delete touched files with colliding basenames " +
+          s"(imported files?): ${touchedNames.diff(touchedNames.distinct).distinct.mkString(",")}" +
+          " — use copy-on-write delete() for this predicate")
       val numDeleted = newCounts.values.sum
       def totalDeadOf(a: AddFile): Long =
         DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L) + newCounts(a.path)
@@ -440,38 +449,35 @@ final case class DeltaTable(
       val dvAdds =
         if (stillLive.isEmpty) Seq.empty[AddFile]
         else {
-          val livePaths = stillLive.map(_.path)
+          import spark.implicits._
           // The newest sidecar is TOTAL per file: merge prior dead rows of
           // re-deleted files in, so scans never need >1 sidecar lookup.
           // Prior rows were recorded under the path the file had THEN —
           // a clone rewrites relative paths absolute — so remap them by
-          // basename to the file's CURRENT log path (basenames unique ⇒
-          // safe; on the rare imported-collision, exact-path match).
+          // basename to the file's CURRENT log path (exact under the
+          // basename-uniqueness invariant just required).
           val priorRefs = stillLive.flatMap(DeletionVectors.refOf(_))
           val allDead =
             if (priorRefs.isEmpty) newDead
             else {
-              import spark.implicits._
-              val prior0 = DeletionVectors.deadRows(spark, priorRefs, loc, conf)
-              val liveNames = stillLive.map(a => pathName(a.path))
-              val prior =
-                if (liveNames.distinct.size == liveNames.size) {
-                  val nameToPath = broadcast(
-                    stillLive.map(a => (pathName(a.path), a.path))
-                      .toDF("_dv_name", "_live_path"))
-                  prior0
-                    .withColumn("_dv_name",
-                      org.apache.spark.sql.functions.substring_index(col("path"), "/", -1))
-                    .join(nameToPath, "_dv_name")
-                    .select(col("_live_path").as("path"), col("row_index"))
-                } else prior0
+              val nameToPath = broadcast(
+                stillLive.map(a => (pathName(a.path), a.path))
+                  .toDF("_dv_name", "_live_path"))
+              val prior = DeletionVectors.deadRows(spark, priorRefs, loc, conf)
+                .withColumn("_dv_name",
+                  org.apache.spark.sql.functions.substring_index(col("path"), "/", -1))
+                .join(nameToPath, "_dv_name")
+                .select(col("_live_path").as("path"), col("row_index"))
               newDead.union(prior)
             }
           val sidecarRel = s"${DeletionVectors.DvDirName}/dv-${java.util.UUID.randomUUID()}"
-          // clustered by owning file so a scan-side broadcast build reads
-          // contiguous row groups; dead-row volume scales with the delete,
-          // so the write stays distributed (no coalesce(1))
-          allDead.filter(col("path").isin(livePaths: _*))
+          // scope to still-live files via a file-count-scale semi-join (an
+          // isin() over 10^5 touched paths would be an expression-tree-
+          // scale In literal); clustered by owning file so a scan-side
+          // broadcast build reads contiguous row groups; dead-row volume
+          // scales with the delete, so the write stays distributed
+          val liveDF = broadcast(stillLive.map(_.path).toDF("path"))
+          allDead.join(liveDF, Seq("path"), "left_semi")
             .repartition(col("path")).sortWithinPartitions("path", "row_index")
             .write.parquet(Location.resolve(sidecarRel, loc, conf).uri)
           stillLive.map(a => DeletionVectors.withRef(a,
@@ -742,8 +748,9 @@ final case class DeltaTable(
       }.toMap
 
       // phase 1, one job: files owning rows whose key matches a source key
-      // (input_file_name is captured scan-side, before the multi-source
-      // join) AND the matched distinct-key count. Counting KEYS, not rows,
+      // (the file path rides the scan as a projected _metadata column, so
+      // it survives the join) AND the matched distinct-key count.
+      // Counting KEYS, not rows,
       // keeps the metrics right when the target holds duplicate rows per
       // key (legal — only the source is checked): rows-based counting
       // over-counted updates and could drive numInserted negative.
@@ -780,8 +787,13 @@ final case class DeltaTable(
 
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
       // row-based complement to the key-based update count: physical rows
-      // dropped from rewritten files (touched totals minus rows copied)
-      val touchedTotal = touchedAdds.flatMap(_.stats).map(parseNumRecords).sum
+      // dropped from rewritten files (touched LIVE totals minus rows
+      // copied — stats count physical rows, so subtract each file's
+      // deletion-vector cardinality or rows already reported deleted in
+      // earlier commits would be re-counted as removed by this merge)
+      val touchedTotal = touchedAdds.map(a =>
+        a.stats.map(parseNumRecords).getOrElse(0L) -
+          DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
       val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
           numTargetRowsRemoved = touchedTotal - numCopied)
@@ -953,12 +965,15 @@ final case class DeltaTable(
       df.withColumn("_commit_version", lit(v)).withColumn("_change_type", lit(change))
 
     /** (file basename, row_index) key of every dead row of `refs`,
-      * restricted to the given basenames.
+      * restricted to the given basenames (file-count-scale semi-join, not
+      * an In literal).
       */
-    def keyedDead(refs: Seq[DeletionVectors.DvRef], names: Seq[String]): DataFrame =
+    def keyedDead(refs: Seq[DeletionVectors.DvRef], names: Seq[String]): DataFrame = {
+      import spark.implicits._
       DeletionVectors.deadRows(spark, refs, loc, conf)
         .select(substring_index(col("path"), "/", -1).as("_dv_name"), col("row_index"))
-        .filter(col("_dv_name").isin(names: _*))
+        .join(broadcast(names.toDF("_dv_name")), Seq("_dv_name"), "left_semi")
+    }
 
     withFullHistory.entries.range(0, toVersion + 1).foreach { case (v, entry) =>
       val adds = entry.actions.collect { case a: AddFile => a }
@@ -970,19 +985,34 @@ final case class DeltaTable(
         if (plainAdds.nonEmpty) frames += tagged(scanAdds(spark, plainAdds), v, "insert")
         if (dvDelta.nonEmpty) {
           val names = dvDelta.map(a => pathName(a.path))
-          val newKeys = keyedDead(dvDelta.flatMap(DeletionVectors.refOf(_)), names)
+          val newRefs = dvDelta.flatMap(DeletionVectors.refOf(_))
+          val newKeys = keyedDead(newRefs, names)
           val priorRefs = dvDelta.flatMap(a => liveRefs(a.path))
-          val newlyDead =
+          val newlyDead0 =
             if (priorRefs.isEmpty) newKeys else newKeys.except(keyedDead(priorRefs, names))
+          // delta cardinality is known driver-side: gate the broadcast
+          // exactly like the scan-side anti-join does
+          val deltaDead =
+            newRefs.map(_.cardinality).sum - priorRefs.map(_.cardinality).sum
+          val newlyDead =
+            if (deltaDead <= DeletionVectors.BroadcastMaxDeadRows) broadcast(newlyDead0)
+            else newlyDead0
           val raw = DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
             dlog.partitionColumns, dvDelta, conf)
           frames += tagged(
-            raw.join(broadcast(newlyDead),
+            raw.join(newlyDead,
                 substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_dv_name") &&
                   col(DeltaScan.MetaRow) === col("row_index"),
                 "left_semi")
               .drop(DeltaScan.MetaPath, DeltaScan.MetaRow), v, "delete")
         }
+        // removes scan through the file's PRE-commit vector. In a
+        // merge-on-read DELETE entry a remove means the file's every
+        // remaining row just died — those surviving rows ARE row-level
+        // deletes, so they land in the `delete` channel (q78's contract),
+        // not `remove_file`.
+        val morEntry = entry.commitInfos.exists(
+          _.operationMetrics.get("mode").exists(_.asText == "merge-on-read"))
         val removed = removes.filter(_.dataChange).map { r =>
           val synth = AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
           liveRefs.get(r.path).flatten match {
@@ -990,7 +1020,9 @@ final case class DeltaTable(
             case None      => synth
           }
         }
-        if (removed.nonEmpty) frames += tagged(scanAdds(spark, removed), v, "remove_file")
+        if (removed.nonEmpty)
+          frames += tagged(scanAdds(spark, removed), v,
+            if (morEntry) "delete" else "remove_file")
       }
       // replay order: adds first, then removes (matches DeltaLog.addActions)
       adds.foreach(a => liveRefs = liveRefs.updated(a.path, DeletionVectors.refOf(a)))

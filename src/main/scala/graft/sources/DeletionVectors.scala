@@ -104,16 +104,27 @@ object DeletionVectors {
     * `DeltaScan.MetaPath` / `DeltaScan.MetaRow`; the result keeps them.
     *
     * Fast path: one anti-join on (file basename, row index) — valid when
-    * the DV'd basenames are unique, which the caller has verified.
+    * the DV'd basenames are unique, which the caller has verified. The
+    * dead set is scoped to the scanned files' basenames BEFORE the join:
+    * a shared sidecar also holds rows of files outside this scan (e.g. a
+    * pruned scan of 2 of a commit's 1000 touched files), and without the
+    * scope those rows would bloat the broadcast — and, were basenames
+    * ever to collide across a sidecar, cross-kill live rows. (Collisions
+    * inside one sidecar cannot happen: `deleteMergeOnRead` refuses to
+    * write one, see its basename-uniqueness require.)
     */
   def dropDead(spark: SparkSession, df: DataFrame, dved: Seq[AddFile],
       tableRoot: Location, conf: Configuration): DataFrame = {
     val refs = dved.flatMap(refOf(_))
     if (refs.isEmpty) return df
+    import spark.implicits._
     val totalDead = refs.map(_.cardinality).sum
+    val names = broadcast(
+      dved.map(a => new org.apache.hadoop.fs.Path(a.path).getName).toDF("_dv_name"))
     val dead0 = deadRows(spark, refs, tableRoot, conf)
       .select(substring_index(col("path"), "/", -1).as("_dv_name"),
         col("row_index").as("_dv_idx"))
+      .join(names, Seq("_dv_name"), "left_semi")
     val dead = if (totalDead <= BroadcastMaxDeadRows) broadcast(dead0) else dead0
     df.join(dead,
         substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_dv_name") &&
@@ -121,9 +132,13 @@ object DeletionVectors {
         "left_anti")
   }
 
-  /** Exact per-file variant for basename collisions among DV'd files:
-    * each file's rows anti-join only its own sidecar entries, keyed by the
-    * log path (unique per table), so same-named files cannot cross-kill.
+  /** Exact per-file variant for basename collisions AMONG the scanned
+    * DV'd files (each colliding file carries its own ref, committed by
+    * separate deletes): each file's rows anti-join only its own sidecar's
+    * entries for its basename. Basename — not exact log path — because a
+    * clone rewrites add paths absolute while sidecar rows keep the
+    * recording-time path; within one sidecar the basename is unique (the
+    * write-side invariant above), so the match is still exact.
     */
   def dropDeadPerFile(spark: SparkSession, dfFor: AddFile => DataFrame,
       dved: Seq[AddFile], tableRoot: Location, conf: Configuration): DataFrame = {
@@ -132,8 +147,9 @@ object DeletionVectors {
       refOf(a) match {
         case None => dfFor(a) // ref-less add: nothing dead, scan as-is
         case Some(ref) =>
+          val name = new org.apache.hadoop.fs.Path(a.path).getName
           val dead = deadRows(spark, Seq(ref), tableRoot, conf)
-            .filter(col("path") === lit(a.path))
+            .filter(substring_index(col("path"), "/", -1) === lit(name))
             .select(col("row_index").as("_dv_idx"))
           dfFor(a).join(broadcast(dead), col(DeltaScan.MetaRow) === col("_dv_idx"), "left_anti")
       }

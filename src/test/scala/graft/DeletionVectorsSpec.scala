@@ -198,5 +198,14 @@ class DeletionVectorsSpec extends SparkSuite {
     assertSameRows(c3.filter(col("_change_type") === "insert")
         .drop("_commit_version", "_change_type"),
       nation.filter(col("n_nationkey") >= 15 && col("n_nationkey") =!= 20))
+
+    // a MoR delete that kills a file's every remaining row removes the
+    // file — but its surviving rows are still row-level DELETEs in CDF
+    t = t.deleteMergeOnRead(spark)
+    val c4 = t.changesBetween(spark, 3L, 4L)
+    assertSameRows(c4.filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") >= 15 && col("n_nationkey") =!= 20))
+    assert(c4.filter(col("_change_type") === "remove_file").count() == 0)
   }
 }
