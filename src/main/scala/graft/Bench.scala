@@ -139,9 +139,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // same source as m01: the CoW/MoR merge pair is directly comparable
+    def onceMergeMor(): Double = {
+      val t = DeltaTable.forPath(tmp()).write(customer)
+      val updates = customer.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(0.0))
+      val inserts = customer.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_custkey", col("c_custkey") + 10000000)
+      val src = updates.union(inserts)
+      val t0 = System.nanoTime()
+      t.mergeMergeOnRead(spark, src, Seq("c_custkey"))
+      (System.nanoTime() - t0) / 1e9
+    }
+
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
       "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _,
-      "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _)
+      "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _,
+      "m07_merge_dv" -> onceMergeMor _)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =

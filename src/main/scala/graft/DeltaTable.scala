@@ -384,16 +384,30 @@ final case class DeltaTable(
   def deleteMergeOnRead(spark: SparkSession, where: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
     val pred = where.getOrElse(lit(true))
-    val addByPath = dlog.addActions
     val candidateAdds =
-      where.map(prunedAdds).getOrElse(addByPath.values.toSeq)
+      where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
     val predicateText = where.map(_.toString).getOrElse("true")
+    val (dvAdds, fullDead, numDeleted) =
+      morMark(spark, candidateAdds, _.filter(coalesce(pred, lit(false))))
+    // an unmatched predicate still commits (parity with copy-on-write)
+    commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
+      fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata))
+  }
 
-    // New dead rows = predicate-TRUE rows of candidate files, scanned
-    // THROUGH existing vectors (already-dead rows are not re-recorded).
-    // Keyed back to the add's log path via a broadcast basename lookup
-    // (basenames are UUID-unique for graft writes); per-file scans on the
-    // rare imported-file basename collision.
+  /** Shared merge-on-read mutation core: the rows `selectDead` keeps from
+    * a meta-scan of `candidateAdds` (scanned THROUGH existing vectors —
+    * already-dead rows are not re-recorded) are marked dead in ONE new
+    * total-per-file sidecar. Returns the DV re-adds, the removes for files
+    * whose every row is now dead, and the newly-dead row count —
+    * `(Nil, Nil, 0)` when nothing matched. The caller owns the commit.
+    */
+  private def morMark(spark: SparkSession, candidateAdds: Seq[AddFile],
+      selectDead: DataFrame => DataFrame): (Seq[AddFile], Seq[AddFile], Long) = {
+    val addByPath = dlog.addActions
+
+    // New dead rows keyed back to the add's log path via a broadcast
+    // basename lookup (basenames are UUID-unique for graft writes);
+    // per-file scans on the rare imported-file basename collision.
     val names = candidateAdds.map(a => pathName(a.path))
     val newDead: DataFrame =
       if (candidateAdds.isEmpty)
@@ -402,8 +416,7 @@ final case class DeltaTable(
         import spark.implicits._
         val lookup = broadcast(
           candidateAdds.map(a => (pathName(a.path), a.path)).toDF("_dv_name", "path"))
-        scanAddsWithMeta(spark, candidateAdds)
-          .filter(coalesce(pred, lit(false)))
+        selectDead(scanAddsWithMeta(spark, candidateAdds))
           .select(
             org.apache.spark.sql.functions.substring_index(
               col(DeltaScan.MetaPath), "/", -1).as("_dv_name"),
@@ -412,8 +425,7 @@ final case class DeltaTable(
           .select("path", "row_index")
       } else
         candidateAdds.map { a =>
-          scanAddsWithMeta(spark, Seq(a))
-            .filter(coalesce(pred, lit(false)))
+          selectDead(scanAddsWithMeta(spark, Seq(a)))
             .select(lit(a.path).as("path"), col(DeltaScan.MetaRow).as("row_index"))
         }.reduce(_.union(_))
 
@@ -422,11 +434,7 @@ final case class DeltaTable(
       // per-file dead counts: one job, driver result is file-count-scale
       val newCounts: Map[String, Long] = newDead.groupBy("path").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (newCounts.isEmpty) {
-        // nothing matched: still commit (parity with copy-on-write delete)
-        return commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText,
-          Seq.empty, Seq.empty, dlog.version, 0L).withExtraCommitInfo(customMetadata))
-      }
+      if (newCounts.isEmpty) return (Seq.empty, Seq.empty, 0L)
       val touched = newCounts.keys.toSeq.sorted.map(addByPath(_))
       // WRITE-SIDE INVARIANT: one sidecar never holds two paths with the
       // same basename — every read path (bulk and per-file) matches dead
@@ -434,9 +442,9 @@ final case class DeltaTable(
       // this invariant. Colliding imported files take copy-on-write.
       val touchedNames = touched.map(a => pathName(a.path))
       require(touchedNames.distinct.size == touchedNames.size,
-        "merge-on-read delete touched files with colliding basenames " +
+        "merge-on-read mutation touched files with colliding basenames " +
           s"(imported files?): ${touchedNames.diff(touchedNames.distinct).distinct.mkString(",")}" +
-          " — use copy-on-write delete() for this predicate")
+          " — use the copy-on-write op for this input")
       val numDeleted = newCounts.values.sum
       def totalDeadOf(a: AddFile): Long =
         DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L) + newCounts(a.path)
@@ -484,9 +492,113 @@ final case class DeltaTable(
             DeletionVectors.DvRef(sidecarRel, totalDeadOf(a))))
         }
 
-      commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
-        fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata))
+      (dvAdds, fullDead, numDeleted)
     } finally newDead.unpersist(blocking = false)
+  }
+
+  /** Merge-on-read UPDATE: matching rows are marked dead via a deletion
+    * vector and their post-SET versions append as new files — no touched
+    * file is rewritten, so the write cost follows the MATCHED rows, not
+    * the bytes of every file containing one. Same visible semantics as
+    * [[update]] (CASE WHEN row mutation, partition-column SET rejected);
+    * CDF shows the matched rows as exact `delete` (preimage) + `insert`
+    * (postimage) pairs in one commit.
+    */
+  def updateMergeOnRead(spark: SparkSession, where: Option[Column],
+      set: Map[String, Column],
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(set.nonEmpty, "update requires at least one SET column")
+    val fields = dlog.schema.fields.map(f => f.name -> f.dataType).toMap
+    set.keys.foreach(k => require(fields.contains(k), s"no such column: $k"))
+    set.keys.foreach(k => require(!dlog.partitionColumns.contains(k),
+      s"cannot UPDATE partition column $k (delete + rewrite instead)"))
+    val pred = where.getOrElse(lit(true))
+    val matched = coalesce(pred, lit(false))
+    val candidateAdds =
+      where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
+
+    val (dvAdds, fullDead, numUpdated) =
+      morMark(spark, candidateAdds, _.filter(matched))
+
+    // postimage rows of the matched set (read through existing vectors)
+    val updated = scanAdds(spark, candidateAdds).filter(matched)
+      .select(dlog.schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    validateConstraints(updated)
+    val newAdds =
+      if (numUpdated == 0L) Seq.empty[AddFile]
+      else writeData(updated, dlog.versionToWrite, dlog.partitionColumns)
+
+    val predicateText = where.map(_.toString).getOrElse("true")
+    commit(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
+        fullDead, newAdds, dlog.version, numUpdated)
+      .withExtraCommitInfo(customMetadata))
+  }
+
+  /** Merge-on-read MERGE upsert: target rows whose key matches the source
+    * are marked dead via a deletion vector — NO target file is rewritten —
+    * and every source row lands as new files, one atomic commit. Same
+    * visible semantics as [[merge]] (whole-row replace, unique source
+    * keys), but the write cost is O(source + matched rows) instead of
+    * O(bytes of every touched target file): at 100 TB, upserting 0.1% of
+    * keys stops costing a near-full-table rewrite. CDF derives exact
+    * `delete` rows (the replaced versions) + `insert` rows (the source)
+    * from the entry's merge-on-read mode.
+    *
+    * Candidate files are pruned by the source's per-key min/max ranges
+    * before any scan: NULL keys never equi-join and min/max ignore NULLs,
+    * so range pruning is exact.
+    */
+  def mergeMergeOnRead(spark: SparkSession, source: DataFrame,
+      keyCols: Seq[String],
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(keyCols.nonEmpty, "merge requires key columns")
+    val src = source.cache()
+    try {
+      val srcAgg = src.agg(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
+      val srcTotal = srcAgg.getLong(0)
+      require(srcAgg.getLong(1) == srcTotal, "source has duplicate keys")
+      val keys = src.select(keyCols.map(col): _*).distinct()
+
+      val boundsAggs = keyCols.flatMap(k =>
+        Seq(org.apache.spark.sql.functions.min(col(k)),
+          org.apache.spark.sql.functions.max(col(k))))
+      val bounds = src.agg(boundsAggs.head, boundsAggs.tail: _*).head()
+      val candidateAdds =
+        if (keyCols.indices.exists(i => bounds.isNullAt(2 * i)))
+          Seq.empty[AddFile] // empty/all-NULL-key source matches nothing
+        else {
+          val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
+            col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+          }.reduce(_ && _)
+          prunedAdds(rangePred)
+        }
+
+      val (dvAdds, fullDead, numDead) = morMark(spark, candidateAdds,
+        _.join(broadcast(keys), keyCols, "left_semi"))
+
+      // matched distinct KEYS (merge's metric unit; numDead is physical
+      // rows and over-counts when the target holds duplicates per key)
+      val numUpdated =
+        if (candidateAdds.isEmpty) 0L
+        else scanAdds(spark, candidateAdds)
+          .join(broadcast(keys), keyCols, "left_semi")
+          .agg(count_distinct(struct(keyCols.map(col): _*))).head().getLong(0)
+
+      val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+      validateConstraints(sourceAligned)
+      val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
+      val numInserted = srcTotal - numUpdated
+      val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+      commit(DeltaLogEntry.mergeMergeOnReadTable(predicate, dvAdds, fullDead,
+          sourceAdds, dlog.version, numUpdated, numInserted, numDead)
+        .withExtraCommitInfo(customMetadata))
+    } finally src.unpersist()
   }
 
   // ------------------------------------------------------------------

@@ -148,6 +148,20 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** customer upserted via MERGE-ON-READ: same updates/inserts as the
+    * copy-on-write merge fixture, but matched rows die in a deletion
+    * vector and no target file is rewritten — same oracle.
+    */
+  def customerMergedMoRDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_merge_mor") { d =>
+      val c = raw(spark, sfDir, "customer")
+      val updates = c.filter(col("c_custkey") < 100).withColumn("c_acctbal", lit(0.0))
+      val inserts = c.filter(col("c_custkey") < 100)
+        .withColumn("c_custkey", col("c_custkey") + 100000)
+      DeltaTable.forPath(d).write(c)
+        .mergeMergeOnRead(spark, updates.union(inserts), Seq("c_custkey"))
+    }
+
   /** orders partitioned by o_orderstatus, then `replaceWhere` of the 'F'
     * partition with a zero-priced copy of the same rows — the
     * partition-backfill pattern; non-F partitions must be untouched.
@@ -171,6 +185,18 @@ object QueryLib {
       DeltaTable.forPath(d)
         .write(raw(spark, sfDir, "lineitem").repartitionByRange(8, col("l_orderkey")))
         .update(spark, Some(col("l_quantity") > 45),
+          Map("l_discount" -> lit(0.0)))
+    }
+
+  /** lineitem updated via MERGE-ON-READ: same predicate/SET as the
+    * copy-on-write update fixture — matched rows die in a deletion vector,
+    * postimages append — same oracle.
+    */
+  def lineitemUpdatedMoRDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_update_mor") { d =>
+      DeltaTable.forPath(d)
+        .write(raw(spark, sfDir, "lineitem").repartitionByRange(8, col("l_orderkey")))
+        .updateMergeOnRead(spark, Some(col("l_quantity") > 45),
           Map("l_discount" -> lit(0.0)))
     }
 

@@ -354,10 +354,16 @@ object SparkEntry {
     "q35_merge_upsert" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    "q79_dv_merge" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerMergedMoRDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
 
     // ---- UPDATE (copy-on-write in-place mutation) ----
     "q56_update" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemUpdatedDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q80_dv_update" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemUpdatedMoRDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
 
     // ---- replaceWhere (predicate-scoped atomic overwrite) ----
@@ -879,6 +885,16 @@ object SparkEntry {
         | c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "q79_dv_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CASE WHEN c_custkey < 100 THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+        | c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
+        | c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
     "q36_stateful_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |l AS (SELECT user_id,
@@ -952,6 +968,11 @@ object SparkEntry {
         |WHERE l_orderkey BETWEEN 500 AND 1500 AND l_quantity >= 40
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q56_update" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        | CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END AS l_discount,
+        | l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q80_dv_update" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         | CASE WHEN l_quantity > 45 THEN 0.0 ELSE l_discount END AS l_discount,
         | l_tax, l_returnflag, l_linestatus, l_shipdate

@@ -141,6 +141,47 @@ object DeltaLogEntry {
     DeltaLogEntry(dvAdds.toVector ++ removes :+ commit)
   }
 
+  /** Merge-on-read UPDATE entry: matched rows die via DV re-adds, their
+    * post-SET versions arrive as plain adds — CDF renders the pair as
+    * exact delete (preimage) + insert (postimage) channels.
+    */
+  def updateMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
+      fullDead: Iterable[AddFile], adds: Seq[AddFile], readVersion: Long,
+      numUpdated: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "mode" -> Json.text("merge-on-read"),
+      "num_added_files" -> Json.num(adds.size.toLong),
+      "num_dv_files" -> Json.num(dvAdds.size.toLong),
+      "num_removed_files" -> Json.num(fullDead.size.toLong),
+      "num_updated_rows" -> Json.num(numUpdated))
+    val commit = CommitInfo.update(predicate, readVersion, metrics)
+    val removes = fullDead.map(a => Action.removeFor(a)).toVector
+    DeltaLogEntry(dvAdds.toVector ++ adds ++ removes :+ commit)
+  }
+
+  /** Merge-on-read MERGE entry: matched target rows die via DV re-adds
+    * (same add-not-remove rule as [[deleteMergeOnReadTable]]); source rows
+    * arrive as plain adds; fully-dead files are removed. CDF derives the
+    * exact delete/insert channels from the `mode` metric.
+    */
+  def mergeMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
+      fullDead: Iterable[AddFile], sourceAdds: Seq[AddFile], readVersion: Long,
+      numUpdated: Long, numInserted: Long, numDeadRows: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "mode" -> Json.text("merge-on-read"),
+      "num_added_files" -> Json.num(sourceAdds.size.toLong),
+      "num_dv_files" -> Json.num(dvAdds.size.toLong),
+      "num_removed_files" -> Json.num(fullDead.size.toLong),
+      "num_updated_rows" -> Json.num(numUpdated),
+      "num_inserted_rows" -> Json.num(numInserted),
+      "num_dead_rows" -> Json.num(numDeadRows),
+      "metrics_units" -> Json.text(
+        "num_updated_rows=distinct matched keys; num_dead_rows=physical rows"))
+    val commit = CommitInfo.merge(predicate, readVersion, metrics)
+    val removes = fullDead.map(a => Action.removeFor(a)).toVector
+    DeltaLogEntry(dvAdds.toVector ++ sourceAdds ++ removes :+ commit)
+  }
+
   /** replaceWhere entry: predicate-scoped overwrite — removes for every
     * file owning matching rows, adds for their kept-row rewrites plus the
     * replacement data, in ONE atomic commit (delta-spark's `replaceWhere`

@@ -153,6 +153,74 @@ class DeletionVectorsSpec extends SparkSuite {
       s"DV scan should broadcast-anti-join the dead set:\n$dvPlan")
   }
 
+  test("mergeMergeOnRead ≡ copy-on-write merge, without rewriting target files") {
+    val updates = nation.filter(col("n_nationkey") % 5 === 0)
+      .withColumn("n_name", lit("UPD"))
+    val inserts = nation.filter(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    val src = updates.union(inserts)
+
+    var tm = DeltaTable.forPath(tempDir("dv-merge-mor")).write(nation)
+    val before = tm.fileUris.toSet
+    tm = tm.mergeMergeOnRead(spark, src, Seq("n_nationkey"))
+    val tc = DeltaTable.forPath(tempDir("dv-merge-cow")).write(nation)
+      .merge(spark, src, Seq("n_nationkey"))
+    assertSameRows(tm.toDF(spark), tc.toDF(spark))
+    // the original target files were NOT rewritten — marked, not copied
+    assert(before.subsetOf(tm.fileUris.toSet),
+      "merge-on-read merge must keep original data files live")
+    assert(tm.history.head._2.operation == "MERGE")
+  }
+
+  test("mergeMergeOnRead CDF: exact delete + insert channels") {
+    var t = DeltaTable.forPath(tempDir("dv-merge-cdf")).write(nation)
+    val src = nation.filter(col("n_nationkey").isin(1, 2))
+      .withColumn("n_name", lit("X"))
+    t = t.mergeMergeOnRead(spark, src, Seq("n_nationkey"))
+    val c = t.changesBetween(spark, 0L, 1L)
+    assertSameRows(c.filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey").isin(1, 2)))
+    assertSameRows(c.filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type"), src)
+  }
+
+  test("mergeMergeOnRead reads through existing vectors") {
+    var t = DeltaTable.forPath(tempDir("dv-merge-after")).write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    // key 2 is dead: the source row is an INSERT, exactly once
+    val src = nation.filter(col("n_nationkey") === 2)
+      .withColumn("n_name", lit("REBORN"))
+    t = t.mergeMergeOnRead(spark, src, Seq("n_nationkey"))
+    assert(t.toDF(spark).filter(col("n_nationkey") === 2).count() == 1)
+    assertSameRows(t.toDF(spark),
+      nation.filter(col("n_nationkey") >= 5).union(src))
+  }
+
+  test("updateMergeOnRead ≡ copy-on-write update; CDF = preimage/postimage") {
+    var tm = DeltaTable.forPath(tempDir("dv-upd-mor")).write(nation)
+    val before = tm.fileUris.toSet
+    tm = tm.updateMergeOnRead(spark, Some(col("n_nationkey") < 8),
+      Map("n_name" -> lit("U")))
+    val tc = DeltaTable.forPath(tempDir("dv-upd-cow")).write(nation)
+      .update(spark, Some(col("n_nationkey") < 8), Map("n_name" -> lit("U")))
+    assertSameRows(tm.toDF(spark), tc.toDF(spark))
+    assert(before.subsetOf(tm.fileUris.toSet), "no touched file may be rewritten")
+    val c = tm.changesBetween(spark, 0L, 1L)
+    assertSameRows(c.filter(col("_change_type") === "delete")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") < 8))
+    assertSameRows(c.filter(col("_change_type") === "insert")
+        .drop("_commit_version", "_change_type"),
+      nation.filter(col("n_nationkey") < 8).withColumn("n_name", lit("U")))
+    // unmatched predicate: metadata-only commit, no empty file written
+    val files = tm.fileUris.size
+    val t2 = tm.updateMergeOnRead(spark, Some(col("n_nationkey") === -1),
+      Map("n_name" -> lit("Z")))
+    assert(t2.fileUris.size == files)
+    assertSameRows(t2.toDF(spark), tm.toDF(spark))
+  }
+
   test("DV refs survive the checkpoint fast path") {
     val d = tempDir("dv-checkpoint")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
