@@ -139,6 +139,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // same predicate/SET as m03: the CoW/MoR update pair is comparable
+    def onceUpdateMor(): Double = {
+      val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val t = DeltaTable.forPath(tmp())
+        .write(lineitem.repartitionByRange(8, col("l_orderkey")))
+      val t0 = System.nanoTime()
+      t.updateMergeOnRead(spark, Some(col("l_orderkey") < 1000), Map("l_tax" -> lit(0.0)))
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // same source as m01: the CoW/MoR merge pair is directly comparable
     def onceMergeMor(): Double = {
       val t = DeltaTable.forPath(tmp()).write(customer)
@@ -155,7 +165,7 @@ object Bench {
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
       "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _,
       "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _,
-      "m07_merge_dv" -> onceMergeMor _)
+      "m07_merge_dv" -> onceMergeMor _, "m08_update_dv" -> onceUpdateMor _)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =

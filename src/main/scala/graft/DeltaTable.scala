@@ -402,39 +402,65 @@ final case class DeltaTable(
     * `(Nil, Nil, 0)` when nothing matched. The caller owns the commit.
     */
   private def morMark(spark: SparkSession, candidateAdds: Seq[AddFile],
-      selectDead: DataFrame => DataFrame): (Seq[AddFile], Seq[AddFile], Long) = {
+      selectDead: DataFrame => DataFrame): (Seq[AddFile], Seq[AddFile], Long) =
+    morMarkWith[Unit](spark, candidateAdds, selectDead, (_, _) => ()) match {
+      case (dvAdds, fullDead, numDead, _) => (dvAdds, fullDead, numDead)
+    }
+
+  /** [[morMark]] variant that also hands the caller the CACHED matched
+    * rows (schema + meta columns) plus the dead count, so metrics or
+    * postimage writes reuse the one table pass instead of re-scanning —
+    * the matched set is small by MoR's contract (bulk mutations belong on
+    * the copy-on-write ops), so caching it is cheap. `withMatched` runs
+    * while the cache is alive; its result is returned.
+    */
+  private def morMarkWith[T](spark: SparkSession, candidateAdds: Seq[AddFile],
+      selectDead: DataFrame => DataFrame,
+      withMatched: (DataFrame, Long) => T): (Seq[AddFile], Seq[AddFile], Long, T) = {
     val addByPath = dlog.addActions
 
-    // New dead rows keyed back to the add's log path via a broadcast
-    // basename lookup (basenames are UUID-unique for graft writes);
-    // per-file scans on the rare imported-file basename collision.
+    // Matched rows are computed ONCE and cached; dead-row keys are keyed
+    // back to the add's log path via a broadcast basename lookup
+    // (basenames are UUID-unique for graft writes); per-file scans on the
+    // rare imported-file basename collision tag the path as a literal.
     val names = candidateAdds.map(a => pathName(a.path))
-    val newDead: DataFrame =
+    val uniqueNames = names.distinct.size == names.size
+    val matched: DataFrame =
       if (candidateAdds.isEmpty)
-        DeltaScan.emptyDF(spark, DeletionVectors.sidecarSchema)
-      else if (names.distinct.size == names.size) {
-        import spark.implicits._
-        val lookup = broadcast(
-          candidateAdds.map(a => (pathName(a.path), a.path)).toDF("_dv_name", "path"))
+        selectDead(scanAddsWithMeta(spark, Seq.empty))
+          .withColumn("_dv_path", lit(null).cast(org.apache.spark.sql.types.StringType))
+      else if (uniqueNames)
         selectDead(scanAddsWithMeta(spark, candidateAdds))
-          .select(
-            org.apache.spark.sql.functions.substring_index(
-              col(DeltaScan.MetaPath), "/", -1).as("_dv_name"),
-            col(DeltaScan.MetaRow).as("row_index"))
-          .join(lookup, "_dv_name")
-          .select("path", "row_index")
-      } else
+          .withColumn("_dv_path", lit(null).cast(org.apache.spark.sql.types.StringType))
+      else
         candidateAdds.map { a =>
           selectDead(scanAddsWithMeta(spark, Seq(a)))
-            .select(lit(a.path).as("path"), col(DeltaScan.MetaRow).as("row_index"))
+            .withColumn("_dv_path", lit(a.path))
         }.reduce(_.union(_))
 
-    newDead.persist()
+    matched.persist()
     try {
-      // per-file dead counts: one job, driver result is file-count-scale
+      val newDead: DataFrame =
+        if (uniqueNames) {
+          import spark.implicits._
+          val lookup = broadcast(
+            candidateAdds.map(a => (pathName(a.path), a.path)).toDF("_dv_name", "path"))
+          matched.select(
+              org.apache.spark.sql.functions.substring_index(
+                col(DeltaScan.MetaPath), "/", -1).as("_dv_name"),
+              col(DeltaScan.MetaRow).as("row_index"))
+            .join(lookup, "_dv_name")
+            .select("path", "row_index")
+        } else
+          matched.select(col("_dv_path").as("path"),
+            col(DeltaScan.MetaRow).as("row_index"))
+
+      // per-file dead counts: one job (materializes the cache), driver
+      // result is file-count-scale
       val newCounts: Map[String, Long] = newDead.groupBy("path").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (newCounts.isEmpty) return (Seq.empty, Seq.empty, 0L)
+      if (newCounts.isEmpty)
+        return (Seq.empty, Seq.empty, 0L, withMatched(matched, 0L))
       val touched = newCounts.keys.toSeq.sorted.map(addByPath(_))
       // WRITE-SIDE INVARIANT: one sidecar never holds two paths with the
       // same basename — every read path (bulk and per-file) matches dead
@@ -492,8 +518,8 @@ final case class DeltaTable(
             DeletionVectors.DvRef(sidecarRel, totalDeadOf(a))))
         }
 
-      (dvAdds, fullDead, numDeleted)
-    } finally newDead.unpersist(blocking = false)
+      (dvAdds, fullDead, numDeleted, withMatched(matched, numDeleted))
+    } finally matched.unpersist(blocking = false)
   }
 
   /** Merge-on-read UPDATE: matching rows are marked dead via a deletion
@@ -513,25 +539,26 @@ final case class DeltaTable(
     set.keys.foreach(k => require(!dlog.partitionColumns.contains(k),
       s"cannot UPDATE partition column $k (delete + rewrite instead)"))
     val pred = where.getOrElse(lit(true))
-    val matched = coalesce(pred, lit(false))
+    val matchedPred = coalesce(pred, lit(false))
     val candidateAdds =
       where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
 
-    val (dvAdds, fullDead, numUpdated) =
-      morMark(spark, candidateAdds, _.filter(matched))
-
-    // postimage rows of the matched set (read through existing vectors)
-    val updated = scanAdds(spark, candidateAdds).filter(matched)
-      .select(dlog.schema.fields.toIndexedSeq.map { f =>
-        set.get(f.name) match {
-          case Some(v) => v.cast(f.dataType).as(f.name)
-          case None    => col(f.name)
-        }
-      }: _*)
-    validateConstraints(updated)
-    val newAdds =
-      if (numUpdated == 0L) Seq.empty[AddFile]
-      else writeData(updated, dlog.versionToWrite, dlog.partitionColumns)
+    // postimages are computed from the cached matched rows — the table is
+    // scanned exactly once for mark + rewrite together
+    val (dvAdds, fullDead, numUpdated, newAdds) =
+      morMarkWith[Seq[AddFile]](spark, candidateAdds, _.filter(matchedPred),
+        (m, n) =>
+          if (n == 0L) Seq.empty[AddFile]
+          else {
+            val updated = m.select(dlog.schema.fields.toIndexedSeq.map { f =>
+              set.get(f.name) match {
+                case Some(v) => v.cast(f.dataType).as(f.name)
+                case None    => col(f.name)
+              }
+            }: _*)
+            validateConstraints(updated)
+            writeData(updated, dlog.versionToWrite, dlog.partitionColumns)
+          })
 
     val predicateText = where.map(_.toString).getOrElse("true")
     commit(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
@@ -559,36 +586,35 @@ final case class DeltaTable(
     require(keyCols.nonEmpty, "merge requires key columns")
     val src = source.cache()
     try {
-      val srcAgg = src.agg(count(lit(1)).as("_n"),
-        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
-      val srcTotal = srcAgg.getLong(0)
-      require(srcAgg.getLong(1) == srcTotal, "source has duplicate keys")
+      // ONE source pass: row count, duplicate-key check, per-key min/max
+      val srcAggs = Seq(count(lit(1)),
+        count_distinct(struct(keyCols.map(col): _*))) ++
+        keyCols.flatMap(k => Seq(org.apache.spark.sql.functions.min(col(k)),
+          org.apache.spark.sql.functions.max(col(k))))
+      val srcRow = src.agg(srcAggs.head, srcAggs.tail: _*).head()
+      val srcTotal = srcRow.getLong(0)
+      require(srcRow.getLong(1) == srcTotal, "source has duplicate keys")
       val keys = src.select(keyCols.map(col): _*).distinct()
 
-      val boundsAggs = keyCols.flatMap(k =>
-        Seq(org.apache.spark.sql.functions.min(col(k)),
-          org.apache.spark.sql.functions.max(col(k))))
-      val bounds = src.agg(boundsAggs.head, boundsAggs.tail: _*).head()
       val candidateAdds =
-        if (keyCols.indices.exists(i => bounds.isNullAt(2 * i)))
+        if (keyCols.indices.exists(i => srcRow.isNullAt(2 + 2 * i)))
           Seq.empty[AddFile] // empty/all-NULL-key source matches nothing
         else {
           val rangePred = keyCols.zipWithIndex.map { case (k, i) =>
-            col(k) >= lit(bounds.get(2 * i)) && col(k) <= lit(bounds.get(2 * i + 1))
+            col(k) >= lit(srcRow.get(2 + 2 * i)) && col(k) <= lit(srcRow.get(3 + 2 * i))
           }.reduce(_ && _)
           prunedAdds(rangePred)
         }
 
-      val (dvAdds, fullDead, numDead) = morMark(spark, candidateAdds,
-        _.join(broadcast(keys), keyCols, "left_semi"))
-
       // matched distinct KEYS (merge's metric unit; numDead is physical
       // rows and over-counts when the target holds duplicates per key)
-      val numUpdated =
-        if (candidateAdds.isEmpty) 0L
-        else scanAdds(spark, candidateAdds)
-          .join(broadcast(keys), keyCols, "left_semi")
-          .agg(count_distinct(struct(keyCols.map(col): _*))).head().getLong(0)
+      // come from the cached matched rows — one target pass total
+      val (dvAdds, fullDead, numDead, numUpdated) =
+        morMarkWith[Long](spark, candidateAdds,
+          _.join(broadcast(keys), keyCols, "left_semi"),
+          (m, n) =>
+            if (n == 0L) 0L
+            else m.agg(count_distinct(struct(keyCols.map(col): _*))).head().getLong(0))
 
       val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
       validateConstraints(sourceAligned)

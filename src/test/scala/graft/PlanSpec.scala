@@ -26,6 +26,26 @@ class PlanSpec extends SparkSuite {
       s"projection must prune unused columns: $readSchema")
   }
 
+  test("DV scan: one broadcast anti-join, pushdown intact, no row shuffle") {
+    val d = tempDir("plan-dv")
+    var t = DeltaTable.forPath(d).write(QueryLib.raw(spark, sfDir, "lineitem"))
+    t = t.deleteMergeOnRead(spark, Some(col("l_quantity") > 45))
+    val plan = explainOf(
+      t.toDF(spark).filter(col("l_discount") > 0.05)
+        .select("l_orderkey", "l_discount"))
+    // the dead set rides a broadcast; data rows NEVER shuffle for a scan
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "a DV scan must not shuffle data rows: " + plan.take(800))
+    // predicate pushdown + column pruning still reach the parquet scan
+    assert(plan.contains("GreaterThan(l_discount,0.05)"), plan.take(800))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate"),
+      s"projection must prune unused columns: $readSchema")
+  }
+
   test("partitioned delta scan prunes partitions natively") {
     val lp = QueryLib.delta(spark, sfDir, "lineitem", partitionBy = Seq("l_returnflag"))
     val plan = explainOf(lp.filter(col("l_returnflag") === "A").groupBy().count())
