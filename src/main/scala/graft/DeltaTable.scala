@@ -2,7 +2,7 @@ package graft
 
 import com.fasterxml.jackson.databind.JsonNode
 import graft.log._
-import graft.sources.{DataSkipping, DeletionVectors, DeltaScan}
+import graft.sources.{BloomIndex, DataSkipping, DeletionVectors, DeltaScan}
 import graft.stats.Statistics
 import graft.storage.Location
 import org.apache.hadoop.conf.Configuration
@@ -1044,6 +1044,60 @@ final case class DeltaTable(
       else df.coalesce(1)
     val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
     commit(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version))
+  }
+
+  /** Build (or rebuild) a per-file Bloom point-lookup index on `column`
+    * (see [[graft.sources.BloomIndex]]): min/max stats cannot prune
+    * `id = X` on a high-cardinality column in a hash-scattered layout —
+    * every file's range spans the domain — but a per-file filter proves
+    * the value ABSENT from all but the files that hold it, driver-side,
+    * before any plan exists. One pass over the table (map-side OR-merged
+    * per-file aggregates); `numBits` trades log-entry size (bits/8 bytes
+    * per file, base64 in `extra`) against false-positive rate — size it
+    * as ~8-10 bits per expected distinct value per file.
+    *
+    * The index reflects THIS snapshot's files: rows appended later arrive
+    * in new, unindexed files, which data skipping conservatively keeps
+    * (correctness never depends on the index). Rebuild after major
+    * ingest, typically right after `compact()`.
+    */
+  def buildBloomIndex(spark: SparkSession, column: String,
+      numBits: Int = 1 << 16, numHashes: Int = 5,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    val field = dlog.schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $column"))
+    require(BloomIndex.supported(field.dataType),
+      s"bloom index supports integral/string columns, not ${field.dataType}")
+    require(!dlog.partitionColumns.contains(column),
+      s"$column is a partition column — partition pruning already covers it")
+    val adds = dlog.addActions.values.toSeq
+    if (adds.isEmpty) return this
+    val names = adds.map(a => pathName(a.path))
+    require(names.distinct.size == names.size,
+      "bloom index requires unique file basenames (imported collision)")
+
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val hashCol = org.apache.spark.sql.functions.xxhash64(
+      BloomIndex.buildExpr(column, field.dataType))
+    val bloomCol = ColumnShim.column(
+      graft.functions.BloomAgg(ColumnShim.expression(hashCol), numBits, numHashes)
+        .toAggregateExpression()).as("_bloom")
+    // raw per-file scan (dead rows included — false-positive-only): one
+    // table pass, the per-file filters OR-merge map-side
+    val rows = DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
+        dlog.partitionColumns, adds, conf)
+      .groupBy(org.apache.spark.sql.functions.substring_index(
+        col(DeltaScan.MetaPath), "/", -1).as("_name"))
+      .agg(bloomCol)
+      .collect()
+    val byName = adds.map(a => pathName(a.path) -> a).toMap
+    val indexed = rows.toSeq.flatMap { r =>
+      byName.get(r.getString(0)).map { a =>
+        BloomIndex.withBloom(a, column, numBits, numHashes, r.getSeq[Long](1).toArray)
+      }
+    }
+    commit(DeltaLogEntry.bloomIndexTable(column, indexed, dlog.version)
+      .withExtraCommitInfo(customMetadata))
   }
 
   /** Remove data files under the table root that no live add references

@@ -97,6 +97,16 @@ object QueryLib {
         .write(df.filter(col("o_orderkey") % 2 === 1))
     }
 
+  /** documents hash-scattered over 8 files (min/max spans the full id
+    * domain in every file) then Bloom-indexed on doc_id — the point-lookup
+    * pruning fixture.
+    */
+  def docsBloomDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "docs_bloom") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "documents").repartition(8))
+        .buildBloomIndex(spark, "doc_id")
+    }
+
   /** documents appended with 3 columns, then evolved (schema merge) to 5. */
   def docsEvolvedDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "docs_evolve") { d =>

@@ -59,6 +59,12 @@ object SparkEntry {
         .orderBy("o_orderkey")),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
+    // bloom-pruned point lookup: toDFWhere consults per-file filters so
+    // the plan only references files that can hold the probed ids
+    "q81_bloom_lookup" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.docsBloomDir(s, d))
+        .toDFWhere(s, col("doc_id").isin(100L, 101L, 102L, 4321L))
+        .orderBy("doc_id")),
     "q78_dv_changes" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d))
         .changesBetween(s, 1L, 2L)
@@ -583,6 +589,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q77_check_constraint" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    "q81_bloom_lookup" ->
+      "SELECT * FROM documents WHERE doc_id IN (100, 101, 102, 4321) ORDER BY doc_id",
     "q78_dv_changes" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND l_discount > 0.09

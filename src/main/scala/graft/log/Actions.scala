@@ -302,6 +302,7 @@ object CommitInfo {
     val Vacuum = "VACUUM"
     val AddConstraint = "ADD CONSTRAINT"
     val DropConstraint = "DROP CONSTRAINT"
+    val BloomIndex = "BLOOM INDEX"
   }
 
   def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
@@ -352,6 +353,15 @@ object CommitInfo {
       timestamp = System.currentTimeMillis(),
       operation = Op.Delete,
       operationParameters = ListMap("predicate" -> Json.text(predicate)),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
+  def bloomIndex(column: String, readVersion: Long,
+      metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.BloomIndex,
+      operationParameters = ListMap("column" -> Json.text(column)),
       operationMetrics = metrics,
       readVersion = Some(readVersion))
 

@@ -141,6 +141,18 @@ object DeltaLogEntry {
     DeltaLogEntry(dvAdds.toVector ++ removes :+ commit)
   }
 
+  /** BLOOM INDEX entry: every live file re-added with its per-file filter
+    * in `extra` — dataChange=false (no rows change; CDF emits nothing),
+    * other extra keys (deletion vectors) ride along untouched.
+    */
+  def bloomIndexTable(column: String, indexed: Seq[AddFile],
+      readVersion: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "num_indexed_files" -> Json.num(indexed.size.toLong))
+    val commit = CommitInfo.bloomIndex(column, readVersion, metrics)
+    DeltaLogEntry(indexed.toVector :+ commit)
+  }
+
   /** Merge-on-read UPDATE entry: matched rows die via DV re-adds, their
     * post-SET versions arrive as plain adds — CDF renders the pair as
     * exact delete (preimage) + insert (postimage) channels.

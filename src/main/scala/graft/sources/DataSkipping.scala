@@ -219,11 +219,11 @@ object DataSkipping {
       case And(l, r) => eval(l, add, st) && eval(r, add, st)
       case Or(l, r) => eval(l, add, st) || eval(r, add, st)
       case EqualTo(l, r) =>
-        if (attrName(l).isDefined) binary(l, r, add, st)(eq)
-        else binary(r, l, add, st)(eq)
+        if (attrName(l).isDefined) binary(l, r, add, st)(eq) && !bloomExcludes(l, r, add)
+        else binary(r, l, add, st)(eq) && !bloomExcludes(r, l, add)
       case EqualNullSafe(l, r) =>
-        if (attrName(l).isDefined) binary(l, r, add, st)(eq)
-        else binary(r, l, add, st)(eq)
+        if (attrName(l).isDefined) binary(l, r, add, st)(eq) && !bloomExcludes(l, r, add)
+        else binary(r, l, add, st)(eq) && !bloomExcludes(r, l, add)
       case LessThan(a, v) if attrName(a).isDefined => binary(a, v, add, st)(ltOp)
       case LessThan(v, a) => binary(a, v, add, st)(gtOp)
       case LessThanOrEqual(a, v) if attrName(a).isDefined => binary(a, v, add, st)(leOp)
@@ -233,7 +233,7 @@ object DataSkipping {
       case GreaterThanOrEqual(a, v) if attrName(a).isDefined => binary(a, v, add, st)(geOp)
       case GreaterThanOrEqual(v, a) => binary(a, v, add, st)(leOp)
       case In(a, vs) if attrName(a).isDefined =>
-        vs.exists(v => binary(a, v, add, st)(eq))
+        vs.exists(v => binary(a, v, add, st)(eq) && !bloomExcludes(a, v, add))
       case IsNull(a) => attrName(a) match {
         case Some(name) =>
           val f = fieldByLower.get(name.toLowerCase)
@@ -332,6 +332,21 @@ object DataSkipping {
     /** Compare attribute `a`'s file range against foldable value `v` with
       * the operator's interval test. Missing info → keep the file.
       */
+    /** True iff the add carries a Bloom index for the probed column and
+      * the filter proves the literal ABSENT (false-positive-only: never
+      * excludes a file that holds the value). Missing index, partition
+      * column, unsupported literal → false (no exclusion).
+      */
+    private def bloomExcludes(a: Expression, v: Expression, add: AddFile): Boolean =
+      (for {
+        name <- attrName(a)
+        field <- fieldByLower.get(name.toLowerCase)
+        if !partitionLower.contains(field.name.toLowerCase)
+        ref <- BloomIndex.refOf(add, field.name)
+        rawDt <- evalFoldable(v)
+        h <- BloomIndex.hashOf(rawDt._1, rawDt._2)
+      } yield !ref.mayContain(h)).getOrElse(false)
+
     private def binary(a: Expression, v: Expression, add: AddFile,
         st: FileStats)(test: (Option[Any], Option[Any], Any) => Boolean): Boolean = {
       (attrName(a), evalFoldable(v)) match {
