@@ -387,8 +387,12 @@ final case class DeltaTable(
     val candidateAdds =
       where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
     val predicateText = where.map(_.toString).getOrElse("true")
+    // project the matched cache down to the two meta columns: DELETE never
+    // reads the payload, so a 100M-row erasure pins row-ids, not rows
     val (dvAdds, fullDead, numDeleted) =
-      morMark(spark, candidateAdds, _.filter(coalesce(pred, lit(false))))
+      morMark(spark, candidateAdds, df =>
+        df.filter(coalesce(pred, lit(false)))
+          .select(col(DeltaScan.MetaPath), col(DeltaScan.MetaRow)))
     // an unmatched predicate still commits (parity with copy-on-write)
     commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
       fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata))
@@ -408,11 +412,13 @@ final case class DeltaTable(
     }
 
   /** [[morMark]] variant that also hands the caller the CACHED matched
-    * rows (schema + meta columns) plus the dead count, so metrics or
-    * postimage writes reuse the one table pass instead of re-scanning —
-    * the matched set is small by MoR's contract (bulk mutations belong on
-    * the copy-on-write ops), so caching it is cheap. `withMatched` runs
-    * while the cache is alive; its result is returned.
+    * rows plus the dead count, so metrics or postimage writes reuse the
+    * one table pass instead of re-scanning — the matched set is small by
+    * MoR's contract (bulk mutations belong on the copy-on-write ops), so
+    * caching it is cheap. `selectDead` may project columns away as long
+    * as [[DeltaScan.MetaPath]]/[[DeltaScan.MetaRow]] survive (DELETE
+    * keeps only those two); `withMatched` runs while the cache is alive
+    * and its result is returned.
     */
   private def morMarkWith[T](spark: SparkSession, candidateAdds: Seq[AddFile],
       selectDead: DataFrame => DataFrame,

@@ -59,18 +59,18 @@ object SparkEntry {
         .orderBy("o_orderkey")),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
-    // bloom-pruned point lookup: toDFWhere consults per-file filters so
-    // the plan only references files that can hold the probed ids
-    "q81_bloom_lookup" -> ((s, d) =>
-      DeltaTable.forPath(QueryLib.docsBloomDir(s, d))
-        .toDFWhere(s, col("doc_id").isin(100L, 101L, 102L, 4321L))
-        .orderBy("doc_id")),
     "q78_dv_changes" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d))
         .changesBetween(s, 1L, 2L)
         .filter(col("_change_type") === "delete")
         .drop("_commit_version", "_change_type")
         .orderBy("l_orderkey", "l_linenumber")),
+    // bloom-pruned point lookup: toDFWhere consults per-file filters so
+    // the plan only references files that can hold the probed ids
+    "q81_bloom_lookup" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.docsBloomDir(s, d))
+        .toDFWhere(s, col("doc_id").isin(100L, 101L, 102L, 4321L))
+        .orderBy("doc_id")),
     "q06_partitioned_scan" -> ((s, d) =>
       QueryLib.delta(s, d, "lineitem", partitionBy = Seq("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber")),

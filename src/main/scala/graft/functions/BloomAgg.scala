@@ -53,16 +53,9 @@ final case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    buf.foreach(bb.putLong)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] = BloomAgg.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getLong)
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = BloomAgg.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -73,6 +66,17 @@ final case class BloomAgg(child: Expression, numBits: Int, numHashes: Int,
 }
 
 object BloomAgg {
+
+  def toBytes(words: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
 
   /** Second hash: Stafford variant-13 64-bit finalizer (SplitMix64's
     * avalanche) — independent enough of h1 for double hashing, and forced

@@ -53,18 +53,27 @@ object BloomIndex {
     }
   }
 
-  /** Driver-side Spark-xxhash64 of a literal, or None for unsupported
-    * types/NULL (NULL never equals anything — the probe is not used).
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Driver-side Spark-xxhash64 of a literal probing a column of
+    * `columnType` — None (no exclusion) unless the literal's type FAMILY
+    * matches the indexed column's: the filter was built in the column's
+    * hash domain, so a type-coerced comparison (long column = '4321')
+    * hashed in the literal's own domain would wrongly prove absence and
+    * silently drop matching files. NULL never equals anything.
     */
-  def hashOf(raw: Any, dt: DataType): Option[Long] = (raw, dt) match {
+  def hashOf(raw: Any, columnType: DataType): Option[Long] = (raw, columnType) match {
     case (null, _) => None
-    case (v: Byte, _) => Some(XXH64.hashLong(v.toLong, 42L))
-    case (v: Short, _) => Some(XXH64.hashLong(v.toLong, 42L))
-    case (v: Int, _) => Some(XXH64.hashLong(v.toLong, 42L))
-    case (v: Long, _) => Some(XXH64.hashLong(v, 42L))
-    case (v: UTF8String, _) =>
+    case (v: Byte, t) if integral(t) => Some(XXH64.hashLong(v.toLong, 42L))
+    case (v: Short, t) if integral(t) => Some(XXH64.hashLong(v.toLong, 42L))
+    case (v: Int, t) if integral(t) => Some(XXH64.hashLong(v.toLong, 42L))
+    case (v: Long, t) if integral(t) => Some(XXH64.hashLong(v, 42L))
+    case (v: UTF8String, StringType) =>
       Some(XXH64.hashUnsafeBytes(v.getBaseObject, v.getBaseOffset, v.numBytes, 42L))
-    case (v: String, _) =>
+    case (v: String, StringType) =>
       val u = UTF8String.fromString(v)
       Some(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L))
     case _ => None
@@ -100,14 +109,11 @@ object BloomIndex {
     add.copy(extra = add.extra + (ExtraKey -> (node: JsonNode)), dataChange = false)
   }
 
-  def encode(words: Array[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
-    words.foreach(bb.putLong)
-    java.util.Base64.getEncoder.encodeToString(bb.array())
-  }
+  // one shared longs<->bytes framing (BloomAgg's shuffle serialization),
+  // Base64-wrapped for the JSON log
+  def encode(words: Array[Long]): String =
+    java.util.Base64.getEncoder.encodeToString(BloomAgg.toBytes(words))
 
-  def decode(data: String): Array[Long] = {
-    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(data))
-    Array.fill(bb.remaining() / 8)(bb.getLong)
-  }
+  def decode(data: String): Array[Long] =
+    BloomAgg.fromBytes(java.util.Base64.getDecoder.decode(data))
 }

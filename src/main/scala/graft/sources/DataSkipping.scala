@@ -332,19 +332,27 @@ object DataSkipping {
     /** Compare attribute `a`'s file range against foldable value `v` with
       * the operator's interval test. Missing info → keep the file.
       */
+    // decoded per-file filters memoized for the pruner's lifetime (one
+    // prune pass): an IN-list over N files would otherwise Base64-decode
+    // the same kilobytes k·N times
+    private val bloomCache =
+      scala.collection.mutable.HashMap.empty[(String, String), Option[BloomIndex.BloomRef]]
+
     /** True iff the add carries a Bloom index for the probed column and
       * the filter proves the literal ABSENT (false-positive-only: never
       * excludes a file that holds the value). Missing index, partition
-      * column, unsupported literal → false (no exclusion).
+      * column, type-family mismatch with the indexed column, unsupported
+      * literal → false (no exclusion).
       */
     private def bloomExcludes(a: Expression, v: Expression, add: AddFile): Boolean =
       (for {
         name <- attrName(a)
         field <- fieldByLower.get(name.toLowerCase)
         if !partitionLower.contains(field.name.toLowerCase)
-        ref <- BloomIndex.refOf(add, field.name)
+        ref <- bloomCache.getOrElseUpdate((add.path, field.name),
+          BloomIndex.refOf(add, field.name))
         rawDt <- evalFoldable(v)
-        h <- BloomIndex.hashOf(rawDt._1, rawDt._2)
+        h <- BloomIndex.hashOf(rawDt._1, field.dataType)
       } yield !ref.mayContain(h)).getOrElse(false)
 
     private def binary(a: Expression, v: Expression, add: AddFile,

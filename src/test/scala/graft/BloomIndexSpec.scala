@@ -70,6 +70,19 @@ class BloomIndexSpec extends SparkSuite {
     assert(reopened.toDFWhere(spark, col("n_nationkey") === 7).count() == 0)
   }
 
+  test("type-coerced probes never bloom-prune (conservative on mismatch)") {
+    val d = tempDir("bloom-coerce")
+    var t = DeltaTable.forPath(d).write(docs.repartition(8))
+    t = t.buildBloomIndex(spark, "doc_id")
+    // a STRING literal against the long-indexed column: the scan coerces
+    // and matches, so the probe must not hash in the literal's own domain
+    // and wrongly prove absence
+    assertSameRows(t.toDFWhere(spark, col("doc_id") === "101"),
+      docs.filter(col("doc_id") === 101L))
+    // and the honest same-type probe still prunes
+    assert(t.prunedAdds(col("doc_id") === -1L).isEmpty)
+  }
+
   test("index build is CDF-invisible and rejects unsupported columns") {
     val d = tempDir("bloom-cdf")
     var t = DeltaTable.forPath(d).write(nation)
