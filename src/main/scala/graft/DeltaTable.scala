@@ -1052,6 +1052,22 @@ final case class DeltaTable(
     commit(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version))
   }
 
+  /** Exact live row count from log metadata ALONE — O(live files) driver
+    * work, zero Spark jobs: per-file `numRecords` stats minus each file's
+    * deletion-vector cardinality (the vector is total per file, so the
+    * subtraction is exact). None if any live file lacks stats (foreign
+    * imports) — callers fall back to a scan. The `SELECT COUNT(*)`
+    * fast path every lakehouse engine ships: at 10^5 files this answers
+    * from the already-loaded log in microseconds instead of a cluster
+    * job over 100 TB.
+    */
+  def countRowsFromStats: Option[Long] = {
+    val counts = dlog.addActions.values.toSeq.map(a =>
+      a.stats.map(parseNumRecords(_) -
+        DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** Build (or rebuild) a per-file Bloom point-lookup index on `column`
     * (see [[graft.sources.BloomIndex]]): min/max stats cannot prune
     * `id = X` on a high-cardinality column in a hash-scattered layout —

@@ -65,6 +65,14 @@ object SparkEntry {
         .filter(col("_change_type") === "delete")
         .drop("_commit_version", "_change_type")
         .orderBy("l_orderkey", "l_linenumber")),
+    // metadata-only COUNT(*): numRecords stats minus DV cardinalities,
+    // zero Spark jobs — exercised on the twice-MoR-deleted table so the
+    // subtraction path is load-bearing
+    "q82_meta_count" -> ((s, d) => {
+      import s.implicits._
+      val t = DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d))
+      Seq(t.countRowsFromStats.getOrElse(-1L)).toDF("cnt")
+    }),
     // bloom-pruned point lookup: toDFWhere consults per-file filters so
     // the plan only references files that can hold the probed ids
     "q81_bloom_lookup" -> ((s, d) =>
@@ -591,6 +599,9 @@ object SparkEntry {
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q81_bloom_lookup" ->
       "SELECT * FROM documents WHERE doc_id IN (100, 101, 102, 4321) ORDER BY doc_id",
+    "q82_meta_count" ->
+      """SELECT COUNT(*) AS cnt FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09""".stripMargin,
     "q78_dv_changes" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND l_discount > 0.09

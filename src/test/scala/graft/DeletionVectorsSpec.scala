@@ -221,6 +221,20 @@ class DeletionVectorsSpec extends SparkSuite {
     assertSameRows(t2.toDF(spark), tm.toDF(spark))
   }
 
+  test("countRowsFromStats: metadata-only count through DVs and rewrites") {
+    var t = DeltaTable.forPath(tempDir("dv-count")).write(nation).write(nation)
+    assert(t.countRowsFromStats.contains(50L))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5)) // 2x5 rows die
+    assert(t.countRowsFromStats.contains(40L))
+    assert(t.countRowsFromStats.contains(t.toDF(spark).count()))
+    t = t.delete(spark, Some(col("n_regionkey") === 0)) // CoW rewrite
+    assert(t.countRowsFromStats.contains(t.toDF(spark).count()))
+    t = t.mergeMergeOnRead(spark,
+      nation.filter(col("n_nationkey") === 20).withColumn("n_name", lit("M")),
+      Seq("n_nationkey"))
+    assert(t.countRowsFromStats.contains(t.toDF(spark).count()))
+  }
+
   test("DV refs survive the checkpoint fast path") {
     val d = tempDir("dv-checkpoint")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
