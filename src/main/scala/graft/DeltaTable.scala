@@ -1068,6 +1068,43 @@ final case class DeltaTable(
     if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
+  /** Exact MIN/MAX of a column from per-file footer stats — zero Spark
+    * jobs, the metadata fast path for `SELECT MIN(x), MAX(x)`. Values are
+    * in [[DataSkipping.parseStats]]'s comparison domain (Long / Double /
+    * String / Boolean; dates → epoch days, timestamps → epoch micros).
+    * None — fall back to a scan — when any live file carries a deletion
+    * vector (a DEAD row may hold the extreme), or lacks the column's
+    * min/max without being provably all-NULL, or every row is NULL.
+    */
+  def minMaxFromStats(column: String): Option[(Any, Any)] = {
+    val adds = dlog.addActions.values.toSeq
+    if (adds.isEmpty) return None
+    if (!dlog.schema.fieldNames.contains(column)) return None
+    if (adds.exists(a => DeletionVectors.refOf(a).isDefined)) return None
+    def ltAny(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case (x: Boolean, y: Boolean) => !x && y
+      case _ => false
+    }
+    val per: Seq[Option[Option[(Any, Any)]]] = adds.map { a =>
+      val st = DataSkipping.parseStats(a, dlog.schema)
+      (st.min.get(column), st.max.get(column)) match {
+        case (Some(mn), Some(mx)) => Some(Some((mn, mx)))
+        // provably all-NULL in this column: contributes nothing, stays exact
+        case _ if st.numRecords.isDefined &&
+          st.nullCount.get(column) == st.numRecords => Some(None)
+        case _ => None // stats missing for a column that may hold values
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val bounds = per.flatten.flatten
+    if (bounds.isEmpty) None // every row NULL: SQL MIN/MAX is NULL
+    else Some((bounds.map(_._1).reduce((x, y) => if (ltAny(x, y)) x else y),
+      bounds.map(_._2).reduce((x, y) => if (ltAny(x, y)) y else x)))
+  }
+
   /** Build (or rebuild) a per-file Bloom point-lookup index on `column`
     * (see [[graft.sources.BloomIndex]]): min/max stats cannot prune
     * `id = X` on a high-cardinality column in a hash-scattered layout —

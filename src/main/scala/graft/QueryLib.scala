@@ -32,13 +32,18 @@ object QueryLib {
 
   /** The named raw table written into a graft Delta table and scanned back. */
   def delta(spark: SparkSession, sfDir: String, name: String,
-      partitionBy: Seq[String] = Seq.empty): DataFrame = {
-    val dir = cachedDir(sfDir, name + partitionBy.mkString(":", ",", "")) { d =>
+      partitionBy: Seq[String] = Seq.empty): DataFrame =
+    DeltaTable.forPath(deltaDir(spark, sfDir, name, partitionBy)).toDF(spark)
+
+  /** Dir of the plain named table written as a graft Delta table (shared
+    * fixture cache with [[delta]]).
+    */
+  def deltaDir(spark: SparkSession, sfDir: String, name: String,
+      partitionBy: Seq[String] = Seq.empty): String =
+    cachedDir(sfDir, name + partitionBy.mkString(":", ",", "")) { d =>
       DeltaTable.forPath(d).write(raw(spark, sfDir, name),
         partitionBy = if (partitionBy.isEmpty) None else Some(partitionBy))
     }
-    DeltaTable.forPath(dir).toDF(spark)
-  }
 
   // ---- lifecycle fixtures (built once per sfDir, exercised by queries) ----
 

@@ -73,6 +73,16 @@ object SparkEntry {
       val t = DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d))
       Seq(t.countRowsFromStats.getOrElse(-1L)).toDF("cnt")
     }),
+    // metadata-only MIN/MAX from footer stats (refuses DV'd snapshots)
+    "q83_meta_minmax" -> ((s, d) => {
+      import s.implicits._
+      val t = DeltaTable.forPath(QueryLib.deltaDir(s, d, "lineitem"))
+      val (mnO, mxO) = t.minMaxFromStats("l_orderkey").get
+      val (mnQ, mxQ) = t.minMaxFromStats("l_quantity").get
+      Seq((mnO.asInstanceOf[Long], mxO.asInstanceOf[Long],
+        mnQ.asInstanceOf[Double], mxQ.asInstanceOf[Double]))
+        .toDF("min_ok", "max_ok", "min_qty", "max_qty")
+    }),
     // bloom-pruned point lookup: toDFWhere consults per-file filters so
     // the plan only references files that can hold the probed ids
     "q81_bloom_lookup" -> ((s, d) =>
@@ -602,6 +612,9 @@ object SparkEntry {
     "q82_meta_count" ->
       """SELECT COUNT(*) AS cnt FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09""".stripMargin,
+    "q83_meta_minmax" ->
+      """SELECT MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        | MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem""".stripMargin,
     "q78_dv_changes" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND l_discount > 0.09

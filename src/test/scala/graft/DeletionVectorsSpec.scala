@@ -235,6 +235,20 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(t.countRowsFromStats.contains(t.toDF(spark).count()))
   }
 
+  test("minMaxFromStats: exact on clean snapshots, refuses DV'd ones") {
+    var t = DeltaTable.forPath(tempDir("dv-minmax")).write(nation).write(nation)
+    assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
+    assert(t.minMaxFromStats("n_name").map(_._1) ==
+      Some(nation.agg(min("n_name")).head().getString(0)))
+    assert(t.minMaxFromStats("nope").isEmpty)
+    // a dead row may hold the extreme: DV'd snapshots must fall back
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 24))
+    assert(t.minMaxFromStats("n_nationkey").isEmpty)
+    // the CoW rewrite purges the vector; stats are authoritative again
+    t = t.delete(spark, Some(col("n_nationkey") === 23))
+    assert(t.minMaxFromStats("n_nationkey").contains((0L, 22L)))
+  }
+
   test("DV refs survive the checkpoint fast path") {
     val d = tempDir("dv-checkpoint")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 2)
