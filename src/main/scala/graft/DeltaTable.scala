@@ -364,8 +364,17 @@ final case class DeltaTable(
     commit(entry)
   }
 
+  /** numRecords from a stats JSON — None when the field is absent (all
+    * Delta stats fields are optional for foreign writers) or the JSON is
+    * malformed; decision-critical paths must use this, not the 0-default.
+    */
+  private def numRecordsOpt(statsJson: String): Option[Long] =
+    try Json.longOpt(Json.mapper.readTree(statsJson), "numRecords")
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Metric-only variant (sums over files we just wrote; never throws). */
   private def parseNumRecords(statsJson: String): Long =
-    Json.longOpt(Json.mapper.readTree(statsJson), "numRecords").getOrElse(0L)
+    numRecordsOpt(statsJson).getOrElse(0L)
 
   /** DELETE via merge-on-read deletion vectors: matching rows are marked
     * dead in a `_graft_dv/` sidecar and the touched files are re-added with
@@ -484,7 +493,7 @@ final case class DeltaTable(
       // A file whose every row is now dead leaves the log instead of
       // carrying a 100%-dead vector; its rows never enter the sidecar.
       val (fullDead, stillLive) = touched.partition(a =>
-        a.stats.map(parseNumRecords).contains(totalDeadOf(a)))
+        a.stats.flatMap(numRecordsOpt).contains(totalDeadOf(a)))
 
       val dvAdds =
         if (stillLive.isEmpty) Seq.empty[AddFile]
@@ -1063,31 +1072,38 @@ final case class DeltaTable(
     */
   def countRowsFromStats: Option[Long] = {
     val counts = dlog.addActions.values.toSeq.map(a =>
-      a.stats.map(parseNumRecords(_) -
+      a.stats.flatMap(numRecordsOpt).map(_ -
         DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)))
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    // a negative per-file count = inconsistent foreign stats: fall back
+    if (counts.exists(c => c.isEmpty || c.exists(_ < 0L))) None
+    else Some(counts.flatten.sum)
   }
 
-  /** Exact MIN/MAX of a column from per-file footer stats — zero Spark
-    * jobs, the metadata fast path for `SELECT MIN(x), MAX(x)`. Values are
-    * in [[DataSkipping.parseStats]]'s comparison domain (Long / Double /
-    * String / Boolean; dates → epoch days, timestamps → epoch micros).
-    * None — fall back to a scan — when any live file carries a deletion
-    * vector (a DEAD row may hold the extreme), or lacks the column's
-    * min/max without being provably all-NULL, or every row is NULL.
+  /** Exact MIN/MAX of a NUMERIC or BOOLEAN column from per-file footer
+    * stats — zero Spark jobs, the metadata fast path for
+    * `SELECT MIN(x), MAX(x)` (values in the Long/Double comparison
+    * domain). None — fall back to a scan — when any live file carries a
+    * deletion vector (a DEAD row may hold the extreme), lacks the
+    * column's min/max without being provably all-NULL, or every row is
+    * NULL. Strings, dates and timestamps are deliberately OUT of scope:
+    * foreign writers truncate string maxima (prefix+increment — an upper
+    * BOUND, not a value) and ms-truncate timestamps (which parseStats
+    * widens for pruning), and Java UTF-16 string order differs from
+    * Spark/DuckDB UTF-8 byte order — none of which can be claimed exact.
+    * Floating NaN: parquet writers omit FP min/max when NaN is present
+    * and [[Statistics]] drops NaN bounds on read, so a NaN-bearing file
+    * surfaces as stats-missing → None, never a wrong non-NaN answer
+    * (spec-asserted).
     */
   def minMaxFromStats(column: String): Option[(Any, Any)] = {
     val adds = dlog.addActions.values.toSeq
     if (adds.isEmpty) return None
-    if (!dlog.schema.fieldNames.contains(column)) return None
+    val exactTypes: Boolean = dlog.schema.fields.find(_.name == column).exists(f =>
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        f.dataType == org.apache.spark.sql.types.BooleanType)
+    if (!exactTypes) return None
     if (adds.exists(a => DeletionVectors.refOf(a).isDefined)) return None
-    def ltAny(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Double, y: Double) => x < y
-      case (x: String, y: String) => x < y
-      case (x: Boolean, y: Boolean) => !x && y
-      case _ => false
-    }
+    val ltAny = Statistics.lt _
     val per: Seq[Option[Option[(Any, Any)]]] = adds.map { a =>
       val st = DataSkipping.parseStats(a, dlog.schema)
       (st.min.get(column), st.max.get(column)) match {

@@ -130,7 +130,7 @@ object Statistics {
     case _ => None // binary, int96, fixed-len: no min/max
   }
 
-  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+  private[graft] def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long)       => x < y
     case (x: Double, y: Double)   => x < y
     case (x: String, y: String)   => x < y

@@ -238,9 +238,18 @@ class DeletionVectorsSpec extends SparkSuite {
   test("minMaxFromStats: exact on clean snapshots, refuses DV'd ones") {
     var t = DeltaTable.forPath(tempDir("dv-minmax")).write(nation).write(nation)
     assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
-    assert(t.minMaxFromStats("n_name").map(_._1) ==
-      Some(nation.agg(min("n_name")).head().getString(0)))
+    // strings are out of scope (truncated foreign maxima, UTF-16 vs UTF-8
+    // ordering): must fall back, never answer
+    assert(t.minMaxFromStats("n_name").isEmpty)
     assert(t.minMaxFromStats("nope").isEmpty)
+    // NaN poisons footer FP stats; the fast path must refuse, not return
+    // a non-NaN max that disagrees with SELECT MAX
+    val spark2 = spark
+    import spark2.implicits._
+    val withNaN = Seq(1.0, Double.NaN, 2.0).toDF("x")
+    val tn = DeltaTable.forPath(tempDir("dv-minmax-nan")).write(withNaN)
+    assert(tn.minMaxFromStats("x").isEmpty,
+      s"NaN column must refuse the fast path, got ${tn.minMaxFromStats("x")}")
     // a dead row may hold the extreme: DV'd snapshots must fall back
     t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 24))
     assert(t.minMaxFromStats("n_nationkey").isEmpty)
