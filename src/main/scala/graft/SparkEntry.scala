@@ -36,6 +36,25 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Documents with deterministic PII injected as a pure function of
+    * doc_id (the synthetic corpus contains none) — the oracle rebuilds the
+    * identical enriched text in SQL before the redaction regexes run.
+    */
+  private def piiEnriched(df: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    df.select(id, concat(col("text"),
+      when(id % 3 === 0,
+        concat(lit(" mail user"), id.cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 3 === 1,
+        concat(lit(" call 555-123-"), lpad((id % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 3 === 2,
+        concat(lit(" host 10."), (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string")))
+        .otherwise(lit(""))).as("text"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- table lifecycle: write modes, time travel, restore, delete ----
@@ -247,6 +266,24 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q44_subword_count" -> ((s, d) =>
       TextAnalysis.subwordCount(QueryLib.delta(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // PII scrub over deterministically PII-enriched documents (the raw
+    // corpus is synthetic word soup, so both engines inject the same
+    // emails/phones/IPs keyed off doc_id before the operator runs)
+    "q84_pii_redact" -> ((s, d) =>
+      operators.Pii.detectRedact(piiEnriched(QueryLib.delta(s, d, "documents")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+    // cross-document duplicated k-token passages (exact-substring dedup
+    // signal at window granularity)
+    "q85_dup_passages" -> ((s, d) =>
+      TextAnalysis.duplicatePassages(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")),
+    // unigram-LM mean log-prob + perplexity per document
+    "q86_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text")
         .orderBy("doc_id")),
     // deterministic hash splits: membership is a pure function of doc_id,
     // reproducible by any engine via the md5-prefix hash
@@ -779,6 +816,41 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
         | len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_distinct_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same enrichment, same three RE2-compatible regexes, same
+    // email→phone→ip redaction order as operators.Pii
+    "q84_pii_redact" ->
+      s"""WITH e AS (SELECT doc_id, text ||
+         | CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         | CASE WHEN doc_id % 3 = 1 THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         | CASE WHEN doc_id % 3 = 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+         | FROM documents),
+         |r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '${operators.Pii.EmailRe}')) AS BIGINT) AS n_emails,
+         | regexp_replace(t, '${operators.Pii.EmailRe}', '<EMAIL>', 'g') AS t FROM e),
+         |r2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '${operators.Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+         | regexp_replace(t, '${operators.Pii.PhoneRe}', '<PHONE>', 'g') AS t FROM r1),
+         |r3 AS (SELECT doc_id, n_emails, n_phones, CAST(len(regexp_extract_all(t, '${operators.Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         | regexp_replace(t, '${operators.Pii.Ipv4Re}', '<IP>', 'g') AS t FROM r2)
+         |SELECT doc_id, n_emails, n_phones, n_ipv4, t AS redacted FROM r3 ORDER BY doc_id""".stripMargin,
+    // per-doc DISTINCT windows, so a window's occurrence count across the
+    // exploded set IS its document frequency
+    "q85_dup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |w AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 3),
+        |  i -> array_to_string(ts[i:i+4], ' ')))) AS win FROM t WHERE len(ts) >= 5),
+        |d AS (SELECT win, count(*) AS docfreq FROM w GROUP BY win)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        | round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
+        |FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q86_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |f AS (SELECT tk, count(*) AS freq FROM tok GROUP BY tk),
+        |j AS (SELECT doc_id, ln(freq / total) AS lp FROM tok JOIN f USING (tk) CROSS JOIN n),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, round(avg(lp), 4) AS avg_logprob
+        |      FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, avg_logprob, round(exp(-avg_logprob), 2) AS ppl
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q53_hash_split" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
         |  text FROM documents),

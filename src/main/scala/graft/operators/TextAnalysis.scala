@@ -193,6 +193,66 @@ object TextAnalysis {
         col("df"), col("tfidf"))
   }
 
+  /** Duplicate-passage detection: which k-token windows of each document
+    * also occur in OTHER documents (the exact-substring training-data
+    * dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", at window rather than suffix-array
+    * granularity). A document whose windows are mostly shared is
+    * boilerplate or a copy even when no single whole-document pair is
+    * near-identical — MinHash (X3) can't see it, this can.
+    *
+    * Scale shape: one explode of per-doc DISTINCT windows (so a window's
+    * occurrence count IS its document frequency), document frequency as a
+    * window count over the window text (one shuffle), then the per-doc
+    * aggregation (second shuffle). Document bodies never ride a shuffle
+    * and there is no join; candidate memory is bounded by windows-per-doc.
+    * Documents shorter than k tokens have no windows and drop out (the
+    * oracle applies the same `len >= k` guard).
+    *
+    * @return idCol, n_windows, n_dup_windows, dup_ratio per document
+    */
+  def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val w = df.select(col(idCol),
+      explode(shingles(tokens(col(textCol)), k)).as("_w"))
+    val byWin = org.apache.spark.sql.expressions.Window.partitionBy("_w")
+    w.withColumn("_docfreq", count(lit(1)).over(byWin))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("_docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_windows") / col("n_windows"), 4))
+  }
+
+  /** Unigram-LM document scoring: mean log-probability of each document
+    * under the corpus's own maximum-likelihood unigram model — the
+    * cheapest member of the perplexity-filter family (KenLM-over-
+    * Wikipedia in CCNet et al.); documents whose token distribution is
+    * far from the corpus norm (spam, gibberish, wrong language) score
+    * low and get filtered.
+    *
+    * Scale shape: identical to [[tfIdfTopTerms]] — one explode, unigram
+    * frequency as a window count over the token (the frequency table is
+    * vocabulary-sized and never materialized as a join side), then a
+    * per-doc aggregation. The corpus token total is a driver-side scalar.
+    * `avg_logprob` is rounded to 4 digits before the perplexity
+    * exponentiation so cross-engine ulp differences in `ln` summation
+    * order can't cascade.
+    *
+    * @return idCol, n_tokens, avg_logprob, ppl per document
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
+    val total = tok.count()
+    val byTok = org.apache.spark.sql.expressions.Window.partitionBy("_tk")
+    tok.withColumn("_freq", count(lit(1)).over(byTok))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("_freq").cast("double") / lit(total.toDouble))), 4)
+          .as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
+  }
+
   /** Document fingerprints: a canonical whole-text hash plus a min-shingle
     * fingerprint (winnowing-lite) that is stable under small edits.
     * md5 (not xxhash) so the fingerprint is reproducible by any engine.

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Pii, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-6 operators: PII redaction, duplicate-passage detection, and
+  * unigram-LM scoring — closed-form fixtures plus plan-shape guards.
+  */
+class Round6Spec extends SparkSuite {
+  import spark.implicits._
+
+  test("pii: detects and redacts emails, phones, ipv4 with exact counts") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@mail.example.org today"),
+      (2L, "call 555-123-4567 or 555-987-0000 x"),
+      (3L, "server at 10.0.0.1 and 192.168.254.3"),
+      (4L, "nothing sensitive here"),
+      (5L, "a@b.io via 172.16.0.9 phone 800-555-1212")).toDF("id", "text")
+    val r = Pii.detectRedact(df, "id", "text").orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4)))
+    assert(r(0) == ((1L, 1L, 0L, 0L, "write to <EMAIL> today")))
+    assert(r(1) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE> x")))
+    assert(r(2) == ((3L, 0L, 0L, 2L, "server at <IP> and <IP>")))
+    assert(r(3) == ((4L, 0L, 0L, 0L, "nothing sensitive here")))
+    assert(r(4) == ((5L, 1L, 1L, 1L, "<EMAIL> via <IP> phone <PHONE>")))
+  }
+
+  test("pii: a dotted quad inside an email is redacted once, counted once") {
+    val df = Seq((1L, "ping admin@10.0.0.1.example.com now")).toDF("id", "text")
+    val r = Pii.detectRedact(df, "id", "text").head()
+    assert(r.getLong(1) == 1L && r.getLong(3) == 0L,
+      "email swallows the embedded quad; ip count must be 0")
+    assert(r.getString(4) == "ping <EMAIL> now")
+  }
+
+  test("pii: dropPii keeps only clean rows") {
+    val df = Seq((1L, "x@y.ai"), (2L, "clean"), (3L, "at 8.8.8.8")).toDF("id", "text")
+    assert(Pii.dropPii(df, "text").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("pii: redaction is pure row-local column algebra — no shuffle") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val plan = Pii.detectRedact(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("dup passages: shared windows are flagged in both docs, unique ones not") {
+    // docs 1 and 2 share the 5-token run "p q r s t"; doc 3 is disjoint;
+    // doc 4 is too short to have any window
+    val df = Seq(
+      (1L, "a b p q r s t c d"),
+      (2L, "e f p q r s t g h"),
+      (3L, "m n o aa bb cc dd"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatePassages(df, "doc_id", "text", k = 5)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // 9 tokens → 5 windows; exactly one ("p q r s t") is cross-doc
+    assert(r(0) == ((1L, 5L, 1L)))
+    assert(r(1) == ((2L, 5L, 1L)))
+    assert(r(2) == ((3L, 3L, 0L)))
+    assert(r.length == 3, "doc shorter than k has no windows and drops out")
+  }
+
+  test("dup passages: within-doc repeats don't count as cross-doc duplicates") {
+    // the window set is per-doc DISTINCT: a doc repeating its own passage
+    // must not inflate the document frequency
+    val df = Seq(
+      (1L, "p q r s t u p q r s t u"),
+      (2L, "lone words only here five")).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicatePassages(df, "doc_id", "text", k = 5)
+      .orderBy("doc_id").collect()
+    assert(r.forall(_.getLong(2) == 0L), "no cross-doc duplicate exists")
+  }
+
+  test("unigram logprob: closed-form two-doc corpus") {
+    // corpus = [a a b], [b c]; total 5 tokens; freqs a=2 b=2 c=1
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def rnd(x: Double) = math.round(x * 1e4) / 1e4
+    val lp1 = rnd((2 * math.log(2d / 5) + math.log(2d / 5)) / 3)
+    val lp2 = rnd((math.log(2d / 5) + math.log(1d / 5)) / 2)
+    assert(r(0).getLong(1) == 3L && r(0).getDouble(2) == lp1)
+    assert(r(1).getLong(1) == 2L && r(1).getDouble(2) == lp2)
+    val ppl1 = math.round(math.exp(-lp1) * 100) / 100d
+    assert(r(0).getDouble(3) == ppl1)
+  }
+}
