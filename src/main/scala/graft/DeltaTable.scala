@@ -139,9 +139,16 @@ final case class DeltaTable(
     * xdlake/__init__.py:104). Conservative: never drops a file that could
     * match.
     */
-  def prunedAdds(pred: Column): Seq[AddFile] =
-    DataSkipping.prune(dlog.addActions.values.toSeq, pred, dlog.schema,
-      dlog.partitionColumns)
+  def prunedAdds(pred: Column): Seq[AddFile] = {
+    // footer stats and bloom refs are keyed by PHYSICAL column names:
+    // rewrite the predicate and probe under the physical schema (identity
+    // for unmapped tables)
+    val sch = dlog.schema
+    val m = ColumnMapping.logicalToPhysical(sch)
+    DataSkipping.prune(dlog.addActions.values.toSeq,
+      ColumnMapping.toPhysicalPredicate(pred, m),
+      ColumnMapping.physicalSchema(sch), dlog.partitionColumns)
+  }
 
   /** Filtered snapshot scan that opens only stats-surviving files, then
     * applies the exact predicate. Equivalent to `toDF(spark).filter(pred)`
@@ -181,18 +188,24 @@ final case class DeltaTable(
 
     // constrained writes evaluate df twice (validate + write): cache it so
     // an expensive upstream pipeline runs once
+    // column mapping: existing logical fields inherit the table's physical
+    // names; new fields (schema merge / overwrite) are born with fresh
+    // col-<uuid> physical names. Identity when mapping is inactive.
+    val annSchema = ColumnMapping.annotateForWrite(
+      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive, df.schema)
+    val wMapping = ColumnMapping.logicalToPhysical(annSchema)
     val constrained = dlog.constraints.nonEmpty
     if (constrained) df.persist()
     // validate INSIDE the try: a constraint violation must not leave the
     // batch pinned in executor memory
     val adds =
-      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy) }
+      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy, wMapping) }
       finally if (constrained) df.unpersist(blocking = false)
     var logState = dlog
     var attempts = 0
     var result: DeltaTable = null
     while (result == null) {
-      val evaluated = logState.evaluateSchema(df.schema, mode, schemaMode)
+      val evaluated = logState.evaluateSchema(annSchema, mode, schemaMode)
       val entry = logState.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
         .withExtraCommitInfo(customMetadata)
       try result = copy(dlog = maybeCheckpoint(logState.commit(entry, commitContext)))
@@ -213,6 +226,16 @@ final case class DeltaTable(
               s"Concurrent commit changed partition columns " +
                 s"${resolvedPartitionBy.mkString("[", ",", "]")} -> " +
                 s"${current.mkString("[", ",", "]")}; append retry aborted", e)
+          // same hazard for column mapping: the staged parquet carries the
+          // ORIGINAL physical names — if a concurrent rename/drop changed
+          // the mapping of any written column, re-committing would bind
+          // wrong physical columns
+          val curMap =
+            if (logState.isEmpty) Map.empty[String, String]
+            else ColumnMapping.logicalToPhysical(logState.schema)
+          if (df.columns.exists(c => curMap.get(c).exists(_ != wMapping(c))))
+            throw new IllegalStateException(
+              "Concurrent commit changed column mapping; append retry aborted", e)
       }
     }
     result
@@ -245,12 +268,17 @@ final case class DeltaTable(
     if (dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) return this
     val resolvedPartitionBy =
       if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
+    val annSchema = ColumnMapping.annotateForWrite(
+      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive, df.schema)
     val constrained = dlog.constraints.nonEmpty
     if (constrained) df.persist()
     val adds =
-      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy) }
-      finally if (constrained) df.unpersist(blocking = false)
-    val evaluated = dlog.evaluateSchema(df.schema, WriteMode.Append, "overwrite")
+      try {
+        validateConstraints(df)
+        writeData(df, dlog.versionToWrite, resolvedPartitionBy,
+          ColumnMapping.logicalToPhysical(annSchema))
+      } finally if (constrained) df.unpersist(blocking = false)
+    val evaluated = dlog.evaluateSchema(annSchema, WriteMode.Append, "overwrite")
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
     val entry = DeltaLogEntry(
       Txn(appId, txnVersion, Some(System.currentTimeMillis())) +: base.actions)
@@ -271,11 +299,20 @@ final case class DeltaTable(
     * ignorable `_staging-*` dir (SURVEY.md §7 "file attribution").
     */
   private def writeData(df: DataFrame, forVersion: Long,
-      partitionBy: Seq[String]): Seq[AddFile] = {
+      partitionBy: Seq[String],
+      mapping: Map[String, String] = null): Seq[AddFile] = {
+    // column mapping: files are written under PHYSICAL names. Mutation
+    // paths (delete/update/merge/compact/replaceWhere) pass logical-named
+    // frames and inherit the table's mapping here; `write` passes an
+    // explicit mapping that also covers schema-merge-born columns.
+    val m = Option(mapping).getOrElse(
+      if (dlog.isEmpty) Map.empty[String, String]
+      else ColumnMapping.logicalToPhysical(dlog.schema))
+    val physDf = ColumnMapping.toPhysical(df, m)
     val writeUuid = java.util.UUID.randomUUID().toString
     val staging = loc.child(s"_staging-$writeUuid")
     try {
-      val writer = df.write.mode("overwrite")
+      val writer = physDf.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(staging.uri)
 
@@ -680,6 +717,86 @@ final case class DeltaTable(
     val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.DropConstraint,
       name, None, dlog.version)
     commit(DeltaLogEntry(Vector(newMeta, commitInfo)))
+  }
+
+  // ------------------------------------------------------------------
+  // Column mapping — RENAME/DROP COLUMN as metadata-only commits, no
+  // data rewrite (see graft.log.ColumnMapping). The reference cannot
+  // rename at all; at 10⁵ files this is one JSON entry vs a full rewrite.
+  // ------------------------------------------------------------------
+
+  /** True once any rename/drop has switched the table to
+    * `delta.columnMapping.mode = name`.
+    */
+  private def mappingActive: Boolean =
+    dlog.latestMetadata.exists(
+      _.configuration.get(ColumnMapping.ModeConfigKey).contains("name"))
+
+  /** A CHECK constraint whose SQL mentions `column` as a word blocks
+    * renames/drops of it (the expression would silently stop binding).
+    */
+  private def constraintReferencing(column: String): Option[String] =
+    dlog.constraints.collectFirst {
+      case (name, sql) if ("""(?i)(?<![a-z0-9_`])""" + java.util.regex.Pattern.quote(column) +
+        """(?![a-z0-9_`])""").r.findFirstIn(sql).isDefined => name
+    }
+
+  /** Rename a column without touching any data file: the logical field is
+    * renamed in a metadata-only commit while its parquet ("physical")
+    * column name — recorded in field metadata under Delta's
+    * `columnMapping.physicalName` key — stays what it always was. Scans
+    * alias physical→logical inside the scan projection; stats skipping
+    * and bloom probes rewrite predicates to physical names, so pruning
+    * keeps working across any number of renames. Partition columns are
+    * rejected (their names are baked into directory layouts and
+    * log-recorded partition values).
+    */
+  def renameColumn(oldName: String, newName: String): DeltaTable = {
+    require(!dlog.isEmpty, "renameColumn requires an existing table")
+    val sch = dlog.schema
+    require(sch.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(newName.nonEmpty && newName != oldName &&
+      !sch.fieldNames.contains(newName), s"column exists: $newName")
+    require(!dlog.partitionColumns.contains(oldName),
+      s"cannot rename partition column $oldName")
+    constraintReferencing(oldName).foreach(n => throw new IllegalArgumentException(
+      s"cannot rename $oldName: CHECK constraint $n references it"))
+    val fields = sch.fields.map { f =>
+      if (f.name == oldName)
+        ColumnMapping.withPhysical(f.copy(name = newName), ColumnMapping.physicalName(f))
+      else f
+    }
+    commitMappingChange(StructType(fields),
+      CommitInfo.columnChange(CommitInfo.Op.RenameColumn,
+        Map("oldName" -> oldName, "newName" -> newName), dlog.version))
+  }
+
+  /** Drop a column without touching any data file (metadata-only commit).
+    * The physical column stays dead in existing files; a column of the
+    * same name added later is born with a fresh physical name, so the old
+    * values can never resurface (spec-asserted).
+    */
+  def dropColumn(name: String): DeltaTable = {
+    require(!dlog.isEmpty, "dropColumn requires an existing table")
+    val sch = dlog.schema
+    require(sch.fieldNames.contains(name), s"no such column: $name")
+    require(sch.fields.length > 1, "cannot drop the last column")
+    require(!dlog.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    constraintReferencing(name).foreach(n => throw new IllegalArgumentException(
+      s"cannot drop $name: CHECK constraint $n references it"))
+    commitMappingChange(StructType(sch.fields.filterNot(_.name == name)),
+      CommitInfo.columnChange(CommitInfo.Op.DropColumn,
+        Map("columns" -> name), dlog.version))
+  }
+
+  private def commitMappingChange(newSchema: StructType,
+      info: CommitInfo): DeltaTable = {
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val newMeta = meta.copy(schemaString = newSchema.json,
+      configuration = meta.configuration + (ColumnMapping.ModeConfigKey -> "name"))
+    commit(DeltaLogEntry(Vector(newMeta, info)))
   }
 
   /** One validation job over the batch: throws naming the first violated
@@ -1104,13 +1221,16 @@ final case class DeltaTable(
     if (!exactTypes) return None
     if (adds.exists(a => DeletionVectors.refOf(a).isDefined)) return None
     val ltAny = Statistics.lt _
+    // footer stats are keyed by the PHYSICAL column name
+    val physSchema = ColumnMapping.physicalSchema(dlog.schema)
+    val phys = ColumnMapping.logicalToPhysical(dlog.schema).getOrElse(column, column)
     val per: Seq[Option[Option[(Any, Any)]]] = adds.map { a =>
-      val st = DataSkipping.parseStats(a, dlog.schema)
-      (st.min.get(column), st.max.get(column)) match {
+      val st = DataSkipping.parseStats(a, physSchema)
+      (st.min.get(phys), st.max.get(phys)) match {
         case (Some(mn), Some(mx)) => Some(Some((mn, mx)))
         // provably all-NULL in this column: contributes nothing, stays exact
         case _ if st.numRecords.isDefined &&
-          st.nullCount.get(column) == st.numRecords => Some(None)
+          st.nullCount.get(phys) == st.numRecords => Some(None)
         case _ => None // stats missing for a column that may hold values
       }
     }
@@ -1166,9 +1286,13 @@ final case class DeltaTable(
       .agg(bloomCol)
       .collect()
     val byName = adds.map(a => pathName(a.path) -> a).toMap
+    // the probe path rewrites predicates logical→physical before stats
+    // probing, so the index is stored under the PHYSICAL column name
+    // (identical to the logical one on unmapped tables)
+    val physCol = ColumnMapping.logicalToPhysical(dlog.schema).getOrElse(column, column)
     val indexed = rows.toSeq.flatMap { r =>
       byName.get(r.getString(0)).map { a =>
-        BloomIndex.withBloom(a, column, numBits, numHashes, r.getSeq[Long](1).toArray)
+        BloomIndex.withBloom(a, physCol, numBits, numHashes, r.getSeq[Long](1).toArray)
       }
     }
     commit(DeltaLogEntry.bloomIndexTable(column, indexed, dlog.version)

@@ -90,6 +90,21 @@ object QueryLib {
         .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
     }
 
+  /** documents with `n_chars` renamed to `char_count` (metadata-only,
+    * column-mapping), then a second batch appended THROUGH the new
+    * logical name — so the scan reads pre-rename files (physical column
+    * `n_chars`) and post-rename files (physical `n_chars` too, written
+    * via the mapping) under one logical schema.
+    */
+  def documentsRenamedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_renamed") { d =>
+      val docs = raw(spark, sfDir, "documents")
+      DeltaTable.forPath(d).write(docs)
+        .renameColumn("n_chars", "char_count")
+        .write(docs.withColumnRenamed("n_chars", "char_count")
+          .withColumn("doc_id", col("doc_id") + 100000L))
+    }
+
   /** orders written in two batches under a CHECK constraint — the
     * read-after-constrained-write path (every batch validated in one job
     * before any file lands; the constraint rides table configuration).

@@ -76,6 +76,12 @@ object SparkEntry {
     "q77_check_constraint" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersConstrainedDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
+    // column-mapping rename: metadata-only RENAME COLUMN, then an append
+    // through the new logical name; the scan unifies pre- and post-rename
+    // files under the renamed schema
+    "q87_rename_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.documentsRenamedDir(s, d)).toDF(s)
+        .orderBy("doc_id")),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
     "q78_dv_changes" -> ((s, d) =>
@@ -842,6 +848,11 @@ object SparkEntry {
         | CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         | round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         |FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q87_rename_scan" ->
+      """WITH r AS (SELECT doc_id, text, lang, source, n_chars AS char_count FROM documents)
+        |SELECT * FROM r
+        |UNION ALL SELECT doc_id + 100000, text, lang, source, char_count FROM r
+        |ORDER BY doc_id""".stripMargin,
     "q86_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),

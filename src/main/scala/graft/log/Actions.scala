@@ -303,6 +303,8 @@ object CommitInfo {
     val AddConstraint = "ADD CONSTRAINT"
     val DropConstraint = "DROP CONSTRAINT"
     val BloomIndex = "BLOOM INDEX"
+    val RenameColumn = "RENAME COLUMN"
+    val DropColumn = "DROP COLUMNS"
   }
 
   def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
@@ -331,6 +333,19 @@ object CommitInfo {
       operation = op,
       operationParameters = ListMap(
         "name" -> Json.text(name)) ++ sqlExpr.map("expr" -> Json.text(_)),
+      readVersion = Some(readVersion))
+
+  /** Metadata-only column-mapping commit (delta's ALTER TABLE operation
+    * names: RENAME COLUMN / DROP COLUMNS).
+    */
+  def columnChange(op: String, params: Map[String, String],
+      readVersion: Long): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = op,
+      operationParameters = ListMap(params.toSeq.map {
+        case (k, v) => k -> (Json.text(v): JsonNode)
+      }: _*),
       readVersion = Some(readVersion))
 
   /** Predicate-scoped overwrite commit — WRITE/Overwrite with the scoping

@@ -1,0 +1,101 @@
+package graft.log
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Column mapping: RENAME/DROP COLUMN as metadata-only commits, no data
+  * rewrite — Delta's `columnMapping.mode = name` convention (the reference
+  * has no rename at all; delta-rs/delta-spark rewrite nothing either).
+  *
+  * The contract: every logical field carries its parquet ("physical")
+  * column name in `StructField` metadata under Delta's key; physical names
+  * NEVER change once a file is written. A rename changes only the logical
+  * name; a drop removes the logical field and leaves the physical column
+  * dead in old files; a column added while mapping is active gets a fresh
+  * `col-<uuid>` physical name so re-adding a dropped column can never
+  * resurrect stale values from pre-drop files.
+  *
+  * At 100 TB this is the difference between an O(1) commit and a
+  * full-table rewrite: renaming a column on a 10⁵-file table touches one
+  * JSON log entry.
+  *
+  * Scale/plan notes: scans read parquet under the PHYSICAL schema and
+  * alias back to logical names in the same projection — Catalyst collapses
+  * the alias into the scan, so pushdown/pruning/codegen are identical to
+  * an unmapped table (plan-spec asserted). Driver-side data skipping
+  * rewrites predicates logical→physical and probes footer stats under
+  * physical keys, so skipping keeps working across renames.
+  */
+object ColumnMapping {
+
+  /** Delta's field-metadata key for the parquet column name. */
+  val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  /** Delta's table-configuration key; "name" marks mapping active. */
+  val ModeConfigKey = "delta.columnMapping.mode"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  def logicalToPhysical(schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
+
+  def isIdentity(mapping: Map[String, String]): Boolean =
+    mapping.forall { case (l, p) => l == p }
+
+  /** Schema with fields renamed to their physical names (for parquet
+    * reads and stats probing). Field metadata rides along — harmless.
+    */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** Rename a DataFrame's columns logical→physical (write side). */
+  def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (isIdentity(mapping)) df
+    else df.select(df.columns.toSeq.map(c => col(c).as(mapping.getOrElse(c, c))): _*)
+
+  /** Rewrite a user predicate's attributes logical→physical so driver-side
+    * data skipping can probe footer stats (which are keyed by the parquet
+    * column names). Exact-case names only — same contract as the schema.
+    */
+  def toPhysicalPredicate(pred: Column, mapping: Map[String, String]): Column =
+    if (isIdentity(mapping)) pred
+    else ColumnShim.column(ColumnShim.expression(pred).transform {
+      case u: UnresolvedAttribute if u.nameParts.size == 1 && mapping.contains(u.name) =>
+        UnresolvedAttribute(Seq(mapping(u.name)))
+      case ar: AttributeReference if mapping.contains(ar.name) =>
+        UnresolvedAttribute(Seq(mapping(ar.name)))
+    })
+
+  def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalNameKey, phys).build())
+
+  /** Fresh physical name for a column born while mapping is active. */
+  def freshPhysicalName(): String =
+    "col-" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** Annotate an incoming write schema for a mapped table: fields the
+    * table already has inherit its physical names; NEW fields (schema
+    * merge / overwrite) get fresh physical names. Identity when mapping
+    * is inactive, so unmapped tables are byte-for-byte unaffected.
+    */
+  def annotateForWrite(tableSchema: Option[StructType], active: Boolean,
+      incoming: StructType): StructType =
+    if (!active) incoming
+    else {
+      val existing: Map[String, StructField] =
+        tableSchema.map(s => s.fields.map(f => f.name -> f).toMap).getOrElse(Map.empty)
+      StructType(incoming.fields.map { f =>
+        existing.get(f.name) match {
+          case Some(t) => withPhysical(f, physicalName(t))
+          case None => withPhysical(f, freshPhysicalName())
+        }
+      })
+    }
+}

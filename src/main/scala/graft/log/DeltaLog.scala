@@ -375,7 +375,9 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
         if (schemaMode == "merge") DeltaLog.mergeSchemas(existing, newSchema)
         else if (!DeltaLog.schemasEquivalent(existing, newSchema))
           throw new IllegalArgumentException("Schema mismatch")
-        else newSchema
+        // keep the EXISTING schema object: field order is stable and
+        // column-mapping physical names in field metadata survive appends
+        else existing
       } else newSchema
     }
   }
@@ -497,6 +499,8 @@ object DeltaLog {
       throw new IllegalArgumentException(
         s"Cannot merge schemas: conflicting types for ${conflicts.map(_.name).mkString(", ")}")
     val appended = incoming.fields.filterNot(f => existingNames(f.name))
-    StructType((existing.fields ++ appended).map(f => StructField(f.name, f.dataType, nullable = true)))
+    // f.copy (not a fresh StructField): column-mapping physical names live
+    // in field metadata and must survive the merge
+    StructType((existing.fields ++ appended).map(f => f.copy(nullable = true)))
   }
 }

@@ -133,8 +133,20 @@ object DeltaScan {
           .withColumn(MetaRow, lit(null).cast(org.apache.spark.sql.types.LongType))
     }
 
+    // Column mapping: parquet files are read under PHYSICAL column names
+    // and aliased back to logical ones inside the scan projection (which
+    // Catalyst collapses into the scan — pushdown and codegen see one
+    // relation either way). Identity for unmapped tables: the read schema
+    // and the plan are exactly what they were. Partition columns are
+    // never mapped (renameColumn rejects them).
+    val l2p = graft.log.ColumnMapping.logicalToPhysical(schema)
+    val mapped = !graft.log.ColumnMapping.isIdentity(l2p)
+    val readSchema =
+      if (mapped) graft.log.ColumnMapping.physicalSchema(schema) else schema
+
     val ordered: Seq[org.apache.spark.sql.Column] =
-      schema.fieldNames.map(col).toSeq ++
+      schema.fieldNames.toSeq.map(n =>
+        if (l2p(n) == n) col(n) else col(l2p(n)).as(n)) ++
         (if (withMeta)
            Seq(col("_metadata.file_path").as(MetaPath),
              col("_metadata.row_index").as(MetaRow))
@@ -142,20 +154,20 @@ object DeltaScan {
 
     if (partitionColumns.isEmpty) {
       val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
-      val df = spark.read.schema(schema).parquet(paths: _*)
-      if (withMeta) df.select(ordered: _*) else df
+      val df = spark.read.schema(readSchema).parquet(paths: _*)
+      if (withMeta || mapped) df.select(ordered: _*) else df
     } else if (adds.forall(hiveConsistent(_, partitionColumns))) {
       val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
       spark.read
         .option("basePath", tableRoot.uri)
-        .schema(schema)
+        .schema(readSchema)
         .parquet(paths: _*)
         .select(ordered: _*)
     } else {
       // Foreign layout: group files by identical partition tuple, attach
       // partition columns as typed literals, union the groups. Catalyst
       // constant-folds filters on the literal columns to prune groups.
-      val dataSchema = StructType(schema.fields.filterNot(f => partitionColumns.contains(f.name)))
+      val dataSchema = StructType(readSchema.fields.filterNot(f => partitionColumns.contains(f.name)))
       val groups = adds.groupBy(a => partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
       val parts = groups.toSeq.map { case (values, groupAdds) =>
         val paths = groupAdds.map(a => Location.resolve(a.path, tableRoot, conf).uri)

@@ -1,0 +1,141 @@
+package graft
+
+import graft.log.{ColumnMapping, WriteMode}
+import org.apache.spark.sql.functions._
+
+/** Column mapping: RENAME/DROP COLUMN without data rewrite — scans,
+  * writes, mutations, skipping, bloom, checkpoints, and the
+  * dropped-column-resurrection hazard.
+  */
+class ColumnMappingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("rename is metadata-only: same data, new logical name, old files") {
+    val d = tempDir("cm-rename")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    val filesBefore = t0.fileUris.toSet
+    val t1 = t0.renameColumn("n_name", "nation_name")
+    assert(t1.fileUris.toSet == filesBefore, "rename must not touch data files")
+    assert(t1.version == t0.version + 1)
+    val got = t1.toDF(spark)
+    assert(got.columns.toSeq == Seq("n_nationkey", "nation_name", "n_regionkey"))
+    assertSameRows(got, nation.withColumnRenamed("n_name", "nation_name"))
+  }
+
+  test("append after rename goes through the new logical name") {
+    val d = tempDir("cm-append")
+    val t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nation_name")
+    val more = nation.withColumnRenamed("n_name", "nation_name")
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    val t2 = t.write(more)
+    assertSameRows(t2.toDF(spark),
+      nation.withColumnRenamed("n_name", "nation_name").unionByName(more))
+    // appending under the OLD name is a schema mismatch
+    assertThrows[IllegalArgumentException](t2.write(nation))
+  }
+
+  test("filter pushdown and stats skipping survive a rename") {
+    val d = tempDir("cm-skip")
+    // two files with disjoint key ranges
+    val lo = nation.filter(col("n_nationkey") < 10).coalesce(1)
+    val hi = nation.filter(col("n_nationkey") >= 10).coalesce(1)
+    val t = DeltaTable.forPath(d).write(lo).write(hi)
+      .renameColumn("n_nationkey", "nk")
+    val pruned = t.prunedAdds(col("nk") >= 20)
+    assert(pruned.size == 1, s"stats must prune the low file, got ${pruned.size}")
+    val got = t.toDFWhere(spark, col("nk") >= 20)
+    assertSameRows(got, nation.filter(col("n_nationkey") >= 20)
+      .withColumnRenamed("n_nationkey", "nk"))
+    // the exact filter reaches the parquet scan under the PHYSICAL name
+    val plan = t.toDF(spark).filter(col("nk") >= 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"expected pushed filter on physical column:\n$plan")
+  }
+
+  test("dropped column disappears; re-added name never resurrects old values") {
+    val d = tempDir("cm-drop")
+    val t = DeltaTable.forPath(d).write(nation).dropColumn("n_name")
+    assert(t.toDF(spark).columns.toSeq == Seq("n_nationkey", "n_regionkey"))
+    // re-add a column of the same LOGICAL name via schema merge
+    val withNew = t.toDF(spark).withColumn("n_name", lit("fresh"))
+    val t2 = t.write(withNew, schemaMode = "merge")
+    val vals = t2.toDF(spark).select("n_name").distinct()
+      .as[Option[String]].collect().toSet
+    assert(vals == Set(None, Some("fresh")),
+      s"old files must read NULL for the re-added column, got $vals")
+    // physical name of the re-added column is fresh, not n_name
+    val phys = ColumnMapping.logicalToPhysical(t2.dlog.schema)("n_name")
+    assert(phys.startsWith("col-"), s"expected fresh physical name, got $phys")
+  }
+
+  test("rename guards: partition columns, constraints, collisions") {
+    val d = tempDir("cm-guards")
+    val t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+      .addConstraint(spark, "key_pos", "n_nationkey >= 0")
+    assertThrows[IllegalArgumentException](t.renameColumn("n_regionkey", "rk"))
+    assertThrows[IllegalArgumentException](t.dropColumn("n_regionkey"))
+    assertThrows[IllegalArgumentException](t.renameColumn("n_nationkey", "nk"))
+    assertThrows[IllegalArgumentException](t.dropColumn("n_nationkey"))
+    assertThrows[IllegalArgumentException](t.renameColumn("n_name", "n_regionkey"))
+    assertThrows[IllegalArgumentException](t.renameColumn("nope", "x"))
+    // unconstrained, non-partition column renames fine on a partitioned table
+    val ok = t.renameColumn("n_name", "nation_label")
+    assertSameRows(ok.toDF(spark), nation.withColumnRenamed("n_name", "nation_label"))
+  }
+
+  test("time travel reads each version under its own names") {
+    val d = tempDir("cm-tt")
+    val t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nation_name")
+    assert(t.loadAsVersion(0L).toDF(spark).columns.contains("n_name"))
+    assert(t.toDF(spark).columns.contains("nation_name"))
+  }
+
+  test("copy-on-write DELETE and UPDATE work on a renamed column") {
+    val d = tempDir("cm-mutate")
+    var t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nation_name")
+    t = t.delete(spark, Some(col("n_nationkey") < 5))
+    t = t.update(spark, Some(col("nation_name") === "JAPAN"),
+      Map("nation_name" -> lit("NIPPON")))
+    val expected = nation.filter(col("n_nationkey") >= 5)
+      .withColumn("n_name", when(col("n_name") === "JAPAN", "NIPPON").otherwise(col("n_name")))
+      .withColumnRenamed("n_name", "nation_name")
+    assertSameRows(t.toDF(spark), expected)
+  }
+
+  test("merge-on-read DELETE works after a rename") {
+    val d = tempDir("cm-mor")
+    val t = DeltaTable.forPath(d).write(nation)
+      .renameColumn("n_nationkey", "nk")
+      .deleteMergeOnRead(spark, Some(col("nk") < 5))
+    assertSameRows(t.toDF(spark), nation.filter(col("n_nationkey") >= 5)
+      .withColumnRenamed("n_nationkey", "nk"))
+  }
+
+  test("metadata min/max and bloom probe under physical names") {
+    val d = tempDir("cm-stats")
+    val t = DeltaTable.forPath(d).write(nation).renameColumn("n_nationkey", "nk")
+    assert(t.minMaxFromStats("nk").contains((0L, 24L)))
+    val ti = t.buildBloomIndex(spark, "nk")
+    // bloom proves an absent key missing from every file
+    assert(ti.prunedAdds(col("nk") === 999L).isEmpty)
+    assert(ti.prunedAdds(col("nk") === 7L).nonEmpty)
+  }
+
+  test("mapping survives checkpoint, reopen, compact, and clone") {
+    val d = tempDir("cm-ckpt")
+    var t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nation_name")
+    t = t.checkpoint()
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.toDF(spark).columns.contains("nation_name"))
+    val compacted = reopened.write(reopened.toDF(spark)).compact(spark)
+    assertSameRows(compacted.toDF(spark),
+      nation.unionByName(nation).withColumnRenamed("n_name", "nation_name"))
+    val cd = tempDir("cm-clone")
+    val cloned = compacted.cloneTo(cd)
+    assert(cloned.toDF(spark).columns.contains("nation_name"))
+  }
+}
