@@ -27,7 +27,9 @@ object Bench {
     "q53_hash_split", "q57_asof_join", "q58_range_join", "q59_dedup_clusters",
     "q60_salted_join", "q64_vocab", "q65_tfidf", "q66_quantize_int8",
     "q72_decontaminate", "q73_pack_sequences", "q74_mixture_sample",
-    "q75_repetition_signals", "q76_dv_delete", "q81_bloom_lookup")
+    "q75_repetition_signals", "q76_dv_delete", "q81_bloom_lookup",
+    "q82_meta_count", "q83_meta_minmax", "q84_pii_redact",
+    "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan")
 
   val RUNS = 2
 

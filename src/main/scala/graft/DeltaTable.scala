@@ -1228,6 +1228,9 @@ final case class DeltaTable(
       val st = DataSkipping.parseStats(a, physSchema)
       (st.min.get(phys), st.max.get(phys)) match {
         case (Some(mn), Some(mx)) => Some(Some((mn, mx)))
+        // a zero-record file (empty upstream partition) has no values at
+        // all — contributes nothing, provably
+        case _ if st.numRecords.contains(0L) => Some(None)
         // provably all-NULL in this column: contributes nothing, stays exact
         case _ if st.numRecords.isDefined &&
           st.nullCount.get(phys) == st.numRecords => Some(None)

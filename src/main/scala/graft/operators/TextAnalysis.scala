@@ -213,8 +213,13 @@ object TextAnalysis {
     */
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
+    // windows ride the shuffle as xxhash64 longs, not ~5-token strings —
+    // 8 bytes vs tens, and long sort/compare in the window exchange.
+    // Identical output to the string formulation up to a 2^-64 collision
+    // (the q72 decontamination argument; the oracle replays the strings).
     val w = df.select(col(idCol),
-      explode(shingles(tokens(col(textCol)), k)).as("_w"))
+      explode(transform(shingles(tokens(col(textCol)), k), s => xxhash64(s)))
+        .as("_w"))
     val byWin = org.apache.spark.sql.expressions.Window.partitionBy("_w")
     w.withColumn("_docfreq", count(lit(1)).over(byWin))
       .groupBy(col(idCol))
@@ -242,14 +247,22 @@ object TextAnalysis {
     * @return idCol, n_tokens, avg_logprob, ppl per document
     */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
-    val total = tok.count()
+    // Skew note: a window straight over raw token occurrences would give
+    // the most frequent token a partition holding its every occurrence
+    // (~5% of a web corpus — a guaranteed straggler at scale). Instead the
+    // map-side-combined (doc, token) partial count runs first, so the
+    // token window sees ≤ one row per document per token — the same
+    // bounded shape [[tfIdfTopTerms]] uses — and the per-occurrence mean
+    // is recovered as the count-weighted mean.
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
+      .groupBy(col(idCol), col("_tk")).agg(count(lit(1)).as("_c"))
+    val total = tf.agg(sum("_c")).head().getLong(0)
     val byTok = org.apache.spark.sql.expressions.Window.partitionBy("_tk")
-    tok.withColumn("_freq", count(lit(1)).over(byTok))
+    tf.withColumn("_freq", sum("_c").over(byTok))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(avg(log(col("_freq").cast("double") / lit(total.toDouble))), 4)
-          .as("avg_logprob"))
+      .agg(sum("_c").cast("long").as("n_tokens"),
+        round(sum(col("_c") * log(col("_freq").cast("double") / lit(total.toDouble)))
+          / sum("_c"), 4).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
   }
 

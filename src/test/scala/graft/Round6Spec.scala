@@ -74,6 +74,19 @@ class Round6Spec extends SparkSuite {
     assert(r.forall(_.getLong(2) == 0L), "no cross-doc duplicate exists")
   }
 
+  test("metadata min/max survives zero-record files from empty partitions") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("mm-empty")
+    // 64 round-robin partitions over 25 rows force empty output files
+    // whose footer stats are {} — they must contribute nothing, not
+    // poison the fold
+    val t = DeltaTable.forPath(d).write(nation.repartition(64))
+    assert(t.dlog.addActions.values.exists(
+        a => a.stats.exists(_.contains("\"numRecords\":0"))),
+      "fixture must actually commit a zero-record file")
+    assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
+  }
+
   test("unigram logprob: closed-form two-doc corpus") {
     // corpus = [a a b], [b c]; total 5 tokens; freqs a=2 b=2 c=1
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
