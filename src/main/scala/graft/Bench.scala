@@ -29,7 +29,8 @@ object Bench {
     "q72_decontaminate", "q73_pack_sequences", "q74_mixture_sample",
     "q75_repetition_signals", "q76_dv_delete", "q81_bloom_lookup",
     "q82_meta_count", "q83_meta_minmax", "q84_pii_redact",
-    "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan")
+    "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan",
+    "q88_generated_partition_scan")
 
   val RUNS = 2
 

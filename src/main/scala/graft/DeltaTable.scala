@@ -41,7 +41,8 @@ final case class DeltaTable(
     dlog: DeltaLog,
     conf: Configuration,
     commitContext: CommitContext = CreateIfAbsentCommit,
-    checkpointInterval: Int = 10) {
+    checkpointInterval: Int = 10,
+    pendingGenerated: Map[String, String] = Map.empty) {
 
   def version: Long = if (dlog.isEmpty) -1L else dlog.version
   def versions: Seq[Long] = withFullHistory.versions
@@ -188,19 +189,22 @@ final case class DeltaTable(
 
     // constrained writes evaluate df twice (validate + write): cache it so
     // an expensive upstream pipeline runs once
+    // generated columns: compute the absent ones, validate supplied ones
+    val dfg = applyGenerated(df)
     // column mapping: existing logical fields inherit the table's physical
     // names; new fields (schema merge / overwrite) are born with fresh
     // col-<uuid> physical names. Identity when mapping is inactive.
     val annSchema = ColumnMapping.annotateForWrite(
-      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive, df.schema)
+      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
+      annotateGenerated(dfg.schema))
     val wMapping = ColumnMapping.logicalToPhysical(annSchema)
     val constrained = dlog.constraints.nonEmpty
-    if (constrained) df.persist()
+    if (constrained) dfg.persist()
     // validate INSIDE the try: a constraint violation must not leave the
     // batch pinned in executor memory
     val adds =
-      try { validateConstraints(df); writeData(df, dlog.versionToWrite, resolvedPartitionBy, wMapping) }
-      finally if (constrained) df.unpersist(blocking = false)
+      try { validateConstraints(dfg); writeData(dfg, dlog.versionToWrite, resolvedPartitionBy, wMapping) }
+      finally if (constrained) dfg.unpersist(blocking = false)
     var logState = dlog
     var attempts = 0
     var result: DeltaTable = null
@@ -233,7 +237,7 @@ final case class DeltaTable(
           val curMap =
             if (logState.isEmpty) Map.empty[String, String]
             else ColumnMapping.logicalToPhysical(logState.schema)
-          if (df.columns.exists(c => curMap.get(c).exists(_ != wMapping(c))))
+          if (dfg.columns.exists(c => curMap.get(c).exists(_ != wMapping(c))))
             throw new IllegalStateException(
               "Concurrent commit changed column mapping; append retry aborted", e)
       }
@@ -268,16 +272,18 @@ final case class DeltaTable(
     if (dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) return this
     val resolvedPartitionBy =
       if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
+    val dfg = applyGenerated(df)
     val annSchema = ColumnMapping.annotateForWrite(
-      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive, df.schema)
+      if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
+      annotateGenerated(dfg.schema))
     val constrained = dlog.constraints.nonEmpty
-    if (constrained) df.persist()
+    if (constrained) dfg.persist()
     val adds =
       try {
-        validateConstraints(df)
-        writeData(df, dlog.versionToWrite, resolvedPartitionBy,
+        validateConstraints(dfg)
+        writeData(dfg, dlog.versionToWrite, resolvedPartitionBy,
           ColumnMapping.logicalToPhysical(annSchema))
-      } finally if (constrained) df.unpersist(blocking = false)
+      } finally if (constrained) dfg.unpersist(blocking = false)
     val evaluated = dlog.evaluateSchema(annSchema, WriteMode.Append, "overwrite")
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
     val entry = DeltaLogEntry(
@@ -720,6 +726,57 @@ final case class DeltaTable(
   }
 
   // ------------------------------------------------------------------
+  // Generated columns — Delta's `delta.generationExpression`: computed
+  // at write time when absent, validated when supplied. The canonical
+  // use is partitioning on a derived value (event_date from ts) so every
+  // scan date-prunes without producers re-deriving the column.
+  // ------------------------------------------------------------------
+
+  /** Declare a generated column BEFORE the first write creates the table:
+    * the create-time schema records `sqlExpr` in field metadata, and every
+    * subsequent `write`/`writeWithTxn` computes the column when the batch
+    * doesn't carry it. Deterministic expressions only (the caller's
+    * contract — a nondeterministic expression would break supplied-value
+    * validation). Mutation paths (update/merge) rewrite existing rows and
+    * never need to re-derive it.
+    */
+  def withGeneratedColumn(name: String, sqlExpr: String): DeltaTable = {
+    require(dlog.isEmpty,
+      "declare generated columns before the first write creates the table")
+    copy(pendingGenerated = pendingGenerated + (name -> sqlExpr))
+  }
+
+  /** Generation expressions in force (schema-recorded + pre-create pending). */
+  def generatedColumns: Map[String, String] =
+    (if (dlog.isEmpty) Map.empty[String, String]
+     else Generated.expressions(dlog.schema)) ++ pendingGenerated
+
+  /** Compute absent generated columns; validate supplied ones (delta's
+    * rule: a writer may supply the column, but the values must equal the
+    * expression — one job per supplied column, zero for the common case).
+    */
+  private def applyGenerated(df: DataFrame): DataFrame = {
+    val gens = generatedColumns
+    if (gens.isEmpty) return df
+    val out = gens.foldLeft(df) { case (acc, (name, sql)) =>
+      if (acc.columns.contains(name)) acc
+      else acc.withColumn(name, org.apache.spark.sql.functions.expr(sql))
+    }
+    gens.keys.filter(df.columns.contains).foreach { name =>
+      val bad = out.filter(not(col(name) <=> org.apache.spark.sql.functions.expr(gens(name))))
+      require(bad.isEmpty,
+        s"supplied values for generated column $name do not match its expression ${gens(name)}")
+    }
+    out
+  }
+
+  /** Record pending generation expressions into the create-time schema. */
+  private def annotateGenerated(schema: StructType): StructType =
+    if (pendingGenerated.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      pendingGenerated.get(f.name).map(sql => Generated.withExpr(f, sql)).getOrElse(f)))
+
+  // ------------------------------------------------------------------
   // Column mapping — RENAME/DROP COLUMN as metadata-only commits, no
   // data rewrite (see graft.log.ColumnMapping). The reference cannot
   // rename at all; at 10⁵ files this is one JSON entry vs a full rewrite.
@@ -732,14 +789,19 @@ final case class DeltaTable(
     dlog.latestMetadata.exists(
       _.configuration.get(ColumnMapping.ModeConfigKey).contains("name"))
 
-  /** A CHECK constraint whose SQL mentions `column` as a word blocks
-    * renames/drops of it (the expression would silently stop binding).
+  /** A CHECK constraint or generation expression whose SQL mentions
+    * `column` as a word blocks renames/drops of it (the expression would
+    * silently stop binding).
     */
-  private def constraintReferencing(column: String): Option[String] =
+  private def exprReferencing(column: String): Option[String] = {
+    val re = ("""(?i)(?<![a-z0-9_`])""" + java.util.regex.Pattern.quote(column) +
+      """(?![a-z0-9_`])""").r
     dlog.constraints.collectFirst {
-      case (name, sql) if ("""(?i)(?<![a-z0-9_`])""" + java.util.regex.Pattern.quote(column) +
-        """(?![a-z0-9_`])""").r.findFirstIn(sql).isDefined => name
-    }
+      case (name, sql) if re.findFirstIn(sql).isDefined => s"CHECK constraint $name"
+    }.orElse(generatedColumns.collectFirst {
+      case (name, sql) if re.findFirstIn(sql).isDefined => s"generated column $name"
+    })
+  }
 
   /** Rename a column without touching any data file: the logical field is
     * renamed in a metadata-only commit while its parquet ("physical")
@@ -759,8 +821,8 @@ final case class DeltaTable(
       !sch.fieldNames.contains(newName), s"column exists: $newName")
     require(!dlog.partitionColumns.contains(oldName),
       s"cannot rename partition column $oldName")
-    constraintReferencing(oldName).foreach(n => throw new IllegalArgumentException(
-      s"cannot rename $oldName: CHECK constraint $n references it"))
+    exprReferencing(oldName).foreach(n => throw new IllegalArgumentException(
+      s"cannot rename $oldName: $n references it"))
     val fields = sch.fields.map { f =>
       if (f.name == oldName)
         ColumnMapping.withPhysical(f.copy(name = newName), ColumnMapping.physicalName(f))
@@ -783,8 +845,8 @@ final case class DeltaTable(
     require(sch.fields.length > 1, "cannot drop the last column")
     require(!dlog.partitionColumns.contains(name),
       s"cannot drop partition column $name")
-    constraintReferencing(name).foreach(n => throw new IllegalArgumentException(
-      s"cannot drop $name: CHECK constraint $n references it"))
+    exprReferencing(name).foreach(n => throw new IllegalArgumentException(
+      s"cannot drop $name: $n references it"))
     commitMappingChange(StructType(sch.fields.filterNot(_.name == name)),
       CommitInfo.columnChange(CommitInfo.Op.DropColumn,
         Map("columns" -> name), dlog.version))
@@ -796,7 +858,14 @@ final case class DeltaTable(
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
     val newMeta = meta.copy(schemaString = newSchema.json,
       configuration = meta.configuration + (ColumnMapping.ModeConfigKey -> "name"))
-    commit(DeltaLogEntry(Vector(newMeta, info)))
+    // protocol honesty (Delta's columnMapping feature gate): a reader
+    // unaware of physical names would misbind columns on post-mapping
+    // files, so the FIRST mapping change bumps minReader/minWriter to
+    // 2/5 — foreign readers below that refuse instead of misreading
+    val bump: Vector[Action] =
+      if (mappingActive) Vector.empty
+      else Vector(Protocol(minReaderVersion = 2, minWriterVersion = 5))
+    commit(DeltaLogEntry(bump ++ Vector(newMeta, info)))
   }
 
   /** One validation job over the batch: throws naming the first violated

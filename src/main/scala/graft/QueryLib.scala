@@ -105,6 +105,22 @@ object QueryLib {
           .withColumn("doc_id", col("doc_id") + 100000L))
     }
 
+  /** events partitioned by a GENERATED `event_date` column (computed at
+    * write time from `ts` — the producer never supplies it), written in
+    * two batches so the second write derives the column from the
+    * schema-recorded expression, not the pending declaration.
+    */
+  def eventsGeneratedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "events_generated") { d =>
+      val ev = events(spark, sfDir)
+      DeltaTable.forPath(d)
+        .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+        .write(ev.filter(col("event_id") % 2 === 0),
+          partitionBy = Some(Seq("event_date")))
+      // a FRESH handle: the generation expression must come from the log
+      DeltaTable.forPath(d).write(ev.filter(col("event_id") % 2 === 1))
+    }
+
   /** orders written in two batches under a CHECK constraint — the
     * read-after-constrained-write path (every batch validated in one job
     * before any file lands; the constraint rides table configuration).

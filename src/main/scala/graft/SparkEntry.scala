@@ -82,6 +82,11 @@ object SparkEntry {
     "q87_rename_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.documentsRenamedDir(s, d)).toDF(s)
         .orderBy("doc_id")),
+    // generated column: event_date computed at write time from ts and
+    // used as the partition column — scan re-attaches it date-typed
+    "q88_generated_partition_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.eventsGeneratedDir(s, d)).toDF(s)
+        .orderBy("event_id")),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
     "q78_dv_changes" -> ((s, d) =>
@@ -853,6 +858,12 @@ object SparkEntry {
         |SELECT * FROM r
         |UNION ALL SELECT doc_id + 100000, text, lang, source, char_count FROM r
         |ORDER BY doc_id""".stripMargin,
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns read to the µs the
+    // engine table stores (QueryLib.events: ts div 1000)
+    "q88_generated_partition_scan" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        | value, props, CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin,
     "q86_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents),
         |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),

@@ -1,0 +1,31 @@
+package graft.log
+
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+/** Generated columns — Delta's `delta.generationExpression` convention:
+  * a column whose value is a deterministic SQL expression over the row's
+  * other columns, recorded in `StructField` metadata and COMPUTED AT WRITE
+  * TIME when the writer doesn't supply it (supplied values are validated
+  * against the expression, delta-spark's rule).
+  *
+  * The canonical use is partitioning on a derived value — e.g.
+  * `event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`, partition by
+  * `event_date` — which at 100 TB gives date-pruned scans without every
+  * producer having to remember the derivation: the table computes it.
+  */
+object Generated {
+
+  /** Delta's field-metadata key holding the generation SQL. */
+  val ExprKey = "delta.generationExpression"
+
+  /** name -> generation SQL for every generated field of the schema. */
+  def expressions(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(ExprKey)) Some(f.name -> f.metadata.getString(ExprKey))
+      else None
+    }.toMap
+
+  def withExpr(f: StructField, sql: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(ExprKey, sql).build())
+}

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{Dedup, Similarity, Temporal}
+import graft.operators.{Dedup, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -26,9 +26,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
-    // optional 2nd arg: comma list of sections (docs,ann,temporal,cc,dv)
+    // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "ann", "temporal", "cc", "dv"))
+      .getOrElse(Set("docs", "text", "ann", "temporal", "cc", "dv"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -53,6 +53,27 @@ object ScaleProbe {
         f"minhash_lsh=$lshSec%6.2fs pairs=$lshRows%5d")
       corpus.unpersist()
       k *= 4
+    }
+
+    // text-quality pipeline: duplicate-passage windows and unigram-LM
+    // scoring over salted corpus copies. Both are explode + bounded-key
+    // window/agg shapes; time/doc should stay ~flat as the corpus grows.
+    var tk = 1
+    while (sections("text") && tk <= maxCopies) {
+      val corpus = salted(docs, tk).cache()
+      val n = corpus.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (dpSec, dpRows) = time(
+        TextAnalysis.duplicatePassages(corpus, "doc_id", "text").count())
+      val (ulSec, ulRows) = time(
+        TextAnalysis.unigramLogProb(corpus, "doc_id", "text").count())
+      println(f"SCALE docs=$n%6d dup_passages=$dpSec%6.2fs rows=$dpRows%7d " +
+        f"unigram_lp=$ulSec%6.2fs rows=$ulRows%7d")
+      corpus.unpersist()
+      tk *= 4
     }
 
     // ANN: deterministically perturbed copies of the embedding corpus;

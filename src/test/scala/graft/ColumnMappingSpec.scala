@@ -87,6 +87,17 @@ class ColumnMappingSpec extends SparkSuite {
     assertSameRows(ok.toDF(spark), nation.withColumnRenamed("n_name", "nation_label"))
   }
 
+  test("first mapping change bumps the protocol to 2/5, exactly once") {
+    val d = tempDir("cm-proto")
+    val t = DeltaTable.forPath(d).write(nation)
+      .renameColumn("n_name", "nn").renameColumn("nn", "nnn")
+    val protocols = t.dlog.entries.values.flatMap(_.actions).collect {
+      case p: graft.log.Protocol => (p.minReaderVersion, p.minWriterVersion)
+    }.toSeq
+    assert(protocols == Seq((1, 2), (2, 5)),
+      s"expected one create-time and one mapping bump, got $protocols")
+  }
+
   test("time travel reads each version under its own names") {
     val d = tempDir("cm-tt")
     val t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nation_name")
@@ -123,6 +134,36 @@ class ColumnMappingSpec extends SparkSuite {
     // bloom proves an absent key missing from every file
     assert(ti.prunedAdds(col("nk") === 999L).isEmpty)
     assert(ti.prunedAdds(col("nk") === 7L).nonEmpty)
+  }
+
+  test("generated column: computed when absent, validated when supplied") {
+    val d = tempDir("gen")
+    val ev = QueryLib.events(spark, sfDir)
+    val t = DeltaTable.forPath(d)
+      .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+      .write(ev, partitionBy = Some(Seq("event_date")))
+    assert(t.partitionColumns == Seq("event_date"))
+    assertSameRows(t.toDF(spark), ev.withColumn("event_date", col("ts").cast("date")))
+    // a fresh handle derives the expression from the log, not the builder
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.generatedColumns == Map("event_date" -> "CAST(ts AS DATE)"))
+    val t2 = reopened.write(ev.withColumn("event_id", col("event_id") + 1000000))
+    assert(t2.toDF(spark).count() == 2 * ev.count())
+    // supplying CORRECT values is allowed; wrong ones are rejected
+    val t3 = t2.write(ev.withColumn("event_date", col("ts").cast("date"))
+      .withColumn("event_id", col("event_id") + 2000000))
+    assertThrows[IllegalArgumentException](t3.write(
+      ev.withColumn("event_date", lit("1999-01-01").cast("date"))))
+    // the generation SOURCE column cannot be renamed or dropped
+    assertThrows[IllegalArgumentException](t3.renameColumn("ts", "t"))
+    assertThrows[IllegalArgumentException](t3.dropColumn("ts"))
+  }
+
+  test("generated columns must be declared before the table exists") {
+    val d = tempDir("gen-late")
+    val t = DeltaTable.forPath(d).write(nation)
+    assertThrows[IllegalArgumentException](
+      t.withGeneratedColumn("x", "n_nationkey + 1"))
   }
 
   test("mapping survives checkpoint, reopen, compact, and clone") {
