@@ -212,7 +212,12 @@ final case class DeltaTable(
       val evaluated = logState.evaluateSchema(annSchema, mode, schemaMode)
       val entry = logState.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
         .withExtraCommitInfo(customMetadata)
-      try result = copy(dlog = maybeCheckpoint(logState.commit(entry, commitContext)))
+      // pendingGenerated is consumed here: the committed schema records
+      // the expressions, so the returned handle must not re-inject them
+      // (a later rename/drop of the generated column would otherwise
+      // conflict with the stale pending entry)
+      try result = copy(dlog = maybeCheckpoint(logState.commit(entry, commitContext)),
+        pendingGenerated = Map.empty)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (mode != WriteMode.Append || attempts >= maxRetries) throw e
@@ -232,12 +237,21 @@ final case class DeltaTable(
                 s"${current.mkString("[", ",", "]")}; append retry aborted", e)
           // same hazard for column mapping: the staged parquet carries the
           // ORIGINAL physical names — if a concurrent rename/drop changed
-          // the mapping of any written column, re-committing would bind
-          // wrong physical columns
+          // the mapping of any written column (including REMOVING its
+          // logical name: schema merge would otherwise re-add it bound to
+          // the old physical column, resurrecting a dropped column or
+          // duplicating a renamed one's physical binding), re-committing
+          // would bind wrong physical columns
           val curMap =
             if (logState.isEmpty) Map.empty[String, String]
             else ColumnMapping.logicalToPhysical(logState.schema)
-          if (dfg.columns.exists(c => curMap.get(c).exists(_ != wMapping(c))))
+          val origNames =
+            if (dlog.isEmpty) Set.empty[String] else dlog.schema.fieldNames.toSet
+          val mappingChanged = dfg.columns.exists(c => curMap.get(c) match {
+            case Some(p) => p != wMapping(c)
+            case None => origNames(c) // column existed, concurrently renamed/dropped
+          })
+          if (mappingChanged)
             throw new IllegalStateException(
               "Concurrent commit changed column mapping; append retry aborted", e)
       }
@@ -288,10 +302,12 @@ final case class DeltaTable(
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
     val entry = DeltaLogEntry(
       Txn(appId, txnVersion, Some(System.currentTimeMillis())) +: base.actions)
-    try commit(entry)
+    // pendingGenerated consumed by the create-time schema (as in write)
+    try commit(entry).copy(pendingGenerated = Map.empty)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        val fresh = copy(dlog = DeltaLog.load(logLoc, None))
+        val fresh = copy(dlog = DeltaLog.load(logLoc, None),
+          pendingGenerated = Map.empty)
         if (fresh.dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) fresh
         else throw e
     }
@@ -596,6 +612,8 @@ final case class DeltaTable(
     set.keys.foreach(k => require(fields.contains(k), s"no such column: $k"))
     set.keys.foreach(k => require(!dlog.partitionColumns.contains(k),
       s"cannot UPDATE partition column $k (delete + rewrite instead)"))
+    set.keys.foreach(k => require(!generatedColumns.contains(k),
+      s"cannot UPDATE generated column $k (update its sources instead)"))
     val pred = where.getOrElse(lit(true))
     val matchedPred = coalesce(pred, lit(false))
     val candidateAdds =
@@ -608,12 +626,12 @@ final case class DeltaTable(
         (m, n) =>
           if (n == 0L) Seq.empty[AddFile]
           else {
-            val updated = m.select(dlog.schema.fields.toIndexedSeq.map { f =>
+            val updated = regenerate(m.select(dlog.schema.fields.toIndexedSeq.map { f =>
               set.get(f.name) match {
                 case Some(v) => v.cast(f.dataType).as(f.name)
                 case None    => col(f.name)
               }
-            }: _*)
+            }: _*))
             validateConstraints(updated)
             writeData(updated, dlog.versionToWrite, dlog.partitionColumns)
           })
@@ -674,7 +692,7 @@ final case class DeltaTable(
             if (n == 0L) 0L
             else m.agg(count_distinct(struct(keyCols.map(col): _*))).head().getLong(0))
 
-      val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val sourceAligned = regenerate(src).select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
       validateConstraints(sourceAligned)
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated
@@ -770,6 +788,18 @@ final case class DeltaTable(
     out
   }
 
+  /** Re-derive every generated column on a mutation-produced frame
+    * (delta-spark's rule: UPDATE/MERGE always re-generate, so updating a
+    * generation SOURCE keeps the invariant and moves the row to its new
+    * partition). Deterministic expressions make this the identity for
+    * rows whose sources didn't change; absent columns (merge sources)
+    * are computed.
+    */
+  private def regenerate(df: DataFrame): DataFrame =
+    generatedColumns.foldLeft(df) { case (acc, (name, sql)) =>
+      acc.withColumn(name, org.apache.spark.sql.functions.expr(sql))
+    }
+
   /** Record pending generation expressions into the create-time schema. */
   private def annotateGenerated(schema: StructType): StructType =
     if (pendingGenerated.isEmpty) schema
@@ -794,8 +824,10 @@ final case class DeltaTable(
     * silently stop binding).
     */
   private def exprReferencing(column: String): Option[String] = {
-    val re = ("""(?i)(?<![a-z0-9_`])""" + java.util.regex.Pattern.quote(column) +
-      """(?![a-z0-9_`])""").r
+    // word boundaries exclude identifier characters only — backticks stay
+    // IN bounds so `col` (quoted exactly) still counts as a reference
+    val re = ("""(?i)(?<![a-z0-9_])""" + java.util.regex.Pattern.quote(column) +
+      """(?![a-z0-9_])""").r
     dlog.constraints.collectFirst {
       case (name, sql) if re.findFirstIn(sql).isDefined => s"CHECK constraint $name"
     }.orElse(generatedColumns.collectFirst {
@@ -860,11 +892,16 @@ final case class DeltaTable(
       configuration = meta.configuration + (ColumnMapping.ModeConfigKey -> "name"))
     // protocol honesty (Delta's columnMapping feature gate): a reader
     // unaware of physical names would misbind columns on post-mapping
-    // files, so the FIRST mapping change bumps minReader/minWriter to
-    // 2/5 — foreign readers below that refuse instead of misreading
+    // files, so mapping requires minReader/minWriter >= 2/5 — raised
+    // component-wise (NEVER lowered: an imported table already at a
+    // higher protocol, e.g. a DV feature gate, must keep it) and only
+    // when actually below, so the bump appears exactly once
+    val cur = dlog.currentProtocol
     val bump: Vector[Action] =
-      if (mappingActive) Vector.empty
-      else Vector(Protocol(minReaderVersion = 2, minWriterVersion = 5))
+      if (cur.minReaderVersion >= 2 && cur.minWriterVersion >= 5) Vector.empty
+      else Vector(cur.copy(
+        minReaderVersion = math.max(cur.minReaderVersion, 2),
+        minWriterVersion = math.max(cur.minWriterVersion, 5)))
     commit(DeltaLogEntry(bump ++ Vector(newMeta, info)))
   }
 
@@ -920,7 +957,10 @@ final case class DeltaTable(
     require(df.columns.toSet == dlog.schema.fieldNames.toSet,
       s"Schema mismatch: replaceWhere data columns ${df.columns.sorted.mkString(",")} " +
         s"vs table ${dlog.schema.fieldNames.sorted.mkString(",")}")
-    val aligned = df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // generated columns are re-derived on the replacement rows (the
+    // mutation-path rule — see regenerate), so the invariant holds even
+    // if the caller supplied stale values
+    val aligned = regenerate(df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*))
     val typesMatch = aligned.schema.fields.map(f => f.name -> f.dataType.json)
       .sameElements(dlog.schema.fields.map(f => f.name -> f.dataType.json))
     require(typesMatch, s"Schema mismatch: replaceWhere data " +
@@ -1001,6 +1041,8 @@ final case class DeltaTable(
     set.keys.foreach(k => require(fields.contains(k), s"unknown SET column: $k"))
     set.keys.foreach(k => require(!dlog.partitionColumns.contains(k),
       s"cannot UPDATE partition column $k (delete + rewrite instead)"))
+    set.keys.foreach(k => require(!generatedColumns.contains(k),
+      s"cannot UPDATE generated column $k (update its sources instead)"))
     val pred = where.getOrElse(lit(true))
     val adds = dlog.addActions
 
@@ -1029,13 +1071,13 @@ final case class DeltaTable(
         numUpdated = counts.getLong(1)
         numCopied = counts.getLong(0) - numUpdated
         val matched = coalesce(pred, lit(false))
-        val rewritten = touchedDF.select(dlog.schema.fields.toIndexedSeq.map { f =>
+        val rewritten = regenerate(touchedDF.select(dlog.schema.fields.toIndexedSeq.map { f =>
           set.get(f.name) match {
             case Some(v) =>
               when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
             case None => col(f.name)
           }
-        }: _*)
+        }: _*))
         // CHECK constraints must hold for the post-update rows (untouched
         // files were validated when written)
         validateConstraints(rewritten)
@@ -1119,7 +1161,7 @@ final case class DeltaTable(
       // all source rows land as new files (updates + inserts); CHECK
       // constraints gate them like any other write (src is cached, so
       // the validation job is a cache scan)
-      val sourceAligned = src.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val sourceAligned = regenerate(src).select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
       validateConstraints(sourceAligned)
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated

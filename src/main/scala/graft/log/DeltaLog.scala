@@ -399,6 +399,14 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     }
   }
 
+  /** The protocol in force: last protocol action in replay order (the
+    * create-time default when none recorded — checkpoint snapshots carry
+    * the protocol forward).
+    */
+  def currentProtocol: Protocol =
+    entries.valuesIterator.flatMap(_.actions.collect { case p: Protocol => p })
+      .reduceOption((_, last) => last).getOrElse(Protocol())
+
   /** The latest committed metadata action, scanning versions backwards. */
   def latestMetadata: Option[Metadata] =
     entries.keys.toSeq.reverseIterator

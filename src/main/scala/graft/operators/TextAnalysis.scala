@@ -256,12 +256,18 @@ object TextAnalysis {
     // is recovered as the count-weighted mean.
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
       .groupBy(col(idCol), col("_tk")).agg(count(lit(1)).as("_c"))
-    val total = tf.agg(sum("_c")).head().getLong(0)
+    // the corpus total rides the SAME plan as a broadcast 1-row cross
+    // join: ReuseExchange shares tf's shuffle between the agg and the
+    // main branch, the operator stays lazy, and the tokenize+explode
+    // pipeline runs once, not twice (a driver-side count would eagerly
+    // re-run it)
+    val totalDf = broadcast(tf.agg(sum("_c").cast("double").as("_total")))
     val byTok = org.apache.spark.sql.expressions.Window.partitionBy("_tk")
-    tf.withColumn("_freq", sum("_c").over(byTok))
+    tf.crossJoin(totalDf)
+      .withColumn("_freq", sum("_c").over(byTok))
       .groupBy(col(idCol))
       .agg(sum("_c").cast("long").as("n_tokens"),
-        round(sum(col("_c") * log(col("_freq").cast("double") / lit(total.toDouble)))
+        round(sum(col("_c") * log(col("_freq").cast("double") / col("_total")))
           / sum("_c"), 4).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
   }

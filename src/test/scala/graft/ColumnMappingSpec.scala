@@ -159,6 +159,75 @@ class ColumnMappingSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](t3.dropColumn("ts"))
   }
 
+  test("UPDATE re-derives generated columns; direct SET of one is rejected") {
+    val d = tempDir("gen-upd")
+    val ev = QueryLib.events(spark, sfDir)
+    var t = DeltaTable.forPath(d)
+      .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+      .write(ev, partitionBy = Some(Seq("event_date")))
+    assertThrows[IllegalArgumentException](t.update(spark,
+      Some(col("event_id") === 0), Map("event_date" -> lit("1999-01-01").cast("date"))))
+    // shifting ts by 400 days must MOVE the rows to their new partition
+    t = t.update(spark, Some(col("event_id") < 100),
+      Map("ts" -> (col("ts") + expr("INTERVAL 400 DAYS"))))
+    val broken = t.toDF(spark)
+      .filter(not(col("event_date") <=> col("ts").cast("date"))).count()
+    assert(broken == 0L, s"$broken rows violate the generation invariant")
+    assert(t.toDF(spark).filter(col("event_date") > lit("2025-01-01").cast("date"))
+      .count() == 100L)
+    // merge-on-read flavor keeps the invariant too
+    val t2 = t.updateMergeOnRead(spark, Some(col("event_id") === 200),
+      Map("ts" -> (col("ts") + expr("INTERVAL 800 DAYS"))))
+    assert(t2.toDF(spark)
+      .filter(not(col("event_date") <=> col("ts").cast("date"))).count() == 0L)
+  }
+
+  test("merge computes an absent generated column on the source rows") {
+    val d = tempDir("gen-merge")
+    val ev = QueryLib.events(spark, sfDir).limit(200)
+    val t = DeltaTable.forPath(d)
+      .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+      .write(ev)
+    val src = ev.filter(col("event_id") < 50)
+      .withColumn("value", lit(0.0)) // update half
+      .unionByName(ev.filter(col("event_id") >= 150)
+        .withColumn("event_id", col("event_id") + 100000)) // insert half
+    val merged = t.merge(spark, src, Seq("event_id"))
+    assert(merged.toDF(spark)
+      .filter(not(col("event_date") <=> col("ts").cast("date"))).count() == 0L)
+    assert(merged.toDF(spark).count() == 250L)
+  }
+
+  test("a stale pending declaration does not outlive table creation") {
+    val d = tempDir("gen-stale")
+    val t = DeltaTable.forPath(d)
+      .withGeneratedColumn("gc", "n_nationkey + 1")
+      .write(nation)
+    // the handle returned by write must have consumed the declaration:
+    // dropping gc and appending again must NOT re-inject it
+    val dropped = t.dropColumn("gc")
+    val appended = dropped.write(nation)
+    assert(!appended.toDF(spark).columns.contains("gc"))
+  }
+
+  test("mapping never downgrades an already-higher protocol") {
+    val d = tempDir("cm-nodown")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    // a foreign writer raised the protocol (e.g. a DV feature gate)
+    val raised = t0.copy(dlog = t0.dlog.commit(
+      graft.log.DeltaLogEntry(Vector(graft.log.Protocol(3, 7))), t0.commitContext))
+    val renamed = raised.renameColumn("n_name", "nn")
+    assert(renamed.dlog.currentProtocol.minReaderVersion == 3)
+    assert(renamed.dlog.currentProtocol.minWriterVersion == 7)
+  }
+
+  test("backtick-quoted constraint references still block renames") {
+    val d = tempDir("cm-btick")
+    val t = DeltaTable.forPath(d).write(nation)
+      .addConstraint(spark, "named", "`n_name` IS NOT NULL")
+    assertThrows[IllegalArgumentException](t.renameColumn("n_name", "nn"))
+  }
+
   test("generated columns must be declared before the table exists") {
     val d = tempDir("gen-late")
     val t = DeltaTable.forPath(d).write(nation)
