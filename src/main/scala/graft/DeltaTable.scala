@@ -420,7 +420,7 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.deleteTable(predicateText, touchedAdds, newAdds,
       dlog.version, numCopied, numDeleted).withExtraCommitInfo(customMetadata)
-    commit(entry)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
   }
 
   /** numRecords from a stats JSON — None when the field is absent (all
@@ -462,8 +462,9 @@ final case class DeltaTable(
         df.filter(coalesce(pred, lit(false)))
           .select(col(DeltaScan.MetaPath), col(DeltaScan.MetaRow)))
     // an unmatched predicate still commits (parity with copy-on-write)
-    commit(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
-      fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata))
+    commitOrRebase(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
+        fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata),
+      candidateAdds.map(_.path).toSet)
   }
 
   /** Shared merge-on-read mutation core: the rows `selectDead` keeps from
@@ -637,9 +638,9 @@ final case class DeltaTable(
           })
 
     val predicateText = where.map(_.toString).getOrElse("true")
-    commit(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
+    commitOrRebase(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
         fullDead, newAdds, dlog.version, numUpdated)
-      .withExtraCommitInfo(customMetadata))
+      .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet)
   }
 
   /** Merge-on-read MERGE upsert: target rows whose key matches the source
@@ -697,9 +698,9 @@ final case class DeltaTable(
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
-      commit(DeltaLogEntry.mergeMergeOnReadTable(predicate, dvAdds, fullDead,
+      commitOrRebase(DeltaLogEntry.mergeMergeOnReadTable(predicate, dvAdds, fullDead,
           sourceAdds, dlog.version, numUpdated, numInserted, numDead)
-        .withExtraCommitInfo(customMetadata))
+        .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet)
     } finally src.unpersist()
   }
 
@@ -1014,7 +1015,7 @@ final case class DeltaTable(
         numDeleted, numCopied, Some(dlog.schema),
         dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty))
       .withExtraCommitInfo(customMetadata)
-    commit(entry)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
   }
 
   // ------------------------------------------------------------------
@@ -1087,7 +1088,7 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.updateTable(predicateText, touchedAdds, newAdds,
       dlog.version, numUpdated, numCopied).withExtraCommitInfo(customMetadata)
-    commit(entry)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
   }
 
   // ------------------------------------------------------------------
@@ -1179,7 +1180,7 @@ final case class DeltaTable(
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
           numTargetRowsRemoved = touchedTotal - numCopied)
         .withExtraCommitInfo(customMetadata)
-      commit(entry)
+      commitOrRebase(entry, adds.keySet.toSet)
     } finally src.unpersist()
   }
 
@@ -1286,7 +1287,8 @@ final case class DeltaTable(
         df.repartition(dlog.partitionColumns.map(col): _*)
       else df.coalesce(1)
     val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
-    commit(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version))
+    commitOrRebase(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version),
+      toCompact.map(_.path).toSet)
   }
 
   /** Exact live row count from log metadata ALONE — O(live files) driver
@@ -1668,6 +1670,76 @@ final case class DeltaTable(
 
   private def commit(entry: DeltaLogEntry): DeltaTable =
     copy(dlog = maybeCheckpoint(dlog.commit(entry, commitContext)))
+
+  /** Optimistic-concurrency commit for MUTATION entries (delete/update/
+    * merge/compact/replaceWhere), with Delta-style logical conflict
+    * detection instead of surfacing every version-file race to the
+    * caller: on a lost commit the log is reloaded and each winning
+    * commit is checked for a LOGICAL conflict —
+    *
+    *  - a winner that touched (removed, DV'd, or re-added) any file we
+    *    read or touched → `ConcurrentModificationException` (our rewrite
+    *    would resurrect their deletes, or double-apply ours);
+    *  - a winner that changed schema, partitioning, table configuration,
+    *    or protocol → conflict (our rewritten files were laid out under
+    *    the old metadata);
+    *  - a winner that only APPENDED new files → no conflict: the entry
+    *    is re-committed at the next version with the appended files left
+    *    live. This is Delta's WriteSerializable isolation — a predicate
+    *    mutation does not observe rows appended after its snapshot
+    *    (documented caveat, same as delta-spark's default level).
+    *
+    * At 1000-writer scale this is the difference between "every
+    * maintenance job aborts whenever an ingest lands" and conflicts only
+    * on true file-level overlap.
+    *
+    * @param readPaths log-relative paths of every file the operation
+    *        SCANNED (candidates), not just the ones it rewrites — a
+    *        winner rewriting an un-touched candidate file changed rows
+    *        our predicate evaluated.
+    */
+  private def commitOrRebase(entry: DeltaLogEntry, readPaths: Set[String],
+      maxRebase: Int = 5): DeltaTable = {
+    val basePaths = dlog.addActions.keySet
+    val ourTouched = entry.removes.map(_.path).toSet ++
+      entry.adds.map(_.path).toSet.intersect(basePaths)
+    val baseMeta = dlog.latestMetadata
+    var state = dlog
+    var attempts = 0
+    while (true) {
+      try return copy(dlog = maybeCheckpoint(state.commit(entry, commitContext)))
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempts >= maxRebase) throw e
+          attempts += 1
+          val fresh = DeltaLog.load(logLoc, None)
+          fresh.entries.rangeFrom(state.versionToWrite).values.foreach { w =>
+            if (w.actions.exists(_.isInstanceOf[Protocol]))
+              throw conflict("protocol changed concurrently", e)
+            w.metadataAction.foreach { m =>
+              val same = baseMeta.exists(bm => bm.schemaString == m.schemaString &&
+                bm.partitionColumns == m.partitionColumns &&
+                bm.configuration == m.configuration)
+              if (!same) throw conflict("table metadata changed concurrently", e)
+            }
+            val wTouched = w.removes.map(_.path).toSet ++
+              w.adds.map(_.path).toSet.intersect(basePaths)
+            val overlap = wTouched.intersect(ourTouched ++ readPaths)
+            if (overlap.nonEmpty)
+              throw conflict(s"concurrent commit touched ${overlap.size} file(s) " +
+                s"this operation read or rewrote (e.g. ${overlap.head})", e)
+          }
+          state = fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def conflict(msg: String, cause: Throwable) = {
+    val ex = new java.util.ConcurrentModificationException(msg)
+    ex.initCause(cause)
+    ex
+  }
 
   /** Auto-checkpoint every `checkpointInterval` commits (delta's default
     * cadence); failures never fail the commit — a checkpoint is purely a

@@ -105,6 +105,22 @@ object QueryLib {
           .withColumn("doc_id", col("doc_id") + 100000L))
     }
 
+  /** a deterministic commit race: a DELETE from a STALE handle (snapshot
+    * v0) loses the version race to a concurrent blind append, detects no
+    * logical conflict, and rebases — the appended rows survive even where
+    * they match the delete predicate (WriteSerializable: the delete does
+    * not observe rows appended after its snapshot).
+    */
+  def ordersRacedDeleteDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_raced_delete") { d =>
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df) // v0
+      val stale = DeltaTable.forPath(d)
+      DeltaTable.forPath(d).write( // v1: concurrent append wins the race
+        df.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      stale.delete(spark, Some(col("o_totalprice") > 100000)) // rebased v2
+    }
+
   /** events partitioned by a GENERATED `event_date` column (computed at
     * write time from `ts` — the producer never supplies it), written in
     * two batches so the second write derives the column from the

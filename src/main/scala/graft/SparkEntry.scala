@@ -87,6 +87,12 @@ object SparkEntry {
     "q88_generated_partition_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.eventsGeneratedDir(s, d)).toDF(s)
         .orderBy("event_id")),
+    // optimistic-concurrency rebase: a stale-handle DELETE lost the
+    // version race to a blind append and re-committed; appended rows
+    // survive even where they match the predicate (WriteSerializable)
+    "q89_rebased_delete_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersRacedDeleteDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
     "q78_dv_changes" -> ((s, d) =>
@@ -858,6 +864,12 @@ object SparkEntry {
         |SELECT * FROM r
         |UNION ALL SELECT doc_id + 100000, text, lang, source, char_count FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q89_rebased_delete_scan" ->
+      """SELECT * FROM orders WHERE NOT (o_totalprice > 100000)
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        | o_orderdate, o_orderpriority FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns read to the µs the
     // engine table stores (QueryLib.events: ts div 1000)
     "q88_generated_partition_scan" ->
