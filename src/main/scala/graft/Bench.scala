@@ -30,7 +30,8 @@ object Bench {
     "q75_repetition_signals", "q76_dv_delete", "q81_bloom_lookup",
     "q82_meta_count", "q83_meta_minmax", "q84_pii_redact",
     "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan",
-    "q88_generated_partition_scan")
+    "q88_generated_partition_scan", "q89_rebased_delete_scan",
+    "q90_ann_quantized_rerank")
 
   val RUNS = 2
 

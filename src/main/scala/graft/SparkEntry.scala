@@ -252,6 +252,14 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),
+    // two-stage retrieval: int8-quantized candidate scan + exact rerank
+    "q90_ann_quantized_rerank" -> ((s, d) => {
+      val emb = QueryLib.embX2(s, d)
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
     "q25_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(QueryLib.embX2(s, d),
         "vec_id", "embedding", threshold = 0.95).orderBy("a", "b")),
@@ -764,6 +772,12 @@ object SparkEntry {
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "q43_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // identical twin encodes identically, survives the quantized pass in
+    // every banding, and exact-reranks to cosine 1.0 top-1
+    "q90_ann_quantized_rerank" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,

@@ -252,6 +252,76 @@ object Similarity {
         + col("_mn"), 4).as("dequantized"))
   }
 
+  /** Two-stage retrieval: int8-scalar-quantized candidate scan + exact
+    * float rerank — the standard large-scale ANN serving architecture
+    * (SQ/PQ codes for the full-corpus pass, exact similarity only for the
+    * survivors). The candidate pass streams 1-byte codes instead of
+    * 4-byte floats (4× less scan bandwidth once codes are materialized
+    * as a table column) and the exact pass touches `candidateK` rows per
+    * query instead of the corpus.
+    *
+    * Scale shape: per-dimension affine stats are ONE map-side-combined
+    * aggregation collected to the driver (dims × 2 doubles — the same
+    * constant-matrix pattern as the LSH hyperplanes), so encode and
+    * dequantize are row-local codegen; the candidate pass is the
+    * bruteForceTopK plan over dequantized codes (broadcast queries,
+    * window-group-limit partial top-k below the shuffle); the rerank
+    * joins the (queries × candidateK)-row candidate set — broadcast —
+    * back to exact vectors.
+    *
+    * Recall: scalar quantization at 254 levels keeps relative error
+    * ~0.4%/dim, so the exact top-k survives any `candidateK` modestly
+    * above k on real embedding distributions; identical vectors encode
+    * identically and always survive.
+    */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidateK: Int = 50): DataFrame = {
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    // per-dim min/max: one agg, dims×2 doubles to the driver
+    val st = corpus.select(posexplode(toDouble(col(vecCol))))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .orderBy("pos").collect()
+    val mnLit = array(st.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val spanLit = array(st.map { r =>
+      val s = r.getDouble(2) - r.getDouble(1)
+      lit(if (s == 0.0) 1.0 else s)
+    }.toIndexedSeq: _*)
+    def encode(vec: Column): Column =
+      transform(toDouble(vec), (x, i) =>
+        (round((x - element_at(mnLit, i + 1)) / element_at(spanLit, i + 1) * 254)
+          - 127).cast("tinyint"))
+    def dequantize(codes: Column): Column =
+      transform(codes, (c, i) =>
+        (c.cast("double") + 127) / 254 * element_at(spanLit, i + 1)
+          + element_at(mnLit, i + 1))
+
+    // stage 1: approximate top-candidateK over dequantized codes
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      encode(col(vecCol)).as("_code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    val approx = coded.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("_acos", cosineFast(col("_qv"), dequantize(col("_code"))))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("_acos").desc, col("neighbor_id"))
+    val candidates = approx.withColumn("_crank", row_number().over(wC))
+      .filter(col("_crank") <= candidateK)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // stage 2: exact rerank of the small candidate set
+    val exact = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(broadcast(candidates), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("_cos", cosineFast(col("_qv"), col("_cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
     * by LSH band buckets (same inverted-index pattern as Dedup): recall is
     * governed by the banding, precision is exact.

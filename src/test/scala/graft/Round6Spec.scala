@@ -87,6 +87,16 @@ class Round6Spec extends SparkSuite {
     assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
   }
 
+  test("quantized rerank reproduces exact brute-force top-k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val twoStage = graft.operators.Similarity
+      .quantizedRerankTopK(emb, queries, "vec_id", "embedding", 5, candidateK = 50)
+    assertSameRows(twoStage, exact)
+  }
+
   test("unigram logprob: closed-form two-doc corpus") {
     // corpus = [a a b], [b c]; total 5 tokens; freqs a=2 b=2 c=1
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
