@@ -27,9 +27,35 @@ object DeltaStreamSource {
 
   /** readStream over an append-only graft table. The schema is pinned from
     * the current log (file-stream sources require an explicit schema).
+    *
+    * The append-only contract is ENFORCED at construction (delta-spark
+    * parity): any log entry carrying `remove` actions — overwrite,
+    * copy-on-write delete/update/merge, OPTIMIZE, RESTORE — aborts,
+    * because the removed files still exist on disk and the file stream
+    * would serve their rows; a rewrite's new files would additionally
+    * stream as duplicates. `ignoreChanges = true` opts out with delta's
+    * documented semantics: the stream may then deliver reprocessed or
+    * deleted rows. Commits made AFTER construction are the operator's
+    * contract, as with delta's source.
     */
-  def appendOnlyStream(spark: SparkSession, tableDir: String): DataFrame = {
+  def appendOnlyStream(spark: SparkSession, tableDir: String,
+      ignoreChanges: Boolean = false): DataFrame = {
     val t = DeltaTable.forPath(tableDir)
+    if (!ignoreChanges) {
+      // full JSON replay, not the checkpoint fast path: a checkpoint
+      // snapshot compacts history and would hide earlier removes
+      val full = graft.log.DeltaLog.load(t.logLoc)
+      full.entries.foreach { case (v, e) =>
+        if (e.removes.nonEmpty) {
+          val op = e.commitInfos.headOption.map(_.operation).getOrElse("UNKNOWN")
+          throw new IllegalStateException(
+            s"appendOnlyStream requires an append-only table, but version $v " +
+              s"($op) removed ${e.removes.size} file(s): removed files still " +
+              "stream and rewrites duplicate rows. Use changesBetween for " +
+              "change feeds, or ignoreChanges=true to accept reprocessing.")
+        }
+      }
+    }
     spark.readStream
       .schema(t.schema)
       .option("basePath", tableDir)

@@ -87,6 +87,24 @@ class Round6Spec extends SparkSuite {
     assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
   }
 
+  test("appendOnlyStream rejects tables with removes unless ignoreChanges") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("stream-guard")
+    DeltaTable.forPath(d).write(nation)
+      .delete(spark, Some(col("n_nationkey") === 1))
+    val e = intercept[IllegalStateException](
+      graft.streaming.DeltaStreamSource.appendOnlyStream(spark, d))
+    assert(e.getMessage.contains("append-only"))
+    // the opt-out constructs (delta's ignoreChanges semantics)
+    assert(graft.streaming.DeltaStreamSource
+      .appendOnlyStream(spark, d, ignoreChanges = true).isStreaming)
+    // append-only history still constructs strictly
+    val d2 = tempDir("stream-ok")
+    DeltaTable.forPath(d2).write(nation).write(nation)
+    assert(graft.streaming.DeltaStreamSource
+      .appendOnlyStream(spark, d2).isStreaming)
+  }
+
   test("quantized rerank reproduces exact brute-force top-k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
