@@ -42,7 +42,16 @@ final case class DeltaTable(
     conf: Configuration,
     commitContext: CommitContext = CreateIfAbsentCommit,
     checkpointInterval: Int = 10,
-    pendingGenerated: Map[String, String] = Map.empty) {
+    pendingGenerated: Map[String, String] = Map.empty,
+    serializableIsolation: Boolean = false) {
+
+  /** Strict SERIALIZABLE isolation for this handle's mutations: a
+    * concurrent blind append whose new files MAY hold predicate-matching
+    * rows (per their footer stats) conflicts instead of being left
+    * unobserved. The default is delta's WriteSerializable, where blind
+    * appends never abort a mutation.
+    */
+  def withSerializableIsolation: DeltaTable = copy(serializableIsolation = true)
 
   def version: Long = if (dlog.isEmpty) -1L else dlog.version
   def versions: Seq[Long] = withFullHistory.versions
@@ -420,7 +429,7 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.deleteTable(predicateText, touchedAdds, newAdds,
       dlog.version, numCopied, numDeleted).withExtraCommitInfo(customMetadata)
-    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(where))
   }
 
   /** numRecords from a stats JSON — None when the field is absent (all
@@ -464,7 +473,7 @@ final case class DeltaTable(
     // an unmatched predicate still commits (parity with copy-on-write)
     commitOrRebase(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
         fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata),
-      candidateAdds.map(_.path).toSet)
+      candidateAdds.map(_.path).toSet, Some(where))
   }
 
   /** Shared merge-on-read mutation core: the rows `selectDead` keeps from
@@ -640,7 +649,8 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     commitOrRebase(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
         fullDead, newAdds, dlog.version, numUpdated)
-      .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet)
+      .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet,
+      Some(where))
   }
 
   /** Merge-on-read MERGE upsert: target rows whose key matches the source
@@ -700,7 +710,8 @@ final case class DeltaTable(
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
       commitOrRebase(DeltaLogEntry.mergeMergeOnReadTable(predicate, dvAdds, fullDead,
           sourceAdds, dlog.version, numUpdated, numInserted, numDead)
-        .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet)
+        .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet,
+        Some(None))
     } finally src.unpersist()
   }
 
@@ -1015,7 +1026,7 @@ final case class DeltaTable(
         numDeleted, numCopied, Some(dlog.schema),
         dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty))
       .withExtraCommitInfo(customMetadata)
-    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(Some(predicate)))
   }
 
   // ------------------------------------------------------------------
@@ -1088,7 +1099,7 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.updateTable(predicateText, touchedAdds, newAdds,
       dlog.version, numUpdated, numCopied).withExtraCommitInfo(customMetadata)
-    commitOrRebase(entry, candidateAdds.map(_.path).toSet)
+    commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(where))
   }
 
   // ------------------------------------------------------------------
@@ -1180,7 +1191,7 @@ final case class DeltaTable(
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
           numTargetRowsRemoved = touchedTotal - numCopied)
         .withExtraCommitInfo(customMetadata)
-      commitOrRebase(entry, adds.keySet.toSet)
+      commitOrRebase(entry, adds.keySet.toSet, Some(None))
     } finally src.unpersist()
   }
 
@@ -1698,7 +1709,23 @@ final case class DeltaTable(
     *        winner rewriting an un-touched candidate file changed rows
     *        our predicate evaluated.
     */
+  /** Conservative may-match for a predicate against a set of adds, via
+    * the same physical-schema stats pruner scans use. None = the
+    * operation read every row (full-table predicate) — everything
+    * matches.
+    */
+  private def addsMayMatch(adds: Seq[AddFile], pred: Option[Column]): Boolean =
+    pred match {
+      case None => adds.nonEmpty
+      case Some(p) =>
+        val sch = dlog.schema
+        val m = ColumnMapping.logicalToPhysical(sch)
+        DataSkipping.prune(adds, ColumnMapping.toPhysicalPredicate(p, m),
+          ColumnMapping.physicalSchema(sch), dlog.partitionColumns).nonEmpty
+    }
+
   private def commitOrRebase(entry: DeltaLogEntry, readPaths: Set[String],
+      readPredicate: Option[Option[Column]] = None,
       maxRebase: Int = 5): DeltaTable = {
     val basePaths = dlog.addActions.keySet
     val ourTouched = entry.removes.map(_.path).toSet ++
@@ -1728,6 +1755,15 @@ final case class DeltaTable(
             if (overlap.nonEmpty)
               throw conflict(s"concurrent commit touched ${overlap.size} file(s) " +
                 s"this operation read or rewrote (e.g. ${overlap.head})", e)
+            // SERIALIZABLE (opt-in): a winner's NEW data files that may
+            // hold predicate-matching rows (per footer stats) conflict —
+            // the mutation's snapshot provably didn't observe them
+            if (serializableIsolation && readPredicate.isDefined) {
+              val newFiles = w.adds.filter(a => !basePaths(a.path) && a.dataChange)
+              if (addsMayMatch(newFiles, readPredicate.get))
+                throw conflict("concurrent append may contain rows matching " +
+                  "this operation's predicate (SERIALIZABLE isolation)", e)
+            }
           }
           state = fresh
       }

@@ -214,12 +214,20 @@ object TextAnalysis {
   def duplicatePassages(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     // windows ride the shuffle as xxhash64 longs, not ~5-token strings —
-    // 8 bytes vs tens, and long sort/compare in the window exchange.
-    // Identical output to the string formulation up to a 2^-64 collision
-    // (the q72 decontamination argument; the oracle replays the strings).
-    val w = df.select(col(idCol),
-      explode(transform(shingles(tokens(col(textCol)), k), s => xxhash64(s)))
-        .as("_w"))
+    // 8 bytes vs tens, and long sort/compare in the window exchange. The
+    // hash is taken over the token-array SLICE directly (xxhash64 hashes
+    // arrays natively), skipping the per-window string build entirely;
+    // slices are equal iff their space-joined strings are (tokens can't
+    // contain the separator), so this is identical to the string
+    // formulation up to a 2^-64 collision (the q72 decontamination
+    // argument; the oracle replays the strings).
+    val ts = tokens(col(textCol))
+    val hashed = when(size(ts) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(ts) - k),
+        i => xxhash64(slice(ts, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+    val w = df.select(col(idCol), explode(hashed).as("_w"))
     val byWin = org.apache.spark.sql.expressions.Window.partitionBy("_w")
     w.withColumn("_docfreq", count(lit(1)).over(byWin))
       .groupBy(col(idCol))

@@ -79,6 +79,28 @@ class ConcurrencySpec extends SparkSuite {
     assert(e.getMessage.contains("metadata") || e.getMessage.contains("protocol"))
   }
 
+  test("SERIALIZABLE: an append that may match the predicate conflicts") {
+    val (d, staleBase) = twoFileTable()
+    val stale = staleBase.withSerializableIsolation
+    // appended keys 100..124: stats-provably OUTSIDE `< 5` → still rebases
+    DeltaTable.forPath(d).write(
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100).coalesce(1))
+    val ok = stale.delete(spark, Some(col("n_nationkey") < 5))
+    assert(ok.version == 3L)
+    // appended keys overlap the predicate range → serializable conflict
+    val stale2 = DeltaTable.forPath(d).withSerializableIsolation
+    DeltaTable.forPath(d).write(
+      nation.filter(col("n_nationkey") < 3).coalesce(1))
+    val e = intercept[java.util.ConcurrentModificationException](
+      stale2.delete(spark, Some(col("n_nationkey") < 5)))
+    assert(e.getMessage.contains("SERIALIZABLE"))
+    // the same race under default WriteSerializable rebases fine
+    val stale3 = DeltaTable.forPath(d)
+    DeltaTable.forPath(d).write(
+      nation.filter(col("n_nationkey") < 3).coalesce(1))
+    assert(stale3.delete(spark, Some(col("n_nationkey") < 5)).version > stale3.version)
+  }
+
   test("rebase gives up after maxRebase and surfaces the raw conflict") {
     // a winner per attempt is hard to stage deterministically; instead
     // verify the conflict path classifies an UPDATE racing a same-file
