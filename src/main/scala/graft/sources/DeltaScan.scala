@@ -152,33 +152,16 @@ object DeltaScan {
              col("_metadata.row_index").as(MetaRow))
          else Seq.empty)
 
-    if (partitionColumns.isEmpty) {
-      val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
-      val df = spark.read.schema(readSchema).parquet(paths: _*)
-      if (withMeta || mapped) df.select(ordered: _*) else df
-    } else if (adds.forall(hiveConsistent(_, partitionColumns))) {
-      val paths = adds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
-      spark.read
-        .option("basePath", tableRoot.uri)
-        .schema(readSchema)
-        .parquet(paths: _*)
-        .select(ordered: _*)
-    } else {
-      // Foreign layout: group files by identical partition tuple, attach
-      // partition columns as typed literals, union the groups. Catalyst
-      // constant-folds filters on the literal columns to prune groups.
-      val dataSchema = StructType(readSchema.fields.filterNot(f => partitionColumns.contains(f.name)))
-      val groups = adds.groupBy(a => partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
-      val parts = groups.toSeq.map { case (values, groupAdds) =>
-        val paths = groupAdds.map(a => Location.resolve(a.path, tableRoot, conf).uri)
-        var df = spark.read.schema(dataSchema).parquet(paths: _*)
-        partitionColumns.zip(values).foreach { case (c, v) =>
-          val dt = schema(c).dataType
-          df = df.withColumn(c, v.map(s => lit(s).cast(dt)).getOrElse(lit(null).cast(dt)))
-        }
-        df.select(ordered: _*)
-      }
-      parts.reduce(_.union(_))
-    }
+    // ONE relation over the log-backed file index for every layout:
+    // partition values are attached from the LOG (never parsed from
+    // paths, so zero-copy imports and clones take the same plan), file
+    // statuses come from AddFile entries (no filesystem listing), and
+    // listFiles evaluates every pushed partition/data filter against
+    // per-file stats — planner-time data skipping on all scans (see
+    // GraftFileIndex).
+    val df = GraftFileIndex.relation(spark, tableRoot, readSchema,
+      partitionColumns, adds, conf)
+    if (withMeta || mapped || partitionColumns.nonEmpty) df.select(ordered: _*)
+    else df
   }
 }

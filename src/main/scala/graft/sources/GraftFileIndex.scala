@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.log.AddFile
+import graft.storage.Location
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Log-backed [[FileIndex]]: the snapshot's live files served straight from
+  * the transaction log — the architecture delta-spark's own scans use.
+  *
+  * What this buys over a path-listing scan at 100 TB:
+  *
+  *  - **Zero filesystem listing.** File sizes and modification times come
+  *    from the log's `AddFile` entries; opening a 10⁵-file snapshot costs
+  *    no `listStatus` storm against the object store.
+  *  - **Stats skipping inside the PLANNER.** `listFiles` receives every
+  *    partition and data filter Catalyst pushed down and evaluates them
+  *    against log-recorded partition values and per-file min/max/
+  *    nullCount/bloom (the same [[DataSkipping.FilePruner]] the driver-side
+  *    `toDFWhere` uses) — so ANY `df.filter(...)` on ANY snapshot scan
+  *    prunes files before tasks are planned, not just the opt-in
+  *    `toDFWhere` path.
+  *  - **Log-authoritative partition values** (reference semantics, S2):
+  *    partition columns are attached from the log, never parsed from
+  *    paths, so foreign layouts (zero-copy imports, clones) get the same
+  *    single-relation plan as native writes — no more per-partition-group
+  *    union fallback.
+  */
+final class GraftFileIndex(
+    spark: SparkSession,
+    tableRoot: Location,
+    physSchema: StructType,
+    partitionCols: Seq[String],
+    adds: Seq[AddFile],
+    hconf: Configuration) extends FileIndex {
+
+  override val partitionSchema: StructType =
+    StructType(partitionCols.map(c => physSchema(c)))
+
+  private val resolved: Seq[(AddFile, Path)] =
+    adds.map(a => a -> Location.resolve(a.path, tableRoot, hconf).path)
+
+  override def rootPaths: Seq[Path] = Seq(tableRoot.path)
+
+  override def sizeInBytes: Long = adds.map(_.size).sum
+
+  override def inputFiles: Array[String] = resolved.map(_._2.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  /** Cast a log-recorded partition string to its internal value. */
+  private def partValue(s: Option[String], dt: org.apache.spark.sql.types.DataType): Any =
+    s match {
+      case None => null
+      case Some(v) =>
+        Cast(Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          StringType), dt, Some("UTC")).eval(null)
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // PARTITION filters are the planner's contract: files returned for a
+    // partition are NOT re-filtered on partition columns, so they must be
+    // evaluated EXACTLY — done by binding the predicate over the
+    // log-recorded partition values (the PartitioningAwareFileIndex
+    // pattern). DATA filters may be conservative: the driver-side stats
+    // pruner (min/max/nullCount/bloom) drops provably-dead files and
+    // Spark still applies the exact predicate per row.
+    val dataSurvivors: Seq[(AddFile, Path)] =
+      dataFilters.reduceOption(And) match {
+        case None => resolved
+        case Some(p) =>
+          val pruner = new DataSkipping.FilePruner(physSchema, partitionCols)
+          val n = DataSkipping.normalize(p)
+          resolved.filter { case (a, _) => pruner.mayMatch(n, a) }
+      }
+    val partEval: InternalRow => Boolean =
+      partitionFilters.reduceOption(And) match {
+        case None => _ => true
+        case Some(p) =>
+          val bound = p.transform {
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              val i = partitionCols.indexWhere(_ == a.name)
+              require(i >= 0, s"partition filter references non-partition column ${a.name}")
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, partitionSchema(i).dataType, nullable = true)
+          }
+          val pred = org.apache.spark.sql.catalyst.expressions.Predicate
+            .createInterpreted(bound)
+          row => pred.eval(row)
+      }
+    dataSurvivors
+      .groupBy { case (a, _) => partitionCols.map(c => a.partitionValues.getOrElse(c, None)) }
+      .toSeq
+      .flatMap { case (values, group) =>
+        val row = InternalRow.fromSeq(partitionCols.zip(values).map {
+          case (c, v) => partValue(v, physSchema(c).dataType)
+        })
+        if (!partEval(row)) None
+        else {
+          // FileStatus materialized from the LOG (size + modTime ride the
+          // AddFile) — no filesystem call per file
+          val statuses = group.map { case (a, p) =>
+            new FileStatus(a.size, false, 1, 0L, a.modificationTime, p)
+          }.toArray
+          Some(PartitionDirectory(row, statuses))
+        }
+      }
+  }
+}
+
+object GraftFileIndex {
+
+  /** The snapshot as ONE relation over the log-backed index: parquet
+    * reads under the PHYSICAL schema, partition columns appended from the
+    * index (log-authoritative), planner-time stats pruning via
+    * [[GraftFileIndex.listFiles]].
+    */
+  def relation(spark: SparkSession, tableRoot: Location, physSchema: StructType,
+      partitionCols: Seq[String], adds: Seq[AddFile],
+      hconf: Configuration): DataFrame = {
+    val index = new GraftFileIndex(spark, tableRoot, physSchema, partitionCols, adds, hconf)
+    val dataSchema = StructType(
+      physSchema.fields.filterNot(f => partitionCols.contains(f.name)))
+    val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+      bucketSpec = None, fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+  }
+}

@@ -87,6 +87,36 @@ class Round6Spec extends SparkSuite {
     assert(t.minMaxFromStats("n_nationkey").contains((0L, 24L)))
   }
 
+  test("planner-time stats skipping: a plain filter prunes files in ANY scan") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("fi-skip")
+    val t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_nationkey") < 10).coalesce(1))
+      .write(nation.filter(col("n_nationkey") >= 10).coalesce(1))
+    // NOT toDFWhere — a plain scan with a user filter: the log-backed
+    // FileIndex evaluates the pushed data filter against footer stats
+    // inside listFiles, so only the high file is planned
+    val df = t.toDF(spark).filter(col("n_nationkey") >= 20)
+    val qe = df.queryExecution
+    // execute THIS plan instance so its scan metrics populate
+    val n = qe.executedPlan.executeCollect().length
+    assert(n == nation.filter(col("n_nationkey") >= 20).count())
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      }.flatten
+    val scan = scansOf(qe.executedPlan).headOption
+      .getOrElse(fail("expected a FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value == 1L,
+      s"stats should prune to 1 file, planned ${scan.metrics("numFiles").value}")
+    // and the scan itself lists zero filesystem metadata: statuses come
+    // from the log (sanity: sizeInBytes equals the log's sizes)
+    assert(scan.relation.location.sizeInBytes ==
+      t.dlog.addActions.values.map(_.size).sum)
+  }
+
   test("appendOnlyStream rejects tables with removes unless ignoreChanges") {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     val d = tempDir("stream-guard")
