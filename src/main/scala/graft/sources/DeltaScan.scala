@@ -15,14 +15,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * (never the directory — removed files still exist on disk), with
   * partition columns re-attached from the log.
   *
-  * Scale design: when every add's path layout agrees with its
-  * log-recorded partition values (always true for our own writes), we use a
-  * single `spark.read.option("basePath", …)` scan — one relation, native
-  * partition pruning and predicate/column pushdown, unbroken whole-stage
-  * codegen. Only "foreign" files whose partition values are not encoded in
-  * their paths (zero-copy imports, clones of such) fall back to a per-
-  * partition-group union with `lit()`-cast partition columns, which Catalyst
-  * still constant-folds and prunes (SURVEY.md §4).
+  * Scale design: every layout plans as ONE relation over the log-backed
+  * [[GraftFileIndex]] — file statuses and partition values come from the
+  * log (no filesystem listing, no path parsing), partition filters are
+  * evaluated exactly against log-recorded values, and data filters prune
+  * files via per-file stats INSIDE the planner. Native predicate/column
+  * pushdown and unbroken whole-stage codegen as before (SURVEY.md §4).
   */
 object DeltaScan {
 
@@ -73,20 +71,6 @@ object DeltaScan {
         Some(seg.substring(0, i) -> (if (v == HiveDefaultPartition) None else Some(v)))
       }
     }.toMap
-  }
-
-  /** True when the add's path dir segments encode exactly its log-recorded
-    * partition values — the precondition for the single-relation basePath
-    * fast path. Partition values are log-authoritative (SURVEY.md §2 S2),
-    * so the path layout must agree before we let Spark parse it.
-    */
-  private def hiveConsistent(add: AddFile, partitionColumns: Seq[String]): Boolean = {
-    if (new org.apache.hadoop.fs.Path(add.path).toUri.getScheme != null) false
-    else {
-      val fromPath = partitionValuesFromPath(add.path)
-      partitionColumns.forall(c =>
-        fromPath.get(c).contains(add.partitionValues.getOrElse(c, None)))
-    }
   }
 
   def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
