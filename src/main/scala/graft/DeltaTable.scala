@@ -1682,33 +1682,6 @@ final case class DeltaTable(
   private def commit(entry: DeltaLogEntry): DeltaTable =
     copy(dlog = maybeCheckpoint(dlog.commit(entry, commitContext)))
 
-  /** Optimistic-concurrency commit for MUTATION entries (delete/update/
-    * merge/compact/replaceWhere), with Delta-style logical conflict
-    * detection instead of surfacing every version-file race to the
-    * caller: on a lost commit the log is reloaded and each winning
-    * commit is checked for a LOGICAL conflict —
-    *
-    *  - a winner that touched (removed, DV'd, or re-added) any file we
-    *    read or touched → `ConcurrentModificationException` (our rewrite
-    *    would resurrect their deletes, or double-apply ours);
-    *  - a winner that changed schema, partitioning, table configuration,
-    *    or protocol → conflict (our rewritten files were laid out under
-    *    the old metadata);
-    *  - a winner that only APPENDED new files → no conflict: the entry
-    *    is re-committed at the next version with the appended files left
-    *    live. This is Delta's WriteSerializable isolation — a predicate
-    *    mutation does not observe rows appended after its snapshot
-    *    (documented caveat, same as delta-spark's default level).
-    *
-    * At 1000-writer scale this is the difference between "every
-    * maintenance job aborts whenever an ingest lands" and conflicts only
-    * on true file-level overlap.
-    *
-    * @param readPaths log-relative paths of every file the operation
-    *        SCANNED (candidates), not just the ones it rewrites — a
-    *        winner rewriting an un-touched candidate file changed rows
-    *        our predicate evaluated.
-    */
   /** Conservative may-match for a predicate against a set of adds, via
     * the same physical-schema stats pruner scans use. None = the
     * operation read every row (full-table predicate) — everything
@@ -1724,6 +1697,41 @@ final case class DeltaTable(
           ColumnMapping.physicalSchema(sch), dlog.partitionColumns).nonEmpty
     }
 
+  /** Optimistic-concurrency commit for MUTATION entries (delete/update/
+    * merge/compact/replaceWhere), with Delta-style logical conflict
+    * detection instead of surfacing every version-file race to the
+    * caller: on a lost commit only the WINNING entries are loaded
+    * (incremental — never a full-log replay) and each is checked for a
+    * LOGICAL conflict —
+    *
+    *  - a winner that touched (removed, DV'd, or re-added) any file we
+    *    read or touched → `ConcurrentModificationException` (our rewrite
+    *    would resurrect their deletes, or double-apply ours);
+    *  - a winner that changed schema, partitioning, table configuration,
+    *    or protocol → conflict (our rewritten files were laid out under
+    *    the old metadata);
+    *  - a winner that REWROTE files (its entry carries removes) is also
+    *    checked for rows moved INTO our predicate: its new files' stats
+    *    must provably miss the predicate, or it conflicts — delta's
+    *    WriteSerializable exempts only BLIND appends;
+    *  - a winner that only appended new files → no conflict under the
+    *    default WriteSerializable: the entry is re-committed at the next
+    *    version with the appended files left live (a predicate mutation
+    *    does not observe rows appended after its snapshot — delta-spark's
+    *    documented default). Under [[withSerializableIsolation]] blind
+    *    appends are checked against the predicate too.
+    *
+    * At 1000-writer scale this is the difference between "every
+    * maintenance job aborts whenever an ingest lands" and conflicts only
+    * on true overlap.
+    *
+    * @param readPaths log-relative paths of every file the operation
+    *        SCANNED (candidates), not just the ones it rewrites — a
+    *        winner rewriting an un-touched candidate file changed rows
+    *        our predicate evaluated.
+    * @param readPredicate present for predicate mutations: the inner
+    *        Option is the user predicate (None = full-table read).
+    */
   private def commitOrRebase(entry: DeltaLogEntry, readPaths: Set[String],
       readPredicate: Option[Option[Column]] = None,
       maxRebase: Int = 5): DeltaTable = {
@@ -1739,8 +1747,19 @@ final case class DeltaTable(
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempts >= maxRebase) throw e
           attempts += 1
-          val fresh = DeltaLog.load(logLoc, None)
-          fresh.entries.rangeFrom(state.versionToWrite).values.foreach { w =>
+          // incremental: read ONLY the winner entries past our state —
+          // a rebase on a 10⁴-commit table costs O(winners), not O(log)
+          var newEntries = state.entries
+          var v = state.versionToWrite
+          var more = true
+          while (more) {
+            val f = logLoc.child(DeltaLog.filenameForVersion(v))
+            if (f.exists) {
+              newEntries = newEntries.updated(v, DeltaLogEntry.fromNdjson(f.readString()))
+              v += 1
+            } else more = false
+          }
+          newEntries.rangeFrom(state.versionToWrite).values.foreach { w =>
             if (w.actions.exists(_.isInstanceOf[Protocol]))
               throw conflict("protocol changed concurrently", e)
             w.metadataAction.foreach { m =>
@@ -1755,17 +1774,24 @@ final case class DeltaTable(
             if (overlap.nonEmpty)
               throw conflict(s"concurrent commit touched ${overlap.size} file(s) " +
                 s"this operation read or rewrote (e.g. ${overlap.head})", e)
-            // SERIALIZABLE (opt-in): a winner's NEW data files that may
-            // hold predicate-matching rows (per footer stats) conflict —
-            // the mutation's snapshot provably didn't observe them
-            if (serializableIsolation && readPredicate.isDefined) {
+            // a winner's NEW data files must provably miss our predicate
+            // when (a) the winner is a REWRITE (it may have moved rows
+            // INTO the predicate — checked even under WriteSerializable;
+            // delta exempts only blind appends), or (b) strict
+            // SERIALIZABLE was requested (blind appends checked too)
+            val rewrite = w.removes.nonEmpty
+            if (readPredicate.isDefined && (rewrite || serializableIsolation)) {
               val newFiles = w.adds.filter(a => !basePaths(a.path) && a.dataChange)
               if (addsMayMatch(newFiles, readPredicate.get))
-                throw conflict("concurrent append may contain rows matching " +
-                  "this operation's predicate (SERIALIZABLE isolation)", e)
+                throw conflict(
+                  if (rewrite)
+                    "concurrent rewrite may have moved rows into this operation's predicate"
+                  else
+                    "concurrent append may contain rows matching this " +
+                      "operation's predicate (SERIALIZABLE isolation)", e)
             }
           }
-          state = fresh
+          state = DeltaLog(state.loc, newEntries)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -295,14 +295,19 @@ object Similarity {
         (c.cast("double") + 127) / 254 * element_at(spanLit, i + 1)
           + element_at(mnLit, i + 1))
 
-    // stage 1: approximate top-candidateK over dequantized codes
+    // stage 1: approximate top-candidateK over dequantized codes. The
+    // dequantize runs ONCE per corpus row, BEFORE the query cross join —
+    // inside it, the O(dims) transform would re-run per (row × query)
+    // pair. (Materializing codes as a table column and dequantizing on
+    // read is where the 4× scan-bandwidth saving comes from; this
+    // in-operator path demonstrates the plan shape.)
     val coded = corpus.select(col(idCol).as("neighbor_id"),
-      encode(col(vecCol)).as("_code"))
+      dequantize(encode(col(vecCol))).as("_dq"))
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("_qv"))
     val approx = coded.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("_acos", cosineFast(col("_qv"), dequantize(col("_code"))))
+      .withColumn("_acos", cosineFast(col("_qv"), col("_dq")))
     val wC = Window.partitionBy("query_id")
       .orderBy(col("_acos").desc, col("neighbor_id"))
     val candidates = approx.withColumn("_crank", row_number().over(wC))

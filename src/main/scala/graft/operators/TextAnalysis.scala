@@ -19,17 +19,26 @@ object TextAnalysis {
     */
   def tokens(textCol: Column): Column = split(lower(textCol), " ")
 
-  /** Word n-gram "shingles" (distinct), the unit of Jaccard similarity.
-    * Built with `transform` over an index sequence — codegen-friendly,
-    * no explode until the caller asks for one.
+  /** Distinct n-token windows of `tokensCol`, each mapped by `f` over its
+    * slice — the shared core of [[shingles]] (string windows) and
+    * [[duplicatePassages]] (hashed windows). Built with `transform` over
+    * an index sequence — codegen-friendly, no explode until the caller
+    * asks for one.
+    *
+    * @param empty the typed empty-array literal for the sub-`n` guard
+    *        (sequence(0, k) with k<0 would generate a DESCENDING range)
     */
-  def shingles(tokensCol: Column, n: Int): Column =
-    // guard: sequence(0, k) with k<0 would generate a DESCENDING range
+  private def windowed(tokensCol: Column, n: Int, f: Column => Column,
+      empty: Column): Column =
     when(size(tokensCol) >= n,
       array_distinct(transform(
         sequence(lit(0), size(tokensCol) - n),
-        i => concat_ws(" ", slice(tokensCol, i + lit(1), lit(n))))))
-      .otherwise(array().cast("array<string>"))
+        i => f(slice(tokensCol, i + lit(1), lit(n))))))
+      .otherwise(empty)
+
+  /** Word n-gram "shingles" (distinct), the unit of Jaccard similarity. */
+  def shingles(tokensCol: Column, n: Int): Column =
+    windowed(tokensCol, n, w => concat_ws(" ", w), array().cast("array<string>"))
 
   /** Token count per document. */
   def withTokenCount(df: DataFrame, textCol: String): DataFrame =
@@ -221,12 +230,8 @@ object TextAnalysis {
     // contain the separator), so this is identical to the string
     // formulation up to a 2^-64 collision (the q72 decontamination
     // argument; the oracle replays the strings).
-    val ts = tokens(col(textCol))
-    val hashed = when(size(ts) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(ts) - k),
-        i => xxhash64(slice(ts, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
+    val hashed = windowed(tokens(col(textCol)), k, w => xxhash64(w),
+      array().cast("array<bigint>"))
     val w = df.select(col(idCol), explode(hashed).as("_w"))
     val byWin = org.apache.spark.sql.expressions.Window.partitionBy("_w")
     w.withColumn("_docfreq", count(lit(1)).over(byWin))

@@ -54,13 +54,20 @@ final class GraftFileIndex(
 
   override def refresh(): Unit = ()
 
+  // partition strings were rendered by the WRITER in the session
+  // timezone; casting them back must use the same zone or
+  // timestamp-typed partition values shift
+  private val sessionTz: String =
+    spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+
   /** Cast a log-recorded partition string to its internal value. */
   private def partValue(s: Option[String], dt: org.apache.spark.sql.types.DataType): Any =
     s match {
       case None => null
       case Some(v) =>
         Cast(Literal.create(org.apache.spark.unsafe.types.UTF8String.fromString(v),
-          StringType), dt, Some("UTC")).eval(null)
+          StringType), dt, Some(sessionTz)).eval(null)
     }
 
   override def listFiles(partitionFilters: Seq[Expression],

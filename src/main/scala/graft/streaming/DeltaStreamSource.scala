@@ -46,13 +46,20 @@ object DeltaStreamSource {
       // snapshot compacts history and would hide earlier removes
       val full = graft.log.DeltaLog.load(t.logLoc)
       full.entries.foreach { case (v, e) =>
-        if (e.removes.nonEmpty) {
+        // merge-on-read mutations emit NO removes (the touched file is
+        // re-added with a deletionVector ref) but their dead rows still
+        // stream — guard both shapes
+        val dved = e.adds.count(a => graft.sources.DeletionVectors.refOf(a).isDefined)
+        if (e.removes.nonEmpty || dved > 0) {
           val op = e.commitInfos.headOption.map(_.operation).getOrElse("UNKNOWN")
+          val what =
+            if (e.removes.nonEmpty) s"removed ${e.removes.size} file(s)"
+            else s"attached deletion vectors to $dved file(s)"
           throw new IllegalStateException(
             s"appendOnlyStream requires an append-only table, but version $v " +
-              s"($op) removed ${e.removes.size} file(s): removed files still " +
-              "stream and rewrites duplicate rows. Use changesBetween for " +
-              "change feeds, or ignoreChanges=true to accept reprocessing.")
+              s"($op) $what: removed/DV'd rows still stream and rewrites " +
+              "duplicate rows. Use changesBetween for change feeds, or " +
+              "ignoreChanges=true to accept reprocessing.")
         }
       }
     }

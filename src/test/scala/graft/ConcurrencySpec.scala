@@ -101,13 +101,43 @@ class ConcurrencySpec extends SparkSuite {
     assert(stale3.delete(spark, Some(col("n_nationkey") < 5)).version > stale3.version)
   }
 
-  test("rebase gives up after maxRebase and surfaces the raw conflict") {
-    // a winner per attempt is hard to stage deterministically; instead
-    // verify the conflict path classifies an UPDATE racing a same-file
-    // delete as logical, not FileAlreadyExists
+  test("a default-isolation rewrite that may move rows into the predicate conflicts") {
+    val (d, stale) = twoFileTable()
+    // the winner REWRITES the low file (CoW update): its new file's stats
+    // may hold rows moved into the stale delete's range — even under the
+    // default WriteSerializable that must conflict (only BLIND appends
+    // are exempt). The stale delete's candidates are the HIGH file, so
+    // plain file overlap does NOT fire here.
+    DeltaTable.forPath(d).update(spark, Some(col("n_nationkey") === 1),
+      Map("n_nationkey" -> lit(18)))
+    val e = intercept[java.util.ConcurrentModificationException](
+      stale.delete(spark, Some(col("n_nationkey") >= 15)))
+    assert(e.getMessage.contains("moved rows into"))
+  }
+
+  test("rebase classifies an update racing a same-file delete as logical") {
     val (d, stale) = twoFileTable()
     DeltaTable.forPath(d).delete(spark, Some(col("n_nationkey") === 1))
     intercept[java.util.ConcurrentModificationException](
       stale.update(spark, Some(col("n_nationkey") === 2), Map("n_name" -> lit("X"))))
+  }
+
+  test("rebase gives up after maxRebase and surfaces the raw conflict") {
+    // a commit context that always loses the race: the loop must retry
+    // maxRebase times (finding no winners each round, since nothing was
+    // actually committed) and then surface the RAW conflict, never a
+    // wrapped logical one and never an infinite loop
+    object AlwaysLoses extends CommitContext {
+      var calls = 0
+      def write(loc: graft.storage.Location, content: String): Unit = {
+        calls += 1
+        throw new java.nio.file.FileAlreadyExistsException(loc.uri)
+      }
+    }
+    val (d, _) = twoFileTable()
+    val t = DeltaTable.forPath(d, commitContext = AlwaysLoses)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      t.delete(spark, Some(col("n_nationkey") === 1)))
+    assert(AlwaysLoses.calls == 6, s"expected 1 + 5 rebase attempts, got ${AlwaysLoses.calls}")
   }
 }
