@@ -290,11 +290,13 @@ final case class DeltaTable(
     * if a competing replay of the SAME batch won, its result is adopted;
     * otherwise the conflict surfaces to the caller.
     */
-  def writeWithTxn(df: DataFrame, appId: String, txnVersion: Long): DeltaTable = {
+  def writeWithTxn(df: DataFrame, appId: String, txnVersion: Long,
+      partitionBy: Option[Seq[String]] = None): DeltaTable = {
     require(appId.nonEmpty, "writeWithTxn requires an application id")
     if (dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) return this
     val resolvedPartitionBy =
-      if (!dlog.isEmpty) dlog.validatePartitionBy(None) else Seq.empty
+      if (!dlog.isEmpty) dlog.validatePartitionBy(partitionBy)
+      else partitionBy.getOrElse(Seq.empty)
     val dfg = applyGenerated(df)
     val annSchema = ColumnMapping.annotateForWrite(
       if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,

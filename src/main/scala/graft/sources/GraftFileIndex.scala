@@ -149,16 +149,21 @@ object GraftFileIndex {
     * index (log-authoritative), planner-time stats pruning via
     * [[GraftFileIndex.listFiles]].
     */
-  def relation(spark: SparkSession, tableRoot: Location, physSchema: StructType,
+  def baseRelation(spark: SparkSession, tableRoot: Location, physSchema: StructType,
       partitionCols: Seq[String], adds: Seq[AddFile],
-      hconf: Configuration): DataFrame = {
+      hconf: Configuration): HadoopFsRelation = {
     val index = new GraftFileIndex(spark, tableRoot, physSchema, partitionCols, adds, hconf)
     val dataSchema = StructType(
       physSchema.fields.filterNot(f => partitionCols.contains(f.name)))
-    val rel = HadoopFsRelation(index, index.partitionSchema, dataSchema,
+    HadoopFsRelation(index, index.partitionSchema, dataSchema,
       bucketSpec = None, fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(rel)
   }
+
+  def relation(spark: SparkSession, tableRoot: Location, physSchema: StructType,
+      partitionCols: Seq[String], adds: Seq[AddFile],
+      hconf: Configuration): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(
+        baseRelation(spark, tableRoot, physSchema, partitionCols, adds, hconf))
 }

@@ -19,4 +19,15 @@ object ColumnShim {
     */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Re-wrap a streaming micro-batch DataFrame as a BATCH frame over the
+    * same physical rows (the delta-spark V1 `Sink.addBatch` technique):
+    * the incoming frame is flagged isStreaming, which batch writers
+    * reject, but its query execution IS a complete batch of rows.
+    */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

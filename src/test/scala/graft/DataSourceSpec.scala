@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `format("graft")` surface: DataFrame reader/writer, SQL DDL, and the
+  * exactly-once streaming sink.
+  */
+class DataSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("read: format(graft).load equals toDF, including partitioned + versionAsOf") {
+    val d = tempDir("ds-read")
+    val t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+      .write(nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    assertSameRows(spark.read.format("graft").load(d), t.toDF(spark))
+    assertSameRows(spark.read.format("graft").option("versionAsOf", 0).load(d),
+      nation)
+    // pushed filters still prune through the relation
+    assert(spark.read.format("graft").load(d)
+      .filter(col("n_regionkey") === 0).count() == 10)
+  }
+
+  test("read: mapped and DV snapshots are rejected, not misread") {
+    val d = tempDir("ds-guard")
+    val t = DeltaTable.forPath(d).write(nation).renameColumn("n_name", "nn")
+    assert(intercept[IllegalArgumentException](
+      spark.read.format("graft").load(d).count()).getMessage.contains("column mapping"))
+    val d2 = tempDir("ds-guard-dv")
+    DeltaTable.forPath(d2).write(nation)
+      .deleteMergeOnRead(spark, Some(col("n_nationkey") === 1))
+    assert(intercept[IllegalArgumentException](
+      spark.read.format("graft").load(d2).count()).getMessage.contains("deletion vectors"))
+  }
+
+  test("write: df.write.format(graft) commits through the log") {
+    val d = tempDir("ds-write")
+    nation.write.format("graft").option("partitionBy", "n_regionkey").save(d)
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 0L && t.partitionColumns == Seq("n_regionkey"))
+    nation.withColumn("n_nationkey", col("n_nationkey") + 100)
+      .write.format("graft").mode("append").save(d)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 50)
+    // overwrite replaces; time travel still reaches v0/v1
+    nation.limit(5).write.format("graft").mode("overwrite").save(d)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 5)
+    assert(DeltaTable.forPath(d).loadAsVersion(1L).toDF(spark).count() == 50)
+  }
+
+  test("SQL DDL: CREATE TABLE ... USING graft LOCATION") {
+    val d = tempDir("ds-sql")
+    DeltaTable.forPath(d).write(nation)
+    spark.sql(s"CREATE TABLE graft_sql_t USING graft LOCATION '$d'")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_sql_t").as[Long].head() == 25L)
+      assert(spark.sql(
+        "SELECT n_name FROM graft_sql_t WHERE n_nationkey = 7").as[String].head()
+        == nation.filter(col("n_nationkey") === 7).select("n_name").as[String].head())
+    } finally spark.sql("DROP TABLE graft_sql_t")
+  }
+
+  test("streaming sink: writeStream.format(graft) commits exactly once") {
+    val src = tempDir("ds-sink-src")
+    DeltaTable.forPath(src).write(nation).write(
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    val out = tempDir("ds-sink-out")
+    val ckpt = tempDir("ds-sink-ckpt")
+    def runOnce(): Unit = {
+      val q = graft.streaming.DeltaStreamSource.appendOnlyStream(spark, src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", "1") // force multiple batches
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    runOnce()
+    val t = DeltaTable.forPath(out)
+    assert(t.toDF(spark).count() == 50)
+    // a SECOND run over the same checkpoint re-delivers nothing: the
+    // file-source checkpoint skips consumed files AND the txn handshake
+    // would skip replayed batch ids
+    runOnce()
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 50)
+    // txn watermarks were recorded under the checkpoint-derived app id
+    assert(DeltaTable.forPath(out).dlog.latestTxnVersion(ckpt).isDefined)
+  }
+}
