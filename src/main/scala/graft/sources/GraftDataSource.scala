@@ -2,9 +2,11 @@ package graft.sources
 
 import graft.log.{ColumnMapping, WriteMode}
 import graft.DeltaTable
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 
 /** `format("graft")` — the Spark DataSource registration (delta-spark's
@@ -14,22 +16,28 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
   * {{{
   *   spark.read.format("graft").load(path)                      // scan
   *   spark.read.format("graft").option("versionAsOf", 3).load(path)
-  *   df.write.format("graft").mode("append").save(path)         // commit
+  *   df.write.format("graft").mode("append")
+  *     .partitionBy("day").save(path)                           // commit
   *   df.writeStream.format("graft").option("checkpointLocation", c)
   *     .start(path)                                             // exactly-once
   *   sql(s"CREATE TABLE t USING graft LOCATION '$path'")        // SQL DDL
   * }}}
   *
   * Reads plan through the log-backed [[GraftFileIndex]] (planner-time
-  * stats skipping, zero listing). Snapshots that need scan-side rewrites
-  * a bare relation cannot express — active column mapping (physical→
-  * logical aliasing) or deletion vectors (anti-join) — are rejected with
-  * a pointer to `DeltaTable.forPath(...).toDF`, never served wrong.
+  * stats skipping, zero listing) under the SESSION's Hadoop
+  * configuration. Snapshots that need scan-side rewrites a bare relation
+  * cannot express — active column mapping (physical→logical aliasing) or
+  * deletion vectors (anti-join) — are rejected with a pointer to
+  * `DeltaTable.forPath(...).toDF`, never served wrong.
   *
-  * The streaming sink commits each micro-batch through
-  * [[DeltaTable.writeWithTxn]] keyed on (appId, batchId) — Delta's
-  * SetTransaction handshake — so a replayed batch (driver retry,
-  * checkpoint recovery) commits exactly once.
+  * The streaming sink supports Append (each micro-batch committed
+  * through [[DeltaTable.writeWithTxn]] keyed on the stream's QUERY id +
+  * batchId — Delta's SetTransaction handshake, so a replayed batch after
+  * driver retry or checkpoint recovery commits exactly once, while a
+  * DELETED checkpoint gets a fresh query id and correctly starts over)
+  * and Complete (each batch overwrites the table — idempotent by
+  * content). Update mode is rejected: appending per-key updates would
+  * accumulate duplicates.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
     with StreamSinkProvider with DataSourceRegister {
@@ -40,10 +48,16 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
 
+  private def tableFor(sqlContext: SQLContext,
+      parameters: Map[String, String]): DeltaTable =
+    DeltaTable.forPath(pathOf(parameters),
+      version = parameters.get("versionAsOf").map(_.toLong),
+      conf = org.apache.spark.sql.graftshim.ColumnShim
+        .hadoopConf(sqlContext.sparkSession))
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val t = DeltaTable.forPath(pathOf(parameters),
-      version = parameters.get("versionAsOf").map(_.toLong))
+    val t = tableFor(sqlContext, parameters)
     val sch = t.dlog.schema
     require(ColumnMapping.isIdentity(ColumnMapping.logicalToPhysical(sch)),
       "this table uses column mapping (renamed/dropped columns); read it " +
@@ -64,32 +78,59 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case SaveMode.ErrorIfExists => WriteMode.ErrorIfExists
       case SaveMode.Ignore => WriteMode.Ignore
     }
-    // V1 CreatableRelationProvider doesn't forward writer.partitionBy —
-    // accept it as an option, like delta's early V1 surface
-    val partitionBy = parameters.get("partitionBy")
-      .map(_.split(",").map(_.trim).toSeq)
-    DeltaTable.forPath(pathOf(parameters))
+    // writer.partitionBy(...) arrives JSON-encoded under Spark's
+    // __partition_columns key; a plain "partitionBy" option also works
+    val partitionBy = parameters.get(DataSourceUtils.PARTITIONING_COLUMNS_KEY)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .orElse(parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq))
+      .filter(_.nonEmpty)
+    val written = tableFor(sqlContext, parameters)
       .write(data, mode = wm, partitionBy = partitionBy)
-    createRelation(sqlContext, parameters)
+    // SaveIntoDataSourceCommand discards the relation — return a cheap
+    // schema-only stub instead of re-opening the log (and the READ
+    // guards must not run here: a legal append to a mapped/DV table
+    // would otherwise commit and THEN throw)
+    val ctx = sqlContext
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = written.dlog.schema
+    }
   }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
-      s"graft sink supports Append/Update output modes, not $outputMode")
-    // the idempotence key defaults to the checkpoint location — the same
-    // identity Spark uses for the stream's progress — overridable for
-    // multi-sink topologies
-    val appId = parameters.get("txnAppId")
-      .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(s"graft-sink:$path")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft sink supports Append and Complete output modes, not $outputMode " +
+        "(Update would append per-key revisions as duplicate rows)")
+    val complete = outputMode == OutputMode.Complete()
     val pb = if (partitionColumns.nonEmpty) Some(partitionColumns) else None
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         val batch = org.apache.spark.sql.graftshim.ColumnShim.asBatch(data)
-        DeltaTable.forPath(path).writeWithTxn(batch, appId, batchId, pb)
+        val conf = org.apache.spark.sql.graftshim.ColumnShim
+          .hadoopConf(data.sparkSession)
+        val t = DeltaTable.forPath(path, conf = conf)
+        if (complete)
+          // overwrite-per-batch is idempotent by CONTENT: a replayed
+          // batch rewrites the same rows
+          t.write(batch, mode = WriteMode.Overwrite, partitionBy = pb)
+        else {
+          // idempotence key: the stream's QUERY id (stable across
+          // restarts of one checkpoint, fresh when the checkpoint is
+          // deleted — so restarted-from-scratch streams are never
+          // silently skipped), overridable for multi-sink topologies
+          val appId = parameters.get("txnAppId").getOrElse {
+            val qid = data.sparkSession.sparkContext
+              .getLocalProperty("sql.streaming.queryId")
+            require(qid != null && qid.nonEmpty,
+              "graft sink could not determine the streaming query id; " +
+                "set option(\"txnAppId\", ...) explicitly")
+            s"graft-sink:$qid"
+          }
+          t.writeWithTxn(batch, appId, batchId, pb)
+        }
       }
       override def toString: String = s"GraftSink[$path]"
     }

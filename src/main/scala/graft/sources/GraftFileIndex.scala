@@ -47,18 +47,22 @@ final class GraftFileIndex(
   // cached-DataFrame lookup misses, and persisted intermediates
   // re-materialize per query (measured 3x on the dedup family).
   // Identity = table root + the exact live-file set (path, size,
-  // modTime) — STRICTER than InMemoryFileIndex's root-path equality:
-  // two different VERSIONS of one table correctly compare unequal.
-  private lazy val addSignature: Int =
-    adds.map(a => (a.path, a.size, a.modificationTime)).hashCode()
+  // modTime), compared as SORTED VALUES (never by 32-bit hash — a
+  // collision would serve a stale cached VERSION; and sorting makes
+  // checkpoint-fast-path vs JSON-replay handles of the same version,
+  // whose replay orders differ, compare equal). STRICTER than
+  // InMemoryFileIndex's root-path equality: two different VERSIONS of
+  // one table correctly compare unequal.
+  private lazy val addIdentity: Seq[(String, Long, Long)] =
+    adds.map(a => (a.path, a.size, a.modificationTime)).sortBy(_._1)
 
   override def equals(other: Any): Boolean = other match {
     case g: GraftFileIndex =>
-      g.tableRoot.uri == tableRoot.uri && g.addSignature == addSignature
+      g.tableRoot.uri == tableRoot.uri && g.addIdentity == addIdentity
     case _ => false
   }
 
-  override def hashCode: Int = tableRoot.uri.hashCode * 31 + addSignature
+  override def hashCode: Int = tableRoot.uri.hashCode * 31 + addIdentity.hashCode()
 
   override val partitionSchema: StructType =
     StructType(partitionCols.map(c => physSchema(c)))

@@ -39,7 +39,8 @@ object DeltaStreamSource {
     * contract, as with delta's source.
     */
   def appendOnlyStream(spark: SparkSession, tableDir: String,
-      ignoreChanges: Boolean = false): DataFrame = {
+      ignoreChanges: Boolean = false,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val t = DeltaTable.forPath(tableDir)
     if (!ignoreChanges) {
       // full JSON replay, not the checkpoint fast path: a checkpoint
@@ -68,6 +69,9 @@ object DeltaStreamSource {
       .option("basePath", tableDir)
       // data files only — never the transaction log or staging leftovers
       .option("pathGlobFilter", "*.parquet")
+      // caller-supplied SOURCE options (maxFilesPerTrigger etc.) — sink
+      // options can't reach the source, it is built right here
+      .options(options)
       .parquet(tableDir)
   }
 }

@@ -25,6 +25,13 @@ object ColumnShim {
     * the incoming frame is flagged isStreaming, which batch writers
     * reject, but its query execution IS a complete batch of rows.
     */
+  /** The SESSION's Hadoop configuration (spark.hadoop.* plus SQL-conf
+    * overrides) — what every built-in source resolves filesystems with.
+    */
+  def hadoopConf(spark: org.apache.spark.sql.SparkSession): org.apache.hadoop.conf.Configuration =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.newHadoopConf()
+
   def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.internalCreateDataFrame(

@@ -37,7 +37,9 @@ class DataSourceSpec extends SparkSuite {
 
   test("write: df.write.format(graft) commits through the log") {
     val d = tempDir("ds-write")
-    nation.write.format("graft").option("partitionBy", "n_regionkey").save(d)
+    // the standard writer API — partitionBy arrives via Spark's
+    // __partition_columns option
+    nation.write.format("graft").partitionBy("n_regionkey").save(d)
     val t = DeltaTable.forPath(d)
     assert(t.version == 0L && t.partitionColumns == Seq("n_regionkey"))
     nation.withColumn("n_nationkey", col("n_nationkey") + 100)
@@ -68,10 +70,11 @@ class DataSourceSpec extends SparkSuite {
     val out = tempDir("ds-sink-out")
     val ckpt = tempDir("ds-sink-ckpt")
     def runOnce(): Unit = {
-      val q = graft.streaming.DeltaStreamSource.appendOnlyStream(spark, src)
+      val q = graft.streaming.DeltaStreamSource
+        // SOURCE option: genuinely forces one file per micro-batch
+        .appendOnlyStream(spark, src, options = Map("maxFilesPerTrigger" -> "1"))
         .writeStream.format("graft")
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", "1") // force multiple batches
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start(out)
       q.awaitTermination()
@@ -79,12 +82,21 @@ class DataSourceSpec extends SparkSuite {
     runOnce()
     val t = DeltaTable.forPath(out)
     assert(t.toDF(spark).count() == 50)
-    // a SECOND run over the same checkpoint re-delivers nothing: the
-    // file-source checkpoint skips consumed files AND the txn handshake
-    // would skip replayed batch ids
+    // multiple micro-batches really happened: one txn-marked append per
+    // source file (query-id app, batch 0 and 1)
+    val txns = t.dlog.entries.values.flatMap(_.actions).collect {
+      case x: graft.log.Txn => x
+    }.toSeq
+    assert(txns.size == 2 && txns.map(_.version).sorted == Seq(0L, 1L),
+      s"expected 2 batch commits, got $txns")
+    assert(txns.map(_.appId).distinct.size == 1 &&
+      txns.head.appId.startsWith("graft-sink:"))
+    // a REPLAYED batch id under the same app is skipped by the txn
+    // handshake (what checkpoint recovery re-delivery hits)
+    val replayed = t.writeWithTxn(nation, txns.head.appId, 1L)
+    assert(replayed.version == t.version, "replayed batch must be a no-op")
+    // a SECOND full run over the same checkpoint re-delivers nothing
     runOnce()
     assert(DeltaTable.forPath(out).toDF(spark).count() == 50)
-    // txn watermarks were recorded under the checkpoint-derived app id
-    assert(DeltaTable.forPath(out).dlog.latestTxnVersion(ckpt).isDefined)
   }
 }
