@@ -93,6 +93,15 @@ object SparkEntry {
     "q89_rebased_delete_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersRacedDeleteDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
+    // the registered DataSource surface: spark.read.format("graft") over
+    // a partitioned table written through df.write.format("graft")
+    "q91_datasource_roundtrip" -> ((s, d) => {
+      val dir = QueryLib.cachedDir(d, "ds_roundtrip") { out =>
+        QueryLib.raw(s, d, "customer")
+          .write.format("graft").partitionBy("c_mktsegment").save(out)
+      }
+      s.read.format("graft").load(dir).orderBy("c_custkey")
+    }),
     // exact MoR change feed: v2's delete rows = newly-dead only (v1's
     // dead rows must NOT re-appear) — sidecar set difference, oracled
     "q78_dv_changes" -> ((s, d) =>
@@ -878,6 +887,8 @@ object SparkEntry {
         |SELECT * FROM r
         |UNION ALL SELECT doc_id + 100000, text, lang, source, char_count FROM r
         |ORDER BY doc_id""".stripMargin,
+    "q91_datasource_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
     "q89_rebased_delete_scan" ->
       """SELECT * FROM orders WHERE NOT (o_totalprice > 100000)
         |UNION ALL
