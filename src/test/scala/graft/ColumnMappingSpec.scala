@@ -228,6 +228,42 @@ class ColumnMappingSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](t.renameColumn("n_name", "nn"))
   }
 
+  test("renaming a GENERATED column keeps its expression and mapping") {
+    val d = tempDir("gen-rename")
+    val ev = QueryLib.events(spark, sfDir).limit(100)
+    val t = DeltaTable.forPath(d)
+      .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+      .write(ev)
+      .renameColumn("event_date", "day")
+    // the expression rides the renamed field; new batches compute `day`
+    assert(t.generatedColumns == Map("day" -> "CAST(ts AS DATE)"))
+    val t2 = t.write(ev.withColumn("event_id", col("event_id") + 1000))
+    assert(t2.toDF(spark)
+      .filter(not(col("day") <=> col("ts").cast("date"))).count() == 0L)
+    // physical name stays the original — pre-rename files bind correctly
+    assert(ColumnMapping.logicalToPhysical(t2.dlog.schema)("day") == "event_date")
+    // and UPDATE still re-derives under the new logical name
+    val t3 = t2.update(spark, Some(col("event_id") === 0),
+      Map("ts" -> (col("ts") + expr("INTERVAL 400 DAYS"))))
+    assert(t3.toDF(spark)
+      .filter(not(col("day") <=> col("ts").cast("date"))).count() == 0L)
+  }
+
+  test("format(graft) writes compute generated columns too") {
+    val d = tempDir("gen-ds")
+    val ev = QueryLib.events(spark, sfDir).limit(100)
+    DeltaTable.forPath(d)
+      .withGeneratedColumn("event_date", "CAST(ts AS DATE)")
+      .write(ev, partitionBy = Some(Seq("event_date")))
+    // a producer using only the registered format never supplies the
+    // column; the write path derives it from the log-recorded expression
+    ev.withColumn("event_id", col("event_id") + 1000)
+      .write.format("graft").mode("append").save(d)
+    val got = DeltaTable.forPath(d).toDF(spark)
+    assert(got.count() == 200)
+    assert(got.filter(not(col("event_date") <=> col("ts").cast("date"))).count() == 0L)
+  }
+
   test("generated columns must be declared before the table exists") {
     val d = tempDir("gen-late")
     val t = DeltaTable.forPath(d).write(nation)

@@ -168,6 +168,19 @@ class Round6Spec extends SparkSuite {
     assertSameRows(twoStage, exact)
   }
 
+  test("unigram logprob: the in-plan corpus total reuses the tf shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // static ReuseExchange is visible in the non-adaptive plan (under
+    // AQE the same reuse happens at runtime via shuffle-stage reuse)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"expected the total's aggregate to reuse the tf exchange:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("unigram logprob: closed-form two-doc corpus") {
     // corpus = [a a b], [b c]; total 5 tokens; freqs a=2 b=2 c=1
     val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
