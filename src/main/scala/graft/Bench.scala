@@ -31,7 +31,8 @@ object Bench {
     "q82_meta_count", "q83_meta_minmax", "q84_pii_redact",
     "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan",
     "q88_generated_partition_scan", "q89_rebased_delete_scan",
-    "q90_ann_quantized_rerank", "q91_datasource_roundtrip")
+    "q90_ann_quantized_rerank", "q91_datasource_roundtrip",
+    "q92_url_signals")
 
   val RUNS = 2
 

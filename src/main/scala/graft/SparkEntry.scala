@@ -308,6 +308,22 @@ object SparkEntry {
       operators.Pii.detectRedact(piiEnriched(QueryLib.delta(s, d, "documents")),
           "doc_id", "text")
         .orderBy("doc_id")),
+    // URL/domain provenance signals over deterministically URL-enriched
+    // documents (same injection trick as q84), blocklist = badsite.net
+    "q92_url_signals" -> ((s, d) => {
+      val id = col("doc_id")
+      val enriched = QueryLib.delta(s, d, "documents").select(id,
+        concat(col("text"),
+          when(id % 4 === 0, concat(lit(" see https://www.site"),
+            (id % 5).cast("string"), lit(".example.com/p/"), id.cast("string")))
+            .otherwise(lit("")),
+          when(id % 4 === 1, concat(lit(" via http://spam"),
+            (id % 3).cast("string"), lit(".badsite.net"))).otherwise(lit("")),
+          when(id % 4 === 2, concat(lit(" at https://docs.example.org/x"),
+            id.cast("string"))).otherwise(lit(""))).as("text"))
+      operators.Pii.urlSignals(enriched, "doc_id", "text",
+        blocklist = Seq("badsite.net")).orderBy("doc_id")
+    }),
     // cross-document duplicated k-token passages (exact-substring dedup
     // signal at window granularity)
     "q85_dup_passages" -> ((s, d) =>
@@ -871,6 +887,20 @@ object SparkEntry {
          |r3 AS (SELECT doc_id, n_emails, n_phones, CAST(len(regexp_extract_all(t, '${operators.Pii.Ipv4Re}')) AS BIGINT) AS n_ipv4,
          | regexp_replace(t, '${operators.Pii.Ipv4Re}', '<IP>', 'g') AS t FROM r2)
          |SELECT doc_id, n_emails, n_phones, n_ipv4, t AS redacted FROM r3 ORDER BY doc_id""".stripMargin,
+    "q92_url_signals" ->
+      s"""WITH e AS (SELECT doc_id, lower(text ||
+         | CASE WHEN doc_id % 4 = 0 THEN ' see https://www.site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+         | CASE WHEN doc_id % 4 = 1 THEN ' via http://spam' || CAST(doc_id % 3 AS VARCHAR) || '.badsite.net' ELSE '' END ||
+         | CASE WHEN doc_id % 4 = 2 THEN ' at https://docs.example.org/x' || CAST(doc_id AS VARCHAR) ELSE '' END) AS t
+         | FROM documents),
+         |h AS (SELECT doc_id, regexp_extract_all(t, '${operators.Pii.UrlRe}', 1) AS hosts FROM e),
+         |dm AS (SELECT doc_id, hosts, list_transform(hosts, x ->
+         |  array_to_string(string_split(x, '.')[greatest(len(string_split(x, '.')) - 1, 1):], '.')) AS domains FROM h)
+         |SELECT doc_id, CAST(len(hosts) AS BIGINT) AS n_urls,
+         | CAST(len(list_filter(domains, d -> d = 'badsite.net')) AS BIGINT) AS n_blocked,
+         | coalesce(array_to_string(list_sort(list_distinct(domains)), ','), '') AS domains,
+         | len(list_filter(domains, d -> d = 'badsite.net')) > 0 AS blocked
+         |FROM dm ORDER BY doc_id""".stripMargin,
     // per-doc DISTINCT windows, so a window's occurrence count across the
     // exploded set IS its document frequency
     "q85_dup_passages" ->

@@ -60,4 +60,38 @@ object Pii {
     df.filter(regexp_count(col(textCol), lit(EmailRe)) === 0 &&
       regexp_count(col(textCol), lit(PhoneRe)) === 0 &&
       regexp_count(col(textCol), lit(Ipv4Re)) === 0)
+
+  /** `http(s)://host` occurrences; group 1 captures the host. */
+  val UrlRe: String = """https?://([a-z0-9.-]+)(?:/[^\s]*)?"""
+
+  /** Per-document URL/domain signals — the provenance-filtering step of
+    * every web-corpus pipeline (C4's blocklist, RefinedWeb's URL
+    * curation): registered domains are extracted from in-text URLs and
+    * scored against a blocklist. The "registered domain" here is the
+    * last two host labels — the public-suffix-list refinement is a data
+    * swap, not a code change.
+    *
+    * Row-local regexp column algebra end to end (the blocklist becomes
+    * a literal array — curated lists are 10³–10⁵ entries, a constant in
+    * codegen terms): zero shuffle, scan-speed at 100 TB.
+    *
+    * @return idCol, n_urls, n_blocked, domains (distinct, sorted,
+    *         comma-joined), blocked (any blocklisted domain present)
+    */
+  def urlSignals(df: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val hosts = regexp_extract_all(lower(col(textCol)), lit(UrlRe), lit(1))
+    // registered domain = last two dot-labels of the host
+    val domains = transform(hosts, h => {
+      val parts = split(h, "\\.")
+      concat_ws(".", slice(parts, greatest(size(parts) - 1, lit(1)), lit(2)))
+    })
+    val bl = array(blocklist.map(lit): _*)
+    df.select(
+      col(idCol),
+      size(hosts).cast("long").as("n_urls"),
+      size(filter(domains, d => array_contains(bl, d))).cast("long").as("n_blocked"),
+      concat_ws(",", array_sort(array_distinct(domains))).as("domains"),
+      (size(filter(domains, d => array_contains(bl, d))) > 0).as("blocked"))
+  }
 }

@@ -38,6 +38,21 @@ class Round6Spec extends SparkSuite {
     assert(Pii.dropPii(df, "text").select("id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("url signals: domains extracted, blocklist flagged, zero shuffle") {
+    val df = Seq(
+      (1L, "see https://www.sub.shop.example.com/p/1 and http://spam.bad.net"),
+      (2L, "plain text no links"),
+      (3L, "dup https://a.example.com/x https://b.example.com/y")).toDF("id", "text")
+    val r = Pii.urlSignals(df, "id", "text", Seq("bad.net")).orderBy("id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3), x.getBoolean(4)))
+    assert(r(0) == ((1L, 2L, 1L, "bad.net,example.com", true)))
+    assert(r(1) == ((2L, 0L, 0L, "", false)))
+    assert(r(2) == ((3L, 2L, 0L, "example.com", false)))
+    val plan = Pii.urlSignals(df, "id", "text", Seq("bad.net"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("pii: redaction is pure row-local column algebra — no shuffle") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val plan = Pii.detectRedact(df, "id", "text")
