@@ -235,26 +235,34 @@ object Dedup {
       .distinct())
     var round = 0
     var converged = sig._1 == 0L
-    val wU = Window.partitionBy("u")
     while (!converged && round < maxRounds) {
-      // Each star step needs min(neighbors(u)) attached back to every
-      // edge of u — a window over the SAME key a groupBy+join pair would
-      // shuffle twice. Per round: two windows + the closing distinct,
-      // three shuffles and NO join operator (the join formulation paid
-      // 2 aggregations + 2 joins + distinct).
+      // Each star step needs min(neighbors(u)) attached back to every edge
+      // of u. A window over partitionBy(u) is ONE shuffle but puts a
+      // celebrity node's whole neighborhood (10^8 edges for a boilerplate
+      // near-dup cluster) into ONE task — windows cannot be split by AQE.
+      // groupBy(u).min is skew-immune (map-side partial aggregation: the
+      // reduce side sees one partial row per map partition, not one row
+      // per edge) and the equi-join that re-attaches the min is
+      // AQE-skew-join-splittable. That is the shape that survives 100 TB;
+      // the saved window shuffle was never the bottleneck — the hot task
+      // was.
       // large-star over symmetric neighborhoods: every neighbor LARGER
       // than u re-points at u's minimum neighbor (or u itself)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("_m", least(min(col("v")).over(wU), col("u")))
+      val minsL = sym.groupBy("u").agg(min(col("v")).as("_mv"))
+      val large = sym.join(minsL, "u")
+        .withColumn("_m", least(col("_mv"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
         .filter(col("u") =!= col("v"))
       // small-star over the (u > v)-oriented result: u and its smaller
-      // neighbors all re-point at their collective minimum
-      val withMin = large.withColumn("_m", min(col("v")).over(wU))
-      val small = withMin.select(col("v").as("u"), col("_m").as("v"))
-        .union(withMin.select(col("u"), col("_m").as("v")))
+      // neighbors all re-point at their collective minimum. The (u, min)
+      // arm comes straight from the aggregate — one row per node instead
+      // of one per edge, shrinking the pre-distinct union.
+      val minsS = large.groupBy("u").agg(min(col("v")).as("_m"))
+      val small = large.join(minsS, "u")
+        .select(col("v").as("u"), col("_m").as("v"))
+        .union(minsS.select(col("u"), col("_m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
       val (ck, nextSig) = checkpointWithSig(small)

@@ -212,11 +212,16 @@ object TextAnalysis {
     *
     * Scale shape: one explode of per-doc DISTINCT windows (so a window's
     * occurrence count IS its document frequency), document frequency as a
-    * window count over the window text (one shuffle), then the per-doc
-    * aggregation (second shuffle). Document bodies never ride a shuffle
-    * and there is no join; candidate memory is bounded by windows-per-doc.
-    * Documents shorter than k tokens have no windows and drop out (the
-    * oracle applies the same `len >= k` guard).
+    * `groupBy(window).count` re-attached by equi-join — NOT a window
+    * aggregate: a boilerplate passage shared by 10^7 docs would land its
+    * every occurrence in ONE window-partition task, and windows cannot be
+    * split by AQE. The groupBy is map-side-combined (skew-immune) and the
+    * join is AQE-skew-join-splittable; ReuseExchange shares the probe
+    * side's shuffle with the aggregate's, so the exchange count matches
+    * the old window formulation. Document bodies never ride a shuffle;
+    * candidate memory is bounded by windows-per-doc. Documents shorter
+    * than k tokens have no windows and drop out (the oracle applies the
+    * same `len >= k` guard).
     *
     * @return idCol, n_windows, n_dup_windows, dup_ratio per document
     */
@@ -233,8 +238,11 @@ object TextAnalysis {
     val hashed = windowed(tokens(col(textCol)), k, w => xxhash64(w),
       array().cast("array<bigint>"))
     val w = df.select(col(idCol), explode(hashed).as("_w"))
-    val byWin = org.apache.spark.sql.expressions.Window.partitionBy("_w")
-    w.withColumn("_docfreq", count(lit(1)).over(byWin))
+    // per-doc windows are distinct, so count = document frequency; the
+    // aggregate's input exchange is identical to the join probe's and
+    // Catalyst reuses it (one physical shuffle of w, as before)
+    val dfreq = w.groupBy("_w").agg(count(lit(1)).as("_docfreq"))
+    w.join(dfreq, "_w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_windows"),
         sum(when(col("_docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
