@@ -1,8 +1,36 @@
 package graft.tools
 
 import graft.operators.{Dedup, Similarity, Temporal, TextAnalysis}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Collects per-stage task durations so skew probes can compare the
+  * longest task against the stage median — the number that decides
+  * whether a hot key stalls a 1000-executor cluster behind one straggler.
+  */
+private class TaskStatsListener extends SparkListener {
+  private val byStage =
+    scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
+    byStage.getOrElseUpdate(t.stageId,
+      scala.collection.mutable.ArrayBuffer[Long]()) += t.taskInfo.duration
+  }
+  def reset(): Unit = synchronized(byStage.clear())
+  /** (stageId, tasks, maxMs, medianMs, ratio) for the worst max/median
+    * ratio among stages heavy enough for the ratio to mean anything
+    * (>= minTasks tasks and a max task >= minMaxMs — below that, constant
+    * scheduling overheads dominate and the ratio is noise).
+    */
+  def worstStage(minTasks: Int = 8, minMaxMs: Long = 300): Option[(Int, Int, Long, Long, Double)] =
+    synchronized {
+      byStage.iterator.collect { case (sid, ds) if ds.length >= minTasks && ds.max >= minMaxMs =>
+        val sorted = ds.sorted
+        val med = math.max(sorted(sorted.length / 2), 1L)
+        (sid, ds.length, ds.max, med, ds.max.toDouble / med)
+      }.toSeq.sortBy(-_._5).headOption
+    }
+}
 
 /** Scaling probe for the similarity-dedup operators: grows the corpus by
   * unioning salted copies of `documents` (every token suffixed with the
@@ -26,9 +54,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
-    // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv)
+    // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "temporal", "cc", "dv"))
+      .getOrElse(Set("docs", "text", "ann", "temporal", "cc", "dv", "zipf"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -187,6 +215,68 @@ object ScaleProbe {
       println(f"DVSCALE rows=$rows%9d cow_delete=$cow%6.2fs mor_delete=$mor%6.2fs " +
         f"dv_scan=$scan%6.2fs live=$live%9d")
       dvK *= 4
+    }
+
+    // Zipfian hot-key stress — the adversarial shape for the dedup family:
+    // ONE passage shared by >=30% of all docs (q85's worst case) and ONE
+    // dedup cluster holding 30% of all nodes (q59's celebrity node). The
+    // old window-aggregate formulations put a hot key's every row into one
+    // task; the groupBy+join formulations keep aggregation map-side-
+    // combined and leave the residual probe-side imbalance to AQE
+    // skew-join. Verdict: max task duration within 3x of the stage median.
+    // AQE's skew thresholds are production-sized (256 MB); scale them to
+    // probe data volume so the runtime behaves as it would on real
+    // partition sizes.
+    if (sections("zipf")) {
+      val listener = new TaskStatsListener
+      spark.sparkContext.addSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      def probe(tag: String, detail: String)(f: => Long): Unit = {
+        listener.reset()
+        val t0 = System.nanoTime(); val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus drains asynchronously
+        val report = listener.worstStage() match {
+          case Some((sid, n, mx, med, r)) =>
+            f"worst_stage=$sid tasks=$n max_task=${mx}ms median_task=${med}ms " +
+              f"ratio=$r%4.2f " + (if (r <= 3.0) "OK(<=3x)" else "SKEWED(>3x)")
+          case None => "all stages below heavy-task threshold"
+        }
+        println(f"ZIPFSCALE $tag%-13s $detail rows=$rows%8d wall=$wall%6.2fs $report")
+      }
+
+      // q85 shape: 200k short docs, globally-unique filler tokens (only
+      // passage windows can repeat), rank-1/2/3 passages in 30%/15%/10%
+      // of docs.
+      val nDocs = 200000L
+      def passage(p: String) = (1 to 20).map(i => s"${p}w$i").mkString(" ")
+      val filler = concat_ws(" ", transform(sequence(lit(0L), lit(39L)),
+        j => concat(lit("x"), (col("id") * 64L + j).cast("string"))))
+      val zdocs = spark.range(nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", filler,
+          when(pmod(col("id"), lit(10L)) < 3, lit(passage("a"))),
+          when(pmod(col("id"), lit(20L)) < 3, lit(passage("b"))),
+          when(pmod(col("id"), lit(10L)) === 9, lit(passage("c")))).as("text"))
+        .cache()
+      zdocs.count()
+      probe("dup_passages", s"docs=$nDocs hot=30%")(
+        TextAnalysis.duplicatePassages(zdocs, "doc_id", "text").count())
+      zdocs.unpersist()
+
+      // q59 shape: 1M nodes; node 0 is the center of a 300k-spoke star
+      // (one component holding 30% of all nodes) plus 64-long chains for
+      // the remaining 700k.
+      val star = spark.range(1L, 300001L)
+        .select(lit(0L).as("a"), col("id").as("b"))
+      val chains = spark.range(300001L, 1000000L)
+        .filter(pmod(col("id"), lit(64L)) =!= 63L)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      probe("cc_star", "nodes=1000000 star=30%")(
+        Dedup.connectedComponents(star.union(chains))
+          .select("component").distinct().count())
+      spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
   }
