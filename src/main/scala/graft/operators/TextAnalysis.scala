@@ -215,13 +215,16 @@ object TextAnalysis {
     * `groupBy(window).count` re-attached by equi-join — NOT a window
     * aggregate: a boilerplate passage shared by 10^7 docs would land its
     * every occurrence in ONE window-partition task, and windows cannot be
-    * split by AQE. The groupBy is map-side-combined (skew-immune) and the
-    * join is AQE-skew-join-splittable; ReuseExchange shares the probe
-    * side's shuffle with the aggregate's, so the exchange count matches
-    * the old window formulation. Document bodies never ride a shuffle;
-    * candidate memory is bounded by windows-per-doc. Documents shorter
-    * than k tokens have no windows and drop out (the oracle applies the
-    * same `len >= k` guard).
+    * split by AQE. The groupBy is map-side-combined (skew-immune). Only
+    * the DUPLICATED windows (docfreq >= 2) ride the join's build side,
+    * and the join is pinned to a ShuffledHashJoin: Catalyst's size
+    * estimate below a Generate passes through the (tiny) parquet child,
+    * so a size-based broadcast here would ship the corpus's entire
+    * duplicated-window set to every executor — multi-GB at 10 GB of
+    * input while the estimate still sits under the 10 MB threshold.
+    * Document bodies never ride a shuffle; candidate memory is bounded
+    * by windows-per-doc. Documents shorter than k tokens have no windows
+    * and drop out (the oracle applies the same `len >= k` guard).
     *
     * @return idCol, n_windows, n_dup_windows, dup_ratio per document
     */
@@ -238,14 +241,19 @@ object TextAnalysis {
     val hashed = windowed(tokens(col(textCol)), k, w => xxhash64(w),
       array().cast("array<bigint>"))
     val w = df.select(col(idCol), explode(hashed).as("_w"))
-    // per-doc windows are distinct, so count = document frequency; the
-    // aggregate's input exchange is identical to the join probe's and
-    // Catalyst reuses it (one physical shuffle of w, as before)
+    // per-doc windows are distinct, so count = document frequency (the
+    // partial aggregate combines map-side, so a hot window contributes
+    // one row per map task to the exchange, never 10^7 to one reducer)
     val dfreq = w.groupBy("_w").agg(count(lit(1)).as("_docfreq"))
-    w.join(dfreq, "_w")
+    // left-join ONLY the duplicated windows back; shuffle_hash pins a
+    // ShuffledHashJoin (build = the filtered dup set, already partitioned
+    // on _w by the aggregate, so no extra exchange on that side) — never
+    // a broadcast, and AQE's skew-join split owns any hot probe partition
+    val dup = dfreq.filter(col("_docfreq") >= 2).hint("shuffle_hash")
+    w.join(dup, Seq("_w"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_windows"),
-        sum(when(col("_docfreq") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("_docfreq").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
         round(col("n_dup_windows") / col("n_windows"), 4))
   }

@@ -152,6 +152,39 @@ class PlanSpec extends SparkSuite {
       "top-k must be per-partition partial (TakeOrderedAndProject): " + plan.take(600))
   }
 
+  test("q85 never broadcasts a subtree containing the window explode") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange._
+    // flatten crossing adaptive / query-stage / reused-exchange boundaries
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val r = operators.TextAnalysis.duplicatePassages(docs, "doc_id", "text")
+    r.collect() // materialize so AQE finalizes the executed plan
+    val plans = flatten(r.queryExecution.executedPlan)
+    assert(plans.exists(_.isInstanceOf[GenerateExec]),
+      "expected an explode (GenerateExec) in the plan")
+    // Catalyst's size estimate below a Generate passes through the tiny
+    // parquet child, so ANY broadcast of the exploded window set would be
+    // a size-estimate accident that OOMs executors at scale (VERDICT r7 #1)
+    val bad = plans.collect {
+      case b: BroadcastExchangeExec
+          if flatten(b).exists(_.isInstanceOf[GenerateExec]) => b
+    }
+    assert(bad.isEmpty,
+      s"BroadcastExchange over the exploded window set:\n${bad.mkString("\n")}")
+    assert(plans.exists(_.isInstanceOf[joins.ShuffledHashJoinExec]),
+      "dup-window re-attach must be a ShuffledHashJoin")
+  }
+
   test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val df = operators.Multimodal.extractFeatures(
