@@ -209,8 +209,9 @@ object Dedup {
     // computation instead of re-running it per consumer
     val p = pairs.select(col(aCol).cast("long").as("_x"), col(bCol).cast("long").as("_y"))
       .persist()
-    val nodes = p.select(col("_x").as("id"))
-      .union(p.select(col("_y").as("id")))
+    // one pass over the cached pair list (explode), not two unioned scans
+    // — halves the task count of the node-list stage for free
+    val nodes = p.select(explode(array(col("_x"), col("_y"))).as("id"))
       .distinct()
     // each round references its input many times (symmetrization, min
     // join), so the LOGICAL plan would grow exponentially across rounds:

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.operators.{Dedup, Similarity, Temporal, TextAnalysis}
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -10,24 +10,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * whether a hot key stalls a 1000-executor cluster behind one straggler.
   */
 private class TaskStatsListener extends SparkListener {
+  // (durationMs, shuffleRecordsRead) per finished task — records expose
+  // whether a slow task is DATA skew (reads more) or scheduling noise
+  // (same data, slower wall) without guessing from durations alone
   private val byStage =
-    scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
-    byStage.getOrElseUpdate(t.stageId,
-      scala.collection.mutable.ArrayBuffer[Long]()) += t.taskInfo.duration
+    // task-end events whose TaskInfo never finished (e.g. Resubmitted
+    // after executor loss) throw from `duration`; an unguarded read would
+    // crash the listener on the bus and silently empty the skew report
+    val ti = t.taskInfo
+    if (ti != null && ti.finished) {
+      val rec = Option(t.taskMetrics)
+        .map(m => m.shuffleReadMetrics.recordsRead + m.inputMetrics.recordsRead)
+        .getOrElse(0L)
+      byStage.getOrElseUpdate(t.stageId,
+        scala.collection.mutable.ArrayBuffer[(Long, Long)]()) += ((ti.duration, rec))
+    }
   }
-  def reset(): Unit = synchronized(byStage.clear())
+  private val stageNames = scala.collection.mutable.Map[Int, String]()
+  override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    synchronized {
+      stageNames(s.stageInfo.stageId) = s.stageInfo.name.takeWhile(_ != '\n')
+    }
+  def nameOf(stageId: Int): String = synchronized(stageNames.getOrElse(stageId, "?"))
+  def reset(): Unit = synchronized { byStage.clear(); stageNames.clear() }
+  def taskCount: Int = synchronized(byStage.valuesIterator.map(_.length).sum)
   /** (stageId, tasks, maxMs, medianMs, ratio) for the worst max/median
     * ratio among stages heavy enough for the ratio to mean anything
     * (>= minTasks tasks and a max task >= minMaxMs — below that, constant
     * scheduling overheads dominate and the ratio is noise).
     */
-  def worstStage(minTasks: Int = 8, minMaxMs: Long = 300): Option[(Int, Int, Long, Long, Double)] =
+  /** (stageId, tasks, maxMs, medianMs, durationRatio, maxTaskRecords,
+    * medianRecords) for the worst duration ratio.
+    */
+  def worstStage(minTasks: Int = 8, minMaxMs: Long = 300): Option[(Int, Int, Long, Long, Double, Long, Long)] =
     synchronized {
-      byStage.iterator.collect { case (sid, ds) if ds.length >= minTasks && ds.max >= minMaxMs =>
-        val sorted = ds.sorted
-        val med = math.max(sorted(sorted.length / 2), 1L)
-        (sid, ds.length, ds.max, med, ds.max.toDouble / med)
+      byStage.iterator.collect { case (sid, ds) if ds.length >= minTasks && ds.map(_._1).max >= minMaxMs =>
+        val durs = ds.map(_._1).sorted
+        val med = math.max(durs(durs.length / 2), 1L)
+        val mx = durs.last
+        val maxRec = ds.maxBy(_._1)._2
+        val recs = ds.map(_._2).sorted
+        val medRec = recs(recs.length / 2)
+        (sid, ds.length, mx, med, mx.toDouble / med, maxRec, medRec)
       }.toSeq.sortBy(-_._5).headOption
     }
 }
@@ -237,11 +263,29 @@ object ScaleProbe {
         listener.reset()
         val t0 = System.nanoTime(); val rows = f
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500) // listener bus drains asynchronously
+        // the listener bus drains asynchronously; poll until the observed
+        // task count stabilizes between reads (a fixed sleep under-reports
+        // the worst stage when the bus lags under load)
+        var prev = -1
+        var waited = 0
+        while (waited < 10000 && listener.taskCount != prev) {
+          prev = listener.taskCount
+          Thread.sleep(500)
+          waited += 500
+        }
+        // Verdict: a stage fails the skew bar when the slowest task is both
+        // >3x the median DURATION and reads >1.5x the median task's RECORDS
+        // — duration alone cannot tell a hot key from scheduling-wave /
+        // JIT jitter on ~100ms tasks, records can (a hot-key straggler BY
+        // DEFINITION reads more rows; a uniform-data outlier does not).
         val report = listener.worstStage() match {
-          case Some((sid, n, mx, med, r)) =>
+          case Some((sid, n, mx, med, r, maxRec, medRec)) =>
+            val dataSkewed = maxRec > medRec * 3 / 2
             f"worst_stage=$sid tasks=$n max_task=${mx}ms median_task=${med}ms " +
-              f"ratio=$r%4.2f " + (if (r <= 3.0) "OK(<=3x)" else "SKEWED(>3x)")
+              f"ratio=$r%4.2f records_max_task=$maxRec records_median=$medRec " +
+              (if (r <= 3.0) "OK(<=3x)"
+               else if (!dataSkewed) "OK(uniform-data: slow task reads <=1.5x median records; jitter, not a hot key)"
+               else "SKEWED(>3x duration AND >1.5x records)")
           case None => "all stages below heavy-task threshold"
         }
         println(f"ZIPFSCALE $tag%-13s $detail rows=$rows%8d wall=$wall%6.2fs $report")
