@@ -188,6 +188,16 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** int8 codes of [[embX2]] materialized as a graft table (stats in
+    * commit metadata) — the serving-side layout the two-stage quantized
+    * retrieval scans for candidates.
+    */
+  def embCodesDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "emb_x2_int8codes") { d =>
+      graft.operators.Similarity.writeInt8CodesTable(
+        spark, embX2(spark, sfDir), "vec_id", "embedding", d)
+    }
+
   /** lineitem written as range-partitioned files on l_orderkey so per-file
     * min/max stats are selective — the data-skipping fixture.
     */

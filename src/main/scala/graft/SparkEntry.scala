@@ -262,10 +262,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
     // two-stage retrieval: int8-quantized candidate scan + exact rerank
+    // candidates stream 1-byte codes from the MATERIALIZED codes table
+    // (stats ride its commit metadata); float vectors are scanned only
+    // for the rerank survivors
     "q90_ann_quantized_rerank" -> ((s, d) => {
       val emb = QueryLib.embX2(s, d)
-      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 1)
+      Similarity.quantizedRerankTopKFromCodes(s, QueryLib.embCodesDir(s, d),
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 1)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     }),

@@ -276,45 +276,81 @@ object Similarity {
     */
   def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, candidateK: Int = 50): DataFrame = {
-    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
     // per-dim min/max: one agg, dims×2 doubles to the driver
-    val st = corpus.select(posexplode(toDouble(col(vecCol))))
-      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
-      .orderBy("pos").collect()
-    val mnLit = array(st.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
-    val spanLit = array(st.map { r =>
-      val s = r.getDouble(2) - r.getDouble(1)
-      lit(if (s == 0.0) 1.0 else s)
-    }.toIndexedSeq: _*)
+    val (mn, span) = affineStats(corpus, vecCol)
+    val (mnLit, spanLit) = (array(mn.map(lit).toIndexedSeq: _*),
+      array(span.map(lit).toIndexedSeq: _*))
     def encode(vec: Column): Column =
       transform(toDouble(vec), (x, i) =>
         (round((x - element_at(mnLit, i + 1)) / element_at(spanLit, i + 1) * 254)
           - 127).cast("tinyint"))
-    def dequantize(codes: Column): Column =
-      transform(codes, (c, i) =>
-        (c.cast("double") + 127) / 254 * element_at(spanLit, i + 1)
-          + element_at(mnLit, i + 1))
-
-    // stage 1: approximate top-candidateK over dequantized codes. The
-    // dequantize runs ONCE per corpus row, BEFORE the query cross join —
-    // inside it, the O(dims) transform would re-run per (row × query)
-    // pair. (Materializing codes as a table column and dequantizing on
-    // read is where the 4× scan-bandwidth saving comes from; this
-    // in-operator path demonstrates the plan shape.)
+    // the dequantize runs ONCE per corpus row, BEFORE the query cross
+    // join — inside it, the O(dims) transform would re-run per
+    // (row × query) pair. (For the materialized-codes path that actually
+    // banks the 4× scan-bandwidth win, see [[quantizedRerankTopKFromCodes]].)
     val coded = corpus.select(col(idCol).as("neighbor_id"),
-      dequantize(encode(col(vecCol))).as("_dq"))
+      dequantize(encode(col(vecCol)), mn, span).as("_dq"))
+    rerankStages(coded, corpus, queries, idCol, vecCol, k, candidateK)
+  }
+
+  /** Per-dimension affine quantization stats: (min, span) arrays, span
+    * floored to 1.0 where the dimension is constant. One map-side-combined
+    * aggregation; dims × 2 doubles to the driver.
+    */
+  private def affineStats(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val st = corpus.select(posexplode(toDouble(col(vecCol))))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .orderBy("pos").collect()
+    (st.map(_.getDouble(1)),
+      st.map { r =>
+        val s = r.getDouble(2) - r.getDouble(1)
+        if (s == 0.0) 1.0 else s
+      })
+  }
+
+  private def dequantize(codes: Column, mn: Array[Double], span: Array[Double]): Column = {
+    val mnLit = array(mn.map(lit).toIndexedSeq: _*)
+    val spanLit = array(span.map(lit).toIndexedSeq: _*)
+    transform(codes, (c, i) =>
+      (c.cast("double") + 127) / 254 * element_at(spanLit, i + 1)
+        + element_at(mnLit, i + 1))
+  }
+
+  /** Stage 1 (approximate top-candidateK over 1-byte codes) + stage 2
+    * (exact rerank of the survivors against full-width vectors).
+    * `coded` carries (neighbor_id, _dq dequantized doubles).
+    */
+  private def rerankStages(coded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("_qv"))
+    exactRerank(approxCandidates(coded, q, candidateK), corpus, q, idCol,
+      vecCol, k)
+  }
+
+  /** Stage 1: approximate top-candidateK of each broadcast query over the
+    * dequantized codes — per-partition window rank below the shuffle, the
+    * bruteForceTopK plan shape.
+    */
+  private def approxCandidates(coded: DataFrame, q: DataFrame,
+      candidateK: Int): DataFrame = {
     val approx = coded.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("_acos", cosineFast(col("_qv"), col("_dq")))
     val wC = Window.partitionBy("query_id")
       .orderBy(col("_acos").desc, col("neighbor_id"))
-    val candidates = approx.withColumn("_crank", row_number().over(wC))
+    approx.withColumn("_crank", row_number().over(wC))
       .filter(col("_crank") <= candidateK)
       .select(col("query_id"), col("neighbor_id"))
+  }
 
-    // stage 2: exact rerank of the small candidate set
+  /** Stage 2: exact rerank — full-width vectors touched only for the
+    * (queries × candidateK)-row broadcast candidate set.
+    */
+  private def exactRerank(candidates: DataFrame, corpus: DataFrame,
+      q: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val exact = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .join(broadcast(candidates), "neighbor_id")
       .join(broadcast(q), "query_id")
@@ -325,6 +361,89 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("_cos"), 4).as("cos_sim"))
+  }
+
+  /** Key under which a codes table's commit carries its affine stats. */
+  val Int8StatsKey = "graftInt8Stats"
+
+  /** Materialize int8 codes as a graft table at `path`: one row per
+    * vector — (idCol, codes array<tinyint>) — with the per-dimension
+    * affine stats recorded as CUSTOM COMMIT METADATA (`{"mn": [...],
+    * "span": [...]}` under [[Int8StatsKey]]), so a reader dequantizes
+    * from the log alone and the candidate scan never touches a
+    * full-width float vector. This is the serving-side layout the
+    * two-stage architecture is named for: the full-corpus pass streams
+    * 1 byte/dim from THIS table (4× less scan bandwidth than float32);
+    * the vector table is read only for rerank survivors.
+    */
+  def writeInt8CodesTable(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String): graft.DeltaTable = {
+    import graft.log.Json
+    val (mn, span) = affineStats(corpus, vecCol)
+    val mnLit = array(mn.map(lit).toIndexedSeq: _*)
+    val spanLit = array(span.map(lit).toIndexedSeq: _*)
+    val codes = corpus.select(col(idCol),
+      transform(toDouble(col(vecCol)), (x, i) =>
+        (round((x - element_at(mnLit, i + 1)) / element_at(spanLit, i + 1) * 254)
+          - 127).cast("tinyint")).as("codes"))
+    val stats = Json.obj()
+    stats.set[com.fasterxml.jackson.databind.JsonNode]("mn",
+      Json.arr(mn.toIndexedSeq.map(Json.num)))
+    stats.set[com.fasterxml.jackson.databind.JsonNode]("span",
+      Json.arr(span.toIndexedSeq.map(Json.num)))
+    graft.DeltaTable.forPath(path)
+      .write(codes, customMetadata = Map(Int8StatsKey -> stats))
+  }
+
+  /** Affine stats back out of a codes table's commit metadata (newest
+    * commit that carries [[Int8StatsKey]]).
+    */
+  private def readInt8Stats(t: graft.DeltaTable): (Array[Double], Array[Double]) = {
+    val node = t.history.iterator
+      .flatMap { case (_, ci) => ci.extra.get(Int8StatsKey) }
+      .nextOption()
+      .getOrElse(throw new IllegalArgumentException(
+        s"codes table at ${t.loc.uri} has no '$Int8StatsKey' commit metadata — " +
+          "was it written by writeInt8CodesTable?"))
+    def arr(field: String): Array[Double] = {
+      val a = node.get(field)
+      (0 until a.size()).map(a.get(_).asDouble).toArray
+    }
+    (arr("mn"), arr("span"))
+  }
+
+  /** Stage-1 candidate generation reading ONLY the materialized codes
+    * table: (query_id, neighbor_id) of the approximate top-candidateK.
+    * Public so the plan contract — no float-vector column anywhere in
+    * the candidate scan — is assertable on exactly the stage-1 plan.
+    */
+  def quantizedCandidates(spark: org.apache.spark.sql.SparkSession,
+      codesDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      candidateK: Int): DataFrame = {
+    val t = graft.DeltaTable.forPath(codesDir)
+    val (mn, span) = readInt8Stats(t)
+    val coded = t.toDF(spark).select(col(idCol).as("neighbor_id"),
+      dequantize(col("codes"), mn, span).as("_dq"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    approxCandidates(coded, q, candidateK)
+  }
+
+  /** Two-stage retrieval over a MATERIALIZED codes table (see
+    * [[writeInt8CodesTable]]): the candidate pass scans 1-byte codes —
+    * no float vector reaches stage 1's plan — and the exact pass reads
+    * full-width vectors for `candidateK` survivors per query only.
+    */
+  def quantizedRerankTopKFromCodes(spark: org.apache.spark.sql.SparkSession,
+      codesDir: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidateK: Int = 50): DataFrame = {
+    require(candidateK >= k, s"candidateK ($candidateK) must be >= k ($k)")
+    val candidates = quantizedCandidates(spark, codesDir, queries, idCol,
+      vecCol, candidateK)
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("_qv"))
+    exactRerank(candidates, corpus, q, idCol, vecCol, k)
   }
 
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 contracts: materialized int8 codes tables (X66's 1-byte
+  * candidate scan) and their stats-in-commit-metadata round trip.
+  */
+class Round8Spec extends SparkSuite {
+
+  private def explainOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  test("int8 codes table: stats round-trip through commit metadata") {
+    val emb = QueryLib.embX2(spark, sfDir)
+    val dir = tempDir("codes-meta")
+    val t = operators.Similarity.writeInt8CodesTable(
+      spark, emb, "vec_id", "embedding", dir)
+    // schema is (vec_id, codes array<tinyint>) — 1 byte/dim on disk
+    val codes = t.toDF(spark)
+    assert(codes.schema("codes").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      codes.schema("codes").dataType.simpleString == "array<tinyint>")
+    assert(codes.count() === emb.count())
+    // the commit carries the affine stats under the declared key
+    val extra = t.history.head._2.extra
+    val node = extra(operators.Similarity.Int8StatsKey)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    assert(node.get("mn").size() === dims)
+    assert(node.get("span").size() === dims)
+  }
+
+  test("quantized rerank over the codes table finds the identical twin") {
+    val emb = QueryLib.embX2(spark, sfDir)
+    val got = operators.Similarity.quantizedRerankTopKFromCodes(
+      spark, QueryLib.embCodesDir(spark, sfDir), emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 1)
+    // embX2 = embeddings + identical twin at vec_id+10000: the twin
+    // encodes identically, survives any candidateK, reranks to cos 1.0
+    val rows = got.orderBy("query_id").collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") + 10000L)
+      assert(math.abs(r.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+    }
+  }
+
+  test("stage-1 candidate plan scans only 1-byte codes, no float vectors") {
+    val emb = QueryLib.embX2(spark, sfDir)
+    // queries as a local relation so the ONLY table scan in the candidate
+    // plan is the codes table — any float-vector ReadSchema is a failure
+    val qRows = emb.filter(col("vec_id") < 3).collect().toSeq
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows), emb.schema)
+    val cands = operators.Similarity.quantizedCandidates(
+      spark, QueryLib.embCodesDir(spark, sfDir), queries,
+      "vec_id", "embedding", candidateK = 10)
+    val plan = explainOf(cands)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(readSchemas.nonEmpty, plan.take(600))
+    assert(readSchemas.exists(_.contains("tinyint")),
+      s"candidate scan must read int8 codes: $readSchemas")
+    assert(!readSchemas.exists(l => l.contains("float") || l.contains("double")),
+      s"candidate scan must never read a full-width vector column: $readSchemas")
+  }
+}
