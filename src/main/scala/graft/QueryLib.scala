@@ -188,6 +188,19 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** documents with REAL media bytes (per-row PNG / animated GIF from
+    * `Multimodal.attachImagePayload`) written into a graft table — binary
+    * payload columns through our write/scan path, built once per sfDir so
+    * queries time the DECODE, not the fixture generation (real pipelines
+    * read media bytes from storage, they don't synthesize them per query).
+    */
+  def documentsMediaDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_media") { d =>
+      DeltaTable.forPath(d).write(
+        graft.operators.Multimodal.attachImagePayload(
+          raw(spark, sfDir, "documents"), "doc_id"))
+    }
+
   /** int8 codes of [[embX2]] materialized as a graft table (stats in
     * commit metadata) — the serving-side layout the two-stage quantized
     * retrieval scans for candidates.

@@ -400,13 +400,20 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- multimodal binary-column plumbing ----
+    // REAL decode: per-row PNG/animated-GIF bytes parsed back with
+    // javax.imageio — width/height from the container header, frame count
+    // by walking the GIF sequence; the oracle replays the generator's
+    // closed form
     "q30_multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.attachPayload(QueryLib.delta(s, d, "documents"), "doc_id", "text"))
+      Multimodal.extractFeaturesWith(
+          DeltaTable.forPath(QueryLib.documentsMediaDir(s, d)).toDF(s),
+          Multimodal.ImageIoCodec)
+        .select("doc_id", "media_type", "width", "height", "n_frames")
         .orderBy("doc_id")),
     "q31_frame_sample" -> ((s, d) =>
-      Multimodal.sampleFrames(Multimodal.extractFeatures(
-          Multimodal.attachPayload(QueryLib.delta(s, d, "documents"), "doc_id", "text")))
+      Multimodal.sampleFrames(Multimodal.extractFeaturesWith(
+          DeltaTable.forPath(QueryLib.documentsMediaDir(s, d)).toDF(s),
+          Multimodal.ImageIoCodec))
         .orderBy("doc_id", "frame_idx")),
     "q45_resize_plan" -> ((s, d) =>
       Multimodal.resizePlan(Multimodal.extractFeatures(
@@ -1030,16 +1037,19 @@ object SparkEntry {
         | CAST(floor(height * sc) AS BIGINT) AS out_height,
         | round(sc, 4) AS scale
         |FROM s ORDER BY doc_id""".stripMargin,
+    // the decoded dims/frames must equal the image generator's closed
+    // form — the Spark side genuinely parses the PNG/GIF bytes to get them
     "q30_multimodal_features" ->
-      """SELECT doc_id, 'image/fake' AS media_type,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
-        | md5(text) AS payload_md5,
-        | CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
-        | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
-        | CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS n_frames
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/gif' END AS media_type,
+        | CAST(16 + doc_id % 32 AS BIGINT) AS width,
+        | CAST(16 + (doc_id * 3) % 32 AS BIGINT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 + doc_id % 4 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q31_frame_sample" ->
-      """WITH f AS (SELECT doc_id, CAST(1 + octet_length(encode(text)) % 8 AS BIGINT) AS nf FROM documents)
+      """WITH f AS (SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 + doc_id % 4 END AS BIGINT) AS nf
+        | FROM documents)
         |SELECT doc_id, unnest(range(0, nf, 2)) AS frame_idx FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "q33_stats_skipping_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem

@@ -250,26 +250,42 @@ class TextAnalysisSpec extends SparkSuite {
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
-  test("extractFeatures: payload identity + deterministic fake dims") {
+  test("extractFeatures: payload identity + deterministic synthetic dims") {
     val df = Seq((7L, "hello world")).toDF("doc_id", "text")
     val out = Multimodal.extractFeatures(
       Multimodal.attachPayload(df, "doc_id", "text")).collect()(0)
     val bytes = "hello world".getBytes("UTF-8")
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
-    assert(out.getLong(2) == bytes.length.toLong)
+    val len = bytes.length.toLong
+    assert(out.getLong(2) == len)
     assert(out.getString(3) == md5)
-    val (w, h, f) = Multimodal.FakeCodec.dims(bytes.length.toLong)
-    assert(out.getLong(4) == w && out.getLong(5) == h && out.getLong(6) == f)
+    assert(out.getLong(4) == 64 + len % 512 && out.getLong(5) == 64 + (len * 7) % 512
+      && out.getLong(6) == 1 + len % 8)
   }
 
-  test("codegen stub features equal the batched-codec path row for row") {
-    val media = Multimodal.attachPayload(
-      Seq((1L, "alpha"), (2L, "a much longer payload body here"), (3L, ""))
-        .toDF("doc_id", "text"), "doc_id", "text")
-    assertSameRows(
-      Multimodal.extractFeatures(media),
-      Multimodal.extractFeaturesWith(media, Multimodal.FakeCodec))
+  test("ImageIoCodec decodes generated PNG and animated GIF bytes") {
+    val df = Seq(4L, 7L, 10L, 13L).toDF("doc_id")
+    val feats = Multimodal.extractFeaturesWith(
+      Multimodal.attachImagePayload(df, "doc_id"), Multimodal.ImageIoCodec)
+      .orderBy("doc_id").collect()
+    assert(feats.length == 4)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.imageDims(id)
+      val expType = if (id % 2 == 0) "image/png" else "image/gif"
+      val expFrames = if (id % 2 == 0) 1L else Multimodal.gifFrames(id).toLong
+      assert(r.getString(1) == expType)
+      assert(r.getLong(4) == w.toLong, s"width of doc $id")
+      assert(r.getLong(5) == h.toLong, s"height of doc $id")
+      assert(r.getLong(6) == expFrames, s"frames of doc $id")
+    }
+  }
+
+  test("ImageIoCodec rejects undecodable payloads loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decode("definitely not an image".getBytes("UTF-8"))
+    }
   }
 
   test("sampleFrames: stride-2 indices below n_frames") {
