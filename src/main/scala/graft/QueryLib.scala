@@ -477,4 +477,15 @@ object QueryLib {
     }
     DeltaTable.forPath(dir).toDF(spark)
   }
+
+  /** events streamed with an in-watermark re-delivery plus genuinely-new
+    * late rows through `dropDuplicatesWithinWatermark` — the BOUNDED-state
+    * streaming dedup (state ∝ watermark window, not stream history).
+    */
+  def eventsWatermarkDedupedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_wm_deduped") { d =>
+      streaming.DeltaStreamSink.runStreamingDedupWithinWatermark(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
 }

@@ -588,6 +588,12 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id")),
+    // bounded-state dedup: in-watermark re-delivery dropped by state that
+    // crossed the batch boundary; the shifted late copy kept
+    "q93_stream_dedup_watermark" -> ((s, d) =>
+      QueryLib.eventsWatermarkDedupedViaStream(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")),
     "q63_stream_stream_join" -> ((s, d) =>
       QueryLib.eventsStreamJoined(s, d).orderBy("purchase_id", "click_id")),
     "q67_idempotent_sink" -> ((s, d) =>
@@ -1217,6 +1223,15 @@ object SparkEntry {
     "q61_stream_dedup" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // kept rows = one copy of events + the genuinely-new shifted slice;
+    // the in-watermark re-delivered slice is dropped by cross-batch state
+    "q93_stream_dedup_watermark" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |UNION ALL
+        |SELECT event_id + 10000000 AS event_id, ts + INTERVAL 2 HOUR AS ts,
+        |  user_id, event_type, value, props
+        |FROM events WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 50 MINUTE
+        |ORDER BY event_id""".stripMargin,
     // the replaceWhere partition backfill: F rows replaced, others untouched
     "q62_replace_where" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority

@@ -244,6 +244,77 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** BOUNDED-state streaming dedup: `dropDuplicatesWithinWatermark` keeps
+    * a key's dedup state only until the watermark passes its event time
+    * plus the delay, so the state store is proportional to the watermark
+    * WINDOW, not the stream's full key history — the difference between an
+    * ingestion pipeline that runs for a day and one that runs for a year
+    * (plain `dropDuplicates`, q61, grows state forever by design).
+    *
+    * Harness: batch 1 is the whole events table; batch 2 re-delivers the
+    * last-50-minute slice — inside the 1-hour watermark when batch 2 runs,
+    * so every duplicate both crosses a batch boundary AND lands in the
+    * retained window, and must be dropped by state that survived batch 1 —
+    * plus a genuinely-new shifted copy of the slice (id + 10^7, ts + 2 h)
+    * that must be kept. Deterministic by construction: nothing re-delivered
+    * is older than the watermark (late rows would be dropped by the
+    * watermark itself, not by dedup state).
+    *
+    * @return the LAST reported state-store row count — the bounded-state
+    *         evidence: ~(2 h of events), orders of magnitude below the
+    *         stream's distinct-key count after eviction
+    */
+  def runStreamingDedupWithinWatermark(spark: SparkSession, sfDir: String,
+      tableDir: String): Long = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-wmdedup-in-")
+    val ev = spark.read.schema(eventsLongSchema).parquet(s"$sfDir/events.parquet")
+    val maxTs = ev.agg(max("ts")).first().getLong(0)
+    val sliceNs = 50L * 60 * 1000000000L
+    val shiftNs = 2L * 3600 * 1000000000L
+    val slice = ev.filter(col("ts") > maxTs - sliceNs)
+    val shifted = slice.select((col("event_id") + 10000000L).as("event_id"),
+      (col("ts") + shiftNs).as("ts"), col("user_id"), col("event_type"),
+      col("value"), col("props"))
+    def onePart(df: DataFrame, dest: java.nio.file.Path, modMillis: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wm-part-")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.endsWith(".parquet")).findFirst().get
+      java.nio.file.Files.copy(part, dest)
+      // the file source batches in modification-time order; pin it so the
+      // full table is always batch 1 and the re-delivery batch 2
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(modMillis))
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    onePart(ev, inDir.resolve("events_a.parquet"), t0)
+    onePart(slice.union(shifted), inDir.resolve("events_b.parquet"), t0 + 60000)
+    val deduped = spark.readStream
+      .schema(eventsLongSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/*.parquet")
+      // watermarks require TimestampType (UTC session tz keeps the naive
+      // micros' wall clock); back to NTZ at the sink like the other runners
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val q = deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+    q.recentProgress.reverseIterator
+      .flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal)
+      .nextOption()
+      .getOrElse(-1L)
+  }
+
   /** Custom stateful streaming: per-user gap sessionization with
     * `flatMapGroupsWithState` — state is distributed by the group key and
     * survives across micro-batches. Each batch a user appears in emits the
