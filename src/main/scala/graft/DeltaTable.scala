@@ -1495,7 +1495,38 @@ final case class DeltaTable(
         .join(broadcast(names.toDF("_dv_name")), Seq("_dv_name"), "left_semi")
     }
 
+    // Rename/drop boundaries inside the requested range are REJECTED, not
+    // silently papered over: every emitted frame is scanned under ONE
+    // logical schema (this handle's), so a range spanning a rename would
+    // report pre-rename rows under names that did not exist when they
+    // changed — and a drop would silently lose the dropped column's
+    // history. The caller reads each side of the boundary separately.
+    // Additions are fine: earlier versions just carry nulls.
+    var prevPhysToLogical: Map[String, String] = null
+    def checkRenameBoundary(v: Long, m: Metadata): Unit = {
+      val cur = ColumnMapping.logicalToPhysical(m.schema).map(_.swap)
+      if (prevPhysToLogical != null && v > fromVersion && v <= toVersion) {
+        prevPhysToLogical.foreach { case (phys, logical) =>
+          cur.get(phys) match {
+            case Some(now) if now != logical =>
+              throw new IllegalArgumentException(
+                s"CDF range [$fromVersion, $toVersion] crosses a column RENAME at " +
+                  s"version $v ('$logical' -> '$now'): read changes up to version " +
+                  s"${v - 1} and from version $v separately")
+            case None =>
+              throw new IllegalArgumentException(
+                s"CDF range [$fromVersion, $toVersion] crosses a DROP of column " +
+                  s"'$logical' at version $v: read changes up to version ${v - 1} " +
+                  s"and from version $v separately")
+            case _ => ()
+          }
+        }
+      }
+      prevPhysToLogical = cur
+    }
+
     withFullHistory.entries.range(0, toVersion + 1).foreach { case (v, entry) =>
+      entry.metadataAction.foreach(checkRenameBoundary(v, _))
       val adds = entry.actions.collect { case a: AddFile => a }
       val removes = entry.actions.collect { case r: RemoveFile => r }
       if (v > fromVersion) {

@@ -83,7 +83,102 @@ object Checkpoint {
     } finally writer.close()
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
+    writeDeltaFormat(dlog, actions, conf)
     gcOldCheckpoints(dlog.loc, keep = 2, conf)
+  }
+
+  // ------------------------------------------------------------------
+  // Delta-protocol checkpoint emission: alongside the graft-native file,
+  // write `%020d.checkpoint.parquet` + `_last_checkpoint` in Delta's
+  // NESTED-STRUCT row layout (one sparse column per action type), so a
+  // Delta-protocol engine opening the table gets the same O(1) replay
+  // fast path a graft reader does instead of falling back to full JSON
+  // replay. The graft file stays authoritative for graft readers; this
+  // one exists purely for cross-engine consumers.
+  // ------------------------------------------------------------------
+
+  /** Delta's classic checkpoint schema (the columns delta-spark writes for
+    * protocol v1/v2 tables, plus the `deletionVector` add-field so MoR
+    * state survives the round trip). Built with Spark types so the emitted
+    * parquet has delta's exact nested shape.
+    */
+  private[graft] def deltaCheckpointSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val strMap = MapType(StringType, StringType, valueContainsNull = true)
+    val dv = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", strMap),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
+        StructField("tags", strMap),
+        StructField("deletionVector", dv)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("extendedFileMetadata", BooleanType),
+        StructField("partitionValues", strMap),
+        StructField("size", LongType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("description", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", strMap)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", strMap),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+  }
+
+  private def writeDeltaFormat(dlog: DeltaLog, actions: Seq[Action],
+      conf: Configuration): Unit = {
+    import org.apache.spark.sql.{Encoders, SparkSession}
+    // only reachable with a live session (checkpoints are written from
+    // commit paths inside a Spark app); if none, skip — the graft
+    // checkpoint above is the authoritative fast path
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(return)
+    val v = dlog.version
+    // each action's NDJSON line is exactly one sparse row of the nested
+    // layout: {"add": {...}} parses into the `add` struct column, every
+    // other column null. Schema-driven parse, so graft-only `extra` keys
+    // are dropped rather than leaking into the delta file.
+    val lines = actions.map(_.toLine)
+    val df = spark.read.schema(deltaCheckpointSchema)
+      .json(spark.createDataset(lines)(Encoders.STRING))
+    val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(staging.uri)
+      val part = staging.listDataFilesRecursive()
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(part.size == 1, s"expected one staged checkpoint file, got ${part.size}")
+      val dest = dlog.loc.child(f"$v%020d.checkpoint.parquet")
+      if (dest.exists) dest.fs.delete(dest.path, false)
+      if (!dest.fs.rename(part.head.getPath, dest.path))
+        throw new java.io.IOException(
+          s"rename ${part.head.getPath} -> ${dest.path} failed")
+      dlog.loc.child("_last_checkpoint")
+        .writeString(s"""{"version":$v,"size":${actions.size}}""")
+    } finally staging.delete()
   }
 
   private val CheckpointRe = "^(\\d+)\\.graft-checkpoint\\.parquet$".r
@@ -131,6 +226,16 @@ object Checkpoint {
       try loc.fs.delete(loc.child(name).path, false)
       catch { case _: Exception => () }
     }
+    // genuine delta-layout checkpoints (the cross-engine emission above):
+    // keep the newest `keep`, drop superseded ones — same policy as the
+    // graft family, and never a file the live `_last_checkpoint` targets
+    legacy.filterNot(removedLegacy.contains)
+      .flatMap { name => LegacyCheckpointRe.findFirstMatchIn(name).map(_.group(1).toLong) }
+      .sorted.dropRight(keep)
+      .foreach { v =>
+        try loc.fs.delete(loc.child(f"$v%020d.checkpoint.parquet").path, false)
+        catch { case _: Exception => () }
+      }
     if (removedLegacy.nonEmpty) {
       val ptr = loc.child("_last_checkpoint")
       val target =

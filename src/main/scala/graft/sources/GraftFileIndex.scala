@@ -94,8 +94,31 @@ final class GraftFileIndex(
           StringType), dt, Some(sessionTz)).eval(null)
     }
 
+  // Per-(snapshot, filter-set) memo: Spark asks the index for the same
+  // listing more than once per query (PruneFileSourcePartitions at
+  // optimization time, FileSourceScanExec.selectedPartitions at planning/
+  // execution), and the stats pruner walks every file's min/max/bloom on
+  // each ask. The snapshot is immutable (this index IS the snapshot), so
+  // the listing is a pure function of the filter set — keyed on
+  // CANONICALIZED expressions so exprId churn between identical asks
+  // still hits. Bounded by the handful of distinct filter-sets a query
+  // plans against one scan; lives only as long as the plan holds the
+  // index. Cross-statement reuse needs no memo here: equal snapshots
+  // compare equal (addIdentity above), so cached DataFrames/exchanges
+  // already dedupe whole scans.
+  private val listingMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[Expression], Seq[Expression]), Seq[PartitionDirectory]]
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val key = (partitionFilters.map(_.canonicalized), dataFilters.map(_.canonicalized))
+    listingMemo.computeIfAbsent(key,
+      _ => listFilesUncached(partitionFilters, dataFilters))
+  }
+
+  private def listFilesUncached(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    GraftFileIndex.listingComputations.incrementAndGet()
     // PARTITION filters are the planner's contract: files returned for a
     // partition are NOT re-filtered on partition columns, so they must be
     // evaluated EXACTLY — done by binding the predicate over the
@@ -147,6 +170,11 @@ final class GraftFileIndex(
 }
 
 object GraftFileIndex {
+
+  /** Uncached [[GraftFileIndex.listFiles]] evaluations — the observable
+    * for "pruner work runs once per (snapshot, filter-set)" assertions.
+    */
+  val listingComputations = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The snapshot as ONE relation over the log-backed index: parquet
     * reads under the PHYSICAL schema, partition columns appended from the

@@ -74,10 +74,17 @@ class CheckpointSpec extends SparkSuite {
     val graftCkpt = logDir.listFiles().map(_.getName)
       .find(_.endsWith(".graft-checkpoint.parquet")).get
     // simulate a pre-rename build: same row layout, Delta's names
+    // (REPLACE_EXISTING: the current build legitimately emits a
+    // delta-layout file under this name; a pre-rename build would have
+    // clobbered it with graft's layout)
     val legacyName = graftCkpt.replace(".graft-checkpoint", ".checkpoint")
     java.nio.file.Files.copy(
       new java.io.File(logDir, graftCkpt).toPath,
-      new java.io.File(logDir, legacyName).toPath)
+      new java.io.File(logDir, legacyName).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the genuine emission's checksum sidecar: the clobbered content
+    // no longer matches it (a pre-rename build had no such sidecar state)
+    new java.io.File(logDir, s".$legacyName.crc").delete()
     t.logLoc.child("_last_checkpoint").writeString(s"""{"version":2,"size":1}""")
     // a FOREIGN checkpoint (different parquet layout) must never be touched
     val foreignName = f"${0L}%020d.checkpoint.parquet"
@@ -87,9 +94,56 @@ class CheckpointSpec extends SparkSuite {
     (1 to 2).foreach(_ => t = t.write(nation)) // next checkpoint triggers GC
     val names = logDir.listFiles().map(_.getName).toSet
     assert(!names.contains(legacyName), "graft-layout legacy checkpoint should be GC'd")
-    assert(!names.contains("_last_checkpoint"), "orphaned legacy pointer should be GC'd")
+    // the stale legacy pointer is OVERWRITTEN by the delta-format emission
+    // (it now points at the fresh delta-layout checkpoint, not deleted)
+    val ptr = graft.log.Json.mapper.readTree(
+      t.logLoc.child("_last_checkpoint").readString())
+    assert(ptr.get("version").asLong() == 4L)
+    assert(names.contains(f"${4L}%020d.checkpoint.parquet"))
     assert(names.contains(foreignName), "foreign-layout checkpoint must be kept")
     assert(DeltaTable.forPath(d).version == 4L)
+  }
+
+  test("delta-format checkpoint: nested-struct layout a Delta engine can replay") {
+    val d = tempDir("ckpt-delta-fmt")
+    var t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation)
+    t.checkpoint()
+    // pointer + file under delta's exact names
+    val ptr = graft.log.Json.mapper.readTree(
+      t.logLoc.child("_last_checkpoint").readString())
+    assert(ptr.get("version").asLong() == 1L)
+    val ckptPath = s"$d/_delta_log/" + f"${1L}%020d.checkpoint.parquet"
+    assert(new java.io.File(ckptPath).isFile)
+    val ck = spark.read.parquet(ckptPath)
+    // sparse nested columns, delta's shape
+    val top = ck.schema.fieldNames.toSet
+    assert(Set("add", "remove", "metaData", "protocol", "txn").subsetOf(top), top)
+    assert(ck.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet == Set("path", "partitionValues", "size", "modificationTime",
+        "dataChange", "stats", "tags", "deletionVector"))
+    // exactly one protocol row, one metaData row, and every live add
+    assert(ck.filter(col("protocol").isNotNull).count() == 1)
+    val meta = ck.filter(col("metaData").isNotNull)
+    assert(meta.count() == 1)
+    val m = meta.select("metaData.*").first()
+    assert(m.getAs[String]("schemaString").contains("n_nationkey"))
+    assert(m.getSeq[String](m.fieldIndex("partitionColumns")).toSeq == Seq("n_regionkey"))
+    assert(m.getAs[org.apache.spark.sql.Row]("format").getAs[String]("provider") == "parquet")
+    val adds = ck.filter(col("add").isNotNull).select("add.*")
+    assert(adds.count() == t.fileUris.size)
+    // replaying the delta checkpoint's add set reproduces the snapshot:
+    // paths are table-root-relative, partition values log-authoritative
+    val addRows = adds.select("path", "partitionValues", "size").collect()
+    assert(addRows.forall(r => !r.getAs[String]("path").startsWith("file:")))
+    assert(addRows.forall(r =>
+      r.getMap[String, String](r.fieldIndex("partitionValues")).keySet == Set("n_regionkey")))
+    assert(addRows.map(_.getAs[Long]("size")).sum ==
+      t.dlog.addActions.values.map(_.size).sum)
+    // per-file stats survive as delta's JSON-string stats column
+    val stats = adds.select("stats").collect().map(_.getString(0))
+    assert(stats.forall(s => s != null && s.contains("numRecords")))
   }
 
   test("partitioned table state survives a checkpoint round-trip") {

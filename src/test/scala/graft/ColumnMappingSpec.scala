@@ -284,4 +284,31 @@ class ColumnMappingSpec extends SparkSuite {
     val cloned = compacted.cloneTo(cd)
     assert(cloned.toDF(spark).columns.contains("nation_name"))
   }
+
+  test("CDF range crossing a RENAME boundary is rejected; either side works") {
+    val d = tempDir("cm-cdf-rename")
+    var t = DeltaTable.forPath(d).write(nation) // v0
+    t = t.write(nation)                         // v1
+    t = t.renameColumn("n_name", "nation_name") // v2 (boundary)
+    t = t.write(t.toDF(spark).limit(5))         // v3
+    val e = intercept[IllegalArgumentException](t.changesBetween(spark, 0L, 3L))
+    assert(e.getMessage.contains("RENAME") && e.getMessage.contains("version 2"))
+    assert(e.getMessage.contains("n_name") && e.getMessage.contains("nation_name"))
+    // below the boundary: pre-rename logical names would be consistent
+    assert(t.changesBetween(spark, 0L, 1L).count() == nation.count())
+    // from the boundary on: new names, consistent
+    val after = t.changesBetween(spark, 2L, 3L)
+    assert(after.columns.contains("nation_name"))
+    assert(after.count() == 5)
+  }
+
+  test("CDF range crossing a DROP boundary is rejected with the dropped name") {
+    val d = tempDir("cm-cdf-drop")
+    var t = DeltaTable.forPath(d).write(nation) // v0
+    t = t.dropColumn("n_regionkey")             // v1 (boundary)
+    t = t.write(t.toDF(spark).limit(3))         // v2
+    val e = intercept[IllegalArgumentException](t.changesBetween(spark, 0L, 2L))
+    assert(e.getMessage.contains("DROP") && e.getMessage.contains("n_regionkey"))
+    assert(t.changesBetween(spark, 1L, 2L).count() == 3)
+  }
 }

@@ -88,4 +88,39 @@ class Round8Spec extends SparkSuite {
     assert(!readSchemas.exists(l => l.contains("float") || l.contains("double")),
       s"candidate scan must never read a full-width vector column: $readSchemas")
   }
+
+  // ---- q50 pruner memoization (VERDICT r6 #3 / r7 #7) ----
+
+  test("listFiles pruner runs once per (snapshot, filter-set) across q50's six scans") {
+    import graft.sources.GraftFileIndex
+    // warm the fixture tables so their one-time graft writes don't count
+    SparkEntry.queries("q50_q5_multijoin")(spark, sfDir).collect()
+
+    val df = SparkEntry.queries("q50_q5_multijoin")(spark, sfDir)
+    val before = GraftFileIndex.listingComputations.get()
+    df.collect()
+    val firstRun = GraftFileIndex.listingComputations.get() - before
+    // six snapshots, and per snapshot at most two distinct filter-sets
+    // (the optimizer's partition-only ask + the scan's full ask); anything
+    // above that means repeated asks are re-walking per-file stats
+    assert(firstRun <= 12, s"expected <= 2 evaluations per table scan, got $firstRun")
+    assert(firstRun >= 6, s"six tables must each be pruned at least once, got $firstRun")
+    // re-executing the SAME plan re-asks the index; the memo must answer
+    df.collect()
+    val secondRun = GraftFileIndex.listingComputations.get() - before - firstRun
+    assert(secondRun == 0,
+      s"re-running the same q50 plan recomputed the pruner $secondRun times")
+  }
+
+  test("listFiles memo: identical asks compute once, different filters recompute") {
+    val d = tempDir("memo")
+    val t = DeltaTable.forPath(d).write(
+      spark.read.parquet(s"$sfDir/nation.parquet").repartition(4))
+    val df = t.toDF(spark).filter(col("n_nationkey") > 10)
+    val before = graft.sources.GraftFileIndex.listingComputations.get()
+    df.collect()
+    df.collect() // same plan instance: lazy selectedPartitions + memo
+    val n = graft.sources.GraftFileIndex.listingComputations.get() - before
+    assert(n <= 2, s"one filter-set on one snapshot evaluated $n times")
+  }
 }
