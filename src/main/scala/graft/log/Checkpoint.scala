@@ -105,12 +105,19 @@ object Checkpoint {
   private[graft] def deltaCheckpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     val strMap = MapType(StringType, StringType, valueContainsNull = true)
+    // delta's dv fields for shape fidelity, PLUS graft's `sidecar` ref:
+    // graft DVs live in sidecar files with a graft-native layout, so
+    // storageType stays null — a foreign delta reader fails LOUDLY on a
+    // DV'd file (no storageType) instead of silently resurrecting its
+    // deleted rows, and graft's own delta-checkpoint read path restores
+    // the ref losslessly from `sidecar` + `cardinality`
     val dv = StructType(Seq(
       StructField("storageType", StringType),
       StructField("pathOrInlineDv", StringType),
       StructField("offset", IntegerType),
       StructField("sizeInBytes", IntegerType),
-      StructField("cardinality", LongType)))
+      StructField("cardinality", LongType),
+      StructField("sidecar", StringType)))
     StructType(Seq(
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
@@ -280,22 +287,79 @@ object Checkpoint {
   /** Load the log via the checkpoint fast path: the checkpoint becomes the
     * base entry at its version; only JSON entries AFTER it are parsed.
     * Returns None when no usable checkpoint exists (caller falls back to
-    * full JSON replay).
+    * full JSON replay). Graft's own checkpoint is preferred; absent one,
+    * a GENUINE delta-format checkpoint (e.g. a table delta-spark wrote
+    * and log-cleaned) is replayed via [[readDeltaFormat]] — the path that
+    * lets graft open a real delta table whose early JSON commits no
+    * longer exist.
     */
-  def loadFrom(loc: Location, conf: Configuration): Option[DeltaLog] =
-    lastCheckpointVersion(loc).flatMap { v =>
-      try {
-        val base = read(loc, v, conf)
-        var entries = SortedMap[Long, DeltaLogEntry](v -> base)
-        loc.listSorted().foreach { st =>
-          val name = st.getPath.getName
-          if (DeltaLog.EntryFilenameRe.matches(name)) {
-            val ev = name.split("\\.", 2)(0).toLong
-            if (ev > v)
-              entries = entries.updated(ev, DeltaLogEntry.fromNdjson(loc.child(name).readString()))
-          }
+  def loadFrom(loc: Location, conf: Configuration): Option[DeltaLog] = {
+    def withTail(v: Long, base: DeltaLogEntry): DeltaLog = {
+      var entries = SortedMap[Long, DeltaLogEntry](v -> base)
+      loc.listSorted().foreach { st =>
+        val name = st.getPath.getName
+        if (DeltaLog.EntryFilenameRe.matches(name)) {
+          val ev = name.split("\\.", 2)(0).toLong
+          if (ev > v)
+            entries = entries.updated(ev, DeltaLogEntry.fromNdjson(loc.child(name).readString()))
         }
-        Some(DeltaLog(loc, entries))
-      } catch { case _: Exception => None }
+      }
+      DeltaLog(loc, entries)
     }
+    val graft = lastCheckpointVersion(loc).flatMap { v =>
+      try Some(withTail(v, read(loc, v, conf)))
+      catch { case _: Exception => None }
+    }
+    graft.orElse(deltaLastCheckpointVersion(loc).flatMap { v =>
+      try readDeltaFormat(loc, v, conf).map(withTail(v, _))
+      catch { case _: Exception => None }
+    })
+  }
+
+  // ------------------------------------------------------------------
+  // Delta-protocol checkpoint READ: the inverse of the emission above.
+  // Supports classic single-file `N.checkpoint.parquet` and multi-part
+  // `N.checkpoint.<i>.<n>.parquet` checkpoints (delta's large-table
+  // split); v2 sidecar checkpoints are out of scope. Pre-rename graft
+  // builds wrote graft's one-json-column layout under delta's names —
+  // those are detected by layout and refused here (the graft pointer
+  // path above owns them).
+  // ------------------------------------------------------------------
+
+  /** Delta's `_last_checkpoint` pointer, if present and parseable. */
+  def deltaLastCheckpointVersion(loc: Location): Option[Long] = {
+    val ptr = loc.child("_last_checkpoint")
+    if (!ptr.exists) None
+    else
+      try Json.longOpt(Json.mapper.readTree(ptr.readString()), "version")
+      catch { case _: Exception => None }
+  }
+
+  /** Replay a delta-format checkpoint at version `v` into a synthetic
+    * base entry. Each nested-struct row converts back to its canonical
+    * one-key NDJSON line (null columns dropped), which [[Action.parse]]
+    * already understands — add/remove/metaData/protocol/txn all round
+    * trip, including deletionVector refs (they land in the action's
+    * `extra` map exactly as a JSON commit's would).
+    */
+  private[graft] def readDeltaFormat(loc: Location, v: Long,
+      conf: Configuration): Option[DeltaLogEntry] = {
+    val spark = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .getOrElse(return None)
+    val partRe = (f"^$v%020d\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$$").r
+    val parts = loc.listSorted()
+      .map(_.getPath.getName)
+      .filter(partRe.matches(_))
+      .filterNot(isGraftLayout(loc, _, conf))
+    if (parts.isEmpty) return None
+    val lines = spark.read
+      .parquet(parts.map(loc.child(_).uri): _*)
+      .toJSON.collect() // O(actions) driver-side — metadata scale, same as the graft read
+    val actions = lines.iterator
+      .filter(l => l.nonEmpty && l != "{}")
+      .map(Action.parse)
+      .toVector
+    if (actions.isEmpty) None else Some(DeltaLogEntry(actions))
+  }
 }

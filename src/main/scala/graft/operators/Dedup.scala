@@ -251,11 +251,19 @@ object Dedup {
       // than u re-points at u's minimum neighbor (or u itself)
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val minsL = sym.groupBy("u").agg(min(col("v")).as("_mv"))
+      // large is consumed TWICE below (small-star's aggregate and its
+      // re-attach probe), and the two consumers' exchanges cannot
+      // canonically match (partial-agg child vs raw child), so without a
+      // cut the large-star join would execute twice per round.
+      // localCheckpoint materializes it once — same primitive the round
+      // boundary already uses, and it truncates the per-round plan to
+      // boot.
       val large = sym.join(minsL, "u")
         .withColumn("_m", least(col("_mv"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
         .filter(col("u") =!= col("v"))
+        .localCheckpoint()
       // small-star over the (u > v)-oriented result: u and its smaller
       // neighbors all re-point at their collective minimum. The (u, min)
       // arm comes straight from the aggregate — one row per node instead

@@ -146,6 +146,78 @@ class CheckpointSpec extends SparkSuite {
     assert(stats.forall(s => s != null && s.contains("numRecords")))
   }
 
+  test("a genuine delta-format checkpoint opens the table after log cleanup") {
+    val d = tempDir("ckpt-delta-read")
+    var t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation)
+    // merge-on-read delete: the checkpoint must carry the DV ref through
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
+    t = t.checkpoint()
+    val v = t.version
+    val expected = nation.union(nation).filter(col("n_nationkey") =!= 3)
+    // simulate a real delta table graft has never seen: drop the
+    // graft-native checkpoint artifacts AND every JSON commit at/below
+    // the checkpoint (delta's log cleanup)
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val graftArtifact = name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile
+      val cleanedJson = name.matches("^\\d+\\.json$") &&
+        name.split("\\.", 2)(0).toLong <= v
+      if (graftArtifact || cleanedJson)
+        t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    // plain JSON replay now sees nothing; the delta checkpoint must carry it
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assert(re.partitionColumns == Seq("n_regionkey"))
+    assertSameRows(re.toDF(spark), expected)
+    // DV survived the nested-struct round trip: deleted row stays dead
+    assert(re.toDF(spark).filter(col("n_nationkey") === 3).count() == 0)
+    // stats/partitions survived: pruning still works from the checkpoint
+    assert(re.prunedAdds(col("n_regionkey") === 0).size <
+      re.prunedAdds(org.apache.spark.sql.functions.lit(true)).size)
+    // and commits AFTER the checkpoint still apply on top
+    val t2 = re.write(nation.filter(col("n_nationkey") === 0).coalesce(1))
+    assert(DeltaTable.forPath(d).toDF(spark).count() ==
+      expected.count() + nation.filter(col("n_nationkey") === 0).count())
+  }
+
+  test("multi-part delta checkpoint (N.checkpoint.i.n.parquet) replays") {
+    val d = tempDir("ckpt-delta-parts")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.write(nation)
+    t = t.checkpoint()
+    val v = t.version
+    val logDir = new java.io.File(s"$d/_delta_log")
+    val single = f"$v%020d.checkpoint.parquet"
+    // split the emitted checkpoint into delta's multi-part form
+    val rows = spark.read.parquet(s"$logDir/$single")
+    val partName = (i: Int) => f"$v%020d.checkpoint.$i%010d.${2}%010d.parquet"
+    Seq(1, 2).foreach { i =>
+      val half = rows.filter(
+        if (i == 1) col("add").isNotNull else col("add").isNull)
+      val staging = tempDir(s"ckpt-part-$i")
+      half.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(logDir, partName(i)).toPath)
+    }
+    // remove the single-file form and graft's artifacts: only the parts
+    // plus the pointer remain, like a large delta table
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      if (name == single || name.endsWith(".graft-checkpoint.parquet") ||
+          name == Checkpoint.LastCheckpointFile ||
+          (name.matches("^\\d+\\.json$") &&
+            name.split("\\.", 2)(0).toLong <= v))
+        t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assertSameRows(re.toDF(spark), nation.union(nation))
+  }
+
   test("partitioned table state survives a checkpoint round-trip") {
     val d = tempDir("ckpt-part")
     var t = DeltaTable.forPath(d)
