@@ -64,7 +64,13 @@ final case class DeltaTable(
     */
   private def withFullHistory: DeltaLog =
     if (dlog.entries.isEmpty || dlog.entries.firstKey == 0L) dlog
-    else DeltaLog.load(logLoc, None)
+    else {
+      val full = DeltaLog.load(logLoc, None)
+      // a cleaned log's JSON replay cannot reach version 0; the
+      // checkpoint base this handle already holds IS the oldest
+      // reachable state, so keep it rather than a tail-only view
+      if (full.entries.nonEmpty && full.entries.firstKey == 0L) full else dlog
+    }
 
   /** Absolute URIs of live files (reference xdlake/__init__.py:122-125). */
   def fileUris: Seq[String] =
@@ -1525,7 +1531,17 @@ final case class DeltaTable(
       prevPhysToLogical = cur
     }
 
-    withFullHistory.entries.range(0, toVersion + 1).foreach { case (v, entry) =>
+    val hist = withFullHistory
+    // the replay below needs true per-commit entries from version 0 (or a
+    // checkpoint base at/below fromVersion, which replays as state-only);
+    // below a cleaned horizon the base entry is CUMULATIVE state, not a
+    // commit, and emitting it as inserts would fabricate history
+    val oldest = hist.entries.headOption.map(_._1).getOrElse(0L)
+    if (oldest > 0L && fromVersion < oldest)
+      throw new IllegalArgumentException(
+        s"CDF from version $fromVersion is unavailable: commits below the " +
+          s"checkpoint at $oldest were removed by log cleanup")
+    hist.entries.range(0, toVersion + 1).foreach { case (v, entry) =>
       entry.metadataAction.foreach(checkRenameBoundary(v, _))
       val adds = entry.actions.collect { case a: AddFile => a }
       val removes = entry.actions.collect { case r: RemoveFile => r }
@@ -1854,6 +1870,33 @@ final case class DeltaTable(
     Checkpoint.write(dlog, conf)
     this
   }
+
+  /** Metadata cleanup (delta's log-retention analogue, checkpoint-gated
+    * instead of time-gated): delete every JSON commit AT/BELOW the newest
+    * checkpoint, so opening a long-lived table lists a BOUNDED log —
+    * at 10⁵–10⁶ lifetime commits the listing itself, not the replay, is
+    * what dominates a table open against an object store. The checkpoint
+    * carries the full state, so reads, writes, CDF, and time travel from
+    * the checkpoint version on are unaffected; history below it becomes
+    * unavailable and every such ask fails loudly (never a silently-empty
+    * snapshot). The reference never deletes commits — this is the piece
+    * that makes its "log grows forever" model survive production scale.
+    */
+  def cleanupLog(): DeltaTable = {
+    val ck = Checkpoint.lastCheckpointVersion(logLoc)
+      .orElse(Checkpoint.deltaLastCheckpointVersion(logLoc))
+      .getOrElse(throw new IllegalStateException(
+        "cleanupLog requires a checkpoint; call checkpoint() first"))
+    logLoc.listSorted().foreach { st =>
+      val name = st.getPath.getName
+      if (DeltaLog.EntryFilenameRe.matches(name) &&
+          name.split("\\.", 2)(0).toLong <= ck)
+        logLoc.fs.delete(st.getPath, false)
+    }
+    // reload through the checkpoint fast path; handle settings carry over
+    copy(dlog = Checkpoint.loadFrom(logLoc, conf)
+      .getOrElse(DeltaLog.load(logLoc, None)))
+  }
 }
 
 object DeltaTable {
@@ -1869,9 +1912,19 @@ object DeltaTable {
       commitContext: CommitContext = CreateIfAbsentCommit): DeltaTable = {
     val loc = Location(path, conf)
     val logLoc = logPath.map(Location(_, conf)).getOrElse(loc.child("_delta_log"))
-    // checkpoint fast path for head loads; time travel replays JSON
+    // checkpoint fast path for head loads; time travel replays JSON,
+    // falling back to the checkpoint base when the JSON no longer
+    // reaches version 0 (log cleanup) — a target below the base errors
+    // loudly in loadAsVersion instead of reading an empty snapshot
     val dlog = version match {
-      case Some(_) => DeltaLog.load(logLoc, version).loadVersionOrAll(version)
+      case Some(v) =>
+        val json = DeltaLog.load(logLoc, version)
+        if (json.entries.nonEmpty && json.entries.firstKey == 0L)
+          json.loadAsVersion(v)
+        else Checkpoint.loadFrom(logLoc, conf) match {
+          case Some(ck) => ck.loadAsVersion(v)
+          case None => json.loadVersionOrAll(version)
+        }
       case None => Checkpoint.loadFrom(logLoc, conf)
         .getOrElse(DeltaLog.load(logLoc, None))
     }

@@ -320,6 +320,21 @@ object QueryLib {
         s"expected checkpoint base at v10, got ${reopened.dlog.entries.firstKey}")
     }
 
+  /** 12 nation appends, checkpoint at 10, then `cleanupLog` deletes every
+    * JSON commit at/below the checkpoint and an append lands on top: the
+    * scan must see all 13 copies even though versions 0–10 exist only as
+    * checkpoint state (delta's log-retention shape at 10⁵-commit scale).
+    */
+  def nationCleanedLogDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "nation_cleanlog") { d =>
+      val df = raw(spark, sfDir, "nation")
+      var t = DeltaTable.forPath(d).write(df)
+      for (_ <- 1 to 11) t = t.write(df)
+      t = t.cleanupLog()
+      t = t.write(df) // version 12 rides on the checkpoint base
+      require(t.version == 12L, s"expected v12 after cleanup+append, got ${t.version}")
+    }
+
   /** zero-copy import of the raw parquet by absolute reference — no bytes
     * copied; the table's single add points at the source file.
     */

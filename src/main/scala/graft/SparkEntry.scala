@@ -631,6 +631,9 @@ object SparkEntry {
     "q42_checkpointed_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.nationCheckpointedDir(s, d)).toDF(s)
         .orderBy("n_nationkey")),
+    "q94_log_cleanup_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.nationCleanedLogDir(s, d)).toDF(s)
+        .orderBy("n_nationkey")),
 
     // ---- zero-copy import, clone, Z-order-lite + skipping ----
     "q47_import_scan" -> ((s, d) =>
@@ -1167,6 +1170,8 @@ object SparkEntry {
         |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin,
     "q42_checkpointed_scan" ->
       "SELECT n.* FROM nation n CROSS JOIN range(12) ORDER BY n_nationkey",
+    "q94_log_cleanup_scan" ->
+      "SELECT n.* FROM nation n CROSS JOIN range(13) ORDER BY n_nationkey",
     "q47_import_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
     "q48_clone_scan" ->

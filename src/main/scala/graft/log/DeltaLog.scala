@@ -430,11 +430,20 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
 
   /** Time travel: entries ≤ version (reference delta_log/__init__.py:279-297).
     * When `v` predates the in-memory window (checkpoint-based load), fall
-    * back to full JSON replay — commit files are never deleted.
+    * back to full JSON replay. If the replay comes back empty below a
+    * non-zero window start, those commits were removed by log cleanup —
+    * error loudly rather than return a silently-empty snapshot.
     */
   def loadAsVersion(v: Long): DeltaLog =
     if (entries.contains(v)) DeltaLog(loc, entries.rangeTo(v))
-    else DeltaLog(loc, DeltaLog.load(loc, Some(v)).entries.rangeTo(v))
+    else {
+      val replay = DeltaLog.load(loc, Some(v)).entries.rangeTo(v)
+      if (replay.isEmpty && entries.nonEmpty && v < entries.firstKey)
+        throw new IllegalArgumentException(
+          s"version $v predates the oldest reachable log entry " +
+            s"${entries.firstKey}; earlier commits were removed by log cleanup")
+      DeltaLog(loc, replay)
+    }
 
   /** Optimistic commit: create-if-absent the next numbered entry file, then
     * apply the entry to the in-memory state (reference
@@ -459,7 +468,7 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
 
 object DeltaLog {
 
-  private[log] val EntryFilenameRe = "^\\d+\\.json$".r
+  private[graft] val EntryFilenameRe = "^\\d+\\.json$".r
 
   def filenameForVersion(v: Long): String = f"$v%020d.json"
 

@@ -218,6 +218,37 @@ class CheckpointSpec extends SparkSuite {
     assertSameRows(re.toDF(spark), nation.union(nation))
   }
 
+  test("cleanupLog bounds the log; below-horizon asks fail loudly") {
+    val d = tempDir("ckpt-cleanup")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 5)
+    val one = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    (0 to 10).foreach(_ => t = t.write(one)) // checkpoints at 5, 10
+    t = t.cleanupLog()
+    val logDir = new java.io.File(s"$d/_delta_log")
+    // every JSON commit <= 10 is gone; the log listing is BOUNDED
+    assert(!logDir.listFiles().exists(_.getName.matches("\\d+\\.json")))
+    assert(t.version == 10L)
+    // reads, writes, versions keep working from the checkpoint base
+    t = t.write(one) // version 11
+    val re = DeltaTable.forPath(d)
+    assert(re.version == 11L)
+    assert(re.toDF(spark).count() == 12 * one.count())
+    assert(re.versions == Seq(10L, 11L))
+    // CDF from the checkpoint on works; below it errors with the horizon
+    assert(re.changesBetween(spark, 10L, 11L).count() == one.count())
+    val e1 = intercept[IllegalArgumentException](re.changesBetween(spark, 3L, 11L))
+    assert(e1.getMessage.contains("log cleanup"))
+    // time travel below the checkpoint errors instead of reading empty
+    val e2 = intercept[IllegalArgumentException](DeltaTable.forPath(d, version = Some(3L)))
+    assert(e2.getMessage.contains("log cleanup"))
+    // time travel AT/ABOVE the checkpoint still works
+    assert(DeltaTable.forPath(d, version = Some(10L)).toDF(spark).count() == 11 * one.count())
+    // cleanup without any checkpoint is refused
+    val d2 = tempDir("ckpt-cleanup-none")
+    val t2 = DeltaTable.forPath(d2).write(one)
+    intercept[IllegalStateException](t2.cleanupLog())
+  }
+
   test("partitioned table state survives a checkpoint round-trip") {
     val d = tempDir("ckpt-part")
     var t = DeltaTable.forPath(d)
