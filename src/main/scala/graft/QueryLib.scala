@@ -472,6 +472,38 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** nation streamed THROUGH `format("graft")` end to end — the
+    * log-versioned SOURCE (offsets = table versions, zero listing) into
+    * the exactly-once SINK — as two AvailableNow runs sharing one
+    * checkpoint: run 1 delivers the initial snapshot (two appends), a
+    * third append lands between runs, run 2 delivers ONLY that commit
+    * (tail batch replayed from the offset log). The result table must
+    * hold exactly three copies written as exactly two sink commits.
+    */
+  def nationViaGraftFormatStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "nation_graft_format_stream") { d =>
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-vsrc-").toString
+      val df = raw(spark, sfDir, "nation")
+      val src = DeltaTable.forPath(srcDir).write(df).write(df)
+      val checkpoint = java.nio.file.Files.createTempDirectory("graft-vsrc-ckpt-").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft").load(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(d)
+        q.awaitTermination()
+      }
+      runOnce()
+      src.write(df) // a commit the first run never saw
+      runOnce()
+      val out = DeltaTable.forPath(d)
+      require(out.version == 1L,
+        s"expected exactly 2 sink commits (initial snapshot + tail), got ${out.versions}")
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events streamed through the txn-idempotent sink with every batch
     * delivered TWICE — the table must hold exactly one copy.
     */

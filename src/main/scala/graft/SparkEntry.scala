@@ -603,6 +603,8 @@ object SparkEntry {
         .orderBy("user_id")),
     "q68_delta_source_stream" -> ((s, d) =>
       QueryLib.nationViaDeltaSourceStream(s, d).orderBy("n_regionkey")),
+    "q95_graft_format_stream" -> ((s, d) =>
+      QueryLib.nationViaGraftFormatStream(s, d).orderBy("n_nationkey")),
 
     // ---- tokenizer-prep text ops: vocabulary induction, TF-IDF ----
     "q64_vocab" -> ((s, d) =>
@@ -1264,6 +1266,8 @@ object SparkEntry {
         |SELECT n_regionkey, count(*) AS n_nations,
         | CAST(sum(n_nationkey) AS BIGINT) AS sum_key
         |FROM x2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q95_graft_format_stream" ->
+      "SELECT n.* FROM nation n CROSS JOIN range(3) ORDER BY n_nationkey",
     "q64_vocab" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),

@@ -3,8 +3,8 @@ package graft.sources
 import graft.log.{ColumnMapping, WriteMode}
 import graft.DeltaTable
 import org.apache.spark.sql.execution.datasources.DataSourceUtils
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
@@ -40,7 +40,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
   * accumulate duplicates.
   */
 class GraftDataSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -95,6 +95,38 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = written.dlog.schema
     }
+  }
+
+  /** `spark.readStream.format("graft")` — the log-versioned source
+    * ([[graft.streaming.GraftVersionedSource]]): offsets are table
+    * versions, batches are commit ranges, no directory listing. The
+    * schema is pinned at stream start (delta parity); mapped/DV'd
+    * snapshots are rejected exactly like the batch read.
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val t = tableFor(sqlContext, parameters)
+    require(t.version >= 0L,
+      s"streaming source requires an existing table at ${pathOf(parameters)}")
+    val sch = t.dlog.schema
+    require(ColumnMapping.isIdentity(ColumnMapping.logicalToPhysical(sch)),
+      "this table uses column mapping (renamed/dropped columns); stream it " +
+        "through DeltaTable.forPath(...).toDF-based batch feeds instead")
+    (shortName(), schema.getOrElse(sch))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (_, sch) = sourceSchema(sqlContext, schema, providerName, parameters)
+    new graft.streaming.GraftVersionedSource(
+      sqlContext.sparkSession,
+      pathOf(parameters),
+      sch,
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      conf = org.apache.spark.sql.graftshim.ColumnShim
+        .hadoopConf(sqlContext.sparkSession))
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -75,3 +75,101 @@ object DeltaStreamSource {
       .parquet(tableDir)
   }
 }
+
+/** A table version as a V1 streaming offset. */
+final case class GraftSourceOffset(version: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object GraftSourceOffset {
+  def fromJson(s: String): GraftSourceOffset =
+    GraftSourceOffset(graft.log.Json.mapper.readTree(s).get("version").asLong())
+
+  def of(o: org.apache.spark.sql.connector.read.streaming.Offset): Long = o match {
+    case GraftSourceOffset(v) => v
+    case other => fromJson(other.json()).version
+  }
+}
+
+/** Log-versioned Structured Streaming SOURCE — delta-spark's own design,
+  * wired into `spark.readStream.format("graft")`:
+  *
+  *  - **Offsets are table versions.** `getOffset` reads the log head
+  *    (checkpoint fast path, zero directory listing — the file-stream
+  *    delegation in [[DeltaStreamSource.appendOnlyStream]] must LIST the
+  *    data directory every trigger, which at 10⁵ files per table is the
+  *    dominant micro-batch cost on an object store).
+  *  - **Batches are commit ranges.** The initial batch is the full
+  *    snapshot at the starting offset (delta's initial snapshot);
+  *    every later batch is exactly the `dataChange` adds of versions
+  *    `(start, end]` — per-commit delivery, replayable from the offset
+  *    log alone, so recovery is exactly-once without file tracking.
+  *  - **Append-only enforced PER BATCH** (delta parity): a commit in the
+  *    range carrying removes or deletion-vector re-adds aborts the
+  *    stream unless `ignoreChanges=true` opted into reprocessing —
+  *    including commits made AFTER the stream started, which the
+  *    construction-time check of `appendOnlyStream` cannot see.
+  */
+final class GraftVersionedSource(
+    spark: org.apache.spark.sql.SparkSession,
+    tableDir: String,
+    override val schema: org.apache.spark.sql.types.StructType,
+    ignoreChanges: Boolean,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
+
+  private def openHead(): DeltaTable = DeltaTable.forPath(tableDir, conf = conf)
+
+  override def getOffset: Option[OffsetV1] = {
+    val v = openHead().version
+    if (v < 0L) None else Some(GraftSourceOffset(v))
+  }
+
+  private def guardAppendOnly(v: Long, e: graft.log.DeltaLogEntry): Unit = {
+    val dved = e.adds.count(a => graft.sources.DeletionVectors.refOf(a).isDefined)
+    if (e.removes.nonEmpty || dved > 0) {
+      val op = e.commitInfos.headOption.map(_.operation).getOrElse("UNKNOWN")
+      throw new IllegalStateException(
+        s"streaming source requires append-only commits, but version $v ($op) " +
+          (if (e.removes.nonEmpty) s"removed ${e.removes.size} file(s)"
+           else s"attached deletion vectors to $dved file(s)") +
+          ". Use changesBetween for change feeds, or ignoreChanges=true " +
+          "to accept reprocessed/deleted rows.")
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = GraftSourceOffset.of(end)
+    val head = openHead()
+    val endT = if (head.version == endV) head else head.loadAsVersion(endV)
+    val adds = start match {
+      case None =>
+        // initial snapshot: every LIVE file at endV (replay result —
+        // historic removes inside [0, endV] are already resolved, so no
+        // append-only guard applies to history, matching delta)
+        endT.dlog.addActions.values.toSeq
+      case Some(s) =>
+        val sv = GraftSourceOffset.of(s)
+        val json = graft.log.DeltaLog.load(endT.logLoc, None)
+        val range = json.entries.range(sv + 1, endV + 1)
+        val missing = ((sv + 1) to endV).toSet -- range.keySet
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"commits ${missing.toSeq.sorted.mkString(",")} are gone (log " +
+              "cleanup ran past this stream's offset); restart the stream " +
+              "from a fresh checkpoint to re-read the initial snapshot")
+        range.toSeq.flatMap { case (v, e) =>
+          if (!ignoreChanges) guardAppendOnly(v, e)
+          e.adds.filter(_.dataChange)
+        }
+    }
+    val df = graft.sources.DeltaScan.snapshotDF(
+      spark, endT.loc, schema, endT.partitionColumns, adds, conf)
+    org.apache.spark.sql.graftshim.ColumnShim.asStreaming(df)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -37,4 +37,15 @@ object ColumnShim {
     classic.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The inverse of [[asBatch]] — flag a batch frame as streaming (the
+    * technique `FileStreamSource.getBatch` itself uses): a V1
+    * `Source.getBatch` result must carry isStreaming=true or
+    * MicroBatchExecution rejects it.
+    */
+  def asStreaming(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

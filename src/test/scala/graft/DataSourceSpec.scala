@@ -99,4 +99,79 @@ class DataSourceSpec extends SparkSuite {
     runOnce()
     assert(DeltaTable.forPath(out).toDF(spark).count() == 50)
   }
+
+  // ---- readStream.format("graft"): the log-versioned source ----
+
+  private def nationDF = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  private def runGraftStream(src: String, out: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    val reader = spark.readStream.format("graft").options(options)
+    val q = reader.load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+  }
+
+  test("versioned source: initial snapshot, per-commit tail, exactly-once restart") {
+    val src = tempDir("vsrc"); val out = tempDir("vsrc-out"); val ckpt = tempDir("vsrc-ckpt")
+    var t = DeltaTable.forPath(src).write(nationDF).write(nationDF)
+    runGraftStream(src, out, ckpt)
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 2 * nationDF.count())
+    // two commits land after the first run; the restart must deliver
+    // EXACTLY those versions' adds, replayed from the offset log
+    t = t.write(nationDF)
+    t = t.write(nationDF.limit(5).coalesce(1))
+    runGraftStream(src, out, ckpt)
+    val outT = DeltaTable.forPath(out)
+    assert(outT.toDF(spark).count() == 3 * nationDF.count() + 5)
+    // and a third run with nothing new re-delivers nothing
+    runGraftStream(src, out, ckpt)
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 3 * nationDF.count() + 5)
+  }
+
+  test("versioned source: a non-append commit mid-stream fails loudly") {
+    val src = tempDir("vsrc-del"); val out = tempDir("vsrc-del-out"); val ckpt = tempDir("vsrc-del-ckpt")
+    DeltaTable.forPath(src).write(nationDF.coalesce(1)).write(nationDF.coalesce(1))
+    runGraftStream(src, out, ckpt)
+    // a copy-on-write delete lands AFTER the stream's offset — the next
+    // tail batch must abort (construction-time checks cannot see this)
+    DeltaTable.forPath(src).delete(spark, Some(col("n_nationkey") === 1))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runGraftStream(src, out, ckpt))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("append-only")), e.getMessage)
+    // ignoreChanges opts into reprocessing on a FRESH checkpoint
+    val out2 = tempDir("vsrc-del-out2"); val ckpt2 = tempDir("vsrc-del-ckpt2")
+    runGraftStream(src, out2, ckpt2, Map("ignoreChanges" -> "true"))
+    assert(DeltaTable.forPath(out2).toDF(spark).count() ==
+      DeltaTable.forPath(src).toDF(spark).count())
+  }
+
+  test("versioned source: column-mapped tables are rejected at stream start") {
+    val src = tempDir("vsrc-map")
+    DeltaTable.forPath(src).write(nationDF).renameColumn("n_name", "nn")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("memory").queryName("vsrc_map_reject")
+        .option("checkpointLocation", tempDir("vsrc-map-ckpt"))
+        .start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("column mapping"))),
+      e.getMessage)
+  }
+
+  test("versioned source offsets round-trip through JSON") {
+    import graft.streaming.GraftSourceOffset
+    val o = GraftSourceOffset(42L)
+    assert(GraftSourceOffset.fromJson(o.json) == o)
+    assert(GraftSourceOffset.of(o) == 42L)
+  }
 }
