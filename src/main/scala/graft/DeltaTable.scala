@@ -89,6 +89,28 @@ final case class DeltaTable(
   /** Time travel from in-memory entries (reference xdlake/__init__.py:73-82). */
   def loadAsVersion(v: Long): DeltaTable = copy(dlog = dlog.loadAsVersion(v))
 
+  /** The latest version committed at/before `timestampMillis` (delta's
+    * timestampAsOf resolution over commitInfo timestamps; the reference
+    * time-travels by version only). On a log-cleaned table only commits
+    * above the checkpoint horizon carry timestamps — asks that resolve
+    * below it fail like any other below-horizon ask.
+    */
+  def versionAt(timestampMillis: Long): Long = {
+    val h = history // newest first
+    if (h.isEmpty)
+      throw new IllegalArgumentException("table has no commits to time-travel to")
+    val at = h.filter { case (_, ci) => ci.timestamp <= timestampMillis }
+    if (at.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $timestampMillis predates the earliest reachable commit " +
+          s"(version ${h.last._1} at ${h.last._2.timestamp})")
+    at.map(_._1).max
+  }
+
+  /** Time travel by wall-clock timestamp (delta's `timestampAsOf`). */
+  def loadAsTimestamp(timestampMillis: Long): DeltaTable =
+    loadAsVersion(versionAt(timestampMillis))
+
   /** The snapshot as a lazy DataFrame — the scan entry point (§3.1). */
   def toDF(spark: SparkSession): DataFrame =
     scanAdds(spark, dlog.addActions.values.toSeq)

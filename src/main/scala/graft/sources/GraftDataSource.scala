@@ -49,11 +49,32 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
 
   private def tableFor(sqlContext: SQLContext,
-      parameters: Map[String, String]): DeltaTable =
-    DeltaTable.forPath(pathOf(parameters),
+      parameters: Map[String, String]): DeltaTable = {
+    require(!(parameters.contains("versionAsOf") && parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf cannot be combined")
+    val t = DeltaTable.forPath(pathOf(parameters),
       version = parameters.get("versionAsOf").map(_.toLong),
       conf = org.apache.spark.sql.graftshim.ColumnShim
         .hadoopConf(sqlContext.sparkSession))
+    parameters.get("timestampAsOf") match {
+      case Some(ts) => t.loadAsTimestamp(parseTimestamp(ts))
+      case None => t
+    }
+  }
+
+  /** delta-reader-style timestamp literals: epoch millis, ISO-8601
+    * instants, or `yyyy-MM-dd[ HH:mm:ss[.f]]` in the JVM zone.
+    */
+  private def parseTimestamp(s: String): Long =
+    s.toLongOption.getOrElse {
+      try java.time.Instant.parse(s).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          val norm = if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+            else s + " 00:00:00"
+          java.sql.Timestamp.valueOf(norm).getTime
+      }
+    }
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -126,7 +147,12 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       sch,
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       conf = org.apache.spark.sql.graftshim.ColumnShim
-        .hadoopConf(sqlContext.sparkSession))
+        .hadoopConf(sqlContext.sparkSession),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map { s =>
+        val n = s.toLong
+        require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
+        n
+      })
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -116,9 +116,13 @@ final class GraftVersionedSource(
     tableDir: String,
     override val schema: org.apache.spark.sql.types.StructType,
     ignoreChanges: Boolean,
-    conf: org.apache.hadoop.conf.Configuration)
-    extends org.apache.spark.sql.execution.streaming.Source {
+    conf: org.apache.hadoop.conf.Configuration,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  import org.apache.spark.sql.connector.read.streaming.{Offset => ConnOffset, ReadLimit}
   import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
 
   private def openHead(): DeltaTable = DeltaTable.forPath(tableDir, conf = conf)
@@ -126,6 +130,42 @@ final class GraftVersionedSource(
   override def getOffset: Option[OffsetV1] = {
     val v = openHead().version
     if (v < 0L) None else Some(GraftSourceOffset(v))
+  }
+
+  // ----------------------------------------------------------------
+  // Rate limiting via ADMISSION CONTROL (delta-spark's mechanism): a
+  // backfill against a table with 10⁴ accumulated commits must not land
+  // as ONE giant micro-batch. With SupportsAdmissionControl the engine
+  // passes each trigger's START offset into latestOffset, so
+  // `maxVersionsPerTrigger` caps the range statelessly — and
+  // SupportsTriggerAvailableNow latches the head at run start, so
+  // Trigger.AvailableNow drains the WHOLE backlog in capped batches
+  // instead of stopping at the first capped offset (what a plain V1
+  // getOffset cap would do). The initial batch stays snapshot-shaped
+  // (all live data at the first offset), like delta's initial snapshot:
+  // the cap governs the tail, where unbounded ranges actually occur.
+  // ----------------------------------------------------------------
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(openHead().version)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
+    val head = availableNowTarget.getOrElse(openHead().version)
+    if (head < 0L) return null
+    val capped = (maxVersionsPerTrigger, Option(start).map(GraftSourceOffset.of)) match {
+      case (Some(cap), Some(s)) => math.min(head, s + cap)
+      case _ => head
+    }
+    GraftSourceOffset(capped)
+  }
+
+  override def reportLatestOffset(): ConnOffset = {
+    val v = openHead().version
+    if (v < 0L) null else GraftSourceOffset(v)
   }
 
   private def guardAppendOnly(v: Long, e: graft.log.DeltaLogEntry): Unit = {

@@ -174,4 +174,44 @@ class DataSourceSpec extends SparkSuite {
     assert(GraftSourceOffset.fromJson(o.json) == o)
     assert(GraftSourceOffset.of(o) == 42L)
   }
+
+  test("versioned source: maxVersionsPerTrigger bounds each tail batch") {
+    val src = tempDir("vsrc-rate"); val out = tempDir("vsrc-rate-out")
+    val ckpt = tempDir("vsrc-rate-ckpt")
+    val five = nationDF.limit(5).coalesce(1)
+    var t = DeltaTable.forPath(src).write(five)
+    runGraftStream(src, out, ckpt) // initial snapshot: versions [0,0]
+    (1 to 4).foreach(_ => t = t.write(five)) // versions 1..4 land
+    runGraftStream(src, out, ckpt, Map("maxVersionsPerTrigger" -> "2"))
+    val outT = DeltaTable.forPath(out)
+    assert(outT.toDF(spark).count() == 5 * five.count())
+    // the 4-version backlog was split into 2-version micro-batches:
+    // the sink committed once per batch, so >= 2 commits landed in run 2
+    assert(outT.version >= 2L,
+      s"expected the backlog split across batches, got versions ${outT.versions}")
+  }
+
+  test("timestampAsOf: API and reader option resolve to the right version") {
+    val d = tempDir("ts-asof")
+    var t = DeltaTable.forPath(d).write(nationDF)
+    Thread.sleep(5)
+    t = t.write(nationDF)
+    Thread.sleep(5)
+    t = t.delete(spark, Some(col("n_nationkey") < 10))
+    val hist = t.history.reverse // oldest first: (0, ci0), (1, ci1), (2, ci2)
+    assert(t.versionAt(hist(1)._2.timestamp) == 1L)
+    assert(t.versionAt(hist(2)._2.timestamp + 1000L) == 2L)
+    assertSameRows(t.loadAsTimestamp(hist(1)._2.timestamp).toDF(spark),
+      nationDF.union(nationDF))
+    // the reader option takes millis and equals versionAsOf
+    val viaTs = spark.read.format("graft")
+      .option("timestampAsOf", hist(1)._2.timestamp.toString).load(d)
+    val viaV = spark.read.format("graft").option("versionAsOf", "1").load(d)
+    assertSameRows(viaTs, viaV)
+    // before the first commit: loud error; both options together: rejected
+    intercept[IllegalArgumentException](t.versionAt(hist(0)._2.timestamp - 10000L))
+    intercept[IllegalArgumentException](
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", "12345").load(d).collect())
+  }
 }
