@@ -111,6 +111,18 @@ final case class DeltaTable(
   def loadAsTimestamp(timestampMillis: Long): DeltaTable =
     loadAsVersion(versionAt(timestampMillis))
 
+  /** The earliest version committed at/after `timestampMillis` (delta's
+    * streaming `startingTimestamp` resolution — note the asymmetry with
+    * [[versionAt]]: time travel answers "the table as of T", a stream
+    * start answers "every change since T"). `version + 1` when every
+    * commit predates the timestamp — the stream then serves only future
+    * commits.
+    */
+  def versionAtOrAfter(timestampMillis: Long): Long = {
+    val at = history.filter { case (_, ci) => ci.timestamp >= timestampMillis }
+    if (at.isEmpty) version + 1 else at.map(_._1).min
+  }
+
   /** The snapshot as a lazy DataFrame — the scan entry point (§3.1). */
   def toDF(spark: SparkSession): DataFrame =
     scanAdds(spark, dlog.addActions.values.toSeq)
@@ -224,6 +236,10 @@ final case class DeltaTable(
         }
       } else partitionBy.getOrElse(Seq.empty)
 
+    // fail fast (before staging data files): protocol writability, and
+    // the appendOnly gate when overwriting an existing table
+    assertPreWrite(removesData = mode == WriteMode.Overwrite)
+
     // constrained writes evaluate df twice (validate + write): cache it so
     // an expensive upstream pipeline runs once
     // generated columns: compute the absent ones, validate supplied ones
@@ -253,7 +269,8 @@ final case class DeltaTable(
       // the expressions, so the returned handle must not re-inject them
       // (a later rename/drop of the generated column would otherwise
       // conflict with the stale pending entry)
-      try result = copy(dlog = maybeCheckpoint(logState.commit(entry, commitContext)),
+      try result = copy(
+        dlog = maybeCheckpoint(logState.commit(gated(entry, logState), commitContext)),
         pendingGenerated = Map.empty)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -417,6 +434,7 @@ final case class DeltaTable(
 
   def delete(spark: SparkSession, where: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     val pred = where.getOrElse(lit(true))
     val adds = dlog.addActions
 
@@ -490,6 +508,7 @@ final case class DeltaTable(
     */
   def deleteMergeOnRead(spark: SparkSession, where: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     val pred = where.getOrElse(lit(true))
     val candidateAdds =
       where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
@@ -647,6 +666,7 @@ final case class DeltaTable(
   def updateMergeOnRead(spark: SparkSession, where: Option[Column],
       set: Map[String, Column],
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     require(set.nonEmpty, "update requires at least one SET column")
     val fields = dlog.schema.fields.map(f => f.name -> f.dataType).toMap
     set.keys.foreach(k => require(fields.contains(k), s"no such column: $k"))
@@ -700,6 +720,7 @@ final case class DeltaTable(
   def mergeMergeOnRead(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String],
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     require(keyCols.nonEmpty, "merge requires key columns")
     val src = source.cache()
     try {
@@ -783,6 +804,90 @@ final case class DeltaTable(
     val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.DropConstraint,
       name, None, dlog.version)
     commit(DeltaLogEntry(Vector(newMeta, commitInfo)))
+  }
+
+  // ------------------------------------------------------------------
+  // Table properties & protocol (delta's ALTER TABLE SET TBLPROPERTIES /
+  // upgradeTableProtocol). Properties ride Metadata.configuration;
+  // `delta.appendOnly=true` is ENFORCED at every commit (ProtocolGate).
+  // ------------------------------------------------------------------
+
+  /** The table's configuration (delta's TBLPROPERTIES). */
+  def tableProperties: Map[String, String] =
+    dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty)
+
+  /** Set table properties (metadata-only commit; delta's ALTER TABLE SET
+    * TBLPROPERTIES). Keys with dedicated validated surfaces are rejected
+    * here so their invariants can't be bypassed: CHECK constraints
+    * validate existing rows ([[addConstraint]]) and column-mapping mode
+    * assigns physical names ([[enableColumnMapping]]).
+    */
+  def setTableProperties(props: Map[String, String],
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    require(!dlog.isEmpty, "setTableProperties requires an existing table")
+    require(props.nonEmpty, "no properties given")
+    props.keys.foreach { k =>
+      require(!k.startsWith("delta.constraints."),
+        s"$k: add CHECK constraints via addConstraint (it validates existing rows)")
+      require(k != ColumnMapping.ModeConfigKey,
+        s"$k: enable column mapping via its dedicated surface (it assigns physical names)")
+    }
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val newMeta = meta.copy(configuration = meta.configuration ++ props)
+    commit(DeltaLogEntry(Vector(newMeta,
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, props, dlog.version)))
+      .withExtraCommitInfo(customMetadata))
+  }
+
+  /** Unset table properties (metadata-only commit). Unknown keys are
+    * ignored, as in delta's UNSET TBLPROPERTIES.
+    */
+  def unsetTableProperties(keys: Seq[String]): DeltaTable = {
+    require(!dlog.isEmpty, "unsetTableProperties requires an existing table")
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val newMeta = meta.copy(configuration = meta.configuration -- keys)
+    commit(DeltaLogEntry(Vector(newMeta,
+      CommitInfo.metaOp(CommitInfo.Op.UnsetProperties,
+        Map("properties" -> keys.mkString(",")), dlog.version))))
+  }
+
+  /** Explicit protocol upgrade (delta's `upgradeTableProtocol`): raises
+    * the versions component-wise — downgrades are rejected, as in delta —
+    * and at the table-features versions (reader 3 / writer 7) records the
+    * given feature lists UNIONED with everything already in force
+    * (explicit or legacy-implied), so an upgrade can never silently drop
+    * a feature. The resulting protocol must itself pass this engine's
+    * writer gate: upgrading into a protocol we could then no longer
+    * write is refused.
+    */
+  def upgradeProtocol(minReader: Int, minWriter: Int,
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty): DeltaTable = {
+    require(!dlog.isEmpty, "upgradeProtocol requires an existing table")
+    val cur = dlog.currentProtocol
+    require(minReader >= cur.minReaderVersion && minWriter >= cur.minWriterVersion,
+      s"protocol downgrade rejected: table is at " +
+        s"(${cur.minReaderVersion},${cur.minWriterVersion}), asked for ($minReader,$minWriter)")
+    val rf = ProtocolGate.readerFeatures(cur) ++ readerFeatures
+    val wf = ProtocolGate.writerFeatures(cur) ++ writerFeatures
+    var extra = cur.extra
+    if (minReader >= 3)
+      extra += ("readerFeatures" -> Json.arr(rf.toSeq.sorted.map(Json.text)))
+    else require(readerFeatures.isEmpty,
+      s"readerFeatures require minReaderVersion 3, got $minReader")
+    if (minWriter >= 7)
+      extra += ("writerFeatures" -> Json.arr(wf.toSeq.sorted.map(Json.text)))
+    else require(writerFeatures.isEmpty,
+      s"writerFeatures require minWriterVersion 7, got $minWriter")
+    val target = cur.copy(minReaderVersion = minReader,
+      minWriterVersion = minWriter, extra = extra)
+    ProtocolGate.assertWritable(target, dlog.latestMetadata)
+    commit(DeltaLogEntry(Vector(target,
+      CommitInfo.metaOp(CommitInfo.Op.UpgradeProtocol,
+        Map("minReaderVersion" -> minReader.toString,
+          "minWriterVersion" -> minWriter.toString), dlog.version))))
   }
 
   // ------------------------------------------------------------------
@@ -989,6 +1094,7 @@ final case class DeltaTable(
     */
   def replaceWhere(spark: SparkSession, predicate: Column, df: DataFrame,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     require(!dlog.isEmpty, "replaceWhere requires an existing table")
     // all cheap validation BEFORE the copy-on-write rewrite, so a bad
     // replacement never pays for (and orphans) a phase-2 rewrite.
@@ -1078,6 +1184,7 @@ final case class DeltaTable(
   def update(spark: SparkSession, where: Option[Column],
       set: Map[String, Column],
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     require(set.nonEmpty, "update requires at least one SET column")
     val fields = dlog.schema.fields.map(f => f.name -> f.dataType).toMap
     set.keys.foreach(k => require(fields.contains(k), s"unknown SET column: $k"))
@@ -1152,6 +1259,8 @@ final case class DeltaTable(
   def merge(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String],
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    // a merge may update/delete matched target rows — removal-gated
+    assertPreWrite(removesData = true)
     require(keyCols.nonEmpty, "merge requires key columns")
     // the source plan is reused by three jobs (uniqueness check, touched-file
     // discovery via its keys, data write) — cache so a 100 GB source is
@@ -1631,6 +1740,7 @@ final case class DeltaTable(
 
   def restore(restoreVersion: Long,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
     val prev = dlog.loadAsVersion(restoreVersion)
     val prevAdds = prev.addActions
     val currAdds = dlog.addActions
@@ -1751,7 +1861,50 @@ final case class DeltaTable(
   // ------------------------------------------------------------------
 
   private def commit(entry: DeltaLogEntry): DeltaTable =
-    copy(dlog = maybeCheckpoint(dlog.commit(entry, commitContext)))
+    copy(dlog = maybeCheckpoint(dlog.commit(gated(entry), commitContext)))
+
+  /** Commit-time guards, applied at both commit choke points: the
+    * writer-side protocol gate, `delta.appendOnly` enforcement, and the
+    * deletion-vector feature bump. The bump is protocol honesty (delta's
+    * `deletionVectors` feature gate): a DV'd add committed under protocol
+    * (1,2) lets a feature-unaware foreign reader skip the unknown
+    * `deletionVector` field and silently RESURRECT deleted rows, so the
+    * first commit that carries one upgrades to (3,7) with the feature
+    * declared — foreign engines then fail loudly instead. Entries that
+    * already carry a protocol action (clone, create) get that action
+    * upgraded in place rather than a second one appended.
+    */
+  /** Fail-fast writer gate at operation START (before any data is
+    * staged): protocol writability always; the appendOnly removal gate
+    * for operations that by construction delete or rewrite data
+    * (delta-spark's `assertRemovable`). [[gated]] at commit time is the
+    * airtight backstop.
+    */
+  private def assertPreWrite(removesData: Boolean = false): Unit = {
+    ProtocolGate.assertWritable(dlog.currentProtocol, dlog.latestMetadata)
+    if (removesData && !dlog.isEmpty)
+      ProtocolGate.assertRemovable(dlog.latestMetadata)
+  }
+
+  private def gated(entry: DeltaLogEntry,
+      log: DeltaLog = dlog): DeltaLogEntry = {
+    ProtocolGate.assertWritable(log.currentProtocol, log.latestMetadata)
+    ProtocolGate.assertMutationAllowed(log.latestMetadata, entry)
+    if (!entry.adds.exists(a => DeletionVectors.refOf(a).isDefined)) return entry
+    entry.actions.collectFirst { case p: Protocol => p } match {
+      case Some(p) =>
+        ProtocolGate.withFeature(p, "deletionVectors") match {
+          case Some(up) =>
+            DeltaLogEntry(entry.actions.map { case `p` => up; case a => a })
+          case None => entry
+        }
+      case None =>
+        ProtocolGate.withFeature(log.currentProtocol, "deletionVectors") match {
+          case Some(up) => DeltaLogEntry(up +: entry.actions)
+          case None => entry
+        }
+    }
+  }
 
   /** Conservative may-match for a predicate against a set of adds, via
     * the same physical-schema stats pruner scans use. None = the
@@ -1813,7 +1966,11 @@ final case class DeltaTable(
     var state = dlog
     var attempts = 0
     while (true) {
-      try return copy(dlog = maybeCheckpoint(state.commit(entry, commitContext)))
+      // gate against the CURRENT rebase state: if a concurrent winner
+      // already declared the deletionVectors feature, our redundant bump
+      // drops out here instead of committing a second protocol action
+      val entryG = gated(entry, state)
+      try return copy(dlog = maybeCheckpoint(state.commit(entryG, commitContext)))
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (attempts >= maxRebase) throw e
@@ -1831,8 +1988,19 @@ final case class DeltaTable(
             } else more = false
           }
           newEntries.rangeFrom(state.versionToWrite).values.foreach { w =>
-            if (w.actions.exists(_.isInstanceOf[Protocol]))
-              throw conflict("protocol changed concurrently", e)
+            // a winner's protocol change is benign IFF its result stays
+            // fully writable by this engine (the concurrent first-DV
+            // commit's feature bump is the canonical case — both sides
+            // upgrade to the same (3,7)+deletionVectors, and the re-gate
+            // above dedupes our copy). Anything beyond that conflicts,
+            // delta's ProtocolChangedException.
+            w.actions.collect { case p: Protocol => p }.lastOption.foreach { wp =>
+              try ProtocolGate.assertWritable(wp, baseMeta)
+              catch {
+                case _: IllegalStateException => throw conflict(
+                  "protocol changed concurrently to one this engine cannot write", e)
+              }
+            }
             w.metadataAction.foreach { m =>
               val same = baseMeta.exists(bm => bm.schemaString == m.schemaString &&
                 bm.partitionColumns == m.partitionColumns &&
@@ -1950,6 +2118,9 @@ object DeltaTable {
       case None => Checkpoint.loadFrom(logLoc, conf)
         .getOrElse(DeltaLog.load(logLoc, None))
     }
+    // protocol gate: refuse tables whose protocol demands reader features
+    // this engine lacks — reading anyway returns silently wrong rows
+    ProtocolGate.assertReadable(dlog.currentProtocol)
     DeltaTable(loc, logLoc, dlog, conf, commitContext)
   }
 

@@ -305,7 +305,23 @@ object CommitInfo {
     val BloomIndex = "BLOOM INDEX"
     val RenameColumn = "RENAME COLUMN"
     val DropColumn = "DROP COLUMNS"
+    val SetProperties = "SET TBLPROPERTIES"
+    val UnsetProperties = "UNSET TBLPROPERTIES"
+    val UpgradeProtocol = "UPGRADE PROTOCOL"
   }
+
+  /** Generic metadata-operation commit (SET/UNSET TBLPROPERTIES,
+    * UPGRADE PROTOCOL — delta-spark's operation names).
+    */
+  def metaOp(op: String, params: Map[String, String],
+      readVersion: Long): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = op,
+      operationParameters = ListMap(params.toSeq.map {
+        case (k, v) => k -> (Json.text(v): JsonNode)
+      }: _*),
+      readVersion = Some(readVersion))
 
   def create(location: String, metadata: Metadata, protocol: Protocol): CommitInfo =
     CommitInfo(

@@ -97,10 +97,11 @@ object Checkpoint {
   // one exists purely for cross-engine consumers.
   // ------------------------------------------------------------------
 
-  /** Delta's classic checkpoint schema (the columns delta-spark writes for
-    * protocol v1/v2 tables, plus the `deletionVector` add-field so MoR
-    * state survives the round trip). Built with Spark types so the emitted
-    * parquet has delta's exact nested shape.
+  /** Delta's classic checkpoint schema (the columns delta-spark writes,
+    * including the table-features lists for reader-3/writer-7 protocols
+    * and the `deletionVector` add-field so MoR state survives the round
+    * trip). Built with Spark types so the emitted parquet has delta's
+    * exact nested shape.
     */
   private[graft] def deltaCheckpointSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -152,7 +153,13 @@ object Checkpoint {
         StructField("createdTime", LongType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType))))))
+        StructField("minWriterVersion", IntegerType),
+        // table-features protocols (reader 3 / writer 7) — e.g. after the
+        // deletionVectors feature bump — must keep their feature lists
+        // through the checkpoint, or a delta reader sees an invalid
+        // (3,7)-with-no-features protocol
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
   }
 
   private def writeDeltaFormat(dlog: DeltaLog, actions: Seq[Action],

@@ -121,8 +121,10 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   /** `spark.readStream.format("graft")` — the log-versioned source
     * ([[graft.streaming.GraftVersionedSource]]): offsets are table
     * versions, batches are commit ranges, no directory listing. The
-    * schema is pinned at stream start (delta parity); mapped/DV'd
-    * snapshots are rejected exactly like the batch read.
+    * schema is pinned at stream start (delta parity); mapped snapshots
+    * are rejected like the batch read, while the INITIAL snapshot reads
+    * through deletion vectors (live rows only) — the append-only
+    * contract governs the tail, where a DV re-add aborts per batch.
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -134,13 +136,41 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     require(ColumnMapping.isIdentity(ColumnMapping.logicalToPhysical(sch)),
       "this table uses column mapping (renamed/dropped columns); stream it " +
         "through DeltaTable.forPath(...).toDF-based batch feeds instead")
-    (shortName(), schema.getOrElse(sch))
+    val base = schema.getOrElse(sch)
+    // readChangeFeed appends the CDF meta columns (delta's streaming CDF
+    // schema shape); their position is load-bearing — the source's
+    // initial-snapshot branch strips the LAST TWO fields to recover the
+    // base schema
+    val resolved =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+      else base
+    (shortName(), resolved)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (_, sch) = sourceSchema(sqlContext, schema, providerName, parameters)
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp cannot be combined")
+    // starting point resolved ONCE, at stream start (delta parity):
+    // "latest" latches the current head; a timestamp resolves to the
+    // EARLIEST version committed at/after it (every change since T —
+    // note the asymmetry with timestampAsOf's latest-at-or-before)
+    val startAt: Option[Long] = parameters.get("startingVersion").map {
+      case "latest" => tableFor(sqlContext, parameters).version + 1
+      case s =>
+        val v = s.toLong
+        require(v >= 0L, s"startingVersion must be >= 0 or 'latest', got $s")
+        v
+    }.orElse(parameters.get("startingTimestamp").map(ts =>
+      tableFor(sqlContext, parameters).versionAtOrAfter(parseTimestamp(ts))))
     new graft.streaming.GraftVersionedSource(
       sqlContext.sparkSession,
       pathOf(parameters),
@@ -152,7 +182,9 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         val n = s.toLong
         require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      startingVersion = startAt,
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   override def createSink(sqlContext: SQLContext,

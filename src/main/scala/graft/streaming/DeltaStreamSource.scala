@@ -117,7 +117,9 @@ final class GraftVersionedSource(
     override val schema: org.apache.spark.sql.types.StructType,
     ignoreChanges: Boolean,
     conf: org.apache.hadoop.conf.Configuration,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None,
+    readChangeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -181,33 +183,72 @@ final class GraftVersionedSource(
     }
   }
 
+  /** The `dataChange` adds of commits [from, to], append-only-guarded per
+    * commit; empty when the range is (log cleanup holes below `from` still
+    * error loudly — a silent gap would skip committed data).
+    */
+  private def rangeAdds(endT: DeltaTable, from: Long,
+      to: Long): Seq[graft.log.AddFile] = {
+    if (to < from) return Seq.empty
+    val json = graft.log.DeltaLog.load(endT.logLoc, None)
+    val range = json.entries.range(from, to + 1)
+    val missing = (from to to).toSet -- range.keySet
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"commits ${missing.toSeq.sorted.mkString(",")} are gone (log " +
+          "cleanup ran past this stream's offset); restart the stream " +
+          "from a fresh checkpoint to re-read the initial snapshot")
+    range.toSeq.flatMap { case (v, e) =>
+      if (!ignoreChanges) guardAppendOnly(v, e)
+      e.adds.filter(_.dataChange)
+    }
+  }
+
+  /** Change-feed batch (`readChangeFeed=true`): versions (from, to] as
+    * row-level `insert`/`delete`/`remove_file` frames — delegates to the
+    * batch CDF ([[DeltaTable.changesBetween]]), so merge-on-read deletes
+    * stream their EXACT newly-dead rows and rename/drop boundaries
+    * inside a batch are rejected rather than mislabeled.
+    */
+  private def cdfBatch(endT: DeltaTable, from: Long, to: Long): DataFrame =
+    endT.changesBetween(spark, from, to)
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val endV = GraftSourceOffset.of(end)
     val head = openHead()
     val endT = if (head.version == endV) head else head.loadAsVersion(endV)
-    val adds = start match {
-      case None =>
-        // initial snapshot: every LIVE file at endV (replay result —
-        // historic removes inside [0, endV] are already resolved, so no
-        // append-only guard applies to history, matching delta)
-        endT.dlog.addActions.values.toSeq
-      case Some(s) =>
+    val df = (start, startingVersion) match {
+      case (Some(s), _) =>
         val sv = GraftSourceOffset.of(s)
-        val json = graft.log.DeltaLog.load(endT.logLoc, None)
-        val range = json.entries.range(sv + 1, endV + 1)
-        val missing = ((sv + 1) to endV).toSet -- range.keySet
-        if (missing.nonEmpty)
-          throw new IllegalStateException(
-            s"commits ${missing.toSeq.sorted.mkString(",")} are gone (log " +
-              "cleanup ran past this stream's offset); restart the stream " +
-              "from a fresh checkpoint to re-read the initial snapshot")
-        range.toSeq.flatMap { case (v, e) =>
-          if (!ignoreChanges) guardAppendOnly(v, e)
-          e.adds.filter(_.dataChange)
-        }
+        if (readChangeFeed) cdfBatch(endT, sv, endV)
+        else graft.sources.DeltaScan.snapshotDF(spark, endT.loc, schema,
+          endT.partitionColumns, rangeAdds(endT, sv + 1, endV), conf)
+      case (None, Some(sv0)) =>
+        // delta's startingVersion: NO initial snapshot — the first batch
+        // is the changes of versions [sv0, endV] (empty when the stream
+        // started at `latest` and endV hasn't passed it yet)
+        if (readChangeFeed) cdfBatch(endT, sv0 - 1, endV)
+        else graft.sources.DeltaScan.snapshotDF(spark, endT.loc, schema,
+          endT.partitionColumns, rangeAdds(endT, sv0, endV), conf)
+      case (None, None) =>
+        // initial snapshot: the table's LIVE rows at endV, read THROUGH
+        // any deletion vectors (delta parity — historic removes and DVs
+        // inside [0, endV] are already resolved by replay; the
+        // append-only contract governs only the tail). DeltaScan
+        // .snapshotDF alone would serve DV'd files' dead rows.
+        val baseNames =
+          if (readChangeFeed) schema.fields.dropRight(2).map(_.name)
+          else schema.fieldNames
+        val snap = endT.toDF(spark)
+          .select(baseNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        if (readChangeFeed)
+          snap.withColumn("_commit_version", lit(endV))
+            .withColumn("_change_type", lit("insert"))
+            .select(schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        else snap
     }
-    val df = graft.sources.DeltaScan.snapshotDF(
-      spark, endT.loc, schema, endT.partitionColumns, adds, conf)
     org.apache.spark.sql.graftshim.ColumnShim.asStreaming(df)
   }
 

@@ -191,6 +191,75 @@ class DataSourceSpec extends SparkSuite {
       s"expected the backlog split across batches, got versions ${outT.versions}")
   }
 
+  test("versioned source: startingVersion/startingTimestamp skip the snapshot") {
+    val src = tempDir("vsrc-sv")
+    var t = DeltaTable.forPath(src).write(nationDF) // v0: 25 rows
+    Thread.sleep(10)
+    val tsBeforeV1 = System.currentTimeMillis()
+    Thread.sleep(10)
+    t = t.write(nationDF.limit(5).coalesce(1)) // v1: 5 rows
+    // startingVersion=1: the first batch is v1's CHANGES, not a snapshot
+    val out1 = tempDir("vsrc-sv-out1")
+    runGraftStream(src, out1, tempDir("vsrc-sv-ckpt1"),
+      Map("startingVersion" -> "1"))
+    assert(DeltaTable.forPath(out1).toDF(spark).count() == 5)
+    // startingTimestamp between the commits resolves to the EARLIEST
+    // version at/after it — same five rows
+    val out2 = tempDir("vsrc-sv-out2")
+    runGraftStream(src, out2, tempDir("vsrc-sv-ckpt2"),
+      Map("startingTimestamp" -> tsBeforeV1.toString))
+    assert(DeltaTable.forPath(out2).toDF(spark).count() == 5)
+    // "latest": nothing pre-existing streams; a post-start commit does
+    val out3 = tempDir("vsrc-sv-out3"); val ckpt3 = tempDir("vsrc-sv-ckpt3")
+    runGraftStream(src, out3, ckpt3, Map("startingVersion" -> "latest"))
+    assert(DeltaTable.forPath(out3).version < 0L ||
+      DeltaTable.forPath(out3).toDF(spark).count() == 0L)
+    t = t.write(nationDF.limit(3).coalesce(1)) // v2 lands after run 1
+    runGraftStream(src, out3, ckpt3, Map("startingVersion" -> "latest"))
+    assert(DeltaTable.forPath(out3).toDF(spark).count() == 3)
+    // both options together: rejected
+    intercept[Exception](runGraftStream(src, tempDir("x"), tempDir("y"),
+      Map("startingVersion" -> "0", "startingTimestamp" -> "12345")))
+  }
+
+  test("versioned source: initial snapshot reads through deletion vectors") {
+    val src = tempDir("vsrc-dv"); val out = tempDir("vsrc-dv-out")
+    var t = DeltaTable.forPath(src).write(nationDF.limit(5).coalesce(1))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 0))
+    // the MoR delete happened BEFORE stream start: the initial snapshot
+    // must serve the 4 LIVE rows, not the file's raw 5
+    runGraftStream(src, out, tempDir("vsrc-dv-ckpt"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 4)
+  }
+
+  test("versioned source: readChangeFeed streams row-level changes") {
+    val src = tempDir("vsrc-cdf"); val out = tempDir("vsrc-cdf-out")
+    val ckpt = tempDir("vsrc-cdf-ckpt")
+    var t = DeltaTable.forPath(src)
+      .write(nationDF.limit(5).coalesce(1)) // v0: keys 0..4
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 0)) // v1
+    // initial snapshot under CDF: the LIVE rows as `insert` at the
+    // stream's starting version
+    runGraftStream(src, out, ckpt, Map("readChangeFeed" -> "true"))
+    val o1 = spark.read.format("graft").load(out)
+    assert(o1.count() == 4)
+    assert(o1.filter(col("_change_type") === "insert" &&
+      col("_commit_version") === 1L).count() == 4)
+    // tail batches: an append streams inserts; a merge-on-read delete
+    // streams its EXACT newly-dead row — and does NOT abort the stream
+    // (change feeds exist to carry non-append commits)
+    t = t.write(nationDF.limit(3).coalesce(1)) // v2: keys 0..2 again
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 4)) // v3
+    runGraftStream(src, out, ckpt, Map("readChangeFeed" -> "true"))
+    val o2 = spark.read.format("graft").load(out)
+    assert(o2.filter(col("_commit_version") === 2L &&
+      col("_change_type") === "insert").count() == 3)
+    val dead = o2.filter(col("_commit_version") === 3L &&
+      col("_change_type") === "delete")
+    assert(dead.count() == 1)
+    assert(dead.select("n_nationkey").collect().head.get(0).toString == "4")
+  }
+
   test("timestampAsOf: API and reader option resolve to the right version") {
     val d = tempDir("ts-asof")
     var t = DeltaTable.forPath(d).write(nationDF)

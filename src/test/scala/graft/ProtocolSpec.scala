@@ -1,0 +1,180 @@
+package graft
+
+import graft.log._
+import org.apache.spark.sql.functions.col
+
+/** Protocol version/feature gating + delta.appendOnly enforcement
+  * (ProtocolGate): the forward-compatibility safety surface delta-spark
+  * and delta-rs enforce and the reference only round-trips.
+  */
+class ProtocolSpec extends SparkSuite {
+
+  private def nationDF = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  /** Commit a raw protocol action, bypassing the writer gate (stands in
+    * for a FUTURE engine writing a table this engine must then refuse).
+    */
+  private def rawProtocolCommit(dir: String, p: Protocol): Unit = {
+    val t = DeltaTable.forPath(dir)
+    t.dlog.commit(DeltaLogEntry(Vector(p,
+      CommitInfo.metaOp(CommitInfo.Op.UpgradeProtocol, Map.empty, t.version))))
+  }
+
+  private def features(names: String*): com.fasterxml.jackson.databind.JsonNode =
+    Json.arr(names.map(Json.text))
+
+  test("reader gate: unsupported reader feature refuses to open") {
+    val d = tempDir("gate-reader")
+    DeltaTable.forPath(d).write(nationDF)
+    rawProtocolCommit(d, Protocol(3, 7, Map(
+      "readerFeatures" -> features("v2Checkpoint"),
+      "writerFeatures" -> features("v2Checkpoint"))))
+    val e = intercept[IllegalStateException](DeltaTable.forPath(d))
+    assert(e.getMessage.contains("v2Checkpoint"))
+    // version beyond the spec's current max: also refused
+    val d2 = tempDir("gate-reader-v99")
+    DeltaTable.forPath(d2).write(nationDF)
+    rawProtocolCommit(d2, Protocol(99, 99))
+    assert(intercept[IllegalStateException](DeltaTable.forPath(d2))
+      .getMessage.contains("minReaderVersion 99"))
+  }
+
+  test("writer gate: readable-but-unwritable feature blocks commits only") {
+    val d = tempDir("gate-writer")
+    DeltaTable.forPath(d).write(nationDF)
+    rawProtocolCommit(d, Protocol(3, 7, Map(
+      "readerFeatures" -> features("deletionVectors"),
+      "writerFeatures" -> features("deletionVectors", "rowTracking"))))
+    val t = DeltaTable.forPath(d) // opens fine: reader features all supported
+    assert(t.toDF(spark).count() == nationDF.count())
+    val e = intercept[IllegalStateException](t.write(nationDF))
+    assert(e.getMessage.contains("rowTracking"))
+    intercept[IllegalStateException](
+      t.delete(spark, Some(col("n_nationkey") < 5)))
+  }
+
+  test("writer gate: identity columns and schema invariants are use-gated") {
+    import org.apache.spark.sql.types._
+    val d = tempDir("gate-identity")
+    var t = DeltaTable.forPath(d).write(nationDF)
+    // splice identity metadata into the schema the way a foreign writer
+    // that owns the feature would
+    val meta = t.dlog.latestMetadata.get
+    val idField = StructField("row_id", LongType, nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata
+        .fromJson("""{"delta.identity.start":1}"""))
+    val newSchema = StructType(t.schema.fields :+ idField)
+    t.dlog.commit(DeltaLogEntry(Vector(
+      meta.copy(schemaString = newSchema.json),
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t.version))))
+    val reopened = DeltaTable.forPath(d) // legacy protocol still opens
+    // the appended batch carries the identity column so the write reaches
+    // the commit gate (schema checks run first and would mask it)
+    val withId = nationDF.withColumn("row_id",
+      org.apache.spark.sql.functions.lit(1L))
+    assert(intercept[IllegalStateException](reopened.write(withId))
+      .getMessage.contains("identity"))
+  }
+
+  test("appendOnly: mutations rejected, appends and OPTIMIZE pass") {
+    val d = tempDir("append-only")
+    var t = DeltaTable.forPath(d).write(nationDF)
+      .setTableProperties(Map("delta.appendOnly" -> "true"))
+    assert(t.tableProperties("delta.appendOnly") == "true")
+    t = t.write(nationDF) // appends stay legal
+    assert(t.toDF(spark).count() == 2 * nationDF.count())
+    assert(intercept[IllegalStateException](
+      t.delete(spark, Some(col("n_nationkey") < 5)))
+      .getMessage.contains("only allows appends"))
+    intercept[IllegalStateException](
+      t.update(spark, Some(col("n_nationkey") < 5),
+        Map("n_comment" -> org.apache.spark.sql.functions.lit("x"))))
+    intercept[IllegalStateException](
+      t.write(nationDF, mode = WriteMode.Overwrite))
+    // merge-on-read delete kills rows via DV re-adds, not removes —
+    // must be caught by the dataChange-DV-add arm of the guard
+    intercept[IllegalStateException](
+      t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5)))
+    // OPTIMIZE rewrites with dataChange=false — legal on append-only
+    // tables, as in delta
+    t = t.compact(spark)
+    assert(t.toDF(spark).count() == 2 * nationDF.count())
+    // unsetting the property restores mutations
+    t = t.unsetTableProperties(Seq("delta.appendOnly"))
+    t = t.delete(spark, Some(col("n_nationkey") < 5))
+    assert(t.toDF(spark).filter(col("n_nationkey") < 5).count() == 0)
+  }
+
+  test("MoR delete bumps protocol to (3,7)+deletionVectors exactly once") {
+    val d = tempDir("dv-bump")
+    var t = DeltaTable.forPath(d).write(nationDF)
+    assert(t.dlog.currentProtocol == Protocol(1, 2))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    val p = t.dlog.currentProtocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(ProtocolGate.readerFeatures(p) == Set("deletionVectors"))
+    // legacy writer-2 features ride along so the jump to v7 drops nothing
+    assert(ProtocolGate.writerFeatures(p) ==
+      Set("appendOnly", "invariants", "deletionVectors"))
+    val protocolActions = t.dlog.entries.values
+      .flatMap(_.actions.collect { case pp: Protocol => pp }).toSeq
+    assert(protocolActions.count(_.minWriterVersion == 7) == 1)
+    // second MoR mutation: no second bump
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") >= 20))
+    assert(t.dlog.entries.values
+      .flatMap(_.actions.collect { case pp: Protocol => pp })
+      .count(_.minWriterVersion == 7) == 1)
+    // the bumped table reopens and reads correctly (gate passes: we
+    // implement deletionVectors)
+    val re = DeltaTable.forPath(d)
+    assert(re.toDF(spark).filter(col("n_nationkey") < 5).count() == 0)
+  }
+
+  test("feature lists survive the delta-format checkpoint round trip") {
+    val d = tempDir("dv-ckpt-protocol")
+    var t = DeltaTable.forPath(d).write(nationDF)
+      .deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    t = t.checkpoint()
+    val entry = Checkpoint.readDeltaFormat(t.logLoc, t.version, t.conf).get
+    val p = entry.actions.collectFirst { case pp: Protocol => pp }.get
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(ProtocolGate.readerFeatures(p) == Set("deletionVectors"))
+    assert(ProtocolGate.writerFeatures(p).contains("deletionVectors"))
+    // and the cleaned-log reopen through the delta checkpoint still
+    // enforces + satisfies the gate
+    t = t.cleanupLog()
+    assert(DeltaTable.forPath(d).dlog.currentProtocol.minReaderVersion == 3)
+  }
+
+  test("upgradeProtocol: explicit upgrades, no downgrades, no foot-guns") {
+    val d = tempDir("upgrade")
+    var t = DeltaTable.forPath(d).write(nationDF)
+    t = t.upgradeProtocol(3, 7,
+      readerFeatures = Set("deletionVectors"),
+      writerFeatures = Set("deletionVectors", "checkConstraints"))
+    val p = t.dlog.currentProtocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    // legacy-implied writer-2 features were unioned in
+    assert(ProtocolGate.writerFeatures(p).contains("appendOnly"))
+    assert(DeltaTable.forPath(d).version == t.version) // reopens fine
+    intercept[IllegalArgumentException](t.upgradeProtocol(1, 2)) // downgrade
+    // upgrading into a protocol we could no longer write is refused
+    intercept[IllegalStateException](
+      t.upgradeProtocol(3, 7, writerFeatures = Set("rowTracking")))
+    t = t.write(nationDF) // still writable after a legal upgrade
+    assert(t.toDF(spark).count() == 2 * nationDF.count())
+  }
+
+  test("setTableProperties guards its dedicated-surface keys") {
+    val d = tempDir("props-guard")
+    val t = DeltaTable.forPath(d).write(nationDF)
+    intercept[IllegalArgumentException](
+      t.setTableProperties(Map("delta.constraints.c" -> "n_nationkey > 0")))
+    intercept[IllegalArgumentException](
+      t.setTableProperties(Map(ColumnMapping.ModeConfigKey -> "name")))
+    // arbitrary properties round-trip through the log
+    val t2 = t.setTableProperties(Map("team.owner" -> "data-eng"))
+    assert(DeltaTable.forPath(d).tableProperties("team.owner") == "data-eng")
+    assert(t2.history.head._2.operation == CommitInfo.Op.SetProperties)
+  }
+}
