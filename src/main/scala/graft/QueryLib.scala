@@ -504,6 +504,41 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** nation driven through the streaming CHANGE FEED (X76,
+    * `readChangeFeed=true`): a merge-on-read delete BEFORE stream start
+    * folds into the initial snapshot (live rows as `insert`), then an
+    * append and a second MoR delete land between two AvailableNow runs
+    * and stream as exact row-level changes — the delete emitting
+    * precisely its newly-dead row, not a file-level retraction.
+    */
+  def nationViaCdfStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "nation_cdf_stream") { d =>
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-cdf-src-").toString
+      val df = raw(spark, sfDir, "nation")
+      var src = DeltaTable.forPath(srcDir).write(df) // v0
+      src = src.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5)) // v1
+      val checkpoint =
+        java.nio.file.Files.createTempDirectory("graft-cdf-ckpt-").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft")
+          .option("readChangeFeed", "true").load(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(d)
+        q.awaitTermination()
+      }
+      runOnce() // initial snapshot: 20 live rows, insert @1
+      src = src.write(df.filter(col("n_nationkey") < 5)) // v2
+      src = src.deleteMergeOnRead(spark, Some(col("n_nationkey") === 10)) // v3
+      runOnce() // tail: 5 inserts @2 + exactly one delete @3
+      val out = DeltaTable.forPath(d)
+      require(out.version >= 1L,
+        s"expected sink commits from both runs, got ${out.versions}")
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events streamed through the txn-idempotent sink with every batch
     * delivered TWICE — the table must hold exactly one copy.
     */

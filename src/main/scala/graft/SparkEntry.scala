@@ -606,6 +606,18 @@ object SparkEntry {
     "q95_graft_format_stream" -> ((s, d) =>
       QueryLib.nationViaGraftFormatStream(s, d).orderBy("n_nationkey")),
 
+    "q97_cdf_stream" -> ((s, d) =>
+      QueryLib.nationViaCdfStream(s, d)
+        .orderBy("_commit_version", "n_nationkey")),
+
+    // ---- SemDeDup: k-means-clustered semantic dedup (X77). Identical
+    // twins share a cluster by construction and cosine 1.0 >= 0.95; the
+    // corpus's max non-identical pairwise cosine (~0.51) never crosses
+    // the threshold, so the drop list is exactly the twin set. ----
+    "q96_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(QueryLib.embX2(s, d), "vec_id", "embedding",
+        threshold = 0.95).orderBy("drop_id")),
+
     // ---- tokenizer-prep text ops: vocabulary induction, TF-IDF ----
     "q64_vocab" -> ((s, d) =>
       TextAnalysis.induceVocab(QueryLib.delta(s, d, "documents"), "text", topK = 100)
@@ -1268,6 +1280,26 @@ object SparkEntry {
         |FROM x2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q95_graft_format_stream" ->
       "SELECT n.* FROM nation n CROSS JOIN range(3) ORDER BY n_nationkey",
+    // the streaming change feed's sink holds: the initial snapshot's live
+    // rows as insert @1, the appended keys as insert @2, and the MoR
+    // delete's exact newly-dead row as delete @3
+    "q97_cdf_stream" ->
+      """SELECT n.*, CAST(1 AS BIGINT) AS _commit_version,
+        | 'insert' AS _change_type FROM nation n WHERE n_nationkey >= 5
+        |UNION ALL
+        |SELECT n.*, CAST(2 AS BIGINT), 'insert' FROM nation n
+        | WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT n.*, CAST(3 AS BIGINT), 'delete' FROM nation n
+        | WHERE n_nationkey = 10
+        |ORDER BY _commit_version, n_nationkey""".stripMargin,
+    // identical twins are the only >= 0.95 pairs (max non-dup pairwise
+    // cosine ~0.51) and always share a k-means cell, so the semantic
+    // drop list has a closed form: every twin, kept by its original
+    "q96_semantic_dedup" ->
+      """SELECT vec_id AS keep_id, vec_id + 10000 AS drop_id,
+        | CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings ORDER BY drop_id""".stripMargin,
     "q64_vocab" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),

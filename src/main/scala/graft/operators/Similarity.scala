@@ -179,9 +179,14 @@ object Similarity {
     * the smallest xxhash64(id, seed), so results are reproducible across
     * runs and engines.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 8,
-      iters: Int = 1, seed: Int = 42): DataFrame = {
+  /** Lloyd-trained centroid matrix, shared by [[ivfTopK]] and
+    * [[semanticDedup]] (same deterministic hash-ordered seeding, same
+    * aggregation-expressed refinement; driver state is O(nCells × dim)
+    * doubles only).
+    */
+  private def trainCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, iters: Int,
+      seed: Int): Array[Array[Double]] = {
     val dim = probeDim(corpus, vecCol)
     // deterministic seed sample: nCells vectors with smallest hashed id
     var centroids: Array[Array[Double]] = corpus
@@ -205,6 +210,13 @@ object Similarity {
         }.getOrElse(centroids(c)) // empty cell keeps its seed
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 64, nProbe: Int = 8,
+      iters: Int = 1, seed: Int = 42): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters, seed)
     // index + multi-probe search (probe count clamped to the trained cells:
     // a corpus smaller than nCells yields fewer centroids)
     val probeN = math.min(nProbe, centroids.length)
@@ -222,6 +234,53 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("_cos"), 4).as("cos_sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + intra-cluster cosine
+    * threshold — the embedding-space analogue of MinHash dedup, used to
+    * prune paraphrases and template-generated near-copies that no
+    * lexical method catches.
+    *
+    * Pipeline: cluster the corpus around [[trainCentroids]]' Lloyd
+    * centroids (assignment is the codegen'd NearestCentroids argmax,
+    * row-local after the centroid broadcast), then compare pairs ONLY
+    * within a cluster — the design point that makes the corpus-wide
+    * all-pairs comparison never happen. An item is DROPPED when any
+    * smaller-id item in its cluster reaches `threshold` cosine; the
+    * reported `keep_id` is the smallest such neighbor (it may itself be
+    * dropped in a transitive chain — resolving chains to canonical
+    * representatives is the connected-components operator's job,
+    * [[Dedup.connectedComponents]]).
+    *
+    * Scale shape: one centroid broadcast + one equi-join on `_cell`;
+    * per-cluster pair work is bounded by cluster size (nCells is the
+    * skew knob: cells average |corpus|/nCells, and a pathological cell
+    * is visible in a skew probe — raise nCells, not the join). The
+    * group-by keeps only the minimal neighbor per dropped id, so the
+    * output is O(dropped), never O(pairs).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 64, iters: Int = 1,
+      seed: Int = 42): DataFrame = {
+    val centroids = trainCentroids(df, idCol, vecCol, nCells, iters, seed)
+    val cells = df
+      .select(col(idCol).as("_id"), col(vecCol).as("_vec"))
+      .withColumn("_cell",
+        element_at(nearestCentroids(col("_vec"), centroids, 1), 1))
+    val left = cells.select(col("_cell"), col("_id").as("a"),
+      col("_vec").as("_va"))
+    val right = cells.select(col("_cell"), col("_id").as("b"),
+      col("_vec").as("_vb"))
+    val pairs = left.join(right, Seq("_cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("_cos", cosineFast(col("_va"), col("_vb")))
+      .filter(col("_cos") >= threshold)
+    pairs.groupBy(col("b").as("drop_id"))
+      .agg(min_by(struct(col("a"), col("_cos")), col("a")).as("_k"))
+      .select(col("_k.a").as("keep_id"), col("drop_id"),
+        round(col("_k._cos"), 4).as("cos_sim"))
+  }
+
 
   /** Scalar int8 quantization of an embedding column — the 4×
     * storage/bandwidth compression an embedding store applies before

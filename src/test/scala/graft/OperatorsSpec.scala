@@ -129,6 +129,25 @@ class SimilaritySpec extends SparkSuite {
     assert(first(0).getDouble(3) == 1.0)
   }
 
+  test("semanticDedup drops exactly the clustered near-duplicates") {
+    val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
+    val out = Similarity.semanticDedup(dup, "vec_id", "embedding",
+      threshold = 0.95, nCells = 4).collect()
+    // vector 2 is a genuine SEMANTIC near-dup of 1 (cos ~0.9939 >= 0.95
+    // — the paraphrase case lexical dedup misses), so it drops alongside
+    // the exact twins; every dropped item is kept by its smallest
+    // >=-threshold neighbor
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 101L), (1L, 102L),
+        (3L, 103L), (4L, 104L), (5L, 105L)))
+    // identical twins score exactly 1.0; the near-dup scores below it
+    val byDrop = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(Seq(101L, 103L, 104L, 105L).forall(byDrop(_) == 1.0))
+    assert(byDrop(2L) >= 0.95 && byDrop(2L) < 1.0)
+    // semantically distinct originals survive
+    assert(!out.map(_.getLong(1)).toSet.exists(Set(1L, 3L, 4L, 5L)))
+  }
+
   test("codegen'd LSH signature equals the HOF composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val dims = Seq(3, 17, 64)
