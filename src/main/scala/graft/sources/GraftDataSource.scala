@@ -184,7 +184,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         n
       },
       startingVersion = startAt,
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
   }
 
   override def createSink(sqlContext: SQLContext,

@@ -101,15 +101,23 @@ object GraftSourceOffset {
   *    data directory every trigger, which at 10⁵ files per table is the
   *    dominant micro-batch cost on an object store).
   *  - **Batches are commit ranges.** The initial batch is the full
-  *    snapshot at the starting offset (delta's initial snapshot);
-  *    every later batch is exactly the `dataChange` adds of versions
-  *    `(start, end]` — per-commit delivery, replayable from the offset
-  *    log alone, so recovery is exactly-once without file tracking.
+  *    snapshot at the starting offset (delta's initial snapshot), read
+  *    THROUGH deletion vectors; every later batch is exactly the
+  *    `dataChange` adds of versions `(start, end]` — per-commit
+  *    delivery, replayable from the offset log alone, so recovery is
+  *    exactly-once without file tracking. `startingVersion` /
+  *    `startingTimestamp` replace the snapshot with the changes of
+  *    `[start, head]` (delta's semantics).
   *  - **Append-only enforced PER BATCH** (delta parity): a commit in the
   *    range carrying removes or deletion-vector re-adds aborts the
-  *    stream unless `ignoreChanges=true` opted into reprocessing —
-  *    including commits made AFTER the stream started, which the
-  *    construction-time check of `appendOnlyStream` cannot see.
+  *    stream — including commits made AFTER the stream started, which
+  *    the construction-time check of `appendOnlyStream` cannot see.
+  *    `ignoreDeletes=true` tolerates remove-only commits (partition-
+  *    boundary retention deletes; their removed rows are NOT retracted),
+  *    `ignoreChanges=true` additionally accepts rewrites and DV re-adds
+  *    (reprocessed rows may be delivered), and `readChangeFeed=true`
+  *    turns the source into the streaming CDF, where non-append commits
+  *    are the payload rather than an error.
   */
 final class GraftVersionedSource(
     spark: org.apache.spark.sql.SparkSession,
@@ -119,7 +127,8 @@ final class GraftVersionedSource(
     conf: org.apache.hadoop.conf.Configuration,
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    ignoreDeletes: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -172,6 +181,11 @@ final class GraftVersionedSource(
 
   private def guardAppendOnly(v: Long, e: graft.log.DeltaLogEntry): Unit = {
     val dved = e.adds.count(a => graft.sources.DeletionVectors.refOf(a).isDefined)
+    // ignoreDeletes (delta's option): a REMOVE-ONLY commit — retention
+    // deletes at partition boundaries — passes; its removed rows are not
+    // retracted. A commit that also ADDS data files or attaches DVs is a
+    // rewrite and still aborts (only ignoreChanges accepts those).
+    if (ignoreDeletes && dved == 0 && e.adds.forall(!_.dataChange)) return
     if (e.removes.nonEmpty || dved > 0) {
       val op = e.commitInfos.headOption.map(_.operation).getOrElse("UNKNOWN")
       throw new IllegalStateException(

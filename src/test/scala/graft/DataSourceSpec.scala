@@ -222,6 +222,32 @@ class DataSourceSpec extends SparkSuite {
       Map("startingVersion" -> "0", "startingTimestamp" -> "12345")))
   }
 
+  test("versioned source: ignoreDeletes passes remove-only commits, not rewrites") {
+    val src = tempDir("vsrc-igdel"); val out = tempDir("vsrc-igdel-out")
+    val ckpt = tempDir("vsrc-igdel-ckpt")
+    val df = nationDF.coalesce(1)
+    var t = DeltaTable.forPath(src)
+      .write(df.filter(col("n_nationkey") < 10), partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(df.filter(col("n_nationkey") >= 10))
+    runGraftStream(src, out, ckpt, Map("ignoreDeletes" -> "true"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == nationDF.count())
+    // a partition-boundary delete drops whole files: remove-only commit,
+    // tolerated (deleted rows are NOT retracted from the sink)
+    t = t.delete(spark, Some(col("n_regionkey") === 0 && col("n_nationkey") < 10))
+    t = t.write(df.limit(3)) // and the tail keeps streaming
+    runGraftStream(src, out, ckpt, Map("ignoreDeletes" -> "true"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == nationDF.count() + 3)
+    // a REWRITING delete (kept rows re-staged) still aborts under
+    // ignoreDeletes — only ignoreChanges accepts reprocessing
+    t = t.delete(spark, Some(col("n_nationkey") === 20))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runGraftStream(src, out, ckpt, Map("ignoreDeletes" -> "true")))
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Seq.empty else x +: causes(x.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("append-only")), e.getMessage)
+  }
+
   test("versioned source: initial snapshot reads through deletion vectors") {
     val src = tempDir("vsrc-dv"); val out = tempDir("vsrc-dv-out")
     var t = DeltaTable.forPath(src).write(nationDF.limit(5).coalesce(1))
