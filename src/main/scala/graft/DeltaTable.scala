@@ -1361,13 +1361,26 @@ final case class DeltaTable(
     *                predicates on ANY clustered column, not just the first
     */
   def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
-      targetFiles: Int = 0, zOrder: Boolean = false): DeltaTable = {
-    val groups = dlog.addActions.values.toSeq
+      targetFiles: Int = 0, zOrder: Boolean = false,
+      where: Option[Column] = None): DeltaTable = {
+    // OPTIMIZE WHERE (delta parity): the predicate must touch only
+    // partition columns — compaction is file-level, so a data-column
+    // predicate would either rewrite non-matching rows or split files
+    where.foreach { w =>
+      val refs = org.apache.spark.sql.graftshim.ColumnShim.expression(w)
+        .references.map(_.name).toSet
+      val bad = refs -- dlog.partitionColumns.toSet
+      require(bad.isEmpty,
+        s"compact WHERE may only reference partition columns " +
+          s"${dlog.partitionColumns.mkString("[", ",", "]")}, got ${bad.mkString(",")}")
+    }
+    val candidates = where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
+    val groups = candidates
       .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
     // singleton files still benefit from compaction when they carry a
     // deletion vector: the rewrite purges dead rows and drops the sidecar
     val toCompact =
-      if (sortBy.nonEmpty) dlog.addActions.values.toSeq
+      if (sortBy.nonEmpty) candidates
       else (groups.filter(_._2.size > 1).values.flatten ++
         groups.filter(_._2.size == 1).values.flatten
           .filter(a => DeletionVectors.refOf(a).isDefined)).toSeq
@@ -1566,12 +1579,22 @@ final case class DeltaTable(
   }
 
   /** Remove data files under the table root that no live add references
-    * and whose modification time is older than `retentionMs`. Destroys
-    * time travel to versions that referenced them (standard VACUUM
-    * semantics). Returns deleted (or, with `dryRun`, deletable) URIs.
+    * and whose modification time is older than the retention window.
+    * Destroys time travel to versions that referenced them (standard
+    * VACUUM semantics). Returns deleted (or, with `dryRun`, deletable)
+    * URIs.
+    *
+    * The window is `retentionMs` when given (>= 0); otherwise the table
+    * property `delta.deletedFileRetentionDuration` (delta's `interval N
+    * days|hours|minutes|weeks` syntax); otherwise delta's 7-day default.
     */
-  def vacuum(retentionMs: Long = 7L * 24 * 3600 * 1000,
+  def vacuum(retentionMs: Long = -1L,
       dryRun: Boolean = false): Seq[String] = {
+    val retention =
+      if (retentionMs >= 0L) retentionMs
+      else tableProperties.get("delta.deletedFileRetentionDuration")
+        .map(DeltaTable.parseRetentionInterval)
+        .getOrElse(7L * 24 * 3600 * 1000)
     val adds = dlog.addActions
     val live: Set[String] =
       adds.keys.map(p => Location.canonical(Location.resolve(p, loc, conf).uri)).toSet
@@ -1579,7 +1602,7 @@ final case class DeltaTable(
     // sidecars of purged/rewritten vectors age out like data files
     val liveDvDirs: Set[String] =
       DeletionVectors.referencedSidecarUris(adds.values, loc, conf)
-    val cutoff = System.currentTimeMillis() - retentionMs
+    val cutoff = System.currentTimeMillis() - retention
     // the recursive data listing skips _-prefixed dirs, so DV sidecars
     // under _graft_dv/ are walked explicitly (unreferenced ones age out)
     val dvDir = loc.child(DeletionVectors.DvDirName)
@@ -1755,6 +1778,15 @@ final case class DeltaTable(
       .withExtraCommitInfo(customMetadata)
     commit(entry)
   }
+
+  /** RESTORE to the state as of a wall-clock timestamp (delta's
+    * `RESTORE ... TO TIMESTAMP AS OF`): resolves through [[versionAt]]
+    * — latest version committed at/before — with its loud
+    * before-first-commit / below-horizon errors.
+    */
+  def restoreToTimestamp(timestampMillis: Long,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable =
+    restore(versionAt(timestampMillis), customMetadata)
 
   // ------------------------------------------------------------------
   // CLONE (reference xdlake/__init__.py:231-257): copy every log entry,
@@ -2122,6 +2154,30 @@ object DeltaTable {
     // this engine lacks — reading anyway returns silently wrong rows
     ProtocolGate.assertReadable(dlog.currentProtocol)
     DeltaTable(loc, logLoc, dlog, conf, commitContext)
+  }
+
+  /** delta's `interval N weeks|days|hours|minutes|seconds`
+    * (case-insensitive); bare milliseconds accepted too.
+    */
+  private[graft] def parseRetentionInterval(s: String): Long = {
+    val t = s.trim.toLowerCase
+    t.toLongOption.getOrElse {
+      val re = "^interval\\s+(\\d+)\\s+(week|day|hour|minute|second)s?$".r
+      t match {
+        case re(n, unit) =>
+          val ms = unit match {
+            case "week"   => 7L * 24 * 3600 * 1000
+            case "day"    => 24L * 3600 * 1000
+            case "hour"   => 3600L * 1000
+            case "minute" => 60L * 1000
+            case "second" => 1000L
+          }
+          n.toLong * ms
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse delta.deletedFileRetentionDuration: '$s' " +
+            "(want 'interval N days')")
+      }
+    }
   }
 
   private implicit class DeltaLogOps(val dlog: DeltaLog) extends AnyVal {

@@ -82,7 +82,7 @@ object ScaleProbe {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "temporal", "cc", "dv", "zipf"))
+      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -155,6 +155,24 @@ object ScaleProbe {
       println(f"ANNSCALE vecs=$n%6d brute=$bf%6.2fs lsh=$lsh%6.2fs ivf=$ivf%6.2fs")
       corpus.unpersist()
       c *= 4
+    }
+
+    // SemDeDup: cluster-scoped pairwise comparison — nCells grows with the
+    // corpus so expected cluster size stays bounded (the documented skew
+    // knob); per-vector time should stay ~flat while a corpus-wide
+    // all-pairs would grow linearly per vector.
+    var sd = 1
+    while (sections("semdedup") && sd <= maxCopies) {
+      val corpus = perturbed(sd).cache()
+      val n = corpus.count()
+      val t0 = System.nanoTime()
+      val drops = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.95, nCells = 64 * sd).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SEMDEDUPSCALE vecs=$n%6d ncells=${64 * sd}%5d time=$sec%6.2fs " +
+        f"drops=$drops%6d per_vec_ms=${sec * 1000 / n}%7.3f")
+      corpus.unpersist()
+      sd *= 4
     }
 
     // temporal joins: events grown by user-shifted copies (per-key history

@@ -63,6 +63,58 @@ class MaintenanceSpec extends SparkSuite {
     intercept[Exception] { v0.toDF(spark).count() }
   }
 
+  test("compact WHERE scopes to matching partitions only") {
+    val d = tempDir("compact-where")
+    var t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation) // 2 files per region
+    val beforeByRegion = t.dlog.addActions.values.toSeq
+      .groupBy(_.partitionValues("n_regionkey")).view.mapValues(_.size).toMap
+    assert(beforeByRegion.values.forall(_ == 2))
+    t = t.compact(spark, where = Some(col("n_regionkey") === 0))
+    val afterByRegion = t.dlog.addActions.values.toSeq
+      .groupBy(_.partitionValues("n_regionkey")).view.mapValues(_.size).toMap
+    // only region 0 compacted; every other partition's files untouched
+    assert(afterByRegion(Some("0")) == 1)
+    assert(afterByRegion.filterNot(_._1 == Some("0")).values.forall(_ == 2))
+    assertSameRows(t.toDF(spark), nation.union(nation))
+    // data-column predicates are rejected: compaction is file-level
+    intercept[IllegalArgumentException](
+      t.compact(spark, where = Some(col("n_nationkey") < 5)))
+  }
+
+  test("vacuum honors delta.deletedFileRetentionDuration") {
+    val d = tempDir("vacuum-prop")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.write(nation.filter(col("n_regionkey") === 0),
+      mode = graft.log.WriteMode.Overwrite)
+    // a 1-week property: nothing deletable yet through the DEFAULT path
+    t = t.setTableProperties(
+      Map("delta.deletedFileRetentionDuration" -> "interval 1 weeks"))
+    assert(t.vacuum(dryRun = true).isEmpty)
+    // 0 seconds: the overwritten file ages out immediately
+    t = t.setTableProperties(
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 seconds"))
+    assert(t.vacuum(dryRun = true).nonEmpty)
+    // unparseable property fails loudly, never silently defaults
+    val bad = t.setTableProperties(
+      Map("delta.deletedFileRetentionDuration" -> "sieben Tage"))
+    intercept[IllegalArgumentException](bad.vacuum(dryRun = true))
+    assert(DeltaTable.parseRetentionInterval("interval 2 days") ==
+      2L * 24 * 3600 * 1000)
+  }
+
+  test("restoreToTimestamp resolves like versionAt") {
+    val d = tempDir("restore-ts")
+    var t = DeltaTable.forPath(d).write(nation)
+    Thread.sleep(10)
+    t = t.write(nation)
+    val ts0 = t.history.last._2.timestamp // v0 commit time
+    t = t.restoreToTimestamp(ts0)
+    assertSameRows(t.toDF(spark), nation)
+    assert(t.history.head._2.operation == graft.log.CommitInfo.Op.Restore)
+  }
+
   test("no-match delete commits metrics-zero entry and keeps all files") {
     val d = tempDir("del-nomatch")
     val t0 = DeltaTable.forPath(d).write(nation)

@@ -148,6 +148,18 @@ class SimilaritySpec extends SparkSuite {
     assert(!out.map(_.getLong(1)).toSet.exists(Set(1L, 3L, 4L, 5L)))
   }
 
+  test("semanticDedup plans as an equi-join on the cluster id") {
+    val dup = corpus.union(corpus.withColumn("vec_id", col("vec_id") + 100))
+    val out = Similarity.semanticDedup(dup, "vec_id", "embedding",
+      threshold = 0.95, nCells = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the intra-cluster comparison must be an equi-join on _cell — a
+    // cartesian/nested-loop plan would be the corpus-wide all-pairs
+    // SemDeDup exists to avoid
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("codegen'd LSH signature equals the HOF composition bit-for-bit") {
     val rng = new scala.util.Random(7)
     val dims = Seq(3, 17, 64)
