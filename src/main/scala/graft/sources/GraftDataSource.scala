@@ -78,6 +78,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      return cdfRelation(sqlContext, parameters)
     val t = tableFor(sqlContext, parameters)
     val sch = t.dlog.schema
     require(ColumnMapping.isIdentity(ColumnMapping.logicalToPhysical(sch)),
@@ -89,6 +91,51 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
         "DeltaTable.forPath(...).toDF, which applies them")
     GraftFileIndex.baseRelation(sqlContext.sparkSession, t.loc, sch,
       t.dlog.partitionColumns, adds, t.conf)
+  }
+
+  /** Batch change feed — delta's `table_changes` surface:
+    * `spark.read.format("graft").option("readChangeFeed", "true")` with
+    * `startingVersion`/`startingTimestamp` (required, inclusive) and
+    * `endingVersion`/`endingTimestamp` (optional, default head).
+    * Delegates to [[DeltaTable.changesBetween]], so MoR deletes emit
+    * exact rows and rename/drop boundaries inside the range are
+    * rejected; no DV/mapping rejection applies here — the CDF scan
+    * resolves both. The relation wraps the computed frame as a
+    * TableScan (no pushdown — column pruning/filters run above, as with
+    * delta's CDF relation).
+    */
+  private def cdfRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    require(!parameters.contains("versionAsOf") && !parameters.contains("timestampAsOf"),
+      "readChangeFeed uses startingVersion/endingVersion, not versionAsOf/timestampAsOf")
+    require(parameters.contains("startingVersion") || parameters.contains("startingTimestamp"),
+      "readChangeFeed batch reads require startingVersion or startingTimestamp")
+    require(!(parameters.contains("startingVersion") && parameters.contains("startingTimestamp")),
+      "startingVersion and startingTimestamp cannot be combined")
+    require(!(parameters.contains("endingVersion") && parameters.contains("endingTimestamp")),
+      "endingVersion and endingTimestamp cannot be combined")
+    val spark = sqlContext.sparkSession
+    val t = DeltaTable.forPath(pathOf(parameters),
+      conf = org.apache.spark.sql.graftshim.ColumnShim.hadoopConf(spark))
+    // startingTimestamp = earliest commit at/after; endingTimestamp =
+    // latest commit at/before (delta's asymmetric CDF bounds)
+    val from = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(t.versionAtOrAfter(parseTimestamp(parameters("startingTimestamp"))))
+    val to = parameters.get("endingVersion").map(_.toLong)
+      .orElse(parameters.get("endingTimestamp").map(ts => t.versionAt(parseTimestamp(ts))))
+      .getOrElse(t.version)
+    require(from >= 0L && to >= from,
+      s"invalid change-feed range: [$from, $to]")
+    val df = t.changesBetween(spark, from - 1, to)
+    val ctx = sqlContext
+    new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = df.schema
+      override def needConversion: Boolean = false
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        df.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -105,8 +152,22 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       .map(DataSourceUtils.decodePartitioningColumns)
       .orElse(parameters.get("partitionBy").map(_.split(",").map(_.trim).toSeq))
       .filter(_.nonEmpty)
-    val written = tableFor(sqlContext, parameters)
-      .write(data, mode = wm, partitionBy = partitionBy)
+    // idempotent writes (delta's txnAppId/txnVersion options): a retried
+    // job re-running the same (app, version) commits exactly once
+    val txn = (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
+    val table = tableFor(sqlContext, parameters)
+    val written = txn match {
+      case Some((appId, v)) =>
+        require(wm == WriteMode.Append,
+          s"txnAppId/txnVersion idempotent writes support append mode only, got $wm")
+        table.writeWithTxn(data, appId, v, partitionBy)
+      case None => table.write(data, mode = wm, partitionBy = partitionBy)
+    }
     // SaveIntoDataSourceCommand discards the relation — return a cheap
     // schema-only stub instead of re-opening the log (and the READ
     // guards must not run here: a legal append to a mapped/DV table

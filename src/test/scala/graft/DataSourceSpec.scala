@@ -191,6 +191,51 @@ class DataSourceSpec extends SparkSuite {
       s"expected the backlog split across batches, got versions ${outT.versions}")
   }
 
+  test("batch readChangeFeed equals changesBetween, bounds validated") {
+    val d = tempDir("cdf-batch")
+    var t = DeltaTable.forPath(d).write(nationDF.limit(5).coalesce(1)) // v0
+    t = t.write(nationDF.limit(3).coalesce(1)) // v1
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 1)) // v2
+    val viaOption = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "1").load(d)
+    assertSameRows(viaOption, t.changesBetween(spark, 0L, 2L))
+    // MoR delete rows are exact: version 2 carries `delete` frames only
+    assert(viaOption.filter(col("_commit_version") === 2L)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("delete"))
+    // endingVersion bounds the range; timestamps resolve asymmetrically
+    val bounded = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(d)
+    assert(bounded.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val ts1 = t.history.reverse(1)._2.timestamp
+    val viaTs = spark.read.format("graft").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts1.toString)
+      .option("endingTimestamp", ts1.toString).load(d)
+    assertSameRows(viaTs, bounded)
+    // option misuse fails loudly
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").load(d).collect())
+    intercept[Exception](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("versionAsOf", "1").load(d).collect())
+  }
+
+  test("writer txnAppId/txnVersion makes batch writes idempotent") {
+    val d = tempDir("txn-write")
+    def writeOnce(v: Long): Unit =
+      nationDF.limit(5).coalesce(1).write.format("graft").mode("append")
+        .option("txnAppId", "jobA").option("txnVersion", v.toString).save(d)
+    writeOnce(1L); writeOnce(1L) // the retry is recognized and skipped
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 5)
+    writeOnce(2L) // a NEW version commits
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 10)
+    intercept[Exception](nationDF.write.format("graft").mode("append")
+      .option("txnAppId", "jobA").save(d)) // version without app id: rejected
+    intercept[Exception](nationDF.write.format("graft").mode("overwrite")
+      .option("txnAppId", "jobA").option("txnVersion", "9").save(d))
+  }
+
   test("versioned source: startingVersion/startingTimestamp skip the snapshot") {
     val src = tempDir("vsrc-sv")
     var t = DeltaTable.forPath(src).write(nationDF) // v0: 25 rows
