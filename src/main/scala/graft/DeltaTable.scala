@@ -832,11 +832,25 @@ final case class DeltaTable(
       require(k != ColumnMapping.ModeConfigKey,
         s"$k: enable column mapping via its dedicated surface (it assigns physical names)")
     }
-    val meta = dlog.latestMetadata
+    // delta.minReaderVersion/minWriterVersion are protocol UPGRADE
+    // requests, not configuration (delta-spark parity): they commit a
+    // protocol action through the upgrade gate and never land in
+    // Metadata.configuration
+    val protoR = props.get("delta.minReaderVersion").map(_.toInt)
+    val protoW = props.get("delta.minWriterVersion").map(_.toInt)
+    val rest = props -- Seq("delta.minReaderVersion", "delta.minWriterVersion")
+    val upgraded =
+      if (protoR.isDefined || protoW.isDefined) {
+        val cur = dlog.currentProtocol
+        upgradeProtocol(protoR.getOrElse(cur.minReaderVersion),
+          protoW.getOrElse(cur.minWriterVersion))
+      } else this
+    if (rest.isEmpty) return upgraded
+    val meta = upgraded.dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
-    val newMeta = meta.copy(configuration = meta.configuration ++ props)
-    commit(DeltaLogEntry(Vector(newMeta,
-      CommitInfo.metaOp(CommitInfo.Op.SetProperties, props, dlog.version)))
+    val newMeta = meta.copy(configuration = meta.configuration ++ rest)
+    upgraded.commit(DeltaLogEntry(Vector(newMeta,
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, rest, upgraded.dlog.version)))
       .withExtraCommitInfo(customMetadata))
   }
 
@@ -1584,14 +1598,16 @@ final case class DeltaTable(
     * VACUUM semantics). Returns deleted (or, with `dryRun`, deletable)
     * URIs.
     *
-    * The window is `retentionMs` when given (>= 0); otherwise the table
-    * property `delta.deletedFileRetentionDuration` (delta's `interval N
+    * The window is `retentionMs` when given (any value — a negative
+    * window is a legal future cutoff, used by tests to collect
+    * just-superseded files); when omitted, the table property
+    * `delta.deletedFileRetentionDuration` (delta's `interval N
     * days|hours|minutes|weeks` syntax); otherwise delta's 7-day default.
     */
-  def vacuum(retentionMs: Long = -1L,
+  def vacuum(retentionMs: Long = Long.MinValue,
       dryRun: Boolean = false): Seq[String] = {
     val retention =
-      if (retentionMs >= 0L) retentionMs
+      if (retentionMs != Long.MinValue) retentionMs
       else tableProperties.get("delta.deletedFileRetentionDuration")
         .map(DeltaTable.parseRetentionInterval)
         .getOrElse(7L * 24 * 3600 * 1000)
@@ -2075,12 +2091,17 @@ final case class DeltaTable(
   }
 
   /** Auto-checkpoint every `checkpointInterval` commits (delta's default
-    * cadence); failures never fail the commit — a checkpoint is purely a
-    * replay accelerator.
+    * cadence); the table property `delta.checkpointInterval` overrides
+    * the handle's setting (delta parity — the producer of a hot table
+    * tunes cadence once, every writer honors it); failures never fail
+    * the commit — a checkpoint is purely a replay accelerator.
     */
   private def maybeCheckpoint(newLog: DeltaLog): DeltaLog = {
-    if (checkpointInterval > 0 && newLog.version > 0 &&
-        newLog.version % checkpointInterval == 0) {
+    val interval = newLog.latestMetadata
+      .flatMap(_.configuration.get("delta.checkpointInterval"))
+      .flatMap(_.toIntOption).getOrElse(checkpointInterval)
+    if (interval > 0 && newLog.version > 0 &&
+        newLog.version % interval == 0) {
       try Checkpoint.write(newLog, conf)
       catch { case _: Exception => () }
     }

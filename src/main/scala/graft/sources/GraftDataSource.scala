@@ -246,7 +246,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       },
       startingVersion = startAt,
       readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
-      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean))
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      maxFilesPerTrigger = parameters.get("maxFilesPerTrigger").map { v =>
+        val n = v.toLong; require(n > 0, s"maxFilesPerTrigger must be positive, got $n"); n
+      },
+      maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map { v =>
+        val n = v.toLong; require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
+      })
   }
 
   override def createSink(sqlContext: SQLContext,

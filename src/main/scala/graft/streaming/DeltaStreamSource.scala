@@ -128,7 +128,9 @@ final class GraftVersionedSource(
     maxVersionsPerTrigger: Option[Long] = None,
     startingVersion: Option[Long] = None,
     readChangeFeed: Boolean = false,
-    ignoreDeletes: Boolean = false)
+    ignoreDeletes: Boolean = false,
+    maxFilesPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -167,11 +169,43 @@ final class GraftVersionedSource(
   override def latestOffset(start: ConnOffset, limit: ReadLimit): ConnOffset = {
     val head = availableNowTarget.getOrElse(openHead().version)
     if (head < 0L) return null
-    val capped = (maxVersionsPerTrigger, Option(start).map(GraftSourceOffset.of)) match {
-      case (Some(cap), Some(s)) => math.min(head, s + cap)
-      case _ => head
+    val capped = Option(start).map(GraftSourceOffset.of) match {
+      case Some(s) =>
+        val vCap = maxVersionsPerTrigger
+          .map(cap => math.min(head, s + cap)).getOrElse(head)
+        math.min(vCap, fileByteCap(s, head))
+      case None => head
     }
     GraftSourceOffset(capped)
+  }
+
+  /** Cap the batch end so the range's ADD files/bytes stay within
+    * `maxFilesPerTrigger`/`maxBytesPerTrigger` (delta's default rate
+    * limits — a SINGLE version can carry 10⁴ files from a bulk import,
+    * so version-count capping alone does not bound a micro-batch). The
+    * walk reads only the candidate range's log entries (driver-side,
+    * O(versions) metadata). At least one version is always admitted —
+    * an oversized commit must still go through, as in delta.
+    */
+  private def fileByteCap(s: Long, head: Long): Long = {
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) return head
+    if (head <= s) return head
+    val json = graft.log.DeltaLog.load(openHead().logLoc)
+    var files = 0L; var bytes = 0L; var end = s
+    var v = s + 1
+    var stop = false
+    while (v <= head && !stop) {
+      json.entries.get(v).foreach { e =>
+        val adds = e.adds.filter(_.dataChange)
+        files += adds.size
+        bytes += adds.map(_.size).sum
+      }
+      val over = maxFilesPerTrigger.exists(files > _) ||
+        maxBytesPerTrigger.exists(bytes > _)
+      if (over && v > s + 1) stop = true // keep at least one version
+      else { end = v; v += 1 }
+    }
+    end
   }
 
   override def reportLatestOffset(): ConnOffset = {

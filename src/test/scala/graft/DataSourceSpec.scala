@@ -236,6 +236,26 @@ class DataSourceSpec extends SparkSuite {
       .option("txnAppId", "jobA").option("txnVersion", "9").save(d))
   }
 
+  test("versioned source: maxFilesPerTrigger splits the backlog by file budget") {
+    val src = tempDir("vsrc-files"); val out = tempDir("vsrc-files-out")
+    val ckpt = tempDir("vsrc-files-ckpt")
+    val five = nationDF.limit(5).coalesce(1)
+    var t = DeltaTable.forPath(src).write(five)
+    runGraftStream(src, out, ckpt) // initial snapshot
+    (1 to 4).foreach(_ => t = t.write(five)) // 4 versions x 1 file each
+    runGraftStream(src, out, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    val outT = DeltaTable.forPath(out)
+    assert(outT.toDF(spark).count() == 5 * five.count())
+    // 1 file per trigger => the 4-version backlog landed as 4 sink commits
+    assert(outT.version >= 4L,
+      s"expected one sink commit per file-capped batch, got ${outT.versions}")
+    // an oversized single commit still goes through (at least one version
+    // is always admitted)
+    t = t.write(nationDF.limit(10).coalesce(2)) // 2 files in one version
+    runGraftStream(src, out, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 5 * five.count() + 10)
+  }
+
   test("versioned source: startingVersion/startingTimestamp skip the snapshot") {
     val src = tempDir("vsrc-sv")
     var t = DeltaTable.forPath(src).write(nationDF) // v0: 25 rows

@@ -165,6 +165,30 @@ class ProtocolSpec extends SparkSuite {
     assert(t.toDF(spark).count() == 2 * nationDF.count())
   }
 
+  test("protocol-version table properties upgrade through the gate") {
+    val d = tempDir("proto-props")
+    var t = DeltaTable.forPath(d).write(nationDF)
+    t = t.setTableProperties(Map(
+      "delta.minWriterVersion" -> "3", "team.x" -> "1"))
+    // the protocol keys became a protocol action, never configuration
+    assert(t.dlog.currentProtocol.minWriterVersion == 3)
+    assert(t.tableProperties("team.x") == "1")
+    assert(!t.tableProperties.contains("delta.minWriterVersion"))
+    // downgrades go through the same upgrade gate and are rejected
+    intercept[IllegalArgumentException](
+      t.setTableProperties(Map("delta.minWriterVersion" -> "2")))
+  }
+
+  test("delta.checkpointInterval property drives auto-checkpoint cadence") {
+    val d = tempDir("ckpt-interval")
+    var t = DeltaTable.forPath(d).write(nationDF) // v0
+    t = t.setTableProperties(Map("delta.checkpointInterval" -> "3")) // v1
+    t = t.write(nationDF) // v2
+    assert(Checkpoint.lastCheckpointVersion(t.logLoc).isEmpty)
+    t = t.write(nationDF) // v3: property cadence (3), not the handle's 10
+    assert(Checkpoint.lastCheckpointVersion(t.logLoc).contains(3L))
+  }
+
   test("setTableProperties guards its dedicated-surface keys") {
     val d = tempDir("props-guard")
     val t = DeltaTable.forPath(d).write(nationDF)
