@@ -160,13 +160,19 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       case _ => throw new IllegalArgumentException(
         "txnAppId and txnVersion must be set together")
     }
+    // delta's mergeSchema option: appended batches may add columns
+    // (null-backfilled on history); without it a schema mismatch throws
+    val schemaMode =
+      if (parameters.get("mergeSchema").exists(_.toBoolean)) "merge"
+      else "overwrite"
     val table = tableFor(sqlContext, parameters)
     val written = txn match {
       case Some((appId, v)) =>
         require(wm == WriteMode.Append,
           s"txnAppId/txnVersion idempotent writes support append mode only, got $wm")
         table.writeWithTxn(data, appId, v, partitionBy)
-      case None => table.write(data, mode = wm, partitionBy = partitionBy)
+      case None => table.write(data, mode = wm, schemaMode = schemaMode,
+        partitionBy = partitionBy)
     }
     // SaveIntoDataSourceCommand discards the relation — return a cheap
     // schema-only stub instead of re-opening the log (and the READ

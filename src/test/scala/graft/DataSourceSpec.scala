@@ -221,6 +221,24 @@ class DataSourceSpec extends SparkSuite {
       .option("versionAsOf", "1").load(d).collect())
   }
 
+  test("writer mergeSchema option evolves the schema on append") {
+    val d = tempDir("merge-schema")
+    nationDF.write.format("graft").mode("append").save(d)
+    val widened = nationDF.withColumn("n_flag",
+      (col("n_nationkey") % 2 === 0))
+    // without the option a schema mismatch throws (delta parity)
+    intercept[Exception](
+      widened.write.format("graft").mode("append").save(d))
+    widened.write.format("graft").mode("append")
+      .option("mergeSchema", "true").save(d)
+    val t = DeltaTable.forPath(d)
+    assert(t.schema.fieldNames.contains("n_flag"))
+    val out = t.toDF(spark)
+    assert(out.count() == 2 * nationDF.count())
+    // pre-evolution rows are null-backfilled
+    assert(out.filter(col("n_flag").isNull).count() == nationDF.count())
+  }
+
   test("writer txnAppId/txnVersion makes batch writes idempotent") {
     val d = tempDir("txn-write")
     def writeOnce(v: Long): Unit =
