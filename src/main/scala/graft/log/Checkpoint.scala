@@ -36,6 +36,14 @@ import scala.collection.immutable.SortedMap
   */
 object Checkpoint {
 
+  /** A checkpoint that EXISTS but cannot be replayed completely (e.g. a
+    * multi-part checkpoint with a missing part). Never swallowed into
+    * the JSON-replay fallback: with commits log-cleaned below the
+    * checkpoint, a partial replay would silently drop table state.
+    */
+  final class CorruptCheckpointException(msg: String)
+      extends IllegalStateException(msg)
+
   val LastCheckpointFile = "_graft_last_checkpoint"
 
   private val parquetSchema = MessageTypeParser.parseMessageType(
@@ -67,7 +75,8 @@ object Checkpoint {
   /** Write the checkpoint for the log's current version and point
     * the pointer file at it.
     */
-  def write(dlog: DeltaLog, conf: Configuration): Unit = {
+  def write(dlog: DeltaLog, conf: Configuration,
+      maxActionsPerPart: Int = DeltaCheckpointPartSize): Unit = {
     val v = dlog.version
     val actions = snapshotActions(dlog)
     val out = dlog.loc.child(checkpointFilename(v))
@@ -83,7 +92,7 @@ object Checkpoint {
     } finally writer.close()
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
-    writeDeltaFormat(dlog, actions, conf)
+    writeDeltaFormat(dlog, actions, conf, maxActionsPerPart)
     gcOldCheckpoints(dlog.loc, keep = 2, conf)
   }
 
@@ -162,8 +171,18 @@ object Checkpoint {
         StructField("writerFeatures", ArrayType(StringType)))))))
   }
 
+  /** Actions per part of the delta-format checkpoint. At 10⁵ live files
+    * a single coalesce(1) parquet is a driver-sized bottleneck to write
+    * and a single-task file to read; delta's classic MULTI-PART layout
+    * (`N.checkpoint.<i>.<n>.parquet`) writes parts in parallel and lets
+    * a reader fan out — row-to-part assignment is arbitrary per the
+    * spec, readers must consume all `n` parts.
+    */
+  private[graft] val DeltaCheckpointPartSize = 50000
+
   private def writeDeltaFormat(dlog: DeltaLog, actions: Seq[Action],
-      conf: Configuration): Unit = {
+      conf: Configuration,
+      maxActionsPerPart: Int = DeltaCheckpointPartSize): Unit = {
     import org.apache.spark.sql.{Encoders, SparkSession}
     // only reachable with a live session (checkpoints are written from
     // commit paths inside a Spark app); if none, skip — the graft
@@ -179,24 +198,50 @@ object Checkpoint {
     val lines = actions.map(_.toLine)
     val df = spark.read.schema(deltaCheckpointSchema)
       .json(spark.createDataset(lines)(Encoders.STRING))
+    val wantParts =
+      math.max(1, math.ceil(actions.size.toDouble / maxActionsPerPart).toInt)
     val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
     try {
-      df.coalesce(1).write.mode("overwrite").parquet(staging.uri)
-      val part = staging.listDataFilesRecursive()
-        .filter(_.getPath.getName.endsWith(".parquet"))
-      require(part.size == 1, s"expected one staged checkpoint file, got ${part.size}")
-      val dest = dlog.loc.child(f"$v%020d.checkpoint.parquet")
-      if (dest.exists) dest.fs.delete(dest.path, false)
-      if (!dest.fs.rename(part.head.getPath, dest.path))
-        throw new java.io.IOException(
-          s"rename ${part.head.getPath} -> ${dest.path} failed")
-      dlog.loc.child("_last_checkpoint")
-        .writeString(s"""{"version":$v,"size":${actions.size}}""")
+      if (wantParts == 1) {
+        df.coalesce(1).write.mode("overwrite").parquet(staging.uri)
+        val part = staging.listDataFilesRecursive()
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(part.size == 1, s"expected one staged checkpoint file, got ${part.size}")
+        val dest = dlog.loc.child(f"$v%020d.checkpoint.parquet")
+        if (dest.exists) dest.fs.delete(dest.path, false)
+        if (!dest.fs.rename(part.head.getPath, dest.path))
+          throw new java.io.IOException(
+            s"rename ${part.head.getPath} -> ${dest.path} failed")
+        dlog.loc.child("_last_checkpoint")
+          .writeString(s"""{"version":$v,"size":${actions.size}}""")
+      } else {
+        // round-robin repartition spreads the rows; the ACTUAL staged
+        // file count names the parts (a near-empty trailing partition
+        // may be dropped by the writer)
+        df.repartition(wantParts).write.mode("overwrite").parquet(staging.uri)
+        val parts = staging.listDataFilesRecursive()
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val n = parts.size
+        require(n >= 1, "multi-part checkpoint staged zero files")
+        parts.zipWithIndex.foreach { case (st, i) =>
+          val dest = dlog.loc.child(
+            f"$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+          if (dest.exists) dest.fs.delete(dest.path, false)
+          if (!dest.fs.rename(st.getPath, dest.path))
+            throw new java.io.IOException(
+              s"rename ${st.getPath} -> ${dest.path} failed")
+        }
+        dlog.loc.child("_last_checkpoint")
+          .writeString(
+            s"""{"version":$v,"size":${actions.size},"parts":$n}""")
+      }
     } finally staging.delete()
   }
 
   private val CheckpointRe = "^(\\d+)\\.graft-checkpoint\\.parquet$".r
   private val LegacyCheckpointRe = "^(\\d+)\\.checkpoint\\.parquet$".r
+  private val MultiPartCheckpointRe = "^(\\d+)\\.checkpoint\\.\\d+\\.\\d+\\.parquet$".r
 
   /** True iff `name` is a parquet file with graft's one-json-column row
     * layout — i.e. a checkpoint written by a pre-rename graft build under
@@ -224,10 +269,12 @@ object Checkpoint {
     */
   private def gcOldCheckpoints(loc: Location, keep: Int, conf: Configuration): Unit = {
     var legacy = List.empty[String]
+    var multiPart = List.empty[String]
     val versions = loc.listSorted().flatMap { st =>
       st.getPath.getName match {
         case CheckpointRe(v) => Some(v.toLong)
         case LegacyCheckpointRe(_) => legacy ::= st.getPath.getName; None
+        case MultiPartCheckpointRe(_) => multiPart ::= st.getPath.getName; None
         case _ => None
       }
     }
@@ -243,13 +290,18 @@ object Checkpoint {
     // genuine delta-layout checkpoints (the cross-engine emission above):
     // keep the newest `keep`, drop superseded ones — same policy as the
     // graft family, and never a file the live `_last_checkpoint` targets
-    legacy.filterNot(removedLegacy.contains)
-      .flatMap { name => LegacyCheckpointRe.findFirstMatchIn(name).map(_.group(1).toLong) }
-      .sorted.dropRight(keep)
-      .foreach { v =>
-        try loc.fs.delete(loc.child(f"$v%020d.checkpoint.parquet").path, false)
+    val deltaByVersion: Map[Long, Seq[String]] =
+      (legacy.filterNot(removedLegacy.contains).flatMap(n =>
+        LegacyCheckpointRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)) ++
+        multiPart.flatMap(n =>
+          MultiPartCheckpointRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    deltaByVersion.keys.toSeq.sorted.dropRight(keep).foreach { v =>
+      deltaByVersion(v).foreach { name =>
+        try loc.fs.delete(loc.child(name).path, false)
         catch { case _: Exception => () }
       }
+    }
     if (removedLegacy.nonEmpty) {
       val ptr = loc.child("_last_checkpoint")
       val target =
@@ -319,7 +371,12 @@ object Checkpoint {
     }
     graft.orElse(deltaLastCheckpointVersion(loc).flatMap { v =>
       try readDeltaFormat(loc, v, conf).map(withTail(v, _))
-      catch { case _: Exception => None }
+      catch {
+        // an unreadable/foreign checkpoint falls back to JSON replay;
+        // a PROVABLY incomplete one must not — fail loudly instead
+        case e: CorruptCheckpointException => throw e
+        case _: Exception => None
+      }
     })
   }
 
@@ -360,6 +417,18 @@ object Checkpoint {
       .filter(partRe.matches(_))
       .filterNot(isGraftLayout(loc, _, conf))
     if (parts.isEmpty) return None
+    // multi-part completeness: `<i>.<n>` filenames declare the part
+    // count — replaying a subset would silently DROP table state, so a
+    // hole is a loud error, not a fallback
+    val declared = parts.flatMap(n =>
+      "\\.(\\d+)\\.(\\d+)\\.parquet$".r.findFirstMatchIn(n).map(_.group(2).toInt))
+    declared.headOption.foreach { n =>
+      if (declared.toSet.size != 1 || parts.size != n)
+        throw new CorruptCheckpointException(
+          s"multi-part checkpoint at version $v is incomplete: " +
+            s"found ${parts.size} of $n parts — the checkpoint is corrupt " +
+            "or partially deleted")
+    }
     val lines = spark.read
       .parquet(parts.map(loc.child(_).uri): _*)
       .toJSON.collect() // O(actions) driver-side — metadata scale, same as the graft read

@@ -218,6 +218,52 @@ class CheckpointSpec extends SparkSuite {
     assertSameRows(re.toDF(spark), nation.union(nation))
   }
 
+  test("multi-part delta checkpoint WRITE: parts named, GC'd, hole rejected") {
+    val d = tempDir("ckpt-write-parts")
+    var t = DeltaTable.forPath(d).write(nation).write(nation)
+    // force the multi-part path: >= 2 parts for ~dozens of actions
+    Checkpoint.write(t.dlog, t.conf, maxActionsPerPart = 2)
+    val v = t.version
+    val names = t.logLoc.listSorted().map(_.getPath.getName)
+    val parts = names.filter(_.matches(f"^$v%020d\\.checkpoint\\.\\d+\\.\\d+\\.parquet$$"))
+    assert(parts.size >= 2, s"expected multi-part emission, got $names")
+    // filenames declare a consistent <i>.<n> and the pointer records parts
+    val declaredN = parts.map(_.split("\\.")(3).toInt).distinct
+    assert(declaredN == Seq(parts.size))
+    val ptr = t.logLoc.child("_last_checkpoint").readString()
+    assert(ptr.contains("\"parts\":" + parts.size), ptr)
+    // the multi-part form replays completely (delete graft's artifacts
+    // and the JSON commits, like the read-side test)
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      if (name.endsWith(".graft-checkpoint.parquet") ||
+          name == Checkpoint.LastCheckpointFile ||
+          (name.matches("^\\d+\\.json$") && name.split("\\.", 2)(0).toLong <= v))
+        t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assertSameRows(re.toDF(spark), nation.union(nation))
+    // a MISSING part is a loud corruption error, never a partial replay
+    t.logLoc.fs.delete(t.logLoc.child(parts.head).path, false)
+    val e = intercept[Checkpoint.CorruptCheckpointException](
+      DeltaTable.forPath(d))
+    assert(e.getMessage.contains("incomplete"), e.getMessage)
+  }
+
+  test("multi-part checkpoints are GC'd when superseded") {
+    val d = tempDir("ckpt-parts-gc")
+    var t = DeltaTable.forPath(d).write(nation)
+    Checkpoint.write(t.dlog, t.conf, maxActionsPerPart = 2) // parts @ v0
+    t = t.write(nation)
+    Checkpoint.write(t.dlog, t.conf, maxActionsPerPart = 2) // parts @ v1
+    t = t.write(nation)
+    Checkpoint.write(t.dlog, t.conf, maxActionsPerPart = 2) // parts @ v2
+    val names = t.logLoc.listSorted().map(_.getPath.getName)
+    // keep-2 policy covers the multi-part family: v0's parts are gone
+    assert(!names.exists(_.startsWith(f"${0L}%020d.checkpoint.")), names)
+    assert(names.exists(_.startsWith(f"${2L}%020d.checkpoint.")))
+  }
+
   test("cleanupLog bounds the log; below-horizon asks fail loudly") {
     val d = tempDir("ckpt-cleanup")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 5)
