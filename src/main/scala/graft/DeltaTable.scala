@@ -1468,6 +1468,73 @@ final case class DeltaTable(
       toCompact.map(_.path).toSet)
   }
 
+  /** REORG ... APPLY (PURGE) (delta-spark parity; no reference analogue):
+    * rewrite EXACTLY the files carrying physical debt —
+    *
+    *  1. files with deletion vectors (merge-on-read debt: every scan pays
+    *     the DV anti-join until the file is rewritten), and
+    *  2. on column-mapped tables, files whose parquet footers still hold
+    *     physical columns that a metadata-only DROP removed from the
+    *     schema (the bytes of "deleted" data survive on disk — a
+    *     compliance delete is not complete until they are rewritten; the
+    *     footer sweep is driver-side O(candidate files) metadata and runs
+    *     only when the table's mapping is non-identity)
+    *
+    * — and nothing else, `dataChange=false` on both sides. Where OPTIMIZE
+    * rewrites whole partitions to fix layout, purge's write cost is
+    * proportional to the DEBT: MoR deletes touching 1% of a 100 TB
+    * table's files cost a 1 TB rewrite here, not a recompaction. No
+    * repartition is imposed on the rewrite — Spark's split packing
+    * bounds output file sizes (small purged files coalesce per task, big
+    * ones split), so a 50-file partition does not collapse into one
+    * monster file the way the per-partition OPTIMIZE shuffle would.
+    * Old files + sidecars become unreferenced and are reclaimed by
+    * [[vacuum]] after retention.
+    */
+  def purge(spark: SparkSession, where: Option[Column] = None): DeltaTable = {
+    where.foreach { w =>
+      val refs = org.apache.spark.sql.graftshim.ColumnShim.expression(w)
+        .references.map(_.name).toSet
+      val bad = refs -- dlog.partitionColumns.toSet
+      require(bad.isEmpty,
+        s"purge WHERE may only reference partition columns " +
+          s"${dlog.partitionColumns.mkString("[", ",", "]")}, got ${bad.mkString(",")}")
+    }
+    val candidates = where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
+    val (dved, clean) = candidates.partition(a =>
+      DeletionVectors.refOf(a).isDefined)
+    // gate on the mapping MODE, not on whether the surviving mapping is
+    // identity-valued: dropping a never-renamed column leaves every
+    // remaining logical==physical, yet the dropped bytes still sit in
+    // pre-drop files
+    val mapped = dlog.latestMetadata.exists(
+      _.configuration.get(ColumnMapping.ModeConfigKey).contains("name"))
+    val stale: Seq[AddFile] =
+      if (!mapped) Seq.empty
+      else {
+        val allowed = ColumnMapping.physicalSchema(dlog.schema).fieldNames.toSet
+        clean.filter { a =>
+          val p = Location.resolve(a.path, loc, conf)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(p.path, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getFileMetaData.getSchema.getFields
+              .asScala.exists(f => !allowed.contains(f.getName))
+          } finally reader.close()
+        }
+      }
+    val toRewrite = dved ++ stale
+    if (toRewrite.isEmpty) return this
+    val purgedRows = dved.map(a =>
+      DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
+    val adds = writeData(scanAdds(spark, toRewrite), dlog.versionToWrite,
+      dlog.partitionColumns)
+    commitOrRebase(DeltaLogEntry.reorgTable(toRewrite, adds, dlog.version,
+      purgedRows), toRewrite.map(_.path).toSet)
+  }
+
   /** Exact live row count from log metadata ALONE — O(live files) driver
     * work, zero Spark jobs: per-file `numRecords` stats minus each file's
     * deletion-vector cardinality (the vector is total per file, so the

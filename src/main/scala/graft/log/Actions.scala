@@ -299,6 +299,7 @@ object CommitInfo {
     val Delete = "DELETE"
     val Restore = "RESTORE"
     val Optimize = "OPTIMIZE"
+    val Reorg = "REORG"
     val Vacuum = "VACUUM"
     val AddConstraint = "ADD CONSTRAINT"
     val DropConstraint = "DROP CONSTRAINT"
@@ -437,6 +438,15 @@ object CommitInfo {
       timestamp = System.currentTimeMillis(),
       operation = Op.Optimize,
       operationParameters = ListMap("targetSize" -> Json.text("auto")),
+      operationMetrics = metrics,
+      readVersion = Some(readVersion))
+
+  /** REORG ... APPLY (PURGE) commit (delta-spark's operation name). */
+  def reorg(readVersion: Long, metrics: Map[String, JsonNode]): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Reorg,
+      operationParameters = ListMap("applyPurge" -> Json.bool(true)),
       operationMetrics = metrics,
       readVersion = Some(readVersion))
 }

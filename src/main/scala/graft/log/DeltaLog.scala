@@ -275,6 +275,20 @@ object DeltaLogEntry {
     DeltaLogEntry(removes ++ adds.map(_.copy(dataChange = false)) :+ commit)
   }
 
+  /** REORG PURGE entry: same dataChange=false shape as OPTIMIZE (rows are
+    * identical before and after), distinct operation name in history.
+    */
+  def reorgTable(addsToRemove: Iterable[AddFile], adds: Seq[AddFile],
+      readVersion: Long, numPurgedRows: Long): DeltaLogEntry = {
+    val metrics = ListMap[String, JsonNode](
+      "numRemovedFiles" -> Json.num(addsToRemove.size.toLong),
+      "numAddedFiles" -> Json.num(adds.size.toLong),
+      "numDeletionVectorRowsPurged" -> Json.num(numPurgedRows))
+    val commit = CommitInfo.reorg(readVersion, metrics)
+    val removes = addsToRemove.map(Action.removeFor(_, dataChange = false)).toVector
+    DeltaLogEntry(removes ++ adds.map(_.copy(dataChange = false)) :+ commit)
+  }
+
   /** RESTORE entry (reference delta_log/__init__.py:206-224): re-commit the
     * target version's metadata, re-add its missing files, remove extras.
     */

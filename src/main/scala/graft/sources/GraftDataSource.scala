@@ -258,7 +258,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
       },
       maxBytesPerTrigger = parameters.get("maxBytesPerTrigger").map { v =>
         val n = v.toLong; require(n > 0, s"maxBytesPerTrigger must be positive, got $n"); n
-      })
+      },
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean))
   }
 
   override def createSink(sqlContext: SQLContext,

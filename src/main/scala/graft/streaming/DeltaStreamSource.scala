@@ -115,9 +115,14 @@ object GraftSourceOffset {
   *    `ignoreDeletes=true` tolerates remove-only commits (partition-
   *    boundary retention deletes; their removed rows are NOT retracted),
   *    `ignoreChanges=true` additionally accepts rewrites and DV re-adds
-  *    (reprocessed rows may be delivered), and `readChangeFeed=true`
-  *    turns the source into the streaming CDF, where non-append commits
-  *    are the payload rather than an error.
+  *    (reprocessed rows may be delivered), `skipChangeCommits=true`
+  *    skips non-append commits wholesale (nothing they add is emitted —
+  *    no duplicates, but rows genuinely inserted by a rewrite commit are
+  *    missed; supersedes the other two options, as in delta), and
+  *    `readChangeFeed=true` turns the source into the streaming CDF,
+  *    where non-append commits are the payload rather than an error.
+  *    Commits whose actions are all `dataChange=false` (OPTIMIZE,
+  *    Z-order, DV purge) pass every mode untouched.
   */
 final class GraftVersionedSource(
     spark: org.apache.spark.sql.SparkSession,
@@ -130,7 +135,8 @@ final class GraftVersionedSource(
     readChangeFeed: Boolean = false,
     ignoreDeletes: Boolean = false,
     maxFilesPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -213,27 +219,46 @@ final class GraftVersionedSource(
     if (v < 0L) null else GraftSourceOffset(v)
   }
 
+  /** Only `dataChange=true` actions count against the append-only
+    * contract (delta parity): an OPTIMIZE / Z-order / DV-purge commit
+    * rewrites files with `dataChange=false` on both sides, and aborting
+    * a live stream because maintenance ran would make maintenance
+    * impossible on any streamed table.
+    */
+  private def changeRemoves(e: graft.log.DeltaLogEntry): Int =
+    e.removes.count(_.dataChange)
+  private def changeDvAdds(e: graft.log.DeltaLogEntry): Int =
+    e.adds.count(a => a.dataChange &&
+      graft.sources.DeletionVectors.refOf(a).isDefined)
+
   private def guardAppendOnly(v: Long, e: graft.log.DeltaLogEntry): Unit = {
-    val dved = e.adds.count(a => graft.sources.DeletionVectors.refOf(a).isDefined)
+    val removed = changeRemoves(e)
+    val dved = changeDvAdds(e)
     // ignoreDeletes (delta's option): a REMOVE-ONLY commit — retention
     // deletes at partition boundaries — passes; its removed rows are not
     // retracted. A commit that also ADDS data files or attaches DVs is a
     // rewrite and still aborts (only ignoreChanges accepts those).
     if (ignoreDeletes && dved == 0 && e.adds.forall(!_.dataChange)) return
-    if (e.removes.nonEmpty || dved > 0) {
+    if (removed > 0 || dved > 0) {
       val op = e.commitInfos.headOption.map(_.operation).getOrElse("UNKNOWN")
       throw new IllegalStateException(
         s"streaming source requires append-only commits, but version $v ($op) " +
-          (if (e.removes.nonEmpty) s"removed ${e.removes.size} file(s)"
+          (if (removed > 0) s"removed $removed file(s)"
            else s"attached deletion vectors to $dved file(s)") +
-          ". Use changesBetween for change feeds, or ignoreChanges=true " +
-          "to accept reprocessed/deleted rows.")
+          ". Use changesBetween for change feeds, ignoreChanges=true to " +
+          "accept reprocessed rows, or skipChangeCommits=true to skip " +
+          "non-append commits entirely.")
     }
   }
 
   /** The `dataChange` adds of commits [from, to], append-only-guarded per
     * commit; empty when the range is (log cleanup holes below `from` still
     * error loudly — a silent gap would skip committed data).
+    * `skipChangeCommits=true` (delta's option, superseding ignoreChanges/
+    * ignoreDeletes) drops each non-append commit WHOLESALE — its adds are
+    * not emitted either, so a copy-on-write rewrite contributes neither
+    * duplicates nor retractions, at the cost of missing rows genuinely
+    * inserted by that commit.
     */
   private def rangeAdds(endT: DeltaTable, from: Long,
       to: Long): Seq[graft.log.AddFile] = {
@@ -247,8 +272,12 @@ final class GraftVersionedSource(
           "cleanup ran past this stream's offset); restart the stream " +
           "from a fresh checkpoint to re-read the initial snapshot")
     range.toSeq.flatMap { case (v, e) =>
-      if (!ignoreChanges) guardAppendOnly(v, e)
-      e.adds.filter(_.dataChange)
+      if (skipChangeCommits && (changeRemoves(e) > 0 || changeDvAdds(e) > 0))
+        Seq.empty
+      else {
+        if (!ignoreChanges) guardAppendOnly(v, e)
+        e.adds.filter(_.dataChange)
+      }
     }
   }
 

@@ -331,6 +331,42 @@ class DataSourceSpec extends SparkSuite {
       c.getMessage.contains("append-only")), e.getMessage)
   }
 
+  test("versioned source: skipChangeCommits skips non-append commits wholesale") {
+    val src = tempDir("vsrc-skipcc"); val out = tempDir("vsrc-skipcc-out")
+    val ckpt = tempDir("vsrc-skipcc-ckpt")
+    var t = DeltaTable.forPath(src).write(nationDF.coalesce(1)) // v0: 25 rows
+    runGraftStream(src, out, ckpt) // initial snapshot
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 25)
+    // a rewriting copy-on-write delete: under ignoreChanges the re-staged
+    // kept rows would stream as 24 duplicates; under skipChangeCommits the
+    // commit contributes NOTHING, and the tail append still streams
+    t = t.delete(spark, Some(col("n_nationkey") === 20))
+    t = t.write(nationDF.limit(3).coalesce(1))
+    runGraftStream(src, out, ckpt, Map("skipChangeCommits" -> "true"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 25 + 3)
+    // a MoR delete (DV re-add) is likewise skipped, not aborted
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 21))
+    t = t.write(nationDF.limit(2).coalesce(1))
+    runGraftStream(src, out, ckpt, Map("skipChangeCommits" -> "true"))
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 25 + 3 + 2)
+  }
+
+  test("versioned source: OPTIMIZE mid-stream passes with no tolerance options") {
+    val src = tempDir("vsrc-opt"); val out = tempDir("vsrc-opt-out")
+    val ckpt = tempDir("vsrc-opt-ckpt")
+    var t = DeltaTable.forPath(src).write(nationDF.limit(10).coalesce(1))
+    t = t.write(nationDF.filter(col("n_nationkey") >= 10).coalesce(1))
+    runGraftStream(src, out, ckpt)
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 25)
+    // compaction rewrites BOTH files with dataChange=false on every add and
+    // remove: the strict append-only stream must pass it untouched — no
+    // abort, no duplicate delivery — and keep consuming the tail
+    t = t.compact(spark)
+    t = t.write(nationDF.limit(4).coalesce(1))
+    runGraftStream(src, out, ckpt)
+    assert(DeltaTable.forPath(out).toDF(spark).count() == 25 + 4)
+  }
+
   test("versioned source: initial snapshot reads through deletion vectors") {
     val src = tempDir("vsrc-dv"); val out = tempDir("vsrc-dv-out")
     var t = DeltaTable.forPath(src).write(nationDF.limit(5).coalesce(1))

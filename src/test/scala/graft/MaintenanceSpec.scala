@@ -83,6 +83,68 @@ class MaintenanceSpec extends SparkSuite {
       t.compact(spark, where = Some(col("n_nationkey") < 5)))
   }
 
+  test("purge rewrites exactly the DV-debt files, dataChange=false") {
+    val d = tempDir("purge")
+    var t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_nationkey") < 10).coalesce(1))
+    t = t.write(nation.filter(col("n_nationkey") >= 10).coalesce(1))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
+    val cleanPaths = t.dlog.addActions.values
+      .filter(a => graft.sources.DeletionVectors.refOf(a).isEmpty)
+      .map(_.path).toSet
+    assert(cleanPaths.nonEmpty && cleanPaths.size < t.fileUris.size)
+    val live = t.toDF(spark).collect().toSet
+    t = t.purge(spark)
+    // only the DV'd file was rewritten; the clean file kept its path
+    assert(cleanPaths.subsetOf(t.dlog.addActions.keySet))
+    assert(t.dlog.addActions.values.forall(a =>
+      graft.sources.DeletionVectors.refOf(a).isEmpty))
+    assert(t.toDF(spark).collect().toSet == live)
+    val (_, ci) = t.history.head
+    assert(ci.operation == "REORG")
+    assert(ci.operationMetrics.get("numDeletionVectorRowsPurged")
+      .exists(_.asLong == 1L))
+    // dataChange=false: the strict append-only stream passes it (no abort)
+    assert(t.purge(spark) eq t) // no remaining debt: purge is a no-op
+  }
+
+  test("purge WHERE scopes to matching partitions; dropped columns rewritten") {
+    val d = tempDir("purge-where")
+    var t = DeltaTable.forPath(d)
+      .write(nation.coalesce(1), partitionBy = Some(Seq("n_regionkey")))
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 0)) // region 0
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 1)) // region 1
+    t = t.purge(spark, where = Some(col("n_regionkey") === 0))
+    val dvByRegion = t.dlog.addActions.values
+      .filter(a => graft.sources.DeletionVectors.refOf(a).isDefined)
+      .map(_.partitionValues("n_regionkey")).toSeq
+    assert(dvByRegion == Seq(Some("1")), s"region 1's debt must survive: $dvByRegion")
+    assert(t.toDF(spark).count() == 23)
+
+    // metadata-only DROP leaves the bytes in old files; purge rewrites them
+    val d2 = tempDir("purge-drop")
+    var t2 = DeltaTable.forPath(d2).write(nation.coalesce(1))
+    t2 = t2.dropColumn("n_name")
+    t2 = t2.write(t2.toDF(spark).limit(5).coalesce(1)) // post-drop file: clean
+    val postDropPaths = t2.dlog.addActions.keySet --
+      t2.loadAsVersion(1L).dlog.addActions.keySet
+    val rows = t2.toDF(spark).collect().toSet
+    t2 = t2.purge(spark)
+    assert(postDropPaths.subsetOf(t2.dlog.addActions.keySet),
+      "file written after the drop must not be rewritten")
+    assert((t2.loadAsVersion(1L).dlog.addActions.keySet --
+      t2.dlog.addActions.keySet).nonEmpty, "pre-drop file must be rewritten")
+    assert(t2.toDF(spark).collect().toSet == rows)
+    // the dropped physical column is genuinely gone from every live footer
+    val allowed = graft.log.ColumnMapping
+      .physicalSchema(t2.dlog.schema).fieldNames.toSet
+    t2.fileUris.foreach { u =>
+      val fields = spark.read.parquet(u).schema.fieldNames.toSet
+      assert(fields.subsetOf(allowed), s"$u still carries $fields")
+    }
+    assert(t2.purge(spark) eq t2)
+  }
+
   test("vacuum honors delta.deletedFileRetentionDuration") {
     val d = tempDir("vacuum-prop")
     var t = DeltaTable.forPath(d).write(nation)
