@@ -195,9 +195,18 @@ final case class DeltaTable(
     // for unmapped tables)
     val sch = dlog.schema
     val m = ColumnMapping.logicalToPhysical(sch)
-    DataSkipping.prune(dlog.addActions.values.toSeq,
-      ColumnMapping.toPhysicalPredicate(pred, m),
-      ColumnMapping.physicalSchema(sch), dlog.partitionColumns)
+    val physPred = ColumnMapping.toPhysicalPredicate(pred, m)
+    val physSchema = ColumnMapping.physicalSchema(sch)
+    // generated partition columns: a filter on the source column implies a
+    // partition predicate (same derivation the planner-time FileIndex uses)
+    val derived = graft.sources.GeneratedPruning.derive(
+      Seq(org.apache.spark.sql.graftshim.ColumnShim.expression(physPred)),
+      physSchema, dlog.partitionColumns,
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val full = derived.foldLeft(physPred)((acc, d) =>
+      acc && org.apache.spark.sql.graftshim.ColumnShim.column(d))
+    DataSkipping.prune(dlog.addActions.values.toSeq, full,
+      physSchema, dlog.partitionColumns)
   }
 
   /** Filtered snapshot scan that opens only stats-surviving files, then
@@ -1967,10 +1976,14 @@ final case class DeltaTable(
       else
         StructType(reader.parquet(refs: _*).schema)
 
-    val evaluated = dlog.evaluateSchema(inferred, mode, schemaMode)
+    // pendingGenerated consumed like `write`: an imported table may declare
+    // a generated partition column (the import's dir layout supplies the
+    // values; later writes compute them, and scans derive partition
+    // pruning from filters on the source column)
+    val evaluated = dlog.evaluateSchema(annotateGenerated(inferred), mode, schemaMode)
     val entry = dlog.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
       .withExtraCommitInfo(customMetadata)
-    commit(entry)
+    commit(entry).copy(pendingGenerated = Map.empty)
   }
 
   // ------------------------------------------------------------------

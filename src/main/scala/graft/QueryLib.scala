@@ -90,6 +90,23 @@ object QueryLib {
         .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
     }
 
+  /** lineitem with MoR deletes then REORG PURGE: every deletion vector is
+    * rewritten away (dataChange=false), so the scan serves the same live
+    * rows from clean files with zero DV anti-join work.
+    */
+  def lineitemPurgedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_purged") { d =>
+      val t = DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .deleteMergeOnRead(spark,
+          Some(col("l_returnflag") === "A" || col("l_quantity") > 45))
+        .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
+        .purge(spark)
+      require(t.dlog.addActions.values.forall(a =>
+        graft.sources.DeletionVectors.refOf(a).isEmpty),
+        "purge must leave no deletion vectors")
+      t
+    }
+
   /** documents with `n_chars` renamed to `char_count` (metadata-only,
     * column-mapping), then a second batch appended THROUGH the new
     * logical name — so the scan reads pre-rename files (physical column

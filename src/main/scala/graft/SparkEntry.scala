@@ -73,6 +73,18 @@ object SparkEntry {
     "q76_dv_delete" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    // REORG PURGE: the DV debt of q76's deletes rewritten away
+    // (dataChange=false) — same live rows, clean files, no anti-join
+    "q99_purge_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemPurgedDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
+    // generated-column partition pruning: the ts filter alone derives the
+    // event_date partition bound (delta's OptimizeGeneratedColumn)
+    "q98_generated_prune_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.eventsGeneratedDir(s, d)).toDF(s)
+        .filter(col("ts") <
+          lit(java.time.LocalDateTime.parse("2024-01-10T00:00:00")))
+        .orderBy("event_id")),
     "q77_check_constraint" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersConstrainedDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
@@ -725,6 +737,15 @@ object SparkEntry {
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q99_purge_scan" ->
+      """SELECT * FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q98_generated_prune_scan" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+        | value, props, CAST(ts AS DATE) AS event_date
+        |FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     "q77_check_constraint" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q81_bloom_lookup" ->

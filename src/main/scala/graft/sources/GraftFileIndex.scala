@@ -134,8 +134,14 @@ final class GraftFileIndex(
           val n = DataSkipping.normalize(p)
           resolved.filter { case (a, _) => pruner.mayMatch(n, a) }
       }
+    // generated partition columns: filters on the SOURCE column imply
+    // partition predicates (delta's OptimizeGeneratedColumn) — exact,
+    // stats-free pruning for the common "partition on a derived date,
+    // query by timestamp" shape, including imports with no footer stats
+    val derived = GeneratedPruning.derive(dataFilters, physSchema,
+      partitionCols, sessionTz)
     val partEval: InternalRow => Boolean =
-      partitionFilters.reduceOption(And) match {
+      (partitionFilters ++ derived).reduceOption(And) match {
         case None => _ => true
         case Some(p) =>
           val bound = p.transform {
