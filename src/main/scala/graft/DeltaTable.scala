@@ -86,8 +86,21 @@ final case class DeltaTable(
     }.toDF("version", "timestamp", "operation", "clientVersion", "readVersion")
   }
 
-  /** Time travel from in-memory entries (reference xdlake/__init__.py:73-82). */
-  def loadAsVersion(v: Long): DeltaTable = copy(dlog = dlog.loadAsVersion(v))
+  /** Time travel from in-memory entries (reference xdlake/__init__.py:73-82).
+    * Below the newest checkpoint on a log-cleaned table, recovery goes
+    * through the newest RETAINED checkpoint at/below `v` (the keep-2 GC
+    * keeps the previous one exactly for this); only when no retained
+    * checkpoint serves `v` does the below-horizon error propagate.
+    */
+  def loadAsVersion(v: Long): DeltaTable =
+    try copy(dlog = dlog.loadAsVersion(v))
+    catch {
+      case e: IllegalArgumentException =>
+        Checkpoint.loadFromAtOrBefore(logLoc, v, conf) match {
+          case Some(base) => copy(dlog = base.loadAsVersion(v))
+          case None => throw e
+        }
+    }
 
   /** The latest version committed at/before `timestampMillis` (delta's
     * timestampAsOf resolution over commitInfo timestamps; the reference
@@ -119,7 +132,24 @@ final case class DeltaTable(
     * commits.
     */
   def versionAtOrAfter(timestampMillis: Long): Long = {
-    val at = history.filter { case (_, ci) => ci.timestamp >= timestampMillis }
+    val h = history // newest first
+    // below-horizon guard: commits removed by log cleanup have no
+    // commitInfo left to compare. If the oldest SURVIVING commit's
+    // timestamp is still >= T, some cleaned commit may also have been —
+    // "every change since T" cannot be served completely, so fail loudly
+    // (delta's own startingTimestamp errors on unreachable history).
+    // T strictly after the oldest survivor proves cleaned commits all
+    // predate T, which keeps the resolution exact.
+    h.lastOption.foreach { case (v0, ci0) =>
+      if (v0 > 0L && timestampMillis <= ci0.timestamp)
+        throw new IllegalArgumentException(
+          s"startingTimestamp $timestampMillis does not postdate the " +
+            s"oldest reachable commit (version $v0 at ${ci0.timestamp}); " +
+            "earlier commits were removed by log cleanup, so changes " +
+            "since that timestamp cannot be served completely — use " +
+            "startingVersion or a fresh snapshot instead")
+    }
+    val at = h.filter { case (_, ci) => ci.timestamp >= timestampMillis }
     if (at.isEmpty) version + 1 else at.map(_._1).min
   }
 
@@ -2210,15 +2240,32 @@ final case class DeltaTable(
       .orElse(Checkpoint.deltaLastCheckpointVersion(logLoc))
       .getOrElse(throw new IllegalStateException(
         "cleanupLog requires a checkpoint; call checkpoint() first"))
+    // the checkpoint must actually REPLAY through this engine — and cover
+    // the pointer's version — BEFORE any JSON is deleted: a parseable
+    // pointer over an unreadable payload (a foreign checkpoint layout
+    // this engine doesn't read, a corrupt parquet) would otherwise turn
+    // cleanup into permanent data loss, with every later open silently
+    // or loudly missing the base state
+    val base = Checkpoint.loadFrom(logLoc, conf).getOrElse(
+      throw new IllegalStateException(
+        s"checkpoint at version $ck is not replayable by this engine; " +
+          "refusing to delete commits"))
+    require(base.version >= ck,
+      s"replayable checkpoint covers version ${base.version} < pointer $ck; " +
+        "refusing to delete commits")
     logLoc.listSorted().foreach { st =>
       val name = st.getPath.getName
       if (DeltaLog.EntryFilenameRe.matches(name) &&
           name.split("\\.", 2)(0).toLong <= ck)
         logLoc.fs.delete(st.getPath, false)
     }
-    // reload through the checkpoint fast path; handle settings carry over
-    copy(dlog = Checkpoint.loadFrom(logLoc, conf)
-      .getOrElse(DeltaLog.load(logLoc, None)))
+    // reload through the checkpoint fast path; handle settings carry
+    // over. A plain-JSON fallback would now be a PARTIAL log, so a
+    // failure here (post-verification, e.g. transient IO) is loud.
+    copy(dlog = Checkpoint.loadFrom(logLoc, conf).getOrElse(
+      throw new IllegalStateException(
+        "checkpoint became unreadable after log cleanup; the surviving " +
+          "JSON tail alone is not a complete snapshot")))
   }
 }
 
@@ -2245,11 +2292,39 @@ object DeltaTable {
         if (json.entries.nonEmpty && json.entries.firstKey == 0L)
           json.loadAsVersion(v)
         else Checkpoint.loadFrom(logLoc, conf) match {
-          case Some(ck) => ck.loadAsVersion(v)
-          case None => json.loadVersionOrAll(version)
+          case Some(ck) =>
+            // below the newest checkpoint: recover via the newest
+            // RETAINED checkpoint at/below v before giving up (keep-2)
+            try ck.loadAsVersion(v)
+            catch {
+              case e: IllegalArgumentException =>
+                Checkpoint.loadFromAtOrBefore(logLoc, v, conf)
+                  .map(_.loadAsVersion(v)).getOrElse(throw e)
+            }
+          case None =>
+            // surviving JSON starts above 0 (log cleanup) and no
+            // checkpoint replays: ANY version ask would be served from a
+            // partial tail — refuse instead of quietly dropping the base
+            if (json.entries.nonEmpty && json.entries.firstKey > 0L)
+              throw new IllegalStateException(
+                s"table log starts at version ${json.entries.firstKey} " +
+                  "(earlier commits were removed by log cleanup) and no " +
+                  "checkpoint could be replayed; refusing to serve a " +
+                  "partial snapshot")
+            json.loadVersionOrAll(version)
         }
-      case None => Checkpoint.loadFrom(logLoc, conf)
-        .getOrElse(DeltaLog.load(logLoc, None))
+      case None => Checkpoint.loadFrom(logLoc, conf).getOrElse {
+        val json = DeltaLog.load(logLoc, None)
+        // same guard for head loads: a cleaned log whose checkpoint read
+        // failed must not open as a silently partial table
+        if (json.entries.nonEmpty && json.entries.firstKey > 0L)
+          throw new IllegalStateException(
+            s"table log starts at version ${json.entries.firstKey} " +
+              "(earlier commits were removed by log cleanup) and no " +
+              "checkpoint could be replayed; refusing to open a partial " +
+              "snapshot")
+        json
+      }
     }
     // protocol gate: refuse tables whose protocol demands reader features
     // this engine lacks — reading anyway returns silently wrong rows

@@ -353,24 +353,12 @@ object Checkpoint {
     * longer exist.
     */
   def loadFrom(loc: Location, conf: Configuration): Option[DeltaLog] = {
-    def withTail(v: Long, base: DeltaLogEntry): DeltaLog = {
-      var entries = SortedMap[Long, DeltaLogEntry](v -> base)
-      loc.listSorted().foreach { st =>
-        val name = st.getPath.getName
-        if (DeltaLog.EntryFilenameRe.matches(name)) {
-          val ev = name.split("\\.", 2)(0).toLong
-          if (ev > v)
-            entries = entries.updated(ev, DeltaLogEntry.fromNdjson(loc.child(name).readString()))
-        }
-      }
-      DeltaLog(loc, entries)
-    }
     val graft = lastCheckpointVersion(loc).flatMap { v =>
-      try Some(withTail(v, read(loc, v, conf)))
+      try Some(withTail(loc, v, read(loc, v, conf), conf))
       catch { case _: Exception => None }
     }
     graft.orElse(deltaLastCheckpointVersion(loc).flatMap { v =>
-      try readDeltaFormat(loc, v, conf).map(withTail(v, _))
+      try readDeltaFormat(loc, v, conf).map(withTail(loc, v, _, conf))
       catch {
         // an unreadable/foreign checkpoint falls back to JSON replay;
         // a PROVABLY incomplete one must not — fail loudly instead
@@ -378,6 +366,57 @@ object Checkpoint {
         case _: Exception => None
       }
     })
+  }
+
+  /** Checkpoint as the base entry at its version + every later JSON entry. */
+  private def withTail(loc: Location, v: Long, base: DeltaLogEntry,
+      conf: Configuration): DeltaLog = {
+    var entries = SortedMap[Long, DeltaLogEntry](v -> base)
+    loc.listSorted().foreach { st =>
+      val name = st.getPath.getName
+      if (DeltaLog.EntryFilenameRe.matches(name)) {
+        val ev = name.split("\\.", 2)(0).toLong
+        if (ev > v)
+          entries = entries.updated(ev, DeltaLogEntry.fromNdjson(loc.child(name).readString()))
+      }
+    }
+    DeltaLog(loc, entries)
+  }
+
+  /** The newest RETAINED checkpoint at/below `v`, with its JSON tail —
+    * the recovery path for time travel below the latest checkpoint on a
+    * log-cleaned table. The keep-2 GC retains the previous checkpoint
+    * exactly so versions in [previous, latest) stay servable after
+    * cleanup; pointer files only name the newest, so candidates come
+    * from listing the checkpoint files themselves. Graft's layout is
+    * preferred over a same-version delta-format file; unreadable or
+    * incomplete candidates are skipped (this is a best-effort recovery —
+    * the caller errors loudly when nothing serves `v`).
+    */
+  def loadFromAtOrBefore(loc: Location, v: Long,
+      conf: Configuration): Option[DeltaLog] = {
+    if (!loc.exists) return None
+    val names = loc.listSorted().map(_.getPath.getName)
+    val graftRe = "^(\\d{20})\\.graft-checkpoint\\.parquet$".r
+    val deltaRe = "^(\\d{20})\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$".r
+    val candidates =
+      (names.flatMap(n => graftRe.findFirstMatchIn(n).map(_.group(1).toLong -> true)) ++
+        names.flatMap(n => deltaRe.findFirstMatchIn(n).map(_.group(1).toLong -> false))
+          .distinct)
+        .filter(_._1 <= v)
+        .sortBy { case (cv, isGraft) => (-cv, !isGraft) }
+    candidates.iterator.flatMap { case (cv, isGraft) =>
+      try {
+        val base =
+          if (isGraft) Some(withTail(loc, cv, read(loc, cv, conf), conf))
+          else readDeltaFormat(loc, cv, conf).map(withTail(loc, cv, _, conf))
+        // the base must actually SERVE v: every commit in (cv, v] still
+        // present as JSON. A checkpoint whose tail was also cleaned can
+        // answer only its own version — returning it for a later v would
+        // silently serve the WRONG version's state.
+        base.filter(b => (cv + 1 to v).forall(b.entries.contains))
+      } catch { case _: Exception => None }
+    }.nextOption()
   }
 
   // ------------------------------------------------------------------
@@ -412,22 +451,29 @@ object Checkpoint {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .getOrElse(return None)
     val partRe = (f"^$v%020d\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$$").r
-    val parts = loc.listSorted()
+    val all = loc.listSorted()
       .map(_.getPath.getName)
       .filter(partRe.matches(_))
       .filterNot(isGraftLayout(loc, _, conf))
-    if (parts.isEmpty) return None
+    if (all.isEmpty) return None
+    // a single-file and a multi-part checkpoint may coexist at one
+    // version (different writers); each form is complete on its own, so
+    // prefer the single file and never mix the two in one read — mixing
+    // would double-count actions and break the part-count check below
+    val multiRe = "\\.(\\d+)\\.(\\d+)\\.parquet$".r
+    val (multi, single) = all.partition(n => multiRe.findFirstIn(n).isDefined)
+    val parts = if (single.nonEmpty) single else multi
     // multi-part completeness: `<i>.<n>` filenames declare the part
     // count — replaying a subset would silently DROP table state, so a
     // hole is a loud error, not a fallback
-    val declared = parts.flatMap(n =>
-      "\\.(\\d+)\\.(\\d+)\\.parquet$".r.findFirstMatchIn(n).map(_.group(2).toInt))
-    declared.headOption.foreach { n =>
-      if (declared.toSet.size != 1 || parts.size != n)
+    if (single.isEmpty) {
+      val declared = multi.flatMap(n =>
+        multiRe.findFirstMatchIn(n).map(_.group(2).toInt))
+      if (declared.toSet.size != 1 || multi.size != declared.head)
         throw new CorruptCheckpointException(
           s"multi-part checkpoint at version $v is incomplete: " +
-            s"found ${parts.size} of $n parts — the checkpoint is corrupt " +
-            "or partially deleted")
+            s"found ${multi.size} of ${declared.max} parts — the " +
+            "checkpoint is corrupt or partially deleted")
     }
     val lines = spark.read
       .parquet(parts.map(loc.child(_).uri): _*)

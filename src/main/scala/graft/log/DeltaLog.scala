@@ -444,18 +444,24 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
 
   /** Time travel: entries ≤ version (reference delta_log/__init__.py:279-297).
     * When `v` predates the in-memory window (checkpoint-based load), fall
-    * back to full JSON replay. If the replay comes back empty below a
-    * non-zero window start, those commits were removed by log cleanup —
-    * error loudly rather than return a silently-empty snapshot.
+    * back to full JSON replay. The replay is authoritative ONLY when it
+    * reaches version 0: a non-empty tail starting above 0 is a
+    * log-cleaned table whose base state lives in the checkpoint, and
+    * serving the tail alone would be a silently PARTIAL snapshot — worse
+    * than empty, because a scan quietly drops the base files' rows and a
+    * `restore(v)` would durably COMMIT removes for every file it can't
+    * see. Both the empty and the partial replay error loudly.
     */
   def loadAsVersion(v: Long): DeltaLog =
-    if (entries.contains(v)) DeltaLog(loc, entries.rangeTo(v))
+    if (entries.contains(v) || (entries.nonEmpty && v >= entries.lastKey))
+      DeltaLog(loc, entries.rangeTo(v))
     else {
       val replay = DeltaLog.load(loc, Some(v)).entries.rangeTo(v)
-      if (replay.isEmpty && entries.nonEmpty && v < entries.firstKey)
+      if (entries.nonEmpty && (replay.isEmpty || replay.firstKey > 0L))
         throw new IllegalArgumentException(
           s"version $v predates the oldest reachable log entry " +
-            s"${entries.firstKey}; earlier commits were removed by log cleanup")
+            s"${replay.keySet.headOption.getOrElse(entries.firstKey)}; " +
+            "earlier commits were removed by log cleanup")
       DeltaLog(loc, replay)
     }
 
@@ -502,6 +508,28 @@ object DeltaLog {
           val entryLoc = loc.child(name)
           entries = entries.updated(v, DeltaLogEntry.fromNdjson(entryLoc.readString()))
           if (version.contains(v)) done = true
+        }
+      }
+    }
+    DeltaLog(loc, entries)
+  }
+
+  /** JSON entries with version in `(after, until]` ONLY — the bounded
+    * parse for streaming tail reads. The directory listing is still
+    * O(log), but per-trigger JSON parsing is O(range), not O(total
+    * commits): a source polling a 10⁴-commit table must not re-parse
+    * every historical commit to admit a 2-version batch.
+    */
+  def loadAfter(loc: Location, after: Long, until: Option[Long] = None): DeltaLog = {
+    var entries = SortedMap.empty[Long, DeltaLogEntry]
+    if (loc.exists) {
+      loc.listSorted().foreach { st =>
+        val name = st.getPath.getName
+        if (EntryFilenameRe.matches(name)) {
+          val v = name.split("\\.", 2)(0).toLong
+          if (v > after && until.forall(v <= _))
+            entries = entries.updated(v,
+              DeltaLogEntry.fromNdjson(loc.child(name).readString()))
         }
       }
     }

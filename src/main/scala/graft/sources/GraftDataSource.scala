@@ -195,8 +195,16 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     */
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    sourceSchemaFor(tableFor(sqlContext, parameters), schema, parameters)
+
+  /** [[sourceSchema]] over an already-opened handle — createSource opens
+    * the table ONCE and reuses it for schema + start-offset resolution
+    * (each open replays checkpoint + log tail; no reason to pay it 2-3x
+    * per stream start).
+    */
+  private def sourceSchemaFor(t: DeltaTable, schema: Option[StructType],
       parameters: Map[String, String]): (String, StructType) = {
-    val t = tableFor(sqlContext, parameters)
     require(t.version >= 0L,
       s"streaming source requires an existing table at ${pathOf(parameters)}")
     val sch = t.dlog.schema
@@ -222,7 +230,8 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (_, sch) = sourceSchema(sqlContext, schema, providerName, parameters)
+    val t0 = tableFor(sqlContext, parameters)
+    val (_, sch) = sourceSchemaFor(t0, schema, parameters)
     require(!(parameters.contains("startingVersion") &&
         parameters.contains("startingTimestamp")),
       "startingVersion and startingTimestamp cannot be combined")
@@ -231,13 +240,13 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     // EARLIEST version committed at/after it (every change since T —
     // note the asymmetry with timestampAsOf's latest-at-or-before)
     val startAt: Option[Long] = parameters.get("startingVersion").map {
-      case "latest" => tableFor(sqlContext, parameters).version + 1
+      case "latest" => t0.version + 1
       case s =>
         val v = s.toLong
         require(v >= 0L, s"startingVersion must be >= 0 or 'latest', got $s")
         v
     }.orElse(parameters.get("startingTimestamp").map(ts =>
-      tableFor(sqlContext, parameters).versionAtOrAfter(parseTimestamp(ts))))
+      t0.versionAtOrAfter(parseTimestamp(ts))))
     new graft.streaming.GraftVersionedSource(
       sqlContext.sparkSession,
       pathOf(parameters),

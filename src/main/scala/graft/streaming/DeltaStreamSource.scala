@@ -176,13 +176,24 @@ final class GraftVersionedSource(
     val head = availableNowTarget.getOrElse(openHead().version)
     if (head < 0L) return null
     val capped = Option(start).map(GraftSourceOffset.of) match {
-      case Some(s) =>
-        val vCap = maxVersionsPerTrigger
-          .map(cap => math.min(head, s + cap)).getOrElse(head)
-        math.min(vCap, fileByteCap(s, head))
-      case None => head
+      case Some(s) => cappedEnd(s, head)
+      case None =>
+        // with startingVersion the FIRST batch is a commit range — the
+        // exact backfill the caps exist for — so it is capped from
+        // sv0-1 like any tail batch. Without it the first batch is the
+        // initial snapshot (one batch by design, delta parity).
+        startingVersion match {
+          case Some(sv0) => cappedEnd(math.min(sv0 - 1, head), head)
+          case None => head
+        }
     }
     GraftSourceOffset(capped)
+  }
+
+  private def cappedEnd(s: Long, head: Long): Long = {
+    val vCap = maxVersionsPerTrigger
+      .map(cap => math.min(head, s + cap)).getOrElse(head)
+    math.min(vCap, fileByteCap(s, head))
   }
 
   /** Cap the batch end so the range's ADD files/bytes stay within
@@ -193,10 +204,17 @@ final class GraftVersionedSource(
     * O(versions) metadata). At least one version is always admitted —
     * an oversized commit must still go through, as in delta.
     */
+  // the table's log dir, derived without a full table open (the source
+  // never passes a custom logPath); used for bounded tail reads below
+  private lazy val logLoc =
+    graft.storage.Location(tableDir, conf).child("_delta_log")
+
   private def fileByteCap(s: Long, head: Long): Long = {
     if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) return head
     if (head <= s) return head
-    val json = graft.log.DeltaLog.load(openHead().logLoc)
+    // bounded parse: ONLY the candidate range's entries are read —
+    // per-trigger driver work is O(range), never O(total log)
+    val json = graft.log.DeltaLog.loadAfter(logLoc, s, Some(head))
     var files = 0L; var bytes = 0L; var end = s
     var v = s + 1
     var stop = false
@@ -263,7 +281,8 @@ final class GraftVersionedSource(
   private def rangeAdds(endT: DeltaTable, from: Long,
       to: Long): Seq[graft.log.AddFile] = {
     if (to < from) return Seq.empty
-    val json = graft.log.DeltaLog.load(endT.logLoc, None)
+    // bounded parse (see fileByteCap): the batch range only
+    val json = graft.log.DeltaLog.loadAfter(endT.logLoc, from - 1, Some(to))
     val range = json.entries.range(from, to + 1)
     val missing = (from to to).toSet -- range.keySet
     if (missing.nonEmpty)

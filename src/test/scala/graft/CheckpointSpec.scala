@@ -295,6 +295,76 @@ class CheckpointSpec extends SparkSuite {
     intercept[IllegalStateException](t2.cleanupLog())
   }
 
+  test("below-newest-checkpoint asks recover via retained checkpoints, never a partial tail") {
+    val d = tempDir("ckpt-recover")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)
+    val one = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    (0 to 4).foreach(_ => t = t.write(one)) // v0..v4
+    t = t.checkpoint()                      // ck@4
+    t = t.cleanupLog()                      // JSON <= 4 gone
+    (5 to 9).foreach(_ => t = t.write(one)) // v5..v9 (JSON survives)
+    t = t.checkpoint()                      // ck@9 (keep-2 retains ck@4)
+    val re = DeltaTable.forPath(d)
+    // v7 predates the NEWEST checkpoint, but ck@4 + JSON 5..7 serve it
+    // completely — the pre-fix behavior returned the surviving tail
+    // ALONE (3 files instead of 8): a silently partial snapshot
+    assert(re.loadAsVersion(7L).toDF(spark).count() == 8 * one.count())
+    assert(DeltaTable.forPath(d, version = Some(7L)).toDF(spark).count() ==
+      8 * one.count())
+    // v2 is genuinely unreachable (no retained checkpoint <= 2, JSON gone)
+    val e = intercept[IllegalArgumentException](re.loadAsVersion(2L))
+    assert(e.getMessage.contains("log cleanup"))
+    // second cleanup deletes JSON <= 9: v4 still recovers EXACTLY at the
+    // retained ck@4; v7's JSON is now gone, so it fails loudly
+    val t2 = re.cleanupLog()
+    assert(t2.loadAsVersion(4L).toDF(spark).count() == 5 * one.count())
+    intercept[IllegalArgumentException](t2.loadAsVersion(7L))
+  }
+
+  test("cleanupLog refuses to delete commits it cannot re-serve") {
+    val d = tempDir("ckpt-cleanup-guard")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)
+    val one = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    (0 to 3).foreach(_ => t = t.write(one))
+    t = t.checkpoint()
+    // corrupt EVERY checkpoint payload (graft + delta-format twin) while
+    // both pointers stay parseable — the pre-fix code trusted the
+    // pointer and deleted the JSON anyway, leaving a permanently
+    // partial table
+    val logDir = new java.io.File(s"$d/_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+    }
+    val e = intercept[IllegalStateException](DeltaTable.forPath(d).cleanupLog())
+    assert(e.getMessage.contains("refusing to delete"), e.getMessage)
+    // nothing was deleted: the table still opens from full JSON replay
+    assert(logDir.listFiles().count(_.getName.matches("\\d+\\.json")) == 4)
+    // and a cleaned log whose checkpoint no longer reads refuses to OPEN
+    // as a partial snapshot (delete the early JSON by hand to simulate)
+    logDir.listFiles().filter(_.getName.matches("0+[01]\\.json"))
+      .foreach(_.delete())
+    val e2 = intercept[IllegalStateException](DeltaTable.forPath(d))
+    assert(e2.getMessage.contains("partial"), e2.getMessage)
+  }
+
+  test("startingTimestamp below the cleanup horizon fails loudly") {
+    val d = tempDir("ckpt-tsafter")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)
+    val one = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    val before = System.currentTimeMillis() - 1
+    (0 to 4).foreach(_ => t = t.write(one))
+    t = t.checkpoint().cleanupLog()
+    Thread.sleep(5)
+    t = t.write(one) // v5, the oldest SURVIVING commit with commitInfo
+    val re = DeltaTable.forPath(d)
+    // T predating the horizon: cleaned commits may have been >= T — the
+    // resolution cannot be complete, so it must error, not skip them
+    val e = intercept[IllegalArgumentException](re.versionAtOrAfter(before))
+    assert(e.getMessage.contains("log cleanup"), e.getMessage)
+    // T strictly after the oldest survivor resolves exactly
+    assert(re.versionAtOrAfter(System.currentTimeMillis() + 1000) == re.version + 1)
+  }
+
   test("partitioned table state survives a checkpoint round-trip") {
     val d = tempDir("ckpt-part")
     var t = DeltaTable.forPath(d)

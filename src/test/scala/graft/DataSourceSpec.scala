@@ -331,6 +331,22 @@ class DataSourceSpec extends SparkSuite {
       c.getMessage.contains("append-only")), e.getMessage)
   }
 
+  test("versioned source: startingVersion backfill is rate-limited from batch one") {
+    val src = tempDir("vsrc-svcap"); val out = tempDir("vsrc-svcap-out")
+    val five = nationDF.limit(5).coalesce(1)
+    var t = DeltaTable.forPath(src).write(five)
+    (1 to 3).foreach(_ => t = t.write(five)) // v0..v3
+    // startingVersion=0 turns the FIRST batch into a commit-range
+    // backfill — exactly what the caps exist for; pre-fix it arrived as
+    // ONE uncapped batch
+    runGraftStream(src, out, tempDir("vsrc-svcap-ckpt"),
+      Map("startingVersion" -> "0", "maxVersionsPerTrigger" -> "2"))
+    val outT = DeltaTable.forPath(out)
+    assert(outT.toDF(spark).count() == 4 * five.count())
+    assert(outT.version == 1L,
+      s"4-version backfill at cap 2 must land as 2 sink commits, got ${outT.versions}")
+  }
+
   test("versioned source: skipChangeCommits skips non-append commits wholesale") {
     val src = tempDir("vsrc-skipcc"); val out = tempDir("vsrc-skipcc-out")
     val ckpt = tempDir("vsrc-skipcc-ckpt")
