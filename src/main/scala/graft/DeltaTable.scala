@@ -466,6 +466,57 @@ final case class DeltaTable(
   }
 
   // ------------------------------------------------------------------
+  // Change data files — delta's `delta.enableChangeDataFeed` + `cdc`
+  // actions. Without them a copy-on-write UPDATE can only be read back
+  // from the feed as file-level add/remove reconstruction (every
+  // unchanged row of a rewritten file masquerades as a change); with
+  // them the feed serves EXACT update_preimage/update_postimage rows.
+  // ------------------------------------------------------------------
+
+  private[graft] def cdfEnabled: Boolean =
+    tableProperties.get("delta.enableChangeDataFeed").exists(_.toBoolean)
+
+  /** Directory of change-data files, `_`-prefixed so data listings skip it. */
+  private[graft] val ChangeDataDir = "_change_data"
+
+  /** Write `df` — full table columns plus `_change_type` — as change-data
+    * parquet under `_change_data/`, returning the commit's cdc actions.
+    * Physical column names like data files; partition columns ride IN the
+    * file (the feed reads whole files per commit — no pruning to serve).
+    */
+  private def writeChangeData(df: DataFrame, forVersion: Long): Seq[AddCDCFile] = {
+    val m = ColumnMapping.logicalToPhysical(dlog.schema)
+    val physDf = ColumnMapping.toPhysical(df, m) // _change_type is unmapped
+    val writeUuid = java.util.UUID.randomUUID().toString
+    val staging = loc.child(s"_staging-$writeUuid")
+    try {
+      physDf.write.mode("overwrite").parquet(staging.uri)
+      val files = staging.listDataFilesRecursive()
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
+      files.zipWithIndex.map { case (st, i) =>
+        val relPath = s"$ChangeDataDir/cdc-$forVersion-$writeUuid-$i.parquet"
+        val dest = Location.resolve(relPath, loc, conf)
+        dest.fs.mkdirs(dest.path.getParent)
+        if (!dest.fs.rename(st.getPath, dest.path))
+          throw new java.io.IOException(s"rename ${st.getPath} -> ${dest.path} failed")
+        AddCDCFile(path = relPath, size = dest.status.getLen)
+      }
+    } finally staging.delete()
+  }
+
+  /** Read a commit's change-data files back under the logical schema +
+    * `_change_type` (inverse of [[writeChangeData]]'s physical rename).
+    */
+  private def readChangeData(spark: SparkSession, cdc: Seq[AddCDCFile]): DataFrame = {
+    val raw = spark.read.parquet(cdc.map(c =>
+      Location.resolve(c.path, loc, conf).uri): _*)
+    val physToLogical = ColumnMapping.logicalToPhysical(dlog.schema).map(_.swap)
+    raw.select(raw.columns.toIndexedSeq.map(c =>
+      col(c).as(physToLogical.getOrElse(c, c))): _*)
+  }
+
+  // ------------------------------------------------------------------
   // DELETE — two-phase copy-on-write (reference xdlake/__init__.py:259-315,
   // SURVEY.md §3.3): (1) find files owning matching rows; (2) rewrite only
   // those files' kept rows; untouched files stay live.
@@ -720,6 +771,7 @@ final case class DeltaTable(
 
     // postimages are computed from the cached matched rows — the table is
     // scanned exactly once for mark + rewrite together
+    var cdc: Seq[AddCDCFile] = Seq.empty
     val (dvAdds, fullDead, numUpdated, newAdds) =
       morMarkWith[Seq[AddFile]](spark, candidateAdds, _.filter(matchedPred),
         (m, n) =>
@@ -732,14 +784,24 @@ final case class DeltaTable(
               }
             }: _*))
             validateConstraints(updated)
+            // change data feed: same pre/postimage contract as the
+            // copy-on-write arm (m is cached — no extra table scan)
+            if (cdfEnabled) {
+              // m rides the mark-scan's meta columns — project them away
+              val pre = m.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = updated.withColumn("_change_type", lit("update_postimage"))
+              cdc = writeChangeData(pre.unionByName(post), dlog.versionToWrite)
+            }
             writeData(updated, dlog.versionToWrite, dlog.partitionColumns)
           })
 
     val predicateText = where.map(_.toString).getOrElse("true")
-    commitOrRebase(DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
+    val entry = DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
         fullDead, newAdds, dlog.version, numUpdated)
-      .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet,
-      Some(where))
+      .withExtraCommitInfo(customMetadata)
+    commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+      candidateAdds.map(_.path).toSet, Some(where))
   }
 
   /** Merge-on-read MERGE upsert: target rows whose key matches the source
@@ -1263,6 +1325,7 @@ final case class DeltaTable(
 
     var numUpdated = 0L
     var numCopied = 0L
+    var cdc: Seq[AddCDCFile] = Seq.empty
     val newAdds: Seq[AddFile] =
       if (touchedAdds.isEmpty) Seq.empty
       else {
@@ -1273,23 +1336,37 @@ final case class DeltaTable(
         numUpdated = counts.getLong(1)
         numCopied = counts.getLong(0) - numUpdated
         val matched = coalesce(pred, lit(false))
-        val rewritten = regenerate(touchedDF.select(dlog.schema.fields.toIndexedSeq.map { f =>
-          set.get(f.name) match {
-            case Some(v) =>
-              when(matched, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*))
+        def applySet(df: DataFrame, condition: Column): DataFrame =
+          regenerate(df.select(dlog.schema.fields.toIndexedSeq.map { f =>
+            set.get(f.name) match {
+              case Some(v) =>
+                when(condition, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*))
+        val rewritten = applySet(touchedDF, matched)
         // CHECK constraints must hold for the post-update rows (untouched
         // files were validated when written)
         validateConstraints(rewritten)
+        // change data feed: the matched rows ARE the commit's exact
+        // changes — old values as update_preimage, new as update_postimage
+        // (delta's cdc shape; the feed's reconstruction fallback would
+        // report every unchanged row of a rewritten file)
+        if (cdfEnabled && numUpdated > 0L) {
+          val matchedRows = touchedDF.filter(matched)
+          val pre = matchedRows.withColumn("_change_type", lit("update_preimage"))
+          val post = applySet(matchedRows, lit(true))
+            .withColumn("_change_type", lit("update_postimage"))
+          cdc = writeChangeData(pre.unionByName(post), dlog.versionToWrite)
+        }
         writeData(rewritten, dlog.versionToWrite, dlog.partitionColumns)
       }
 
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.updateTable(predicateText, touchedAdds, newAdds,
       dlog.version, numUpdated, numCopied).withExtraCommitInfo(customMetadata)
-    commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(where))
+    commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+      candidateAdds.map(_.path).toSet, Some(where))
   }
 
   // ------------------------------------------------------------------
@@ -1370,6 +1447,27 @@ final case class DeltaTable(
       val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
       val numInserted = srcTotal - numUpdated
 
+      // change data feed (delta's cdc): matched target rows are
+      // update_preimage, their replacing source rows update_postimage,
+      // unmatched source rows insert — exact row-level changes instead of
+      // the feed's file-level reconstruction
+      var cdc: Seq[AddCDCFile] = Seq.empty
+      if (cdfEnabled) {
+        val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (touchedAdds.nonEmpty) {
+          val matchedTarget = scanAdds(spark, touchedAdds)
+            .join(broadcast(keys), keyCols, "left_semi")
+          frames += matchedTarget.withColumn("_change_type", lit("update_preimage"))
+          val matchedKeys = matchedTarget.select(keyCols.map(col): _*).distinct()
+          frames += sourceAligned.join(broadcast(matchedKeys), keyCols, "left_semi")
+            .withColumn("_change_type", lit("update_postimage"))
+          frames += sourceAligned.join(broadcast(matchedKeys), keyCols, "left_anti")
+            .withColumn("_change_type", lit("insert"))
+        } else
+          frames += sourceAligned.withColumn("_change_type", lit("insert"))
+        cdc = writeChangeData(frames.reduce(_.unionByName(_)), dlog.versionToWrite)
+      }
+
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
       // row-based complement to the key-based update count: physical rows
       // dropped from rewritten files (touched LIVE totals minus rows
@@ -1383,7 +1481,8 @@ final case class DeltaTable(
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
           numTargetRowsRemoved = touchedTotal - numCopied)
         .withExtraCommitInfo(customMetadata)
-      commitOrRebase(entry, adds.keySet.toSet, Some(None))
+      commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+        adds.keySet.toSet, Some(None))
     } finally src.unpersist()
   }
 
@@ -1726,10 +1825,17 @@ final case class DeltaTable(
       DeletionVectors.referencedSidecarUris(adds.values, loc, conf)
     val cutoff = System.currentTimeMillis() - retention
     // the recursive data listing skips _-prefixed dirs, so DV sidecars
-    // under _graft_dv/ are walked explicitly (unreferenced ones age out)
+    // under _graft_dv/ are walked explicitly (unreferenced ones age out).
+    // Change-data files likewise: they are never "live" table state, so
+    // they age out purely by the retention window — after which the
+    // change feed for those versions errors like any post-vacuum time
+    // travel (delta's behavior; without this the _change_data dir grows
+    // forever on an update-heavy table)
     val dvDir = loc.child(DeletionVectors.DvDirName)
     val dvFiles = if (dvDir.exists) dvDir.listDataFilesRecursive() else Seq.empty
-    val candidates = (loc.listDataFilesRecursive() ++ dvFiles)
+    val cdcLoc = loc.child(ChangeDataDir)
+    val cdcFiles = if (cdcLoc.exists) cdcLoc.listDataFilesRecursive() else Seq.empty
+    val candidates = (loc.listDataFilesRecursive() ++ dvFiles ++ cdcFiles)
       .filter(st => st.getPath.getName.endsWith(".parquet"))
       .filterNot(st => st.getPath.toString.contains("/_delta_log/") ||
         st.getPath.toString.contains("/_staging-"))
@@ -1821,7 +1927,15 @@ final case class DeltaTable(
       entry.metadataAction.foreach(checkRenameBoundary(v, _))
       val adds = entry.actions.collect { case a: AddFile => a }
       val removes = entry.actions.collect { case r: RemoveFile => r }
-      if (v > fromVersion) {
+      val cdcActs = entry.actions.collect { case c: AddCDCFile => c }
+      if (v > fromVersion && cdcActs.nonEmpty) {
+        // change-data files are AUTHORITATIVE for their commit (delta's
+        // rule): they carry the exact row-level changes with in-file
+        // _change_type, so the add/remove reconstruction below is skipped
+        // — it would double-report the rewrite
+        frames += readChangeData(spark, cdcActs)
+          .withColumn("_commit_version", lit(v))
+      } else if (v > fromVersion) {
         // a DV'd re-add of a LIVE path is a row-level delete, not an insert
         val (dvDelta, plainAdds) = adds.filter(_.dataChange).partition(a =>
           DeletionVectors.refOf(a).isDefined && liveRefs.contains(a.path))

@@ -90,6 +90,19 @@ object QueryLib {
         .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
     }
 
+  /** nation with `delta.enableChangeDataFeed=true`, then a copy-on-write
+    * UPDATE: the commit carries `cdc` change-data files, so the change
+    * feed serves EXACT update_preimage/update_postimage rows instead of
+    * file-level add/remove reconstruction.
+    */
+  def nationCdcUpdatedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "nation_cdc_update") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "nation").coalesce(1))
+        .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+        .update(spark, Some(col("n_nationkey") < 5),
+          Map("n_regionkey" -> (col("n_regionkey") + lit(10))))
+    }
+
   /** lineitem with MoR deletes then REORG PURGE: every deletion vector is
     * rewritten away (dataChange=false), so the scan serves the same live
     * rows from clean files with zero DV anti-join work.

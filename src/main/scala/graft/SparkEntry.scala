@@ -78,6 +78,12 @@ object SparkEntry {
     "q99_purge_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemPurgedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    // change data feed with cdc files: an UPDATE under
+    // delta.enableChangeDataFeed streams its exact pre/postimage rows
+    "q100_cdc_update_feed" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.nationCdcUpdatedDir(s, d))
+        .changesBetween(s, 0L, 2L)
+        .orderBy("_change_type", "n_nationkey")),
     // generated-column partition pruning: the ts filter alone derives the
     // event_date partition bound (delta's OptimizeGeneratedColumn)
     "q98_generated_prune_scan" -> ((s, d) =>
@@ -746,6 +752,16 @@ object SparkEntry {
         | value, props, CAST(ts AS DATE) AS event_date
         |FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    "q100_cdc_update_feed" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(2 AS BIGINT) AS _commit_version,
+        | 'update_preimage' AS _change_type
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT n_nationkey, n_name, CAST(n_regionkey + 10 AS INTEGER),
+        | CAST(2 AS BIGINT), 'update_postimage'
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q77_check_constraint" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q81_bloom_lookup" ->

@@ -238,6 +238,33 @@ final case class RemoveFile(
   }
 }
 
+/** A change-data file (delta's `cdc` action): row-level changes of ONE
+  * commit, stored under `_change_data/` with an in-file `_change_type`
+  * column (`update_preimage` / `update_postimage` / `insert` / `delete`).
+  * Never part of table STATE — replay ignores it, checkpoints exclude it
+  * (delta spec) — it exists solely so the change feed can serve exact
+  * row-level updates instead of file-level add/remove reconstruction.
+  * `dataChange=false` always: the commit's add/remove actions carry the
+  * data change; cdc is derived bookkeeping.
+  */
+final case class AddCDCFile(
+    path: String,
+    partitionValues: Map[String, Option[String]] = Map.empty,
+    size: Long = 0L,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "cdc"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("path", path)
+    Json.putStrOptMap(o, "partitionValues", partitionValues)
+    o.put("size", size)
+    o.put("dataChange", false)
+    Json.putExtra(o, extra)
+    o
+  }
+}
+
 /** Commit provenance (reference actions.py:115-135). Null-valued fields are
   * omitted on write, matching the reference's `to_action_dict`.
   */
@@ -472,6 +499,7 @@ object Action {
       case "metaData"   => parseMetadata(b)
       case "add"        => parseAdd(b)
       case "remove"     => parseRemove(b)
+      case "cdc"        => parseCdc(b)
       case "commitInfo" => parseCommitInfo(b)
       case "txn"        => parseTxn(b)
       case other        => RawAction(other, b.asInstanceOf[ObjectNode])
@@ -520,6 +548,13 @@ object Action {
       dataChange = Json.boolOpt(b, "dataChange").getOrElse(false),
       extra = extraOf(b, Set("path", "partitionValues", "size",
         "modificationTime", "stats", "dataChange")))
+
+  private def parseCdc(b: JsonNode): AddCDCFile =
+    AddCDCFile(
+      path = Json.strOpt(b, "path").get,
+      partitionValues = Json.strOptMap(b, "partitionValues"),
+      size = Json.longOpt(b, "size").getOrElse(0L),
+      extra = extraOf(b, Set("path", "partitionValues", "size", "dataChange")))
 
   private def parseRemove(b: JsonNode): RemoveFile =
     RemoveFile(

@@ -145,6 +145,84 @@ class MaintenanceSpec extends SparkSuite {
     assert(t2.purge(spark) eq t2)
   }
 
+  test("enableChangeDataFeed: UPDATE streams exact pre/postimage rows") {
+    val d = tempDir("cdc-update")
+    var t = DeltaTable.forPath(d).write(nation.coalesce(1))
+      .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    t = t.update(spark, Some(col("n_nationkey") < 3),
+      Map("n_regionkey" -> (col("n_regionkey") + lit(100))))
+    val ch = t.changesBetween(spark, v0, t.version)
+      .select("n_nationkey", "n_regionkey", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    // EXACTLY the 3 matched rows, twice — not the 25-row rewritten file
+    assert(ch.size == 6, s"expected 3 pre + 3 post rows, got $ch")
+    assert(ch.count(_._3 == "update_preimage") == 3)
+    val nat = nation.select("n_nationkey", "n_regionkey")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    (0 to 2).foreach { k =>
+      assert(ch.contains((k, nat(k), "update_preimage")))
+      assert(ch.contains((k, nat(k) + 100, "update_postimage")))
+    }
+    // the cdc action is in the log, dataChange=false, under _change_data/
+    val cdcActs = t.dlog.entries(t.version).actions
+      .collect { case c: graft.log.AddCDCFile => c }
+    assert(cdcActs.nonEmpty && cdcActs.forall(_.path.startsWith("_change_data/")))
+    // table state is unaffected by cdc actions (not adds)
+    assert(t.toDF(spark).count() == 25)
+    // without the property the feed falls back to file-level
+    // reconstruction (insert + remove_file of the rewritten file)
+    val d2 = tempDir("cdc-update-off")
+    var t2 = DeltaTable.forPath(d2).write(nation.coalesce(1))
+    t2 = t2.update(spark, Some(col("n_nationkey") < 3),
+      Map("n_regionkey" -> (col("n_regionkey") + lit(100))))
+    val types2 = t2.changesBetween(spark, 0L, t2.version)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(!types2.contains("update_preimage"), types2.toString)
+  }
+
+  test("enableChangeDataFeed: merge-on-read UPDATE streams the same pre/post contract") {
+    val d = tempDir("cdc-mor-update")
+    var t = DeltaTable.forPath(d).write(nation.coalesce(1))
+      .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    t = t.updateMergeOnRead(spark, Some(col("n_nationkey") === 7),
+      Map("n_regionkey" -> lit(99)))
+    val ch = t.changesBetween(spark, v0, t.version)
+      .select("n_nationkey", "n_regionkey", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val old = nation.filter(col("n_nationkey") === 7)
+      .select("n_regionkey").head().getInt(0)
+    assert(ch == Set((7, old, "update_preimage"), (7, 99, "update_postimage")), ch)
+    // table state: the MoR DV + new file semantics are unchanged by cdc
+    assert(t.toDF(spark).count() == 25)
+    assert(t.toDF(spark).filter(col("n_nationkey") === 7)
+      .head().getAs[Int]("n_regionkey") == 99)
+  }
+
+  test("enableChangeDataFeed: MERGE streams update pre/post and insert rows") {
+    val d = tempDir("cdc-merge")
+    var t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_nationkey") < 10).coalesce(1))
+      .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    val source = nation.filter(col("n_nationkey").isin(8, 9, 10, 11))
+      .withColumn("n_regionkey", col("n_regionkey") + lit(50))
+    t = t.merge(spark, source, Seq("n_nationkey"))
+    val ch = t.changesBetween(spark, v0, t.version)
+      .select("n_nationkey", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(ch("update_preimage") == Set(8, 9))
+    assert(ch("update_postimage") == Set(8, 9))
+    assert(ch("insert") == Set(10, 11))
+    // vacuum ages change-data files out (never "live", pure retention)
+    Thread.sleep(5)
+    val deleted = t.vacuum(retentionMs = -1000L)
+    assert(deleted.exists(_.contains("_change_data/")),
+      s"cdc files must age out under vacuum: $deleted")
+  }
+
   test("vacuum honors delta.deletedFileRetentionDuration") {
     val d = tempDir("vacuum-prop")
     var t = DeltaTable.forPath(d).write(nation)
