@@ -552,12 +552,24 @@ final case class DeltaTable(
     // both applies this delete and purges its deletion vector.
     var numCopied = 0L
     var numDeleted = 0L
+    var cdc: Seq[AddCDCFile] = Seq.empty
     val newAdds: Seq[AddFile] =
       if (touchedAdds.isEmpty) Seq.empty
       else {
         val touchedDF = scanAdds(spark, touchedAdds)
         val totalTouched = touchedDF.count()
         val kept = touchedDF.filter(not(coalesce(pred, lit(false))))
+        // change data feed: the matched rows of touched files ARE the
+        // commit's exact deletes (including rows of fully-dead files).
+        // A no-predicate truncate stays cdc-free — delta's metadata-only
+        // delete — and the feed reconstructs it as remove_file; writing
+        // the whole table as cdc delete rows would double the cost of
+        // the cheapest possible commit.
+        if (cdfEnabled && where.isDefined) {
+          val dead = touchedDF.filter(coalesce(pred, lit(false)))
+            .withColumn("_change_type", lit("delete"))
+          cdc = writeChangeData(dead, dlog.versionToWrite)
+        }
         val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
         numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
         numDeleted = totalTouched - numCopied
@@ -567,7 +579,8 @@ final case class DeltaTable(
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.deleteTable(predicateText, touchedAdds, newAdds,
       dlog.version, numCopied, numDeleted).withExtraCommitInfo(customMetadata)
-    commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(where))
+    commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+      candidateAdds.map(_.path).toSet, Some(where))
   }
 
   /** numRecords from a stats JSON — None when the field is absent (all
@@ -595,6 +608,11 @@ final case class DeltaTable(
     * A file whose LAST live row dies is removed from the log outright, so
     * a full-table merge-on-read delete degenerates to the copy-on-write
     * one (empty table, no sidecar lookups left behind).
+    *
+    * No cdc files even under `delta.enableChangeDataFeed`: the change
+    * feed's DV-delta reconstruction already serves this commit's EXACT
+    * newly-dead rows (q78's contract), so cdc would duplicate those bytes
+    * for nothing — the per-commit authoritative rule permits either.
     */
   def deleteMergeOnRead(spark: SparkSession, where: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {

@@ -181,6 +181,30 @@ class MaintenanceSpec extends SparkSuite {
     assert(!types2.contains("update_preimage"), types2.toString)
   }
 
+  test("enableChangeDataFeed: copy-on-write DELETE streams exact delete rows") {
+    val d = tempDir("cdc-delete")
+    var t = DeltaTable.forPath(d).write(nation.coalesce(1))
+      .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val v0 = t.version
+    t = t.delete(spark, Some(col("n_nationkey") < 3))
+    val ch = t.changesBetween(spark, v0, t.version)
+      .select("n_nationkey", "_change_type")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // EXACTLY the 3 matched rows as `delete` — no insert/remove_file
+    // noise from the 25-row file rewrite
+    assert(ch == Set((0, "delete"), (1, "delete"), (2, "delete")), ch)
+    assert(t.toDF(spark).count() == 22)
+    // a no-predicate truncate stays cdc-free (delta's metadata-only
+    // delete): the feed reconstructs it through the remove_file channel
+    val v1 = t.version
+    t = t.delete(spark, None)
+    val types = t.changesBetween(spark, v1, t.version)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("remove_file"), types.toString)
+    assert(t.dlog.entries(t.version).actions
+      .collect { case c: graft.log.AddCDCFile => c }.isEmpty)
+  }
+
   test("enableChangeDataFeed: merge-on-read UPDATE streams the same pre/post contract") {
     val d = tempDir("cdc-mor-update")
     var t = DeltaTable.forPath(d).write(nation.coalesce(1))
