@@ -86,6 +86,36 @@ final case class DeltaTable(
     }.toDF("version", "timestamp", "operation", "clientVersion", "readVersion")
   }
 
+  /** DESCRIBE DETAIL (delta's surface): one row of table-level metadata,
+    * all of it driver-side log state — no data scan. `numFiles` /
+    * `sizeInBytes` fold the live add set; at 10⁵ files that is the same
+    * metadata walk every commit already does.
+    */
+  def detail(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val meta = dlog.latestMetadata
+    val adds = dlog.addActions.values
+    val protocol = dlog.currentProtocol
+    val lastModified = history.headOption.map(_._2.timestamp).getOrElse(0L)
+    Seq((
+      "graft",
+      meta.map(_.id).getOrElse(""),
+      meta.flatMap(_.name),
+      meta.flatMap(_.description),
+      loc.uri,
+      new java.sql.Timestamp(meta.map(_.createdTime).getOrElse(0L)),
+      new java.sql.Timestamp(lastModified),
+      dlog.partitionColumns,
+      adds.size.toLong,
+      adds.map(_.size).sum,
+      tableProperties,
+      protocol.minReaderVersion,
+      protocol.minWriterVersion
+    )).toDF("format", "id", "name", "description", "location", "createdAt",
+      "lastModified", "partitionColumns", "numFiles", "sizeInBytes",
+      "properties", "minReaderVersion", "minWriterVersion")
+  }
+
   /** Time travel from in-memory entries (reference xdlake/__init__.py:73-82).
     * Below the newest checkpoint on a log-cleaned table, recovery goes
     * through the newest RETAINED checkpoint at/below `v` (the keep-2 GC
@@ -1832,7 +1862,7 @@ final case class DeltaTable(
     val retention =
       if (retentionMs != Long.MinValue) retentionMs
       else tableProperties.get("delta.deletedFileRetentionDuration")
-        .map(DeltaTable.parseRetentionInterval)
+        .map(DeltaTable.parseRetentionInterval(_))
         .getOrElse(7L * 24 * 3600 * 1000)
     val adds = dlog.addActions
     val live: Set[String] =
@@ -2065,6 +2095,87 @@ final case class DeltaTable(
         .writeString(DeltaLogEntry(rewritten).toNdjson)
     }
     DeltaTable.forPath(dstPath, logPath = dstLogPath, conf = conf)
+  }
+
+  /** DEEP clone (delta's `CLONE` without SHALLOW): copy the current
+    * snapshot's live data files — and any referenced DV sidecars — into
+    * `dstPath`, committed as a fresh version-0 table carrying this
+    * table's schema, partitioning, properties, and protocol. Unlike
+    * [[cloneTo]] the clone owns its bytes: the source can be vacuumed,
+    * purged, or deleted without breaking it, and history starts at 0
+    * (delta's CLONE contract — a deep clone is a new table, not a view
+    * of the source's log).
+    *
+    * The byte copy is DISTRIBUTED: an RDD over the file list, executors
+    * streaming each file filesystem-to-filesystem — genuine
+    * per-partition imperative IO, the one place an RDD is the right
+    * primitive. At 100 TB a driver-side copy loop is the bottleneck;
+    * 1000 executors copying ~100 GB each are not. The driver ships only
+    * the O(files) path list.
+    *
+    * File layout: in-table relative paths are preserved (so DV sidecar
+    * basename joins keep working unchanged); zero-copy imported
+    * absolute refs are materialized under `imported-clone-<i>/` keeping
+    * their basename — partition values stay log-authoritative, so the
+    * physical layout is irrelevant to pruning.
+    */
+  def deepCloneTo(spark: SparkSession, dstPath: String): DeltaTable = {
+    val dstLoc = Location(dstPath, conf)
+    val dstLog = dstLoc.child("_delta_log")
+    if (dstLog.exists && dstLog.listSorted().nonEmpty)
+      throw new java.nio.file.FileAlreadyExistsException(
+        s"table already exists at $dstPath")
+    val adds = dlog.addActions.values.toSeq
+
+    def isRelative(p: String) = !p.contains("://") && !p.startsWith("/")
+    val mapped: Seq[(String, AddFile)] = adds.zipWithIndex.map { case (a, i) =>
+      val srcUri = Location.resolve(a.path, loc, conf).uri
+      val rel =
+        if (isRelative(a.path)) a.path
+        else s"imported-clone-$i/${pathName(a.path)}"
+      (srcUri, a.copy(path = rel))
+    }
+    // referenced DV sidecar dirs keep their table-root-relative layout,
+    // so the adds' refs survive verbatim
+    val sidecarFiles: Seq[(String, String)] =
+      adds.flatMap(DeletionVectors.refOf(_)).map(_.sidecar).distinct.flatMap { rel =>
+        val dir = Location.resolve(rel, loc, conf)
+        dir.listDataFilesRecursive().map { st =>
+          (st.getPath.toString, s"$rel/${relativize(st.getPath, dir.path)}")
+        }
+      }
+    val copies = mapped.map { case (src, a) => (src, a.path) } ++ sidecarFiles
+
+    if (copies.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val confKvs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+      val dstRoot = dstLoc.uri
+      spark.sparkContext
+        .parallelize(copies, math.max(1, math.min(copies.size, 64)))
+        .foreach { case (srcUri, dstRel) =>
+          val c = new Configuration()
+          confKvs.foreach { case (k, v) => c.set(k, v) }
+          val src = new org.apache.hadoop.fs.Path(srcUri)
+          val dst = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(dstRoot), dstRel)
+          val sfs = src.getFileSystem(c)
+          val dfs = dst.getFileSystem(c)
+          dfs.mkdirs(dst.getParent)
+          org.apache.hadoop.fs.FileUtil.copy(sfs, src, dfs, dst, false, true, c)
+        }
+    }
+
+    dstLog.mkdirs()
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("cannot deep-clone an empty table"))
+      .copy(id = java.util.UUID.randomUUID().toString,
+        createdTime = System.currentTimeMillis())
+    val protocol = dlog.currentProtocol
+    val commit = CommitInfo.deepClone(loc.uri, dlog.version)
+    val entry = DeltaLogEntry(
+      Vector(protocol, meta) ++ mapped.map(_._2) :+ commit)
+    dstLog.child(DeltaLog.filenameForVersion(0L)).writeString(entry.toNdjson)
+    DeltaTable.forPath(dstPath, conf = conf)
   }
 
   // ------------------------------------------------------------------
@@ -2385,10 +2496,22 @@ final case class DeltaTable(
     require(base.version >= ck,
       s"replayable checkpoint covers version ${base.version} < pointer $ck; " +
         "refusing to delete commits")
+    // `delta.logRetentionDuration` (delta's knob, same interval syntax):
+    // commits younger than the window survive even below the checkpoint,
+    // keeping time travel / CDF over the retention window alive. Unset
+    // means 0 — cleanupLog is an EXPLICIT call here, not delta's
+    // background sweep, so "delete what the checkpoint covers" is the
+    // caller's stated intent; delta's 30-day default exists because its
+    // cleanup runs unasked at every checkpoint.
+    val retention = tableProperties.get("delta.logRetentionDuration")
+      .map(DeltaTable.parseRetentionInterval(_, "delta.logRetentionDuration"))
+      .getOrElse(0L)
+    val cutoff = System.currentTimeMillis() - retention
     logLoc.listSorted().foreach { st =>
       val name = st.getPath.getName
       if (DeltaLog.EntryFilenameRe.matches(name) &&
-          name.split("\\.", 2)(0).toLong <= ck)
+          name.split("\\.", 2)(0).toLong <= ck &&
+          (retention <= 0L || st.getModificationTime < cutoff))
         logLoc.fs.delete(st.getPath, false)
     }
     // reload through the checkpoint fast path; handle settings carry
@@ -2467,7 +2590,8 @@ object DeltaTable {
   /** delta's `interval N weeks|days|hours|minutes|seconds`
     * (case-insensitive); bare milliseconds accepted too.
     */
-  private[graft] def parseRetentionInterval(s: String): Long = {
+  private[graft] def parseRetentionInterval(s: String,
+      prop: String = "delta.deletedFileRetentionDuration"): Long = {
     val t = s.trim.toLowerCase
     t.toLongOption.getOrElse {
       val re = "^interval\\s+(\\d+)\\s+(week|day|hour|minute|second)s?$".r
@@ -2482,8 +2606,7 @@ object DeltaTable {
           }
           n.toLong * ms
         case _ => throw new IllegalArgumentException(
-          s"cannot parse delta.deletedFileRetentionDuration: '$s' " +
-            "(want 'interval N days')")
+          s"cannot parse $prop: '$s' (want 'interval N days')")
       }
     }
   }

@@ -103,6 +103,19 @@ object QueryLib {
           Map("n_regionkey" -> (col("n_regionkey") + lit(10))))
     }
 
+  /** DEEP clone of a DV'd supplier table: live bytes (and the sidecar)
+    * copied into a fresh version-0 table; the clone scan must serve the
+    * source's exact post-delete rows with no reference to the source dir.
+    */
+  def supplierDeepCloneDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "supplier_deep_clone") { d =>
+      val src = cachedDir(sfDir, "supplier_deep_clone_src") { s =>
+        DeltaTable.forPath(s).write(raw(spark, sfDir, "supplier"))
+          .deleteMergeOnRead(spark, Some(col("s_acctbal") < 0))
+      }
+      DeltaTable.forPath(src).deepCloneTo(spark, d)
+    }
+
   /** lineitem with MoR deletes then REORG PURGE: every deletion vector is
     * rewritten away (dataChange=false), so the scan serves the same live
     * rows from clean files with zero DV anti-join work.

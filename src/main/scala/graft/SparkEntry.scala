@@ -84,6 +84,11 @@ object SparkEntry {
       DeltaTable.forPath(QueryLib.nationCdcUpdatedDir(s, d))
         .changesBetween(s, 0L, 2L)
         .orderBy("_change_type", "n_nationkey")),
+    // deep clone: copied bytes + copied DV sidecar serve the source's
+    // exact post-delete rows from a fresh version-0 table
+    "q101_deep_clone_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.supplierDeepCloneDir(s, d)).toDF(s)
+        .orderBy("s_suppkey")),
     // generated-column partition pruning: the ts filter alone derives the
     // event_date partition bound (delta's OptimizeGeneratedColumn)
     "q98_generated_prune_scan" -> ((s, d) =>
@@ -762,6 +767,8 @@ object SparkEntry {
         | CAST(2 AS BIGINT), 'update_postimage'
         |FROM nation WHERE n_nationkey < 5
         |ORDER BY _change_type, n_nationkey""".stripMargin,
+    "q101_deep_clone_scan" ->
+      "SELECT * FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey",
     "q77_check_constraint" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q81_bloom_lookup" ->

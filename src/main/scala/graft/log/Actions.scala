@@ -336,7 +336,18 @@ object CommitInfo {
     val SetProperties = "SET TBLPROPERTIES"
     val UnsetProperties = "UNSET TBLPROPERTIES"
     val UpgradeProtocol = "UPGRADE PROTOCOL"
+    val Clone = "CLONE"
   }
+
+  /** Deep-clone v0 commit (delta's CLONE operation). */
+  def deepClone(sourceLocation: String, sourceVersion: Long): CommitInfo =
+    CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = Op.Clone,
+      operationParameters = ListMap(
+        "source" -> Json.text(sourceLocation),
+        "sourceVersion" -> Json.num(sourceVersion),
+        "isShallow" -> Json.text("false")))
 
   /** Generic metadata-operation commit (SET/UNSET TBLPROPERTIES,
     * UPGRADE PROTOCOL — delta-spark's operation names).

@@ -295,6 +295,31 @@ class CheckpointSpec extends SparkSuite {
     intercept[IllegalStateException](t2.cleanupLog())
   }
 
+  test("cleanupLog honors delta.logRetentionDuration") {
+    val d = tempDir("ckpt-cleanup-retention")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)
+    val one = nation.filter(col("n_nationkey") < 5).coalesce(1)
+    t = t.write(one) // v0
+    t = t.setTableProperties(Map("delta.logRetentionDuration" -> "interval 1 week"))
+    (0 to 2).foreach(_ => t = t.write(one)) // v2..v4
+    t = t.checkpoint()
+    t = t.cleanupLog()
+    val logDir = new java.io.File(s"$d/_delta_log")
+    // every commit is younger than the week window: nothing is deleted,
+    // so time travel across the whole retention window stays alive
+    assert(logDir.listFiles().count(_.getName.matches("\\d+\\.json")) == 5)
+    assert(DeltaTable.forPath(d, version = Some(1L)).version == 1L)
+    // unparseable value fails loudly instead of silently deleting
+    val bad = t.setTableProperties(Map("delta.logRetentionDuration" -> "next tuesday"))
+    val e = intercept[IllegalArgumentException](bad.checkpoint().cleanupLog())
+    assert(e.getMessage.contains("delta.logRetentionDuration"))
+    // window removed: the explicit-call default (0) deletes below the ck
+    val t2 = bad.unsetTableProperties(Seq("delta.logRetentionDuration"))
+      .checkpoint().cleanupLog()
+    assert(!logDir.listFiles().exists(_.getName.matches("\\d+\\.json")))
+    assert(t2.toDF(spark).count() == 4 * one.count())
+  }
+
   test("below-newest-checkpoint asks recover via retained checkpoints, never a partial tail") {
     val d = tempDir("ckpt-recover")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)

@@ -91,6 +91,57 @@ class TableSpec extends SparkSuite {
     assert(DeltaTable.forPath(d).toDF(spark).count() == nation.count() * 2)
   }
 
+  test("deepCloneTo copies bytes: clone survives source deletion") {
+    val src = tempDir("deep-clone-src")
+    var t = DeltaTable.forPath(src)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+      .setTableProperties(Map("custom.tag" -> "v1"))
+    // MoR delete so the clone must carry a DV sidecar too
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
+    val want = t.toDF(spark).collect().toSet
+
+    val dst = tempDir("deep-clone-dst")
+    val c = t.deepCloneTo(spark, dst)
+    // fresh history: one CLONE commit at version 0, same live rows
+    assert(c.versions == Seq(0L))
+    assert(c.history.head._2.operation == "CLONE")
+    assert(c.toDF(spark).collect().toSet == want)
+    assert(c.partitionColumns == Seq("n_regionkey"))
+    assert(c.tableProperties.get("custom.tag").contains("v1"))
+    // every clone file lives under the clone dir (bytes owned)
+    assert(c.fileUris.forall(_.contains(dst.stripPrefix("/"))), c.fileUris)
+    // destroy the source entirely; the clone still reads (incl. the DV)
+    Location(src, c.conf).delete()
+    val again = DeltaTable.forPath(dst)
+    assert(again.toDF(spark).collect().toSet == want)
+    assert(!again.toDF(spark).collect().exists(_.getAs[Int]("n_nationkey") == 3))
+    // clone is independently writable
+    assert(again.write(nation.limit(1)).version == 1L)
+    // refuses to clobber an existing table
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      t.deepCloneTo(spark, dst)
+    }
+  }
+
+  test("detail reports log-derived table metadata") {
+    val d = tempDir("detail")
+    val t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+      .setTableProperties(Map("delta.appendOnly" -> "false"))
+    val row = t.detail(spark).collect().head
+    assert(row.getAs[String]("format") == "graft")
+    assert(row.getAs[String]("id").nonEmpty)
+    assert(row.getAs[String]("location").contains(d.stripPrefix("/")))
+    assert(row.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+      == Seq("n_regionkey"))
+    assert(row.getAs[Long]("numFiles") == t.fileUris.size.toLong)
+    assert(row.getAs[Long]("sizeInBytes") > 0L)
+    assert(row.getAs[Map[String, String]]("properties")
+      .get("delta.appendOnly").contains("false"))
+    assert(row.getAs[Int]("minReaderVersion") >= 1)
+    assert(row.getAs[java.sql.Timestamp]("lastModified").getTime > 0L)
+  }
+
   test("time travel on a clone preserves every version") {
     val src = tempDir("clone-src")
     val t = DeltaTable.forPath(src).write(nation).write(nation)
