@@ -212,6 +212,31 @@ final case class AddFile(
     Json.putExtra(o, extra)
     o
   }
+
+  // Row tracking (delta's rowTracking writer feature). The fields ride in
+  // `extra` under delta's OWN field names, so they round-trip as protocol
+  // JSON and a delta reader sees exactly the shape delta-spark writes:
+  // baseRowId = the first fresh row id of this file (fresh id of physical
+  // row i is baseRowId + i), defaultRowCommitVersion = the commit that
+  // assigned them.
+
+  def baseRowId: Option[Long] =
+    extra.get("baseRowId").filter(_.isNumber).map(_.asLong())
+
+  def defaultRowCommitVersion: Option[Long] =
+    extra.get("defaultRowCommitVersion").filter(_.isNumber).map(_.asLong())
+
+  def withRowIds(base: Long, commitVersion: Long): AddFile =
+    copy(extra = extra
+      .updated("baseRowId", Json.num(base))
+      .updated("defaultRowCommitVersion", Json.num(commitVersion)))
+
+  /** numRecords from the stats JSON — the row-id allocator's file width. */
+  def numRecords: Option[Long] =
+    stats.flatMap { s =>
+      val n = Json.mapper.readTree(s).get("numRecords")
+      if (n != null && n.isNumber) Some(n.asLong()) else None
+    }
 }
 
 /** A logically-deleted file (reference actions.py:220-228). */
@@ -260,6 +285,29 @@ final case class AddCDCFile(
     Json.putStrOptMap(o, "partitionValues", partitionValues)
     o.put("size", size)
     o.put("dataChange", false)
+    Json.putExtra(o, extra)
+    o
+  }
+}
+
+/** Table-state metadata owned by a named domain (delta's `domainMetadata`
+  * action): the latest non-removed action per domain is part of snapshot
+  * state — it must survive checkpointing and replay like metaData does.
+  * Graft uses the `delta.rowTracking` domain for the row-id high-water
+  * mark; foreign domains round-trip untouched.
+  */
+final case class DomainMetadata(
+    domain: String,
+    configuration: String,
+    removed: Boolean = false,
+    extra: Map[String, JsonNode] = Map.empty
+) extends Action {
+  val actionName = "domainMetadata"
+  def bodyNode: ObjectNode = {
+    val o = Json.obj()
+    o.put("domain", domain)
+    o.put("configuration", configuration)
+    o.put("removed", removed)
     Json.putExtra(o, extra)
     o
   }
@@ -513,12 +561,20 @@ object Action {
       case "cdc"        => parseCdc(b)
       case "commitInfo" => parseCommitInfo(b)
       case "txn"        => parseTxn(b)
+      case "domainMetadata" => parseDomainMetadata(b)
       case other        => RawAction(other, b.asInstanceOf[ObjectNode])
     }
   }
 
   private def extraOf(b: JsonNode, known: Set[String]): Map[String, JsonNode] =
     Json.fieldsOf(b).filterNot { case (k, _) => known(k) }
+
+  private def parseDomainMetadata(b: JsonNode): DomainMetadata =
+    DomainMetadata(
+      domain = Json.strOpt(b, "domain").getOrElse(""),
+      configuration = Json.strOpt(b, "configuration").getOrElse("{}"),
+      removed = Json.boolOpt(b, "removed").getOrElse(false),
+      extra = extraOf(b, Set("domain", "configuration", "removed")))
 
   private def parseTxn(b: JsonNode): Txn =
     Txn(
@@ -580,7 +636,14 @@ object Action {
 
   private def parseCommitInfo(b: JsonNode): CommitInfo =
     CommitInfo(
-      timestamp = Json.longOpt(b, "timestamp").getOrElse(0L),
+      // Delta tables with enableInCommitTimestamps carry the
+      // authoritative clock in commitInfo.inCommitTimestamp (the
+      // file-level `timestamp` is then just the file mtime echo);
+      // prefer it so timestampAsOf over a foreign ICT table resolves
+      // with the writer's monotonic clock. The field itself stays in
+      // `extra` (not an excluded key below), so re-emission round-trips.
+      timestamp = Json.longOpt(b, "inCommitTimestamp")
+        .orElse(Json.longOpt(b, "timestamp")).getOrElse(0L),
       operation = Json.strOpt(b, "operation").getOrElse(""),
       operationParameters = Option(b.get("operationParameters"))
         .filterNot(_.isNull).map(Json.fieldsOf).getOrElse(ListMap.empty),

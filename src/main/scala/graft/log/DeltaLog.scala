@@ -480,9 +480,28 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       ctx: graft.CommitContext = graft.CreateIfAbsentCommit): DeltaLog = {
     val v = versionToWrite
     if (v == 0L) loc.mkdirs()
+    // In-commit monotonic timestamps (delta's inCommitTimestamp
+    // semantics): the committed timestamp is max(parent commit's
+    // timestamp + 1, the proposed wall clock). Timestamp→version
+    // resolution (timestampAsOf / startingTimestamp / RESTORE TIMESTAMP)
+    // binary-searches commitInfo timestamps assuming they are ordered;
+    // a writer with a lagging clock would otherwise commit a timestamp
+    // BELOW its parent and silently shift every at-or-before answer one
+    // version back. The clamp runs at commit (not action construction)
+    // so an OCC rebase re-clamps against the WINNER's timestamp.
+    val parentTs = entries.valuesIterator
+      .flatMap(_.commitInfos.map(_.timestamp))
+      .foldLeft(Long.MinValue)(math.max)
+    val stamped =
+      if (parentTs == Long.MinValue) entry
+      else DeltaLogEntry(entry.actions.map {
+        case c: CommitInfo if c.timestamp <= parentTs =>
+          c.copy(timestamp = parentTs + 1L)
+        case a => a
+      })
     val entryLoc = loc.child(DeltaLog.filenameForVersion(v))
-    ctx.write(entryLoc, entry.toNdjson)
-    DeltaLog(loc, entries.updated(v, entry))
+    ctx.write(entryLoc, stamped.toNdjson)
+    DeltaLog(loc, entries.updated(v, stamped))
   }
 }
 

@@ -124,4 +124,52 @@ class LogSpec extends AnyFunSuite {
     assert(DeltaLog.schemasEquivalent(a, b))
     assert(!DeltaLog.schemasEquivalent(a, StructType(Seq(StructField("x", LongType)))))
   }
+
+  test("in-commit timestamps: a lagging writer clock is clamped to parent+1") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-ict").toString
+    val loc = Location(dir)
+    val schema = StructType(Seq(StructField("x", LongType)))
+    var dlog = DeltaLog.load(loc)
+    dlog = dlog.commit(DeltaLogEntry.createTable(dir, schema, Nil, Nil))
+    val t0 = dlog.entries(0L).commitInfos.head.timestamp
+
+    // a writer whose wall clock lags the previous committer (clock skew
+    // between cluster nodes) proposes a timestamp BELOW the parent's
+    def skewedAppend(ts: Long): DeltaLogEntry = {
+      val e = DeltaLogEntry.appendTable(Nil, Nil, None)
+      DeltaLogEntry(e.actions.map {
+        case c: CommitInfo => c.copy(timestamp = ts)
+        case a             => a
+      })
+    }
+    dlog = dlog.commit(skewedAppend(t0 - 60000L))
+    val t1 = dlog.entries(1L).commitInfos.head.timestamp
+    assert(t1 == t0 + 1L, "skewed timestamp must be clamped to parent+1")
+    // the durable file agrees with the in-memory state
+    val replayed = DeltaLog.load(loc)
+    assert(replayed.entries(1L).commitInfos.head.timestamp == t1)
+
+    // same-millisecond commits stay strictly monotonic
+    dlog = dlog.commit(skewedAppend(t1))
+    assert(dlog.entries(2L).commitInfos.head.timestamp == t1 + 1L)
+    // a normally-advancing clock is NOT rewritten
+    dlog = dlog.commit(skewedAppend(t1 + 99999L))
+    assert(dlog.entries(3L).commitInfos.head.timestamp == t1 + 99999L)
+    // timestamps are now totally ordered → versionAt-style resolution
+    val ts = dlog.entries.values.flatMap(_.commitInfos).map(_.timestamp).toSeq
+    assert(ts == ts.sorted && ts.distinct == ts)
+  }
+
+  test("foreign ICT commitInfo: inCommitTimestamp wins over file timestamp") {
+    // delta's enableInCommitTimestamps stores the authoritative monotonic
+    // clock under inCommitTimestamp; the legacy field may be an arbitrary
+    // file-mtime echo
+    val line = """{"commitInfo":{"timestamp":5,"inCommitTimestamp":1234567,"operation":"WRITE","operationParameters":{}}}"""
+    val parsed = Action.parse(line).asInstanceOf[CommitInfo]
+    assert(parsed.timestamp == 1234567L)
+    // the field round-trips through extra on re-emission
+    val reparsed = Action.parse(parsed.toLine).asInstanceOf[CommitInfo]
+    assert(reparsed.timestamp == 1234567L)
+  }
 }
