@@ -1016,6 +1016,48 @@ final case class DeltaTable(
         Map("properties" -> keys.mkString(",")), dlog.version))))
   }
 
+  /** Live domain metadata: domain → configuration JSON (snapshot replay;
+    * see DeltaLog.domainMetadata). Foreign domains written by other
+    * engines (e.g. delta-spark's clustering domain) surface here too.
+    */
+  def domainMetadata: Map[String, String] =
+    dlog.domainMetadata.map { case (d, m) => d -> m.configuration }
+
+  /** Set a named domain's metadata (delta's `domainMetadata` writer
+    * feature: table state owned by a component rather than the table's
+    * own configuration — delta-spark uses it for clustering state). A
+    * metadata-only commit; the first one bumps the protocol to declare
+    * the `domainMetadata` writer feature so a feature-unaware foreign
+    * writer fails loudly instead of silently dropping domain state on
+    * its next checkpoint.
+    */
+  def setDomainMetadata(domain: String, configuration: String): DeltaTable = {
+    require(!dlog.isEmpty, "setDomainMetadata requires an existing table")
+    require(domain.nonEmpty, "domain must be non-empty")
+    commitDomain(DomainMetadata(domain, configuration),
+      CommitInfo.Op.SetDomainMetadata)
+  }
+
+  /** Remove a domain's metadata: commits a `removed=true` tombstone;
+    * replay then drops the domain from snapshot state and the next
+    * checkpoint no longer carries it.
+    */
+  def removeDomainMetadata(domain: String): DeltaTable = {
+    require(dlog.domainMetadata.contains(domain), s"unknown domain: $domain")
+    commitDomain(DomainMetadata(domain, "{}", removed = true),
+      CommitInfo.Op.RemoveDomainMetadata)
+  }
+
+  private def commitDomain(d: DomainMetadata, op: String): DeltaTable = {
+    val info = CommitInfo.metaOp(op, Map("domain" -> d.domain), dlog.version)
+    val actions: Vector[Action] =
+      ProtocolGate.withFeature(dlog.currentProtocol, "domainMetadata") match {
+        case Some(up) => Vector(up, d, info)
+        case None => Vector(d, info)
+      }
+    commit(DeltaLogEntry(actions))
+  }
+
   /** Explicit protocol upgrade (delta's `upgradeTableProtocol`): raises
     * the versions component-wise — downgrades are rejected, as in delta —
     * and at the table-features versions (reader 3 / writer 7) records the

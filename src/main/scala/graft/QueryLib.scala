@@ -428,14 +428,52 @@ object QueryLib {
         .delete(spark, Some(col("n_regionkey") === 0)).restore(1L)
     }
 
-  /** events with the TIMESTAMP(NANOS) column read as long and converted to
-    * a microsecond timestamp (Spark's parquet reader rejects NANOS without
-    * `spark.sql.legacy.parquet.nanosAsLong`).
+  /** Normalize the events fixture's `ts` column — whatever physical type a
+    * fixture generation carried — to a µs-precision TIMESTAMP_NTZ:
+    *   - `LongType`: legacy INT64-nanos fixture read under
+    *     `spark.sql.legacy.parquet.nanosAsLong` → truncate to µs, reinterpret
+    *     as naive micros;
+    *   - `TIMESTAMP(MICROS, isAdjustedToUTC=0)`: current fixture, already
+    *     NTZ → identity;
+    *   - UTC-adjusted `TimestampType`: cast (session tz is UTC, lossless).
+    * Every events consumer MUST go through these probes instead of assuming
+    * a physical type — a regenerated fixture must never silently shift
+    * timestamps (round 8's 12-query regression).
+    */
+  def tsToNtz(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+
+  /** `ts` as UTC-adjusted TimestampType (the type event-time watermarks
+    * want); naive wall-clock is preserved because the session tz is UTC.
+    */
+  def tsToTimestamp(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case org.apache.spark.sql.types.TimestampType => col("ts")
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** `ts` as a plain epoch-µs long (for numeric gap arithmetic). */
+  def tsToMicros(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column =
+    dt match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
+  /** events with `ts` normalized to µs TIMESTAMP_NTZ regardless of the
+    * fixture's physical type (probe `raw`'s schema, branch — see tsToNtz).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // tolerate the legacy INT64-nanos fixture (reader rejects NANOS without
+    // this; a no-op for the TIMESTAMP(MICROS) fixture)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val df = raw(spark, sfDir, "events")
+    df.withColumn("ts", tsToNtz(df.schema("ts").dataType))
   }
 
   /** events (ns timestamps converted to µs NTZ) written into a Delta

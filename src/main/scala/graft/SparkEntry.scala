@@ -1002,8 +1002,9 @@ object SparkEntry {
         |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
         | o_orderdate, o_orderpriority FROM orders
         |ORDER BY o_orderkey""".stripMargin,
-    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns read to the µs the
-    // engine table stores (QueryLib.events: ts div 1000)
+    // CAST(ts AS TIMESTAMP) pins the oracle to the µs precision the
+    // engine table stores (QueryLib.events normalizes ts to µs NTZ; a
+    // no-op on the TIMESTAMP(MICROS) fixture, a ns-truncation on legacy)
     "q88_generated_partition_scan" ->
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
         | value, props, CAST(ts AS DATE) AS event_date

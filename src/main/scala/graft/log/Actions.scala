@@ -292,9 +292,12 @@ final case class AddCDCFile(
 
 /** Table-state metadata owned by a named domain (delta's `domainMetadata`
   * action): the latest non-removed action per domain is part of snapshot
-  * state — it must survive checkpointing and replay like metaData does.
-  * Graft uses the `delta.rowTracking` domain for the row-id high-water
-  * mark; foreign domains round-trip untouched.
+  * state (DeltaLog.domainMetadata), survives checkpointing like metaData
+  * does (Checkpoint.snapshotActions, both layouts), and a `removed=true`
+  * tombstone deletes the domain on replay. Surface:
+  * DeltaTable.{domainMetadata,setDomainMetadata,removeDomainMetadata};
+  * foreign domains (e.g. delta-spark's clustering domain) round-trip
+  * untouched.
   */
 final case class DomainMetadata(
     domain: String,
@@ -385,6 +388,8 @@ object CommitInfo {
     val UnsetProperties = "UNSET TBLPROPERTIES"
     val UpgradeProtocol = "UPGRADE PROTOCOL"
     val Clone = "CLONE"
+    val SetDomainMetadata = "SET DOMAIN METADATA"
+    val RemoveDomainMetadata = "REMOVE DOMAIN METADATA"
   }
 
   /** Deep-clone v0 commit (delta's CLONE operation). */

@@ -69,7 +69,11 @@ object Checkpoint {
       case t: Txn => txns = txns.updated(t.appId, t)
       case _ => ()
     })
-    Seq(protocol, metadata) ++ txns.values ++ dlog.addActions.values
+    // live domain metadata (latest non-removed per domain): part of
+    // snapshot state, so it must survive the checkpoint fast path and
+    // subsequent log cleanup exactly as metaData does
+    Seq(protocol, metadata) ++ txns.values ++
+      dlog.domainMetadata.values ++ dlog.addActions.values
   }
 
   /** Write the checkpoint for the log's current version and point
@@ -160,6 +164,10 @@ object Checkpoint {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", strMap),
         StructField("createdTime", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType),

@@ -354,6 +354,23 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       case t: Txn if t.appId == appId => t.version
     }).reduceOption((_, last) => last)
 
+  /** Snapshot domain metadata: the latest action per domain in commit
+    * order, a `removed=true` tombstone deleting the domain from state
+    * (delta's domainMetadata replay rule). Checkpoints persist the live
+    * map only — a full snapshot needs no tombstones — so state is
+    * identical before and after a checkpoint is taken
+    * (Checkpoint.snapshotActions).
+    */
+  def domainMetadata: ListMap[String, DomainMetadata] = {
+    var doms = ListMap.empty[String, DomainMetadata]
+    entries.valuesIterator.foreach(_.actions.foreach {
+      case d: DomainMetadata =>
+        doms = if (d.removed) doms.removed(d.domain) else doms.updated(d.domain, d)
+      case _ => ()
+    })
+    doms
+  }
+
   /** Partition columns of the latest version that declares them (reference
     * delta_log/__init__.py:348-355).
     */

@@ -21,16 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DeltaStreamSink {
 
-  /** Schema of the raw events parquet with the TIMESTAMP(NANOS) column
-    * widened to long (see QueryLib.events).
+  /** Probed raw schema of the events files under `dir` (glob
+    * `events*.parquet`). Streaming file sources need an explicit schema;
+    * hardcoding one broke every streaming runner when the fixture's `ts`
+    * changed physical type (INT64 ns → TIMESTAMP µs), so probe the actual
+    * files with a batch read and normalize `ts` afterwards via
+    * [[graft.QueryLib.tsToNtz]] / [[graft.QueryLib.tsToTimestamp]].
     */
-  val eventsLongSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    // tolerate the legacy INT64-nanos fixture; no-op for TIMESTAMP(MICROS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events*.parquet").schema
+  }
 
   /** Write each micro-batch's (complete-mode) result as the new content of
     * the Delta table at `tableDir`: the first batch creates, later batches
@@ -48,17 +50,17 @@ object DeltaStreamSink {
     * watermark-truncation of trailing windows).
     */
   def runHourlyAggregate(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val stream = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(raw)
       // glob (not the bare file path) so the inferred basePath is the
       // parent DIRECTORY — a single-file path fails partition inference
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events*.parquet")
       // ntz: the raw timestamps are wall-clock naive; keeping NTZ
       // end-to-end writes tz-free parquet identical to the oracle's
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .withColumn("ts", graft.QueryLib.tsToNtz(raw("ts").dataType))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
@@ -85,16 +87,16 @@ object DeltaStreamSink {
     */
   def runWatermarkedHourlyAggregate(spark: SparkSession, sfDir: String,
       tableDir: String, delay: String = "30 minutes"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val stream = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(raw)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events*.parquet")
       // watermarks require TimestampType; session tz is UTC, so the naive
       // micros become the same wall-clock instants and the output window
       // start converts back to NTZ losslessly
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.QueryLib.tsToTimestamp(raw("ts").dataType))
     val agg = stream
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -135,13 +137,13 @@ object DeltaStreamSink {
     * handshake must keep exactly one copy.
     */
   def runIdempotentStream(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val stream = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(raw)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .withColumn("ts", graft.QueryLib.tsToNtz(raw("ts").dataType))
     val q = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -176,14 +178,14 @@ object DeltaStreamSink {
     */
   def runStreamStreamJoin(spark: SparkSession, sfDir: String, tableDir: String,
       delay: String = "30 minutes"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     def side(eventType: String, prefix: String) = {
       val s = spark.readStream
-        .schema(eventsLongSchema)
+        .schema(raw)
         .option("basePath", sfDir)
         .parquet(s"$sfDir/events*.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", graft.QueryLib.tsToTimestamp(raw("ts").dataType))
         .filter(col("event_type") === eventType)
         .withWatermark("ts", delay)
       s.select(col("user_id").as(s"${prefix}_user"),
@@ -222,7 +224,7 @@ object DeltaStreamSink {
     * watermark delay would retain).
     */
   def runStreamingDedup(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val inDir = java.nio.file.Files.createTempDirectory("graft-dedup-in-")
     Seq("events_a.parquet", "events_b.parquet").foreach { name =>
@@ -230,10 +232,10 @@ object DeltaStreamSink {
         java.nio.file.Paths.get(s"$sfDir/events.parquet"), inDir.resolve(name))
     }
     val deduped = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(raw)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/*.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      .withColumn("ts", graft.QueryLib.tsToNtz(raw("ts").dataType))
       .dropDuplicates("event_id")
     val q = deduped.writeStream
       .outputMode("append")
@@ -266,17 +268,19 @@ object DeltaStreamSink {
     */
   def runStreamingDedupWithinWatermark(spark: SparkSession, sfDir: String,
       tableDir: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val inDir = java.nio.file.Files.createTempDirectory("graft-wmdedup-in-")
-    val ev = spark.read.schema(eventsLongSchema).parquet(s"$sfDir/events.parquet")
-    val maxTs = ev.agg(max("ts")).first().getLong(0)
-    val sliceNs = 50L * 60 * 1000000000L
-    val shiftNs = 2L * 3600 * 1000000000L
-    val slice = ev.filter(col("ts") > maxTs - sliceNs)
+    // normalize to TimestampType up front: the staged parts then carry a
+    // µs timestamp regardless of the fixture's physical ts type, and the
+    // slice/shift arithmetic is plain interval arithmetic
+    val ev = spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", graft.QueryLib.tsToTimestamp(raw("ts").dataType))
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val slice = ev.filter(col("ts") > lit(maxTs) - expr("INTERVAL 50 MINUTES"))
     val shifted = slice.select((col("event_id") + 10000000L).as("event_id"),
-      (col("ts") + shiftNs).as("ts"), col("user_id"), col("event_type"),
-      col("value"), col("props"))
+      (col("ts") + expr("INTERVAL 2 HOURS")).as("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
     def onePart(df: DataFrame, dest: java.nio.file.Path, modMillis: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory("graft-wm-part-")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -292,12 +296,12 @@ object DeltaStreamSink {
     onePart(ev, inDir.resolve("events_a.parquet"), t0)
     onePart(slice.union(shifted), inDir.resolve("events_b.parquet"), t0 + 60000)
     val deduped = spark.readStream
-      .schema(eventsLongSchema)
+      // the staged parts were written from the normalized frame above, so
+      // their schema is ev's (ts already TimestampType — watermark-ready);
+      // back to NTZ at the sink like the other runners
+      .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$inDir/*.parquet")
-      // watermarks require TimestampType (UTC session tz keeps the naive
-      // micros' wall clock); back to NTZ at the sink like the other runners
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
@@ -329,15 +333,16 @@ object DeltaStreamSink {
       maxFilesPerTrigger: Option[Int] = None): Unit = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = eventsRawSchema(spark, sfDir)
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
     val reader = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(raw)
       .option("basePath", sfDir)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$sfDir/events*.parquet")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"))
+      .select(col("user_id"), col("event_id"),
+        graft.QueryLib.tsToMicros(raw("ts").dataType).as("us"))
       .as[(Long, Long, Long)]
 
     def sessionize(userId: Long, rows: Iterator[(Long, Long, Long)],

@@ -177,9 +177,7 @@ object ScaleProbe {
 
     // temporal joins: events grown by user-shifted copies (per-key history
     // length constant, key count grows — the sharded-corpus shape)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val ev = graft.QueryLib.events(spark, "/root/testdata/sf0.1")
     def grownEvents(copies: Int): DataFrame =
       (0 until copies).map { i =>
         ev.select((col("event_id") + i.toLong * 10000000L).as("event_id"),

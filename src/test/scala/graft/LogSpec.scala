@@ -64,10 +64,19 @@ class LogSpec extends AnyFunSuite {
   }
 
   test("unknown action types and unknown fields survive round-trip") {
-    val line = """{"domainMetadata":{"domain":"d","configuration":"{}","removed":false}}"""
+    // a genuinely-unknown action name (delta v2-checkpoint era) must
+    // round-trip as an opaque RawAction
+    val line = """{"checkpointMetadata":{"version":9,"tags":{"k":"v"}}}"""
     val a = Action.parse(line)
     assert(a.isInstanceOf[RawAction])
     assert(Action.parse(a.toLine) == a)
+
+    // domainMetadata is first-class (snapshot-state per-domain config)
+    val dmLine = """{"domainMetadata":{"domain":"d","configuration":"{}","removed":false,"future":1}}"""
+    val dm = Action.parse(dmLine).asInstanceOf[DomainMetadata]
+    assert(dm.domain == "d" && !dm.removed)
+    assert(dm.extra.contains("future"))
+    assert(Action.parse(dm.toLine) == dm)
 
     // txn is first-class (idempotent sinks) but still keeps unknown fields
     val txnLine = """{"txn":{"appId":"app-1","version":7,"weird":{"x":1}}}"""

@@ -383,13 +383,16 @@ class StreamingSinkSpec extends SparkSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = QueryLib.raw(spark, sfDir, "events")
     val src = tempDir("stream-split")
-    val cuts = raw.stat.approxQuantile("ts", Array(0.34, 0.67), 0.0)
+    // quantile over an epoch-µs view of ts (approxQuantile needs a numeric
+    // column; works for both the legacy long and the timestamp fixture)
+    val withUs = raw.withColumn("_us", QueryLib.tsToMicros(raw.schema("ts").dataType))
+    val cuts = withUs.stat.approxQuantile("_us", Array(0.34, 0.67), 0.0)
     val ranges = Seq(
-      col("ts") <= cuts(0),
-      col("ts") > cuts(0) && col("ts") <= cuts(1),
-      col("ts") > cuts(1))
+      col("_us") <= cuts(0),
+      col("_us") > cuts(0) && col("_us") <= cuts(1),
+      col("_us") > cuts(1))
     ranges.zipWithIndex.foreach { case (p, i) =>
-      raw.filter(p).coalesce(1).write.parquet(s"$src/events_$i.parquet")
+      withUs.filter(p).drop("_us").coalesce(1).write.parquet(s"$src/events_$i.parquet")
       // deterministic batch order: the file source sorts by modTime
       new java.io.File(s"$src/events_$i.parquet").listFiles()
         .foreach(f => f.setLastModified(1700000000000L + i * 60000L))

@@ -51,11 +51,12 @@ class Round8Spec extends SparkSuite {
     val dir = tempDir("wm-dedup")
     val stateRows = streaming.DeltaStreamSink
       .runStreamingDedupWithinWatermark(spark, sf, dir)
-    val ev = spark.read.schema(streaming.DeltaStreamSink.eventsLongSchema)
-      .parquet(s"$sf/events.parquet")
+    val raw = streaming.DeltaStreamSink.eventsRawSchema(spark, sf)
+    val ev = spark.read.schema(raw).parquet(s"$sf/events.parquet")
+      .withColumn("ts", QueryLib.tsToTimestamp(raw("ts").dataType))
     val nEvents = ev.count()
-    val maxTs = ev.agg(max("ts")).first().getLong(0)
-    val nSlice = ev.filter(col("ts") > maxTs - 50L * 60 * 1000000000L).count()
+    val maxTs = ev.agg(max("ts")).first().getTimestamp(0)
+    val nSlice = ev.filter(col("ts") > lit(maxTs) - expr("INTERVAL 50 MINUTES")).count()
     val got = DeltaTable.forPath(dir).toDF(spark)
     // one copy of events + the genuinely-new shifted slice; the
     // re-delivered slice (inside the watermark, across a batch boundary)

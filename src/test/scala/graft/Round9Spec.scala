@@ -1,0 +1,92 @@
+package graft
+
+import graft.log.{Checkpoint, DeltaLog, DomainMetadata, ProtocolGate}
+import org.apache.spark.sql.functions._
+
+/** Round 9: domainMetadata as real snapshot state — replay rule,
+  * checkpoint survival (both graft-native and delta-format), protocol
+  * feature declaration. Delta's domainMetadata contract: the latest
+  * action per domain is table state; a `removed=true` tombstone deletes
+  * the domain; checkpoints carry the live map.
+  */
+class Round9Spec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("domain metadata: set/overwrite/remove replay like delta's") {
+    val d = tempDir("dm-replay")
+    var t = DeltaTable.forPath(d).write(nation)
+    assert(t.domainMetadata.isEmpty)
+    t = t.setDomainMetadata("graft.test", """{"k":1}""")
+    assert(t.domainMetadata == Map("graft.test" -> """{"k":1}"""))
+    // latest-wins per domain
+    t = t.setDomainMetadata("graft.test", """{"k":2}""")
+    t = t.setDomainMetadata("other.domain", """{"x":true}""")
+    assert(t.domainMetadata == Map(
+      "graft.test" -> """{"k":2}""", "other.domain" -> """{"x":true}"""))
+    // tombstone removes from state; unknown-domain removal is rejected
+    t = t.removeDomainMetadata("graft.test")
+    assert(t.domainMetadata == Map("other.domain" -> """{"x":true}"""))
+    intercept[IllegalArgumentException](t.removeDomainMetadata("graft.test"))
+    // a fresh full-JSON replay sees the same state
+    assert(DeltaTable.forPath(d).domainMetadata == t.domainMetadata)
+  }
+
+  test("first domain commit declares the writer feature, exactly once") {
+    val d = tempDir("dm-proto")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.setDomainMetadata("graft.test", "{}")
+    val p1 = t.dlog.currentProtocol
+    assert(p1.minWriterVersion == 7)
+    assert(ProtocolGate.writerFeatures(p1).contains("domainMetadata"))
+    // second domain commit must not add another protocol action
+    val protoActionsBefore = t.dlog.entries.valuesIterator
+      .flatMap(_.actions).count(_.isInstanceOf[graft.log.Protocol])
+    t = t.setDomainMetadata("graft.test", """{"v":2}""")
+    val protoActionsAfter = t.dlog.entries.valuesIterator
+      .flatMap(_.actions).count(_.isInstanceOf[graft.log.Protocol])
+    assert(protoActionsAfter == protoActionsBefore)
+  }
+
+  test("domain metadata survives checkpoint + log cleanup + reopen") {
+    val d = tempDir("dm-ckpt")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.setDomainMetadata("keep.me", """{"hwm":42}""")
+    t = t.setDomainMetadata("drop.me", "{}")
+    t = t.removeDomainMetadata("drop.me")
+    (1 to 3).foreach(_ => t = t.write(nation))
+    t = t.checkpoint().cleanupLog()
+    // the JSON commits that carried the domain actions are gone; the
+    // fast-path reopen must restore the live map from the checkpoint
+    val fresh = DeltaTable.forPath(d)
+    assert(fresh.dlog.entries.firstKey == t.version,
+      "expected a checkpoint fast-path load")
+    assert(fresh.domainMetadata == Map("keep.me" -> """{"hwm":42}"""))
+    // further commits after the checkpoint keep working on top of it
+    val t2 = fresh.setDomainMetadata("keep.me", """{"hwm":43}""")
+    assert(DeltaTable.forPath(d).domainMetadata ==
+      Map("keep.me" -> """{"hwm":43}"""))
+    assert(t2.domainMetadata("keep.me") == """{"hwm":43}""")
+  }
+
+  test("delta-format checkpoint round-trips domain metadata") {
+    val d = tempDir("dm-delta-ckpt")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.setDomainMetadata("cross.engine", """{"seen":"yes"}""")
+    t = t.checkpoint()
+    // the delta-layout checkpoint (the cross-engine emission) must carry
+    // the domainMetadata column populated
+    val ckpt = spark.read.parquet(
+      t.logLoc.child(f"${t.version}%020d.checkpoint.parquet").uri)
+    assert(ckpt.schema.fieldNames.contains("domainMetadata"))
+    val doms = ckpt.select("domainMetadata.domain", "domainMetadata.configuration")
+      .where(col("domainMetadata.domain").isNotNull).collect()
+    assert(doms.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("cross.engine", """{"seen":"yes"}""")))
+    // and graft's own delta-format read path restores it as an action
+    val entry = Checkpoint.readDeltaFormat(t.logLoc, t.version,
+      spark.sparkContext.hadoopConfiguration)
+    val restored = entry.get.actions.collect { case dm: DomainMetadata => dm }
+    assert(restored == Vector(DomainMetadata("cross.engine", """{"seen":"yes"}""")))
+  }
+}
