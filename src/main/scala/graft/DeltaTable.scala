@@ -82,7 +82,7 @@ final case class DeltaTable(
   def historyDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     history.map { case (v, c) =>
-      (v, c.timestamp, c.operation, c.clientVersion, c.readVersion)
+      (v, c.effectiveTimestamp, c.operation, c.clientVersion, c.readVersion)
     }.toDF("version", "timestamp", "operation", "clientVersion", "readVersion")
   }
 
@@ -96,7 +96,7 @@ final case class DeltaTable(
     val meta = dlog.latestMetadata
     val adds = dlog.addActions.values
     val protocol = dlog.currentProtocol
-    val lastModified = history.headOption.map(_._2.timestamp).getOrElse(0L)
+    val lastModified = history.headOption.map(_._2.effectiveTimestamp).getOrElse(0L)
     Seq((
       "graft",
       meta.map(_.id).getOrElse(""),
@@ -142,11 +142,11 @@ final case class DeltaTable(
     val h = history // newest first
     if (h.isEmpty)
       throw new IllegalArgumentException("table has no commits to time-travel to")
-    val at = h.filter { case (_, ci) => ci.timestamp <= timestampMillis }
+    val at = h.filter { case (_, ci) => ci.effectiveTimestamp <= timestampMillis }
     if (at.isEmpty)
       throw new IllegalArgumentException(
         s"timestamp $timestampMillis predates the earliest reachable commit " +
-          s"(version ${h.last._1} at ${h.last._2.timestamp})")
+          s"(version ${h.last._1} at ${h.last._2.effectiveTimestamp})")
     at.map(_._1).max
   }
 
@@ -171,15 +171,15 @@ final case class DeltaTable(
     // T strictly after the oldest survivor proves cleaned commits all
     // predate T, which keeps the resolution exact.
     h.lastOption.foreach { case (v0, ci0) =>
-      if (v0 > 0L && timestampMillis <= ci0.timestamp)
+      if (v0 > 0L && timestampMillis <= ci0.effectiveTimestamp)
         throw new IllegalArgumentException(
           s"startingTimestamp $timestampMillis does not postdate the " +
-            s"oldest reachable commit (version $v0 at ${ci0.timestamp}); " +
+            s"oldest reachable commit (version $v0 at ${ci0.effectiveTimestamp}); " +
             "earlier commits were removed by log cleanup, so changes " +
             "since that timestamp cannot be served completely — use " +
             "startingVersion or a fresh snapshot instead")
     }
-    val at = h.filter { case (_, ci) => ci.timestamp >= timestampMillis }
+    val at = h.filter { case (_, ci) => ci.effectiveTimestamp >= timestampMillis }
     if (at.isEmpty) version + 1 else at.map(_._1).min
   }
 

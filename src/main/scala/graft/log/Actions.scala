@@ -231,11 +231,16 @@ final case class AddFile(
       .updated("baseRowId", Json.num(base))
       .updated("defaultRowCommitVersion", Json.num(commitVersion)))
 
-  /** numRecords from the stats JSON — the row-id allocator's file width. */
+  /** numRecords from the stats JSON — the row-id allocator's file width.
+    * None on malformed stats (a foreign writer's stats are advisory, never
+    * a reason to fail replay).
+    */
   def numRecords: Option[Long] =
     stats.flatMap { s =>
-      val n = Json.mapper.readTree(s).get("numRecords")
-      if (n != null && n.isNumber) Some(n.asLong()) else None
+      try {
+        val n = Json.mapper.readTree(s).get("numRecords")
+        if (n != null && n.isNumber) Some(n.asLong()) else None
+      } catch { case _: Exception => None }
     }
 }
 
@@ -329,6 +334,17 @@ final case class CommitInfo(
     extra: Map[String, JsonNode] = Map.empty
 ) extends Action {
   val actionName = "commitInfo"
+
+  /** The authoritative commit clock: `inCommitTimestamp` when the writer
+    * recorded one (delta's ICT feature — the legacy `timestamp` is then
+    * just a file-mtime echo), else `timestamp`. Ordering consumers
+    * (history, timestampAsOf, the monotonic commit clamp) resolve by
+    * THIS; the raw fields re-emit byte-faithfully.
+    */
+  def effectiveTimestamp: Long =
+    extra.get("inCommitTimestamp").filter(_.isNumber).map(_.asLong())
+      .getOrElse(timestamp)
+
   def bodyNode: ObjectNode = {
     val o = Json.obj()
     o.put("timestamp", timestamp)
@@ -641,14 +657,12 @@ object Action {
 
   private def parseCommitInfo(b: JsonNode): CommitInfo =
     CommitInfo(
-      // Delta tables with enableInCommitTimestamps carry the
-      // authoritative clock in commitInfo.inCommitTimestamp (the
-      // file-level `timestamp` is then just the file mtime echo);
-      // prefer it so timestampAsOf over a foreign ICT table resolves
-      // with the writer's monotonic clock. The field itself stays in
-      // `extra` (not an excluded key below), so re-emission round-trips.
-      timestamp = Json.longOpt(b, "inCommitTimestamp")
-        .orElse(Json.longOpt(b, "timestamp")).getOrElse(0L),
+      // `timestamp` parses VERBATIM (byte-faithful re-emission); a
+      // foreign table's authoritative inCommitTimestamp stays in `extra`
+      // and wins through [[CommitInfo.effectiveTimestamp]], which every
+      // ordering consumer (history, timestampAsOf, the commit clamp)
+      // reads instead of the raw field.
+      timestamp = Json.longOpt(b, "timestamp").getOrElse(0L),
       operation = Json.strOpt(b, "operation").getOrElse(""),
       operationParameters = Option(b.get("operationParameters"))
         .filterNot(_.isNull).map(Json.fieldsOf).getOrElse(ListMap.empty),

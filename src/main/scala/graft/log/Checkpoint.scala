@@ -72,8 +72,17 @@ object Checkpoint {
     // live domain metadata (latest non-removed per domain): part of
     // snapshot state, so it must survive the checkpoint fast path and
     // subsequent log cleanup exactly as metaData does
+    //
+    // the HEAD commitInfo also rides along (graft layout only — the
+    // delta-format emission drops it, see writeDeltaFormat): it keeps the
+    // monotonic-timestamp clamp armed and timestampAsOf anchored after a
+    // fast-path load whose JSON tail is empty — checkpoints otherwise
+    // retain no commit clock at all
+    val headCommit = dlog.entries.keys.toSeq.reverseIterator
+      .flatMap(v => dlog.entries(v).commitInfos.lastOption)
+      .nextOption()
     Seq(protocol, metadata) ++ txns.values ++
-      dlog.domainMetadata.values ++ dlog.addActions.values
+      dlog.domainMetadata.values ++ dlog.addActions.values ++ headCommit
   }
 
   /** Write the checkpoint for the log's current version and point
@@ -202,8 +211,10 @@ object Checkpoint {
     // each action's NDJSON line is exactly one sparse row of the nested
     // layout: {"add": {...}} parses into the `add` struct column, every
     // other column null. Schema-driven parse, so graft-only `extra` keys
-    // are dropped rather than leaking into the delta file.
-    val lines = actions.map(_.toLine)
+    // are dropped rather than leaking into the delta file. commitInfo is
+    // graft-pointer-only state (the ICT clamp anchor): delta checkpoints
+    // never carry it, and an all-null row would be out of spec.
+    val lines = actions.filterNot(_.isInstanceOf[CommitInfo]).map(_.toLine)
     val df = spark.read.schema(deltaCheckpointSchema)
       .json(spark.createDataset(lines)(Encoders.STRING))
     val wantParts =

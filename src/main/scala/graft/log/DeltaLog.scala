@@ -506,14 +506,27 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     // BELOW its parent and silently shift every at-or-before answer one
     // version back. The clamp runs at commit (not action construction)
     // so an OCC rebase re-clamps against the WINNER's timestamp.
-    val parentTs = entries.valuesIterator
-      .flatMap(_.commitInfos.map(_.timestamp))
-      .foldLeft(Long.MinValue)(math.max)
+    // Newest-first, stop at the FIRST commitInfo (delta's ICT rule clamps
+    // against the PARENT commit, and graft history is monotonic by this
+    // very clamp) — O(1) per commit instead of a fold over every loaded
+    // action. After a checkpoint fast-path load the base entry carries
+    // the head commitInfo (Checkpoint.snapshotActions), so the clamp
+    // stays armed even with an empty JSON tail.
+    val parentTs = entries.keys.toSeq.reverseIterator
+      .flatMap(pv => entries(pv).commitInfos.reverseIterator.map(_.effectiveTimestamp))
+      .nextOption()
+      .getOrElse(Long.MinValue)
     val stamped =
       if (parentTs == Long.MinValue) entry
       else DeltaLogEntry(entry.actions.map {
-        case c: CommitInfo if c.timestamp <= parentTs =>
-          c.copy(timestamp = parentTs + 1L)
+        case c: CommitInfo if c.effectiveTimestamp <= parentTs =>
+          // an ICT echo in extra must move with the clamp, or
+          // effectiveTimestamp would keep reading the stale clock
+          val extra2 =
+            if (c.extra.contains("inCommitTimestamp"))
+              c.extra.updated("inCommitTimestamp", Json.num(parentTs + 1L))
+            else c.extra
+          c.copy(timestamp = parentTs + 1L, extra = extra2)
         case a => a
       })
     val entryLoc = loc.child(DeltaLog.filenameForVersion(v))

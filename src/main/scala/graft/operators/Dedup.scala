@@ -254,16 +254,18 @@ object Dedup {
       // large is consumed TWICE below (small-star's aggregate and its
       // re-attach probe), and the two consumers' exchanges cannot
       // canonically match (partial-agg child vs raw child), so without a
-      // cut the large-star join would execute twice per round.
-      // localCheckpoint materializes it once — same primitive the round
-      // boundary already uses, and it truncates the per-round plan to
-      // boot.
+      // cut the large-star join would execute twice per round. A LAZY
+      // persist makes both consumers read one InMemoryRelation — computed
+      // inside the round's existing job, unlike an eager localCheckpoint,
+      // which costs a whole extra synchronous job per round (the r8→r9
+      // q59 regression). Lineage stays bounded: the round boundary below
+      // checkpoints `small`, so `large` never nests across rounds.
       val large = sym.join(minsL, "u")
         .withColumn("_m", least(col("_mv"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
         .filter(col("u") =!= col("v"))
-        .localCheckpoint()
+        .persist()
       // small-star over the (u > v)-oriented result: u and its smaller
       // neighbors all re-point at their collective minimum. The (u, min)
       // arm comes straight from the aggregate — one row per node instead
@@ -275,6 +277,7 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
       val (ck, nextSig) = checkpointWithSig(small)
+      large.unpersist(blocking = false)
       converged = nextSig == sig
       sig = nextSig
       e = ck

@@ -176,9 +176,13 @@ class LogSpec extends AnyFunSuite {
     // file-mtime echo
     val line = """{"commitInfo":{"timestamp":5,"inCommitTimestamp":1234567,"operation":"WRITE","operationParameters":{}}}"""
     val parsed = Action.parse(line).asInstanceOf[CommitInfo]
-    assert(parsed.timestamp == 1234567L)
-    // the field round-trips through extra on re-emission
+    // the raw field parses VERBATIM (byte-faithful re-emission keeps the
+    // original mtime echo), while every ordering consumer reads the
+    // authoritative ICT clock through effectiveTimestamp
+    assert(parsed.timestamp == 5L)
+    assert(parsed.effectiveTimestamp == 1234567L)
     val reparsed = Action.parse(parsed.toLine).asInstanceOf[CommitInfo]
-    assert(reparsed.timestamp == 1234567L)
+    assert(reparsed == parsed)
+    assert(reparsed.effectiveTimestamp == 1234567L)
   }
 }

@@ -69,6 +69,39 @@ class Round9Spec extends SparkSuite {
     assert(t2.domainMetadata("keep.me") == """{"hwm":43}""")
   }
 
+  test("monotonic-timestamp clamp stays armed across a checkpoint fast path") {
+    val d = tempDir("ict-ckpt")
+    var t = DeltaTable.forPath(d).write(nation).write(nation)
+    t = t.checkpoint().cleanupLog()
+    // fast-path load, EMPTY json tail: checkpoints used to retain no
+    // commitInfo, so a lagging writer clock could commit below history
+    val fresh = DeltaTable.forPath(d)
+    assert(fresh.dlog.entries.firstKey == t.version)
+    val headTs = fresh.history.head._2.effectiveTimestamp
+    assert(headTs > 0L, "checkpoint must carry the head commit clock")
+    // a commit whose proposed wall clock lags is clamped to parent+1
+    val lagging = graft.log.DeltaLogEntry(Vector(
+      graft.log.CommitInfo(timestamp = 1L, operation = "WRITE")))
+    val committed = fresh.dlog.commit(lagging)
+    val stampedTs = committed.entries(committed.version)
+      .commitInfos.head.effectiveTimestamp
+    assert(stampedTs == headTs + 1L,
+      s"expected clamp to $headTs+1, got $stampedTs")
+  }
+
+  test("graft checkpoint carries the head commitInfo; delta layout does not") {
+    val d = tempDir("ci-ckpt-layouts")
+    val t = DeltaTable.forPath(d).write(nation).write(nation).checkpoint()
+    val graftEntry = Checkpoint.read(t.logLoc, t.version,
+      spark.sparkContext.hadoopConfiguration)
+    assert(graftEntry.commitInfos.size == 1)
+    // the delta-format twin must NOT contain an all-null (commitInfo) row
+    val deltaEntry = Checkpoint.readDeltaFormat(t.logLoc, t.version,
+      spark.sparkContext.hadoopConfiguration).get
+    assert(deltaEntry.commitInfos.isEmpty)
+    assert(deltaEntry.adds.nonEmpty)
+  }
+
   test("delta-format checkpoint round-trips domain metadata") {
     val d = tempDir("dm-delta-ckpt")
     var t = DeltaTable.forPath(d).write(nation)
