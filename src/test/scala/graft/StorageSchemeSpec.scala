@@ -101,4 +101,52 @@ class StorageSchemeSpec extends SparkSuite {
     assertSameRows(c.toDF(spark), nation.union(nation))
     MockSchemeFileSystem.assertAllMock(c.fileUris)
   }
+
+  test("deep clone across schemes copies the data files to the destination") {
+    val d = MockSchemeFileSystem.tempPath("mock-deep-src")
+    val t = DeltaTable.forPath(d, conf = hconf)
+      .write(nation, partitionBy = Some(Seq("n_regionkey"))).write(nation)
+    val dst = "file:" + tempDir("deep-dst")
+    val c = t.deepCloneTo(spark, dst)
+    assertSameRows(c.toDF(spark), nation.union(nation))
+    // unlike a soft clone, every file URI now lives under the DESTINATION
+    // scheme — the executor-side copy crossed filesystems
+    assert(c.fileUris.forall(_.startsWith("file:")),
+      s"deep clone left source-scheme URIs: ${c.fileUris.take(3)}")
+    // and the reverse direction lands on the mock scheme
+    val back = "file:" + tempDir("deep-file-src")
+    val t2 = DeltaTable.forPath(back).write(nation)
+    val mockDst = MockSchemeFileSystem.tempPath("mock-deep-dst")
+    val c2 = t2.deepCloneTo(spark, mockDst)
+    assertSameRows(c2.toDF(spark), nation)
+    MockSchemeFileSystem.assertAllMock(c2.fileUris)
+  }
+
+  test("vacuum + log cleanup delete through the mock scheme, never java.io") {
+    val d = MockSchemeFileSystem.tempPath("mock-vacuum")
+    var t = DeltaTable.forPath(d, conf = hconf).copy(checkpointInterval = 3)
+    val one = nation.coalesce(1)
+    (0 until 4).foreach(_ => t = t.write(one))
+    // overwrite strands the old files; vacuum(0) must remove them via the
+    // mock filesystem (a java.io.File shortcut would miss `mock:` URIs)
+    t = t.write(one, mode = graft.log.WriteMode.Overwrite)
+    val removed = t.vacuum(retentionMs = 0L)
+    assert(removed.nonEmpty)
+    MockSchemeFileSystem.assertAllMock(removed)
+    assert(t.toDF(spark).count() == one.count())
+    t = t.checkpoint().cleanupLog()
+    // cleaned JSON below the checkpoint is gone from the mock log dir
+    assert(!t.logLoc.child(f"${0L}%020d.json").exists)
+    assertSameRows(DeltaTable.forPath(d, conf = hconf).toDF(spark), one)
+  }
+
+  test("merge-on-read DV sidecars write and resolve under the mock scheme") {
+    val d = MockSchemeFileSystem.tempPath("mock-dv")
+    val t = DeltaTable.forPath(d, conf = hconf).write(nation)
+    val td = t.deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    assertSameRows(td.toDF(spark), nation.filter(col("n_nationkey") >= 5))
+    // a fresh handle replays the DV through the scheme-generic resolver
+    assertSameRows(DeltaTable.forPath(d, conf = hconf).toDF(spark),
+      nation.filter(col("n_nationkey") >= 5))
+  }
 }
