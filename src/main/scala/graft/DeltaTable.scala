@@ -2075,12 +2075,26 @@ final case class DeltaTable(
       adds.foreach(a => liveRefs = liveRefs.updated(a.path, DeletionVectors.refOf(a)))
       removes.foreach(r => liveRefs = liveRefs.removed(r.path))
     }
-    if (frames.isEmpty)
-      DeltaScan.emptyDF(spark, dlog.schema)
-        .withColumn("_commit_version", lit(0L))
-        .withColumn("_change_type", lit(""))
-        .limit(0)
-    else frames.reduce(_.unionByName(_))
+    val out =
+      if (frames.isEmpty)
+        DeltaScan.emptyDF(spark, dlog.schema)
+          .withColumn("_commit_version", lit(0L))
+          .withColumn("_change_type", lit(""))
+          .limit(0)
+      else frames.reduce(_.unionByName(_))
+    // canonical column order AND nullability: frames mix literal-tagged
+    // (non-null, CDF cols last) and cdc-file-read (nullable, _change_type
+    // mid-schema) provenance. A streaming CDF sink appends batches of
+    // BOTH kinds into one table, so a per-batch flip in either would trip
+    // the append-schema equivalence check. `when(c.isNotNull, c)` is the
+    // identity but analyzed NULLABLE (no else branch) — Spark 4 folds a
+    // literal-true `when` away during analysis, so the condition must
+    // stay non-foldable.
+    def relaxed(c: org.apache.spark.sql.Column) = when(c.isNotNull, c)
+    out.select(
+      dlog.schema.fieldNames.map(col).toSeq :+
+        relaxed(col("_commit_version")).as("_commit_version") :+
+        relaxed(col("_change_type")).as("_change_type"): _*)
   }
 
   // ------------------------------------------------------------------

@@ -620,6 +620,47 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
+    * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
+    * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`
+    * stream with `startingVersion=0` and `maxVersionsPerTrigger=1`
+    * drains the backlog under Trigger.AvailableNow, so admission control
+    * (X73) splits it into one-commit micro-batches and the batch landing
+    * on v2 must serve the UPDATE's exact cdc pre/postimage rows (X82) —
+    * the two mechanisms composing, per-commit.
+    */
+  def nationCdfRateLimitedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "nation_cdf_ratelimited") { d =>
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-cdfrl-src-").toString
+      val df = raw(spark, sfDir, "nation")
+      var src = DeltaTable.forPath(srcDir).write(df.coalesce(1)) // v0
+        .setTableProperties(Map("delta.enableChangeDataFeed" -> "true")) // v1
+        .update(spark, Some(col("n_nationkey") < 5),
+          Map("n_regionkey" -> (col("n_regionkey") + lit(10)))) // v2: cdc files
+      src = src.write(df.filter(col("n_nationkey") < 3)
+        .withColumn("n_nationkey", col("n_nationkey") + lit(100)).coalesce(1)) // v3
+      src = src.deleteMergeOnRead(spark, Some(col("n_nationkey") === 10)) // v4
+      val checkpoint =
+        java.nio.file.Files.createTempDirectory("graft-cdfrl-ckpt-").toString
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(srcDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(d)
+      q.awaitTermination()
+      // the rate limit really split the backlog: one sink commit per
+      // non-empty one-commit micro-batch, never one giant batch
+      val out = DeltaTable.forPath(d)
+      require(out.version >= 2L,
+        s"expected the backlog split into capped batches, got ${out.versions}")
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events streamed through the txn-idempotent sink with every batch
     * delivered TWICE — the table must hold exactly one copy.
     */

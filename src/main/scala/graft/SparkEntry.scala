@@ -633,6 +633,12 @@ object SparkEntry {
       QueryLib.nationViaCdfStream(s, d)
         .orderBy("_commit_version", "n_nationkey")),
 
+    // rate-limited streaming CDF: maxVersionsPerTrigger=1 backfill whose
+    // per-commit batches cross an UPDATE's cdc commit (X73 + X82 compose)
+    "q102_cdf_stream_ratelimited" -> ((s, d) =>
+      QueryLib.nationCdfRateLimitedStream(s, d)
+        .orderBy("_commit_version", "_change_type", "n_nationkey")),
+
     // ---- SemDeDup: k-means-clustered semantic dedup (X77). Identical
     // twins share a cluster by construction and cosine 1.0 >= 0.95; the
     // corpus's max non-identical pairwise cosine (~0.51) never crosses
@@ -769,6 +775,25 @@ object SparkEntry {
         |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q101_deep_clone_scan" ->
       "SELECT * FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey",
+    // closed form of the rate-limited CDF backfill: v0 initial inserts,
+    // v2 exact update pre/postimages, v3 appended inserts, v4 MoR delete
+    "q102_cdf_stream_ratelimited" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, CAST(2 AS BIGINT),
+        | 'update_preimage' FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT n_nationkey, n_name, CAST(n_regionkey + 10 AS INTEGER),
+        | CAST(2 AS BIGINT), 'update_postimage' FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, n_regionkey, CAST(3 AS BIGINT),
+        | 'insert' FROM nation WHERE n_nationkey < 3
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey, CAST(4 AS BIGINT),
+        | 'delete' FROM nation WHERE n_nationkey = 10
+        |ORDER BY _commit_version, _change_type, n_nationkey""".stripMargin,
     "q77_check_constraint" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
     "q81_bloom_lookup" ->

@@ -404,8 +404,12 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       val existing = schema
       if (mode == WriteMode.Append) {
         if (schemaMode == "merge") DeltaLog.mergeSchemas(existing, newSchema)
-        else if (!DeltaLog.schemasEquivalent(existing, newSchema))
-          throw new IllegalArgumentException("Schema mismatch")
+        else if (!DeltaLog.schemasAppendCompatible(existing, newSchema))
+          throw new IllegalArgumentException("Schema mismatch" +
+            s" (existing: ${existing.simpleString}, nullable=" +
+            s"${existing.fields.map(_.nullable).mkString(",")};" +
+            s" incoming: ${newSchema.simpleString}, nullable=" +
+            s"${newSchema.fields.map(_.nullable).mkString(",")})")
         // keep the EXISTING schema object: field order is stable and
         // column-mapping physical names in field metadata survive appends
         else existing
@@ -592,6 +596,20 @@ object DeltaLog {
     def key(s: StructType): Map[String, (String, Boolean)] =
       s.fields.map(f => f.name -> ((f.dataType.json, f.nullable))).toMap
     key(a) == key(b)
+  }
+
+  /** Append compatibility: same column set and types, and the incoming
+    * data's nullability may be TIGHTER than the table's (provably-non-null
+    * rows into a nullable column are always safe — Catalyst tightens a
+    * literal-heavy micro-batch's nullability, and rejecting it would make
+    * streaming sinks flake per batch), never looser (possible nulls into
+    * a non-null column violate the table contract).
+    */
+  def schemasAppendCompatible(existing: StructType, incoming: StructType): Boolean = {
+    def types(s: StructType): Map[String, String] =
+      s.fields.map(f => f.name -> f.dataType.json).toMap
+    types(existing) == types(incoming) &&
+      incoming.fields.forall(f => !f.nullable || existing(f.name).nullable)
   }
 
   /** Field-union schema merge (reference `pa.unify_schemas`,

@@ -282,7 +282,18 @@ class GraftDataSource extends RelationProvider with CreatableRelationProvider
     val pb = if (partitionColumns.nonEmpty) Some(partitionColumns) else None
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
-        val batch = org.apache.spark.sql.graftshim.ColumnShim.asBatch(data)
+        val batch0 = org.apache.spark.sql.graftshim.ColumnShim.asBatch(data)
+        // relax nullability: the engine hands the sink each batch's
+        // OPTIMIZED schema, and Catalyst tightens literal-heavy batches
+        // (a CDF initial snapshot's lit-tagged columns) to non-null while
+        // data-derived batches stay nullable — the table schema must not
+        // flip with batch provenance. `when(c.isNotNull, c)` is the
+        // identity, analyzed nullable.
+        val batch = batch0.select(batch0.schema.fields.map { f =>
+          if (f.nullable) batch0(f.name)
+          else org.apache.spark.sql.functions
+            .when(batch0(f.name).isNotNull, batch0(f.name)).as(f.name)
+        }.toSeq: _*)
         val conf = org.apache.spark.sql.graftshim.ColumnShim
           .hadoopConf(data.sparkSession)
         val t = DeltaTable.forPath(path, conf = conf)

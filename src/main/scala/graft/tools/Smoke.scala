@@ -90,7 +90,9 @@ object Smoke {
     // schema mismatch on append; merge mode backfills nulls
     val extra = li.withColumn("extra_col", lit(1L))
     val mmGot = try { pt.write(extra); "no-error" }
-    catch { case e: IllegalArgumentException => e.getMessage }
+    catch { case e: IllegalArgumentException =>
+      if (e.getMessage.startsWith("Schema mismatch")) "Schema mismatch"
+      else e.getMessage }
     check("schema mismatch raises", mmGot, "Schema mismatch")
     pt = pt.write(extra, schemaMode = "merge")
     check("merge append count", pt.toDF(spark).count(), 2 * n)
