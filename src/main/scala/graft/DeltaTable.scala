@@ -187,6 +187,39 @@ final case class DeltaTable(
   def toDF(spark: SparkSession): DataFrame =
     scanAdds(spark, dlog.addActions.values.toSeq)
 
+  /** The snapshot with a stable `_row_id` column (delta's rowTracking
+    * fresh row ids): id = the file's `baseRowId` + the row's physical
+    * position, derived from reader metadata at scan time — zero extra
+    * bytes at rest, and merge-on-read deletes never shift a survivor's
+    * id. The per-file base map is O(files) driver metadata broadcast to
+    * the scan; requires every live file to have been written under
+    * `delta.enableRowTracking=true`.
+    */
+  def toDFWithRowIds(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.substring_index
+    import spark.implicits._
+    val adds = dlog.addActions.values.toSeq
+    // a zero-row file contributes no rows, so it needs no id range (the
+    // empty create-commit file of an enable-then-write table)
+    val missing = adds.filter(a =>
+      a.baseRowId.isEmpty && !a.numRecords.contains(0L))
+    require(missing.isEmpty,
+      s"row ids unavailable: ${missing.size} live file(s) lack baseRowId " +
+        "(written before delta.enableRowTracking was set?)")
+    val names = adds.map(a => pathName(a.path))
+    require(names.distinct.size == names.size,
+      "row ids need unique file basenames (imported-file collision)")
+    // zero-row files carry no range (filtered above) and contribute no
+    // rows — the inner join below just never matches them
+    val bases = adds.flatMap(a => a.baseRowId.map(pathName(a.path) -> _))
+      .toDF("_rt_name", "_rt_base")
+    scanAddsWithMeta(spark, adds)
+      .join(broadcast(bases),
+        substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_rt_name"))
+      .withColumn("_row_id", col("_rt_base") + col(DeltaScan.MetaRow))
+      .drop(DeltaScan.MetaPath, DeltaScan.MetaRow, "_rt_name", "_rt_base")
+  }
+
   // ------------------------------------------------------------------
   // DV-aware scans. Clean files keep the join-free whole-stage-codegen
   // plan; files carrying a deletionVector ref anti-join their recorded
@@ -2347,19 +2380,24 @@ final case class DeltaTable(
       log: DeltaLog = dlog): DeltaLogEntry = {
     ProtocolGate.assertWritable(log.currentProtocol, log.latestMetadata)
     ProtocolGate.assertMutationAllowed(log.latestMetadata, entry)
-    if (!entry.adds.exists(a => DeletionVectors.refOf(a).isDefined)) return entry
-    entry.actions.collectFirst { case p: Protocol => p } match {
+    // row-id allocation first: it may append the high-water-mark
+    // domainMetadata action, whose feature must then be declared below
+    val tracked = RowTracking.assign(entry, log)
+    val needed =
+      (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
+         Seq("deletionVectors") else Seq.empty) ++
+      (if (tracked ne entry) Seq("domainMetadata", RowTracking.Feature)
+       else Seq.empty)
+    if (needed.isEmpty) return tracked
+    val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
+    val base = inEntry.getOrElse(log.currentProtocol)
+    val upgraded = needed.foldLeft(base)((p, f) =>
+      ProtocolGate.withFeature(p, f).getOrElse(p))
+    if (upgraded == base) tracked
+    else inEntry match {
       case Some(p) =>
-        ProtocolGate.withFeature(p, "deletionVectors") match {
-          case Some(up) =>
-            DeltaLogEntry(entry.actions.map { case `p` => up; case a => a })
-          case None => entry
-        }
-      case None =>
-        ProtocolGate.withFeature(log.currentProtocol, "deletionVectors") match {
-          case Some(up) => DeltaLogEntry(up +: entry.actions)
-          case None => entry
-        }
+        DeltaLogEntry(tracked.actions.map { case `p` => upgraded; case a => a })
+      case None => DeltaLogEntry(upgraded +: tracked.actions)
     }
   }
 

@@ -620,6 +620,25 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** customer under `delta.enableRowTracking`: two ordered single-file
+    * range-split writes make the fresh row ids a CLOSED FORM (id = the
+    * key's 0-based global rank — file 2's baseRowId starts exactly where
+    * file 1's range ends), and a merge-on-read delete proves survivor
+    * ids never shift (DVs drop rows without moving positions).
+    */
+  def customerRowTrackedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_rowtracking") { d =>
+      val df = raw(spark, sfDir, "customer")
+      val cut = df.agg(max("c_custkey")).first().getLong(0) / 2
+      var t = DeltaTable.forPath(d).write(df.limit(0)) // v0: create empty
+        .setTableProperties(Map(graft.log.RowTracking.EnableKey -> "true")) // v1
+      t = t.write(df.filter(col("c_custkey") <= cut)
+        .orderBy("c_custkey").coalesce(1)) // v2: ids 0..n1-1
+      t = t.write(df.filter(col("c_custkey") > cut)
+        .orderBy("c_custkey").coalesce(1)) // v3: ids n1..n-1
+      t.deleteMergeOnRead(spark, Some(col("c_custkey") % 7 === 0)) // v4: DV only
+    }
+
   /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
     * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
     * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`

@@ -639,6 +639,14 @@ object SparkEntry {
       QueryLib.nationCdfRateLimitedStream(s, d)
         .orderBy("_commit_version", "_change_type", "n_nationkey")),
 
+    // row tracking: fresh row ids (file baseRowId + physical position,
+    // ranges allocated from the domainMetadata high-water mark) have a
+    // rank closed form under ordered range-split writes, and a MoR
+    // delete must not shift any survivor's id
+    "q103_row_ids_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerRowTrackedDir(s, d))
+        .toDFWithRowIds(s).orderBy("c_custkey")),
+
     // ---- SemDeDup: k-means-clustered semantic dedup (X77). Identical
     // twins share a cluster by construction and cosine 1.0 >= 0.95; the
     // corpus's max non-identical pairwise cosine (~0.51) never crosses
@@ -775,6 +783,16 @@ object SparkEntry {
         |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q101_deep_clone_scan" ->
       "SELECT * FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey",
+    // row ids = 0-based key rank (ordered range-split single-file writes
+    // allocate contiguous ranges in key order); the MoR delete removes
+    // rows without renumbering survivors
+    "q103_row_ids_scan" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS _row_id
+        |  FROM customer)
+        |SELECT * FROM ranked WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     // closed form of the rate-limited CDF backfill: v0 initial inserts,
     // v2 exact update pre/postimages, v3 appended inserts, v4 MoR delete
     "q102_cdf_stream_ratelimited" ->

@@ -102,6 +102,59 @@ class Round9Spec extends SparkSuite {
     assert(deltaEntry.adds.nonEmpty)
   }
 
+  test("row tracking: ranked ids, MoR stability, protocol declaration") {
+    val d = QueryLib.customerRowTrackedDir(spark, sfDir)
+    val t = DeltaTable.forPath(d)
+    // feature honesty: rowTracking + domainMetadata declared at writer 7
+    val wf = graft.log.ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+    assert(wf.contains("rowTracking") && wf.contains("domainMetadata"))
+    // ids are the 0-based key rank; the MoR delete shifted nothing
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c_custkey")
+    val want = customer
+      .withColumn("_row_id", row_number().over(w).cast("long") - 1L)
+      .filter(col("c_custkey") % 7 =!= 0)
+    assertSameRows(t.toDFWithRowIds(spark), want)
+    // the high-water mark equals the total allocated row count - 1
+    assert(graft.log.RowTracking.highWaterMark(t.dlog) == customer.count() - 1)
+  }
+
+  test("row tracking: HWM survives checkpoint+cleanup; appends never reuse ids") {
+    val d = tempDir("rt-hwm")
+    var t = DeltaTable.forPath(d).write(nation.limit(0))
+      .setTableProperties(Map(graft.log.RowTracking.EnableKey -> "true"))
+    t = t.write(nation.coalesce(1))
+    val n = nation.count()
+    assert(graft.log.RowTracking.highWaterMark(t.dlog) == n - 1)
+    t = t.checkpoint().cleanupLog()
+    // the HWM rides domainMetadata through the checkpoint; the next
+    // append must continue above it, never reusing a dead or live id
+    val re = DeltaTable.forPath(d).write(nation.coalesce(1))
+    assert(graft.log.RowTracking.highWaterMark(re.dlog) == 2 * n - 1)
+    val ids = re.toDFWithRowIds(spark).select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 2 * n && ids.distinct.length == ids.length)
+    assert(ids.min == 0L && ids.max == 2 * n - 1)
+  }
+
+  test("row tracking: compaction re-ranges ids above the old mark") {
+    val d = tempDir("rt-compact")
+    var t = DeltaTable.forPath(d).write(nation.limit(0))
+      .setTableProperties(Map(graft.log.RowTracking.EnableKey -> "true"))
+    (1 to 3).foreach(_ => t = t.write(nation.coalesce(1)))
+    val n = nation.count()
+    val hwm0 = graft.log.RowTracking.highWaterMark(t.dlog)
+    assert(hwm0 == 3 * n - 1)
+    // without a materialized id column a rewrite allocates FRESH ranges
+    // (delta's un-preserved rowTracking); the mark must advance past the
+    // old one and the id set stays dense and distinct
+    t = t.compact(spark)
+    val hwm1 = graft.log.RowTracking.highWaterMark(t.dlog)
+    assert(hwm1 > hwm0)
+    val ids = t.toDFWithRowIds(spark).select("_row_id").collect().map(_.getLong(0))
+    assert(ids.length == 3 * n && ids.distinct.length == ids.length)
+    assert(ids.forall(_ > hwm0))
+  }
+
   test("delta-format checkpoint round-trips domain metadata") {
     val d = tempDir("dm-delta-ckpt")
     var t = DeltaTable.forPath(d).write(nation)
