@@ -32,7 +32,7 @@ object Bench {
     "q85_dup_passages", "q86_unigram_logprob", "q87_rename_scan",
     "q88_generated_partition_scan", "q89_rebased_delete_scan",
     "q90_ann_quantized_rerank", "q91_datasource_roundtrip",
-    "q92_url_signals")
+    "q92_url_signals", "q103_row_ids_scan", "q104_importance_weights")
 
   val RUNS = 2
 

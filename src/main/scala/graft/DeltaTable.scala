@@ -2383,11 +2383,14 @@ final case class DeltaTable(
     // row-id allocation first: it may append the high-water-mark
     // domainMetadata action, whose feature must then be declared below
     val tracked = RowTracking.assign(entry, log)
+    val ictOn = tracked.metadataAction.orElse(log.latestMetadata)
+      .exists(_.configuration.get("delta.enableInCommitTimestamps").contains("true"))
     val needed =
       (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
          Seq("deletionVectors") else Seq.empty) ++
       (if (tracked ne entry) Seq("domainMetadata", RowTracking.Feature)
-       else Seq.empty)
+       else Seq.empty) ++
+      (if (ictOn) Seq("inCommitTimestamp") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
     val base = inEntry.getOrElse(log.currentProtocol)

@@ -639,6 +639,14 @@ object SparkEntry {
       QueryLib.nationCdfRateLimitedStream(s, d)
         .orderBy("_commit_version", "_change_type", "n_nationkey")),
 
+    // DSIR importance weights: per-doc sum of token log-likelihood
+    // ratios between the target (lang='en') and raw unigram
+    // distributions, Laplace-smoothed — the deterministic scoring stage
+    // of importance resampling
+    "q104_importance_weights" -> ((s, d) =>
+      TextAnalysis.importanceWeights(QueryLib.delta(s, d, "documents"),
+        "doc_id", "text", col("lang") === "en").orderBy("doc_id")),
+
     // row tracking: fresh row ids (file baseRowId + physical position,
     // ranges allocated from the domainMetadata high-water mark) have a
     // rank closed form under ordered range-split writes, and a MoR
@@ -783,6 +791,18 @@ object SparkEntry {
         |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q101_deep_clone_scan" ->
       "SELECT * FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey",
+    "q104_importance_weights" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+        |    unnest(string_split(lower(text), ' ')) AS tk FROM documents),
+        |c AS (SELECT tk, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+        |    COUNT(*) AS cr FROM tok GROUP BY tk),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM c),
+        |r AS (SELECT tk, ln((ct + 1.0) / (tt + v)) - ln((cr + 1.0) / (tr + v)) AS llr
+        |    FROM c CROSS JOIN tot)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(llr), 4) AS importance_weight
+        |FROM tok JOIN r USING (tk)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // row ids = 0-based key rank (ordered range-split single-file writes
     // allocate contiguous ranges in key order); the MoR delete removes
     // rows without renumbering survivors

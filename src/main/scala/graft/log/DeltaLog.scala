@@ -520,17 +520,25 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       .flatMap(pv => entries(pv).commitInfos.reverseIterator.map(_.effectiveTimestamp))
       .nextOption()
       .getOrElse(Long.MinValue)
+    // delta's `delta.enableInCommitTimestamps`: record the authoritative
+    // (monotonic-clamped) clock explicitly as inCommitTimestamp, so
+    // foreign ICT readers get the writer's clock instead of a file-mtime
+    // echo; the legacy `timestamp` field carries the same value
+    val ictEnabled = entry.metadataAction.orElse(latestMetadata)
+      .exists(_.configuration.get("delta.enableInCommitTimestamps").contains("true"))
     val stamped =
-      if (parentTs == Long.MinValue) entry
+      if (parentTs == Long.MinValue && !ictEnabled) entry
       else DeltaLogEntry(entry.actions.map {
-        case c: CommitInfo if c.effectiveTimestamp <= parentTs =>
-          // an ICT echo in extra must move with the clamp, or
-          // effectiveTimestamp would keep reading the stale clock
+        case c: CommitInfo =>
+          val ts = math.max(c.effectiveTimestamp, parentTs + 1L)
+          // a stale ICT echo in extra must move with the clamp, or
+          // effectiveTimestamp would keep reading the old clock
           val extra2 =
-            if (c.extra.contains("inCommitTimestamp"))
-              c.extra.updated("inCommitTimestamp", Json.num(parentTs + 1L))
+            if (ictEnabled || c.extra.contains("inCommitTimestamp"))
+              c.extra.updated("inCommitTimestamp", Json.num(ts))
             else c.extra
-          c.copy(timestamp = parentTs + 1L, extra = extra2)
+          if (ts == c.timestamp && extra2 == c.extra) c
+          else c.copy(timestamp = ts, extra = extra2)
         case a => a
       })
     val entryLoc = loc.child(DeltaLog.filenameForVersion(v))

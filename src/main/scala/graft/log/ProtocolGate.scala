@@ -47,7 +47,7 @@ object ProtocolGate {
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
-      "timestampNtz", "domainMetadata", "rowTracking")
+      "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants", "identityColumns")

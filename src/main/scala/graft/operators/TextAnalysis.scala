@@ -161,6 +161,45 @@ object TextAnalysis {
     * rows (k rows — not a global sort of the vocabulary).
     * Ties break lexicographically, so ids are deterministic.
     */
+  /** DSIR-style importance weight (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * each document by how much likelier its tokens are under a TARGET
+    * distribution than under the raw corpus —
+    * `sum over tokens of log p_target(tk) − log p_raw(tk)` with
+    * add-`smoothing` Laplace estimates over the corpus vocabulary.
+    * Importance resampling then keeps the top-weighted documents; the
+    * weight column is the deterministic part, so that is what this
+    * emits.
+    *
+    * Scale shape: one explode feeding ONE groupBy(token) aggregate
+    * (target and raw counts ride the same pass via a conditional sum —
+    * one shuffle, not two), the three scalar totals broadcast as a
+    * one-row cross join, and a second groupBy(doc) for the score. The
+    * paper's hashed-n-gram-bucket variant only changes the grouping key
+    * (token → hash bucket); the plan is identical, so this shape IS the
+    * production shape.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, smoothing: Double = 1.0): DataFrame = {
+    val tok = df.select(col(idCol), isTarget.cast("boolean").as("_t"),
+      explode(tokens(col(textCol))).as("_tk"))
+    val counts = tok.groupBy("_tk").agg(
+      sum(when(col("_t"), 1L).otherwise(0L)).as("_ct"),
+      count(lit(1)).as("_cr"))
+    val totals = counts.agg(sum("_ct").as("_tt"), sum("_cr").as("_tr"),
+      count(lit(1)).as("_v"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("_tk"),
+        (log((col("_ct") + lit(smoothing)) /
+            (col("_tt") + lit(smoothing) * col("_v"))) -
+          log((col("_cr") + lit(smoothing)) /
+            (col("_tr") + lit(smoothing) * col("_v")))).as("_llr"))
+    tok.join(ratio, "_tk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("_llr")), 4).as("importance_weight"))
+  }
+
   def induceVocab(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))

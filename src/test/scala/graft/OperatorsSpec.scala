@@ -220,6 +220,25 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(0).getInt(1) == 0 && out(1).getInt(1) == 1)
   }
 
+  test("importance weights: target-only tokens score positive, off-target negative") {
+    // target docs say 'aa', off-target say 'bb', 'cc' is common ground —
+    // the LLR of a doc made of target-exclusive tokens must be positive,
+    // an off-target-exclusive doc negative, and the common doc in between
+    val df = Seq(
+      (1L, "aa aa cc", true), (2L, "aa cc cc", true),
+      (3L, "bb bb cc", false), (4L, "cc cc cc", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.importanceWeights(df, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1) > 0.0, s"target-exclusive doc scored ${out(1)}")
+    assert(out(3) < 0.0, s"off-target-exclusive doc scored ${out(3)}")
+    assert(out(1) > out(2) && out(2) > out(3))
+    // weights are a pure function of the corpus: a re-run is identical
+    val again = TextAnalysis.importanceWeights(df, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == out)
+  }
+
   test("subword tokens: letter runs, digit runs, symbol/CJK per-char fallback") {
     val df = Seq((1L, "Hello, world42! 你好")).toDF("doc_id", "text")
     val out = df.select(TextAnalysis.subwordTokens(col("text")).as("t"))

@@ -155,6 +155,24 @@ class Round9Spec extends SparkSuite {
     assert(ids.forall(_ > hwm0))
   }
 
+  test("enableInCommitTimestamps: commits write the ICT clock, feature declared") {
+    val d = tempDir("ict-write")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.setTableProperties(Map("delta.enableInCommitTimestamps" -> "true"))
+    t = t.write(nation)
+    val ci = t.dlog.entries(t.version).commitInfos.head
+    // the authoritative clock is written explicitly AND mirrored into the
+    // legacy field, so both ICT-aware and legacy readers agree
+    assert(ci.extra.contains("inCommitTimestamp"))
+    assert(ci.effectiveTimestamp == ci.timestamp)
+    // the writer feature is declared
+    assert(graft.log.ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+      .contains("inCommitTimestamp"))
+    // monotonic across commits (the clamp operates on the ICT clock)
+    val ts = t.history.map(_._2.effectiveTimestamp)
+    assert(ts == ts.sorted.reverse && ts.distinct.size == ts.size)
+  }
+
   test("delta-format checkpoint round-trips domain metadata") {
     val d = tempDir("dm-delta-ckpt")
     var t = DeltaTable.forPath(d).write(nation)
