@@ -14,6 +14,35 @@ class PlanSpec extends SparkSuite {
       org.apache.spark.sql.execution.FormattedMode)
   }
 
+  test("row-id scan broadcasts the O(files) base map, rows never shuffle") {
+    val d = QueryLib.customerRowTrackedDir(spark, sfDir)
+    val plan = explainOf(DeltaTable.forPath(d).toDFWithRowIds(spark))
+    // the per-file base map joins by broadcast; a shuffle of the data
+    // rows would make row ids cost a full exchange at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "row-id derivation must not shuffle data rows:\n" + plan.take(1200))
+  }
+
+  test("importance weights: one token-count shuffle, totals broadcast") {
+    val docs = QueryLib.delta(spark, sfDir, "documents")
+    val plan = explainOf(operators.TextAnalysis.importanceWeights(
+      docs, "doc_id", "text", col("lang") === "en"))
+    // the one-row totals ride a broadcast nested loop (1-row build) —
+    // never a shuffled cross product
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // both token distributions ride ONE aggregate: exactly one partial
+    // aggregate pair over the exploded tokens for the count stage (the
+    // ratio join's probe is a separate, unavoidable exchange)
+    val partials = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials <= 3, s"expected merged count pass, got $partials partials:\n" +
+      plan.take(1200))
+  }
+
   test("filter+project pushes filters and prunes columns at the scan") {
     val li = QueryLib.delta(spark, sfDir, "lineitem")
     val plan = explainOf(
