@@ -1091,6 +1091,44 @@ final case class DeltaTable(
     commit(DeltaLogEntry(actions))
   }
 
+  /** The table's clustering columns (delta's liquid-clustering state,
+    * stored as `delta.clustering` domainMetadata the way delta-spark
+    * stores it) — empty when the table is not clustered.
+    */
+  def clusteringColumns: Seq[String] =
+    dlog.domainMetadata.get(Clustering.Domain)
+      .map(d => Clustering.parse(d.configuration)).getOrElse(Seq.empty)
+
+  /** Declare clustering columns (delta's `ALTER TABLE ... CLUSTER BY`):
+    * records them as `delta.clustering` domainMetadata — exactly
+    * delta-spark's layout, so a foreign reader sees the same state — and
+    * declares the `clustering` + `domainMetadata` writer features.
+    * [[compact]] then uses them as its DEFAULT layout keys (Z-order for
+    * 2+, sort for 1), which is the incremental-clustering shape liquid
+    * tables run: declaration is metadata-only, layout happens on the
+    * next OPTIMIZE, and re-declaring with different columns re-clusters
+    * from the next OPTIMIZE on without rewriting anything now.
+    */
+  def clusterBy(cols: Seq[String]): DeltaTable = {
+    require(!dlog.isEmpty, "clusterBy requires an existing table")
+    require(cols.nonEmpty, "clusterBy needs at least one column")
+    val schemaNames = dlog.schema.fieldNames.toSet
+    cols.foreach(c => require(schemaNames.contains(c), s"unknown column: $c"))
+    val parts = dlog.partitionColumns.toSet
+    cols.foreach(c => require(!parts.contains(c),
+      s"$c is a partition column; clustering replaces hive partitioning, " +
+        "it does not compose with it on the same column"))
+    val dm = DomainMetadata(Clustering.Domain, Clustering.render(cols))
+    val info = CommitInfo.metaOp(CommitInfo.Op.ClusterBy,
+      Map("clusteringColumns" -> cols.mkString(",")), dlog.version)
+    val base = dlog.currentProtocol
+    val upgraded = Seq("domainMetadata", "clustering").foldLeft(base)(
+      (p, f) => ProtocolGate.withFeature(p, f).getOrElse(p))
+    val actions: Vector[Action] =
+      if (upgraded == base) Vector(dm, info) else Vector(upgraded, dm, info)
+    commit(DeltaLogEntry(actions))
+  }
+
   /** Explicit protocol upgrade (delta's `upgradeTableProtocol`): raises
     * the versions component-wise — downgrades are rejected, as in delta —
     * and at the table-features versions (reader 3 / writer 7) records the
@@ -1638,6 +1676,16 @@ final case class DeltaTable(
   def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
       targetFiles: Int = 0, zOrder: Boolean = false,
       where: Option[Column] = None): DeltaTable = {
+    // liquid default (delta's OPTIMIZE on a clustered table): with no
+    // explicit keys, lay out by the declared clustering columns —
+    // Z-order across 2+, plain sort for 1 — so incremental clustering is
+    // just "declare once, OPTIMIZE anytime"
+    if (sortBy.isEmpty) {
+      val cc = clusteringColumns
+      if (cc.nonEmpty)
+        return compact(spark, sortBy = cc, targetFiles = targetFiles,
+          zOrder = cc.size >= 2, where = where)
+    }
     // OPTIMIZE WHERE (delta parity): the predicate must touch only
     // partition columns — compaction is file-level, so a data-column
     // predicate would either rewrite non-matching rows or split files

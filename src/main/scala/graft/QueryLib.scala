@@ -620,6 +620,20 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** lineitem as a LIQUID-CLUSTERED table: clusterBy declares the keys as
+    * `delta.clustering` domainMetadata (delta-spark's exact state), the
+    * next OPTIMIZE lays files out by them (Z-order), and the scan result
+    * is layout-invariant — the oracle checks rows, the spec checks the
+    * file-skipping payoff.
+    */
+  def lineitemClusteredDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_clustered") { d =>
+      DeltaTable.forPath(d)
+        .write(raw(spark, sfDir, "lineitem").repartition(8))
+        .clusterBy(Seq("l_quantity", "l_extendedprice"))
+        .compact(spark, targetFiles = 8)
+    }
+
   /** customer under `delta.enableRowTracking`: two ordered single-file
     * range-split writes make the fresh row ids a CLOSED FORM (id = the
     * key's 0-based global rank — file 2's baseRowId starts exactly where

@@ -639,6 +639,14 @@ object SparkEntry {
       QueryLib.nationCdfRateLimitedStream(s, d)
         .orderBy("_commit_version", "_change_type", "n_nationkey")),
 
+    // liquid clustering: CLUSTER BY declares keys as delta.clustering
+    // domainMetadata; OPTIMIZE Z-orders by them; the scan is
+    // layout-invariant (the spec asserts the skipping payoff)
+    "q105_clustered_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemClusteredDir(s, d)).toDF(s)
+        .filter(col("l_quantity") >= 10 && col("l_quantity") <= 15)
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // DSIR importance weights: per-doc sum of token log-likelihood
     // ratios between the target (lang='en') and raw unigram
     // distributions, Laplace-smoothed — the deterministic scoring stage
@@ -791,6 +799,9 @@ object SparkEntry {
         |ORDER BY _change_type, n_nationkey""".stripMargin,
     "q101_deep_clone_scan" ->
       "SELECT * FROM supplier WHERE s_acctbal >= 0 ORDER BY s_suppkey",
+    "q105_clustered_scan" ->
+      """SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 15
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q104_importance_weights" ->
       """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
         |    unnest(string_split(lower(text), ' ')) AS tk FROM documents),

@@ -406,6 +406,7 @@ object CommitInfo {
     val Clone = "CLONE"
     val SetDomainMetadata = "SET DOMAIN METADATA"
     val RemoveDomainMetadata = "REMOVE DOMAIN METADATA"
+    val ClusterBy = "CLUSTER BY"
   }
 
   /** Deep-clone v0 commit (delta's CLONE operation). */

@@ -47,7 +47,8 @@ object ProtocolGate {
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
-      "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp")
+      "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
+      "clustering")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants", "identityColumns")

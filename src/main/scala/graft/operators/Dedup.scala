@@ -282,6 +282,8 @@ object Dedup {
       sig = nextSig
       e = ck
       round += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"CC round=$round edges=${nextSig._1} converged=$converged")
     }
     // wrong labels are worse than no labels: a maxRounds bailout would
     // silently return PARTIALLY merged components (and duplicate rows per

@@ -44,11 +44,11 @@ class ProtocolSpec extends SparkSuite {
     DeltaTable.forPath(d).write(nationDF)
     rawProtocolCommit(d, Protocol(3, 7, Map(
       "readerFeatures" -> features("deletionVectors"),
-      "writerFeatures" -> features("deletionVectors", "clustering"))))
+      "writerFeatures" -> features("deletionVectors", "icebergCompatV2"))))
     val t = DeltaTable.forPath(d) // opens fine: reader features all supported
     assert(t.toDF(spark).count() == nationDF.count())
     val e = intercept[IllegalStateException](t.write(nationDF))
-    assert(e.getMessage.contains("clustering"))
+    assert(e.getMessage.contains("icebergCompatV2"))
     intercept[IllegalStateException](
       t.delete(spark, Some(col("n_nationkey") < 5)))
   }
@@ -160,7 +160,7 @@ class ProtocolSpec extends SparkSuite {
     intercept[IllegalArgumentException](t.upgradeProtocol(1, 2)) // downgrade
     // upgrading into a protocol we could no longer write is refused
     intercept[IllegalStateException](
-      t.upgradeProtocol(3, 7, writerFeatures = Set("clustering")))
+      t.upgradeProtocol(3, 7, writerFeatures = Set("icebergCompatV2")))
     t = t.write(nationDF) // still writable after a legal upgrade
     assert(t.toDF(spark).count() == 2 * nationDF.count())
   }

@@ -155,6 +155,47 @@ class Round9Spec extends SparkSuite {
     assert(ids.forall(_ > hwm0))
   }
 
+  test("clusterBy: delta-spark state shape, OPTIMIZE payoff, guards") {
+    val sf = sfDir
+    val d = tempDir("liquid")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    var t = DeltaTable.forPath(d).write(li.repartition(8))
+    // pre-clustering: a quantity range hits most files (hash layout)
+    def prunedCount(tbl: DeltaTable): Int =
+      graft.sources.DataSkipping.prune(tbl.dlog.addActions.values.toSeq,
+        col("l_quantity") <= 2, tbl.dlog.schema, tbl.dlog.partitionColumns).size
+    val before = prunedCount(t)
+    t = t.clusterBy(Seq("l_quantity", "l_extendedprice"))
+    // delta-spark's exact domain layout: nested path arrays
+    assert(t.dlog.domainMetadata(graft.log.Clustering.Domain).configuration ==
+      """{"clusteringColumns":[["l_quantity"],["l_extendedprice"]]}""")
+    assert(t.clusteringColumns == Seq("l_quantity", "l_extendedprice"))
+    val wf = graft.log.ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+    assert(wf.contains("clustering") && wf.contains("domainMetadata"))
+    // OPTIMIZE with no keys picks the declared ones: the same predicate
+    // now prunes to a strict subset of files, and rows are unchanged
+    t = t.compact(spark, targetFiles = 8)
+    val after = prunedCount(t)
+    assert(t.dlog.addActions.size >= 4, "need a multi-file layout to measure")
+    assert(after < before || before == t.dlog.addActions.size,
+      s"clustered layout must improve skipping: $before -> $after")
+    assert(after < t.dlog.addActions.size,
+      s"a clustered range scan must skip files: $after of ${t.dlog.addActions.size}")
+    assertSameRows(t.toDF(spark), li)
+    // declaration survives the checkpoint fast path (domainMetadata)
+    val re = DeltaTable.forPath(d)
+    assert(re.clusteringColumns == Seq("l_quantity", "l_extendedprice"))
+    // guards: unknown and partition columns are rejected
+    intercept[IllegalArgumentException](t.clusterBy(Seq("nope")))
+    val pd = tempDir("liquid-part")
+    val pt = DeltaTable.forPath(pd).write(
+      spark.read.parquet(s"$sf/nation.parquet"), partitionBy = Some(Seq("n_regionkey")))
+    intercept[IllegalArgumentException](pt.clusterBy(Seq("n_regionkey")))
+    // re-declaring replaces the keys for the NEXT optimize
+    val t2 = t.clusterBy(Seq("l_orderkey"))
+    assert(t2.clusteringColumns == Seq("l_orderkey"))
+  }
+
   test("enableInCommitTimestamps: commits write the ICT clock, feature declared") {
     val d = tempDir("ict-write")
     var t = DeltaTable.forPath(d).write(nation)
