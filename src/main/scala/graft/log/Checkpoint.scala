@@ -470,10 +470,16 @@ object Checkpoint {
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .getOrElse(return None)
     val partRe = (f"^$v%020d\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$$").r
-    val all = loc.listSorted()
-      .map(_.getPath.getName)
+    // delta V2 checkpoints (delta-spark 3.x default under the
+    // `v2Checkpoint` feature) are UUID-named manifests — the hyphens
+    // keep them disjoint from the classic `.<i>.<n>.` multipart form
+    val v2Re = (f"^$v%020d" + "\\.checkpoint\\.[0-9a-fA-F]{8}-[0-9a-fA-F-]+\\.parquet$").r
+    val names = loc.listSorted().map(_.getPath.getName)
+    val v2 = names.filter(v2Re.matches(_)).filterNot(isGraftLayout(loc, _, conf))
+    val all = names
       .filter(partRe.matches(_))
       .filterNot(isGraftLayout(loc, _, conf))
+    if (all.isEmpty && v2.nonEmpty) return readV2(spark, loc, v2.head)
     if (all.isEmpty) return None
     // a single-file and a multi-part checkpoint may coexist at one
     // version (different writers); each form is complete on its own, so
@@ -502,5 +508,50 @@ object Checkpoint {
       .map(Action.parse)
       .toVector
     if (actions.isEmpty) None else Some(DeltaLogEntry(actions))
+  }
+
+  /** Replay a delta V2 checkpoint: the UUID-named manifest carries
+    * protocol/metaData/txn/domainMetadata rows plus `checkpointMetadata`
+    * and `sidecar` actions; the file actions (add/remove) live in the
+    * referenced sidecar parquet files under `_delta_log/_sidecars/`.
+    * Inline file actions in the manifest (spec-legal) are kept too. The
+    * two bookkeeping actions are consumed here and excluded from table
+    * state. A referenced-but-missing sidecar is a LOUD corrupt-checkpoint
+    * error — replaying a subset would silently drop table state.
+    */
+  private def readV2(spark: org.apache.spark.sql.SparkSession, loc: Location,
+      manifest: String): Option[DeltaLogEntry] = {
+    val rows = spark.read.parquet(loc.child(manifest).uri)
+      .toJSON.collect()
+    val parsed = rows.iterator
+      .filter(l => l.nonEmpty && l != "{}")
+      .map(Action.parse)
+      .toVector
+    val sidecarNames = parsed.collect {
+      case r: RawAction if r.actionName == "sidecar" =>
+        Json.strOpt(r.body, "path").getOrElse(
+          throw new CorruptCheckpointException(
+            s"v2 checkpoint $manifest has a sidecar action without a path"))
+    }
+    val sidecarLocs = sidecarNames.map(loc.child("_sidecars").child(_))
+    val missing = sidecarLocs.filterNot(_.exists)
+    if (missing.nonEmpty)
+      throw new CorruptCheckpointException(
+        s"v2 checkpoint $manifest references missing sidecar file(s) " +
+          missing.map(_.uri).mkString(", "))
+    val sidecarActions =
+      if (sidecarLocs.isEmpty) Vector.empty
+      else spark.read.parquet(sidecarLocs.map(_.uri): _*)
+        .toJSON.collect().iterator
+        .filter(l => l.nonEmpty && l != "{}")
+        .map(Action.parse)
+        .toVector
+    val state = parsed.filterNot {
+      case r: RawAction => r.actionName == "sidecar" ||
+        r.actionName == "checkpointMetadata"
+      case _ => false
+    }
+    val entry = DeltaLogEntry(state ++ sidecarActions)
+    if (entry.actions.isEmpty) None else Some(entry)
   }
 }

@@ -32,9 +32,14 @@ object ProtocolGate {
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 
-  /** Reader features this engine genuinely implements. */
+  /** Reader features this engine genuinely implements. `v2Checkpoint` is
+    * read-side only (Checkpoint.readV2): tables carrying it open and
+    * scan, but the writer gate still refuses to commit to them — this
+    * engine writes classic-layout checkpoints, and writing one to a
+    * v2Checkpoint table would be out of spec.
+    */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   /** Writer features this engine implements. `invariants` and
     * `identityColumns` are deliberately ABSENT: their presence in a

@@ -155,6 +155,94 @@ class Round9Spec extends SparkSuite {
     assert(ids.forall(_ > hwm0))
   }
 
+  test("delta V2 checkpoint (uuid manifest + sidecars) opens after cleanup") {
+    import org.apache.spark.sql.types._
+    val d = tempDir("ckpt-v2")
+    var t = DeltaTable.forPath(d).write(nation, partitionBy = Some(Seq("n_regionkey")))
+    t = t.write(nation)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
+    // the table declares the v2Checkpoint READER feature, as delta-spark
+    // 3.x tables do (our own upgrade gate rightly refuses the writer
+    // feature — we don't write v2 layouts; a foreign writer adds it below)
+    t = t.upgradeProtocol(3, 7,
+      readerFeatures = Set("v2Checkpoint", "deletionVectors"),
+      writerFeatures = Set("deletionVectors"))
+    t = t.checkpoint()
+    val v = t.version
+    val expected = nation.union(nation).filter(col("n_nationkey") =!= 3)
+    // transform the emitted CLASSIC checkpoint into delta's V2 layout:
+    // file actions into a sidecar parquet under _sidecars/, everything
+    // else plus checkpointMetadata + the sidecar ref into a UUID manifest
+    val classic = t.logLoc.child(f"$v%020d.checkpoint.parquet")
+    val rows = spark.read.parquet(classic.uri).toJSON.collect().toSeq
+      .filter(l => l.nonEmpty && l != "{}")
+    val (fileRows, stateRows) = rows.partition(l =>
+      l.startsWith("""{"add""") || l.startsWith("""{"remove"""))
+    assert(fileRows.nonEmpty && stateRows.nonEmpty)
+    import org.apache.spark.sql.Encoders
+    val sidecarName = "00000000-aaaa-bbbb-cccc-000000000001.parquet"
+    val sidecarDir = t.logLoc.child("_sidecars")
+    sidecarDir.mkdirs()
+    val staging = tempDir("v2-staging")
+    spark.read.schema(Checkpoint.deltaCheckpointSchema)
+      .json(spark.createDataset(fileRows)(Encoders.STRING))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$d/_delta_log/_sidecars/$sidecarName"))
+    val manifestSchema = StructType(Checkpoint.deltaCheckpointSchema.fields ++ Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val manifestRows = stateRows ++ Seq(
+      s"""{"checkpointMetadata":{"version":$v}}""",
+      s"""{"sidecar":{"path":"$sidecarName","sizeInBytes":${part.length()}}}""")
+    val mStaging = tempDir("v2-manifest-staging")
+    spark.read.schema(manifestSchema)
+      .json(spark.createDataset(manifestRows)(Encoders.STRING))
+      .coalesce(1).write.mode("overwrite").parquet(mStaging)
+    val mPart = new java.io.File(mStaging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(mPart.toPath, java.nio.file.Paths.get(
+      s"$d/_delta_log/" +
+        f"$v%020d.checkpoint.00000000-aaaa-bbbb-cccc-0000000000ff.parquet"))
+    // wipe the classic checkpoint, graft artifacts, and cleaned JSON —
+    // the V2 manifest is now the only way to open the table
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val drop = name == f"$v%020d.checkpoint.parquet" ||
+        name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile ||
+        (name.matches("^\\d+\\.json$") && name.split("\\.", 2)(0).toLong <= v)
+      if (drop) t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    // direct read first: surfaces a real exception instead of the
+    // loadFrom fallback swallowing it
+    val direct = Checkpoint.readDeltaFormat(t.logLoc, v,
+      spark.sparkContext.hadoopConfiguration)
+    assert(direct.isDefined, "v2 manifest not picked up")
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assert(re.partitionColumns == Seq("n_regionkey"))
+    assertSameRows(re.toDF(spark), expected)
+    assert(re.toDF(spark).filter(col("n_nationkey") === 3).count() == 0)
+    // a FOREIGN writer upgrades to the v2Checkpoint WRITER feature
+    // (delta-spark's full protocol); we read it fine but refuse to
+    // commit — we write classic layouts, and a classic checkpoint on a
+    // v2 table would be out of spec
+    re.logLoc.child(f"${v + 1}%020d.json").writeString(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","deletionVectors"],""" +
+        """"writerFeatures":["v2Checkpoint","deletionVectors","appendOnly"]}}""" + "\n")
+    val re2 = DeltaTable.forPath(d)
+    assert(re2.version == v + 1)
+    assertSameRows(re2.toDF(spark), expected)
+    val e = intercept[IllegalStateException](re2.write(nation))
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
+
   test("clusterBy: delta-spark state shape, OPTIMIZE payoff, guards") {
     val sf = sfDir
     val d = tempDir("liquid")
