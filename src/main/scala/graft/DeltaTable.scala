@@ -43,7 +43,8 @@ final case class DeltaTable(
     commitContext: CommitContext = CreateIfAbsentCommit,
     checkpointInterval: Int = 10,
     pendingGenerated: Map[String, String] = Map.empty,
-    serializableIsolation: Boolean = false) {
+    serializableIsolation: Boolean = false,
+    pendingIdentity: Map[String, Identity.Spec] = Map.empty) {
 
   /** Strict SERIALIZABLE isolation for this handle's mutations: a
     * concurrent blind append whose new files MAY hold predicate-matching
@@ -345,13 +346,17 @@ final case class DeltaTable(
     // constrained writes evaluate df twice (validate + write): cache it so
     // an expensive upstream pipeline runs once
     // generated columns: compute the absent ones, validate supplied ones
-    val dfg = applyGenerated(df)
+    val dfg0 = applyGenerated(df)
+    // identity columns: allocate absent values, gate supplied ones; the
+    // advanced high-water marks are patched into the committed schema
+    // below so allocation and mark ride ONE atomic commit
+    val (dfg, identityHwms) = applyIdentity(dfg0)
     // column mapping: existing logical fields inherit the table's physical
     // names; new fields (schema merge / overwrite) are born with fresh
     // col-<uuid> physical names. Identity when mapping is inactive.
     val annSchema = ColumnMapping.annotateForWrite(
       if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
-      annotateGenerated(dfg.schema))
+      Identity.annotate(annotateGenerated(dfg.schema), identityColumns))
     val wMapping = ColumnMapping.logicalToPhysical(annSchema)
     val constrained = dlog.constraints.nonEmpty
     if (constrained) dfg.persist()
@@ -364,16 +369,20 @@ final case class DeltaTable(
     var attempts = 0
     var result: DeltaTable = null
     while (result == null) {
-      val evaluated = logState.evaluateSchema(annSchema, mode, schemaMode)
+      // hwm patch AFTER evaluateSchema: append-equal evaluation keeps the
+      // EXISTING schema object, which would silently drop the advanced
+      // identity marks
+      val evaluated = Identity.withHwms(
+        logState.evaluateSchema(annSchema, mode, schemaMode), identityHwms)
       val entry = logState.entryForWriteMode(mode, evaluated, adds, resolvedPartitionBy)
         .withExtraCommitInfo(customMetadata)
-      // pendingGenerated is consumed here: the committed schema records
-      // the expressions, so the returned handle must not re-inject them
-      // (a later rename/drop of the generated column would otherwise
-      // conflict with the stale pending entry)
+      // pendingGenerated/pendingIdentity are consumed here: the committed
+      // schema records the expressions/specs, so the returned handle must
+      // not re-inject them (a later rename/drop of the column would
+      // otherwise conflict with the stale pending entry)
       try result = copy(
         dlog = maybeCheckpoint(logState.commit(gated(entry, logState), commitContext)),
-        pendingGenerated = Map.empty)
+        pendingGenerated = Map.empty, pendingIdentity = Map.empty)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           if (mode != WriteMode.Append || attempts >= maxRetries) throw e
@@ -444,10 +453,11 @@ final case class DeltaTable(
     val resolvedPartitionBy =
       if (!dlog.isEmpty) dlog.validatePartitionBy(partitionBy)
       else partitionBy.getOrElse(Seq.empty)
-    val dfg = applyGenerated(df)
+    val dfg0 = applyGenerated(df)
+    val (dfg, identityHwms) = applyIdentity(dfg0)
     val annSchema = ColumnMapping.annotateForWrite(
       if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
-      annotateGenerated(dfg.schema))
+      Identity.annotate(annotateGenerated(dfg.schema), identityColumns))
     val constrained = dlog.constraints.nonEmpty
     if (constrained) dfg.persist()
     val adds =
@@ -456,16 +466,17 @@ final case class DeltaTable(
         writeData(dfg, dlog.versionToWrite, resolvedPartitionBy,
           ColumnMapping.logicalToPhysical(annSchema))
       } finally if (constrained) dfg.unpersist(blocking = false)
-    val evaluated = dlog.evaluateSchema(annSchema, WriteMode.Append, "overwrite")
+    val evaluated = Identity.withHwms(
+      dlog.evaluateSchema(annSchema, WriteMode.Append, "overwrite"), identityHwms)
     val base = dlog.entryForWriteMode(WriteMode.Append, evaluated, adds, resolvedPartitionBy)
     val entry = DeltaLogEntry(
       Txn(appId, txnVersion, Some(System.currentTimeMillis())) +: base.actions)
-    // pendingGenerated consumed by the create-time schema (as in write)
-    try commit(entry).copy(pendingGenerated = Map.empty)
+    // pendingGenerated/pendingIdentity consumed by the create-time schema
+    try commit(entry).copy(pendingGenerated = Map.empty, pendingIdentity = Map.empty)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         val fresh = copy(dlog = DeltaLog.load(logLoc, None),
-          pendingGenerated = Map.empty)
+          pendingGenerated = Map.empty, pendingIdentity = Map.empty)
         if (fresh.dlog.latestTxnVersion(appId).exists(_ >= txnVersion)) fresh
         else throw e
     }
@@ -1185,6 +1196,90 @@ final case class DeltaTable(
     require(dlog.isEmpty,
       "declare generated columns before the first write creates the table")
     copy(pendingGenerated = pendingGenerated + (name -> sqlExpr))
+  }
+
+  /** Declare an identity column (delta's GENERATED ALWAYS/BY DEFAULT AS
+    * IDENTITY, writer v6) before the table exists: the engine assigns
+    * `start, start+step, …` to writes that omit the column, tracking
+    * `delta.identity.highWaterMark` in the field's schema metadata
+    * atomically with each allocating commit. Writes that SUPPLY the
+    * column require `allowExplicitInsert` (delta's BY DEFAULT) and
+    * advance the mark past the supplied maximum.
+    */
+  def withIdentityColumn(name: String, start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false): DeltaTable = {
+    require(dlog.isEmpty,
+      "declare identity columns before the first write creates the table")
+    require(step != 0L, "identity step must be non-zero")
+    copy(pendingIdentity = pendingIdentity +
+      (name -> Identity.Spec(start, step, allowExplicitInsert, None)))
+  }
+
+  /** Identity specs in force (schema-recorded + pre-create pending). */
+  def identityColumns: Map[String, Identity.Spec] =
+    (if (dlog.isEmpty) Map.empty[String, Identity.Spec]
+     else Identity.specs(dlog.schema)) ++ pendingIdentity
+
+  /** Assign identity values: absent column → contiguous `hwm+step …` via
+    * `zipWithIndex` (distributed two-pass block allocation — per-partition
+    * counts then offsets; no global sort, no driver collect of data);
+    * supplied column → gated on allowExplicitInsert, mark advanced past
+    * the supplied max. Returns the frame plus the per-column advanced
+    * marks, which MUST ride the same commit's metaData (see write()).
+    */
+  private def applyIdentity(df: DataFrame): (DataFrame, Map[String, Long]) = {
+    val sps = identityColumns
+    if (sps.isEmpty) return (df, Map.empty)
+    var out = df
+    var patches = Map.empty[String, Long]
+    sps.foreach { case (name, sp) =>
+      if (!out.columns.contains(name)) {
+        val next = sp.highWaterMark.map(_ + sp.step).getOrElse(sp.start)
+        val spark = out.sparkSession
+        val rdd0 = out.rdd
+        // per-partition block allocation (delta-spark's own shape): ONE
+        // counting pass, then contiguous offsets fused into the write's
+        // scan — no global sort, no driver collect of data
+        val partCounts = rdd0
+          .mapPartitionsWithIndex((i, it) => Iterator(i -> it.size.toLong))
+          .collect().sortBy(_._1).map(_._2)
+        val n = partCounts.sum
+        if (n > 0L) {
+          val offsets = partCounts.scanLeft(0L)(_ + _)
+          val step = sp.step
+          // nullable like any data column: a NOT NULL marking here would
+          // make explicit-insert frames (parquet-read, nullable) flunk
+          // append-schema compatibility for no integrity gain
+          val schema2 = org.apache.spark.sql.types.StructType(
+            out.schema.fields :+ org.apache.spark.sql.types.StructField(
+              name, org.apache.spark.sql.types.LongType, nullable = true))
+          val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+            var k = offsets(i)
+            it.map { row =>
+              val r = org.apache.spark.sql.Row.fromSeq(
+                row.toSeq :+ (next + k * step))
+              k += 1L
+              r
+            }
+          }
+          out = spark.createDataFrame(rdd, schema2)
+          patches += name -> (next + (n - 1L) * sp.step)
+        }
+      } else {
+        require(sp.allowExplicitInsert,
+          s"identity column $name is GENERATED ALWAYS: explicit values are " +
+            "rejected (declare it with allowExplicitInsert to permit them)")
+        require(sp.step > 0L,
+          s"explicit inserts into identity column $name require a positive step")
+        val mx = out.agg(org.apache.spark.sql.functions.max(col(name))).first()
+        if (!mx.isNullAt(0)) {
+          val supplied = mx.getLong(0)
+          val cur = sp.highWaterMark.getOrElse(sp.start - sp.step)
+          if (supplied > cur) patches += name -> supplied
+        }
+      }
+    }
+    (out, patches)
   }
 
   /** Generation expressions in force (schema-recorded + pre-create pending). */
@@ -2433,12 +2528,15 @@ final case class DeltaTable(
     val tracked = RowTracking.assign(entry, log)
     val ictOn = tracked.metadataAction.orElse(log.latestMetadata)
       .exists(_.configuration.get("delta.enableInCommitTimestamps").contains("true"))
+    val identityOn = tracked.metadataAction
+      .exists(_.schemaString.contains("\"delta.identity."))
     val needed =
       (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
          Seq("deletionVectors") else Seq.empty) ++
       (if (tracked ne entry) Seq("domainMetadata", RowTracking.Feature)
        else Seq.empty) ++
-      (if (ictOn) Seq("inCommitTimestamp") else Seq.empty)
+      (if (ictOn) Seq("inCommitTimestamp") else Seq.empty) ++
+      (if (identityOn) Seq("identityColumns") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
     val base = inEntry.getOrElse(log.currentProtocol)

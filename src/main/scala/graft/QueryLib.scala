@@ -620,6 +620,22 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** documents with an engine-assigned IDENTITY column `doc_seq`: ordered
+    * single-file writes make the assigned values a closed form (1-based
+    * insertion rank — the second write continues above the first's
+    * high-water mark, which rides the same commit's metaData).
+    */
+  def documentsIdentityDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_identity") { d =>
+      val df = raw(spark, sfDir, "documents")
+      DeltaTable.forPath(d)
+        .withIdentityColumn("doc_seq")
+        .write(df.orderBy("doc_id").coalesce(1))
+        .write(df.filter(col("doc_id") < 100)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+          .orderBy("doc_id").coalesce(1))
+    }
+
   /** lineitem as a LIQUID-CLUSTERED table: clusterBy declares the keys as
     * `delta.clustering` domainMetadata (delta-spark's exact state), the
     * next OPTIMIZE lays files out by them (Z-order), and the scan result

@@ -639,6 +639,12 @@ object SparkEntry {
       QueryLib.nationCdfRateLimitedStream(s, d)
         .orderBy("_commit_version", "_change_type", "n_nationkey")),
 
+    // identity column: engine-assigned doc_seq = insertion rank, the
+    // second write continuing above the committed high-water mark
+    "q106_identity_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.documentsIdentityDir(s, d)).toDF(s)
+        .orderBy("doc_id")),
+
     // liquid clustering: CLUSTER BY declares keys as delta.clustering
     // domainMetadata; OPTIMIZE Z-orders by them; the scan is
     // layout-invariant (the spec asserts the skipping payoff)
@@ -802,6 +808,18 @@ object SparkEntry {
     "q105_clustered_scan" ->
       """SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 15
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // identity = 1-based insertion rank: write 1 is the full table in
+    // doc_id order, write 2 the shifted sub-slice continuing above the
+    // first write's high-water mark (COUNT(*))
+    "q106_identity_scan" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM documents),
+        |a AS (SELECT doc_id, text, lang, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS doc_seq
+        |  FROM documents),
+        |b AS (SELECT doc_id + 10000000 AS doc_id, text, lang, source, n_chars,
+        |    (SELECT c FROM n) + CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS doc_seq
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY doc_id""".stripMargin,
     "q104_importance_weights" ->
       """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
         |    unnest(string_split(lower(text), ' ')) AS tk FROM documents),

@@ -41,22 +41,21 @@ object ProtocolGate {
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
-  /** Writer features this engine implements. `invariants` and
-    * `identityColumns` are deliberately ABSENT: their presence in a
-    * feature list is harmless (a table may list a feature it never
-    * uses), so they are exempted from the subset check, but their actual
-    * USE is visible in the schema and gated there — see
-    * [[assertWritable]] — which is more precise than rejecting on the
-    * version number alone.
+  /** Writer features this engine implements. `invariants` is
+    * deliberately ABSENT: its presence in a feature list is harmless (a
+    * table may list a feature it never uses), so it is exempted from the
+    * subset check, but its actual USE is visible in the schema and gated
+    * there — see [[assertWritable]] — which is more precise than
+    * rejecting on the version number alone.
     */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
-      "clustering")
+      "clustering", "identityColumns")
 
   /** Features legal to list but whose use is schema-gated instead. */
-  private val SchemaGatedWriterFeatures = Set("invariants", "identityColumns")
+  private val SchemaGatedWriterFeatures = Set("invariants")
 
   private def legacyReaderFeatures(v: Int): Set[String] =
     if (v >= 2) Set("columnMapping") else Set.empty
@@ -126,11 +125,6 @@ object ProtocolGate {
           "could corrupt invariants other engines rely on")
     // Schema-gated features: listing them is harmless, USING them is not.
     val schemaStr = metadata.map(_.schemaString).getOrElse("")
-    if (schemaStr.contains("\"delta.identity."))
-      throw new IllegalStateException(
-        "table schema declares identity columns (delta.identity.*); this " +
-          "engine does not maintain identity high-water marks — a write " +
-          "would corrupt them")
     if (schemaStr.contains("\"delta.invariants\""))
       throw new IllegalStateException(
         "table schema declares column invariants (delta.invariants); this " +

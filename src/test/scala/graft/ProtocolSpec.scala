@@ -53,7 +53,7 @@ class ProtocolSpec extends SparkSuite {
       t.delete(spark, Some(col("n_nationkey") < 5)))
   }
 
-  test("writer gate: identity columns and schema invariants are use-gated") {
+  test("writer gate: invariants use-gated; foreign identity columns maintained") {
     import org.apache.spark.sql.types._
     val d = tempDir("gate-identity")
     var t = DeltaTable.forPath(d).write(nationDF)
@@ -68,12 +68,33 @@ class ProtocolSpec extends SparkSuite {
       meta.copy(schemaString = newSchema.json),
       CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t.version))))
     val reopened = DeltaTable.forPath(d) // legacy protocol still opens
-    // the appended batch carries the identity column so the write reaches
-    // the commit gate (schema checks run first and would mask it)
+    // GENERATED ALWAYS: explicit values are rejected (the foreign spec
+    // set no allowExplicitInsert)…
     val withId = nationDF.withColumn("row_id",
       org.apache.spark.sql.functions.lit(1L))
-    assert(intercept[IllegalStateException](reopened.write(withId))
-      .getMessage.contains("identity"))
+    assert(intercept[IllegalArgumentException](reopened.write(withId))
+      .getMessage.contains("GENERATED ALWAYS"))
+    // …while an omitting write ALLOCATES and advances the foreign mark —
+    // this engine now maintains identity high-water marks
+    val t2 = reopened.write(nationDF)
+    val sp = graft.log.Identity.specs(t2.schema)("row_id")
+    assert(sp.highWaterMark.contains(nationDF.count()))
+
+    // schema invariants stay use-gated: we don't enforce them
+    val d2 = tempDir("gate-invariants")
+    val t3 = DeltaTable.forPath(d2).write(nationDF)
+    val meta3 = t3.dlog.latestMetadata.get
+    val invField = StructField("n_nationkey", IntegerType, nullable = true,
+      metadata = org.apache.spark.sql.types.Metadata.fromJson(
+        """{"delta.invariants":"{\"expression\":{\"expression\":\"n_nationkey > 0\"}}"}"""))
+    val invSchema = StructType(t3.schema.fields.map(f =>
+      if (f.name == "n_nationkey") invField else f))
+    t3.dlog.commit(DeltaLogEntry(Vector(
+      meta3.copy(schemaString = invSchema.json),
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t3.version))))
+    assert(intercept[IllegalStateException](
+      DeltaTable.forPath(d2).write(nationDF))
+      .getMessage.contains("invariants"))
   }
 
   test("appendOnly: mutations rejected, appends and OPTIMIZE pass") {

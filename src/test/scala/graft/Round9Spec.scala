@@ -155,6 +155,43 @@ class Round9Spec extends SparkSuite {
     assert(ids.forall(_ > hwm0))
   }
 
+  test("identity columns: allocation, explicit-insert gate, hwm durability") {
+    val d = tempDir("identity")
+    var t = DeltaTable.forPath(d)
+      .withIdentityColumn("seq", start = 100L, step = 10L,
+        allowExplicitInsert = true)
+      .write(nation.orderBy("n_nationkey").coalesce(1))
+    val n = nation.count()
+    // contiguous start/step allocation, mark = last allocated
+    val sp = graft.log.Identity.specs(t.schema)("seq")
+    assert(sp.start == 100L && sp.step == 10L)
+    assert(sp.highWaterMark.contains(100L + (n - 1) * 10L))
+    val seqs = t.toDF(spark).select("seq").collect().map(_.getLong(0)).sorted
+    assert(seqs.head == 100L && seqs.last == 100L + (n - 1) * 10L)
+    assert(seqs.distinct.length == n)
+    // feature honesty: identityColumns declared
+    assert(graft.log.ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+      .contains("identityColumns"))
+    // explicit insert (allowed here) advances the mark past the supplied max
+    t = t.write(nation.withColumn("seq", col("n_nationkey").cast("long") + 10000L))
+    val sp2 = graft.log.Identity.specs(t.schema)("seq")
+    assert(sp2.highWaterMark.exists(_ >= 10000L))
+    // the mark survives checkpoint + log cleanup; the next allocation
+    // continues above it, never reusing a value
+    t = t.checkpoint().cleanupLog()
+    val re = DeltaTable.forPath(d).write(nation.coalesce(1))
+    val all = re.toDF(spark).select("seq").collect().map(_.getLong(0))
+    assert(all.distinct.length == all.length, "identity values must be unique")
+    assert(all.max > 10000L + n)
+
+    // GENERATED ALWAYS (default): explicit values are rejected
+    val d2 = tempDir("identity-always")
+    val t2 = DeltaTable.forPath(d2).withIdentityColumn("seq")
+      .write(nation.coalesce(1))
+    intercept[IllegalArgumentException](
+      t2.write(nation.withColumn("seq", lit(1L))))
+  }
+
   test("delta V2 checkpoint (uuid manifest + sidecars) opens after cleanup") {
     import org.apache.spark.sql.types._
     val d = tempDir("ckpt-v2")
