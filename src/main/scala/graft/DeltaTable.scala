@@ -2110,7 +2110,29 @@ final case class DeltaTable(
         loc.fs.makeQualified(st.getPath).toString)))
       .filterNot(st => liveDvDirs.exists(d => Location.canonical(
         loc.fs.makeQualified(st.getPath).toString).startsWith(d + "/")))
-    if (!dryRun) candidates.foreach(st => loc.fs.delete(st.getPath, false))
+    if (!dryRun) {
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+      if (candidates.size >= 64 && spark.isDefined) {
+        // distributed delete (delta-spark's shape): at 10⁶ stranded files
+        // a sequential driver loop is the vacuum bottleneck — the same
+        // scale argument as deepCloneTo's executor-side copy. The driver
+        // ships only O(files) paths.
+        import scala.jdk.CollectionConverters._
+        val confKvs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+        val paths = candidates.map(_.getPath.toString)
+        spark.get.sparkContext
+          .parallelize(paths, math.max(1, math.min(paths.size / 16, 64)))
+          .foreachPartition { it =>
+            val c = new Configuration()
+            confKvs.foreach { case (k, v) => c.set(k, v) }
+            it.foreach { uri =>
+              val p = new org.apache.hadoop.fs.Path(uri)
+              p.getFileSystem(c).delete(p, false)
+            }
+          }
+      } else candidates.foreach(st => loc.fs.delete(st.getPath, false))
+    }
     candidates.map(st => loc.fs.makeQualified(st.getPath).toString)
   }
 

@@ -155,6 +155,22 @@ class Round9Spec extends SparkSuite {
     assert(ids.forall(_ > hwm0))
   }
 
+  test("vacuum's distributed delete branch removes exactly the stranded files") {
+    val d = tempDir("vacuum-dist")
+    // 80 stranded files (> the 64-candidate threshold) via a repartitioned
+    // write followed by an overwrite
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    var t = DeltaTable.forPath(d).write(li.repartition(80))
+    assert(t.dlog.addActions.size >= 64)
+    t = t.write(nation.coalesce(1), mode = graft.log.WriteMode.Overwrite)
+    val removed = t.vacuum(retentionMs = 0L)
+    assert(removed.size >= 64, s"expected >=64 deletes, got ${removed.size}")
+    // exactly the stranded bytes are gone, the live table is intact
+    removed.foreach(u => assert(
+      !new java.io.File(new java.net.URI(u)).exists(), s"not deleted: $u"))
+    assertSameRows(DeltaTable.forPath(d).toDF(spark), nation)
+  }
+
   test("identity columns: allocation, explicit-insert gate, hwm durability") {
     val d = tempDir("identity")
     var t = DeltaTable.forPath(d)
