@@ -2552,13 +2552,17 @@ final case class DeltaTable(
       .exists(_.configuration.get("delta.enableInCommitTimestamps").contains("true"))
     val identityOn = tracked.metadataAction
       .exists(_.schemaString.contains("\"delta.identity."))
+    val v2CkptOn = tracked.metadataAction.orElse(log.latestMetadata)
+      .exists(_.configuration.get("delta.checkpointPolicy")
+        .exists(_.trim.equalsIgnoreCase("v2")))
     val needed =
       (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
          Seq("deletionVectors") else Seq.empty) ++
       (if (tracked ne entry) Seq("domainMetadata", RowTracking.Feature)
        else Seq.empty) ++
       (if (ictOn) Seq("inCommitTimestamp") else Seq.empty) ++
-      (if (identityOn) Seq("identityColumns") else Seq.empty)
+      (if (identityOn) Seq("identityColumns") else Seq.empty) ++
+      (if (v2CkptOn) Seq("v2Checkpoint") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
     val base = inEntry.getOrElse(log.currentProtocol)

@@ -85,6 +85,18 @@ object Checkpoint {
       dlog.domainMetadata.values ++ dlog.addActions.values ++ headCommit
   }
 
+  /** True when the table asks for delta V2 (UUID-manifest + sidecar)
+    * checkpoints: either the `delta.checkpointPolicy=v2` property
+    * (delta-spark's own switch) or a protocol already carrying the
+    * `v2Checkpoint` feature (a foreign table we adopted — writing a
+    * classic checkpoint there would be legal but writing v2 keeps the
+    * table's own convention).
+    */
+  private def wantsV2(dlog: DeltaLog): Boolean =
+    dlog.latestMetadata.exists(_.configuration.get("delta.checkpointPolicy")
+      .exists(_.trim.equalsIgnoreCase("v2"))) ||
+      ProtocolGate.readerFeatures(dlog.currentProtocol).contains("v2Checkpoint")
+
   /** Write the checkpoint for the log's current version and point
     * the pointer file at it.
     */
@@ -105,7 +117,8 @@ object Checkpoint {
     } finally writer.close()
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
-    writeDeltaFormat(dlog, actions, conf, maxActionsPerPart)
+    if (wantsV2(dlog)) writeDeltaFormatV2(dlog, actions, conf, maxActionsPerPart)
+    else writeDeltaFormat(dlog, actions, conf, maxActionsPerPart)
     gcOldCheckpoints(dlog.loc, keep = 2, conf)
   }
 
@@ -258,9 +271,107 @@ object Checkpoint {
     } finally staging.delete()
   }
 
+  /** Manifest schema for delta V2 checkpoints: the classic per-action
+    * struct columns PLUS the two V2 bookkeeping actions —
+    * `checkpointMetadata` (declares the checkpoint's version inside the
+    * file itself) and `sidecar` (one row per referenced sidecar file).
+    * File actions live in the sidecars; the manifest's add/remove columns
+    * stay all-null (spec-legal — a reader must take file actions from
+    * wherever they appear).
+    */
+  private[graft] def v2ManifestSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val strMap = MapType(StringType, StringType, valueContainsNull = true)
+    StructType(deltaCheckpointSchema.fields ++ Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType),
+        StructField("tags", strMap)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType),
+        StructField("tags", strMap))))))
+  }
+
+  /** Sidecar schema: file actions only, per the V2 spec. */
+  private def v2SidecarSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(deltaCheckpointSchema.fields.filter(f =>
+      f.name == "add" || f.name == "remove"))
+  }
+
+  /** Emit a delta V2 checkpoint: file actions split into sidecar parquet
+    * files under `_delta_log/_sidecars/` (≤ `maxActionsPerPart` each, so
+    * a reader fans out over them the way multi-part classic checkpoints
+    * fan out), and a UUID-named manifest
+    * `%020d.checkpoint.<uuid>.parquet` carrying the non-file state plus
+    * `checkpointMetadata` and one `sidecar` ref per file. Sidecars are
+    * named `<version>-<uuid>.parquet`: the version prefix is graft's own
+    * convention (spec only asks for unique names) and is what lets
+    * [[gcOldCheckpoints]] attribute and delete a superseded checkpoint's
+    * sidecars WITHOUT reading its manifest — foreign sidecars never match
+    * the prefix and are never touched.
+    */
+  private def writeDeltaFormatV2(dlog: DeltaLog, actions: Seq[Action],
+      conf: Configuration,
+      maxActionsPerPart: Int = DeltaCheckpointPartSize): Unit = {
+    import org.apache.spark.sql.{Encoders, SparkSession}
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(return)
+    val v = dlog.version
+    val (fileActs, stateActs) = actions
+      .filterNot(_.isInstanceOf[CommitInfo])
+      .partition(a => a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
+    val sidecarDir = dlog.loc.child("_sidecars")
+    val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
+    try {
+      // ---- sidecars: file actions, schema-driven nested layout ----
+      val wantParts =
+        math.max(1, math.ceil(fileActs.size.toDouble / maxActionsPerPart).toInt)
+      val fileDf = spark.read.schema(v2SidecarSchema)
+        .json(spark.createDataset(fileActs.map(_.toLine))(Encoders.STRING))
+      (if (wantParts == 1) fileDf.coalesce(1) else fileDf.repartition(wantParts))
+        .write.mode("overwrite").parquet(staging.uri)
+      val staged = staging.listDataFilesRecursive()
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      require(staged.nonEmpty, "v2 checkpoint staged zero sidecar files")
+      val sidecarRefs = staged.map { st =>
+        val name = f"$v%020d-${java.util.UUID.randomUUID()}.parquet"
+        val dest = sidecarDir.child(name)
+        if (!dest.fs.exists(sidecarDir.path)) dest.fs.mkdirs(sidecarDir.path)
+        if (!dest.fs.rename(st.getPath, dest.path))
+          throw new java.io.IOException(
+            s"rename ${st.getPath} -> ${dest.path} failed")
+        val fst = dest.fs.getFileStatus(dest.path)
+        s"""{"sidecar":{"path":"$name","sizeInBytes":${fst.getLen},""" +
+          s""""modificationTime":${fst.getModificationTime}}}"""
+      }
+      // ---- manifest: state + checkpointMetadata + sidecar refs ----
+      val manifestLines = stateActs.map(_.toLine) ++
+        Seq(s"""{"checkpointMetadata":{"version":$v}}""") ++ sidecarRefs
+      val mDf = spark.read.schema(v2ManifestSchema)
+        .json(spark.createDataset(manifestLines)(Encoders.STRING))
+      mDf.coalesce(1).write.mode("overwrite").parquet(staging.uri)
+      val part = staging.listDataFilesRecursive()
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      require(part.size == 1, s"expected one staged manifest, got ${part.size}")
+      val dest = dlog.loc.child(
+        f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+      if (!dest.fs.rename(part.head.getPath, dest.path))
+        throw new java.io.IOException(
+          s"rename ${part.head.getPath} -> ${dest.path} failed")
+      dlog.loc.child("_last_checkpoint")
+        .writeString(s"""{"version":$v,"size":${actions.size}}""")
+    } finally staging.delete()
+  }
+
   private val CheckpointRe = "^(\\d+)\\.graft-checkpoint\\.parquet$".r
   private val LegacyCheckpointRe = "^(\\d+)\\.checkpoint\\.parquet$".r
   private val MultiPartCheckpointRe = "^(\\d+)\\.checkpoint\\.\\d+\\.\\d+\\.parquet$".r
+  private val V2ManifestRe =
+    "^(\\d+)\\.checkpoint\\.[0-9a-fA-F]{8}-[0-9a-fA-F-]+\\.parquet$".r
 
   /** True iff `name` is a parquet file with graft's one-json-column row
     * layout — i.e. a checkpoint written by a pre-rename graft build under
@@ -289,11 +400,13 @@ object Checkpoint {
   private def gcOldCheckpoints(loc: Location, keep: Int, conf: Configuration): Unit = {
     var legacy = List.empty[String]
     var multiPart = List.empty[String]
+    var v2 = List.empty[String]
     val versions = loc.listSorted().flatMap { st =>
       st.getPath.getName match {
         case CheckpointRe(v) => Some(v.toLong)
         case LegacyCheckpointRe(_) => legacy ::= st.getPath.getName; None
         case MultiPartCheckpointRe(_) => multiPart ::= st.getPath.getName; None
+        case V2ManifestRe(_) => v2 ::= st.getPath.getName; None
         case _ => None
       }
     }
@@ -313,11 +426,25 @@ object Checkpoint {
       (legacy.filterNot(removedLegacy.contains).flatMap(n =>
         LegacyCheckpointRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)) ++
         multiPart.flatMap(n =>
-          MultiPartCheckpointRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)))
+          MultiPartCheckpointRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)) ++
+        v2.flatMap(n =>
+          V2ManifestRe.findFirstMatchIn(n).map(_.group(1).toLong -> n)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     deltaByVersion.keys.toSeq.sorted.dropRight(keep).foreach { v =>
       deltaByVersion(v).foreach { name =>
         try loc.fs.delete(loc.child(name).path, false)
+        catch { case _: Exception => () }
+      }
+      // graft-written v2 sidecars carry the checkpoint version as a name
+      // prefix, so a superseded checkpoint's sidecars are attributable
+      // (and deletable) without reading its manifest; foreign sidecars
+      // (bare-uuid names) never match and are left for their own engine
+      val sidecarDir = loc.child("_sidecars")
+      if (deltaByVersion(v).exists(V2ManifestRe.matches(_)) && sidecarDir.exists) {
+        val prefix = f"$v%020d-"
+        try sidecarDir.listSorted()
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(st => loc.fs.delete(st.getPath, false))
         catch { case _: Exception => () }
       }
     }
@@ -420,7 +547,8 @@ object Checkpoint {
     val deltaRe = "^(\\d{20})\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$".r
     val candidates =
       (names.flatMap(n => graftRe.findFirstMatchIn(n).map(_.group(1).toLong -> true)) ++
-        names.flatMap(n => deltaRe.findFirstMatchIn(n).map(_.group(1).toLong -> false))
+        (names.flatMap(n => deltaRe.findFirstMatchIn(n).map(_.group(1).toLong -> false)) ++
+          names.flatMap(n => V2ManifestRe.findFirstMatchIn(n).map(_.group(1).toLong -> false)))
           .distinct)
         .filter(_._1 <= v)
         .sortBy { case (cv, isGraft) => (-cv, !isGraft) }

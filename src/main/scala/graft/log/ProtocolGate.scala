@@ -32,11 +32,11 @@ object ProtocolGate {
   val MaxReaderVersion = 3
   val MaxWriterVersion = 7
 
-  /** Reader features this engine genuinely implements. `v2Checkpoint` is
-    * read-side only (Checkpoint.readV2): tables carrying it open and
-    * scan, but the writer gate still refuses to commit to them — this
-    * engine writes classic-layout checkpoints, and writing one to a
-    * v2Checkpoint table would be out of spec.
+  /** Reader features this engine genuinely implements. `v2Checkpoint`
+    * covers BOTH directions: Checkpoint.readV2 replays UUID-manifest +
+    * sidecar checkpoints, and Checkpoint.writeDeltaFormatV2 emits them
+    * (under `delta.checkpointPolicy=v2` or on a table already carrying
+    * the feature), so committing to a v2Checkpoint table stays in spec.
     */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
@@ -52,7 +52,7 @@ object ProtocolGate {
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
-      "clustering", "identityColumns")
+      "clustering", "identityColumns", "v2Checkpoint")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants")

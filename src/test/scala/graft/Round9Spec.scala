@@ -214,14 +214,16 @@ class Round9Spec extends SparkSuite {
     var t = DeltaTable.forPath(d).write(nation, partitionBy = Some(Seq("n_regionkey")))
     t = t.write(nation)
     t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") === 3))
-    // the table declares the v2Checkpoint READER feature, as delta-spark
-    // 3.x tables do (our own upgrade gate rightly refuses the writer
-    // feature — we don't write v2 layouts; a foreign writer adds it below)
+    // classic checkpoint FIRST (the protocol doesn't carry v2Checkpoint
+    // yet, so the classic layout is emitted), then the table declares
+    // the v2Checkpoint READER feature as a JSON-tail commit — the
+    // hand-built foreign manifest below replaces the classic file, and
+    // the reopened table's protocol still ends up declaring the feature
+    t = t.checkpoint()
+    val v = t.version
     t = t.upgradeProtocol(3, 7,
       readerFeatures = Set("v2Checkpoint", "deletionVectors"),
       writerFeatures = Set("deletionVectors"))
-    t = t.checkpoint()
-    val v = t.version
     val expected = nation.union(nation).filter(col("n_nationkey") =!= 3)
     // transform the emitted CLASSIC checkpoint into delta's V2 layout:
     // file actions into a sidecar parquet under _sidecars/, everything
@@ -277,23 +279,90 @@ class Round9Spec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     assert(direct.isDefined, "v2 manifest not picked up")
     val re = DeltaTable.forPath(d)
-    assert(re.version == v)
+    assert(re.version == v + 1) // manifest base @ v + the upgrade commit
     assert(re.partitionColumns == Seq("n_regionkey"))
     assertSameRows(re.toDF(spark), expected)
     assert(re.toDF(spark).filter(col("n_nationkey") === 3).count() == 0)
     // a FOREIGN writer upgrades to the v2Checkpoint WRITER feature
-    // (delta-spark's full protocol); we read it fine but refuse to
-    // commit — we write classic layouts, and a classic checkpoint on a
-    // v2 table would be out of spec
-    re.logLoc.child(f"${v + 1}%020d.json").writeString(
+    // (delta-spark's full protocol); this engine now MAINTAINS such
+    // tables in-spec — the commit succeeds, and the next checkpoint is
+    // itself emitted in the V2 layout (manifest + sidecars, no classic
+    // file at that version)
+    re.logLoc.child(f"${v + 2}%020d.json").writeString(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["v2Checkpoint","deletionVectors"],""" +
         """"writerFeatures":["v2Checkpoint","deletionVectors","appendOnly"]}}""" + "\n")
     val re2 = DeltaTable.forPath(d)
-    assert(re2.version == v + 1)
+    assert(re2.version == v + 2)
     assertSameRows(re2.toDF(spark), expected)
-    val e = intercept[IllegalStateException](re2.write(nation))
-    assert(e.getMessage.contains("v2Checkpoint"))
+    val re3 = re2.write(nation).checkpoint()
+    val head = re3.version
+    assert(head == v + 3)
+    val names = re3.logLoc.listSorted().map(_.getPath.getName)
+    assert(!names.contains(f"$head%020d.checkpoint.parquet"),
+      "v2 table must not get a classic checkpoint")
+    val manifestRe =
+      (f"^$head%020d" + "\\.checkpoint\\.[0-9a-fA-F]{8}-[0-9a-fA-F-]+\\.parquet$").r
+    assert(names.exists(manifestRe.matches(_)), "expected a v2 manifest at head")
+    assert(re3.logLoc.child("_sidecars").listSorted()
+      .exists(_.getPath.getName.startsWith(f"$head%020d-")),
+      "expected a version-prefixed sidecar from the native v2 emission")
+    // the natively-emitted checkpoint round-trips: wipe everything else
+    // and reopen from the manifest alone
+    re3.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val drop = name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile ||
+        (name.matches("^\\d+\\.json$") && name.split("\\.", 2)(0).toLong <= head)
+      if (drop) re3.logLoc.fs.delete(re3.logLoc.child(name).path, false)
+    }
+    val re4 = DeltaTable.forPath(d)
+    assert(re4.version == head)
+    assertSameRows(re4.toDF(spark), expected.union(nation))
+  }
+
+  test("delta.checkpointPolicy=v2: native emission, feature, sidecar GC") {
+    val d = tempDir("ckpt-v2-native")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
+      .write(nation)
+    t = t.setTableProperties(Map("delta.checkpointPolicy" -> "v2"))
+    // the property commit declared the readerWriter feature (delta-spark
+    // parity: a v2 table must announce itself to readers)
+    val p = t.dlog.currentProtocol
+    assert(ProtocolGate.readerFeatures(p).contains("v2Checkpoint"))
+    assert(ProtocolGate.writerFeatures(p).contains("v2Checkpoint"))
+    def manifestsAt(tbl: DeltaTable, v: Long): Seq[String] =
+      tbl.logLoc.listSorted().map(_.getPath.getName).filter(n =>
+        n.matches(f"^$v%020d" + "\\.checkpoint\\.[0-9a-fA-F]{8}-[0-9a-fA-F-]+\\.parquet$"))
+    def sidecarsAt(tbl: DeltaTable, v: Long): Seq[String] = {
+      val sd = tbl.logLoc.child("_sidecars")
+      if (!sd.exists) Seq.empty
+      else sd.listSorted().map(_.getPath.getName)
+        .filter(_.startsWith(f"$v%020d-"))
+    }
+    t = t.checkpoint()
+    val v1 = t.version
+    assert(manifestsAt(t, v1).size == 1 && sidecarsAt(t, v1).nonEmpty)
+    assert(!t.logLoc.listSorted().map(_.getPath.getName)
+      .contains(f"$v1%020d.checkpoint.parquet"))
+    // the keep-2 GC drops the OLDEST v2 checkpoint AND its
+    // version-prefixed sidecars once a third exists
+    t = t.write(nation).checkpoint()
+    val v2 = t.version
+    t = t.write(nation).checkpoint()
+    val v3 = t.version
+    assert(manifestsAt(t, v1).isEmpty && sidecarsAt(t, v1).isEmpty,
+      "superseded v2 checkpoint (manifest + sidecars) must be GC'd")
+    assert(manifestsAt(t, v2).nonEmpty && manifestsAt(t, v3).nonEmpty)
+    // the surviving newest checkpoint serves a cleaned-log open
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val drop = name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile ||
+        (name.matches("^\\d+\\.json$") && name.split("\\.", 2)(0).toLong <= v3)
+      if (drop) t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v3)
+    assertSameRows(re.toDF(spark), nation.union(nation).union(nation))
   }
 
   test("clusterBy: delta-spark state shape, OPTIMIZE payoff, guards") {
