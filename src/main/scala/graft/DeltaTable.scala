@@ -1402,6 +1402,82 @@ final case class DeltaTable(
         Map("columns" -> name), dlog.version))
   }
 
+  /** Widen a column's type without touching any data file — delta's
+    * `typeWidening` table feature. Old parquet files keep the narrow
+    * physical type; the parquet readers up-convert at scan time (Spark's
+    * widening promotions), so the change is metadata-only: O(1) at any
+    * table size, where a rewrite would be O(data). The applied change is
+    * recorded in the field's metadata under delta's `delta.typeChanges`
+    * key (`[{"fromType":…,"toType":…}]`, appended per change) so a
+    * foreign delta reader sees exactly the state delta-spark would write,
+    * and the `typeWidening` readerWriter feature is declared — a
+    * feature-unaware engine must refuse the table rather than fail
+    * mid-scan on a narrow file.
+    *
+    * Gated on `delta.enableTypeWidening=true` (delta-spark parity) and
+    * restricted to delta's lossless promotions. Partition columns are
+    * rejected (their values live as log strings parsed by the declared
+    * type — flipping the parse type silently re-keys the layout);
+    * generated-column sources are rejected (the expression's result type
+    * would drift from the declared generated type).
+    */
+  def alterColumnType(name: String,
+      to: org.apache.spark.sql.types.DataType): DeltaTable = {
+    import org.apache.spark.sql.types._
+    require(!dlog.isEmpty, "alterColumnType requires an existing table")
+    val sch = dlog.schema
+    val f = sch.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+    val widenings: Set[(DataType, DataType)] = Set(
+      ByteType -> ShortType, ByteType -> IntegerType, ByteType -> LongType,
+      ShortType -> IntegerType, ShortType -> LongType,
+      IntegerType -> LongType,
+      FloatType -> DoubleType,
+      ByteType -> DoubleType, ShortType -> DoubleType,
+      IntegerType -> DoubleType,
+      DateType -> TimestampNTZType)
+    require(widenings.contains(f.dataType -> to),
+      s"cannot widen $name from ${f.dataType.typeName} to ${to.typeName}: " +
+        "not a lossless promotion (delta typeWidening set)")
+    require(dlog.latestMetadata.exists(_.configuration
+        .get("delta.enableTypeWidening").exists(_.trim.equalsIgnoreCase("true"))),
+      "type widening is disabled; enable it first: " +
+        "setTableProperties(Map(\"delta.enableTypeWidening\" -> \"true\"))")
+    require(!dlog.partitionColumns.contains(name),
+      s"cannot widen partition column $name")
+    generatedColumns.collectFirst {
+      case (g, sql) if ("""(?i)(?<![a-z0-9_])""" +
+          java.util.regex.Pattern.quote(name) + """(?![a-z0-9_])""").r
+          .findFirstIn(sql).isDefined => g
+    }.foreach(g => throw new IllegalArgumentException(
+      s"cannot widen $name: generated column $g references it — the " +
+        "expression's result type would drift from the declared type"))
+    val change = new MetadataBuilder()
+      .putString("fromType", f.dataType.typeName)
+      .putString("toType", to.typeName).build()
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges") else Array.empty[Metadata]
+    val newMeta = new MetadataBuilder().withMetadata(f.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ change).build()
+    val fields = sch.fields.map { fd =>
+      if (fd.name == name) fd.copy(dataType = to, metadata = newMeta) else fd
+    }
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val amended = meta.copy(schemaString = StructType(fields).json)
+    val info = CommitInfo.columnChange(CommitInfo.Op.ChangeColumn,
+      Map("column" -> name, "fromType" -> f.dataType.typeName,
+        "toType" -> to.typeName), dlog.version)
+    val base = dlog.currentProtocol
+    val actions: Vector[Action] =
+      ProtocolGate.withFeature(base, "typeWidening") match {
+        case Some(up) => Vector(up, amended, info)
+        case None => Vector(amended, info)
+      }
+    commit(DeltaLogEntry(actions))
+  }
+
   private def commitMappingChange(newSchema: StructType,
       info: CommitInfo): DeltaTable = {
     val meta = dlog.latestMetadata

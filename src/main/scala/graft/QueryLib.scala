@@ -636,6 +636,30 @@ object QueryLib {
           .orderBy("doc_id").coalesce(1))
     }
 
+  /** orders written NARROW (o_custkey int, o_totalprice float), then
+    * type-widened to long/double in metadata-only commits
+    * (delta's `typeWidening` feature), then appended with values that
+    * only fit the WIDE types — so the scan reads a mix of narrow and
+    * wide physical files under one widened logical schema.
+    */
+  def ordersWidenedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_widened") { d =>
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val df = raw(spark, sfDir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("int").as("o_custkey"),
+          col("o_totalprice").cast("float").as("o_totalprice"))
+      var t = DeltaTable.forPath(d).write(df)
+      t = t.setTableProperties(Map("delta.enableTypeWidening" -> "true"))
+      t = t.alterColumnType("o_custkey", LongType)
+      t = t.alterColumnType("o_totalprice", DoubleType)
+      t.write(df.filter(col("o_orderkey") < 100)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+        .withColumn("o_custkey", col("o_custkey").cast("long") + lit(5000000000L))
+        .withColumn("o_totalprice", col("o_totalprice").cast("double") + lit(0.25)))
+      ()
+    }
+
   /** lineitem as a LIQUID-CLUSTERED table: clusterBy declares the keys as
     * `delta.clustering` domainMetadata (delta-spark's exact state), the
     * next OPTIMIZE lays files out by them (Z-order), and the scan result

@@ -653,6 +653,13 @@ object SparkEntry {
         .filter(col("l_quantity") >= 10 && col("l_quantity") <= 15)
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // type widening: metadata-only int→long / float→double ALTERs; the
+    // scan reads narrow (pre-widening) and wide files under one schema
+    "q107_type_widening" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersWidenedDir(s, d)).toDF(s)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
     // DSIR importance weights: per-doc sum of token log-likelihood
     // ratios between the target (lang='en') and raw unigram
     // distributions, Laplace-smoothed — the deterministic scoring stage
@@ -808,6 +815,18 @@ object SparkEntry {
     "q105_clustered_scan" ->
       """SELECT * FROM lineitem WHERE l_quantity BETWEEN 10 AND 15
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // IEEE float→double conversion is exact, so the widened narrow-file
+    // values match CAST(CAST(x AS REAL) AS DOUBLE) bit-for-bit
+    "q107_type_widening" ->
+      """WITH a AS (SELECT o_orderkey,
+        |    CAST(CAST(o_custkey AS INTEGER) AS BIGINT) AS o_custkey,
+        |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS o_totalprice
+        |  FROM orders),
+        |b AS (SELECT o_orderkey + 20000000 AS o_orderkey,
+        |    CAST(CAST(o_custkey AS INTEGER) AS BIGINT) + 5000000000 AS o_custkey,
+        |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) + 0.25 AS o_totalprice
+        |  FROM orders WHERE o_orderkey < 100)
+        |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY o_orderkey""".stripMargin,
     // identity = 1-based insertion rank: write 1 is the full table in
     // doc_id order, write 2 the shifted sub-slice continuing above the
     // first write's high-water mark (COUNT(*))

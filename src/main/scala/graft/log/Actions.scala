@@ -407,6 +407,7 @@ object CommitInfo {
     val SetDomainMetadata = "SET DOMAIN METADATA"
     val RemoveDomainMetadata = "REMOVE DOMAIN METADATA"
     val ClusterBy = "CLUSTER BY"
+    val ChangeColumn = "CHANGE COLUMN"
   }
 
   /** Deep-clone v0 commit (delta's CLONE operation). */

@@ -39,7 +39,8 @@ object ProtocolGate {
     * the feature), so committing to a v2Checkpoint table stays in spec.
     */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
+      "typeWidening")
 
   /** Writer features this engine implements. `invariants` is
     * deliberately ABSENT: its presence in a feature list is harmless (a
@@ -52,7 +53,7 @@ object ProtocolGate {
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
-      "clustering", "identityColumns", "v2Checkpoint")
+      "clustering", "identityColumns", "v2Checkpoint", "typeWidening")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants")

@@ -365,6 +365,59 @@ class Round9Spec extends SparkSuite {
     assertSameRows(re.toDF(spark), nation.union(nation).union(nation))
   }
 
+  test("type widening: metadata-only ALTER, narrow files scan widened") {
+    import org.apache.spark.sql.types._
+    val d = tempDir("widen")
+    val narrow = nation
+      .withColumn("n_nationkey", col("n_nationkey").cast("int"))
+      .withColumn("score", (col("n_regionkey") + lit(0.5)).cast("float"))
+    var t = DeltaTable.forPath(d)
+      .write(narrow, partitionBy = Some(Seq("n_regionkey")))
+    // gated on the delta-spark property
+    intercept[IllegalArgumentException](t.alterColumnType("n_nationkey", LongType))
+    t = t.setTableProperties(Map("delta.enableTypeWidening" -> "true"))
+    val filesBefore = t.fileUris.toSet
+    t = t.alterColumnType("n_nationkey", LongType)
+    t = t.alterColumnType("score", DoubleType)
+    // metadata-only: zero files rewritten
+    assert(t.fileUris.toSet == filesBefore)
+    // schema widened + delta.typeChanges recorded + feature declared
+    val f = t.dlog.schema("n_nationkey")
+    assert(f.dataType == LongType)
+    val tc = f.metadata.getMetadataArray("delta.typeChanges")
+    assert(tc.length == 1 && tc.head.getString("fromType") == "integer" &&
+      tc.head.getString("toType") == "long")
+    val p = t.dlog.currentProtocol
+    assert(ProtocolGate.readerFeatures(p).contains("typeWidening"))
+    assert(ProtocolGate.writerFeatures(p).contains("typeWidening"))
+    // the NARROW files scan under the widened schema
+    val out = t.toDF(spark)
+    assert(out.schema("n_nationkey").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    assert(out.count() == nation.count())
+    // appended data may now exceed the old type's range
+    t = t.write(narrow
+      .withColumn("n_nationkey", col("n_nationkey") + lit(5000000000L))
+      .withColumn("score", col("score").cast("double")))
+    val re = DeltaTable.forPath(d).toDF(spark)
+    assert(re.count() == 2 * nation.count())
+    assert(re.agg(max("n_nationkey")).head.getLong(0) > Int.MaxValue.toLong)
+    // stats skipping still prunes across mixed narrow/wide files
+    val pruned = graft.sources.DataSkipping.prune(
+      t.dlog.addActions.values.toSeq, col("n_nationkey") > lit(4999999990L),
+      t.dlog.schema, t.dlog.partitionColumns)
+    assert(pruned.size < t.dlog.addActions.size && pruned.nonEmpty)
+    // guards: lossy change, partition column, generated-column source
+    intercept[IllegalArgumentException](t.alterColumnType("n_nationkey", IntegerType))
+    intercept[IllegalArgumentException](t.alterColumnType("n_regionkey", LongType))
+    val d2 = tempDir("widen-gen")
+    var g = DeltaTable.forPath(d2)
+      .withGeneratedColumn("key2", "n_nationkey * 2")
+      .write(nation.withColumn("n_nationkey", col("n_nationkey").cast("int")))
+    g = g.setTableProperties(Map("delta.enableTypeWidening" -> "true"))
+    intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
+  }
+
   test("clusterBy: delta-spark state shape, OPTIMIZE payoff, guards") {
     val sf = sfDir
     val d = tempDir("liquid")
