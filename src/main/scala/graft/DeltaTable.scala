@@ -362,8 +362,21 @@ final case class DeltaTable(
     if (constrained) dfg.persist()
     // validate INSIDE the try: a constraint violation must not leave the
     // batch pinned in executor memory
+    // optimized write (delta's `delta.autoOptimize.optimizeWrite`): an AQE
+    // REBALANCE on the partition columns right-sizes output files at the
+    // shuffle — without it a K-partition frame writes K files into EVERY
+    // hive directory, the small-file debt that kills 100 TB tables. AQE
+    // both coalesces tiny partitions and splits skewed ones toward
+    // spark.sql.adaptive.advisoryPartitionSizeInBytes, which is exactly
+    // delta-spark's optimized-write shuffle re-expressed natively.
+    val dfw =
+      if (autoOptimizeProp("optimizeWrite"))
+        (if (resolvedPartitionBy.nonEmpty)
+           dfg.hint("rebalance", resolvedPartitionBy.map(col): _*)
+         else dfg.hint("rebalance"))
+      else dfg
     val adds =
-      try { validateConstraints(dfg); writeData(dfg, dlog.versionToWrite, resolvedPartitionBy, wMapping) }
+      try { validateConstraints(dfg); writeData(dfw, dlog.versionToWrite, resolvedPartitionBy, wMapping) }
       finally if (constrained) dfg.unpersist(blocking = false)
     var logState = dlog
     var attempts = 0
@@ -421,7 +434,56 @@ final case class DeltaTable(
               "Concurrent commit changed column mapping; append retry aborted", e)
       }
     }
+    // auto compaction (delta's `delta.autoOptimize.autoCompact`): a
+    // post-commit maintenance hook — when any partition's small-file
+    // count crosses the threshold, compact JUST those files in a
+    // dataChange=false follow-up commit. Best-effort like delta's: a
+    // failed compaction never fails the write that triggered it (the
+    // data is already durably committed; debt is retried next write).
+    if (result.autoOptimizeProp("autoCompact"))
+      result = try result.autoCompactNow(df.sparkSession)
+        catch { case _: Exception => result }
     result
+  }
+
+  /** `delta.autoOptimize.<name>` as a boolean table property, read from
+    * THIS handle's log — the write path calls it on `this` (pre-commit
+    * state decides the shuffle shape) and on the committed result
+    * (post-commit state decides auto-compaction).
+    */
+  private def autoOptimizeProp(name: String): Boolean =
+    dlog.latestMetadata
+      .exists(_.configuration.get(s"delta.autoOptimize.$name")
+        .exists(_.trim.equalsIgnoreCase("true")))
+
+  /** Compact every partition whose SMALL-file population (size below
+    * `delta.autoOptimize.autoCompact.maxFileSize`, default 128 MB)
+    * reached `delta.autoOptimize.autoCompact.minNumFiles` (default 50,
+    * delta's own threshold). Only the small files rewrite — a partition's
+    * well-sized files are never touched, so auto-compact cost is
+    * ∝ debt, not table size. Selection is a driver-side fold over live
+    * adds (metadata scale); the rewrite itself is one distributed job.
+    */
+  private[graft] def autoCompactNow(spark: SparkSession): DeltaTable = {
+    val cfg = dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty)
+    val minNumFiles = cfg.get("delta.autoOptimize.autoCompact.minNumFiles")
+      .flatMap(_.toIntOption).getOrElse(50)
+    val maxFileSize = cfg.get("delta.autoOptimize.autoCompact.maxFileSize")
+      .flatMap(_.toLongOption).getOrElse(128L << 20)
+    val toCompact = dlog.addActions.values.toSeq
+      .filter(_.size < maxFileSize)
+      .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
+      .filter(_._2.size >= minNumFiles)
+      .values.flatten.toSeq
+    if (toCompact.isEmpty) return this
+    val df = scanAdds(spark, toCompact)
+    val compacted =
+      if (dlog.partitionColumns.nonEmpty)
+        df.repartition(dlog.partitionColumns.map(col): _*)
+      else df.coalesce(1)
+    val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
+    commitOrRebase(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version),
+      toCompact.map(_.path).toSet)
   }
 
   /** Multi-input write (reference xdlake/__init__.py:153-190 accepts

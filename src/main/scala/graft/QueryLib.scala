@@ -660,6 +660,26 @@ object QueryLib {
       ()
     }
 
+  /** supplier under auto-optimize: optimizeWrite rebalances every append's
+    * output files, and autoCompact (threshold 4) compacts the small-file
+    * debt the repeated tiny appends build up — the scan result is
+    * layout-invariant, which is exactly what the oracle checks; the spec
+    * asserts the file-count mechanics.
+    */
+  def supplierAutoOptimizeDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "supplier_auto_optimize") { d =>
+      val df = raw(spark, sfDir, "supplier")
+      var t = DeltaTable.forPath(d).write(df)
+      t = t.setTableProperties(Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.autoOptimize.autoCompact" -> "true",
+        "delta.autoOptimize.autoCompact.minNumFiles" -> "4"))
+      (0 until 4).foreach { i =>
+        t = t.write(df.filter(col("s_suppkey") % 4 === i).repartition(3))
+      }
+      ()
+    }
+
   /** lineitem as a LIQUID-CLUSTERED table: clusterBy declares the keys as
     * `delta.clustering` domainMetadata (delta-spark's exact state), the
     * next OPTIMIZE lays files out by them (Z-order), and the scan result

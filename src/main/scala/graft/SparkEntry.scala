@@ -660,6 +660,12 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
 
+    // auto optimize: optimizeWrite rebalance + autoCompact debt paydown —
+    // layout changes, rows don't (the spec asserts the file mechanics)
+    "q108_auto_optimize_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.supplierAutoOptimizeDir(s, d)).toDF(s)
+        .orderBy("s_suppkey", "s_acctbal")),
+
     // DSIR importance weights: per-doc sum of token log-likelihood
     // ratios between the target (lang='en') and raw unigram
     // distributions, Laplace-smoothed — the deterministic scoring stage
@@ -827,6 +833,11 @@ object SparkEntry {
         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) + 0.25 AS o_totalprice
         |  FROM orders WHERE o_orderkey < 100)
         |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY o_orderkey""".stripMargin,
+    // base write + the four modulo slices appended again
+    "q108_auto_optimize_scan" ->
+      """SELECT * FROM supplier
+        |UNION ALL SELECT * FROM supplier
+        |ORDER BY s_suppkey, s_acctbal""".stripMargin,
     // identity = 1-based insertion rank: write 1 is the full table in
     // doc_id order, write 2 the shifted sub-slice continuing above the
     // first write's high-water mark (COUNT(*))

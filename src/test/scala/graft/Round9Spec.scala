@@ -418,6 +418,60 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("auto optimize: optimizeWrite right-sizes, autoCompact pays debt down") {
+    val d = tempDir("auto-opt")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
+    // --- optimizeWrite: a 16-partition frame lands as ~1 file, not 16 ---
+    t = t.setTableProperties(Map("delta.autoOptimize.optimizeWrite" -> "true"))
+    val before = t.dlog.addActions.size
+    t = t.write(nation.repartition(16))
+    assert(t.dlog.addActions.size - before <= 2,
+      s"optimizeWrite should coalesce tiny shuffle partitions, " +
+        s"got ${t.dlog.addActions.size - before} files")
+    // --- autoCompact: small-file debt crossing the threshold compacts ---
+    t = t.setTableProperties(Map(
+      "delta.autoOptimize.optimizeWrite" -> "false",
+      "delta.autoOptimize.autoCompact" -> "true",
+      "delta.autoOptimize.autoCompact.minNumFiles" -> "8"))
+    val vBefore = t.version
+    t = t.write(nation.repartition(4)) // debt below threshold: no compact
+    assert(t.version == vBefore + 1)
+    t = t.write(nation.repartition(6)) // debt crosses 8: compact fires
+    assert(t.version == vBefore + 3, "expected write + auto-compact commits")
+    assert(t.dlog.addActions.size == 1,
+      s"small files should compact to one, got ${t.dlog.addActions.size}")
+    // the compaction is maintenance: dataChange=false on its adds
+    val compactionEntry = t.dlog.entries(t.version)
+    assert(compactionEntry.adds.nonEmpty &&
+      compactionEntry.adds.forall(!_.dataChange))
+    assert(compactionEntry.commitInfos.exists(_.operation == "OPTIMIZE"))
+    // rows intact across the whole dance
+    assertSameRows(t.toDF(spark),
+      nation.union(nation).union(nation).union(nation))
+    // partitioned: only the indebted partition compacts
+    val d2 = tempDir("auto-opt-part")
+    var p = DeltaTable.forPath(d2).copy(checkpointInterval = 0)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    p = p.setTableProperties(Map(
+      "delta.autoOptimize.autoCompact" -> "true",
+      "delta.autoOptimize.autoCompact.minNumFiles" -> "6"))
+    val perPartBefore = p.dlog.addActions.values
+      .groupBy(_.partitionValues.get("n_regionkey").flatten).view.mapValues(_.size).toMap
+    // pile debt onto region 0 only
+    (1 to 6).foreach { _ =>
+      p = p.write(nation.filter(col("n_regionkey") === 0).repartition(1),
+        partitionBy = Some(Seq("n_regionkey")))
+    }
+    val perPart = p.dlog.addActions.values
+      .groupBy(_.partitionValues.get("n_regionkey").flatten).view.mapValues(_.size).toMap
+    // compaction fired when region 0 crossed 6 files (collapse to 1);
+    // the append after the crossing leaves exactly one more
+    assert(perPart(Some("0")) == 2, s"region 0 should be compacted, got $perPart")
+    assert(perPart(Some("1")) == perPartBefore(Some("1")),
+      "undebted partitions must not rewrite")
+    assert(p.dlog.entries.values.exists(_.commitInfos.exists(_.operation == "OPTIMIZE")))
+  }
+
   test("clusterBy: delta-spark state shape, OPTIMIZE payoff, guards") {
     val sf = sfDir
     val d = tempDir("liquid")
