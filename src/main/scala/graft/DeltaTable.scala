@@ -214,11 +214,22 @@ final case class DeltaTable(
     // rows — the inner join below just never matches them
     val bases = adds.flatMap(a => a.baseRowId.map(pathName(a.path) -> _))
       .toDF("_rt_name", "_rt_base")
-    scanAddsWithMeta(spark, adds)
+    // stable ids: a file REWRITTEN by OPTIMIZE/auto-compact/REORG carries
+    // each row's original id in the materialized row-id column; rows
+    // still in their birth file read it as null and fall back to
+    // baseRowId + position (delta's exact resolution order)
+    val mcol = RowTracking.materializedCol(dlog.latestMetadata)
+    val scanned = scanAddsWithMeta(spark, adds,
+      mcol.toSeq.map(org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.LongType)))
+    val freshId = col("_rt_base") + col(DeltaScan.MetaRow)
+    scanned
       .join(broadcast(bases),
         substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_rt_name"))
-      .withColumn("_row_id", col("_rt_base") + col(DeltaScan.MetaRow))
+      .withColumn("_row_id",
+        mcol.map(m => coalesce(col(m), freshId)).getOrElse(freshId))
       .drop(DeltaScan.MetaPath, DeltaScan.MetaRow, "_rt_name", "_rt_base")
+      .drop(mcol.toSeq: _*)
   }
 
   // ------------------------------------------------------------------
@@ -250,30 +261,62 @@ final case class DeltaTable(
     * `input_file_name()` because the latter evaluates empty on the probe
     * side of shuffled joins — including the DV anti-join itself.
     */
-  private[graft] def scanAddsWithMeta(spark: SparkSession, adds: Seq[AddFile]): DataFrame = {
+  private[graft] def scanAddsWithMeta(spark: SparkSession, adds: Seq[AddFile],
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     val (dved, clean) = adds.partition(a => DeletionVectors.refOf(a).isDefined)
     val cleanDF = DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
-      dlog.partitionColumns, clean, conf)
+      dlog.partitionColumns, clean, conf, extraDataCols)
     if (dved.isEmpty) cleanDF
-    else if (clean.isEmpty) dvScan(spark, dved)
-    else cleanDF.unionByName(dvScan(spark, dved))
+    else if (clean.isEmpty) dvScan(spark, dved, extraDataCols)
+    else cleanDF.unionByName(dvScan(spark, dved, extraDataCols))
   }
 
   /** DV'd files' surviving rows, with meta columns. Bulk anti-join on file
     * basename when basenames are unique (always true for graft-written
     * UUID files); exact per-file joins otherwise (imported-file collision).
     */
-  private def dvScan(spark: SparkSession, dved: Seq[AddFile]): DataFrame = {
+  /** Candidate scan for dataChange=false REWRITES (OPTIMIZE/auto-compact/
+    * REORG): with row tracking on, each surviving row carries its STABLE
+    * id in the materialized row-id column — existing materialized values
+    * win (a file being re-rewritten), fresh `baseRowId + position`
+    * otherwise — so the rewritten file preserves ids even though it is
+    * assigned a fresh `baseRowId` range at commit (delta's stable-row-id
+    * contract). Plain scan when tracking is off or any candidate predates
+    * it (ids were never defined for those rows).
+    */
+  private def scanForRewrite(spark: SparkSession, adds: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.substring_index
+    import spark.implicits._
+    val metaOpt = dlog.latestMetadata
+    val mcolOpt =
+      if (RowTracking.enabled(metaOpt)) RowTracking.materializedCol(metaOpt)
+      else None
+    val mcol = mcolOpt.getOrElse(return scanAdds(spark, adds))
+    if (adds.exists(a => a.baseRowId.isEmpty && !a.numRecords.contains(0L)))
+      return scanAdds(spark, adds)
+    val bases = adds.flatMap(a => a.baseRowId.map(pathName(a.path) -> _))
+      .toDF("_rt_name", "_rt_base")
+    scanAddsWithMeta(spark, adds, Seq(org.apache.spark.sql.types.StructField(
+        mcol, org.apache.spark.sql.types.LongType)))
+      .join(broadcast(bases),
+        substring_index(col(DeltaScan.MetaPath), "/", -1) === col("_rt_name"))
+      .withColumn(mcol,
+        coalesce(col(mcol), col("_rt_base") + col(DeltaScan.MetaRow)))
+      .drop(DeltaScan.MetaPath, DeltaScan.MetaRow, "_rt_name", "_rt_base")
+  }
+
+  private def dvScan(spark: SparkSession, dved: Seq[AddFile],
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
     val names = dved.map(a => pathName(a.path))
     if (names.distinct.size == names.size)
       DeletionVectors.dropDead(spark,
         DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema, dlog.partitionColumns,
-          dved, conf),
+          dved, conf, extraDataCols),
         dved, loc, conf)
     else
       DeletionVectors.dropDeadPerFile(spark,
         a => DeltaScan.snapshotDFWithMeta(spark, loc, dlog.schema,
-          dlog.partitionColumns, Seq(a), conf),
+          dlog.partitionColumns, Seq(a), conf, extraDataCols),
         dved, loc, conf)
   }
 
@@ -476,7 +519,7 @@ final case class DeltaTable(
       .filter(_._2.size >= minNumFiles)
       .values.flatten.toSeq
     if (toCompact.isEmpty) return this
-    val df = scanAdds(spark, toCompact)
+    val df = scanForRewrite(spark, toCompact)
     val compacted =
       if (dlog.partitionColumns.nonEmpty)
         df.repartition(dlog.partitionColumns.map(col): _*)
@@ -1103,7 +1146,17 @@ final case class DeltaTable(
     if (rest.isEmpty) return upgraded
     val meta = upgraded.dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
-    val newMeta = meta.copy(configuration = meta.configuration ++ rest)
+    // enabling row tracking mints the materialized row-id column name
+    // (delta-spark's key) in the SAME commit, so every later
+    // dataChange=false rewrite knows where to preserve stable ids;
+    // a name already present (ours or a foreign writer's) is kept
+    val minted =
+      if (rest.get(RowTracking.EnableKey).contains("true") &&
+          !meta.configuration.contains(RowTracking.MaterializedColKey) &&
+          !rest.contains(RowTracking.MaterializedColKey))
+        rest + (RowTracking.MaterializedColKey -> RowTracking.mintMaterializedCol())
+      else rest
+    val newMeta = meta.copy(configuration = meta.configuration ++ minted)
     upgraded.commit(DeltaLogEntry(Vector(newMeta,
       CommitInfo.metaOp(CommitInfo.Op.SetProperties, rest, upgraded.dlog.version)))
       .withExtraCommitInfo(customMetadata))
@@ -1941,7 +1994,7 @@ final case class DeltaTable(
         groups.filter(_._2.size == 1).values.flatten
           .filter(a => DeletionVectors.refOf(a).isDefined)).toSeq
     if (toCompact.isEmpty) return this
-    val df = scanAdds(spark, toCompact)
+    val df = scanForRewrite(spark, toCompact)
     val n = if (targetFiles > 0) targetFiles
       else math.max(1, spark.sparkContext.defaultParallelism / 4)
     // one output file per partition tuple: the write path re-splits by
@@ -2054,7 +2107,10 @@ final case class DeltaTable(
     val stale: Seq[AddFile] =
       if (!mapped) Seq.empty
       else {
-        val allowed = ColumnMapping.physicalSchema(dlog.schema).fieldNames.toSet
+        // the materialized row-id column is INTENTIONAL out-of-schema
+        // physical data (stable ids under row tracking), not drop debt
+        val allowed = ColumnMapping.physicalSchema(dlog.schema).fieldNames.toSet ++
+          RowTracking.materializedCol(dlog.latestMetadata)
         clean.filter { a =>
           val p = Location.resolve(a.path, loc, conf)
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -2071,7 +2127,7 @@ final case class DeltaTable(
     if (toRewrite.isEmpty) return this
     val purgedRows = dved.map(a =>
       DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
-    val adds = writeData(scanAdds(spark, toRewrite), dlog.versionToWrite,
+    val adds = writeData(scanForRewrite(spark, toRewrite), dlog.versionToWrite,
       dlog.partitionColumns)
     commitOrRebase(DeltaLogEntry.reorgTable(toRewrite, adds, dlog.version,
       purgedRows), toRewrite.map(_.path).toSet)

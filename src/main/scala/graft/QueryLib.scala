@@ -713,6 +713,20 @@ object QueryLib {
       t.deleteMergeOnRead(spark, Some(col("c_custkey") % 7 === 0)) // v4: DV only
     }
 
+  /** The row-tracked customer table OPTIMIZED: compaction rewrites every
+    * file (applying the MoR deletion vector) yet each survivor keeps its
+    * original id through the materialized row-id column — stable row
+    * ids, so the q103 closed form (id = 0-based c_custkey rank over the
+    * ORIGINAL corpus) still holds after the rewrite.
+    */
+  def customerRowTrackedCompactedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_rowtracking_compacted") { d =>
+      val src = customerRowTrackedDir(spark, sfDir)
+      DeltaTable.forPath(src).cloneTo(d)
+      DeltaTable.forPath(d).compact(spark)
+      ()
+    }
+
   /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
     * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
     * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`

@@ -682,6 +682,13 @@ object SparkEntry {
       DeltaTable.forPath(QueryLib.customerRowTrackedDir(s, d))
         .toDFWithRowIds(s).orderBy("c_custkey")),
 
+    // stable row ids: OPTIMIZE rewrote every file (applying the MoR DV),
+    // yet ids still equal the original closed-form rank — preserved via
+    // the materialized row-id column, not re-derived from fresh ranges
+    "q109_stable_row_ids" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerRowTrackedCompactedDir(s, d))
+        .toDFWithRowIds(s).orderBy("c_custkey")),
+
     // ---- SemDeDup: k-means-clustered semantic dedup (X77). Identical
     // twins share a cluster by construction and cosine 1.0 >= 0.95; the
     // corpus's max non-identical pairwise cosine (~0.51) never crosses
@@ -866,6 +873,14 @@ object SparkEntry {
     // allocate contiguous ranges in key order); the MoR delete removes
     // rows without renumbering survivors
     "q103_row_ids_scan" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS _row_id
+        |  FROM customer)
+        |SELECT * FROM ranked WHERE c_custkey % 7 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    // same closed form as q103: the post-OPTIMIZE table must preserve it
+    "q109_stable_row_ids" ->
       """WITH ranked AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
         |    CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS _row_id

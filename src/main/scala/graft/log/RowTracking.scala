@@ -24,8 +24,26 @@ object RowTracking {
   val EnableKey = "delta.enableRowTracking"
   val Feature = "rowTracking"
 
+  /** Config key naming the MATERIALIZED row-id column (delta-spark's own
+    * key): dataChange=false rewrites (OPTIMIZE/auto-compact/REORG) write
+    * each surviving row's stable id under this physical parquet column,
+    * so ids survive file rewrites — fresh `baseRowId + position` only
+    * covers rows still in their birth file. The name is minted once
+    * (uuid-suffixed, delta-spark's format) when row tracking is enabled,
+    * never collides with user columns, and is invisible to normal scans
+    * (it is absent from the logical schema, so the read projection never
+    * selects it).
+    */
+  val MaterializedColKey = "delta.rowTracking.materializedRowIdColumnName"
+
   def enabled(meta: Option[Metadata]): Boolean =
     meta.exists(_.configuration.get(EnableKey).contains("true"))
+
+  def materializedCol(meta: Option[Metadata]): Option[String] =
+    meta.flatMap(_.configuration.get(MaterializedColKey))
+
+  def mintMaterializedCol(): String =
+    s"_row-id-col-${java.util.UUID.randomUUID()}"
 
   /** Highest allocated row id, -1 when none allocated yet. */
   def highWaterMark(dlog: DeltaLog): Long =

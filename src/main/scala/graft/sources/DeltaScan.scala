@@ -97,8 +97,10 @@ object DeltaScan {
       schema: StructType,
       partitionColumns: Seq[String],
       adds: Seq[AddFile],
-      conf: Configuration): DataFrame =
-    scan(spark, tableRoot, schema, partitionColumns, adds, conf, withMeta = true)
+      conf: Configuration,
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame =
+    scan(spark, tableRoot, schema, partitionColumns, adds, conf,
+      withMeta = true, extraDataCols = extraDataCols)
 
   private def scan(
       spark: SparkSession,
@@ -107,10 +109,13 @@ object DeltaScan {
       partitionColumns: Seq[String],
       adds: Seq[AddFile],
       conf: Configuration,
-      withMeta: Boolean): DataFrame = {
+      withMeta: Boolean,
+      extraDataCols: Seq[org.apache.spark.sql.types.StructField] = Nil): DataFrame = {
 
     if (adds.isEmpty) {
-      val base = emptyDF(spark, schema)
+      var base = emptyDF(spark, schema)
+      extraDataCols.foreach(f =>
+        base = base.withColumn(f.name, lit(null).cast(f.dataType)))
       return if (!withMeta) base
         else base
           .withColumn(MetaPath, lit(null).cast(org.apache.spark.sql.types.StringType))
@@ -125,12 +130,17 @@ object DeltaScan {
     // never mapped (renameColumn rejects them).
     val l2p = graft.log.ColumnMapping.logicalToPhysical(schema)
     val mapped = !graft.log.ColumnMapping.isIdentity(l2p)
-    val readSchema =
-      if (mapped) graft.log.ColumnMapping.physicalSchema(schema) else schema
+    // extra PHYSICAL data columns (e.g. the materialized row-id column):
+    // appended to the read schema so files that carry them surface the
+    // values and files that don't read as null (parquet schema-on-read)
+    val readSchema = StructType(
+      (if (mapped) graft.log.ColumnMapping.physicalSchema(schema) else schema)
+        .fields ++ extraDataCols.map(_.copy(nullable = true)))
 
     val ordered: Seq[org.apache.spark.sql.Column] =
       schema.fieldNames.toSeq.map(n =>
         if (l2p(n) == n) col(n) else col(l2p(n)).as(n)) ++
+        extraDataCols.map(f => col(f.name)) ++
         (if (withMeta)
            Seq(col("_metadata.file_path").as(MetaPath),
              col("_metadata.row_index").as(MetaRow))
@@ -145,7 +155,8 @@ object DeltaScan {
     // GraftFileIndex).
     val df = GraftFileIndex.relation(spark, tableRoot, readSchema,
       partitionColumns, adds, conf)
-    if (withMeta || mapped || partitionColumns.nonEmpty) df.select(ordered: _*)
+    if (withMeta || mapped || partitionColumns.nonEmpty || extraDataCols.nonEmpty)
+      df.select(ordered: _*)
     else df
   }
 }

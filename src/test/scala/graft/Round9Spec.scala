@@ -144,15 +144,16 @@ class Round9Spec extends SparkSuite {
     val n = nation.count()
     val hwm0 = graft.log.RowTracking.highWaterMark(t.dlog)
     assert(hwm0 == 3 * n - 1)
-    // without a materialized id column a rewrite allocates FRESH ranges
-    // (delta's un-preserved rowTracking); the mark must advance past the
-    // old one and the id set stays dense and distinct
+    // the rewrite allocates a FRESH baseRowId range (the mark advances
+    // past the old one) but the VISIBLE ids are preserved via the
+    // materialized row-id column — stable row ids, delta's contract
     t = t.compact(spark)
     val hwm1 = graft.log.RowTracking.highWaterMark(t.dlog)
     assert(hwm1 > hwm0)
     val ids = t.toDFWithRowIds(spark).select("_row_id").collect().map(_.getLong(0))
     assert(ids.length == 3 * n && ids.distinct.length == ids.length)
-    assert(ids.forall(_ > hwm0))
+    assert(ids.min == 0L && ids.max == hwm0,
+      "visible ids must be the PRESERVED originals, not the fresh range")
   }
 
   test("vacuum's distributed delete branch removes exactly the stranded files") {
@@ -416,6 +417,49 @@ class Round9Spec extends SparkSuite {
       .write(nation.withColumn("n_nationkey", col("n_nationkey").cast("int")))
     g = g.setTableProperties(Map("delta.enableTypeWidening" -> "true"))
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
+  }
+
+  test("stable row ids survive OPTIMIZE, re-rewrite, and REORG PURGE") {
+    val d = tempDir("rowid-stable")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
+      .write(nation.limit(0))
+      .setTableProperties(Map(graft.log.RowTracking.EnableKey -> "true"))
+    // enabling minted the materialized column name (delta-spark's key)
+    val mcol = graft.log.RowTracking.materializedCol(t.dlog.latestMetadata)
+    assert(mcol.isDefined && mcol.get.startsWith("_row-id-col-"))
+    t = t.write(nation.orderBy("n_nationkey").coalesce(1))
+    t = t.write(nation.withColumn("n_nationkey",
+        (col("n_nationkey") + lit(100)).cast("int"))
+      .orderBy("n_nationkey").coalesce(1))
+    def idMap(tb: DeltaTable): Map[Long, Long] =
+      tb.toDFWithRowIds(spark).select("n_nationkey", "_row_id")
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val before = idMap(t)
+    assert(before.size == 2 * nation.count())
+    // OPTIMIZE rewrites both files into one — ids must NOT move
+    t = t.compact(spark)
+    assert(t.dlog.addActions.size == 1)
+    assert(idMap(t) == before, "ids must survive the rewrite")
+    // the rewritten file got a FRESH baseRowId range; the stable ids come
+    // from the materialized column, not the range
+    val hwmAfter = graft.log.RowTracking.highWaterMark(t.dlog)
+    assert(hwmAfter >= 2 * before.size - 1)
+    // a SECOND rewrite preserves the already-materialized ids (coalesce
+    // keeps existing values over base+pos)
+    t = t.write(nation.withColumn("n_nationkey",
+      (col("n_nationkey") + lit(200)).cast("int")))
+    t = t.compact(spark)
+    val after2 = idMap(t)
+    assert(before.forall { case (k, id) => after2(k) == id })
+    // MoR delete + REORG PURGE: survivors keep their ids through the
+    // DV-applying rewrite, and purge does not see the materialized
+    // column as drop debt (no infinite rewrite)
+    t = t.deleteMergeOnRead(spark, Some(col("n_nationkey") % 5 === 1))
+    val preP = idMap(t)
+    t = t.purge(spark)
+    assert(idMap(t) == preP, "survivor ids must survive PURGE")
+    val t2 = t.purge(spark)
+    assert(t2.version == t.version, "purge must be idempotent (no fake debt)")
   }
 
   test("auto optimize: optimizeWrite right-sizes, autoCompact pays debt down") {
