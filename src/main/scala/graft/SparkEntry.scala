@@ -369,6 +369,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).cast("long").as("n_chars"))
         .orderBy("split")),
+    // domain capping: at most 50 docs per source, longest first —
+    // WindowGroupLimit makes the top-k partial before the shuffle
+    "q110_domain_cap" -> ((s, d) =>
+      operators.Sampling.capPerGroup(QueryLib.delta(s, d, "documents"),
+          "source", 50, Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+    // deterministic epoch shuffle: order is a pure function of
+    // (seed, doc_id) — any engine reproduces the identical permutation
+    "q111_training_order" -> ((s, d) =>
+      operators.Sampling.deterministicShuffle(
+          QueryLib.delta(s, d, "documents"), "doc_id", "graft-epoch0")
+        .select("doc_id", "_shuffle_key")
+        .orderBy("_shuffle_key")),
     // stratified class rebalancing: keep 20% of English docs, all others
     "q70_stratified_sample" -> ((s, d) =>
       operators.Sampling.stratifiedSample(QueryLib.delta(s, d, "documents"),
@@ -1162,6 +1176,16 @@ object SparkEntry {
         |  text FROM h)
         |SELECT split, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q110_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rk FROM documents)
+        |SELECT doc_id, source, n_chars FROM r WHERE rk <= 50
+        |ORDER BY doc_id""".stripMargin,
+    "q111_training_order" ->
+      """SELECT doc_id,
+        |  md5('graft-epoch0:' || CAST(doc_id AS VARCHAR)) AS _shuffle_key
+        |FROM documents ORDER BY _shuffle_key""".stripMargin,
     "q70_stratified_sample" ->
       """WITH h AS (SELECT lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b

@@ -92,4 +92,48 @@ object Sampling {
       .filter(pmod(idHash(col(idCol)), lit(buckets.toLong)) < keepBuckets)
       .drop("_cn")
   }
+
+  /** Domain capping: keep at most `k` rows per group, preferring `order`
+    * (e.g. longest documents first, id tie-break for determinism) — the
+    * standard guard against a handful of crawl domains dominating a
+    * training mix.
+    *
+    * Shape: a rank-filtered window. Catalyst's InferWindowGroupLimit
+    * rewrites it to a PARTIAL top-k per input partition BEFORE the
+    * shuffle plus a final top-k after — so a domain with 10⁹ rows ships
+    * at most k rows per upstream partition, never the whole domain, and
+    * the skewed-domain hot spot a naive groupBy-collect would hit cannot
+    * form. (PlanSpec asserts the WindowGroupLimit is present.)
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, k: Int,
+      order: Seq[Column]): DataFrame = {
+    require(k > 0, "cap must be positive")
+    require(order.nonEmpty, "capPerGroup needs a deterministic order")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("_cap_rk", row_number().over(w))
+      .filter(col("_cap_rk") <= k)
+      .drop("_cap_rk")
+  }
+
+  /** Deterministic global permutation — the "shuffle the corpus once per
+    * epoch" step of a training pipeline, as a pure function of (seed,
+    * id) so any engine reproduces the identical order. The key is
+    * `md5(seed || ":" || id)` (engine-portable, like [[idHash]]);
+    * `repartitionByRange` on it + a within-partition sort yields a TOTAL
+    * order across output partitions (range partitioner) without ever
+    * materializing a single-node global sort — the sampled range
+    * boundaries cost one lightweight pass, the permutation itself is one
+    * shuffle. The key column is kept (`_shuffle_key`) so consumers can
+    * verify or resume the order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String,
+      partitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("_shuffle_key",
+      md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    keyed.repartitionByRange(n, col("_shuffle_key"))
+      .sortWithinPartitions("_shuffle_key")
+  }
 }

@@ -214,6 +214,35 @@ class PlanSpec extends SparkSuite {
       "dup-window re-attach must be a ShuffledHashJoin")
   }
 
+  test("domain cap plans a partial WindowGroupLimit before the shuffle") {
+    val docs = QueryLib.delta(spark, sfDir, "documents")
+    val plan = explainOf(operators.Sampling.capPerGroup(docs, "source", 50,
+      Seq(col("n_chars").desc, col("doc_id"))))
+    // InferWindowGroupLimit: the rank<=k filter becomes a top-k BOTH
+    // sides of the exchange — a skewed domain ships at most k rows per
+    // upstream partition instead of its whole population
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(plan.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      "expected partial + final WindowGroupLimit:\n" + plan.take(1500))
+  }
+
+  test("deterministic shuffle plans one range exchange, no global sort") {
+    val docs = QueryLib.delta(spark, sfDir, "documents")
+    val plan = explainOf(operators.Sampling.deterministicShuffle(
+      docs, "doc_id", "graft-epoch0"))
+    assert(plan.contains("rangepartitioning(_shuffle_key"), plan.take(1200))
+    // the order must come from sortWithinPartitions — every Sort in the
+    // plan is LOCAL (formatted args: `[keys], false, 0`); a global sort
+    // (`true`) would funnel range planning through one task's output
+    val sortArgLines = plan.linesIterator
+      .filter(l => l.contains("Arguments: [") && l.contains("ASC NULLS"))
+      .toSeq
+    assert(sortArgLines.nonEmpty && sortArgLines.forall(_.contains("false, 0")),
+      "expected only local sorts:\n" + sortArgLines.mkString("\n"))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges")
+  }
+
   test("codegen'd multimodal features keep one codegen stage, no RDD hop") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val df = operators.Multimodal.extractFeatures(
