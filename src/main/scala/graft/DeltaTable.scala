@@ -2977,6 +2977,9 @@ final case class DeltaTable(
           (retention <= 0L || st.getModificationTime < cutoff))
         logLoc.fs.delete(st.getPath, false)
     }
+    // crc sidecars below the checkpoint go with their commits — except
+    // the checkpoint version's own, which still validates fast-path opens
+    Checksum.cleanup(logLoc, ck - 1)
     // reload through the checkpoint fast path; handle settings carry
     // over. A plain-JSON fallback would now be a PARTIAL log, so a
     // failure here (post-verification, e.g. transient IO) is loud.
@@ -3047,6 +3050,10 @@ object DeltaTable {
     // protocol gate: refuse tables whose protocol demands reader features
     // this engine lacks — reading anyway returns silently wrong rows
     ProtocolGate.assertReadable(dlog.currentProtocol)
+    // state checksum: the replayed snapshot must match the committing
+    // writer's recorded `<version>.crc` (when one survives) — a corrupt
+    // or partially-listed log fails HERE, not as wrong scan rows
+    Checksum.validate(dlog)
     DeltaTable(loc, logLoc, dlog, conf, commitContext)
   }
 

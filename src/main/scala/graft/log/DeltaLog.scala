@@ -543,7 +543,12 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       })
     val entryLoc = loc.child(DeltaLog.filenameForVersion(v))
     ctx.write(entryLoc, stamped.toNdjson)
-    DeltaLog(loc, entries.updated(v, stamped))
+    val committed = DeltaLog(loc, entries.updated(v, stamped))
+    // state checksum beside the commit (delta's `<version>.crc`):
+    // best-effort — the commit above is already durable, a lost crc only
+    // costs validation coverage on later opens
+    try Checksum.write(committed) catch { case _: Exception => () }
+    committed
   }
 }
 

@@ -419,6 +419,52 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("version checksums: written per commit, validated on open, cleaned") {
+    val d = tempDir("crc")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
+    t = t.write(nation)
+    t = t.delete(spark, Some(col("n_nationkey") < 5))
+    // each commit left a crc whose summary matches the replayed state
+    val crc = t.logLoc.child(graft.log.Checksum.filename(t.version))
+    assert(crc.exists)
+    val node = graft.log.Json.mapper.readTree(crc.readString())
+    assert(node.get("numFiles").asLong == t.dlog.addActions.size.toLong)
+    assert(node.get("tableSizeBytes").asLong ==
+      t.dlog.addActions.values.map(_.size).sum)
+    assert(node.get("protocol").get("minReaderVersion").asInt ==
+      t.dlog.currentProtocol.minReaderVersion)
+    assert(node.get("metadata").get("id").asText ==
+      t.dlog.latestMetadata.get.id)
+    // every version has its own crc
+    (0L to t.version).foreach(v =>
+      assert(t.logLoc.child(graft.log.Checksum.filename(v)).exists, s"v$v"))
+    // reopen validates silently when state matches
+    assert(DeltaTable.forPath(d).version == t.version)
+    // a DIVERGENT crc (simulated replay corruption) fails the open loudly
+    val tampered = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    tampered.put("numFiles", node.get("numFiles").asLong + 1)
+    crc.fs.delete(crc.path, false)
+    crc.writeString(graft.log.Json.mapper.writeValueAsString(tampered))
+    val e = intercept[IllegalStateException](DeltaTable.forPath(d))
+    assert(e.getMessage.contains("checksum mismatch"))
+    // restore the real crc: the table opens again
+    crc.fs.delete(crc.path, false)
+    crc.writeString(graft.log.Json.mapper.writeValueAsString(node))
+    assert(DeltaTable.forPath(d).version == t.version)
+    // log cleanup sweeps crcs below the checkpoint, keeps the head's —
+    // which still validates the checkpoint fast-path open
+    t = t.checkpoint().cleanupLog()
+    assert(t.logLoc.child(graft.log.Checksum.filename(t.version)).exists)
+    assert(!t.logLoc.child(graft.log.Checksum.filename(0L)).exists)
+    assert(DeltaTable.forPath(d).version == t.version)
+    // time travel validates against the HISTORICAL version's crc — a
+    // fresh table with history intact proves the per-version binding
+    val d2 = tempDir("crc-tt")
+    val t2 = DeltaTable.forPath(d2).write(nation).write(nation)
+    val old = DeltaTable.forPath(d2, version = Some(0L))
+    assert(old.dlog.addActions.size < t2.dlog.addActions.size)
+  }
+
   test("stable row ids survive OPTIMIZE, re-rewrite, and REORG PURGE") {
     val d = tempDir("rowid-stable")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
