@@ -388,8 +388,9 @@ final case class DeltaTable(
 
     // constrained writes evaluate df twice (validate + write): cache it so
     // an expensive upstream pipeline runs once
+    // column defaults first (constant fills for omitted columns), then
     // generated columns: compute the absent ones, validate supplied ones
-    val dfg0 = applyGenerated(df)
+    val dfg0 = applyGenerated(applyDefaults(df))
     // identity columns: allocate absent values, gate supplied ones; the
     // advanced high-water marks are patched into the committed schema
     // below so allocation and mark ride ONE atomic commit
@@ -1321,6 +1322,81 @@ final case class DeltaTable(
     * column require `allowExplicitInsert` (delta's BY DEFAULT) and
     * advance the mark past the supplied maximum.
     */
+  /** ALTER COLUMN ... SET DEFAULT (delta's `allowColumnDefaults` writer
+    * feature): future writes that OMIT `name` fill it with `sqlExpr`
+    * instead of failing or writing null; supplied values always win.
+    * Existing rows are untouched — delta forbids declaring a default in
+    * the same statement that adds the column, exactly so a default never
+    * implies a backfill. The expression must be CONSTANT (no column
+    * references, deterministic): that is delta's rule, and it keeps the
+    * write-side fill a literal projection.
+    */
+  def setColumnDefault(name: String, sqlExpr: String): DeltaTable = {
+    require(!dlog.isEmpty, "setColumnDefault requires an existing table")
+    val sch = dlog.schema
+    require(sch.fieldNames.contains(name), s"no such column: $name")
+    require(!generatedColumns.contains(name) && !identityColumns.contains(name),
+      s"$name is generated/identity — those own their fill path")
+    val parsed = org.apache.spark.sql.graftshim.ColumnShim.expression(
+      org.apache.spark.sql.functions.expr(sqlExpr))
+    require(parsed.references.isEmpty,
+      s"default for $name must be a constant expression " +
+        s"(no column references), got: $sqlExpr")
+    val fields = sch.fields.map(f =>
+      if (f.name == name) Defaults.withDefault(f, sqlExpr) else f)
+    commitDefaultChange(StructType(fields),
+      CommitInfo.columnChange(CommitInfo.Op.ChangeColumn,
+        Map("column" -> name, "setDefault" -> sqlExpr), dlog.version))
+  }
+
+  /** ALTER COLUMN ... DROP DEFAULT: later omitted writes revert to the
+    * merge-mode null backfill.
+    */
+  def dropColumnDefault(name: String): DeltaTable = {
+    require(!dlog.isEmpty, "dropColumnDefault requires an existing table")
+    val sch = dlog.schema
+    require(Defaults.expressions(sch).contains(name),
+      s"$name has no default")
+    val fields = sch.fields.map(f =>
+      if (f.name == name) Defaults.withoutDefault(f) else f)
+    commitDefaultChange(StructType(fields),
+      CommitInfo.columnChange(CommitInfo.Op.ChangeColumn,
+        Map("column" -> name, "dropDefault" -> "true"), dlog.version))
+  }
+
+  private def commitDefaultChange(newSchema: StructType,
+      info: CommitInfo): DeltaTable = {
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    val amended = meta.copy(schemaString = newSchema.json)
+    val actions: Vector[Action] =
+      ProtocolGate.withFeature(dlog.currentProtocol, Defaults.Feature) match {
+        case Some(up) => Vector(up, amended, info)
+        case None => Vector(amended, info)
+      }
+    commit(DeltaLogEntry(actions))
+  }
+
+  /** Fill omitted default-bearing columns with their declared constants
+    * and restore the table's column order (append-schema evaluation is
+    * order-sensitive). Identity when no defaults apply.
+    */
+  private def applyDefaults(df: DataFrame): DataFrame = {
+    if (dlog.isEmpty) return df
+    val defs = Defaults.expressions(dlog.schema)
+    if (defs.isEmpty) return df
+    val present = df.columns.toSet
+    val missing = defs.filterNot { case (n, _) => present(n) }
+    if (missing.isEmpty) return df
+    val filled = missing.foldLeft(df) { case (acc, (n, sql)) =>
+      acc.withColumn(n, org.apache.spark.sql.functions.expr(sql)
+        .cast(dlog.schema(n).dataType))
+    }
+    val tableOrder = dlog.schema.fieldNames.filter(filled.columns.contains)
+    val extras = filled.columns.filterNot(tableOrder.contains)
+    filled.select((tableOrder ++ extras).map(col): _*)
+  }
+
   def withIdentityColumn(name: String, start: Long = 1L, step: Long = 1L,
       allowExplicitInsert: Boolean = false): DeltaTable = {
     require(dlog.isEmpty,

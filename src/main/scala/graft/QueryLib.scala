@@ -727,6 +727,21 @@ object QueryLib {
       ()
     }
 
+  /** documents with `lang` carrying DEFAULT 'und' (delta's
+    * allowColumnDefaults): the second batch OMITS the column entirely and
+    * the write fills the constant — a schema contract the table enforces
+    * so producers can't silently write nulls.
+    */
+  def documentsDefaultsDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_defaults") { d =>
+      val docs = raw(spark, sfDir, "documents")
+      var t = DeltaTable.forPath(d).write(docs)
+      t = t.setColumnDefault("lang", "'und'")
+      t.write(docs.filter(col("doc_id") < 200).drop("lang")
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      ()
+    }
+
   /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
     * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
     * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`

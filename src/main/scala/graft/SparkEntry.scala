@@ -674,6 +674,13 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
 
+    // column defaults: the second batch omitted `lang`; the table filled
+    // the declared constant — counts per lang prove the contract
+    "q112_column_defaults" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.documentsDefaultsDir(s, d)).toDF(s)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
     // auto optimize: optimizeWrite rebalance + autoCompact debt paydown —
     // layout changes, rows don't (the spec asserts the file mechanics)
     "q108_auto_optimize_scan" -> ((s, d) =>
@@ -854,6 +861,11 @@ object SparkEntry {
         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) + 0.25 AS o_totalprice
         |  FROM orders WHERE o_orderkey < 100)
         |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY o_orderkey""".stripMargin,
+    "q112_column_defaults" ->
+      """WITH t AS (SELECT lang FROM documents
+        |  UNION ALL SELECT 'und' AS lang FROM documents WHERE doc_id < 200)
+        |SELECT lang, count(*) AS n_docs FROM t GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // base write + the four modulo slices appended again
     "q108_auto_optimize_scan" ->
       """SELECT * FROM supplier

@@ -29,3 +29,41 @@ object Generated {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(ExprKey, sql).build())
 }
+
+/** Column DEFAULT values — delta's `allowColumnDefaults` writer feature:
+  * a constant SQL expression recorded under Spark's `CURRENT_DEFAULT`
+  * field-metadata key (the exact key delta-spark writes), substituted at
+  * WRITE time when the writer omits the column. Existing rows are never
+  * touched: delta deliberately forbids adding a column and its default
+  * in one statement, so a default only ever applies to future inserts
+  * and there is no EXISTS_DEFAULT backfill problem.
+  *
+  * Unlike generated columns the expression may reference NO other
+  * columns (it must be constant-foldable — delta's rule), which is what
+  * makes the write-side fill a literal projection with zero plan cost.
+  */
+object Defaults {
+
+  /** Spark/delta's field-metadata key for the active default. */
+  val CurrentKey = "CURRENT_DEFAULT"
+
+  val Feature = "allowColumnDefaults"
+
+  /** name -> default SQL for every defaulted field of the schema. */
+  def expressions(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains(CurrentKey))
+        Some(f.name -> f.metadata.getString(CurrentKey))
+      else None
+    }.toMap
+
+  def withDefault(f: StructField, sql: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(CurrentKey, sql).build())
+
+  def withoutDefault(f: StructField): StructField = {
+    val b = new MetadataBuilder().withMetadata(f.metadata)
+    b.remove(CurrentKey)
+    f.copy(metadata = b.build())
+  }
+}

@@ -53,7 +53,8 @@ object ProtocolGate {
     Set("appendOnly", "checkConstraints", "changeDataFeed",
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
-      "clustering", "identityColumns", "v2Checkpoint", "typeWidening")
+      "clustering", "identityColumns", "v2Checkpoint", "typeWidening",
+      "allowColumnDefaults")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants")

@@ -419,6 +419,38 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("column defaults: omitted columns fill, supplied values win, guards") {
+    val d = tempDir("defaults")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
+    t = t.setColumnDefault("n_regionkey", "7")
+    // feature declared (writer-only)
+    assert(ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+      .contains("allowColumnDefaults"))
+    // CURRENT_DEFAULT rides the schema exactly where delta-spark puts it
+    assert(t.dlog.schema("n_regionkey").metadata.getString("CURRENT_DEFAULT") == "7")
+    // a write OMITTING the column fills the constant (and the reordered
+    // frame still appends cleanly)
+    t = t.write(nation.drop("n_regionkey")
+      .withColumn("n_nationkey", (col("n_nationkey") + lit(100)).cast("int")))
+    val filled = t.toDF(spark).filter(col("n_nationkey") >= 100)
+    assert(filled.count() == nation.count())
+    assert(filled.filter(col("n_regionkey") === 7).count() == nation.count())
+    // supplied values always win; existing rows untouched
+    assert(t.toDF(spark).filter(col("n_nationkey") < 100 &&
+      col("n_regionkey") === 7).count() ==
+      nation.filter(col("n_regionkey") === 7).count())
+    // DROP DEFAULT reverts future omissions to the merge-mode behavior
+    t = t.dropColumnDefault("n_regionkey")
+    assert(!t.dlog.schema("n_regionkey").metadata.contains("CURRENT_DEFAULT"))
+    // guards: non-constant defaults and generated/identity columns refuse
+    intercept[IllegalArgumentException](
+      t.setColumnDefault("n_regionkey", "n_nationkey + 1"))
+    val d2 = tempDir("defaults-gen")
+    val g = DeltaTable.forPath(d2)
+      .withGeneratedColumn("nk2", "n_nationkey * 2").write(nation)
+    intercept[IllegalArgumentException](g.setColumnDefault("nk2", "1"))
+  }
+
   test("version checksums: written per commit, validated on open, cleaned") {
     val d = tempDir("crc")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
