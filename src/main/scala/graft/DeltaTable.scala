@@ -1730,6 +1730,47 @@ final case class DeltaTable(
     * predicate column this touches no data file at all (partition-level
     * replacement, the classic backfill pattern).
     */
+  /** Dynamic partition overwrite (delta-spark's
+    * `partitionOverwriteMode=dynamic`): atomically replace EXACTLY the
+    * partitions the incoming frame lands rows in, leaving every other
+    * partition untouched — the daily-backfill primitive: re-run one
+    * day's pipeline output without stating the day as a predicate and
+    * without a whole-table overwrite.
+    *
+    * The touched-partition set is derived from the WRITTEN files'
+    * log-recorded partition values — zero extra jobs, exact by
+    * construction (a partition is replaced iff the new data actually
+    * put rows in it). Removes are an O(live files) driver fold; data
+    * cost is the new files only, so at 100 TB overwriting one of 10⁴
+    * partitions writes one partition's bytes.
+    */
+  def overwritePartitionsDynamic(spark: SparkSession, df: DataFrame,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
+    require(!dlog.isEmpty, "dynamic partition overwrite requires an existing table")
+    val parts = dlog.partitionColumns
+    require(parts.nonEmpty,
+      "dynamic partition overwrite requires a partitioned table " +
+        "(unpartitioned: use mode=Overwrite)")
+    require(df.columns.toSet == dlog.schema.fieldNames.toSet,
+      s"Schema mismatch: columns ${df.columns.sorted.mkString(",")} " +
+        s"vs table ${dlog.schema.fieldNames.sorted.mkString(",")}")
+    val aligned = regenerate(df.select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*))
+    validateConstraints(aligned)
+    val adds = writeData(aligned, dlog.versionToWrite, parts)
+    val touched: Set[Seq[Option[String]]] =
+      adds.map(a => parts.map(c => a.partitionValues.getOrElse(c, None))).toSet
+    val toRemove = dlog.addActions.values.filter(a =>
+      touched.contains(parts.map(c => a.partitionValues.getOrElse(c, None))))
+    val removedRows = toRemove.flatMap(_.numRecords).sum
+    val entry = DeltaLogEntry.replaceWhereTable(
+      s"dynamic partition overwrite (${touched.size} partition(s))",
+      parts, toRemove, adds, dlog.version,
+      numDeleted = removedRows, numCopied = 0L, schema = None)
+      .withExtraCommitInfo(customMetadata)
+    commitOrRebase(entry, toRemove.map(_.path).toSet)
+  }
+
   def replaceWhere(spark: SparkSession, predicate: Column, df: DataFrame,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
     assertPreWrite(removesData = true)
@@ -3131,6 +3172,63 @@ object DeltaTable {
     // or partially-listed log fails HERE, not as wrong scan rows
     Checksum.validate(dlog)
     DeltaTable(loc, logLoc, dlog, conf, commitContext)
+  }
+
+  /** CONVERT TO DELTA (delta-spark's in-place conversion): turn a plain
+    * parquet directory — flat or hive-partitioned — into a graft table by
+    * COMMITTING a log over the existing files. Zero data movement: the
+    * version-0 commit references every data file by its existing
+    * RELATIVE path (so the table stays relocatable, exactly like
+    * delta's convert), with stats lifted from the parquet footers so
+    * data skipping works from the first scan. Driver cost is O(files)
+    * listing + footer reads — the same shape as delta-spark's convert,
+    * which at 10⁵ files is a metadata pass, not a data job.
+    *
+    * Refuses directories that already carry a log (delta parity: convert
+    * is a one-time adoption, not an idempotent sync); later writes go
+    * through the normal commit path.
+    */
+  def convert(spark: SparkSession, path: String,
+      partitionBy: Seq[String] = Seq.empty,
+      conf: Configuration = new Configuration()): DeltaTable = {
+    val loc = Location(path, conf)
+    require(loc.exists, s"no such directory: $path")
+    val logLoc = loc.child("_delta_log")
+    require(!logLoc.exists || logLoc.listSorted().isEmpty,
+      s"$path already carries a _delta_log; convert adopts plain parquet only")
+    val files = loc.listDataFilesRecursive()
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .filterNot(_.getPath.toString.contains("/_delta_log/"))
+    require(files.nonEmpty, s"no parquet files under $path")
+    val basePath = loc.path.toUri.getPath
+    val adds = files.map { st =>
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(basePath).stripPrefix("/")
+      val pv = DeltaScan.partitionValuesFromPath(rel)
+      partitionBy.foreach(c => require(pv.contains(c),
+        s"file $rel carries no hive value for partition column $c"))
+      AddFile(
+        path = rel,
+        partitionValues = partitionBy.map(c => c -> pv.getOrElse(c, None)).toMap,
+        size = st.getLen,
+        modificationTime = st.getModificationTime,
+        stats = Some(Statistics.fromFooter(st.getPath, conf).json),
+        dataChange = true)
+    }
+    // schema: Spark's own inference — hive partition columns resolve via
+    // basePath on partitioned layouts, with types normalized to the
+    // STRING-typed log convention only for the values (types come from
+    // partition discovery)
+    val reader = spark.read.option("mergeSchema", "true")
+    val schema =
+      if (partitionBy.nonEmpty) reader.option("basePath", path).parquet(path).schema
+      else reader.parquet(path).schema
+    val t0 = forPath(path, conf = conf)
+    require(t0.dlog.isEmpty, s"$path opened with existing table state")
+    val evaluated = t0.dlog.evaluateSchema(schema, WriteMode.Append, "overwrite")
+    val entry = t0.dlog.entryForWriteMode(WriteMode.Append, evaluated, adds,
+      partitionBy)
+    t0.commit(entry)
   }
 
   /** delta's `interval N weeks|days|hours|minutes|seconds`

@@ -742,6 +742,36 @@ object QueryLib {
       ()
     }
 
+  /** A plain hive-partitioned parquet dir CONVERTED to a graft table in
+    * place: the v0 commit adopts the existing files by relative path with
+    * footer stats; an append through the normal commit path follows.
+    */
+  def supplierConvertedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "supplier_converted") { d =>
+      val df = raw(spark, sfDir, "supplier")
+      df.write.mode("overwrite").partitionBy("s_nationkey").parquet(d)
+      DeltaTable.convert(spark, d, partitionBy = Seq("s_nationkey"))
+        .write(df.withColumn("s_suppkey", col("s_suppkey") + lit(10000000L)),
+          partitionBy = Some(Seq("s_nationkey")))
+      ()
+    }
+
+  /** orders partitioned by status with a DYNAMIC partition overwrite:
+    * the replacement batch rewrites status 'F' rows (discounted price)
+    * and touches nothing else — only the partitions the new data lands
+    * in are replaced.
+    */
+  def ordersDynamicOverwriteDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_dyn_overwrite") { d =>
+      val df = raw(spark, sfDir, "orders")
+      val t = DeltaTable.forPath(d)
+        .write(df, partitionBy = Some(Seq("o_orderstatus")))
+      t.overwritePartitionsDynamic(spark,
+        df.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * lit(0.5)))
+      ()
+    }
+
   /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
     * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
     * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`

@@ -681,6 +681,19 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // CONVERT TO DELTA: the scan reads adopted (relative-path, footer-
+    // stats) files and normally-committed files under one log
+    "q113_convert_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.supplierConvertedDir(s, d)).toDF(s)
+        .orderBy("s_suppkey")),
+
+    // dynamic partition overwrite: exactly the touched partitions
+    // replaced, in one atomic commit
+    "q114_dynamic_overwrite" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersDynamicOverwriteDir(s, d)).toDF(s)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
     // auto optimize: optimizeWrite rebalance + autoCompact debt paydown —
     // layout changes, rows don't (the spec asserts the file mechanics)
     "q108_auto_optimize_scan" -> ((s, d) =>
@@ -861,6 +874,30 @@ object SparkEntry {
         |    CAST(CAST(o_totalprice AS REAL) AS DOUBLE) + 0.25 AS o_totalprice
         |  FROM orders WHERE o_orderkey < 100)
         |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY o_orderkey""".stripMargin,
+    // the hive partition column comes back typed (partition discovery),
+    // so cast to match the raw table's integer type
+    "q113_convert_scan" ->
+      """SELECT * FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 10000000 AS s_suppkey, s_name, s_nationkey,
+        |  s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "q114_dynamic_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q113_convert_scan" ->
+      """SELECT * FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey + 10000000 AS s_suppkey, s_name, s_nationkey,
+        |  s_acctbal FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    "q114_dynamic_overwrite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q112_column_defaults" ->
       """WITH t AS (SELECT lang FROM documents
         |  UNION ALL SELECT 'und' AS lang FROM documents WHERE doc_id < 200)

@@ -419,6 +419,63 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("dynamic partition overwrite replaces exactly the touched partitions") {
+    val d = tempDir("dpo")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    val untouched = t.dlog.addActions.values
+      .filter(_.partitionValues.get("n_regionkey").flatten.contains("3"))
+      .map(_.path).toSet
+    // replacement data lands in regions 0 and 1 only
+    val repl = nation.filter(col("n_regionkey") <= 1)
+      .withColumn("n_name", concat(lit("NEW-"), col("n_name")))
+    t = t.overwritePartitionsDynamic(spark, repl)
+    // regions 0/1 fully replaced; 2/3/4 byte-identical files
+    val out = t.toDF(spark)
+    assert(out.filter(col("n_regionkey") <= 1 &&
+      !col("n_name").startsWith("NEW-")).count() == 0)
+    assert(out.filter(col("n_regionkey") > 1 &&
+      col("n_name").startsWith("NEW-")).count() == 0)
+    assert(out.count() == nation.count())
+    assert(untouched.subsetOf(t.dlog.addActions.keySet.toSet),
+      "untouched partitions must keep their files")
+    // one atomic commit; unpartitioned tables refuse
+    assert(t.version == 1L)
+    val d2 = tempDir("dpo-flat")
+    val f = DeltaTable.forPath(d2).write(nation)
+    intercept[IllegalArgumentException](f.overwritePartitionsDynamic(spark, nation))
+  }
+
+  test("CONVERT TO DELTA adopts a plain parquet dir in place, zero copy") {
+    val d = tempDir("convert")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(d)
+    val preFiles = new java.io.File(d).listFiles().flatMap(r =>
+      if (r.isDirectory) r.listFiles().filter(_.getName.endsWith(".parquet"))
+      else Array.empty[java.io.File]).map(_.getName).toSet
+    val t = DeltaTable.convert(spark, d, partitionBy = Seq("n_regionkey"))
+    assert(t.version == 0L)
+    assert(t.partitionColumns == Seq("n_regionkey"))
+    // zero copy: the adds ARE the pre-existing files, relative paths
+    assert(t.dlog.addActions.keySet.map(_.split("/").last) == preFiles)
+    assert(t.dlog.addActions.keySet.forall(!_.startsWith("/")))
+    assertSameRows(t.toDF(spark), nation)
+    // footer stats feed skipping from the first scan
+    val pruned = graft.sources.DataSkipping.prune(
+      t.dlog.addActions.values.toSeq, col("n_nationkey") < 3,
+      t.dlog.schema, t.dlog.partitionColumns)
+    assert(pruned.size < t.dlog.addActions.size)
+    // the adopted table is fully writable
+    val t2 = t.write(nation, partitionBy = Some(Seq("n_regionkey")))
+    assertSameRows(t2.toDF(spark), nation.union(nation))
+    // converting an existing delta table refuses
+    intercept[IllegalArgumentException](DeltaTable.convert(spark, d))
+    // flat (unpartitioned) layout converts too
+    val d2 = tempDir("convert-flat")
+    nation.coalesce(2).write.mode("overwrite").parquet(d2)
+    val tf = DeltaTable.convert(spark, d2)
+    assertSameRows(tf.toDF(spark), nation)
+  }
+
   test("column defaults: omitted columns fill, supplied values win, guards") {
     val d = tempDir("defaults")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
