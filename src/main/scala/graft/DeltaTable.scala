@@ -1952,7 +1952,8 @@ final case class DeltaTable(
     */
   def merge(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String],
-      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+      customMetadata: Map[String, JsonNode] = Map.empty,
+      schemaEvolution: Boolean = false): DeltaTable = {
     // a merge may update/delete matched target rows — removal-gated
     assertPreWrite(removesData = true)
     require(keyCols.nonEmpty, "merge requires key columns")
@@ -1972,6 +1973,21 @@ final case class DeltaTable(
       val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
         Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
       }.toMap
+
+      // schema evolution (delta's withSchemaEvolution): source-only
+      // columns join the table schema (nullable; fresh physical names on
+      // mapped tables), copied/kept rows null-backfill, and the evolved
+      // metadata rides the SAME merge commit — atomic like delta's
+      val evolved: StructType =
+        if (!schemaEvolution) dlog.schema
+        else ColumnMapping.annotateForWrite(Some(dlog.schema), mappingActive,
+          DeltaLog.mergeSchemas(dlog.schema, source.schema))
+      val schemaChanged = evolved.fieldNames.length != dlog.schema.fieldNames.length
+      val wMapping = ColumnMapping.logicalToPhysical(evolved)
+      def alignEvolved(df: DataFrame): DataFrame =
+        df.select(evolved.fields.toIndexedSeq.map(f =>
+          (if (df.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
 
       // phase 1, one job: files owning rows whose key matches a source key
       // (the file path rides the scan as a projected _metadata column, so
@@ -1998,7 +2014,9 @@ final case class DeltaTable(
         else {
           val touchedDF = scanAdds(spark, touchedAdds)
           val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
-          val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
+          val keptAligned = if (schemaChanged) alignEvolved(kept) else kept
+          val written = writeData(keptAligned, dlog.versionToWrite,
+            dlog.partitionColumns, wMapping)
           numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
           written
         }
@@ -2006,9 +2024,12 @@ final case class DeltaTable(
       // all source rows land as new files (updates + inserts); CHECK
       // constraints gate them like any other write (src is cached, so
       // the validation job is a cache scan)
-      val sourceAligned = regenerate(src).select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
+      val sourceAligned =
+        if (schemaEvolution) alignEvolved(regenerate(src))
+        else regenerate(src).select(dlog.schema.fieldNames.toIndexedSeq.map(col): _*)
       validateConstraints(sourceAligned)
-      val sourceAdds = writeData(sourceAligned, dlog.versionToWrite, dlog.partitionColumns)
+      val sourceAdds = writeData(sourceAligned, dlog.versionToWrite,
+        dlog.partitionColumns, wMapping)
       val numInserted = srcTotal - numUpdated
 
       // change data feed (delta's cdc): matched target rows are
@@ -2019,8 +2040,10 @@ final case class DeltaTable(
       if (cdfEnabled) {
         val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (touchedAdds.nonEmpty) {
-          val matchedTarget = scanAdds(spark, touchedAdds)
+          val matchedTarget0 = scanAdds(spark, touchedAdds)
             .join(broadcast(keys), keyCols, "left_semi")
+          val matchedTarget =
+            if (schemaChanged) alignEvolved(matchedTarget0) else matchedTarget0
           frames += matchedTarget.withColumn("_change_type", lit("update_preimage"))
           val matchedKeys = matchedTarget.select(keyCols.map(col): _*).distinct()
           frames += sourceAligned.join(broadcast(matchedKeys), keyCols, "left_semi")
@@ -2045,7 +2068,12 @@ final case class DeltaTable(
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
           numTargetRowsRemoved = touchedTotal - numCopied)
         .withExtraCommitInfo(customMetadata)
-      commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+      val withMeta =
+        if (!schemaChanged) entry.actions
+        else dlog.latestMetadata.map(m =>
+          m.copy(schemaString = evolved.json) +: entry.actions)
+          .getOrElse(entry.actions)
+      commitOrRebase(DeltaLogEntry(withMeta ++ cdc),
         adds.keySet.toSet, Some(None))
     } finally src.unpersist()
   }

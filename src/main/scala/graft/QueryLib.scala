@@ -772,6 +772,24 @@ object QueryLib {
       ()
     }
 
+  /** nation MERGEd with an EVOLVED source: matched keys updated, new
+    * keys inserted, and the source-only `flag` column joins the schema
+    * in the same commit (old rows read null).
+    */
+  def nationMergeEvolvedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "nation_merge_evolved") { d =>
+      val df = raw(spark, sfDir, "nation")
+      val source = df.filter(col("n_nationkey") < 10)
+        .withColumn("n_name", concat(lit("UP-"), col("n_name")))
+        .withColumn("flag", lit("hot"))
+        .unionByName(df.filter(col("n_nationkey") < 3)
+          .withColumn("n_nationkey", col("n_nationkey") + lit(100))
+          .withColumn("flag", lit("new")))
+      DeltaTable.forPath(d).write(df)
+        .merge(spark, source, Seq("n_nationkey"), schemaEvolution = true)
+      ()
+    }
+
   /** Rate-limited streaming CDF crossing an UPDATE's cdc commit: the
     * source accrues create(v0) + enableChangeDataFeed(v1) + UPDATE with
     * cdc files(v2) + append(v3) + MoR delete(v4); a `readChangeFeed`

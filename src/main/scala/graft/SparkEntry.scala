@@ -681,6 +681,12 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    // merge schema evolution: the source-only `flag` column joined the
+    // table in the merge commit; pre-merge rows read it as null
+    "q115_merge_evolved" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.nationMergeEvolvedDir(s, d)).toDF(s)
+        .orderBy("n_nationkey")),
+
     // CONVERT TO DELTA: the scan reads adopted (relative-path, footer-
     // stats) files and normally-committed files under one log
     "q113_convert_scan" -> ((s, d) =>
@@ -876,17 +882,16 @@ object SparkEntry {
         |SELECT * FROM a UNION ALL SELECT * FROM b ORDER BY o_orderkey""".stripMargin,
     // the hive partition column comes back typed (partition discovery),
     // so cast to match the raw table's integer type
-    "q113_convert_scan" ->
-      """SELECT * FROM supplier
-        |UNION ALL
-        |SELECT s_suppkey + 10000000 AS s_suppkey, s_name, s_nationkey,
-        |  s_acctbal FROM supplier
-        |ORDER BY s_suppkey""".stripMargin,
-    "q114_dynamic_overwrite" ->
-      """SELECT o_orderkey, o_orderstatus,
-        |  CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
-        |       ELSE o_totalprice END AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q115_merge_evolved" ->
+      """WITH upd AS (SELECT n_nationkey, 'UP-' || n_name AS n_name,
+        |    n_regionkey, 'hot' AS flag FROM nation WHERE n_nationkey < 10),
+        |ins AS (SELECT n_nationkey + 100 AS n_nationkey,
+        |    n_name, n_regionkey, 'new' AS flag
+        |  FROM nation WHERE n_nationkey < 3),
+        |keep AS (SELECT n_nationkey, n_name, n_regionkey,
+        |    CAST(NULL AS VARCHAR) AS flag FROM nation WHERE n_nationkey >= 10)
+        |SELECT * FROM upd UNION ALL SELECT * FROM ins UNION ALL
+        |SELECT * FROM keep ORDER BY n_nationkey""".stripMargin,
     "q113_convert_scan" ->
       """SELECT * FROM supplier
         |UNION ALL

@@ -419,6 +419,42 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("merge schema evolution: source-only columns join the table atomically") {
+    val d = tempDir("merge-evolve")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
+    val source = nation.filter(col("n_nationkey") < 10)
+      .withColumn("n_name", concat(lit("UP-"), col("n_name")))
+      .withColumn("flag", lit("hot"))
+    // without evolution the extra column is DROPPED (schema unchanged —
+    // the strict contract: merge never widens the table implicitly)
+    val strict = DeltaTable.forPath(tempDir("merge-evolve-strict"))
+      .write(nation).merge(spark, source, Seq("n_nationkey"))
+    assert(!strict.dlog.schema.fieldNames.contains("flag"))
+    t = t.merge(spark, source, Seq("n_nationkey"), schemaEvolution = true)
+    // one commit: schema gained `flag` (nullable), matched rows updated,
+    // unmatched kept with flag null
+    assert(t.version == 1L)
+    assert(t.dlog.schema.fieldNames.contains("flag"))
+    assert(t.dlog.schema("flag").nullable)
+    val out = t.toDF(spark)
+    assert(out.filter(col("n_nationkey") < 10 && col("flag") === "hot" &&
+      col("n_name").startsWith("UP-")).count() == 10)
+    assert(out.filter(col("n_nationkey") >= 10 && col("flag").isNull).count() ==
+      nation.count() - 10)
+    // a second evolved merge on the SAME column does not re-add it
+    val again = t.merge(spark,
+      source.withColumn("n_nationkey", col("n_nationkey") + lit(50)),
+      Seq("n_nationkey"), schemaEvolution = true)
+    assert(again.dlog.schema.fieldNames.count(_ == "flag") == 1)
+    // source MISSING a target column null-fills under evolution
+    val narrow = nation.filter(col("n_nationkey") === 0)
+      .withColumn("n_nationkey", col("n_nationkey") + lit(200))
+      .drop("n_regionkey")
+    val t3 = again.merge(spark, narrow, Seq("n_nationkey"), schemaEvolution = true)
+    assert(t3.toDF(spark).filter(col("n_nationkey") === 200)
+      .select("n_regionkey").head.isNullAt(0))
+  }
+
   test("dynamic partition overwrite replaces exactly the touched partitions") {
     val d = tempDir("dpo")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
