@@ -2650,6 +2650,22 @@ final case class DeltaTable(
     val removeAdds = currAdds.collect {
       case (p, a) if !prevAdds.contains(p) => a
     }.toSeq
+    // delta's restore safety check: the files being brought BACK to life
+    // must still exist — vacuum legitimately deletes files dead longer
+    // than retention, and committing adds for deleted files would produce
+    // a table whose every scan fails later (or worse, a partial restore).
+    // Driver-side exists probes over ONLY the re-added files (not the
+    // whole snapshot) — O(restored files), the same check delta-spark
+    // runs; fails loudly BEFORE the commit.
+    val gone = restoreAdds.filterNot { a =>
+      val f = Location.resolve(a.path, loc, conf)
+      try f.exists catch { case _: Exception => false }
+    }
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot RESTORE to version $restoreVersion: ${gone.size} file(s) " +
+          s"it references no longer exist (vacuumed?), e.g. ${gone.head.path}. " +
+          "A restore would commit references to deleted data")
     val entry = DeltaLogEntry.restoreTable(dlog.version, restoreVersion,
       prev.schema, prev.partitionColumns, removeAdds, restoreAdds)
       .withExtraCommitInfo(customMetadata)

@@ -419,6 +419,25 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("RESTORE refuses a version whose files were vacuumed away") {
+    val d = tempDir("restore-vacuumed")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
+      .write(nation.coalesce(1))
+    t = t.write(nation.coalesce(1), mode = graft.log.WriteMode.Overwrite)
+    // retention 0 → the overwritten v0 file is deletable immediately
+    t = t.setTableProperties(
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 seconds"))
+    t.vacuum(retentionMs = 0L)
+    val e = intercept[IllegalStateException](t.restore(0L))
+    assert(e.getMessage.contains("no longer exist"))
+    // the table itself is untouched by the refused restore
+    assert(DeltaTable.forPath(d).version == t.version)
+    // a restore whose files DO exist still works
+    val d2 = tempDir("restore-ok")
+    val t2 = DeltaTable.forPath(d2).write(nation).write(nation).restore(0L)
+    assertSameRows(t2.toDF(spark), nation)
+  }
+
   test("merge schema evolution: source-only columns join the table atomically") {
     val d = tempDir("merge-evolve")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
