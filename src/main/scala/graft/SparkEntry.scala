@@ -318,6 +318,16 @@ object SparkEntry {
     "q27_quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(QueryLib.delta(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // token-budget selection: best-score-first (n_chars desc, id
+    // tie-break) until the running token total reaches the budget —
+    // global cumsum via range partitions + broadcast prefix offsets
+    "q116_token_budget" -> ((s, d) =>
+      operators.Sampling.selectUnderTokenBudget(
+          QueryLib.delta(s, d, "documents").withColumn("n_tokens",
+            size(TextAnalysis.tokens(col("text"))).cast("long")),
+          "doc_id", "n_tokens", "n_chars", budget = 15000L)
+        .select("doc_id", "n_chars", "n_tokens")
+        .orderBy("doc_id")),
     "q28_lang_id" -> ((s, d) =>
       TextAnalysis.langId(QueryLib.delta(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1114,6 +1124,16 @@ object SparkEntry {
         |  list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve)) * sqrt(list_dot_product(y.ve, y.ve))) AS cos
         |  FROM v x JOIN v y ON x.vec_id < y.vec_id)
         |SELECT a, b, round(cos, 4) AS cos_sim FROM p WHERE cos >= 0.95 ORDER BY a, b""".stripMargin,
+    "q116_token_budget" ->
+      """WITH tk AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 15000
+        |ORDER BY doc_id""".stripMargin,
     "q26_token_count" ->
       """SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens,
         | length(text) AS n_chars_obs

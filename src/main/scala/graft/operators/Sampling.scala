@@ -136,4 +136,48 @@ object Sampling {
     keyed.repartitionByRange(n, col("_shuffle_key"))
       .sortWithinPartitions("_shuffle_key")
   }
+
+  /** Budget-capped corpus selection: take documents best-score-first until
+    * the running token total reaches `budget` — "give me the best 50 B
+    * tokens", the final gate of a curation pipeline.
+    *
+    * The running total is a GLOBAL ordered cumulative sum, which a naive
+    * window computes on ONE task (the classic scale killer). Here it is
+    * two passes: (1) range-repartition by (score desc, id) — a total
+    * order across partitions from sampled boundaries; (2) per-partition
+    * token totals (an O(partitions) driver fold) become broadcast prefix
+    * offsets, and each row's global cumulative = its partition's offset +
+    * a WITHIN-partition running sum. No single-task stage anywhere; the
+    * id tie-break makes the selection a pure function of the corpus, so
+    * any engine reproduces the same cut.
+    */
+  def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val ranged = df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_tb_pid", spark_partition_id())
+    // per-partition totals -> exclusive prefix offsets, all INSIDE one
+    // plan (ReuseExchange computes the range shuffle once for both
+    // branches; a driver collect would risk re-sampled, divergent range
+    // boundaries between jobs). The offsets window is global but runs
+    // over ≤ numShufflePartitions rows — metadata scale, not data scale.
+    import org.apache.spark.sql.expressions.Window
+    val wOff = Window.orderBy("_tb_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = ranged.groupBy("_tb_pid")
+      .agg(sum(col(tokenCol).cast("long")).as("_tb_sum"))
+      .withColumn("_tb_off", coalesce(sum("_tb_sum").over(wOff), lit(0L)))
+      .drop("_tb_sum")
+    val w = Window.partitionBy("_tb_pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "_tb_pid")
+      .withColumn("_tb_cum",
+        col("_tb_off") + sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("_tb_cum") <= budget)
+      .drop("_tb_pid", "_tb_off", "_tb_cum")
+  }
 }

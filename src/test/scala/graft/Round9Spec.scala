@@ -419,6 +419,27 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("token-budget selection is partition-count invariant and exact") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+    def sel(parts: Int): Set[Long] =
+      operators.Sampling.selectUnderTokenBudget(docs, "doc_id", "n_tokens",
+          "n_chars", budget = 15000L, partitions = parts)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = sel(2); val b = sel(8); val c = sel(32)
+    assert(a == b && b == c,
+      "the global cumsum must not depend on the partition count")
+    // exact greedy semantics: adding the next-best excluded doc would
+    // break the budget; the selection itself fits
+    val byScore = docs.select("doc_id", "n_chars", "n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    val expect = byScore.takeWhile { t => cum += t._3; cum <= 15000L }
+      .map(_._1).toSet
+    assert(a == expect)
+  }
+
   test("RESTORE refuses a version whose files were vacuumed away") {
     val d = tempDir("restore-vacuumed")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 0)
