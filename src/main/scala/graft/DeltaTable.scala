@@ -595,6 +595,33 @@ final case class DeltaTable(
     * rename also gives crash-cleanliness: an aborted job leaves only an
     * ignorable `_staging-*` dir (SURVEY.md §7 "file attribution").
     */
+  /** Column filter for per-file stats collection, from delta's scoping
+    * properties: `delta.dataSkippingStatsColumns` (explicit list, wins)
+    * or `delta.dataSkippingNumIndexedCols` (first N schema columns).
+    * Stats are keyed by PHYSICAL names, so the filter maps through the
+    * column mapping. Unset = collect for every scalar column (this
+    * engine's historical default; delta defaults to 32).
+    */
+  private def statsColumnFilter: String => Boolean = {
+    val cfg = dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty)
+    val m = if (dlog.isEmpty) Map.empty[String, String]
+      else ColumnMapping.logicalToPhysical(dlog.schema)
+    cfg.get("delta.dataSkippingStatsColumns") match {
+      case Some(cols) =>
+        val phys = cols.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(c => m.getOrElse(c, c)).toSet
+        phys.contains _
+      case None =>
+        cfg.get("delta.dataSkippingNumIndexedCols").flatMap(_.toIntOption) match {
+          case Some(n) if !dlog.isEmpty =>
+            val first = ColumnMapping.physicalSchema(dlog.schema)
+              .fieldNames.take(n).toSet
+            first.contains _
+          case _ => _ => true
+        }
+    }
+  }
+
   private def writeData(df: DataFrame, forVersion: Long,
       partitionBy: Seq[String],
       mapping: Map[String, String] = null): Seq[AddFile] = {
@@ -617,6 +644,7 @@ final case class DeltaTable(
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.toString)
 
+      val keepStats = statsColumnFilter
       files.zipWithIndex.map { case (st, i) =>
         val stagingRel = relativize(st.getPath, staging.path)
         val partDirs = stagingRel.split("/").dropRight(1).toSeq
@@ -633,7 +661,7 @@ final case class DeltaTable(
           partitionValues = partitionBy.map(c => c -> partValues.getOrElse(c, None)).toMap,
           size = destStatus.getLen,
           modificationTime = destStatus.getModificationTime,
-          stats = Some(Statistics.fromFooter(dest.path, conf).json),
+          stats = Some(Statistics.fromFooter(dest.path, conf, keepStats).json),
           dataChange = true)
       }
     } finally staging.delete()

@@ -61,7 +61,20 @@ object Statistics {
     * nullCount/numRecords but no min/max (SURVEY.md §7 "stats for
     * binary/string min-max").
     */
-  def fromFooter(path: Path, conf: Configuration): Statistics = {
+  def fromFooter(path: Path, conf: Configuration): Statistics =
+    fromFooter(path, conf, _ => true)
+
+  /** As above, collecting min/max/nullCount only for columns `keep`
+    * accepts — the write path derives `keep` from delta's stats-scoping
+    * properties (`delta.dataSkippingStatsColumns` /
+    * `delta.dataSkippingNumIndexedCols`): on a 1000-column table,
+    * unscoped per-file stats JSON dominates LOG size (10⁵ files × 10³
+    * columns of min/max strings), and the log is replayed on every open.
+    * numRecords is always collected (row-id ranging and metadata COUNT
+    * depend on it).
+    */
+  def fromFooter(path: Path, conf: Configuration,
+      keep: String => Boolean): Statistics = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -74,7 +87,7 @@ object Statistics {
 
       for (block <- blocks; col <- block.getColumns.asScala) {
         val pathParts = col.getPath.toArray
-        if (pathParts.length == 1) { // top-level primitives only
+        if (pathParts.length == 1 && keep(pathParts(0))) { // top-level primitives only
           val name = pathParts(0)
           val st = col.getStatistics
           if (st != null) {

@@ -419,6 +419,41 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("stats scoping: dataSkippingNumIndexedCols / StatsColumns bound stats") {
+    def statsCols(t: DeltaTable, v: Long): Set[String] = {
+      val a = t.dlog.entries(v).adds.head
+      val node = graft.log.Json.mapper.readTree(a.stats.get)
+      import scala.jdk.CollectionConverters._
+      node.get("minValues").fieldNames.asScala.toSet
+    }
+    val d = tempDir("stats-scope")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 0).write(nation)
+    // unscoped default: every scalar column carries min/max
+    assert(statsCols(t, 0L) == Set("n_nationkey", "n_name", "n_regionkey"))
+    // first-N scoping (schema order)
+    t = t.setTableProperties(Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    t = t.write(nation)
+    assert(statsCols(t, t.version) == Set("n_nationkey"))
+    // explicit list wins over the count
+    t = t.setTableProperties(Map("delta.dataSkippingStatsColumns" -> "n_regionkey"))
+    t = t.write(nation)
+    assert(statsCols(t, t.version) == Set("n_regionkey"))
+    // numRecords always collected; scoped files still prune on their
+    // indexed column and stay CORRECT (never wrongly pruned) on others
+    val adds = t.dlog.addActions.values.toSeq
+    assert(adds.forall(_.numRecords.nonEmpty))
+    // n_regionkey stats exist on the v0 (full) and v4 (explicit-list)
+    // files — both prune; the v2 file (n_nationkey-only) has no info and
+    // must SURVIVE (conservative, never wrongly pruned)
+    val onRegion = graft.sources.DataSkipping.prune(adds,
+      col("n_regionkey") > lit(100), t.dlog.schema, t.dlog.partitionColumns)
+    assert(onRegion.size == 1, s"got ${onRegion.size}")
+    val onNation = graft.sources.DataSkipping.prune(adds,
+      col("n_nationkey") > lit(1000), t.dlog.schema, t.dlog.partitionColumns)
+    assert(onNation.size == 1, s"got ${onNation.size}")
+    assertSameRows(t.toDF(spark), nation.union(nation).union(nation))
+  }
+
   test("token-budget selection is partition-count invariant and exact") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
