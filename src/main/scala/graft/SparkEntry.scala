@@ -309,6 +309,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ ANN: m sub-vector codes per corpus vector, per-query ADC
+    // tables, exact re-rank — the twin's code is the per-subspace argmax
+    // so it can never miss the candidate set (oracle closed form)
+    "q117_ann_pq" -> ((s, d) => {
+      val emb = QueryLib.embX2(s, d)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- text analysis ----
     "q26_token_count" -> ((s, d) =>
       QueryLib.delta(s, d, "documents").select(col("doc_id"),
@@ -1089,6 +1100,10 @@ object SparkEntry {
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "q43_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    "q117_ann_pq" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,

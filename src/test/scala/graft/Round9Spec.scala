@@ -419,6 +419,26 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("PQ ANN: twins always surface at cosine 1.0; deterministic") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val twins = emb.withColumn("vec_id", col("vec_id") + lit(10000L))
+    val corpus = emb.unionByName(twins)
+    val queries = corpus.filter(col("vec_id") < 20)
+    val out = operators.Similarity.pqTopK(corpus, queries,
+      "vec_id", "embedding", k = 1).collect()
+    assert(out.length == 20)
+    // every query's top-1 is its identical twin at cosine 1.0: the twin's
+    // code is the per-subspace argmax, so ADC can never drop it
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") + 10000L)
+      assert(r.getAs[Double]("cos_sim") == 1.0)
+    }
+    // pure function of (corpus, seed): a second run is identical
+    val out2 = operators.Similarity.pqTopK(corpus, queries,
+      "vec_id", "embedding", k = 1).collect()
+    assert(out.map(_.toString).toSeq == out2.map(_.toString).toSeq)
+  }
+
   test("stats scoping: dataSkippingNumIndexedCols / StatsColumns bound stats") {
     def statsCols(t: DeltaTable, v: Long): Set[String] = {
       val a = t.dlog.entries(v).adds.head
