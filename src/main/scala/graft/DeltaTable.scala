@@ -2938,6 +2938,11 @@ final case class DeltaTable(
     val v2CkptOn = tracked.metadataAction.orElse(log.latestMetadata)
       .exists(_.configuration.get("delta.checkpointPolicy")
         .exists(_.trim.equalsIgnoreCase("v2")))
+    // delta's variantType readerWriter feature: a schema carrying a
+    // VARIANT column must announce it — a feature-unaware reader would
+    // misread the binary metadata/value encoding
+    val variantOn = tracked.metadataAction
+      .exists(_.schemaString.contains("\"variant\""))
     val needed =
       (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
          Seq("deletionVectors") else Seq.empty) ++
@@ -2945,7 +2950,8 @@ final case class DeltaTable(
        else Seq.empty) ++
       (if (ictOn) Seq("inCommitTimestamp") else Seq.empty) ++
       (if (identityOn) Seq("identityColumns") else Seq.empty) ++
-      (if (v2CkptOn) Seq("v2Checkpoint") else Seq.empty)
+      (if (v2CkptOn) Seq("v2Checkpoint") else Seq.empty) ++
+      (if (variantOn) Seq("variantType") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
     val base = inEntry.getOrElse(log.currentProtocol)

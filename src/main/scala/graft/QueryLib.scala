@@ -486,6 +486,19 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** events with `props` parsed into a native VARIANT column and written
+    * through the graft table (delta's `variantType` feature): the binary
+    * variant encoding round-trips our parquet write + log schema + scan,
+    * and the feature rides the create commit's protocol.
+    */
+  def eventsVariantDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_variant") { d =>
+      DeltaTable.forPath(d).write(events(spark, sfDir)
+        .withColumn("props_v", parse_json(col("props"))).drop("props"))
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events sessionized through flatMapGroupsWithState (custom streaming
     * state) into a Delta sink.
     */

@@ -521,6 +521,17 @@ object SparkEntry {
           round(avg(sqrt(Similarity.dot(v, v))), 4).as("avg_norm"))
         .orderBy("label")
     }),
+    // VARIANT column (delta's variantType): props parsed once at write,
+    // extracted natively at read — same aggregate as q39's string-JSON
+    // path, over the round-tripped binary variant
+    "q118_variant_props" -> ((s, d) =>
+      QueryLib.eventsVariantDelta(s, d)
+        .withColumn("k_bucket",
+          pmod(variant_get(col("props_v"), "$.k", "long"), lit(10)))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("k_bucket")),
+
     "q39_json_props" -> ((s, d) =>
       QueryLib.eventsDelta(s, d)
         .withColumn("k_bucket",
@@ -1391,6 +1402,10 @@ object SparkEntry {
         | round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "q39_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        | count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q118_variant_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

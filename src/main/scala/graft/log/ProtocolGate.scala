@@ -40,7 +40,7 @@ object ProtocolGate {
     */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
-      "typeWidening")
+      "typeWidening", "variantType")
 
   /** Writer features this engine implements. `invariants` is
     * deliberately ABSENT: its presence in a feature list is harmless (a
@@ -54,7 +54,7 @@ object ProtocolGate {
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
       "clustering", "identityColumns", "v2Checkpoint", "typeWidening",
-      "allowColumnDefaults")
+      "allowColumnDefaults", "variantType")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants")

@@ -27,10 +27,10 @@ class ProtocolSpec extends SparkSuite {
     val d = tempDir("gate-reader")
     DeltaTable.forPath(d).write(nationDF)
     rawProtocolCommit(d, Protocol(3, 7, Map(
-      "readerFeatures" -> features("variantType"),
-      "writerFeatures" -> features("variantType"))))
+      "readerFeatures" -> features("vacuumProtocolCheck"),
+      "writerFeatures" -> features("vacuumProtocolCheck"))))
     val e = intercept[IllegalStateException](DeltaTable.forPath(d))
-    assert(e.getMessage.contains("variantType"))
+    assert(e.getMessage.contains("vacuumProtocolCheck"))
     // version beyond the spec's current max: also refused
     val d2 = tempDir("gate-reader-v99")
     DeltaTable.forPath(d2).write(nationDF)

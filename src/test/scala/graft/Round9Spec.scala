@@ -419,6 +419,24 @@ class Round9Spec extends SparkSuite {
     intercept[IllegalArgumentException](g.alterColumnType("n_nationkey", LongType))
   }
 
+  test("variant column: type round-trips the log, feature declared") {
+    val d = tempDir("variant")
+    val df = nation.withColumn("props",
+      parse_json(concat(lit("""{"k":"""), col("n_nationkey"), lit("}"))))
+    val t = DeltaTable.forPath(d).write(df)
+    // schema records the variant type; the feature is declared both lists
+    assert(t.dlog.schema("props").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    val p = t.dlog.currentProtocol
+    assert(ProtocolGate.readerFeatures(p).contains("variantType"))
+    assert(ProtocolGate.writerFeatures(p).contains("variantType"))
+    // a fresh open scans the binary encoding back to the same values
+    val re = DeltaTable.forPath(d).toDF(spark)
+      .withColumn("k", variant_get(col("props"), "$.k", "long"))
+    assert(re.filter(col("k") === col("n_nationkey").cast("long")).count() ==
+      nation.count())
+  }
+
   test("PQ ANN: twins always surface at cosine 1.0; deterministic") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val twins = emb.withColumn("vec_id", col("vec_id") + lit(10000L))
