@@ -1972,16 +1972,29 @@ final case class DeltaTable(
     * (whole-row update); source rows with no matching key are INSERTED.
     * Source must not contain duplicate keys.
     *
+    * `notMatchedBySourceDelete` adds delta-spark's third clause — WHEN NOT
+    * MATCHED BY SOURCE [AND condition] THEN DELETE: target rows whose key
+    * does NOT appear in the source (and that satisfy the optional
+    * condition) are deleted in the SAME commit, which is how sync-to-source
+    * / SCD-style pipelines retire rows the upstream dropped.
+    *
     * Scale shape: phase 1 discovers touched files with a semi-join of the
     * snapshot against the (usually broadcastable) distinct source keys —
     * untouched files are never rewritten; phase 2 rewrites only kept rows
     * of touched files; inserts append as new files. One scan, no driver
-    * row materialization beyond the touched-file list.
+    * row materialization beyond the touched-file list. The
+    * not-matched-by-source clause necessarily widens the touched set to
+    * every file that may hold a deletable row — stats-pruned by the
+    * condition when one is given (delta-spark has the same asymmetry: the
+    * clause turns a source-sized merge into a target-sized one, which is
+    * why the condition matters at scale).
     */
   def merge(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String],
       customMetadata: Map[String, JsonNode] = Map.empty,
-      schemaEvolution: Boolean = false): DeltaTable = {
+      schemaEvolution: Boolean = false,
+      notMatchedBySourceDelete: Boolean = false,
+      notMatchedBySourceCondition: Option[Column] = None): DeltaTable = {
     // a merge may update/delete matched target rows — removal-gated
     assertPreWrite(removesData = true)
     require(keyCols.nonEmpty, "merge requires key columns")
@@ -2030,22 +2043,42 @@ final case class DeltaTable(
         .join(broadcast(keys), keyCols, "left_semi")
       val p1Row = p1.agg(collect_set(col("_graft_file")).as("_files"),
         count_distinct(struct(keyCols.map(col): _*)).as("_mk")).head()
-      val touchedCanonical: Set[String] =
+      val matchedCanonical: Set[String] =
         p1Row.getSeq[String](0).map(Location.canonical).toSet
       val numUpdated = p1Row.getLong(1)
+      // not-matched-by-source DELETE widens the touched set to every file
+      // that may own a deletable row; the optional condition stats-prunes
+      // that set driver-side exactly like DELETE's phase 1
+      val nmbsCanonical: Set[String] =
+        if (!notMatchedBySourceDelete) Set.empty
+        else notMatchedBySourceCondition.map(prunedAdds)
+          .getOrElse(adds.values.toSeq)
+          .map(a => Location.canonical(Location.resolve(a.path, loc, conf).uri))
+          .toSet
+      val touchedCanonical = matchedCanonical ++ nmbsCanonical
       val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+      val nmbsCond: Column =
+        notMatchedBySourceCondition.map(c => coalesce(c, lit(false)))
+          .getOrElse(lit(true))
 
-      // phase 2: rewrite touched files without their matched rows
+      // phase 2: rewrite touched files without their matched rows (and,
+      // under the not-matched-by-source clause, without its deletable rows)
       var numCopied = 0L
+      var numNmbsDeleted = 0L
       val keptAdds: Seq[AddFile] =
         if (touchedAdds.isEmpty) Seq.empty
         else {
           val touchedDF = scanAdds(spark, touchedAdds)
-          val kept = touchedDF.join(broadcast(keys), keyCols, "left_anti")
+          val notMatched = touchedDF.join(broadcast(keys), keyCols, "left_anti")
+          val kept =
+            if (notMatchedBySourceDelete) notMatched.filter(not(nmbsCond))
+            else notMatched
           val keptAligned = if (schemaChanged) alignEvolved(kept) else kept
           val written = writeData(keptAligned, dlog.versionToWrite,
             dlog.partitionColumns, wMapping)
           numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+          if (notMatchedBySourceDelete)
+            numNmbsDeleted = notMatched.filter(nmbsCond).count()
           written
         }
 
@@ -2067,6 +2100,13 @@ final case class DeltaTable(
       var cdc: Seq[AddCDCFile] = Seq.empty
       if (cdfEnabled) {
         val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (touchedAdds.nonEmpty && notMatchedBySourceDelete) {
+          val deletable0 = scanAdds(spark, touchedAdds)
+            .join(broadcast(keys), keyCols, "left_anti").filter(nmbsCond)
+          val deletable =
+            if (schemaChanged) alignEvolved(deletable0) else deletable0
+          frames += deletable.withColumn("_change_type", lit("delete"))
+        }
         if (touchedAdds.nonEmpty) {
           val matchedTarget0 = scanAdds(spark, touchedAdds)
             .join(broadcast(keys), keyCols, "left_semi")
@@ -2094,7 +2134,8 @@ final case class DeltaTable(
           DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
       val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
           keptAdds ++ sourceAdds, dlog.version, numUpdated, numInserted, numCopied,
-          numTargetRowsRemoved = touchedTotal - numCopied)
+          numTargetRowsRemoved = touchedTotal - numCopied,
+          numTargetRowsDeleted = numNmbsDeleted)
         .withExtraCommitInfo(customMetadata)
       val withMeta =
         if (!schemaChanged) entry.actions
@@ -2442,6 +2483,53 @@ final case class DeltaTable(
     * `delta.deletedFileRetentionDuration` (delta's `interval N
     * days|hours|minutes|weeks` syntax); otherwise delta's 7-day default.
     */
+  /** VACUUM LITE (delta 4.0's `VACUUM ... LITE`): derive the deletable set
+    * from the LOG's remove tombstones instead of listing the table
+    * directory — on an object store holding 10⁸ files a recursive listing
+    * is the vacuum bottleneck (and is billed per object); the log already
+    * names every file a commit logically deleted, so the lite pass costs
+    * O(loaded log) driver work plus the deletes themselves.
+    *
+    * Caveats (delta's own): lite only sees removes visible to this
+    * handle's loaded log (JSON tail — graft checkpoints drop expired
+    * tombstones like delta's), so it cannot reclaim files stranded by
+    * crashed writes or files whose tombstones were checkpointed away; run
+    * a full [[vacuum]] occasionally for those. Eligibility is the remove's
+    * own `deletionTimestamp` (no per-file stat round trips). Files already
+    * gone are skipped silently (a lite vacuum is retry-safe).
+    */
+  def vacuumLite(retentionMs: Long = Long.MinValue,
+      dryRun: Boolean = false): Seq[String] = {
+    val retention =
+      if (retentionMs != Long.MinValue) retentionMs
+      else tableProperties.get("delta.deletedFileRetentionDuration")
+        .map(DeltaTable.parseRetentionInterval(_))
+        .getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retention
+    val live: Set[String] = dlog.addActions.keys
+      .map(p => Location.canonical(Location.resolve(p, loc, conf).uri)).toSet
+    // every tombstone across the loaded entries, newest deletionTimestamp
+    // wins per path (a re-added then re-removed file must age from its
+    // LATEST death, not its first)
+    val latestDeath = scala.collection.mutable.Map.empty[String, (String, Long)]
+    dlog.entries.valuesIterator.foreach(_.removes.foreach { r =>
+      val resolved = Location.resolve(r.path, loc, conf)
+      val qualified = loc.fs.makeQualified(
+        new org.apache.hadoop.fs.Path(resolved.uri)).toString
+      val c = Location.canonical(qualified)
+      if (latestDeath.get(c).forall(_._2 < r.deletionTimestamp))
+        latestDeath(c) = (qualified, r.deletionTimestamp)
+    })
+    val candidates = latestDeath.iterator
+      .filter { case (c, (_, ts)) => ts < cutoff && !live.contains(c) }
+      .map(_._2._1).toSeq.sorted
+    if (!dryRun) candidates.foreach { uri =>
+      val p = new org.apache.hadoop.fs.Path(uri)
+      try loc.fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+    candidates
+  }
+
   def vacuum(retentionMs: Long = Long.MinValue,
       dryRun: Boolean = false): Seq[String] = {
     val retention =

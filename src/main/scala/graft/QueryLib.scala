@@ -276,6 +276,23 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** MERGE with delta-spark's WHEN NOT MATCHED BY SOURCE clause: source
+    * rows (custkey < 200) upsert as usual, and target rows the source
+    * does NOT carry are deleted when they satisfy the clause condition
+    * (BUILDING segment) — the sync-to-source shape, one atomic commit.
+    */
+  def customerMergeNmbsDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_merge_nmbs") { d =>
+      val c = raw(spark, sfDir, "customer")
+      val source = c.filter(col("c_custkey") < 200)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+      DeltaTable.forPath(d).write(c)
+        .merge(spark, source, Seq("c_custkey"),
+          notMatchedBySourceDelete = true,
+          notMatchedBySourceCondition = Some(col("c_mktsegment") === "BUILDING"))
+      ()
+    }
+
   /** customer upserted via MERGE-ON-READ: same updates/inserts as the
     * copy-on-write merge fixture, but matched rows die in a deletion
     * vector and no target file is rewritten — same oracle.

@@ -377,6 +377,12 @@ object SparkEntry {
       TextAnalysis.duplicatePassages(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")),
+    // maximal duplicated spans (where the shared regions ARE, in token
+    // coordinates — the span-removal dedup input)
+    "q121_dup_spans" -> ((s, d) =>
+      TextAnalysis.duplicateSpans(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start")),
     // unigram-LM mean log-prob + perplexity per document
     "q86_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(QueryLib.delta(s, d, "documents"),
@@ -546,6 +552,11 @@ object SparkEntry {
         .orderBy("c_custkey")),
     "q79_dv_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergedMoRDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
+    // merge with WHEN NOT MATCHED BY SOURCE DELETE: unmatched BUILDING
+    // customers retired in the same commit as the upsert
+    "q119_merge_nmbs" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerMergeNmbsDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
 
     // ---- UPDATE (copy-on-write in-place mutation) ----
@@ -777,6 +788,11 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", topPerDoc = 3)
         .orderBy("doc_id", "term_rank")),
+    // BM25 lexical retrieval: top-20 documents for a 3-term query
+    "q120_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text", Seq("spark", "join", "window"), topK = 20)
+        .orderBy(col("bm25").desc, col("doc_id"))),
 
     // ---- embedding compression: scalar int8 quantization ----
     "q66_quantize_int8" -> ((s, d) =>
@@ -1240,6 +1256,20 @@ object SparkEntry {
         | CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         | round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         |FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q121_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+        |l AS (SELECT doc_id, pos,
+        |  lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM p),
+        |i AS (SELECT doc_id, pos,
+        |  sum(CASE WHEN prev IS NULL OR pos - prev > 4 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM l)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 5 AS BIGINT) AS span_end, count(*) AS n_dup_grams
+        |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
     "q87_rename_scan" ->
       """WITH r AS (SELECT doc_id, text, lang, source, n_chars AS char_count FROM documents)
         |SELECT * FROM r
@@ -1423,6 +1453,15 @@ object SparkEntry {
         |SELECT c_custkey + 100000 AS c_custkey, c_name, c_nationkey,
         | c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
+    "q119_merge_nmbs" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 200
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey >= 200 AND c_mktsegment <> 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
     "q79_dv_merge" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -1630,6 +1669,19 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term_rank, token, tf, df, tfidf FROM r
         |WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin,
+    "q120_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(tk)) AS avgdl FROM toks),
+        |tf AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, unnest(tk) AS term FROM toks),
+        |tfa AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM tf
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, dl, term),
+        |dfa AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfa GROUP BY term),
+        |s AS (SELECT doc_id, count(*) AS matched_terms,
+        |  round(sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |    (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tfa JOIN dfa USING (term) CROSS JOIN stats GROUP BY doc_id)
+        |SELECT doc_id, matched_terms, bm25 FROM s
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
     "q66_quantize_int8" ->
       """WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
         |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),

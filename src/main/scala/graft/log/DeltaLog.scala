@@ -239,7 +239,8 @@ object DeltaLogEntry {
     */
   def mergeTable(predicate: String, addsToRemove: Iterable[AddFile],
       adds: Seq[AddFile], readVersion: Long, numUpdated: Long,
-      numInserted: Long, numCopied: Long, numTargetRowsRemoved: Long): DeltaLogEntry = {
+      numInserted: Long, numCopied: Long, numTargetRowsRemoved: Long,
+      numTargetRowsDeleted: Long = 0L): DeltaLogEntry = {
     // Units are mixed by design and declared in-band via metrics_units:
     // num_updated_rows counts distinct matched KEYS (row-based counting
     // over-counts when the target legally holds duplicate rows per key and
@@ -253,9 +254,10 @@ object DeltaLogEntry {
       "num_inserted_rows" -> Json.num(numInserted),
       "num_copied_rows" -> Json.num(numCopied),
       "num_target_rows_removed" -> Json.num(numTargetRowsRemoved),
+      "num_deleted_rows" -> Json.num(numTargetRowsDeleted),
       "metrics_units" -> Json.mapper.getNodeFactory.textNode(
         "num_updated_rows,num_inserted_rows=distinct source keys; " +
-          "num_copied_rows,num_target_rows_removed=physical rows"))
+          "num_copied_rows,num_target_rows_removed,num_deleted_rows=physical rows"))
     val commit = CommitInfo.merge(predicate, readVersion, metrics)
     val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
     DeltaLogEntry(removes ++ adds :+ commit)

@@ -200,6 +200,49 @@ object TextAnalysis {
         round(sum(col("_llr")), 4).as("importance_weight"))
   }
 
+  /** BM25 ranked retrieval (Okapi BM25, Robertson et al.; idf in Lucene's
+    * non-negative `ln(1 + (N−df+0.5)/(df+0.5))` form) — the lexical
+    * retrieval baseline curation/RAG pipelines keep next to their ANN
+    * index: score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Scale shape: the token array is filtered to the query's terms BEFORE
+    * the explode (a literal in the codegen'd `filter` lambda — the scan
+    * emits only posting-list tokens, the inverted-index restriction, so
+    * the shuffle is postings-sized not corpus-sized); one
+    * groupBy(doc, term) computes tf with map-side partial aggregation
+    * (immune to a hot term); per-term df is a second partial agg over the
+    * ≤|q|-row term table, broadcast back; corpus scalars (N, avgdl) ride a
+    * one-row broadcast cross join; the global top-k is orderBy+limit =
+    * TakeOrderedAndProject (per-partition partial top-k, never a global
+    * sort). Scores round to 4 digits and ties break on the id, so the
+    * ranking — including the k-boundary — is engine-reproducible.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK requires query terms")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("_n"),
+      avg(size(col("_toks"))).as("_avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("_toks")).cast("double").as("_dl"),
+        explode(filter(col("_toks"), t => t.isInCollection(terms))).as("_tk"))
+      .groupBy(col(idCol), col("_dl"), col("_tk"))
+      .agg(count(lit(1)).cast("double").as("_tf"))
+    val dft = tf.groupBy("_tk").agg(count(lit(1)).cast("double").as("_df"))
+    tf.join(broadcast(dft), "_tk").crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_s",
+        col("_idf") * col("_tf") * lit(k1 + 1.0) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_terms"), round(sum(col("_s")), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(topK)
+  }
+
   def induceVocab(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -295,6 +338,58 @@ object TextAnalysis {
         sum(when(col("_docfreq").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_ratio",
         round(col("n_dup_windows") / col("n_windows"), 4))
+  }
+
+  /** Duplicate-SPAN extraction: the maximal duplicated regions inside each
+    * document — [[duplicatePassages]] tells you HOW MUCH of a document is
+    * shared; this tells you WHERE, which is what span-removal dedup (Lee
+    * et al. 2022 cut the duplicated substring out, not the document)
+    * actually consumes. Every k-token window position whose window occurs
+    * ≥ `minOccurrences` times corpus-wide (within- or cross-document) is
+    * a duplicated position; overlapping positions (gap ≤ k−1) merge into
+    * maximal spans `[span_start, span_end)` in token coordinates.
+    *
+    * Scale shape: positions explode to (doc, pos, hash64) — 8-byte hashes
+    * on the wire, never window strings; the occurrence count is a
+    * map-side-combined groupBy(hash) (a boilerplate window shared 10^7
+    * times contributes one row per map task); the duplicated-hash set
+    * joins back pinned shuffle_hash for the same reason as
+    * [[duplicatePassages]] (its size is corpus-dependent — broadcasting
+    * it is wrong at scale, and the aggregate already partitioned it on
+    * the hash). Span merging is a per-document gaps-and-islands window —
+    * partitioned by doc, bounded by document length, no global sort.
+    *
+    * @return idCol, span_start, span_end (exclusive, token coords),
+    *         n_dup_grams per maximal span
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= k)
+    // positional k-gram hashes: transform over the index range keeps the
+    // slice-hash inside codegen; posexplode carries the position out
+    val grams = toks.select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - k),
+          i => xxhash64(slice(col("_toks"), i + 1, lit(k))))))
+      .toDF(idCol, "_pos", "_h")
+    val dup = grams.groupBy("_h").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOccurrences)
+      .hint("shuffle_hash")
+    val dupPos = grams.join(dup, Seq("_h"), "left_semi")
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val flagged = dupPos
+      .withColumn("_prev", lag(col("_pos"), 1).over(byPos))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("_pos") - col("_prev") > (k - 1), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_pos")).cast("long").as("span_start"),
+        (max(col("_pos")) + lit(k)).cast("long").as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .drop("_isl")
   }
 
   /** Unigram-LM document scoring: mean log-probability of each document

@@ -63,6 +63,53 @@ class MaintenanceSpec extends SparkSuite {
     intercept[Exception] { v0.toDF(spark).count() }
   }
 
+  test("vacuum LITE reclaims exactly the log's expired tombstones, no listing") {
+    val d = tempDir("vacuum-lite")
+    var t = DeltaTable.forPath(d).write(nation)
+    t = t.write(nation.filter(col("n_regionkey") === 0),
+      mode = graft.log.WriteMode.Overwrite)
+    // a stranded file NO commit knows about: full vacuum's domain, never
+    // lite's (lite derives candidates from tombstones, not a listing)
+    val stranded = new java.io.File(d, "stranded-not-in-log.parquet")
+    java.nio.file.Files.write(stranded.toPath, Array[Byte](1, 2, 3))
+    val full = t.vacuum(retentionMs = 0L, dryRun = true).toSet
+    val lite = t.vacuumLite(retentionMs = 0L, dryRun = true).toSet
+    assert(lite.nonEmpty)
+    assert(lite.forall(full.contains), "lite must be a subset of full vacuum")
+    assert(!lite.exists(_.contains("stranded-not-in-log")),
+      "lite must not see files outside the log")
+    assert(full.exists(_.contains("stranded-not-in-log")),
+      "full vacuum should see the stranded file (listing-based)")
+    // retention honored: fresh tombstones are not eligible
+    assert(t.vacuumLite(retentionMs = 3600L * 1000, dryRun = true).isEmpty)
+    val deleted = t.vacuumLite(retentionMs = 0L)
+    assert(deleted.toSet == lite)
+    deleted.foreach(u => assert(
+      !new java.io.File(new java.net.URI(u).getPath).exists(), s"$u not deleted"))
+    // live snapshot unaffected; a second lite pass is a no-op (retry-safe)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == t.toDF(spark).count())
+    t.vacuumLite(retentionMs = 0L)
+  }
+
+  test("vacuum LITE ages a re-added file from its LATEST death") {
+    val d = tempDir("vacuum-lite-readd")
+    var t = DeltaTable.forPath(d).write(nation)
+    val original = t.fileUris.toSet
+    // remove everything (overwrite), then soft-re-add the original file
+    // via restore, then remove again — two tombstones for one path
+    t = t.write(nation.filter(col("n_nationkey") < 5),
+      mode = graft.log.WriteMode.Overwrite)
+    t = t.restore(0L)
+    t = t.write(nation.filter(col("n_nationkey") >= 20),
+      mode = graft.log.WriteMode.Overwrite)
+    val lite = t.vacuumLite(retentionMs = 0L, dryRun = true).toSet
+    assert(original.forall(lite.contains),
+      "twice-removed file must be reclaimable once dead and expired")
+    // live files never appear even with tombstones present
+    val live = t.fileUris.toSet
+    assert(lite.intersect(live).isEmpty)
+  }
+
   test("compact WHERE scopes to matching partitions only") {
     val d = tempDir("compact-where")
     var t = DeltaTable.forPath(d)

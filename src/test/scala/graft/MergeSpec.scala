@@ -28,6 +28,66 @@ class MergeSpec extends SparkSuite {
     assertSameRows(t1.loadAsVersion(0L).toDF(spark), nation)
   }
 
+  test("merge WHEN NOT MATCHED BY SOURCE deletes unmatched rows under the condition") {
+    val d = tempDir("merge-nmbs")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    // source carries nations 0-9 (updated name); unmatched nations in
+    // region 2 are retired by the clause; other unmatched rows survive
+    val src = nation.filter(col("n_nationkey") < 10)
+      .withColumn("n_name", concat(lit("S-"), col("n_name")))
+    val t1 = t0.merge(spark, src, Seq("n_nationkey"),
+      notMatchedBySourceDelete = true,
+      notMatchedBySourceCondition = Some(col("n_regionkey") === 2))
+    val out = t1.toDF(spark)
+    // matched rows replaced
+    assert(out.filter(col("n_nationkey") < 10 && !col("n_name").startsWith("S-"))
+      .count() == 0)
+    // unmatched + condition → gone
+    assert(out.filter(col("n_nationkey") >= 10 && col("n_regionkey") === 2)
+      .count() == 0)
+    // unmatched, condition false → byte-identical survivors
+    assertSameRows(out.filter(col("n_nationkey") >= 10),
+      nation.filter(col("n_nationkey") >= 10 && col("n_regionkey") =!= 2))
+    // metrics: deleted rows reported separately from matched-row removal
+    val m = t1.history.head._2.operationMetrics
+    val expectedDeleted =
+      nation.filter(col("n_nationkey") >= 10 && col("n_regionkey") === 2).count()
+    assert(m("num_deleted_rows").asLong() == expectedDeleted)
+    assert(m("num_updated_rows").asLong() == 10L)
+    // previous version intact (copy-on-write)
+    assertSameRows(t1.loadAsVersion(0L).toDF(spark), nation)
+  }
+
+  test("merge NMBS without condition syncs the table to the source key set") {
+    val d = tempDir("merge-nmbs-full")
+    val t0 = DeltaTable.forPath(d).write(nation)
+    val src = nation.filter(col("n_nationkey") % 2 === 0)
+    val t1 = t0.merge(spark, src, Seq("n_nationkey"),
+      notMatchedBySourceDelete = true)
+    // table now holds EXACTLY the source rows
+    assertSameRows(t1.toDF(spark), src)
+  }
+
+  test("merge NMBS condition stats-prunes the widened touched set") {
+    val d = tempDir("merge-nmbs-prune")
+    val n = nation
+    // two disjoint files by key range, written as separate commits
+    var t = DeltaTable.forPath(d)
+      .write(n.filter(col("n_nationkey") < 10).repartition(1))
+    t = t.write(n.filter(col("n_nationkey") >= 10).repartition(1))
+    val before = t.fileUris.toSet
+    // source matches nothing; the clause condition only overlaps the
+    // low-key file's stats range → the high-key file must not be rewritten
+    val src = n.filter(col("n_nationkey") < 0)
+    val t1 = t.merge(spark, src, Seq("n_nationkey"),
+      notMatchedBySourceDelete = true,
+      notMatchedBySourceCondition = Some(col("n_nationkey") <= 3))
+    val after = t1.fileUris.toSet
+    val kept = before.intersect(after)
+    assert(kept.nonEmpty, "stats pruning should keep the untouched file as-is")
+    assertSameRows(t1.toDF(spark), n.filter(col("n_nationkey") > 3))
+  }
+
   test("merge metrics count updates, inserts, copies") {
     val d = tempDir("merge-metrics")
     val t0 = DeltaTable.forPath(d).write(nation)
