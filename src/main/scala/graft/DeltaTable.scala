@@ -2172,19 +2172,28 @@ final case class DeltaTable(
     *                Morton code of per-column rank buckets instead of the
     *                linear sort — per-file min/max stay selective for
     *                predicates on ANY clustered column, not just the first
+    * @param curve   multi-dimensional order under `zOrder`: "morton"
+    *                (default, bit interleave) or "hilbert"
+    *                ([[graft.functions.HilbertIndex]] — consecutive cells
+    *                always spatially adjacent, tighter per-file min/max
+    *                boxes, the curve liquid clustering uses)
     */
   def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
       targetFiles: Int = 0, zOrder: Boolean = false,
-      where: Option[Column] = None): DeltaTable = {
+      where: Option[Column] = None, curve: String = "morton"): DeltaTable = {
+    require(curve == "morton" || curve == "hilbert",
+      s"curve must be morton|hilbert, got $curve")
     // liquid default (delta's OPTIMIZE on a clustered table): with no
     // explicit keys, lay out by the declared clustering columns —
     // Z-order across 2+, plain sort for 1 — so incremental clustering is
-    // just "declare once, OPTIMIZE anytime"
+    // just "declare once, OPTIMIZE anytime". The curve is declarable as
+    // a table property alongside the clustering domain.
     if (sortBy.isEmpty) {
       val cc = clusteringColumns
       if (cc.nonEmpty)
         return compact(spark, sortBy = cc, targetFiles = targetFiles,
-          zOrder = cc.size >= 2, where = where)
+          zOrder = cc.size >= 2, where = where,
+          curve = tableProperties.getOrElse("graft.clustering.curve", curve))
     }
     // OPTIMIZE WHERE (delta parity): the predicate must touch only
     // partition columns — compaction is file-level, so a data-column
@@ -2238,7 +2247,11 @@ final case class DeltaTable(
             col(c).cast("timestamp").cast("double")
           case _ => col(c).cast("double")
         }
-        val bits = 64 / sortBy.size
+        // hilbert packs k*bits into one long (<= 63 usable bits); morton
+        // interleaves into 64 — cap the shared bucket width accordingly
+        val bits =
+          if (curve == "hilbert") math.min(63 / sortBy.size, 16)
+          else 64 / sortBy.size
         val buckets = 1 << math.min(bits, 16)
         val aggs = sortBy.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(numeric(c)),
@@ -2259,9 +2272,12 @@ final case class DeltaTable(
                 (numeric(c) - lit(mn)) / lit(span) * buckets),
               lit(buckets - 1L)).cast("long"))
         }
+        val rankExprs = sortBy.map(c =>
+          org.apache.spark.sql.graftshim.ColumnShim.expression(col(s"_rk_$c")))
         val morton = org.apache.spark.sql.graftshim.ColumnShim.column(
-          graft.functions.InterleaveBits(sortBy.map(c =>
-            org.apache.spark.sql.graftshim.ColumnShim.expression(col(s"_rk_$c")))))
+          if (curve == "hilbert")
+            graft.functions.HilbertIndex(rankExprs, math.min(bits, 16))
+          else graft.functions.InterleaveBits(rankExprs))
         ranked.withColumn("_morton", morton)
           .repartitionByRange(n, col("_morton"))
           .sortWithinPartitions("_morton")

@@ -201,6 +201,86 @@ object Checkpoint {
         StructField("writerFeatures", ArrayType(StringType)))))))
   }
 
+  /** `delta.checkpoint.writeStatsAsStruct` / `writeStatsAsJson` (delta's
+    * checkpoint stats layout properties): with stats-as-struct on, every
+    * `add` row of the delta-format checkpoint carries a TYPED
+    * `stats_parsed` struct (numRecords / minValues / maxValues /
+    * nullCount over the table's physical leaf columns) so a delta reader
+    * does data skipping straight off parquet column values instead of
+    * parsing 10⁵ JSON strings per plan; `writeStatsAsJson=false`
+    * additionally nulls the JSON string column (the struct becomes
+    * authoritative — delta's layout for wide-schema tables where
+    * double-stored stats dominate checkpoint size). The typed schema is
+    * the physical leaf schema, so column-mapped tables stat under
+    * physical names exactly like their JSON stats do.
+    */
+  private def statsStructType(dlog: DeltaLog): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    dlog.latestMetadata.map { m =>
+      val phys = ColumnMapping.physicalSchema(m.schema)
+      val leaves = StructType(phys.fields.filter(f => f.dataType match {
+        case _: NumericType | StringType | BooleanType | DateType => true
+        case _: TimestampType | TimestampNTZType => true
+        case _ => false
+      }).map(f => StructField(f.name, f.dataType)))
+      val nulls = StructType(leaves.fields.map(f => StructField(f.name, LongType)))
+      StructType(Seq(
+        StructField("numRecords", LongType),
+        StructField("minValues", leaves),
+        StructField("maxValues", leaves),
+        StructField("nullCount", nulls)))
+    }
+  }
+
+  /** Apply the two stats-layout properties to a schema-parsed checkpoint
+    * frame (both classic parts and v2 sidecars go through here).
+    */
+  private def applyStatsColumns(dlog: DeltaLog,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    val cfg = dlog.latestMetadata.map(_.configuration).getOrElse(Map.empty)
+    val asStruct = cfg.get("delta.checkpoint.writeStatsAsStruct").contains("true")
+    if (!asStruct) return df
+    val dropJson = cfg.get("delta.checkpoint.writeStatsAsJson").contains("false")
+    statsStructType(dlog) match {
+      case None => df
+      case Some(st) =>
+        val addType = df.schema("add").dataType.asInstanceOf[StructType]
+        val rebuilt = struct(
+          (addType.fieldNames.toSeq.map { f =>
+            if (f == "stats" && dropJson) lit(null).cast("string").as("stats")
+            else col(s"add.$f").as(f)
+          } :+ from_json(col("add.stats"), st).as("stats_parsed")): _*)
+        df.withColumn("add", when(col("add").isNotNull, rebuilt))
+    }
+  }
+
+  /** Read-side inverse: a checkpoint (ours or a foreign delta writer's
+    * with `writeStatsAsJson=false`) whose adds carry only `stats_parsed`
+    * gets its JSON stats string reconstructed, so graft's stats pruning
+    * and metadata-only COUNT work unchanged on struct-stats tables.
+    */
+  private def restoreStatsJson(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StructField, StructType}
+    df.schema.fields.find(_.name == "add") match {
+      case Some(StructField(_, addType: StructType, _, _))
+          if addType.fieldNames.contains("stats_parsed") =>
+        val hasJson = addType.fieldNames.contains("stats")
+        val statsCol =
+          if (hasJson) coalesce(col("add.stats"), to_json(col("add.stats_parsed")))
+          else to_json(col("add.stats_parsed"))
+        val rebuilt = struct(
+          (addType.fieldNames.toSeq.filterNot(_ == "stats_parsed")
+            .filterNot(_ == "stats").map(n => col(s"add.$n").as(n)) :+
+            statsCol.as("stats")): _*)
+        df.withColumn("add", when(col("add").isNotNull, rebuilt))
+      case _ => df
+    }
+  }
+
   /** Actions per part of the delta-format checkpoint. At 10⁵ live files
     * a single coalesce(1) parquet is a driver-sized bottleneck to write
     * and a single-task file to read; delta's classic MULTI-PART layout
@@ -228,8 +308,8 @@ object Checkpoint {
     // graft-pointer-only state (the ICT clamp anchor): delta checkpoints
     // never carry it, and an all-null row would be out of spec.
     val lines = actions.filterNot(_.isInstanceOf[CommitInfo]).map(_.toLine)
-    val df = spark.read.schema(deltaCheckpointSchema)
-      .json(spark.createDataset(lines)(Encoders.STRING))
+    val df = applyStatsColumns(dlog, spark.read.schema(deltaCheckpointSchema)
+      .json(spark.createDataset(lines)(Encoders.STRING)))
     val wantParts =
       math.max(1, math.ceil(actions.size.toDouble / maxActionsPerPart).toInt)
     val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
@@ -329,8 +409,8 @@ object Checkpoint {
       // ---- sidecars: file actions, schema-driven nested layout ----
       val wantParts =
         math.max(1, math.ceil(fileActs.size.toDouble / maxActionsPerPart).toInt)
-      val fileDf = spark.read.schema(v2SidecarSchema)
-        .json(spark.createDataset(fileActs.map(_.toLine))(Encoders.STRING))
+      val fileDf = applyStatsColumns(dlog, spark.read.schema(v2SidecarSchema)
+        .json(spark.createDataset(fileActs.map(_.toLine))(Encoders.STRING)))
       (if (wantParts == 1) fileDf.coalesce(1) else fileDf.repartition(wantParts))
         .write.mode("overwrite").parquet(staging.uri)
       val staged = staging.listDataFilesRecursive()
@@ -628,8 +708,8 @@ object Checkpoint {
             s"found ${multi.size} of ${declared.max} parts — the " +
             "checkpoint is corrupt or partially deleted")
     }
-    val lines = spark.read
-      .parquet(parts.map(loc.child(_).uri): _*)
+    val lines = restoreStatsJson(spark.read
+      .parquet(parts.map(loc.child(_).uri): _*))
       .toJSON.collect() // O(actions) driver-side — metadata scale, same as the graft read
     val actions = lines.iterator
       .filter(l => l.nonEmpty && l != "{}")
@@ -649,7 +729,7 @@ object Checkpoint {
     */
   private def readV2(spark: org.apache.spark.sql.SparkSession, loc: Location,
       manifest: String): Option[DeltaLogEntry] = {
-    val rows = spark.read.parquet(loc.child(manifest).uri)
+    val rows = restoreStatsJson(spark.read.parquet(loc.child(manifest).uri))
       .toJSON.collect()
     val parsed = rows.iterator
       .filter(l => l.nonEmpty && l != "{}")
@@ -669,7 +749,7 @@ object Checkpoint {
           missing.map(_.uri).mkString(", "))
     val sidecarActions =
       if (sidecarLocs.isEmpty) Vector.empty
-      else spark.read.parquet(sidecarLocs.map(_.uri): _*)
+      else restoreStatsJson(spark.read.parquet(sidecarLocs.map(_.uri): _*))
         .toJSON.collect().iterator
         .filter(l => l.nonEmpty && l != "{}")
         .map(Action.parse)

@@ -183,6 +183,66 @@ class CheckpointSpec extends SparkSuite {
       expected.count() + nation.filter(col("n_nationkey") === 0).count())
   }
 
+  test("writeStatsAsStruct: typed stats_parsed in the delta checkpoint; JSON droppable; read restores") {
+    val d = tempDir("ckpt-stats-struct")
+    var t = DeltaTable.forPath(d).write(nation)
+      .setTableProperties(Map("delta.checkpoint.writeStatsAsStruct" -> "true"))
+    t = t.write(nation)
+    t = t.checkpoint()
+    val v = t.version
+    val ckptPath = s"$d/_delta_log/" + f"$v%020d.checkpoint.parquet"
+    val ck = spark.read.parquet(ckptPath)
+    val addType = ck.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addType.fieldNames.contains("stats_parsed"), addType.fieldNames.toSeq)
+    val sp = ck.filter(col("add").isNotNull).select("add.stats_parsed.*")
+    // typed values parsed straight from parquet, no JSON in the loop
+    assert(sp.schema("numRecords").dataType == org.apache.spark.sql.types.LongType)
+    // n_nationkey is INT32 in the fixture — the struct stats must carry
+    // the column's OWN type, not a stringly/widened one
+    assert(sp.schema("minValues").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("n_nationkey").dataType == nation.schema("n_nationkey").dataType)
+    val r = sp.agg(sum("numRecords"), min("minValues.n_nationkey"),
+      max("maxValues.n_nationkey")).head()
+    assert(r.getLong(0) == nation.count() * 2)
+    assert(r.getAs[Number](1).longValue() == 0L &&
+      r.getAs[Number](2).longValue() == 24L)
+    // JSON column still present alongside (writeStatsAsJson defaults true)
+    assert(ck.filter(col("add").isNotNull).select("add.stats")
+      .collect().forall(_.getString(0) != null))
+
+    // now drop the JSON: struct becomes authoritative
+    var t2 = t.setTableProperties(
+      Map("delta.checkpoint.writeStatsAsJson" -> "false"))
+    t2 = t2.write(nation.filter(col("n_nationkey") < 5)).checkpoint()
+    val v2 = t2.version
+    val ck2 = spark.read.parquet(s"$d/_delta_log/" + f"$v2%020d.checkpoint.parquet")
+    val adds2 = ck2.filter(col("add").isNotNull)
+    assert(adds2.select("add.stats").collect().forall(_.getString(0) == null))
+    assert(adds2.select("add.stats_parsed.numRecords")
+      .collect().forall(!_.isNullAt(0)))
+
+    // foreign-read path: wipe graft artifacts + cleaned JSON so the only
+    // source of truth is the struct-stats delta checkpoint — stats must
+    // be reconstructed (pruning + metadata COUNT still work)
+    t2.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val graftArtifact = name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile
+      val cleanedJson = name.matches("^\\d+\\.json$") &&
+        name.split("\\.", 2)(0).toLong <= v2
+      if (graftArtifact || cleanedJson)
+        t2.logLoc.fs.delete(t2.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v2)
+    assertSameRows(re.toDF(spark),
+      nation.union(nation).union(nation.filter(col("n_nationkey") < 5)))
+    assert(re.prunedAdds(col("n_nationkey") >= 20).size <
+      re.prunedAdds(org.apache.spark.sql.functions.lit(true)).size,
+      "restored struct stats must prune")
+    assert(re.dlog.addActions.values.forall(_.numRecords.isDefined),
+      "numRecords must survive the struct round trip")
+  }
+
   test("multi-part delta checkpoint (N.checkpoint.i.n.parquet) replays") {
     val d = tempDir("ckpt-delta-parts")
     var t = DeltaTable.forPath(d).write(nation)
