@@ -33,7 +33,8 @@ object Bench {
     "q88_generated_partition_scan", "q89_rebased_delete_scan",
     "q90_ann_quantized_rerank", "q91_datasource_roundtrip",
     "q92_url_signals", "q103_row_ids_scan", "q104_importance_weights",
-    "q109_stable_row_ids", "q110_domain_cap", "q111_training_order")
+    "q109_stable_row_ids", "q110_domain_cap", "q111_training_order",
+    "q120_bm25", "q121_dup_spans", "q122_random_projection")
 
   val RUNS = 2
 

@@ -882,6 +882,16 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** events streamed through the MERGE-upsert sink (latest row per user
+    * wins, out-of-order-batch tolerant) — the CDC-apply table.
+    */
+  def eventsUpsertedViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_upserted") { d =>
+      streaming.DeltaStreamSink.runStreamingUpsert(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** events streamed with an in-watermark re-delivery plus genuinely-new
     * late rows through `dropDuplicatesWithinWatermark` — the BOUNDED-state
     * streaming dedup (state ∝ watermark window, not stream history).

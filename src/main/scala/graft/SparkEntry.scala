@@ -668,6 +668,13 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("user_id")),
+    // streaming MERGE-upsert (CDC apply): table = latest event per user
+    "q123_stream_upsert" -> ((s, d) =>
+      QueryLib.eventsUpsertedViaStream(s, d)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"),
+          round(col("value"), 4).as("last_value"))
+        .orderBy("user_id")),
     // bounded-state dedup: in-watermark re-delivery dropped by state that
     // crossed the batch boundary; the shifted late copy kept
     "q93_stream_dedup_watermark" -> ((s, d) =>
@@ -800,6 +807,16 @@ object SparkEntry {
           "vec_id", "embedding")
         .filter(col("vec_id") < 100)
         .orderBy("vec_id", "dim")),
+
+    // ---- embedding compression: JL random projection (±1 sign matrix) ----
+    "q122_random_projection" -> ((s, d) =>
+      Similarity.randomProject(QueryLib.delta(s, d, "embeddings"),
+          "vec_id", "embedding", outDims = 16)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("projection")))
+        .toDF("vec_id", "out_dim", "proj")
+        .withColumn("out_dim", col("out_dim").cast("long"))
+        .orderBy("vec_id", "out_dim")),
 
     // ---- maintenance: OPTIMIZE + VACUUM, CDF, checkpointed open ----
     "q40_optimize_vacuum_scan" -> ((s, d) =>
@@ -1591,6 +1608,12 @@ object SparkEntry {
     "q61_stream_dedup" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q123_stream_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, round(value, 4) AS last_value
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // kept rows = one copy of events + the genuinely-new shifted slice;
     // the in-watermark re-delivered slice is dropped by cross-batch state
     "q93_stream_dedup_watermark" ->
@@ -1682,6 +1705,15 @@ object SparkEntry {
         |  FROM tfa JOIN dfa USING (term) CROSS JOIN stats GROUP BY doc_id)
         |SELECT doc_id, matched_terms, bm25 FROM s
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q122_random_projection" ->
+      """WITH r AS (SELECT j, i,
+        |  CASE WHEN strpos('01234567', substring(md5('jl:' || j || ':' || i), 1, 1)) > 0
+        |       THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 16) t1(j), range(0, 64) t2(i)),
+        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  unnest(embedding::DOUBLE[]) AS x FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id, j AS out_dim, round(sum(x * s) / sqrt(16.0), 4) AS proj
+        |FROM e JOIN r USING (i) GROUP BY vec_id, j ORDER BY vec_id, out_dim""".stripMargin,
     "q66_quantize_int8" ->
       """WITH d AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
         |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),

@@ -378,6 +378,40 @@ object Similarity {
     * codegen. Returns (id, dim, code) rows plus the dequantized value for
     * error inspection.
     */
+  /** Johnson–Lindenstrauss random projection: compress `vecCol` (dim d)
+    * to `outDims` with a deterministic ±1 sign matrix (Achlioptas 2003 —
+    * database-friendly random projections: the ±1 family preserves
+    * pairwise distances with the same JL guarantee as Gaussian entries
+    * and needs no float matrix at all). Entry sign(j,i) derives from
+    * `md5("<seed>:j:i")` — engine-portable like the X29/X102 md5 keys, so
+    * any system can re-derive the exact matrix from the seed alone; the
+    * matrix is materialized ONCE driver-side as an outDims×d literal
+    * (d·outDims doubles — bytes, not data), and each row's projection is
+    * a codegen'd zip_with/aggregate per output dim: one pass over the
+    * vector, no shuffle, no UDF. Output values round to 4 digits so the
+    * cut is reproducible across engines' summation orders.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, seed: String = "jl"): DataFrame = {
+    val d = probeDim(df, vecCol)
+    def sign(j: Int, i: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      // first hex digit 0-7 → +1, 8-f → -1 (one unbiased bit per entry)
+      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    val rmat = array((0 until outDims).map(j =>
+      array((0 until d).map(i => lit(sign(j, i))): _*)): _*)
+    val scale = math.sqrt(outDims.toDouble)
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        round(
+          aggregate(
+            zip_with(toDouble(col(vecCol)), element_at(rmat, j + 1), (x, r) => x * r),
+            lit(0.0), (acc, x) => acc + x) / lit(scale),
+          4)).as("projection"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("_id"),
       posexplode(toDouble(col(vecCol))))

@@ -42,22 +42,37 @@ object DataSkipping {
     add.stats.flatMap { s =>
       try {
         val root = Json.mapper.readTree(s)
+        // nested stats objects (delta's shape for struct columns) flatten
+        // to dotted keys, matching the pruner's attribute paths
         def side(field: String, isMax: Boolean): Map[String, Any] = {
-          val node = root.path(field)
-          schema.fields.flatMap { f =>
-            val v = node.path(f.name)
-            if (v.isMissingNode || v.isNull) None
-            else normalizeStat(v, f.dataType).map { n =>
-              f.name -> (if (isMax) widenTruncatedMax(v, f.dataType, n) else n)
+          def walk(prefix: String, node: com.fasterxml.jackson.databind.JsonNode,
+              st: StructType): Seq[(String, Any)] =
+            st.fields.toSeq.flatMap { f =>
+              val v = node.path(f.name)
+              val key = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+              f.dataType match {
+                case nested: StructType if v.isObject => walk(key, v, nested)
+                case dt =>
+                  if (v.isMissingNode || v.isNull) None
+                  else normalizeStat(v, dt).map { n =>
+                    key -> (if (isMax) widenTruncatedMax(v, dt, n) else n)
+                  }
+              }
             }
-          }.toMap
+          walk("", root.path(field), schema).toMap
         }
         val nulls = {
-          val node = root.path("nullCount")
-          schema.fields.flatMap { f =>
-            val v = node.path(f.name)
-            if (v.isIntegralNumber) Some(f.name -> v.asLong()) else None
-          }.toMap
+          def walk(prefix: String, node: com.fasterxml.jackson.databind.JsonNode,
+              st: StructType): Seq[(String, Long)] =
+            st.fields.toSeq.flatMap { f =>
+              val v = node.path(f.name)
+              val key = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+              f.dataType match {
+                case nested: StructType if v.isObject => walk(key, v, nested)
+                case _ => if (v.isIntegralNumber) Some(key -> v.asLong()) else None
+              }
+            }
+          walk("", root.path("nullCount"), schema).toMap
         }
         Some(FileStats(
           if (root.path("numRecords").isIntegralNumber) Some(root.path("numRecords").asLong()) else None,
@@ -171,8 +186,13 @@ object DataSkipping {
   } catch { case _: Exception => None }
 
   private def attrName(e: Expression): Option[String] = e match {
-    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    // FULL dotted path, not nameParts.last: `col("s.a")` must resolve
+    // against the NESTED leaf's stats — taking the last part would prune
+    // s.a predicates with an unrelated top-level column a's bounds
+    case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
     case a: AttributeReference => Some(a.name)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      attrName(g.child).map(p => s"$p.${g.extractFieldName}")
     case _ => None
   }
 
@@ -205,8 +225,21 @@ object DataSkipping {
   /** Per-file conservative predicate evaluator. */
   final class FilePruner(schema: StructType, partitionColumns: Seq[String]) {
 
-    private val fieldByLower: Map[String, StructField] =
-      schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    // top-level fields PLUS nested struct leaves under their dotted path
+    // (the StructField's name IS the dotted path, so stats lookups and
+    // error messages stay uniform)
+    private val fieldByLower: Map[String, StructField] = {
+      def entries(prefix: String, st: StructType): Seq[StructField] =
+        st.fields.toSeq.flatMap { f =>
+          val key = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+          f.dataType match {
+            case nested: StructType =>
+              StructField(key, f.dataType, f.nullable) +: entries(key, nested)
+            case _ => Seq(StructField(key, f.dataType, f.nullable))
+          }
+        }
+      entries("", schema).map(f => f.name.toLowerCase -> f).toMap
+    }
     private val partitionLower = partitionColumns.map(_.toLowerCase).toSet
 
     def mayMatch(pred: Expression, add: AddFile): Boolean = {

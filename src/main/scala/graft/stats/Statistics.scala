@@ -35,12 +35,26 @@ final case class Statistics(
   def json: String = {
     val o = Json.obj()
     o.put("numRecords", numRecords)
-    val mins = Json.obj(); minValues.foreach { case (k, v) => mins.set[JsonNode](k, v) }
-    val maxs = Json.obj(); maxValues.foreach { case (k, v) => maxs.set[JsonNode](k, v) }
-    val nulls = Json.obj(); nullCount.foreach { case (k, v) => nulls.set[JsonNode](k, v) }
-    o.set[JsonNode]("minValues", mins)
-    o.set[JsonNode]("maxValues", maxs)
-    o.set[JsonNode]("nullCount", nulls)
+    // dotted keys ("s.a.b" — nested struct leaves) render as NESTED
+    // objects, the Delta stats shape foreign engines expect
+    def nested(m: ListMap[String, JsonNode]): JsonNode = {
+      val root = Json.obj()
+      m.foreach { case (k, v) =>
+        val parts = k.split('.')
+        var cur = root
+        parts.dropRight(1).foreach { p =>
+          cur = cur.get(p) match {
+            case e: com.fasterxml.jackson.databind.node.ObjectNode => e
+            case _ => val n = Json.obj(); cur.set[JsonNode](p, n); n
+          }
+        }
+        cur.set[JsonNode](parts.last, v)
+      }
+      root
+    }
+    o.set[JsonNode]("minValues", nested(minValues))
+    o.set[JsonNode]("maxValues", nested(maxValues))
+    o.set[JsonNode]("nullCount", nested(nullCount))
     Json.mapper.writeValueAsString(o)
   }
 }
@@ -85,10 +99,33 @@ object Statistics {
       var maxs = ListMap.empty[String, Any]
       var nulls = ListMap.empty[String, Long]
 
+      val msgType = reader.getFooter.getFileMetaData.getSchema
+      // struct leaves (any depth) carry stats under their dotted path —
+      // delta's nested-stats contract; paths through a REPEATED group
+      // (arrays, maps) have no meaningful scalar bounds and are skipped
+      def nonRepeatedPath(parts: Array[String]): Boolean = {
+        var g: org.apache.parquet.schema.GroupType = msgType
+        var i = 0
+        while (i < parts.length) {
+          val t =
+            try g.getType(g.getFieldIndex(parts(i)))
+            catch { case _: Exception => return false }
+          if (t.getRepetition == org.apache.parquet.schema.Type.Repetition.REPEATED)
+            return false
+          if (i < parts.length - 1) {
+            if (t.isPrimitive) return false
+            g = t.asGroupType()
+          }
+          i += 1
+        }
+        true
+      }
+
       for (block <- blocks; col <- block.getColumns.asScala) {
         val pathParts = col.getPath.toArray
-        if (pathParts.length == 1 && keep(pathParts(0))) { // top-level primitives only
-          val name = pathParts(0)
+        val dotted = pathParts.mkString(".")
+        if (pathParts.nonEmpty && nonRepeatedPath(pathParts) && keep(dotted)) {
+          val name = dotted
           val st = col.getStatistics
           if (st != null) {
             if (st.isNumNullsSet)

@@ -246,6 +246,67 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE-upsert sink (the CDC-apply shape): each micro-batch
+    * is reduced to its latest row per key, resolved against the CURRENT
+    * table state (a matched target row NEWER than the arriving one wins —
+    * out-of-order batches cannot regress a key), and merged. The final
+    * table is exactly "latest event per key over the whole stream"
+    * regardless of batch boundaries or arrival order.
+    *
+    * Scale shape: the per-batch reduction is a batch-sized window; the
+    * resolution semi-join touches only files owning matched keys (merge's
+    * own phase-1 pruning), and the merge rewrites only those files. No
+    * unbounded streaming state — the TABLE is the state, which is what
+    * lets this run forever where mapGroupsWithState would grow with keys.
+    */
+  def upsertLatestSink(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def latestPerKey(df: DataFrame): DataFrame =
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    val reduced = latestPerKey(batch)
+    val t = DeltaTable.forPath(tableDir)
+    if (t.version < 0) { t.write(reduced); return }
+    val resolved = latestPerKey(
+      t.toDF(spark)
+        .join(reduced.select("user_id"), Seq("user_id"), "left_semi")
+        .unionByName(reduced))
+    t.merge(spark, resolved, Seq("user_id"))
+  }
+
+  /** Drive [[upsertLatestSink]] over the events fixture split into two
+    * single-file micro-batches (`maxFilesPerTrigger=1`), so later batches
+    * genuinely UPDATE keys the first batch inserted — the upsert path is
+    * exercised, not just the initial load.
+    */
+  def runStreamingUpsert(spark: SparkSession, sfDir: String, tableDir: String): Unit = {
+    val raw = eventsRawSchema(spark, sfDir)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val inDir = java.nio.file.Files.createTempDirectory("graft-upsert-in-")
+    val norm = spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", graft.QueryLib.tsToNtz(raw("ts").dataType))
+    // arbitrary halves (even/odd ids): the sink's latest-wins resolution
+    // must produce the same table whichever half lands first
+    norm.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1)
+      .write.parquet(s"$inDir/half_a")
+    norm.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1)
+      .write.parquet(s"$inDir/half_b")
+    val q = spark.readStream
+      .schema(norm.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/half_*/*.parquet")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(upsertLatestSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** BOUNDED-state streaming dedup: `dropDuplicatesWithinWatermark` keeps
     * a key's dedup state only until the watermark passes its event time
     * plus the delay, so the state store is proportional to the watermark

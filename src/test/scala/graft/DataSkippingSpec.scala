@@ -87,6 +87,44 @@ class DataSkippingSpec extends SparkSuite {
       "ms-truncated foreign max stat must be widened, not trusted exactly")
   }
 
+  test("nested struct leaves: stats collected, dotted predicates prune, arrays excluded") {
+    val d = tempDir("skip-nested")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    // struct column with a DECOY: top-level `n_nationkey` is constant 0
+    // while info.n_nationkey carries the real range — pruning on the
+    // nested path must use the NESTED bounds, never the top-level ones
+    val df = nation.repartitionByRange(4, col("n_nationkey"))
+      .select(
+        struct(col("n_nationkey"), col("n_name")).as("info"),
+        lit(0).as("n_nationkey"),
+        array(col("n_regionkey")).as("tags"),
+        col("n_regionkey"))
+    val t = DeltaTable.forPath(d).write(df)
+    // stats JSON nests the struct leaves delta-style
+    val st = t.dlog.addActions.values.head.stats.get
+    val node = graft.log.Json.mapper.readTree(st)
+    assert(node.path("minValues").path("info").path("n_nationkey").isIntegralNumber, st)
+    // arrays contribute no min/max
+    assert(node.path("minValues").path("tags").isMissingNode ||
+      !node.path("minValues").path("tags").isObject || node.path("minValues").path("tags").isEmpty)
+    val all = t.prunedAdds(lit(true)).size
+    // dotted predicate prunes on the nested leaf's own bounds
+    assert(t.prunedAdds(col("info.n_nationkey") < 5).size < all)
+    assert(t.prunedAdds(col("info.n_name") === "CHINA").size < all)
+    // the decoy: every file's top-level n_nationkey is [0,0]; if the
+    // pruner fell back to the LAST name part it would wrongly drop all
+    // but one file for info.n_nationkey >= 20
+    val deep = t.prunedAdds(col("info.n_nationkey") >= 20)
+    assert(deep.nonEmpty)
+    // conservative correctness: pruned scan == full filter
+    assertSameRows(
+      t.toDF(spark).filter(col("info.n_nationkey") >= 20),
+      df.filter(col("info.n_nationkey") >= 20))
+    // top-level predicate on the decoy still behaves
+    assert(t.prunedAdds(col("n_nationkey") === 0).size == all)
+    assert(t.prunedAdds(col("n_nationkey") === 7).isEmpty)
+  }
+
   test("Z-order-lite compaction makes range predicates prune most files") {
     val t = DeltaTable.forPath(QueryLib.lineitemZorderedDir(spark, sfDir))
     val all = t.prunedAdds(org.apache.spark.sql.functions.lit(true)).size
