@@ -3047,6 +3047,12 @@ final case class DeltaTable(
     // misread the binary metadata/value encoding
     val variantOn = tracked.metadataAction
       .exists(_.schemaString.contains("\"variant\""))
+    // delta 4.0's checkpointProtection: setting the protected-boundary
+    // property must announce the feature, or a feature-unaware writer's
+    // log cleanup could delete the protected history
+    val ckptProtOn = tracked.metadataAction.orElse(log.latestMetadata)
+      .exists(_.configuration.contains(
+        "delta.requireCheckpointProtectionBeforeVersion"))
     val needed =
       (if (tracked.adds.exists(a => DeletionVectors.refOf(a).isDefined))
          Seq("deletionVectors") else Seq.empty) ++
@@ -3055,7 +3061,8 @@ final case class DeltaTable(
       (if (ictOn) Seq("inCommitTimestamp") else Seq.empty) ++
       (if (identityOn) Seq("identityColumns") else Seq.empty) ++
       (if (v2CkptOn) Seq("v2Checkpoint") else Seq.empty) ++
-      (if (variantOn) Seq("variantType") else Seq.empty)
+      (if (variantOn) Seq("variantType") else Seq.empty) ++
+      (if (ckptProtOn) Seq("checkpointProtection") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }
     val base = inEntry.getOrElse(log.currentProtocol)
@@ -3258,6 +3265,20 @@ final case class DeltaTable(
     require(base.version >= ck,
       s"replayable checkpoint covers version ${base.version} < pointer $ck; " +
         "refusing to delete commits")
+    // delta 4.0's checkpointProtection: commits below the protected
+    // boundary may only be cleaned ALL AT ONCE — a partial sweep below
+    // `delta.requireCheckpointProtectionBeforeVersion` would leave later
+    // readers a history fragment the protecting writer (e.g. a
+    // history-sharing clone) still depends on. Our cleanup deletes
+    // everything <= the checkpoint version, so "all at once" means the
+    // checkpoint horizon must reach at least V-1.
+    val protectV = tableProperties
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    require(protectV <= 0L || ck >= protectV - 1,
+      s"checkpointProtection: commits below version $protectV are " +
+        s"protected and must be cleaned in one sweep; checkpoint at " +
+        s"version >= ${protectV - 1} first (current checkpoint: $ck)")
     // `delta.logRetentionDuration` (delta's knob, same interval syntax):
     // commits younger than the window survive even below the checkpoint,
     // keeping time travel / CDF over the retention window alive. Unset

@@ -276,6 +276,27 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** SCD Type 2 dimension: init at T0, one full-snapshot apply at T1 with
+    * changed balances (custkey<100), unchanged rows (>=100 — must produce
+    * NO new version), and brand-new keys (+100000 for custkey<50).
+    */
+  def customerScd2Dir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_scd2") { d =>
+      val c = raw(spark, sfDir, "customer")
+      val t0 = lit("2024-01-01 00:00:00")
+      val t1 = lit("2024-06-01 00:00:00")
+      val t = DeltaTable.forPath(d).write(operators.Scd.scdType2Init(c, t0))
+      val source = c
+        .withColumn("c_acctbal",
+          when(col("c_custkey") < 100, col("c_acctbal") + 50.0)
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.filter(col("c_custkey") < 50)
+          .withColumn("c_custkey", col("c_custkey") + 100000))
+      operators.Scd.scdType2Apply(spark, t, source,
+        Seq("c_custkey"), Seq("c_acctbal"), t1)
+      ()
+    }
+
   /** MERGE with delta-spark's WHEN NOT MATCHED BY SOURCE clause: source
     * rows (custkey < 200) upsert as usual, and target rows the source
     * does NOT carry are deleted when they satisfy the clause condition

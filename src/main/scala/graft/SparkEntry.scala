@@ -538,6 +538,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("k_bucket")),
 
+    // regular-grid hourly resample with forward fill (gap filling)
+    "q125_resample_ffill" -> ((s, d) =>
+      Temporal.resampleForwardFill(
+          QueryLib.eventsDelta(s, d).filter(col("user_id") < 30),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "bucket_ts")),
     "q39_json_props" -> ((s, d) =>
       QueryLib.eventsDelta(s, d)
         .withColumn("k_bucket",
@@ -558,6 +564,10 @@ object SparkEntry {
     "q119_merge_nmbs" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergeNmbsDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // SCD Type 2: closed + current versions after one snapshot apply
+    "q124_scd_type2" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerScd2Dir(s, d)).toDF(s)
+        .orderBy("c_custkey", "_valid_from")),
 
     // ---- UPDATE (copy-on-write in-place mutation) ----
     "q56_update" -> ((s, d) =>
@@ -1471,6 +1481,28 @@ object SparkEntry {
         | c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "q124_scd_type2" ->
+      """WITH closed AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS _valid_from,
+        |    TIMESTAMP '2024-06-01 00:00:00' AS _valid_to,
+        |    FALSE AS _is_current
+        |  FROM customer WHERE c_custkey < 100),
+        |reopened AS (SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 50 AS c_acctbal, c_mktsegment,
+        |    TIMESTAMP '2024-06-01 00:00:00', NULL::TIMESTAMP, TRUE
+        |  FROM customer WHERE c_custkey < 100),
+        |unchanged AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00', NULL::TIMESTAMP, TRUE
+        |  FROM customer WHERE c_custkey >= 100),
+        |newkeys AS (SELECT c_custkey + 100000 AS c_custkey, c_name,
+        |    c_nationkey, c_acctbal, c_mktsegment,
+        |    TIMESTAMP '2024-06-01 00:00:00', NULL::TIMESTAMP, TRUE
+        |  FROM customer WHERE c_custkey < 50)
+        |SELECT * FROM closed UNION ALL SELECT * FROM reopened
+        |UNION ALL SELECT * FROM unchanged UNION ALL SELECT * FROM newkeys
+        |ORDER BY c_custkey, _valid_from""".stripMargin,
     "q119_merge_nmbs" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | c_acctbal + 100 AS c_acctbal, c_mktsegment
@@ -1576,6 +1608,22 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // inclusive as-of semantics: a purchase AT the event's instant matches;
     // carrying the matched row's own timestamp makes ties value-identical
+    "q125_resample_ffill" ->
+      """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+        |    round(avg(value), 4) AS obs
+        |  FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        |  FROM h GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        |  FROM s)
+        |SELECT g.user_id, g.bucket_ts,
+        |  last_value(obs IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket_ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  obs IS NOT NULL AS is_observed
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.bucket_ts = h.bucket_ts
+        |ORDER BY g.user_id, g.bucket_ts""".stripMargin,
     "q57_asof_join" ->
       """SELECT e.event_id, e.user_id, e.ts,
         | (SELECT max(p.ts) FROM events p WHERE p.user_id = e.user_id

@@ -54,7 +54,7 @@ object ProtocolGate {
       "generatedColumns", "columnMapping", "deletionVectors",
       "timestampNtz", "domainMetadata", "rowTracking", "inCommitTimestamp",
       "clustering", "identityColumns", "v2Checkpoint", "typeWidening",
-      "allowColumnDefaults", "variantType")
+      "allowColumnDefaults", "variantType", "checkpointProtection")
 
   /** Features legal to list but whose use is schema-gated instead. */
   private val SchemaGatedWriterFeatures = Set("invariants")

@@ -17,6 +17,45 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Temporal {
 
+  /** Regular-grid resample with forward fill (gap filling — the
+    * time-series normalization every feature/training pipeline runs
+    * before windowed models): per key, bucket observations to the step,
+    * densify the bucket range into a complete grid, and carry the last
+    * observed value across empty buckets.
+    *
+    * Scale shape: the bucket aggregate is a map-side-combined groupBy;
+    * the grid is generated per key from its own [min, max] span (a
+    * codegen'd `sequence` explode — grid size is data-driven, never a
+    * driver loop); the forward fill is one running `last(ignoreNulls)`
+    * window per key, O(grid) per partition. Nothing global: a million
+    * keys resample as a million independent partitions.
+    *
+    * @return keyCol, bucket_ts (grid-aligned), filled (forward-filled
+    *         4-digit bucket average; null until the key's first
+    *         observation), is_observed (true on buckets with real data)
+    */
+  def resampleForwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, step: String = "1 hour",
+      truncUnit: String = "hour"): DataFrame = {
+    val hourly = df
+      // date_trunc always returns tz-aware TimestampType; cast back so an
+      // NTZ input stays NTZ on disk (session tz is UTC — lossless)
+      .groupBy(col(keyCol),
+        date_trunc(truncUnit, col(tsCol)).cast("timestamp_ntz").as("bucket_ts"))
+      .agg(round(avg(col(valueCol)), 4).as("obs"))
+    val span = hourly.groupBy(col(keyCol))
+      .agg(min("bucket_ts").as("_lo"), max("bucket_ts").as("_hi"))
+    val grid = span.select(col(keyCol),
+      explode(sequence(col("_lo"), col("_hi"), expr(s"INTERVAL $step")))
+        .as("bucket_ts"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "bucket_ts"), "left")
+      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("obs").isNotNull)
+      .drop("obs")
+  }
+
   /** As-of join: for each left row, the single latest right row whose time
     * is <= the left row's time (inclusive), matched within `keyCols`.
     * Right columns come back null when no right row precedes the left row.

@@ -406,6 +406,28 @@ class CheckpointSpec extends SparkSuite {
     intercept[IllegalArgumentException](t2.loadAsVersion(7L))
   }
 
+  test("checkpointProtection: partial cleanup below the protected boundary refused") {
+    val d = tempDir("ckpt-protect")
+    var t = DeltaTable.forPath(d).write(nation)          // v0
+    t = t.setTableProperties(                            // v1
+      Map("delta.requireCheckpointProtectionBeforeVersion" -> "4"))
+    // the property declares the feature
+    assert(graft.log.ProtocolGate
+      .writerFeatures(t.dlog.currentProtocol).contains("checkpointProtection"))
+    t = t.write(nation).checkpoint()                     // v2, checkpoint@2
+    t = t.write(nation)                                  // v3
+    t = t.write(nation)                                  // v4
+    // checkpoint horizon 2 < protectV-1=3: a sweep of commits <=2 would
+    // fragment the protected history — refused
+    val ex = intercept[IllegalArgumentException](t.cleanupLog())
+    assert(ex.getMessage.contains("checkpointProtection"), ex.getMessage)
+    assert(t.logLoc.listSorted().map(_.getPath.getName)
+      .count(_.endsWith(".json")) == 5, "no commit may have been deleted")
+    // checkpoint at the head (>= protectV-1): one-sweep cleanup allowed
+    t = t.checkpoint().cleanupLog()
+    assert(DeltaTable.forPath(d).toDF(spark).count() == nation.count() * 4)
+  }
+
   test("cleanupLog refuses to delete commits it cannot re-serve") {
     val d = tempDir("ckpt-cleanup-guard")
     var t = DeltaTable.forPath(d).copy(checkpointInterval = 1000)

@@ -88,6 +88,39 @@ class MergeSpec extends SparkSuite {
     assertSameRows(t1.toDF(spark), n.filter(col("n_nationkey") > 3))
   }
 
+  test("SCD Type 2: change closes + reopens, unchanged is untouched, re-apply is a no-op") {
+    import graft.operators.Scd
+    val d = tempDir("scd2")
+    val t0c = lit("2024-01-01 00:00:00")
+    val t1c = lit("2024-03-01 00:00:00")
+    var t = DeltaTable.forPath(d).write(Scd.scdType2Init(nation, t0c))
+    // change region of nations 0-2; add nation 100; others unchanged
+    val source = nation
+      .withColumn("n_regionkey",
+        when(col("n_nationkey") < 3, lit(9)).otherwise(col("n_regionkey")))
+      .unionByName(nation.filter(col("n_nationkey") === 0)
+        .withColumn("n_nationkey", lit(100)))
+    t = Scd.scdType2Apply(spark, t, source,
+      Seq("n_nationkey"), Seq("n_regionkey"), t1c)
+    val out = t.toDF(spark)
+    val n = nation.count()
+    assert(out.count() == n + 3 + 1) // history rows for 3 changes + 1 new key
+    // changed keys: one closed + one current
+    val k0 = out.filter(col("n_nationkey") === 0).orderBy(col(Scd.ValidFrom))
+      .collect()
+    assert(k0.length == 2)
+    assert(!k0(0).getAs[Boolean](Scd.IsCurrent) &&
+      k0(0).getAs[java.time.LocalDateTime](Scd.ValidTo) != null)
+    assert(k0(1).getAs[Boolean](Scd.IsCurrent) &&
+      k0(1).isNullAt(k0(1).fieldIndex(Scd.ValidTo)))
+    // unchanged key: exactly its original single row
+    assert(out.filter(col("n_nationkey") === 10).count() == 1)
+    // re-applying the SAME snapshot changes nothing (tracked cols equal)
+    val t2 = Scd.scdType2Apply(spark, t, source,
+      Seq("n_nationkey"), Seq("n_regionkey"), lit("2024-06-01 00:00:00"))
+    assertSameRows(t2.toDF(spark), out)
+  }
+
   test("merge metrics count updates, inserts, copies") {
     val d = tempDir("merge-metrics")
     val t0 = DeltaTable.forPath(d).write(nation)
