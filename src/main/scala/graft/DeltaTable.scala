@@ -77,6 +77,26 @@ final case class DeltaTable(
   def fileUris: Seq[String] =
     dlog.addActions.keys.toSeq.map(p => Location.resolve(p, loc, conf).uri)
 
+  /** SHOW PARTITIONS, metadata-only: the distinct partition tuples of the
+    * live snapshot, typed per the table schema, derived ENTIRELY from the
+    * log's partitionValues — zero data files opened. On a 10⁵-partition
+    * table the alternative (`SELECT DISTINCT part_cols`) scans every file
+    * for an answer the log already holds.
+    */
+  def partitions(spark: SparkSession): DataFrame = {
+    val pcols = dlog.partitionColumns
+    require(pcols.nonEmpty, s"table at ${loc.uri} is not partitioned")
+    import scala.jdk.CollectionConverters._
+    val tuples = dlog.addActions.values
+      .map(a => pcols.map(c => a.partitionValues.getOrElse(c, None).orNull))
+      .toSeq.distinct
+      .map(vs => org.apache.spark.sql.Row(vs: _*))
+    val raw = spark.createDataFrame(tuples.asJava,
+      StructType(pcols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.StringType))))
+    raw.select(pcols.map(c => col(c).cast(dlog.schema(c).dataType).as(c)): _*)
+  }
+
   /** commitInfo + version, newest first (reference delta_log/__init__.py:312-318). */
   def history: Seq[(Long, CommitInfo)] = withFullHistory.history
 
@@ -2218,8 +2238,17 @@ final case class DeltaTable(
           .filter(a => DeletionVectors.refOf(a).isDefined)).toSeq
     if (toCompact.isEmpty) return this
     val df = scanForRewrite(spark, toCompact)
+    // `delta.targetFileSize` (delta-spark's OPTIMIZE sizing knob): output
+    // file count derived from LIVE BYTES / target size, so rewritten
+    // files land near the declared size regardless of how many inputs
+    // the compaction happened to pick up; an explicit targetFiles wins
     val n = if (targetFiles > 0) targetFiles
-      else math.max(1, spark.sparkContext.defaultParallelism / 4)
+      else tableProperties.get("delta.targetFileSize")
+        .flatMap(_.trim.toLongOption) match {
+        case Some(sz) if sz > 0 =>
+          math.max(1, math.ceil(toCompact.map(_.size).sum.toDouble / sz).toInt)
+        case _ => math.max(1, spark.sparkContext.defaultParallelism / 4)
+      }
     // one output file per partition tuple: the write path re-splits by
     // hive dir, so coalesce(1) per group is expressed as a repartition on
     // the partition columns (no-op shuffle for unpartitioned tables)
@@ -2923,6 +2952,36 @@ final case class DeltaTable(
   // IMPORT (reference xdlake/__init__.py:192-229, 398-423): register
   // foreign parquet files by absolute URI without copying bytes.
   // ------------------------------------------------------------------
+
+  /** COPY INTO (the idempotent-ingestion contract of delta's loader):
+    * register every parquet file under `srcDir` that has NOT already been
+    * loaded into this table; already-seen files are skipped, so re-running
+    * after a partial failure, or on a schedule over a landing directory,
+    * never duplicates rows. The "already loaded" state is the LOG itself —
+    * every file URI this table has ever referenced (live or since
+    * removed: once loaded, a file stays consumed even if its rows were
+    * later deleted) — an O(loaded log) driver set, no side bookkeeping
+    * store to drift out of sync. Ingestion is zero-copy ([[importRefs]]):
+    * the new files are referenced by absolute URI, stats lifted from
+    * footers, one atomic commit for the whole batch.
+    */
+  def copyInto(spark: SparkSession, srcDir: String,
+      partitionBy: Option[Seq[String]] = None): DeltaTable = {
+    val srcLoc = Location(srcDir, conf)
+    val files = srcLoc.listDataFilesRecursive()
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val seen: Set[String] = dlog.entries.valuesIterator
+      .flatMap(_.actions.iterator).collect {
+        case a: AddFile =>
+          Location.canonical(Location.resolve(a.path, loc, conf).uri)
+      }.toSet
+    val fresh = files
+      .map(st => srcLoc.fs.makeQualified(st.getPath).toString)
+      .filterNot(uri => seen.contains(Location.canonical(uri)))
+      .sorted
+    if (fresh.isEmpty) this
+    else importRefs(spark, fresh, partitionBy = partitionBy)
+  }
 
   /** @param partitionValuesFor non-hive partitioning flavors (reference
     *        imports hive/filename/directory layouts,

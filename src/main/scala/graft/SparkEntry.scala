@@ -160,6 +160,12 @@ object SparkEntry {
     "q06_partitioned_scan" -> ((s, d) =>
       QueryLib.delta(s, d, "lineitem", partitionBy = Seq("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber")),
+    // SHOW PARTITIONS: metadata-only distinct partition tuples (zero scans)
+    "q126_show_partitions" -> ((s, d) =>
+      DeltaTable.forPath(
+          QueryLib.deltaDir(s, d, "lineitem", Seq("l_returnflag")))
+        .partitions(s)
+        .orderBy("l_returnflag")),
     "q07_schema_evolution" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.docsEvolvedDir(s, d)).toDF(s)
         .orderBy(col("doc_id"), col("source").asc_nulls_first)),
@@ -1065,6 +1071,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q06_partitioned_scan" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "q126_show_partitions" ->
+      "SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag",
     "q07_schema_evolution" ->
       """SELECT doc_id, text, lang, CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars FROM documents
         |UNION ALL SELECT doc_id, text, lang, source, n_chars FROM documents

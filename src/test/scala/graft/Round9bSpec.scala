@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 continuation: COPY INTO idempotent ingestion, metadata-only
+  * SHOW PARTITIONS, delta.targetFileSize-driven OPTIMIZE sizing.
+  */
+class Round9bSpec extends SparkSuite {
+
+  private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
+
+  test("COPY INTO: new files ingested once, re-runs are no-ops, consumed stays consumed") {
+    val landing = tempDir("copy-into-src")
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.parquet(s"$landing/batch1")
+    nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20).coalesce(1)
+      .write.parquet(s"$landing/batch2")
+    val d = tempDir("copy-into")
+    var t = DeltaTable.forPath(d).copyInto(spark, landing)
+    assertSameRows(t.toDF(spark), nation.filter(col("n_nationkey") < 20))
+    val v1 = t.version
+    // re-run with nothing new: NO commit
+    t = t.copyInto(spark, landing)
+    assert(t.version == v1, "re-run over consumed files must not commit")
+    // a third file lands: only IT is ingested
+    nation.filter(col("n_nationkey") >= 20).coalesce(1)
+      .write.parquet(s"$landing/batch3")
+    t = t.copyInto(spark, landing)
+    assert(t.version == v1 + 1)
+    assertSameRows(t.toDF(spark), nation)
+    // consumed stays consumed even after its rows are deleted
+    t = t.delete(spark, Some(col("n_nationkey") < 10))
+    val vDel = t.version
+    t = t.copyInto(spark, landing)
+    assert(t.version == vDel, "a deleted file's rows must not re-ingest")
+  }
+
+  test("SHOW PARTITIONS is metadata-only and typed") {
+    val d = tempDir("show-partitions")
+    val t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    val parts = t.partitions(spark)
+    // typed per the table schema, not hive strings
+    assert(parts.schema("n_regionkey").dataType ==
+      nation.schema("n_regionkey").dataType)
+    assert(parts.collect().map(_.getAs[Number](0).intValue()).sorted.toSeq ==
+      nation.select("n_regionkey").distinct()
+        .collect().map(_.getAs[Number](0).intValue()).sorted.toSeq)
+    // metadata-only: answers even with every data file gone
+    t.fileUris.foreach(u =>
+      new java.io.File(new java.net.URI(u).getPath).delete())
+    assert(t.partitions(spark).count() == 5)
+    intercept[IllegalArgumentException](
+      DeltaTable.forPath(tempDir("show-partitions-flat"))
+        .write(nation).partitions(spark))
+  }
+
+  test("delta.targetFileSize drives OPTIMIZE output file count") {
+    val d = tempDir("target-size")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
+    var t = DeltaTable.forPath(d).write(li)
+    val total = t.dlog.addActions.values.map(_.size).sum
+    val target = total / 4
+    t = t.setTableProperties(Map("delta.targetFileSize" -> target.toString))
+    t = t.compact(spark, sortBy = Seq("l_orderkey"))
+    val expected = math.ceil(
+      total.toDouble / target).toInt
+    val got = t.fileUris.size
+    assert(got >= expected - 1 && got <= expected + 1,
+      s"expected ~$expected files from targetFileSize, got $got")
+    assertSameRows(t.toDF(spark), li)
+    // explicit targetFiles wins over the property
+    val t2 = t.compact(spark, sortBy = Seq("l_orderkey"), targetFiles = 2)
+    assert(t2.fileUris.size == 2)
+  }
+}
