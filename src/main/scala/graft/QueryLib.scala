@@ -558,6 +558,16 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** Sliding 2h/1h windows via the streaming sink (every event in two
+    * overlapping windows).
+    */
+  def eventsSlidingViaStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_sliding") { d =>
+      streaming.DeltaStreamSink.runSlidingAggregate(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** Same aggregation under an event-time watermark in APPEND mode: only
     * windows the final watermark (max ts - 30 min) passed are in the sink.
     */

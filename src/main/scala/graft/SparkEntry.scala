@@ -675,6 +675,20 @@ object SparkEntry {
     // ---- streaming ----
     "q32_events_hourly_stream" -> ((s, d) =>
       QueryLib.eventsHourlyViaStream(s, d).orderBy("window_start", "event_type")),
+    // sliding 2h/1h windows: every event in exactly two windows
+    "q127_sliding_window_stream" -> ((s, d) =>
+      QueryLib.eventsSlidingViaStream(s, d).orderBy("window_start", "event_type")),
+    // explicit GROUPING SETS (rollup/cube's general form)
+    "q128_grouping_sets" -> ((s, d) => {
+      QueryLib.delta(s, d, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              |  round(sum(l_extendedprice), 2) AS sum_price
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |  (l_returnflag), (l_linestatus))
+              |ORDER BY l_returnflag ASC NULLS FIRST,
+              |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
     "q36_stateful_sessionize" -> ((s, d) =>
       QueryLib.eventsSessionsViaStream(s, d).orderBy("user_id")),
     "q46_watermarked_stream" -> ((s, d) =>
@@ -1474,6 +1488,13 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q37_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice), 2) AS sum_price
@@ -1548,6 +1569,17 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // a 2h-long window sliding hourly holds each event twice: once in the
+    // window starting at its hour, once in the one an hour earlier
+    "q127_sliding_window_stream" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS w0, event_type, value
+        |  FROM events),
+        |x AS (SELECT w0 AS window_start, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT w0 - INTERVAL 1 HOUR, event_type, value FROM e)
+        |SELECT CAST(window_start AS TIMESTAMP) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // native session_window(gap) merges events whose spacing is <= gap, so
     // per-user (n_events, n_sessions) equals the lag-based q34 computation
     "q51_session_window" ->

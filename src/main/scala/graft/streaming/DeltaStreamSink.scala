@@ -75,6 +75,36 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** events → SLIDING windows (2-hour length, 1-hour slide): every event
+    * lands in exactly two overlapping windows — the smoothing shape
+    * dashboards and rate monitors stream with; tumbling (q32) is the
+    * degenerate slide == length case. Same complete-mode
+    * Trigger.AvailableNow drive as [[runHourlyAggregate]], state ∝
+    * (windows × groups), two state rows per event's hour.
+    */
+  def runSlidingAggregate(spark: SparkSession, sfDir: String,
+      tableDir: String): Unit = {
+    val raw = eventsRawSchema(spark, sfDir)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val stream = spark.readStream
+      .schema(raw)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", graft.QueryLib.tsToNtz(raw("ts").dataType))
+    val agg = stream
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(completeModeSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** events → 1-hour tumbling windows under an event-time WATERMARK in
     * append output mode: a window row is emitted exactly once, when the
     * watermark (max event time − `delay`) passes its end — the
