@@ -678,6 +678,14 @@ object SparkEntry {
     // sliding 2h/1h windows: every event in exactly two windows
     "q127_sliding_window_stream" -> ((s, d) =>
       QueryLib.eventsSlidingViaStream(s, d).orderBy("window_start", "event_type")),
+    // unpivot/melt: wide metrics to long (id, metric, val) form
+    "q129_unpivot" -> ((s, d) =>
+      QueryLib.delta(s, d, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
     // explicit GROUPING SETS (rollup/cube's general form)
     "q128_grouping_sets" -> ((s, d) => {
       QueryLib.delta(s, d, "lineitem").createOrReplaceTempView("li_gs")
@@ -1488,6 +1496,15 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_unpivot" ->
+      """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS val FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |  l_extendedprice FROM src
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |  l_discount FROM src
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q128_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice), 2) AS sum_price

@@ -214,6 +214,50 @@ class PlanSpec extends SparkSuite {
       "dup-window re-attach must be a ShuffledHashJoin")
   }
 
+  test("BM25 plans a partial top-k and filters postings before the explode") {
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val plan = explainOf(operators.TextAnalysis.bm25TopK(
+      docs, "doc_id", "text", Seq("spark", "join"), 20))
+    // global top-k must be per-partition partial, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // the term restriction must sit INSIDE the generate input (a filter
+    // lambda over the token array), so only posting-list tokens are ever
+    // exploded into the shuffle — grep the generate's expression for the
+    // codegen'd array filter
+    assert(plan.contains("filter(") && plan.contains("Generate"),
+      "query-term restriction must precede the explode:\n" + plan.take(1200))
+  }
+
+  test("duplicate spans never broadcast the dup-hash set") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val r = operators.TextAnalysis.duplicateSpans(docs, "doc_id", "text")
+    r.collect()
+    val plans = flatten(r.queryExecution.executedPlan)
+    // same size-estimate trap as q85: the dup-hash set's estimate passes
+    // through the tiny parquet child below the Generate — broadcasting it
+    // ships the corpus's whole duplicated-gram set to every executor
+    val bad = plans.collect {
+      case b: BroadcastExchangeExec
+          if flatten(b).exists(_.isInstanceOf[GenerateExec]) => b
+    }
+    assert(bad.isEmpty,
+      s"BroadcastExchange over the positional gram set:\n${bad.mkString("\n")}")
+    assert(plans.exists(_.isInstanceOf[joins.ShuffledHashJoinExec]),
+      "dup-hash semi-join must be a ShuffledHashJoin")
+  }
+
   test("domain cap plans a partial WindowGroupLimit before the shuffle") {
     val docs = QueryLib.delta(spark, sfDir, "documents")
     val plan = explainOf(operators.Sampling.capPerGroup(docs, "source", 50,
