@@ -558,6 +558,17 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** Event stream enriched against the STATIC customer Delta table
+    * (stream–static join), aggregated per market segment.
+    */
+  def eventsStreamStaticJoined(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_static_join") { d =>
+      streaming.DeltaStreamSink.runStreamStaticJoin(spark, sfDir,
+        deltaDir(spark, sfDir, "customer"), d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** Sliding 2h/1h windows via the streaming sink (every event in two
     * overlapping windows).
     */

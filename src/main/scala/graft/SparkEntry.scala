@@ -383,6 +383,12 @@ object SparkEntry {
       TextAnalysis.duplicatePassages(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")),
+    // overlapping-window chunking (RAG/embedding prep)
+    "q131_chunk_documents" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(
+          QueryLib.delta(s, d, "documents").filter(col("doc_id") < 100),
+          "doc_id", "text", chunkTokens = 50, stride = 40)
+        .orderBy("doc_id", "chunk_idx")),
     // maximal duplicated spans (where the shared regions ARE, in token
     // coordinates — the span-removal dedup input)
     "q121_dup_spans" -> ((s, d) =>
@@ -686,6 +692,10 @@ object SparkEntry {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "val")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
+    // stream-static join: event stream enriched against the customer
+    // Delta table, re-planned per micro-batch
+    "q130_stream_static_join" -> ((s, d) =>
+      QueryLib.eventsStreamStaticJoined(s, d).orderBy("c_mktsegment")),
     // explicit GROUPING SETS (rollup/cube's general form)
     "q128_grouping_sets" -> ((s, d) => {
       QueryLib.delta(s, d, "lineitem").createOrReplaceTempView("li_gs")
@@ -1313,6 +1323,15 @@ object SparkEntry {
         | CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         | round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         |FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q131_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents WHERE doc_id < 100),
+        |s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 40)) AS st FROM t)
+        |SELECT doc_id, st // 40 AS chunk_idx,
+        |  array_to_string(tk[st+1 : st+50], ' ') AS chunk_text,
+        |  CAST(len(tk[st+1 : st+50]) AS BIGINT) AS n_tokens
+        |FROM s WHERE len(tk[st+1 : st+50]) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q121_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
         |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+4], ' ') AS gram
@@ -1496,6 +1515,10 @@ object SparkEntry {
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
         | count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q129_unpivot" ->
       """WITH src AS (SELECT * FROM lineitem WHERE l_orderkey < 200)
         |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -392,6 +392,33 @@ object TextAnalysis {
       .drop("_isl")
   }
 
+  /** Overlapping-window document chunking (RAG/embedding prep: long
+    * documents split into `chunkTokens`-token windows every `stride`
+    * tokens, so retrieval granularity is a chunk, not a document).
+    * Chunk starts are 0, stride, 2·stride, … while < the document's
+    * token count; the last chunk may be short (deterministic convention,
+    * replicated by the oracle).
+    *
+    * Scale shape: starts generate row-locally (`sequence` + transform —
+    * codegen, no UDF), one explode, no shuffle at all: chunking is
+    * embarrassingly parallel and stays inside the scan's partitioning.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 50, stride: Int = 40): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens/stride must be positive")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          s => concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_tokens",
+        when(col("chunk_text") === "", 0L)
+          .otherwise(size(split(col("chunk_text"), " ")).cast("long")))
+      .filter(col("n_tokens") > 0)
+  }
+
   /** Unigram-LM document scoring: mean log-probability of each document
     * under the corpus's own maximum-likelihood unigram model — the
     * cheapest member of the perplexity-filter family (KenLM-over-

@@ -276,6 +276,36 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** STREAM–STATIC join: the event stream enriches against a Delta TABLE
+    * (dimension) batch-side — Structured Streaming re-plans the static
+    * side per micro-batch, so a dimension update between batches is
+    * visible to the next trigger without restarting the stream. The
+    * static side is a log-backed graft scan (no listing), and at scale
+    * the join broadcasts the dimension exactly like its batch twin.
+    */
+  def runStreamStaticJoin(spark: SparkSession, sfDir: String,
+      staticDir: String, tableDir: String): Unit = {
+    val raw = eventsRawSchema(spark, sfDir)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    val dim = DeltaTable.forPath(staticDir).toDF(spark)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = spark.readStream
+      .schema(raw)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/events*.parquet")
+    val agg = stream
+      .join(dim, dim("c_custkey") === stream("user_id") + 1)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(completeModeSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming MERGE-upsert sink (the CDC-apply shape): each micro-batch
     * is reduced to its latest row per key, resolved against the CURRENT
     * table state (a matched target row NEWER than the arriving one wins —
