@@ -422,7 +422,7 @@ final case class DeltaTable(
       if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
       Identity.annotate(annotateGenerated(dfg.schema), identityColumns))
     val wMapping = ColumnMapping.logicalToPhysical(annSchema)
-    val constrained = dlog.constraints.nonEmpty
+    val constrained = dlog.constraints.nonEmpty || dlog.invariants.nonEmpty
     if (constrained) dfg.persist()
     // validate INSIDE the try: a constraint violation must not leave the
     // batch pinned in executor memory
@@ -584,7 +584,7 @@ final case class DeltaTable(
     val annSchema = ColumnMapping.annotateForWrite(
       if (dlog.isEmpty) None else Some(dlog.schema), mappingActive,
       Identity.annotate(annotateGenerated(dfg.schema), identityColumns))
-    val constrained = dlog.constraints.nonEmpty
+    val constrained = dlog.constraints.nonEmpty || dlog.invariants.nonEmpty
     if (constrained) dfg.persist()
     val adds =
       try {
@@ -1743,7 +1743,12 @@ final case class DeltaTable(
     * CHECK semantics require TRUE).
     */
   private def validateConstraints(df: DataFrame): Unit = {
-    val cs = dlog.constraints
+    // CHECK constraints plus legacy column invariants (delta.invariants
+    // field metadata) — both are write-time row predicates; enforcing
+    // invariants is what makes foreign writer-v2 tables WRITABLE here
+    // (the old gate refused them outright)
+    val cs = dlog.constraints ++
+      dlog.invariants.map { case (c, sql) => s"invariant on $c" -> sql }
     if (cs.nonEmpty) {
       val anyViolation = cs.values
         .map(sql => not(coalesce(org.apache.spark.sql.functions.expr(sql), lit(false))))

@@ -459,6 +459,26 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
         k.stripPrefix("delta.constraints.") -> v
     }).getOrElse(Map.empty)
 
+  /** Legacy COLUMN INVARIANTS (delta's writer-v2 `delta.invariants` field
+    * metadata — the pre-CHECK-constraint form delta-spark still enforces
+    * on every write): field name → SQL expression, from the nested
+    * `{"expression":{"expression":"<sql>"}}` wrapper. Malformed wrappers
+    * are ignored (a foreign writer's invariant we cannot parse cannot be
+    * enforced — the write gate's feature check still protects tables
+    * whose protocol demands features beyond us).
+    */
+  def invariants: Map[String, String] =
+    latestMetadata.map { m =>
+      m.schema.fields.iterator.flatMap { f =>
+        if (!f.metadata.contains("delta.invariants")) None
+        else try {
+          val node = Json.mapper.readTree(f.metadata.getString("delta.invariants"))
+          val sql = node.path("expression").path("expression").asText(null)
+          Option(sql).filter(_.nonEmpty).map(f.name -> _)
+        } catch { case _: Exception => None }
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** commitInfo dicts newest-first (reference delta_log/__init__.py:312-318). */
   def history: Seq[(Long, CommitInfo)] =
     entries.keys.toSeq.sorted.reverse.flatMap { v =>

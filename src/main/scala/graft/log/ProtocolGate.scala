@@ -42,12 +42,11 @@ object ProtocolGate {
     Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint",
       "typeWidening", "variantType")
 
-  /** Writer features this engine implements. `invariants` is
-    * deliberately ABSENT: its presence in a feature list is harmless (a
-    * table may list a feature it never uses), so it is exempted from the
-    * subset check, but its actual USE is visible in the schema and gated
-    * there — see [[assertWritable]] — which is more precise than
-    * rejecting on the version number alone.
+  /** Writer features this engine implements. `invariants` is listed via
+    * the exemption set below and ENFORCED at write time: every
+    * `delta.invariants` expression in the schema is evaluated against the
+    * incoming rows (DeltaTable.validateConstraints), the same pass CHECK
+    * constraints take.
     */
   val SupportedWriterFeatures: Set[String] =
     Set("appendOnly", "checkConstraints", "changeDataFeed",
@@ -125,12 +124,9 @@ object ProtocolGate {
         s"table requires writer feature(s) [${missing.toSeq.sorted.mkString(", ")}] " +
           "this engine does not implement; refusing to write — a commit " +
           "could corrupt invariants other engines rely on")
-    // Schema-gated features: listing them is harmless, USING them is not.
-    val schemaStr = metadata.map(_.schemaString).getOrElse("")
-    if (schemaStr.contains("\"delta.invariants\""))
-      throw new IllegalStateException(
-        "table schema declares column invariants (delta.invariants); this " +
-          "engine does not enforce them — a write could violate them")
+    // invariants are ENFORCED at write time (DeltaTable.validateConstraints
+    // evaluates every delta.invariants expression against the incoming
+    // rows), so a table declaring them is writable — no schema gate needed
   }
 
   private[graft] def isAppendOnly(metadata: Option[Metadata]): Boolean =

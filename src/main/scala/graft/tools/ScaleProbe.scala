@@ -109,6 +109,28 @@ object ScaleProbe {
       k *= 4
     }
 
+    // span/retrieval family: positional duplicate spans (non-distinct
+    // grams — heavier than dup_passages by design) and BM25. Both are
+    // explode + bounded-key agg shapes; per-doc cost should stay ~flat.
+    var sk = 1
+    while (sections("spans") && sk <= maxCopies) {
+      val corpus = salted(docs, sk).cache()
+      val n = corpus.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val (dsSec, dsRows) = time(
+        TextAnalysis.duplicateSpans(corpus, "doc_id", "text").count())
+      val (bmSec, bmRows) = time(
+        TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          Seq("spark_c0", "join_c0", "window_c0"), 20).count())
+      println(f"SCALE docs=$n%6d dup_spans=$dsSec%6.2fs rows=$dsRows%7d " +
+        f"bm25=$bmSec%6.2fs rows=$bmRows%5d")
+      corpus.unpersist()
+      sk *= 4
+    }
+
     // text-quality pipeline: duplicate-passage windows and unigram-LM
     // scoring over salted corpus copies. Both are explode + bounded-key
     // window/agg shapes; time/doc should stay ~flat as the corpus grows.

@@ -80,7 +80,8 @@ class ProtocolSpec extends SparkSuite {
     val sp = graft.log.Identity.specs(t2.schema)("row_id")
     assert(sp.highWaterMark.contains(nationDF.count()))
 
-    // schema invariants stay use-gated: we don't enforce them
+    // schema invariants (delta.invariants) are ENFORCED, not use-gated:
+    // a violating write is rejected row-precisely, a conforming one lands
     val d2 = tempDir("gate-invariants")
     val t3 = DeltaTable.forPath(d2).write(nationDF)
     val meta3 = t3.dlog.latestMetadata.get
@@ -92,9 +93,14 @@ class ProtocolSpec extends SparkSuite {
     t3.dlog.commit(DeltaLogEntry(Vector(
       meta3.copy(schemaString = invSchema.json),
       CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t3.version))))
-    assert(intercept[IllegalStateException](
+    // nation holds n_nationkey = 0 — violates the foreign invariant
+    val exInv = intercept[IllegalArgumentException](
       DeltaTable.forPath(d2).write(nationDF))
-      .getMessage.contains("invariants"))
+    assert(exInv.getMessage.contains("invariant on n_nationkey"), exInv.getMessage)
+    // a conforming batch is writable (the old gate refused the whole table)
+    val t4 = DeltaTable.forPath(d2)
+      .write(nationDF.filter(org.apache.spark.sql.functions.col("n_nationkey") > 0))
+    assert(t4.toDF(spark).count() == nationDF.count() * 2 - 1)
   }
 
   test("appendOnly: mutations rejected, appends and OPTIMIZE pass") {
