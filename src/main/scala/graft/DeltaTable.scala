@@ -1602,6 +1602,42 @@ final case class DeltaTable(
     * rejected (their names are baked into directory layouts and
     * log-recorded partition values).
     */
+  /** ALTER TABLE ADD COLUMN (metadata-only, delta semantics): the new
+    * column joins the schema NULLABLE; existing files simply lack its
+    * physical column and scan as NULL — zero rewrite at any table size.
+    * `after` inserts behind a named column (delta's AFTER clause);
+    * default is the end. On a column-mapped table the field is born with
+    * a fresh physical name (it can never collide with a dropped
+    * ancestor's bytes). Columns with defaults/generation join through
+    * their own dedicated APIs, which gate their features.
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      after: Option[String] = None, comment: Option[String] = None): DeltaTable = {
+    require(!dlog.isEmpty, "addColumn requires an existing table")
+    val sch = dlog.schema
+    require(name.nonEmpty && !sch.fieldNames.contains(name),
+      s"column exists or empty: $name")
+    val base = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+    val withC = comment.map(c => base.copy(metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("comment", c).build())).getOrElse(base)
+    val nf = if (mappingActive)
+      ColumnMapping.withPhysical(withC, ColumnMapping.freshPhysicalName())
+    else withC
+    val fields = after match {
+      case None => sch.fields :+ nf
+      case Some(a) =>
+        require(sch.fieldNames.contains(a), s"no such column: $a")
+        sch.fields.flatMap(f => if (f.name == a) Seq(f, nf) else Seq(f))
+    }
+    val meta = dlog.latestMetadata
+      .getOrElse(throw new IllegalStateException("no metadata to amend"))
+    commit(DeltaLogEntry(Vector(
+      meta.copy(schemaString = StructType(fields).json),
+      CommitInfo.columnChange(CommitInfo.Op.AddColumn,
+        Map("column" -> name), dlog.version))))
+  }
+
   def renameColumn(oldName: String, newName: String): DeltaTable = {
     require(!dlog.isEmpty, "renameColumn requires an existing table")
     val sch = dlog.schema
@@ -1747,8 +1783,17 @@ final case class DeltaTable(
     // field metadata) — both are write-time row predicates; enforcing
     // invariants is what makes foreign writer-v2 tables WRITABLE here
     // (the old gate refused them outright)
+    // NOT NULL columns are delta's implicit invariant: nullable=false in
+    // the DECLARED schema must hold for every written row (first write
+    // has no declared schema yet — the incoming frame defines it)
+    val notNull =
+      if (dlog.isEmpty) Seq.empty
+      else dlog.schema.fields.toSeq.filterNot(_.nullable)
+        .filter(f => df.columns.contains(f.name)) // absent cols null-fill at scan, checked on their own write
+        .map(f => s"NOT NULL on ${f.name}" -> s"`${f.name}` IS NOT NULL")
     val cs = dlog.constraints ++
-      dlog.invariants.map { case (c, sql) => s"invariant on $c" -> sql }
+      dlog.invariants.map { case (c, sql) => s"invariant on $c" -> sql } ++
+      notNull
     if (cs.nonEmpty) {
       val anyViolation = cs.values
         .map(sql => not(coalesce(org.apache.spark.sql.functions.expr(sql), lit(false))))

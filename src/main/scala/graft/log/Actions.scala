@@ -400,6 +400,7 @@ object CommitInfo {
     val BloomIndex = "BLOOM INDEX"
     val RenameColumn = "RENAME COLUMN"
     val DropColumn = "DROP COLUMNS"
+    val AddColumn = "ADD COLUMNS"
     val SetProperties = "SET TBLPROPERTIES"
     val UnsetProperties = "UNSET TBLPROPERTIES"
     val UpgradeProtocol = "UPGRADE PROTOCOL"

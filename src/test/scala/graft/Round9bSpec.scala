@@ -55,6 +55,46 @@ class Round9bSpec extends SparkSuite {
         .write(nation).partitions(spark))
   }
 
+  test("ADD COLUMN is metadata-only: old files scan NULL, AFTER positions, writes accept") {
+    val d = tempDir("add-column")
+    var t = DeltaTable.forPath(d).write(nation)
+    val filesBefore = t.fileUris.toSet
+    t = t.addColumn("quality", org.apache.spark.sql.types.DoubleType,
+      after = Some("n_name"))
+    assert(t.fileUris.toSet == filesBefore, "metadata-only: no file rewritten")
+    assert(t.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "quality", "n_regionkey"))
+    // pre-add files read NULL for the new column
+    val out = t.toDF(spark)
+    assert(out.filter(col("quality").isNotNull).count() == 0)
+    // a post-add write can supply it
+    t = t.write(nation.withColumn("quality", lit(0.5))
+      .select("n_nationkey", "n_name", "quality", "n_regionkey"))
+    assert(t.toDF(spark).filter(col("quality") === 0.5).count() == nation.count())
+    assert(t.history.head._2.operation != "WRITE" ||
+      t.history.map(_._2.operation).contains("ADD COLUMNS"))
+    intercept[IllegalArgumentException](
+      t.addColumn("quality", org.apache.spark.sql.types.DoubleType))
+  }
+
+  test("NOT NULL columns reject null writes (delta's implicit invariant)") {
+    val d = tempDir("not-null")
+    // a non-nullable column in the created schema (coalesce-with-literal)
+    val base = nation.withColumn("tag",
+      coalesce(col("n_name"), lit("x")))
+    assert(!base.schema("tag").nullable)
+    var t = DeltaTable.forPath(d).write(base)
+    assert(!t.schema("tag").nullable)
+    val bad = nation.withColumn("tag",
+      when(col("n_nationkey") === 3, lit(null)).otherwise(col("n_name"))
+        .cast("string"))
+    val ex = intercept[IllegalArgumentException](t.write(bad))
+    assert(ex.getMessage.contains("NOT NULL on tag"), ex.getMessage)
+    // conforming append lands
+    t = t.write(base)
+    assert(t.toDF(spark).count() == nation.count() * 2)
+  }
+
   test("delta.targetFileSize drives OPTIMIZE output file count") {
     val d = tempDir("target-size")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
