@@ -383,6 +383,15 @@ object SparkEntry {
       TextAnalysis.duplicatePassages(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")),
+    // BPE vocabulary training over the corpus word-frequency table.
+    // No SQL oracle: the merge loop is iterative (each argmax depends on
+    // the previous merge's rewrite) — not expressible as one SQL query;
+    // Round9bSpec pins the exact textbook merges instead. Driver records
+    // the rows-only check.
+    "q132_bpe_merges" -> ((s, d) =>
+      TextAnalysis.trainBpeMerges(
+        QueryLib.delta(s, d, "documents"), "text", numMerges = 20)
+        .orderBy("rank")),
     // overlapping-window chunking (RAG/embedding prep)
     "q131_chunk_documents" -> ((s, d) =>
       TextAnalysis.chunkDocuments(

@@ -392,6 +392,109 @@ object TextAnalysis {
       .drop("_isl")
   }
 
+  /** BPE vocabulary training (Sennrich et al. 2016 — the byte-pair-
+    * encoding merge loop every subword tokenizer is built from), run the
+    * way real trainers run it: over the WORD-FREQUENCY table, not the
+    * corpus. The only corpus-scale pass is the initial
+    * `groupBy(word).count` (map-side combined); every merge iteration
+    * then works on the distinct-word table — vocabulary-sized, millions
+    * of rows at web scale where the corpus is billions — with pair
+    * counting as a freq-weighted explode + partial-agg and the argmax as
+    * a 1-row TakeOrdered collect (the single driver-side value per
+    * iteration). The pair merge applies left-to-right non-overlapping
+    * via a fold (`aggregate` HOF) over each word's symbol array —
+    * codegen'd, no UDF. Ties break lexicographically so the learned
+    * merge list is a pure function of the corpus.
+    *
+    * @return one row per learned merge: rank (1-based), left, right,
+    *         pair_count (freq-weighted count at merge time)
+    */
+  def trainBpeMerges(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0 && numMerges <= 200,
+      "numMerges must be in (0, 200] — the loop is one job per merge")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // word frequencies, words as char-symbol arrays with the end-of-word
+    // marker (classic BPE: "low" -> [l, o, w, </w>])
+    // localCheckpoint (not persist): each iteration's plan would otherwise
+    // NEST the previous iteration's fold expression — 20 merges deep the
+    // accumulated tree exhausts the driver heap; checkpointing truncates
+    // lineage to the materialized blocks while staying distributed
+    var words = df
+      .select(explode(tokens(col(textCol))).as("_w"))
+      .filter(col("_w") =!= "")
+      .groupBy("_w").agg(count(lit(1)).as("_freq"))
+      .select(concat(split(col("_w"), ""), array(lit("</w>"))).as("_syms"),
+        col("_freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= numMerges) {
+      val top = words
+        .select(col("_freq"), explode(
+          zip_with(slice(col("_syms"), lit(1), size(col("_syms")) - 1),
+            slice(col("_syms"), lit(2), size(col("_syms")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+        .groupBy(col("_p.l"), col("_p.r")).agg(sum("_freq").as("_c"))
+        .orderBy(col("_c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = numMerges + 1
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, c))
+        // left-to-right non-overlapping merge: fold each symbol array,
+        // fusing [..., l] + r into [..., l+r]
+        val fused = aggregate(col("_syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === l && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(fused.as("_syms"), col("_freq")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  /** Encode text with a learned merge list: each word's symbol array is
+    * folded through the merges IN RANK ORDER (the BPE application rule).
+    * `mergesLocal` is the trained list — vocabulary-scale, a driver-side
+    * literal like any tokenizer's merges file. One pass, row-local, no
+    * shuffle; the chained fold stays in Catalyst (interpreted past
+    * codegen's method-size limit, still distributed).
+    *
+    * @return idCol, n_tokens, tokens (the word's subword sequence, space-
+    *         joined per word then flattened per document)
+    */
+  def applyBpeMerges(df: DataFrame, idCol: String, textCol: String,
+      mergesLocal: Seq[(String, String)]): DataFrame = {
+    val encodeWord: Column = {
+      val base = concat(split(col("_w"), ""), array(lit("</w>")))
+      mergesLocal.foldLeft(base) { case (syms, (l, r)) =>
+        aggregate(syms,
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === l && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+      }
+    }
+    df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .toDF(idCol, "_pos", "_w")
+      .filter(col("_w") =!= "")
+      .select(col(idCol), col("_pos"), encodeWord.as("_toks"))
+      .groupBy(col(idCol))
+      .agg(sum(size(col("_toks"))).cast("long").as("n_tokens"),
+        // word order restored via the position key — collect_list order
+        // is partition-dependent, flatten(sorted) is not
+        flatten(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_toks")))),
+          s => s.getField("_toks"))).as("tokens"))
+  }
+
   /** Overlapping-window document chunking (RAG/embedding prep: long
     * documents split into `chunkTokens`-token windows every `stride`
     * tokens, so retrieval granularity is a chunk, not a document).

@@ -95,6 +95,33 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("BPE training learns the textbook merges; application reconstructs words") {
+    import operators.TextAnalysis
+    import spark.implicits._
+    val rows = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = rows.toDF("text")
+    val merges = TextAnalysis.trainBpeMerges(df, "text", 5)
+      .orderBy("rank").collect()
+    def m(i: Int) = (merges(i).getString(1), merges(i).getString(2))
+    // hand-computed (Sennrich's own example corpus shape): freq-weighted
+    // argmax with lexicographic tie-break
+    assert(m(0) == ("e", "s") && merges(0).getLong(3) == 9L, merges.toSeq)
+    assert(m(1) == ("es", "t"))
+    assert(m(2) == ("est", "</w>"))
+    assert(m(3) == ("l", "o") && merges(3).getLong(3) == 7L)
+    assert(m(4) == ("lo", "w"))
+    // application in rank order: encode a doc and round-trip
+    val docs = Seq((1L, "low lower newest widest")).toDF("doc_id", "text")
+    val enc = TextAnalysis.applyBpeMerges(docs, "doc_id", "text",
+      merges.map(r => (r.getString(1), r.getString(2))).toSeq).head()
+    val toks = enc.getSeq[String](enc.fieldIndex("tokens"))
+    assert(toks.mkString("").replace("</w>", " ").trim == "low lower newest widest")
+    // low→[low,</w>]=2, lower→[low,e,r,</w>]=4, newest→[n,e,w,est</w>]=4,
+    // widest→[w,i,d,est</w>]=4
+    assert(enc.getLong(enc.fieldIndex("n_tokens")) == 14L, toks)
+  }
+
   test("delta.targetFileSize drives OPTIMIZE output file count") {
     val d = tempDir("target-size")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
