@@ -2313,17 +2313,32 @@ final case class DeltaTable(
           val dt = dlog.schema(c).dataType
           require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
               dt == org.apache.spark.sql.types.DateType ||
+              dt == org.apache.spark.sql.types.StringType ||
               dt.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
               dt == org.apache.spark.sql.types.TimestampNTZType,
-            s"zOrder requires numeric/date/timestamp columns; $c is $dt " +
-              "(use the linear sortBy rewrite for string keys)")
+            s"zOrder requires numeric/date/timestamp/string columns; $c is $dt")
         }
-        // dates/timestamps bucket through their numeric epoch form
+        // dates/timestamps bucket through their numeric epoch form;
+        // strings through an ORDER-PRESERVING surrogate — the first 7
+        // UTF-8 bytes as an unsigned big-endian integer (56 bits fits a
+        // double's exact range) — so equi-width buckets respect
+        // lexicographic order and min/max stats stay range-prunable
+        // (hashing would cluster equal values but kill range pruning;
+        // delta-spark's own string Z-order uses range-partition ranks,
+        // the same order-preserving idea)
         def numeric(c: String): Column = dlog.schema(c).dataType match {
           case org.apache.spark.sql.types.DateType => col(c).cast("int").cast("double")
           case _: org.apache.spark.sql.types.TimestampType => col(c).cast("double")
           case org.apache.spark.sql.types.TimestampNTZType =>
             col(c).cast("timestamp").cast("double")
+          case org.apache.spark.sql.types.StringType =>
+            org.apache.spark.sql.functions.conv(
+              org.apache.spark.sql.functions.rpad(
+                org.apache.spark.sql.functions.hex(
+                  org.apache.spark.sql.functions.substring(
+                    org.apache.spark.sql.functions.encode(col(c), "UTF-8"), 1, 7)),
+                14, "0"),
+              16, 10).cast("double")
           case _ => col(c).cast("double")
         }
         // hilbert packs k*bits into one long (<= 63 usable bits); morton

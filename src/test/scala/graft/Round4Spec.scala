@@ -309,16 +309,25 @@ class MortonSpec extends SparkSuite {
     assert(ref(0, 0) < ref(1, 0) && ref(1, 0) < ref(0, 1) && ref(0, 1) < ref(1, 1))
   }
 
-  test("zOrder rejects string keys with a clear error; timestamps work") {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+  test("zOrder strings bucket order-preserving; timestamps via epoch; binaries rejected") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
     val d = tempDir("morton-str")
     val t = DeltaTable.forPath(d).write(li)
+    // string dims bucket through the first-7-byte big-endian surrogate:
+    // rows invariant AND the string dim's min/max stats prune
+    val tS = t.compact(spark, sortBy = Seq("l_returnflag", "l_orderkey"),
+      targetFiles = 6, zOrder = true)
+    assertSameRows(tS.toDF(spark), li)
+    assert(tS.prunedAdds(col("l_returnflag") === "A").size < tS.fileUris.size,
+      "string z-order dim must stay range-prunable")
+    assert(tS.prunedAdds(col("l_orderkey") < 50).size < tS.fileUris.size)
+    // genuinely unsupported types still fail loudly
     val ex = intercept[IllegalArgumentException](
-      t.compact(spark, sortBy = Seq("l_returnflag", "l_orderkey"),
+      tS.compact(spark, sortBy = Seq("l_returnflag", "bad_col"),
         targetFiles = 4, zOrder = true))
-    assert(ex.getMessage.contains("l_returnflag"))
+    assert(ex.getMessage.nonEmpty)
     // timestamp dims bucket through their epoch form
-    val t2 = t.compact(spark, sortBy = Seq("l_shipdate", "l_orderkey"),
+    val t2 = tS.compact(spark, sortBy = Seq("l_shipdate", "l_orderkey"),
       targetFiles = 4, zOrder = true)
     assertSameRows(t2.toDF(spark), li)
   }
