@@ -652,7 +652,14 @@ final case class DeltaTable(
     val m = Option(mapping).getOrElse(
       if (dlog.isEmpty) Map.empty[String, String]
       else ColumnMapping.logicalToPhysical(dlog.schema))
-    val physDf = ColumnMapping.toPhysical(df, m)
+    val physDf0 = ColumnMapping.toPhysical(df, m)
+    // id-mode tables: stamp parquet field ids so id-addressed foreign
+    // readers can bind our files (no-op elsewhere)
+    val physDf =
+      if (dlog.isEmpty ||
+          !dlog.latestMetadata.exists(mm =>
+            ColumnMapping.modeOf(mm.configuration) == "id")) physDf0
+      else ColumnMapping.attachFieldIds(physDf0, dlog.schema)
     val writeUuid = java.util.UUID.randomUUID().toString
     val staging = loc.child(s"_staging-$writeUuid")
     try {
@@ -714,7 +721,14 @@ final case class DeltaTable(
     */
   private def writeChangeData(df: DataFrame, forVersion: Long): Seq[AddCDCFile] = {
     val m = ColumnMapping.logicalToPhysical(dlog.schema)
-    val physDf = ColumnMapping.toPhysical(df, m) // _change_type is unmapped
+    val physDf0 = ColumnMapping.toPhysical(df, m)
+    // id-mode tables: stamp parquet field ids so id-addressed foreign
+    // readers can bind our files (no-op elsewhere)
+    val physDf =
+      if (dlog.isEmpty ||
+          !dlog.latestMetadata.exists(mm =>
+            ColumnMapping.modeOf(mm.configuration) == "id")) physDf0
+      else ColumnMapping.attachFieldIds(physDf0, dlog.schema) // _change_type is unmapped
     val writeUuid = java.util.UUID.randomUUID().toString
     val staging = loc.child(s"_staging-$writeUuid")
     try {
@@ -1570,11 +1584,14 @@ final case class DeltaTable(
   // ------------------------------------------------------------------
 
   /** True once any rename/drop has switched the table to
-    * `delta.columnMapping.mode = name`.
+    * `delta.columnMapping.mode = name`, or for a foreign table in `id`
+    * mode (id tables carry physicalName on every field per the protocol,
+    * so the same name-addressed machinery applies; writes additionally
+    * stamp parquet field ids — see [[ColumnMapping.attachFieldIds]]).
     */
   private def mappingActive: Boolean =
-    dlog.latestMetadata.exists(
-      _.configuration.get(ColumnMapping.ModeConfigKey).contains("name"))
+    dlog.latestMetadata.map(m => ColumnMapping.modeOf(m.configuration))
+      .exists(m => m == "name" || m == "id")
 
   /** A CHECK constraint or generation expression whose SQL mentions
     * `column` as a word blocks renames/drops of it (the expression would
@@ -1758,7 +1775,10 @@ final case class DeltaTable(
     val meta = dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
     val newMeta = meta.copy(schemaString = newSchema.json,
-      configuration = meta.configuration + (ColumnMapping.ModeConfigKey -> "name"))
+      // an id-mode table STAYS id (its files are bound by field ids);
+      // name/none promote to name
+      configuration = meta.configuration + (ColumnMapping.ModeConfigKey ->
+        (if (ColumnMapping.modeOf(meta.configuration) == "id") "id" else "name")))
     // protocol honesty (Delta's columnMapping feature gate): a reader
     // unaware of physical names would misbind columns on post-mapping
     // files, so mapping requires minReader/minWriter >= 2/5 — raised
@@ -2426,8 +2446,8 @@ final case class DeltaTable(
     // identity-valued: dropping a never-renamed column leaves every
     // remaining logical==physical, yet the dropped bytes still sit in
     // pre-drop files
-    val mapped = dlog.latestMetadata.exists(
-      _.configuration.get(ColumnMapping.ModeConfigKey).contains("name"))
+    val mapped = dlog.latestMetadata.map(m => ColumnMapping.modeOf(m.configuration))
+      .exists(m => m == "name" || m == "id")
     val stale: Seq[AddFile] =
       if (!mapped) Seq.empty
       else {
@@ -3156,6 +3176,20 @@ final case class DeltaTable(
       log: DeltaLog = dlog): DeltaLogEntry = {
     ProtocolGate.assertWritable(log.currentProtocol, log.latestMetadata)
     ProtocolGate.assertMutationAllowed(log.latestMetadata, entry)
+    // columnMapping.mode=id: every schema field must CARRY an id — a
+    // schema-evolving commit would mint id-less columns this engine has
+    // no allocation story for (maxColumnId bookkeeping); refuse loudly
+    // instead of writing a table id-addressed readers cannot bind
+    entry.metadataAction.foreach { m =>
+      if (ColumnMapping.modeOf(m.configuration) == "id") {
+        val idless = m.schema.fields
+          .filterNot(_.metadata.contains(ColumnMapping.IdKey)).map(_.name)
+        if (idless.nonEmpty) throw new IllegalStateException(
+          s"columnMapping.mode=id: column(s) ${idless.mkString(", ")} carry " +
+            "no delta.columnMapping.id — id allocation for new columns is " +
+            "not supported; evolve id tables with an id-mode writer")
+      }
+    }
     // row-id allocation first: it may append the high-water-mark
     // domainMetadata action, whose feature must then be declared below
     val tracked = RowTracking.assign(entry, log)

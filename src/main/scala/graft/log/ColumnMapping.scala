@@ -35,8 +35,46 @@ object ColumnMapping {
   /** Delta's field-metadata key for the parquet column name. */
   val PhysicalNameKey = "delta.columnMapping.physicalName"
 
-  /** Delta's table-configuration key; "name" marks mapping active. */
+  /** Delta's field-metadata key for the parquet FIELD ID (id mode). */
+  val IdKey = "delta.columnMapping.id"
+
+  /** Spark's field-metadata key that makes the parquet writer stamp a
+    * field_id into the file schema.
+    */
+  val ParquetFieldIdKey = "parquet.field.id"
+
+  /** Delta's table-configuration key; "name" or "id" marks mapping
+    * active (id-mode tables also carry physicalName on every field per
+    * the protocol, so name-addressed reads stay correct — the extra
+    * obligation id mode puts on US is writing real parquet field ids).
+    */
   val ModeConfigKey = "delta.columnMapping.mode"
+
+  def modeOf(configuration: Map[String, String]): String =
+    configuration.getOrElse(ModeConfigKey, "none")
+
+  /** Write-side projection for an id-mode table: alias each physical
+    * column WITH `parquet.field.id` metadata taken from the table
+    * schema's `delta.columnMapping.id`, so the parquet writer (Spark's
+    * `spark.sql.parquet.fieldId.write.enabled`, default on) stamps real
+    * field ids — an id-addressed foreign reader must be able to bind our
+    * files. No-op for name/none modes or id-less fields.
+    */
+  def attachFieldIds(df: DataFrame, tableSchema: StructType): DataFrame = {
+    val idByPhysical: Map[String, Long] = tableSchema.fields.iterator.flatMap { f =>
+      if (f.metadata.contains(IdKey))
+        Some(physicalName(f) -> f.metadata.getLong(IdKey))
+      else None
+    }.toMap
+    if (idByPhysical.isEmpty) df
+    else df.select(df.columns.toSeq.map { c =>
+      idByPhysical.get(c) match {
+        case Some(id) => col(c).as(c,
+          new MetadataBuilder().putLong(ParquetFieldIdKey, id).build())
+        case None => col(c)
+      }
+    }: _*)
+  }
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)

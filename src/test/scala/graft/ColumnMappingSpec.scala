@@ -12,6 +12,56 @@ class ColumnMappingSpec extends SparkSuite {
 
   private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
 
+  test("id-mode foreign table: reads bind, writes stamp parquet field ids, evolution refused") {
+    import org.apache.spark.sql.types._
+    val d = tempDir("cm-id-mode")
+    var t = DeltaTable.forPath(d).write(nation)
+    // splice id-mode mapping the way a foreign id-mode writer declares
+    // it: mode=id + per-field physicalName AND columnMapping.id
+    val meta = t.dlog.latestMetadata.get
+    def ann(f: StructField, id: Long): StructField =
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putString(ColumnMapping.PhysicalNameKey, f.name)
+        .putLong(ColumnMapping.IdKey, id).build())
+    val idSchema = StructType(t.schema.fields.zipWithIndex.map {
+      case (f, i) => ann(f, i + 1L) })
+    t.dlog.commit(graft.log.DeltaLogEntry(Vector(
+      meta.copy(schemaString = idSchema.json,
+        configuration = meta.configuration +
+          (ColumnMapping.ModeConfigKey -> "id") +
+          ("delta.columnMapping.maxColumnId" -> "3")),
+      graft.log.CommitInfo.metaOp(graft.log.CommitInfo.Op.SetProperties,
+        Map.empty, t.version))))
+    val re = DeltaTable.forPath(d)
+    assertSameRows(re.toDF(spark), nation)
+    // append through the id table: accepted, and the NEW file's parquet
+    // schema carries the declared field ids (an id-addressed reader binds)
+    val before = re.fileUris.toSet
+    val t2 = re.write(nation)
+    assertSameRows(t2.toDF(spark), nation.union(nation))
+    val newFile = t2.fileUris.toSet.diff(before).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(newFile), new org.apache.hadoop.conf.Configuration()))
+    val fields = try footer.getFooter.getFileMetaData.getSchema.getFields
+      finally footer.close()
+    import scala.jdk.CollectionConverters._
+    val ids = fields.asScala.map(f => f.getName -> Option(f.getId).map(_.intValue))
+    assert(ids.toMap == Map("n_nationkey" -> Some(1), "n_name" -> Some(2),
+      "n_regionkey" -> Some(3)), ids.toString)
+    // schema evolution would mint id-less columns: refused loudly
+    val ex = intercept[IllegalStateException](
+      t2.addColumn("extra", StringType))
+    assert(ex.getMessage.contains("columnMapping.mode=id"), ex.getMessage)
+    // rename keeps the table in id mode (files stay id-bound) and the
+    // renamed field keeps its id, so the id-completeness guard passes
+    val t3 = t2.renameColumn("n_name", "nation_name")
+    assert(ColumnMapping.modeOf(t3.dlog.latestMetadata.get.configuration) == "id")
+    assert(t3.schema("nation_name").metadata.getLong(ColumnMapping.IdKey) == 2L)
+    assertSameRows(t3.toDF(spark).select(col("nation_name").as("n_name")),
+      nation.select("n_name").union(nation.select("n_name")))
+  }
+
   test("rename is metadata-only: same data, new logical name, old files") {
     val d = tempDir("cm-rename")
     val t0 = DeltaTable.forPath(d).write(nation)
