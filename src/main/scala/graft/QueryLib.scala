@@ -276,6 +276,34 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** Incrementally-maintained SUM/COUNT aggregate: the agg table is kept
+    * in sync with a mutating base (append → delete → update → OPTIMIZE)
+    * purely by folding CDF deltas — never a base rescan after the
+    * bootstrap. The final agg must equal a direct groupBy of the final
+    * base state.
+    */
+  def ordersIvmAggDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_ivm_agg") { d =>
+      val o = raw(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val baseDir = cachedDir(sfDir, "orders_ivm_base") { b =>
+        DeltaTable.forPath(b).write(o); ()
+      }
+      def maintain(): Unit = { operators.Incremental.maintainSumCount(
+        spark, baseDir, d, "o_orderstatus", "o_totalprice"); () }
+      maintain() // bootstrap from v0
+      var base = DeltaTable.forPath(baseDir)
+      base = base.write(o.withColumn("o_orderkey",
+        col("o_orderkey") + 10000000L)) // v1 append
+      maintain() // fold the append
+      base = base.delete(spark, Some(col("o_totalprice") > 150000)) // v2
+      base = base.update(spark, Some(col("o_orderkey") < 100),
+        Map("o_totalprice" -> (col("o_totalprice") * 2))) // v3
+      base.compact(spark) // v4: dataChange=false, must contribute nothing
+      maintain() // fold v2..v4 in one pass
+      ()
+    }
+
   /** SCD Type 2 dimension: init at T0, one full-snapshot apply at T1 with
     * changed balances (custkey<100), unchanged rows (>=100 — must produce
     * NO new version), and brand-new keys (+100000 for custkey<50).

@@ -585,6 +585,12 @@ object SparkEntry {
     "q119_merge_nmbs" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerMergeNmbsDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // incremental view maintenance: agg folded from CDF deltas only
+    "q133_incremental_agg" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersIvmAggDir(s, d)).toDF(s)
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy("o_orderstatus")),
     // SCD Type 2: closed + current versions after one snapshot apply
     "q124_scd_type2" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerScd2Dir(s, d)).toDF(s)
@@ -1559,6 +1565,17 @@ object SparkEntry {
         | c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey < 100
         |ORDER BY c_custkey""".stripMargin,
+    "q133_incremental_agg" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |a AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey < 100 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM b WHERE NOT (o_totalprice > 150000))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS sum_value
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "q124_scd_type2" ->
       """WITH closed AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |    c_mktsegment,

@@ -95,6 +95,33 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("incremental view maintenance: cursor atomic with the fold, no-op when current") {
+    import operators.Incremental
+    val baseDir = tempDir("ivm-base")
+    val aggDir = tempDir("ivm-agg")
+    var base = DeltaTable.forPath(baseDir).write(nation)
+    Incremental.maintainSumCount(spark, baseDir, aggDir, "n_regionkey", "n_nationkey")
+    val agg0 = DeltaTable.forPath(aggDir)
+    assert(Incremental.lastMaintained(agg0).contains(0L))
+    // up to date → returns without committing
+    Incremental.maintainSumCount(spark, baseDir, aggDir, "n_regionkey", "n_nationkey")
+    assert(DeltaTable.forPath(aggDir).version == agg0.version)
+    // append + delete, then one maintain folds both commits
+    base = base.write(nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    base = base.delete(spark, Some(col("n_nationkey") === 3))
+    Incremental.maintainSumCount(spark, baseDir, aggDir, "n_regionkey", "n_nationkey")
+    val agg1 = DeltaTable.forPath(aggDir)
+    assert(Incremental.lastMaintained(agg1).contains(2L))
+    val direct = base.toDF(spark).groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"), sum("n_nationkey").as("sum_value"))
+    assertSameRows(agg1.toDF(spark), direct)
+    // a whole-group-vanishing delete is refused, not silently wrong
+    base = base.delete(spark, Some(col("n_regionkey") === 2))
+    val ex = intercept[IllegalArgumentException](
+      Incremental.maintainSumCount(spark, baseDir, aggDir, "n_regionkey", "n_nationkey"))
+    assert(ex.getMessage.contains("count 0"), ex.getMessage)
+  }
+
   test("BPE training learns the textbook merges; application reconstructs words") {
     import operators.TextAnalysis
     import spark.implicits._
