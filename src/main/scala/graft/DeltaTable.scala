@@ -766,6 +766,13 @@ final case class DeltaTable(
 
   def delete(spark: SparkSession, where: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    // delta-spark parity: `delta.enableDeletionVectors=true` makes DELETE
+    // take the merge-on-read path by default (write ∝ deleted rows, not
+    // touched files); truncate (no predicate) stays copy-on-write — a
+    // metadata-only remove beats writing an all-rows vector
+    if (where.isDefined && tableProperties
+        .get("delta.enableDeletionVectors").exists(_.trim.equalsIgnoreCase("true")))
+      return deleteMergeOnRead(spark, where, customMetadata)
     assertPreWrite(removesData = true)
     val pred = where.getOrElse(lit(true))
     val adds = dlog.addActions
@@ -2613,6 +2620,36 @@ final case class DeltaTable(
     * `delta.deletedFileRetentionDuration` (delta's `interval N
     * days|hours|minutes|weeks` syntax); otherwise delta's 7-day default.
     */
+  /** GENERATE symlink_format_manifest (delta-spark's `GENERATE` command):
+    * write `_symlink_format_manifest/…/manifest` text files listing the
+    * ABSOLUTE URIs of the snapshot's live data files — the
+    * SymlinkTextInputFormat layout Presto/Trino/Athena/Hive consume, so
+    * those engines query the table with NO delta reader at all.
+    * Partitioned tables get one manifest per `key=value` partition dir
+    * (the layout those engines require); regeneration replaces the whole
+    * tree, so removed files and vanished partitions never linger. Driver
+    * cost is O(live files) metadata — no data is read.
+    */
+  def generateSymlinkManifest(): DeltaTable = {
+    val root = loc.child("_symlink_format_manifest")
+    if (root.exists) root.delete()
+    val adds = dlog.addActions.values.toSeq
+    def urisOf(as: Seq[AddFile]): String =
+      as.map(a => Location.resolve(a.path, loc, conf).uri).sorted.mkString("\n")
+    if (dlog.partitionColumns.isEmpty) {
+      root.mkdirs()
+      root.child("manifest").writeString(urisOf(adds))
+    } else adds.groupBy(a => dlog.partitionColumns.map(c =>
+        s"$c=${a.partitionValues.get(c).flatten.getOrElse("__HIVE_DEFAULT_PARTITION__")}")
+        .mkString("/"))
+      .foreach { case (dir, as) =>
+        val d = dir.split("/").foldLeft(root)(_.child(_))
+        d.mkdirs()
+        d.child("manifest").writeString(urisOf(as))
+      }
+    this
+  }
+
   /** VACUUM LITE (delta 4.0's `VACUUM ... LITE`): derive the deletable set
     * from the LOG's remove tombstones instead of listing the table
     * directory — on an object store holding 10⁸ files a recursive listing

@@ -95,6 +95,54 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("symlink manifest lists exactly the live files; regeneration drops stale state") {
+    def manifestUris(d: String): Set[String] = {
+      val root = new java.io.File(d, "_symlink_format_manifest")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName == "manifest")
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSet
+    }
+    // unpartitioned
+    val d = tempDir("symlink")
+    var t = DeltaTable.forPath(d).write(nation).write(nation)
+    t.generateSymlinkManifest()
+    assert(manifestUris(d) == t.fileUris.toSet)
+    // a delete rewrites files; regeneration reflects the new live set
+    t = t.delete(spark, Some(col("n_nationkey") < 5)).generateSymlinkManifest()
+    assert(manifestUris(d) == t.fileUris.toSet)
+    // partitioned: one manifest per key=value dir
+    val dp = tempDir("symlink-part")
+    var tp = DeltaTable.forPath(dp)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    tp.generateSymlinkManifest()
+    val root = new java.io.File(dp, "_symlink_format_manifest")
+    assert(root.listFiles().map(_.getName).toSet ==
+      (0 to 4).map(r => s"n_regionkey=$r").toSet)
+    assert(manifestUris(dp) == tp.fileUris.toSet)
+    // overwrite to ONE partition: stale partition dirs must vanish
+    tp = tp.write(nation.filter(col("n_regionkey") === 2),
+      mode = graft.log.WriteMode.Overwrite).generateSymlinkManifest()
+    assert(root.listFiles().map(_.getName).toSet == Set("n_regionkey=2"))
+    assert(manifestUris(dp) == tp.fileUris.toSet)
+  }
+
+  test("delta.enableDeletionVectors routes DELETE through merge-on-read") {
+    val d = tempDir("dv-default")
+    var t = DeltaTable.forPath(d).write(nation)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    val before = t.fileUris.toSet
+    t = t.delete(spark, Some(col("n_nationkey") === 3))
+    // MoR: same files, a deletion vector instead of a rewrite
+    assert(t.fileUris.toSet == before, "predicate delete must be merge-on-read")
+    assert(t.dlog.addActions.values.exists(a =>
+      graft.sources.DeletionVectors.refOf(a).isDefined))
+    assert(t.toDF(spark).filter(col("n_nationkey") === 3).count() == 0)
+    // truncate stays copy-on-write metadata-only (no all-rows vector)
+    val t2 = t.delete(spark, None)
+    assert(t2.toDF(spark).count() == 0)
+  }
+
   test("incremental view maintenance: cursor atomic with the fold, no-op when current") {
     import operators.Incremental
     val baseDir = tempDir("ivm-base")
