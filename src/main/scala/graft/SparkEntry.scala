@@ -648,6 +648,25 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")
     }),
+    // winner selection over the dup clusters: keep the HIGHEST-QUALITY
+    // doc per near-dup cluster (n_chars desc, id asc) — the row real
+    // dedup pipelines retain, not the arbitrary min-id
+    "q134_dedup_keep_best" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("_rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(max(when(col("_rk") === 1, col("doc_id"))).as("kept_doc_id"),
+          count(lit(1)).as("cluster_size"))
+        .orderBy("cluster_id")
+    }),
 
     // ---- salted skew-resistant join (result ≡ the plain join) ----
     "q60_salted_join" -> ((s, d) =>
@@ -711,6 +730,20 @@ object SparkEntry {
     // Delta table, re-planned per micro-batch
     "q130_stream_static_join" -> ((s, d) =>
       QueryLib.eventsStreamStaticJoined(s, d).orderBy("c_mktsegment")),
+    // correlated EXISTS + scalar subqueries (Catalyst decorrelates both
+    // into joins — asserted over our log-backed scans)
+    "q135_subqueries" -> ((s, d) => {
+      QueryLib.delta(s, d, "orders").createOrReplaceTempView("ord_sq")
+      QueryLib.delta(s, d, "customer").createOrReplaceTempView("cust_sq")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_custs,
+              |  round(avg(c_acctbal), 2) AS avg_bal
+              |FROM cust_sq c
+              |WHERE EXISTS (SELECT 1 FROM ord_sq o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_totalprice > (SELECT avg(o_totalprice)
+              |                                      FROM ord_sq))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
     // explicit GROUPING SETS (rollup/cube's general form)
     "q128_grouping_sets" -> ((s, d) => {
       QueryLib.delta(s, d, "lineitem").createOrReplaceTempView("li_gs")
@@ -1543,6 +1576,15 @@ object SparkEntry {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
         |  l_discount FROM src
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q135_subqueries" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > (SELECT avg(o_totalprice)
+        |                                      FROM orders))
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q128_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_extendedprice), 2) AS sum_price
@@ -1755,6 +1797,21 @@ object SparkEntry {
          |          UNION
          |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
          |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q134_dedup_keep_best" ->
+      s"""WITH RECURSIVE $TriBase,
+         |pr AS (SELECT a, b FROM pj WHERE j >= 0.8),
+         |edges AS (SELECT a AS u, b AS v FROM pr UNION SELECT b AS u, a AS v FROM pr),
+         |reach AS (SELECT DISTINCT u, u AS l FROM edges
+         |          UNION
+         |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u),
+         |cl AS (SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u),
+         |rk AS (SELECT cl.cluster_id, cl.doc_id,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY d.n_chars DESC, cl.doc_id) AS rk
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+         |SELECT cluster_id, max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc_id,
+         |  count(*) AS cluster_size
+         |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
     "q60_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
