@@ -672,12 +672,23 @@ final case class DeltaTable(
         .sortBy(_.getPath.toString)
 
       val keepStats = statsColumnFilter
+      // `delta.randomizeFilePrefixes` (delta's S3 key-sharding knob):
+      // data files land under 2-hex-char prefix dirs instead of the table
+      // root, spreading object keys across S3's partition key ranges — at
+      // 10⁵ writes/s a single lexicographic key run throttles (the log
+      // records relative paths, so scans are unaffected). The prefix
+      // derives from the file name hash: deterministic, uniform.
+      val randomPrefixes = tableProperties
+        .get("delta.randomizeFilePrefixes").exists(_.trim.equalsIgnoreCase("true"))
       files.zipWithIndex.map { case (st, i) =>
         val stagingRel = relativize(st.getPath, staging.path)
         val partDirs = stagingRel.split("/").dropRight(1).toSeq
         val partValues = DeltaScan.partitionValuesFromPath(stagingRel)
         val name = s"$forVersion-$writeUuid-$i.parquet"
-        val relPath = (partDirs :+ name).mkString("/")
+        val prefix =
+          if (!randomPrefixes) Seq.empty
+          else Seq(f"${name.hashCode & 0xff}%02x")
+        val relPath = (prefix ++ partDirs :+ name).mkString("/")
         val dest = Location.resolve(relPath, loc, conf)
         dest.fs.mkdirs(dest.path.getParent)
         if (!dest.fs.rename(st.getPath, dest.path))

@@ -244,6 +244,16 @@ object QueryLib {
           raw(spark, sfDir, "documents"), "doc_id"))
     }
 
+  /** Real RIFF/WAVE audio payloads (synthesized 16-bit PCM sines) written
+    * through a graft table — the audio arm of the multimodal family.
+    */
+  def documentsAudioDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_audio") { d =>
+      DeltaTable.forPath(d).write(
+        graft.operators.Multimodal.attachWavPayload(
+          raw(spark, sfDir, "documents").filter(col("doc_id") < 200), "doc_id"))
+    }
+
   /** int8 codes of [[embX2]] materialized as a graft table (stats in
     * commit metadata) — the serving-side layout the two-stage quantized
     * retrieval scans for candidates.

@@ -495,6 +495,15 @@ object SparkEntry {
           Multimodal.ImageIoCodec)
         .select("doc_id", "media_type", "width", "height", "n_frames")
         .orderBy("doc_id")),
+    // audio: decode REAL WAV containers back out of the table — the
+    // header fields the decode recovers are a closed form of doc_id, so
+    // the oracle verifies a genuine synthesize→store→parse round trip
+    "q136_audio_features" -> ((s, d) =>
+      Multimodal.extractAudioFeatures(
+          DeltaTable.forPath(QueryLib.documentsAudioDir(s, d)).toDF(s))
+        .select("doc_id", "payload_len", "sample_rate", "n_channels",
+          "n_samples", "duration_ms")
+        .orderBy("doc_id")),
     "q31_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.extractFeaturesWith(
           DeltaTable.forPath(QueryLib.documentsMediaDir(s, d)).toDF(s),
@@ -1797,6 +1806,13 @@ object SparkEntry {
          |          UNION
          |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
          |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q136_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(44 + 2 * (800 + doc_id % 800) AS BIGINT) AS payload_len,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+        |  CAST((800 + doc_id % 800) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q134_dedup_keep_best" ->
       s"""WITH RECURSIVE $TriBase,
          |pr AS (SELECT a, b FROM pj WHERE j >= 0.8),

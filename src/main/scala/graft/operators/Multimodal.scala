@@ -218,4 +218,125 @@ object Multimodal {
       floor(col("height") * scale).cast("long").as("out_height"),
       round(scale, 4).as("scale"))
   }
+
+  // ------------------------------------------------------------------
+  // Audio: REAL RIFF/WAVE container bytes, synthesized and decoded with
+  // plain JVM byte work (PCM is a spec, not a codec — no external deps).
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-id audio parameters shared by the synthesizer and
+    * every oracle: (sampleRate, nSamples, sineHz).
+    */
+  def audioParams(id: Long): (Int, Int, Double) =
+    (8000, 800 + (id % 800).toInt, 200.0 + (id % 20) * 40.0)
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload_len", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("n_channels", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("peak", DoubleType, nullable = false)))
+
+  /** Attach REAL 16-bit PCM mono WAV bytes per row: a half-amplitude sine
+    * at [[audioParams]]'s frequency, in a hand-built RIFF/WAVE container
+    * any audio tool parses. Batched partition-local byte work, like the
+    * image payload generator.
+    */
+  def attachWavPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (sr, n, hz) = audioParams(id)
+        Row(id, "audio/wav", encodeWav(sr, n, hz))
+      }
+    }
+    spark.createDataFrame(rdd, payloadSchema)
+  }
+
+  private def encodeWav(sampleRate: Int, nSamples: Int, hz: Double): Array[Byte] = {
+    val dataLen = nSamples * 2 // 16-bit mono
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort(math.round(
+        16383.0 * math.sin(2.0 * math.Pi * hz * i / sampleRate)).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Decode WAV payloads: RIFF/WAVE chunk walk (fmt + data), then one
+    * pass over the PCM samples for rms/peak. Undecodable or non-PCM
+    * payloads throw — same loud-failure contract as [[ImageIoCodec]].
+    * Batched `mapPartitions`, sequential buffers, no allocation per
+    * sample.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag4() == "RIFF", s"doc $id: not a RIFF container")
+        buf.getInt // riff size
+        require(tag4() == "WAVE", s"doc $id: not a WAVE file")
+        var sampleRate = 0; var channels = 0; var bits = 0
+        var nSamples = 0L; var sumSq = 0.0; var peak = 0.0
+        var seenData = false
+        while (buf.remaining() >= 8) {
+          val chunk = tag4(); val len = buf.getInt
+          chunk match {
+            case "fmt " =>
+              val fmt = buf.getShort
+              require(fmt == 1, s"doc $id: not PCM (format $fmt)")
+              channels = buf.getShort
+              sampleRate = buf.getInt
+              buf.getInt; buf.getShort // byte rate, block align
+              bits = buf.getShort
+              require(bits == 16, s"doc $id: only 16-bit PCM supported")
+              buf.position(buf.position() + (len - 16))
+            case "data" =>
+              require(sampleRate > 0, s"doc $id: data chunk before fmt")
+              seenData = true
+              val count = len / 2
+              var i = 0
+              while (i < count) {
+                val s = buf.getShort.toDouble / 32768.0
+                sumSq += s * s
+                val a = math.abs(s); if (a > peak) peak = a
+                i += 1
+              }
+              nSamples += count / channels
+            case _ => buf.position(buf.position() + len)
+          }
+        }
+        require(seenData, s"doc $id: no data chunk")
+        val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / (nSamples * channels))
+        Row(id, payload.length.toLong, sampleRate.toLong, channels.toLong,
+          nSamples, nSamples * 1000L / sampleRate,
+          math.rint(rms * 10000) / 10000, math.rint(peak * 10000) / 10000)
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
 }

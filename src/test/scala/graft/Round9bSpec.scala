@@ -95,6 +95,66 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("WAV audio: synthesized containers decode to the embedded signal's stats") {
+    import operators.Multimodal
+    import spark.implicits._
+    val ids = (0L until 50L).toDF("doc_id")
+    val media = Multimodal.attachWavPayload(ids, "doc_id")
+    val feats = Multimodal.extractAudioFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.size == 50)
+    (0L until 50L).foreach { id =>
+      val (sr, n, _) = Multimodal.audioParams(id)
+      val r = feats(id)
+      assert(r.getLong(r.fieldIndex("sample_rate")) == sr)
+      assert(r.getLong(r.fieldIndex("n_channels")) == 1L)
+      assert(r.getLong(r.fieldIndex("n_samples")) == n.toLong)
+      assert(r.getLong(r.fieldIndex("payload_len")) == 44L + 2L * n)
+      assert(r.getLong(r.fieldIndex("duration_ms")) == n * 1000L / sr)
+      // half-amplitude sine: rms → amp/√2 ≈ 0.3536, peak → ≈ 0.5
+      val rms = r.getDouble(r.fieldIndex("rms"))
+      val peak = r.getDouble(r.fieldIndex("peak"))
+      assert(math.abs(rms - 16383.0 / 32768.0 / math.sqrt(2.0)) < 0.01,
+        s"id=$id rms=$rms")
+      assert(peak > 0.45 && peak <= 0.5, s"id=$id peak=$peak")
+    }
+    // a truncated container fails LOUDLY, never a silent sentinel row
+    val corrupt = media.limit(1).select(col("doc_id"), col("media_type"),
+      expr("substring(payload, 1, 20)").as("payload"))
+    intercept[org.apache.spark.SparkException](
+      Multimodal.extractAudioFeatures(corrupt).collect())
+  }
+
+  test("randomizeFilePrefixes shards data files under hex prefix dirs; scans/vacuum unaffected") {
+    val d = tempDir("rand-prefix")
+    var t = DeltaTable.forPath(d).write(nation)
+      .setTableProperties(Map("delta.randomizeFilePrefixes" -> "true"))
+    t = t.write(nation.repartition(4))
+    val prefixed = t.dlog.addActions.keys.filter(_.matches("^[0-9a-f]{2}/.*\\.parquet$"))
+    assert(prefixed.nonEmpty, t.dlog.addActions.keys.toSeq.toString)
+    assertSameRows(t.toDF(spark), nation.union(nation))
+    // partitioned table: prefix dir sits ABOVE the hive dirs
+    val dp = tempDir("rand-prefix-part")
+    val tp0 = DeltaTable.forPath(dp)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+      .setTableProperties(Map("delta.randomizeFilePrefixes" -> "true"))
+    val beforeKeys = tp0.dlog.addActions.keySet
+    val tp = tp0.write(nation.withColumn("n_nationkey", col("n_nationkey") + 100))
+    val fresh = tp.dlog.addActions.keySet.diff(beforeKeys)
+    assert(fresh.nonEmpty && fresh
+      .forall(_.matches("^[0-9a-f]{2}/n_regionkey=\\d+/.*\\.parquet$")),
+      fresh.toSeq.toString)
+    assertSameRows(tp.toDF(spark), nation.union(
+      nation.withColumn("n_nationkey", col("n_nationkey") + 100)))
+    assert(tp.prunedAdds(col("n_regionkey") === 2).size < tp.fileUris.size)
+    // dead prefixed files are reclaimable by both vacuum flavors
+    val t2 = t.write(nation.filter(col("n_regionkey") === 0),
+      mode = graft.log.WriteMode.Overwrite)
+    val full = t2.vacuum(retentionMs = 0L, dryRun = true).toSet
+    val lite = t2.vacuumLite(retentionMs = 0L, dryRun = true).toSet
+    assert(lite.nonEmpty && lite.forall(full.contains))
+  }
+
   test("symlink manifest lists exactly the live files; regeneration drops stale state") {
     def manifestUris(d: String): Set[String] = {
       val root = new java.io.File(d, "_symlink_format_manifest")
