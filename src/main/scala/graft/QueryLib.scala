@@ -254,6 +254,16 @@ object QueryLib {
           raw(spark, sfDir, "documents").filter(col("doc_id") < 200), "doc_id"))
     }
 
+  /** Real RIFF/AVI video payloads (synthesized frame chunks) written
+    * through a graft table — the video arm of the multimodal family.
+    */
+  def documentsVideoDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_video") { d =>
+      DeltaTable.forPath(d).write(
+        graft.operators.Multimodal.attachAviPayload(
+          raw(spark, sfDir, "documents").filter(col("doc_id") < 200), "doc_id"))
+    }
+
   /** int8 codes of [[embX2]] materialized as a graft table (stats in
     * commit metadata) — the serving-side layout the two-stage quantized
     * retrieval scans for candidates.

@@ -504,6 +504,12 @@ object SparkEntry {
         .select("doc_id", "payload_len", "sample_rate", "n_channels",
           "n_samples", "duration_ms")
         .orderBy("doc_id")),
+    // video: decode REAL AVI containers (avih header + counted movi
+    // frame chunks) — decoded fields are a closed form of doc_id
+    "q137_video_features" -> ((s, d) =>
+      Multimodal.extractVideoFeatures(
+          DeltaTable.forPath(QueryLib.documentsVideoDir(s, d)).toDF(s))
+        .orderBy("doc_id")),
     "q31_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.extractFeaturesWith(
           DeltaTable.forPath(QueryLib.documentsMediaDir(s, d)).toDF(s),
@@ -1806,6 +1812,16 @@ object SparkEntry {
          |          UNION
          |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
          |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q137_video_features" ->
+      """SELECT doc_id,
+        |  CAST(100 + 72 * (4 + doc_id % 13) AS BIGINT) AS payload_len,
+        |  CAST(32 + (doc_id % 16) * 8 AS BIGINT) AS width,
+        |  CAST(24 + (doc_id % 12) * 8 AS BIGINT) AS height,
+        |  CAST(4 + doc_id % 13 AS BIGINT) AS n_frames,
+        |  CAST(10 + (doc_id % 3) * 5 AS BIGINT) AS fps,
+        |  CAST((4 + doc_id % 13) * 1000 // (10 + (doc_id % 3) * 5) AS BIGINT)
+        |    AS duration_ms
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "q136_audio_features" ->
       """SELECT doc_id,
         |  CAST(44 + 2 * (800 + doc_id % 800) AS BIGINT) AS payload_len,

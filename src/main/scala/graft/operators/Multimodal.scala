@@ -280,6 +280,135 @@ object Multimodal {
     buf.array()
   }
 
+  // ------------------------------------------------------------------
+  // Video: REAL RIFF/AVI containers — same chunk discipline as WAV
+  // (AVI is RIFF), synthesized with genuine frame chunks and decoded by
+  // walking LIST/avih structure. Compressed codecs (H.264 etc.) plug in
+  // behind the same batched mapPartitions shape with a JNI decoder; the
+  // container walk — the Spark-side plumbing — is identical.
+  // ------------------------------------------------------------------
+
+  /** Deterministic per-id video parameters: (width, height, nFrames, fps). */
+  def videoParams(id: Long): (Int, Int, Int, Int) =
+    (32 + (id % 16).toInt * 8, 24 + (id % 12).toInt * 8,
+      4 + (id % 13).toInt, 10 + (id % 3).toInt * 5)
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload_len", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("fps", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** Attach REAL AVI bytes per row: RIFF('AVI ') with an `avih` main
+    * header and a `movi` list of uncompressed '00db' frame chunks whose
+    * bytes are a hash of (id, frame, offset) — genuine container
+    * structure any AVI demuxer walks.
+    */
+  def attachAviPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h, n, fps) = videoParams(id)
+        Row(id, "video/avi", encodeAvi(id, w, h, n, fps))
+      }
+    }
+    spark.createDataFrame(rdd, payloadSchema)
+  }
+
+  private def encodeAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+    val frameLen = 64 // token frame payload (uncompressed stand-in)
+    val moviLen = 4 + frames * (8 + frameLen)
+    val hdrlLen = 4 + 8 + 56 // 'hdrl' + avih chunk header + avih body
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      .put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(1000000 / fps) // dwMicroSecPerFrame
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(frames) // dwTotalFrames
+      .putInt(0).putInt(1) // dwInitialFrames, dwStreams
+      .putInt(frameLen) // dwSuggestedBufferSize
+      .putInt(w).putInt(h) // dwWidth, dwHeight
+      .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved
+    buf.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+      .put("movi".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      buf.put("00db".getBytes("US-ASCII")).putInt(frameLen)
+      var i = 0
+      while (i < frameLen) {
+        buf.put((((id + f) * 2654435761L + i * 31L) & 0xFF).toByte)
+        i += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Decode AVI payloads: RIFF('AVI ') walk to the `hdrl` list's `avih`
+    * main header (width/height/frame count/frame period) and COUNT the
+    * actual '00db'/'00dc' frame chunks in `movi` — the declared and the
+    * physical frame count must agree or the container is corrupt (loud
+    * failure, like the image/audio codecs).
+    */
+  def extractVideoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag4() == "RIFF", s"doc $id: not RIFF")
+        buf.getInt
+        require(tag4() == "AVI ", s"doc $id: not AVI")
+        var w = 0L; var h = 0L; var declared = 0L; var usPerFrame = 0L
+        var counted = 0L
+        while (buf.remaining() >= 8) {
+          val chunk = tag4(); val len = buf.getInt
+          if (chunk == "LIST") {
+            val listType = tag4()
+            if (listType == "hdrl") {
+              val sub = tag4(); val subLen = buf.getInt
+              require(sub == "avih", s"doc $id: hdrl without avih")
+              val start = buf.position()
+              usPerFrame = buf.getInt.toLong
+              buf.getInt; buf.getInt; buf.getInt
+              declared = buf.getInt.toLong
+              buf.getInt; buf.getInt; buf.getInt
+              w = buf.getInt.toLong; h = buf.getInt.toLong
+              buf.position(start + subLen)
+            } else if (listType == "movi") {
+              val end = buf.position() + (len - 4)
+              while (buf.position() < end) {
+                val fc = tag4(); val fl = buf.getInt
+                if (fc.endsWith("db") || fc.endsWith("dc")) counted += 1
+                buf.position(buf.position() + fl + (fl & 1))
+              }
+            } else buf.position(buf.position() + (len - 4))
+          } else buf.position(buf.position() + len + (len & 1))
+        }
+        require(declared == counted,
+          s"doc $id: avih declares $declared frames, movi holds $counted")
+        val fps = if (usPerFrame == 0) 0L else 1000000L / usPerFrame
+        Row(id, payload.length.toLong, w, h, counted, fps,
+          if (fps == 0) 0L else counted * 1000L / fps)
+      }
+    }
+    spark.createDataFrame(rdd, videoFeatureSchema)
+  }
+
   /** Decode WAV payloads: RIFF/WAVE chunk walk (fmt + data), then one
     * pass over the PCM samples for rms/peak. Undecodable or non-PCM
     * payloads throw — same loud-failure contract as [[ImageIoCodec]].

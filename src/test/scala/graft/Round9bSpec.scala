@@ -125,6 +125,26 @@ class Round9bSpec extends SparkSuite {
       Multimodal.extractAudioFeatures(corrupt).collect())
   }
 
+  test("AVI video: declared-vs-physical frame mismatch is a loud corrupt-container error") {
+    import operators.Multimodal
+    import spark.implicits._
+    val media = Multimodal.attachAviPayload((0L until 5L).toDF("doc_id"), "doc_id")
+    // drop the trailing frame chunk: avih still DECLARES the full count
+    val truncated = media.select(col("doc_id"), col("media_type"),
+      expr("substring(payload, 1, length(payload) - 72)").as("payload"))
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.extractVideoFeatures(truncated).collect())
+    assert(ex.getMessage.contains("frames") || ex.getCause != null)
+    // intact containers decode the closed form
+    val r = Multimodal.extractVideoFeatures(media)
+      .filter(col("doc_id") === 3L).head()
+    val (w, h, n, fps) = Multimodal.videoParams(3L)
+    assert(r.getLong(r.fieldIndex("width")) == w.toLong)
+    assert(r.getLong(r.fieldIndex("height")) == h.toLong)
+    assert(r.getLong(r.fieldIndex("n_frames")) == n.toLong)
+    assert(r.getLong(r.fieldIndex("fps")) == fps.toLong)
+  }
+
   test("randomizeFilePrefixes shards data files under hex prefix dirs; scans/vacuum unaffected") {
     val d = tempDir("rand-prefix")
     var t = DeltaTable.forPath(d).write(nation)
