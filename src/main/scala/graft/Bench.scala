@@ -34,7 +34,9 @@ object Bench {
     "q90_ann_quantized_rerank", "q91_datasource_roundtrip",
     "q92_url_signals", "q103_row_ids_scan", "q104_importance_weights",
     "q109_stable_row_ids", "q110_domain_cap", "q111_training_order",
-    "q120_bm25", "q121_dup_spans", "q122_random_projection")
+    "q120_bm25", "q121_dup_spans", "q122_random_projection",
+    "q125_resample_ffill", "q131_chunk_documents", "q134_dedup_keep_best",
+    "q136_audio_features", "q137_video_features")
 
   val RUNS = 2
 
