@@ -383,6 +383,42 @@ object SparkEntry {
       TextAnalysis.duplicatePassages(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")),
+    // the END-TO-END curation pipeline as ONE declarative plan (Catalyst
+    // fuses the row-local gates into the scan): size gate → stopword
+    // quality gate → exact dedup (min id per md5) → boilerplate gate
+    // (duplicate-passage ratio) → best-first global token budget
+    "q139_curation_pipeline" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val ts = TextAnalysis.tokens(col("text"))
+      val gated = docs
+        .withColumn("n_tokens", size(ts).cast("long"))
+        .withColumn("stopword_ratio",
+          round(size(filter(ts, t => t.isInCollection(TextAnalysis.Stopwords)))
+            .cast("double") / col("n_tokens"), 4))
+        .filter(col("n_tokens").between(20, 2000) &&
+          col("stopword_ratio") >= 0.05)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val deduped = gated.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1).drop("_rk")
+      val dup = TextAnalysis.duplicatePassages(docs, "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("dup_ratio"))
+      val filtered = deduped.join(dup, Seq("doc_id"), "left")
+        .filter(coalesce(col("dup_ratio"), lit(0.0)) < 0.6)
+      operators.Sampling.selectUnderTokenBudget(
+          filtered.select("doc_id", "n_tokens", "stopword_ratio"),
+          "doc_id", "n_tokens", "stopword_ratio", budget = 30000)
+        .orderBy("doc_id")
+    }),
+    // C4-style normalization over deliberately-dirtied text (controls,
+    // runs of spaces) — the clean pass recovers canonical form
+    "q138_text_normalize" -> ((s, d) =>
+      TextAnalysis.normalize(
+          QueryLib.delta(s, d, "documents")
+            .withColumn("text",
+              concat(lit("  "), col("text"), lit("\t end  "))),
+          "doc_id", "text")
+        .orderBy("doc_id")),
     // BPE vocabulary training over the corpus word-frequency table.
     // No SQL oracle: the merge loop is iterative (each argmax depends on
     // the previous merge's rewrite) — not expressible as one SQL query;
@@ -1812,6 +1848,42 @@ object SparkEntry {
          |          UNION
          |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
          |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q139_curation_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ts
+         |  FROM documents),
+         |g AS (SELECT doc_id, text, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |    round(len(list_filter(ts, x -> list_contains($StopList, x)))
+         |      / len(ts), 4) AS stopword_ratio
+         |  FROM t WHERE len(ts) BETWEEN 20 AND 2000),
+         |gq AS (SELECT * FROM g WHERE stopword_ratio >= 0.05),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |    ORDER BY doc_id) AS rk FROM gq),
+         |w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(ts) - 3), i -> array_to_string(ts[i:i+4], ' '))))
+         |    AS win FROM t WHERE len(ts) >= 5),
+         |dfq AS (SELECT win, count(*) AS docfreq FROM w GROUP BY win),
+         |dr AS (SELECT doc_id, round(sum(CASE WHEN docfreq >= 2 THEN 1
+         |      ELSE 0 END) / count(*), 4) AS dup_ratio
+         |  FROM w JOIN dfq USING (win) GROUP BY doc_id),
+         |f AS (SELECT dd.doc_id, dd.n_tokens, dd.stopword_ratio FROM dd
+         |  LEFT JOIN dr ON dr.doc_id = dd.doc_id
+         |  WHERE rk = 1 AND coalesce(dup_ratio, 0) < 0.6),
+         |c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY stopword_ratio DESC,
+         |    doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM f)
+         |SELECT doc_id, n_tokens, stopword_ratio FROM c WHERE cum <= 30000
+         |ORDER BY doc_id""".stripMargin,
+    "q138_text_normalize" ->
+      """WITH dirty AS (SELECT doc_id,
+        |    '  ' || text || chr(9) || chr(1) || ' end  ' AS text FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS clean_text,
+        |  CAST(length(text) AS BIGINT) AS raw_len,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g'))) AS BIGINT)
+        |    AS clean_len
+        |FROM dirty ORDER BY doc_id""".stripMargin,
     "q137_video_features" ->
       """SELECT doc_id,
         |  CAST(100 + 72 * (4 + doc_id % 13) AS BIGINT) AS payload_len,

@@ -392,6 +392,26 @@ object TextAnalysis {
       .drop("_isl")
   }
 
+  /** C4-style text normalization: strip ASCII control characters,
+    * collapse whitespace runs to single spaces, trim, lowercase — the
+    * cleanup pass every web-corpus pipeline runs before tokenization.
+    * ASCII-only character classes so the regexes behave identically under
+    * Java regex and RE2 (the cross-engine contract [[subwordTokens]]
+    * established). Pure codegen'd column algebra: row-local, zero
+    * shuffle, runs at scan speed.
+    */
+  def cleanText(textCol: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(textCol), "[\\x00-\\x1f\\x7f]", " "),
+      " {2,}", " "))
+
+  /** Normalized documents with before/after size signals. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      cleanText(col(textCol)).as("clean_text"),
+      length(col(textCol)).cast("long").as("raw_len"),
+      length(cleanText(col(textCol))).cast("long").as("clean_len"))
+
   /** BPE vocabulary training (Sennrich et al. 2016 — the byte-pair-
     * encoding merge loop every subword tokenizer is built from), run the
     * way real trainers run it: over the WORD-FREQUENCY table, not the
