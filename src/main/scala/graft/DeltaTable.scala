@@ -77,6 +77,15 @@ final case class DeltaTable(
   def fileUris: Seq[String] =
     dlog.addActions.keys.toSeq.map(p => Location.resolve(p, loc, conf).uri)
 
+  /** Typed view of the snapshot: the same log-backed scan as [[toDF]],
+    * bound to a case class via its Encoder — compile-time column safety
+    * for pipeline code that prefers `Dataset[T]` over dynamic rows. The
+    * encoder resolves by NAME against the logical schema, so column-
+    * mapped tables bind exactly like their DataFrame twin.
+    */
+  def toDS[T: org.apache.spark.sql.Encoder](spark: SparkSession): org.apache.spark.sql.Dataset[T] =
+    toDF(spark).as[T]
+
   /** SHOW PARTITIONS, metadata-only: the distinct partition tuples of the
     * live snapshot, typed per the table schema, derived ENTIRELY from the
     * log's partitionValues — zero data files opened. On a 10⁵-partition

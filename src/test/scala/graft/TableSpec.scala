@@ -154,4 +154,27 @@ class TableSpec extends SparkSuite {
     assert(c2.version == 2L)
     assert(DeltaTable.forPath(src).version == 1L)
   }
+
+  test("typed Dataset view binds the snapshot to a case class") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("typed-ds")
+    val t = DeltaTable.forPath(d).write(nation)
+    import spark.implicits._
+    val ds = t.toDS[TableSpec.Nation](spark)
+    // typed ops compile against fields; values match the frame scan
+    assert(ds.map(_.n_nationkey).collect().sorted.toSeq ==
+      nation.select("n_nationkey").collect().map(_.getInt(0)).sorted.toSeq)
+    assert(ds.filter(_.n_regionkey == 2).count() ==
+      nation.filter(org.apache.spark.sql.functions.col("n_regionkey") === 2).count())
+    // after a RENAME the encoder binds the NEW logical name
+    val t2 = t.renameColumn("n_name", "nation_name")
+    val ds2 = t2.toDS[TableSpec.NationRenamed](spark)
+    assert(ds2.map(_.nation_name).collect().sorted.toSeq ==
+      nation.select("n_name").collect().map(_.getString(0)).sorted.toSeq)
+  }
+}
+
+object TableSpec {
+  final case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+  final case class NationRenamed(n_nationkey: Int, nation_name: String, n_regionkey: Int)
 }
