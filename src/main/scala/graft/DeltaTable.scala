@@ -2264,6 +2264,126 @@ final case class DeltaTable(
     } finally src.unpersist()
   }
 
+  /** MERGE with delta-spark's clause surface for NARROW sources: matched
+    * target rows get a column-wise SET applied (instead of whole-row
+    * replacement — the CDC-feed shape where the source carries only the
+    * key plus changed columns), and unmatched source rows optionally
+    * INSERT via explicit value expressions (delta's
+    * `whenNotMatchedInsert(values)`; unnamed table columns null-fill).
+    *
+    * SET / insert expressions reference SOURCE columns as `s.<name>` and
+    * (for SET) target columns by their bare name — the same
+    * qualification delta's SQL MERGE uses.
+    *
+    * Scale shape identical to [[merge]]: touched files found by a
+    * semi-join against the (broadcastable) source keys, only those files
+    * rewritten, inserts appended as new files, one atomic commit.
+    */
+  def mergeWhenMatchedUpdate(spark: SparkSession, source: DataFrame,
+      keyCols: Seq[String], set: Map[String, Column],
+      insertValues: Option[Map[String, Column]] = None,
+      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+    assertPreWrite(removesData = true)
+    require(keyCols.nonEmpty && set.nonEmpty,
+      "mergeWhenMatchedUpdate requires key columns and a SET map")
+    set.keys.foreach(c => require(dlog.schema.fieldNames.contains(c),
+      s"SET references unknown column $c"))
+    require(set.keySet.intersect(keyCols.toSet).isEmpty,
+      "SET must not touch the merge keys")
+    val src = source.cache()
+    try {
+      val srcAgg = src.agg(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
+      require(srcAgg.getLong(1) == srcAgg.getLong(0), "source has duplicate keys")
+      val keys = src.select(keyCols.map(col): _*).distinct()
+      val adds = dlog.addActions
+      val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
+        Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
+      }.toMap
+      val p1Row = scanAddsWithMeta(spark, adds.values.toSeq)
+        .drop(DeltaScan.MetaRow)
+        .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
+        .join(broadcast(keys), keyCols, "left_semi")
+        .agg(collect_set(col("_graft_file")).as("_files"),
+          count_distinct(struct(keyCols.map(col): _*)).as("_mk")).head()
+      val touchedCanonical =
+        p1Row.getSeq[String](0).map(Location.canonical).toSet
+      val numUpdated = p1Row.getLong(1)
+      val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+
+      // phase 2: rewrite touched files with the SET applied to matched rows
+      def applied(touchedDF: DataFrame): DataFrame = {
+        // target aliased "t", source "s": SET expressions qualify source
+        // columns as s.<name>; the rebuild reads target columns via t.<…>
+        // so a source carrying same-named value columns never ambiguates
+        val joined = touchedDF.alias("t")
+          .join(broadcast(src.withColumn("_graft_matched", lit(true)).alias("s")),
+            keyCols, "left")
+        val matched = coalesce(col("s._graft_matched"), lit(false))
+        joined.select(dlog.schema.fields.toIndexedSeq.map { f =>
+          val tgt = if (keyCols.contains(f.name)) col(f.name) else col(s"t.${f.name}")
+          set.get(f.name) match {
+            case Some(v) =>
+              when(matched, v.cast(f.dataType)).otherwise(tgt).as(f.name)
+            case None => tgt.as(f.name)
+          }
+        }: _*)
+      }
+      var numCopied = 0L
+      val newAdds: Seq[AddFile] =
+        if (touchedAdds.isEmpty) Seq.empty
+        else {
+          val rewritten = regenerate(applied(scanAdds(spark, touchedAdds)))
+          validateConstraints(rewritten)
+          val written = writeData(rewritten, dlog.versionToWrite, dlog.partitionColumns)
+          numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
+          written
+        }
+
+      // optional WHEN NOT MATCHED INSERT from explicit value expressions
+      var numInserted = 0L
+      val insertAdds: Seq[AddFile] = insertValues match {
+        case None => Seq.empty
+        case Some(values) =>
+          val unmatched = src.alias("s")
+            .join(broadcast(scanAdds(spark, adds.values.toSeq)
+              .select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+          val row = unmatched.select(dlog.schema.fields.toIndexedSeq.map { f =>
+            values.get(f.name)
+              .orElse(keyCols.find(_ == f.name).map(col))
+              .getOrElse(lit(null)).cast(f.dataType).as(f.name)
+          }: _*)
+          numInserted = row.count()
+          if (numInserted == 0) Seq.empty
+          else {
+            validateConstraints(row)
+            writeData(regenerate(row), dlog.versionToWrite, dlog.partitionColumns)
+          }
+      }
+
+      var cdc: Seq[AddCDCFile] = Seq.empty
+      if (cdfEnabled && touchedAdds.nonEmpty) {
+        val matchedRows = scanAdds(spark, touchedAdds)
+          .join(broadcast(keys), keyCols, "left_semi")
+        val pre = matchedRows.withColumn("_change_type", lit("update_preimage"))
+        val post = applied(matchedRows)
+          .withColumn("_change_type", lit("update_postimage"))
+        cdc = writeChangeData(pre.unionByName(post), dlog.versionToWrite)
+      }
+
+      val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
+      val touchedTotal = touchedAdds.map(a =>
+        a.stats.map(parseNumRecords).getOrElse(0L) -
+          DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
+      val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
+          newAdds ++ insertAdds, dlog.version, numUpdated, numInserted,
+          numCopied, numTargetRowsRemoved = touchedTotal - numCopied)
+        .withExtraCommitInfo(customMetadata)
+      commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
+        adds.keySet.toSet, Some(None))
+    } finally src.unpersist()
+  }
+
   // ------------------------------------------------------------------
   // OPTIMIZE / VACUUM / CHANGES — table maintenance beyond the reference
   // (it only READS tables after other engines compact/vacuum,

@@ -345,6 +345,27 @@ object QueryLib {
       ()
     }
 
+  /** Clause-based MERGE with a NARROW CDC source (key + delta column
+    * only): matched rows get SET c_acctbal += delta, unmatched source
+    * rows insert via explicit value expressions.
+    */
+  def customerMergeSetDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_merge_set") { d =>
+      val c = raw(spark, sfDir, "customer")
+      val upd = c.filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), lit(25.5).as("delta_bal"))
+      val ins = c.filter(col("c_custkey") < 20)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          lit(11.25).as("delta_bal"))
+      DeltaTable.forPath(d).write(c)
+        .mergeWhenMatchedUpdate(spark, upd.unionByName(ins), Seq("c_custkey"),
+          set = Map("c_acctbal" -> (col("c_acctbal") + col("s.delta_bal"))),
+          insertValues = Some(Map(
+            "c_name" -> lit("NEW"), "c_nationkey" -> lit(0),
+            "c_acctbal" -> col("s.delta_bal"), "c_mktsegment" -> lit("NONE"))))
+      ()
+    }
+
   /** MERGE with delta-spark's WHEN NOT MATCHED BY SOURCE clause: source
     * rows (custkey < 200) upsert as usual, and target rows the source
     * does NOT carry are deleted when they satisfy the clause condition

@@ -642,6 +642,10 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("cnt"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy("o_orderstatus")),
+    // clause merge: narrow CDC source, SET-based update + explicit insert
+    "q140_merge_set_clause" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerMergeSetDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
     // SCD Type 2: closed + current versions after one snapshot apply
     "q124_scd_type2" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerScd2Dir(s, d)).toDF(s)
@@ -1669,6 +1673,16 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS cnt,
         |  round(sum(o_totalprice), 2) AS sum_value
         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q140_merge_set_clause" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey < 100 THEN c_acctbal + 25.5
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 100000 AS c_custkey, 'NEW' AS c_name,
+        |  0 AS c_nationkey, 11.25 AS c_acctbal, 'NONE' AS c_mktsegment
+        |FROM customer WHERE c_custkey < 20
+        |ORDER BY c_custkey""".stripMargin,
     "q124_scd_type2" ->
       """WITH closed AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
         |    c_mktsegment,

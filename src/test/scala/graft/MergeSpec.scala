@@ -166,6 +166,39 @@ class MergeSpec extends SparkSuite {
     assert(out.count() == nation.count() * 2 - 3)
   }
 
+  test("clause merge: SET on matched rows, untouched files kept, CDF pre/post exact") {
+    val d = tempDir("merge-set")
+    // two disjoint files; source touches only the low-key file
+    var t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_nationkey") < 10).repartition(1))
+    t = t.write(nation.filter(col("n_nationkey") >= 10).repartition(1))
+    t = t.setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val before = t.fileUris.toSet
+    val src = nation.filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey"), lit(7).as("bump"))
+    val t1 = t.mergeWhenMatchedUpdate(spark, src, Seq("n_nationkey"),
+      set = Map("n_regionkey" -> (col("t.n_regionkey") + col("s.bump"))))
+    // only the touched file rewritten
+    assert(t1.fileUris.toSet.intersect(before).nonEmpty)
+    val out = t1.toDF(spark)
+    assertSameRows(out,
+      nation.withColumn("n_regionkey",
+        when(col("n_nationkey") < 5, col("n_regionkey") + 7)
+          .otherwise(col("n_regionkey"))))
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_updated_rows").asLong() == 5L)
+    assert(m("num_inserted_rows").asLong() == 0L)
+    // CDF: exactly 5 pre + 5 post rows
+    val changes = t1.changesBetween(spark, t1.version - 1, t1.version)
+    assert(changes.filter(col("_change_type") === "update_preimage").count() == 5)
+    assert(changes.filter(col("_change_type") === "update_postimage")
+      .filter(col("n_regionkey") >= 7).count() == 5)
+    // SET touching a key is rejected
+    intercept[IllegalArgumentException](
+      t1.mergeWhenMatchedUpdate(spark, src, Seq("n_nationkey"),
+        set = Map("n_nationkey" -> lit(0))))
+  }
+
   test("merge rejects duplicate source keys") {
     val d = tempDir("merge-dup")
     val t0 = DeltaTable.forPath(d).write(nation)
