@@ -2282,6 +2282,7 @@ final case class DeltaTable(
   def mergeWhenMatchedUpdate(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String], set: Map[String, Column],
       insertValues: Option[Map[String, Column]] = None,
+      matchedDeleteCondition: Option[Column] = None,
       customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
     assertPreWrite(removesData = true)
     require(keyCols.nonEmpty && set.nonEmpty,
@@ -2320,7 +2321,14 @@ final case class DeltaTable(
           .join(broadcast(src.withColumn("_graft_matched", lit(true)).alias("s")),
             keyCols, "left")
         val matched = coalesce(col("s._graft_matched"), lit(false))
-        joined.select(dlog.schema.fields.toIndexedSeq.map { f =>
+        // delta's whenMatchedDelete clause: a matched row meeting the
+        // condition (evaluated over the t/s join, so it can compare both
+        // sides) is DROPPED from the rewrite instead of updated
+        val kept = matchedDeleteCondition match {
+          case None => joined
+          case Some(c) => joined.filter(not(matched && coalesce(c, lit(false))))
+        }
+        kept.select(dlog.schema.fields.toIndexedSeq.map { f =>
           val tgt = if (keyCols.contains(f.name)) col(f.name) else col(s"t.${f.name}")
           set.get(f.name) match {
             case Some(v) =>
@@ -2363,12 +2371,23 @@ final case class DeltaTable(
 
       var cdc: Seq[AddCDCFile] = Seq.empty
       if (cdfEnabled && touchedAdds.nonEmpty) {
-        val matchedRows = scanAdds(spark, touchedAdds)
-          .join(broadcast(keys), keyCols, "left_semi")
-        val pre = matchedRows.withColumn("_change_type", lit("update_preimage"))
-        val post = applied(matchedRows)
+        // one t/s inner join partitions the matched rows into updated
+        // (pre+post pairs) and clause-deleted (delete rows only)
+        val joinedTS = scanAdds(spark, touchedAdds).alias("t")
+          .join(broadcast(src.alias("s")), keyCols, "inner")
+        val delCond = matchedDeleteCondition
+          .map(c => coalesce(c, lit(false))).getOrElse(lit(false))
+        def targets(df: DataFrame): DataFrame =
+          df.select(dlog.schema.fieldNames.toIndexedSeq.map(n =>
+            (if (keyCols.contains(n)) col(n) else col(s"t.$n")).as(n)): _*)
+        val updatedT = targets(joinedTS.filter(not(delCond)))
+        val pre = updatedT.withColumn("_change_type", lit("update_preimage"))
+        val post = applied(updatedT)
           .withColumn("_change_type", lit("update_postimage"))
-        cdc = writeChangeData(pre.unionByName(post), dlog.versionToWrite)
+        val del = targets(joinedTS.filter(delCond))
+          .withColumn("_change_type", lit("delete"))
+        cdc = writeChangeData(pre.unionByName(post).unionByName(del),
+          dlog.versionToWrite)
       }
 
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
@@ -2377,7 +2396,9 @@ final case class DeltaTable(
           DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
       val entry = DeltaLogEntry.mergeTable(predicate, touchedAdds,
           newAdds ++ insertAdds, dlog.version, numUpdated, numInserted,
-          numCopied, numTargetRowsRemoved = touchedTotal - numCopied)
+          numCopied, numTargetRowsRemoved = touchedTotal - numCopied,
+          numTargetRowsDeleted =
+            if (matchedDeleteCondition.isDefined) touchedTotal - numCopied else 0L)
         .withExtraCommitInfo(customMetadata)
       commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
         adds.keySet.toSet, Some(None))

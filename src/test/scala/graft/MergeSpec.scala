@@ -199,6 +199,31 @@ class MergeSpec extends SparkSuite {
         set = Map("n_nationkey" -> lit(0))))
   }
 
+  test("clause merge whenMatchedDelete: condition-gated removal with exact CDF") {
+    val d = tempDir("merge-matched-del")
+    var t = DeltaTable.forPath(d).write(nation)
+      .setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    // source marks nations 0-9; region-2 matches are DELETED, others bumped
+    val src = nation.filter(col("n_nationkey") < 10)
+      .select(col("n_nationkey"), lit(5).as("bump"))
+    val t1 = t.mergeWhenMatchedUpdate(spark, src, Seq("n_nationkey"),
+      set = Map("n_regionkey" -> (col("t.n_regionkey") + col("s.bump"))),
+      matchedDeleteCondition = Some(col("t.n_regionkey") === 2))
+    val expected = nation
+      .filter(!(col("n_nationkey") < 10 && col("n_regionkey") === 2))
+      .withColumn("n_regionkey",
+        when(col("n_nationkey") < 10, col("n_regionkey") + 5)
+          .otherwise(col("n_regionkey")))
+    assertSameRows(t1.toDF(spark), expected)
+    val deleted = nation
+      .filter(col("n_nationkey") < 10 && col("n_regionkey") === 2).count()
+    assert(t1.history.head._2.operationMetrics("num_deleted_rows").asLong() == deleted)
+    val ch = t1.changesBetween(spark, t1.version - 1, t1.version)
+    assert(ch.filter(col("_change_type") === "delete").count() == deleted)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() == 10 - deleted)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() == 10 - deleted)
+  }
+
   test("merge rejects duplicate source keys") {
     val d = tempDir("merge-dup")
     val t0 = DeltaTable.forPath(d).write(nation)
