@@ -610,6 +610,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("k_bucket")),
 
+    // per-type IQR outlier clipping (Tukey fences, exact quartiles)
+    "q141_outlier_clip" -> ((s, d) =>
+      operators.Sampling.iqrClip(
+          QueryLib.eventsDelta(s, d), "event_type", "value")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("kept"),
+          round(avg(col("value")), 4).as("avg_kept"),
+          round(first(col("_lo")), 4).as("lo"),
+          round(first(col("_hi")), 4).as("hi"))
+        .orderBy("event_type")),
     // regular-grid hourly resample with forward fill (gap filling)
     "q125_resample_ffill" -> ((s, d) =>
       Temporal.resampleForwardFill(
@@ -1821,6 +1831,18 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // inclusive as-of semantics: a purchase AT the event's instant matches;
     // carrying the matched row's own timestamp makes ties value-identical
+    "q141_outlier_clip" ->
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi FROM b),
+        |k AS (SELECT e.event_type, e.value, f.lo, f.hi
+        |  FROM events e JOIN f USING (event_type)
+        |  WHERE e.value >= f.lo AND e.value <= f.hi)
+        |SELECT event_type, count(*) AS kept, round(avg(value), 4) AS avg_kept,
+        |  round(any_value(lo), 4) AS lo, round(any_value(hi), 4) AS hi
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q125_resample_ffill" ->
       """WITH h AS (SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
         |    round(avg(value), 4) AS obs

@@ -151,6 +151,32 @@ object Sampling {
     * id tie-break makes the selection a pure function of the corpus, so
     * any engine reproduces the same cut.
     */
+  /** Per-group IQR outlier clipping (Tukey's fences — the standard
+    * numeric-cleaning pass before a value column feeds features or
+    * labels): rows outside `[q1 − k·iqr, q3 + k·iqr]` of their group
+    * drop. Quartiles are EXACT interpolated percentiles so the fences
+    * are engine-reproducible (the q52 contract).
+    *
+    * Scale shape: one map-side-combined percentile aggregate per group
+    * (group count rows, metadata-scale vs the data), joined back on the
+    * group key — the optimizer broadcasts the bounds table when small
+    * and shuffle-joins otherwise; the filter itself is row-local.
+    *
+    * @return the input rows that survive, plus their group's fences
+    *         (`_lo`, `_hi`) for auditability
+    */
+  def iqrClip(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.25)").as("_q1"),
+        expr(s"percentile($valueCol, 0.75)").as("_q3"))
+      .select(col(groupCol),
+        (col("_q1") - lit(k) * (col("_q3") - col("_q1"))).as("_lo"),
+        (col("_q3") + lit(k) * (col("_q3") - col("_q1"))).as("_hi"))
+    df.join(bounds, Seq(groupCol))
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+  }
+
   def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
