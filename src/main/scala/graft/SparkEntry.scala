@@ -610,6 +610,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("k_bucket")),
 
+    // time-based rolling window: per-user trailing-1h average via a
+    // RANGE frame over event-time micros (not a row frame — gaps matter)
+    "q142_rolling_window" -> ((s, d) =>
+      QueryLib.eventsDelta(s, d)
+        .withColumn("_us", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("rolling_avg", round(avg(col("value")).over(
+          Window.partitionBy("user_id").orderBy(col("_us"))
+            .rangeBetween(-3600000000L, 0L)), 4))
+        .select("user_id", "event_id", "rolling_avg")
+        .orderBy("user_id", "event_id")),
     // per-type IQR outlier clipping (Tukey fences, exact quartiles)
     "q141_outlier_clip" -> ((s, d) =>
       operators.Sampling.iqrClip(
@@ -1831,6 +1841,12 @@ object SparkEntry {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // inclusive as-of semantics: a purchase AT the event's instant matches;
     // carrying the matched row's own timestamp makes ties value-identical
+    "q142_rolling_window" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+        |    AS rolling_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q141_outlier_clip" ->
       """WITH b AS (SELECT event_type,
         |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
