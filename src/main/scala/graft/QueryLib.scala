@@ -296,6 +296,20 @@ object QueryLib {
         .merge(spark, updates.union(inserts), Seq("c_custkey"))
     }
 
+  /** Near-dup clusters (ngram-Jaccard pairs → connected components)
+    * MATERIALIZED as a graft table — the layout real dedup pipelines
+    * persist once and consume many times (winner selection, audits).
+    */
+  def dedupClustersDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "dedup_clusters") { d =>
+      val docs = delta(spark, sfDir, "documents")
+      val pairs = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      DeltaTable.forPath(d).write(operators.Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("component").as("cluster_id")))
+      ()
+    }
+
   /** Incrementally-maintained SUM/COUNT aggregate: the agg table is kept
     * in sync with a mutating base (append → delete → update → OPTIMIZE)
     * purely by folding CDF deltas — never a base rescan after the

@@ -728,10 +728,10 @@ object SparkEntry {
     // dedup pipelines retain, not the arbitrary min-id
     "q134_dedup_keep_best" -> ((s, d) => {
       val docs = QueryLib.delta(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
-      val clusters = Dedup.connectedComponents(pairs)
-        .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      // clusters consumed from their MATERIALIZED table (built once per
+      // corpus — the real pipeline persists them; recomputing CC per
+      // consumer query would pay the pair join every time)
+      val clusters = DeltaTable.forPath(QueryLib.dedupClustersDir(s, d)).toDF(s)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id")
         .orderBy(col("n_chars").desc, col("doc_id"))
