@@ -2084,6 +2084,36 @@ final case class DeltaTable(
   // tests/test_compatibility.py:132-154).
   // ------------------------------------------------------------------
 
+
+  /** Merge phase-1 candidate files, stats-pruned by the SOURCE's key
+    * range: with a single comparable merge key, only files whose min/max
+    * overlap `[min(source key), max(source key)]` can own matched rows —
+    * on a 100 TB table a bounded-key source (recent ids, one tenant's
+    * range) turns the phase-1 scan from table-sized to range-sized.
+    * Multi-key or non-comparable merges fall back to every live file
+    * (conservative, never wrong). The one-row min/max agg runs on the
+    * already-cached source.
+    */
+  private[graft] def mergeCandidateAdds(spark: SparkSession, src: DataFrame,
+      keyCols: Seq[String]): Seq[AddFile] = {
+    val all = dlog.addActions.values.toSeq
+    if (keyCols.size != 1) return all
+    val k = keyCols.head
+    val prunable = dlog.schema(k).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    if (!prunable) return all
+    val mm = src.agg(org.apache.spark.sql.functions.min(col(k)),
+      org.apache.spark.sql.functions.max(col(k))).head()
+    if (mm.isNullAt(0)) return all // empty/all-null source: nothing prunes
+    val lo = lit(mm.get(0))
+    val hi = lit(mm.get(1))
+    prunedAdds(col(k) >= lo && col(k) <= hi)
+  }
+
   /** Upsert `source` into the table by equality on `keyCols`: target rows
     * whose key appears in the source are REPLACED by the source row
     * (whole-row update); source rows with no matching key are INSERTED.
@@ -2154,7 +2184,10 @@ final case class DeltaTable(
       // keeps the metrics right when the target holds duplicate rows per
       // key (legal — only the source is checked): rows-based counting
       // over-counted updates and could drive numInserted negative.
-      val p1 = scanAddsWithMeta(spark, adds.values.toSeq)
+      // phase-1 scan bounded by the source's key range (see
+      // mergeCandidateAdds) — files outside it cannot match
+      val p1Candidates = mergeCandidateAdds(spark, src, keyCols)
+      val p1 = scanAddsWithMeta(spark, p1Candidates)
         .drop(DeltaScan.MetaRow)
         .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
         .join(broadcast(keys), keyCols, "left_semi")
@@ -2301,7 +2334,7 @@ final case class DeltaTable(
       val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
         Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
       }.toMap
-      val p1Row = scanAddsWithMeta(spark, adds.values.toSeq)
+      val p1Row = scanAddsWithMeta(spark, mergeCandidateAdds(spark, src, keyCols))
         .drop(DeltaScan.MetaRow)
         .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
         .join(broadcast(keys), keyCols, "left_semi")

@@ -224,6 +224,36 @@ class MergeSpec extends SparkSuite {
     assert(ch.filter(col("_change_type") === "update_postimage").count() == 10 - deleted)
   }
 
+  test("merge phase-1 prunes candidate files by the source key range") {
+    val d = tempDir("merge-prune-range")
+    var t = DeltaTable.forPath(d)
+      .write(nation.filter(col("n_nationkey") < 10).repartition(1))
+    t = t.write(nation.filter(col("n_nationkey") >= 10).repartition(1))
+    // bounded-key source: only the low-range file can own matches
+    val lowSrc = nation.filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey"), col("n_name"))
+    assert(t.mergeCandidateAdds(spark, lowSrc, Seq("n_nationkey")).size == 1)
+    // full-range source: both files
+    assert(t.mergeCandidateAdds(spark, nation, Seq("n_nationkey")).size == 2)
+    // multi-key or empty source: conservative full set
+    assert(t.mergeCandidateAdds(spark, nation,
+      Seq("n_nationkey", "n_regionkey")).size == 2)
+    assert(t.mergeCandidateAdds(spark,
+      nation.filter(lit(false)), Seq("n_nationkey")).size == 2)
+    // string keys prune too (stats carry string min/max)
+    val dn = tempDir("merge-prune-str")
+    var tn = DeltaTable.forPath(dn)
+      .write(nation.filter(col("n_name") < "NATION_3").repartition(1))
+    tn = tn.write(nation.filter(col("n_name") >= "NATION_3").repartition(1))
+    val strSrc = nation.filter(col("n_name") < "NATION_1")
+    assert(tn.mergeCandidateAdds(spark, strSrc, Seq("n_name")).size == 1)
+    // end-to-end: the pruned merge still produces the right table
+    val t1 = t.merge(spark, nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", lit("LOW")), Seq("n_nationkey"))
+    assert(t1.toDF(spark).filter(col("n_name") === "LOW").count() == 5)
+    assert(t1.history.head._2.operationMetrics("num_updated_rows").asLong() == 5L)
+  }
+
   test("merge rejects duplicate source keys") {
     val d = tempDir("merge-dup")
     val t0 = DeltaTable.forPath(d).write(nation)
