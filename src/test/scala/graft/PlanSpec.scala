@@ -258,6 +258,19 @@ class PlanSpec extends SparkSuite {
       "dup-hash semi-join must be a ShuffledHashJoin")
   }
 
+  test("curation pipeline plans no cartesian and fuses gates into the scan") {
+    val df = SparkEntry.queries("q139_curation_pipeline")(spark, sfDir)
+    df.collect()
+    val plan = explainOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // the row-local gates (token count / stopword ratio) must run inside
+    // the scan's codegen stage, not as separate exchanges: the only
+    // hash exchanges allowed are the dup-window agg/join, the dedup
+    // window, and the budget range shuffle
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges:\n" + plan.take(1500))
+  }
+
   test("domain cap plans a partial WindowGroupLimit before the shuffle") {
     val docs = QueryLib.delta(spark, sfDir, "documents")
     val plan = explainOf(operators.Sampling.capPerGroup(docs, "source", 50,
