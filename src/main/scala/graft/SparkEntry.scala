@@ -979,6 +979,14 @@ object SparkEntry {
         .filter(col("vec_id") < 100)
         .orderBy("vec_id", "dim")),
 
+    // k-means cluster assignment (exposed Lloyd surface). No SQL oracle:
+    // Lloyd iterations are inherently iterative; Round9bSpec pins
+    // determinism and per-row assignment OPTIMALITY against the trained
+    // codebook instead. Driver records the rows-only check.
+    "q143_kmeans_clusters" -> ((s, d) =>
+      Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        .orderBy("vec_id")),
     // ---- embedding compression: JL random projection (±1 sign matrix) ----
     "q122_random_projection" -> ((s, d) =>
       Similarity.randomProject(QueryLib.delta(s, d, "embeddings"),

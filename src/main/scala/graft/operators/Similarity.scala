@@ -184,7 +184,7 @@ object Similarity {
     * aggregation-expressed refinement; driver state is O(nCells × dim)
     * doubles only).
     */
-  private def trainCentroids(corpus: DataFrame, idCol: String,
+  private[graft] def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int,
       seed: Int): Array[Array[Double]] = {
     val dim = probeDim(corpus, vecCol)
@@ -410,6 +410,36 @@ object Similarity {
             zip_with(toDouble(col(vecCol)), element_at(rmat, j + 1), (x, r) => x * r),
             lit(0.0), (acc, x) => acc + x) / lit(scale),
           4)).as("projection"))
+  }
+
+  /** K-means cluster assignment — the exposed Lloyd surface behind
+    * IVF/PQ/SemDeDup: deterministic (seeded init, fixed iteration count)
+    * cluster id per vector, the embedding-space partitioning step of
+    * domain-discovery / curriculum pipelines. Assignment is a codegen'd
+    * nearest-centroid scan over the broadcast literal codebook: one
+    * pass, no shuffle; training is `iters` partial-agg rounds over the
+    * corpus (driver holds only k·d doubles).
+    *
+    * @return idCol, cluster_id (1-based cell id), centroid_sim (4-digit
+    *         cosine-style similarity to the assigned centroid)
+    */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5, seed: Int = 42): DataFrame = {
+    val centroids = trainCentroids(df, idCol, vecCol, k, iters, seed)
+    val v = toDouble(col(vecCol))
+    // the probe expression emits 0-based cell indices; expose 1-based ids
+    val cell = element_at(nearestCentroids(v, centroids, 1), 1) + lit(1)
+    // similarity to the ASSIGNED centroid: dot of the normalized pair,
+    // recomputed from the literal codebook (row-local)
+    val simTo = centroids.zipWithIndex.map { case (c, i) =>
+      val lits = array(c.map(x => lit(x)): _*)
+      (i + 1) -> cosineFast(v, lits)
+    }
+    val sim = simTo.foldLeft(lit(Double.NaN)) { case (acc, (i, s)) =>
+      when(cell === i, s).otherwise(acc)
+    }
+    df.select(col(idCol), cell.cast("long").as("cluster_id"),
+      round(sim, 4).as("centroid_sim"))
   }
 
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

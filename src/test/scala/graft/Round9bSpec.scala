@@ -95,6 +95,34 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("k-means assignment is deterministic and per-row OPTIMAL vs the codebook") {
+    import operators.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a1 = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+    val a2 = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+    assertSameRows(a1, a2) // seeded init + fixed iterations = pure function
+    val rows = a1.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.values.map(_._1).toSet.size > 1, "several clusters must be used")
+    assert(rows.values.forall { case (c, _) => c >= 1 && c <= 8 })
+    // optimality: the assigned centroid is the argmax similarity among
+    // ALL trained centroids, recomputed in plain scala
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 5, 42)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val sims = cents.map(c => cos(v, c))
+      val best = sims.zipWithIndex.maxBy(_._1)._2 + 1
+      assert(rows(id)._1 == best.toLong, s"vec $id assigned ${rows(id)._1}, argmax $best")
+      assert(math.abs(rows(id)._2 - math.rint(sims(best - 1) * 10000) / 10000) < 1e-9)
+    }
+  }
+
   test("WAV audio: synthesized containers decode to the embedded signal's stats") {
     import operators.Multimodal
     import spark.implicits._
