@@ -410,6 +410,18 @@ object SparkEntry {
           "doc_id", "n_tokens", "stopword_ratio", budget = 30000)
         .orderBy("doc_id")
     }),
+    // deflate-compressibility quality gate. No SQL oracle (no zlib in
+    // DuckDB SQL); Round9bSpec pins the separation property and
+    // determinism. Driver records the rows-only check.
+    "q145_compressibility" -> ((s, d) =>
+      TextAnalysis.compressionRatio(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+    // character-entropy quality gate (bits/char)
+    "q144_char_entropy" -> ((s, d) =>
+      TextAnalysis.charEntropy(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
     // C4-style normalization over deliberately-dirtied text (controls,
     // runs of spaces) — the clean pass recovers canonical form
     "q138_text_normalize" -> ((s, d) =>
@@ -1908,6 +1920,14 @@ object SparkEntry {
          |          UNION
          |          SELECT e2.u, r.l FROM edges e2 JOIN reach r ON e2.v = r.u)
          |SELECT u AS doc_id, min(l) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "q144_char_entropy" ->
+      """WITH c AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n,
+        |    unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |f AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS fr,
+        |    any_value(n) AS n FROM c WHERE ch <> '' GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_chars_obs,
+        |  round(-sum((fr / n) * log2(fr / n)), 4) AS char_entropy
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q139_curation_pipeline" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ts
          |  FROM documents),

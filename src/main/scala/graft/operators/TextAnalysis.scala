@@ -392,6 +392,63 @@ object TextAnalysis {
       .drop("_isl")
   }
 
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of
+    * each document's character distribution — gibberish and binary
+    * spillage score HIGH, single-char padding scores ~0, natural language
+    * sits in a narrow band; a standard cheap curation gate. One explode
+    * + two partial-combined aggregations, same shape as
+    * [[repetitionSignals]]; entropy rounds to 4 digits for cross-engine
+    * reproducibility.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol), length(col(textCol)).cast("double").as("_n"),
+      explode(split(col(textCol), "")).as("_c"))
+    chars.groupBy(col(idCol), col("_c"))
+      .agg(count(lit(1)).cast("double").as("_f"), first(col("_n")).as("_n"))
+      .groupBy(col(idCol))
+      .agg(first(col("_n")).cast("long").as("n_chars_obs"),
+        round(-sum((col("_f") / col("_n")) *
+          log2(col("_f") / col("_n"))), 4).as("char_entropy"))
+  }
+
+  /** Compression-ratio quality signal (the Gopher/C4 family's
+    * "compressibility" gate): deflate each document once and report
+    * compressed/raw byte ratio — boilerplate and repetitive machine
+    * output compress far better than natural text. Pure-JVM
+    * `java.util.zip.Deflater`, batched per partition with ONE reused
+    * deflater (native init amortized), the justified-imperative shape of
+    * the media codecs.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("raw_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("deflate_bytes",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("compression_ratio",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long"), col(textCol)).rdd
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val raw = r.getString(1).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          org.apache.spark.sql.Row(r.getLong(0), raw.length.toLong, out,
+            if (raw.isEmpty) 1.0 else math.rint(out.toDouble / raw.length * 10000) / 10000)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** C4-style text normalization: strip ASCII control characters,
     * collapse whitespace runs to single spaces, trim, lowercase — the
     * cleanup pass every web-corpus pipeline runs before tokenization.

@@ -95,6 +95,25 @@ class Round9bSpec extends SparkSuite {
     assert(t.toDF(spark).count() == nation.count() * 2)
   }
 
+  test("compression ratio separates repetitive from high-entropy text") {
+    import operators.TextAnalysis
+    import spark.implicits._
+    val rep = "spam " * 400 // highly repetitive
+    val rnd = { // deterministic high-entropy string
+      val r = new scala.util.Random(7)
+      (0 until 2000).map(_ => (33 + r.nextInt(94)).toChar).mkString
+    }
+    val df = Seq((1L, rep), (2L, rnd)).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < 0.1, s"repetitive text must compress hard: ${out(1L)}")
+    assert(out(2L) > 0.7, s"random text must not compress: ${out(2L)}")
+    // deterministic: re-run equal
+    val again = TextAnalysis.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out)
+  }
+
   test("k-means assignment is deterministic and per-row OPTIMAL vs the codebook") {
     import operators.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
