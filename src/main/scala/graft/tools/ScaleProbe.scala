@@ -131,6 +131,35 @@ object ScaleProbe {
       sk *= 4
     }
 
+    // merge phase-1 pruning: same-sized sources, one clustered in a key
+    // range (prunes to few files), one spread across the whole range
+    // (candidates = all files) — the wall gap is the phase-1 scan bound.
+    if (sections("mergeprune")) {
+      import graft.DeltaTable
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      def freshTable(): DeltaTable = {
+        val d = java.nio.file.Files.createTempDirectory("graft-mp-").toString
+        DeltaTable.forPath(d).write(li.repartitionByRange(16, col("l_orderkey"))
+          .select("l_orderkey", "l_quantity", "l_extendedprice"))
+      }
+      def src(narrow: Boolean) = {
+        val base = li.select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice")).dropDuplicates("l_orderkey")
+        (if (narrow) base.filter(col("l_orderkey") < 1000)
+         else base.sample(0.002, 42)).limit(400)
+          .withColumn("l_quantity", lit(0.0))
+      }
+      // warm-up pass first (JIT/codegen), then measured passes
+      Seq(false, true, false).foreach { narrow =>
+        val t = freshTable()
+        val cand = t.mergeCandidateAdds(spark, src(narrow), Seq("l_orderkey")).size
+        val t0 = System.nanoTime()
+        t.merge(spark, src(narrow), Seq("l_orderkey"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"MERGEPRUNE narrow=$narrow candidates=$cand/16 merge=$sec%6.2fs")
+      }
+    }
+
     // text-quality pipeline: duplicate-passage windows and unigram-LM
     // scoring over salted corpus copies. Both are explode + bounded-key
     // window/agg shapes; time/doc should stay ~flat as the corpus grows.
