@@ -3613,10 +3613,43 @@ final case class DeltaTable(
       .flatMap(_.toIntOption).getOrElse(checkpointInterval)
     if (interval > 0 && newLog.version > 0 &&
         newLog.version % interval == 0) {
-      try Checkpoint.write(newLog, conf)
-      catch { case _: Exception => () }
+      try {
+        Checkpoint.write(newLog, conf)
+        autoCleanupExpired(newLog)
+      } catch { case _: Exception => () }
     }
     newLog
+  }
+
+  /** delta's background metadata cleanup (`delta.enableExpiredLogCleanup`
+    * — delta runs it at every checkpoint): after an auto-checkpoint,
+    * sweep JSON commits at/below it that are OLDER than
+    * `delta.logRetentionDuration`. Both properties must be set — an
+    * unset retention means "keep everything" here (the EXPLICIT
+    * [[cleanupLog]] treats unset as sweep-all, because there the caller
+    * asked). checkpointProtection boundaries are honored by skipping the
+    * sweep (a background job must not fail the commit that triggered it).
+    */
+  private def autoCleanupExpired(newLog: DeltaLog): Unit = {
+    val cfg = newLog.latestMetadata.map(_.configuration).getOrElse(Map.empty)
+    if (!cfg.get("delta.enableExpiredLogCleanup")
+        .exists(_.trim.equalsIgnoreCase("true"))) return
+    val retention = cfg.get("delta.logRetentionDuration")
+      .map(DeltaTable.parseRetentionInterval(_, "delta.logRetentionDuration"))
+      .getOrElse(return)
+    val ck = newLog.version
+    val protectV = cfg.get("delta.requireCheckpointProtectionBeforeVersion")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    if (protectV > 0L && ck < protectV - 1) return // protected: skip quietly
+    val cutoff = System.currentTimeMillis() - retention
+    logLoc.listSorted().foreach { st =>
+      val name = st.getPath.getName
+      if (DeltaLog.EntryFilenameRe.matches(name) &&
+          name.split("\\.", 2)(0).toLong <= ck &&
+          st.getModificationTime < cutoff)
+        logLoc.fs.delete(st.getPath, false)
+    }
+    Checksum.cleanup(logLoc, ck - 1)
   }
 
   /** Write a checkpoint for the current version explicitly. */

@@ -406,6 +406,32 @@ class CheckpointSpec extends SparkSuite {
     intercept[IllegalArgumentException](t2.loadAsVersion(7L))
   }
 
+  test("enableExpiredLogCleanup sweeps expired commits at auto-checkpoints") {
+    val d = tempDir("auto-cleanup")
+    var t = DeltaTable.forPath(d).copy(checkpointInterval = 2).write(nation) // v0
+    t = t.setTableProperties(Map(                                      // v1
+      "delta.enableExpiredLogCleanup" -> "true",
+      "delta.logRetentionDuration" -> "interval 0 days"))
+    t = t.write(nation)                                                // v2: auto ckpt + sweep
+    val names = t.logLoc.listSorted().map(_.getPath.getName)
+    assert(!names.exists(_.matches("^0+0\\.json$")),
+      s"v0 commit should be swept: $names")
+    assert(names.exists(_.contains("checkpoint")), names.toString)
+    // reopening rides the checkpoint fast path; state intact
+    val re = DeltaTable.forPath(d)
+    assert(re.version == 2L)
+    assert(re.toDF(spark).count() == nation.count() * 2)
+    // retention honored: with a long window, nothing is swept
+    val d2 = tempDir("auto-cleanup-ret")
+    var t2 = DeltaTable.forPath(d2).copy(checkpointInterval = 2).write(nation)
+    t2 = t2.setTableProperties(Map(
+      "delta.enableExpiredLogCleanup" -> "true",
+      "delta.logRetentionDuration" -> "interval 7 days"))
+    t2 = t2.write(nation)
+    assert(t2.logLoc.listSorted().map(_.getPath.getName)
+      .count(_.endsWith(".json")) == 3, "fresh commits must survive")
+  }
+
   test("checkpointProtection: partial cleanup below the protected boundary refused") {
     val d = tempDir("ckpt-protect")
     var t = DeltaTable.forPath(d).write(nation)          // v0
