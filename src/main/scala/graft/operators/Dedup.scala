@@ -26,6 +26,19 @@ object Dedup {
     * 128-bit digest of the key, keep the row with the smallest `idCol`.
     * Deterministic winner (unlike `dropDuplicates`, whose survivor is
     * partition-order dependent — unacceptable for reproducible pipelines).
+    *
+    * The `row_number().over(partitionBy(digest))` window here is safe
+    * where the token/shingle document-frequency windows (since replaced
+    * by groupBy+join — see [[ngramJaccardPairs]] and
+    * [[TextAnalysis.tfIdfTopTerms]]) were not: a window partition here is
+    * one DUPLICATE CLUSTER — rows that are byte-identical on the key.
+    * Web-scale corpora have heavy-tailed token frequencies (one stopword
+    * in 10^8 docs) but NOT 10^8 byte-identical copies of one document;
+    * exact-duplicate cluster sizes are bounded by crawl redundancy
+    * (typically << 10^4), so no single window-partition task can become
+    * the job. Keep this distinction when adding operators: window over a
+    * CONTENT-derived key with heavy-tailed frequency = scale-killer;
+    * window over an identity-cluster key with bounded multiplicity = fine.
     */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[String] = Seq.empty): DataFrame = {
     val keys = if (keyCols.nonEmpty) keyCols else df.columns.filterNot(_ == idCol).toSeq
@@ -67,15 +80,22 @@ object Dedup {
       .select(col("_id"), col("_n"), xxhash64(col("_s0")).as("_s"))
     // singleton shingles (document frequency 1 — the vast majority in a
     // real corpus) can never produce a pair but would dominate the
-    // self-join's shuffle volume. A window count over the SAME key the
-    // join shuffles on drops them; Spark reuses that hash partitioning
-    // for the join, so the df filter costs a per-partition sort, not an
-    // extra shuffle. The upper maxDocFreq guard rides the same count.
-    val w = Window.partitionBy("_s")
-    val inv = inv0.withColumn("_df", count(lit(1)).over(w))
+    // self-join's shuffle volume. The document frequency is a
+    // map-side-combined groupBy(_s).count re-attached by left_semi
+    // equi-join — NOT a window aggregate: a boilerplate shingle shared
+    // by 10^7 docs would land its every posting in ONE window-partition
+    // task (windows can't be split by AQE), while the groupBy's partial
+    // aggregate sends one row per map task per hot key, and AQE's
+    // skew-join split owns any hot probe partition of the semi-join.
+    // shuffle_hash pins the (corpus-dependent, possibly huge) kept-key
+    // set as a hash build — already partitioned on _s by its aggregate,
+    // so that side needs no extra exchange — instead of a broadcast.
+    // The upper maxDocFreq guard rides the same count.
+    val kept = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 &&
         (if (maxDocFreq > 0L) col("_df") <= maxDocFreq else lit(true)))
-      .drop("_df")
+      .hint("shuffle_hash")
+    val inv = inv0.join(kept, Seq("_s"), "left_semi")
     inv.as("x").join(inv.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))

@@ -269,12 +269,20 @@ object TextAnalysis {
     val n = df.count()
     val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    // document frequency = count over a token window: tf rows are unique
-    // per (doc, token), so the window count IS df — no df-table aggregation
-    // to recompute tf for, and no vocabulary-sized join back (one shuffle
-    // on token instead of two plus a join)
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("token")
-    val scored = tf.withColumn("df", count(lit(1)).over(wTok))
+    // document frequency = groupBy(token).count over the (doc, token)-
+    // unique tf rows, re-attached by equi-join — NOT a window aggregate:
+    // a stopword present in 10^8 docs would land its every tf row in ONE
+    // window-partition task (windows can't be split by AQE), while the
+    // groupBy partial-combines map-side (the hot token contributes one
+    // row per map task to the exchange) and AQE's skew-join split owns
+    // any hot probe partition of the join. shuffle_hash pins the
+    // vocabulary-sized df table as a hash build (already partitioned on
+    // token by its aggregate → no extra exchange) instead of a broadcast,
+    // which would ship hundreds of millions of terms to every executor
+    // on a web corpus.
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .hint("shuffle_hash")
+    val scored = tf.join(dfreq, Seq("token"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("token"))

@@ -82,7 +82,7 @@ object ScaleProbe {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf"))
+      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf", "hotkey"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -387,6 +387,73 @@ object ScaleProbe {
       probe("cc_star", "nodes=1000000 star=30%")(
         Dedup.connectedComponents(star.union(chains))
           .select("component").distinct().count())
+      spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // Hot-key document-frequency probe (VERDICT r9 #1/#2): ONE shingle
+    // injected into EVERY sf0.1 document (a boilerplate footer), so its
+    // document frequency equals the corpus size. Compares the retired
+    // window-partitioned df shape (control — every posting of the hot
+    // key lands in one window task) against the shipped groupBy+join
+    // shape on the exact same postings, then records the full production
+    // operators over the same corpus. The verdict line flags a stage as
+    // SKEWED only when its slowest task is both >3x median duration AND
+    // reads >1.5x median records (a true hot-key straggler).
+    if (sections("hotkey")) {
+      val listener = new TaskStatsListener
+      spark.sparkContext.addSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      def probe(tag: String, detail: String)(f: => Long): Unit = {
+        listener.reset()
+        val t0 = System.nanoTime(); val rows = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        var prev = -1; var waited = 0
+        while (waited < 10000 && listener.taskCount != prev) {
+          prev = listener.taskCount; Thread.sleep(500); waited += 500
+        }
+        val report = listener.worstStage() match {
+          case Some((sid, n, mx, med, r, maxRec, medRec)) =>
+            val dataSkewed = maxRec > medRec * 3 / 2
+            f"worst_stage=$sid tasks=$n max_task=${mx}ms median_task=${med}ms " +
+              f"ratio=$r%4.2f records_max_task=$maxRec records_median=$medRec " +
+              (if (r <= 3.0) "OK(<=3x)"
+               else if (!dataSkewed) "OK(uniform-data jitter)"
+               else "SKEWED(>3x duration AND >1.5x records)")
+          case None => "all stages below heavy-task threshold"
+        }
+        println(f"HOTKEY $tag%-18s $detail rows=$rows%8d wall=$wall%6.2fs $report")
+      }
+      // every doc ends with the same 3-token footer -> with n=3 the
+      // footer shingle's df == |docs|. The corpus is grown with salted
+      // copies FIRST (disjoint shingle sets across copies), then the
+      // footer is appended un-salted, so exactly the injected key is hot.
+      val hot = salted(docs, maxCopies).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          lit("common boilerplate footer")).as("text")).cache()
+      val nHot = hot.count()
+      val inv0 = hot.select(col("doc_id"),
+          explode(TextAnalysis.shingles(TextAnalysis.tokens(col("text")), 3)).as("_s0"))
+        .select(col("doc_id"), xxhash64(col("_s0")).as("_s"))
+      probe("df_window_CONTROL", s"docs=$nHot df(hot)=$nHot") {
+        // the retired shape: df as a count over a shingle-partitioned window
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("_s")
+        inv0.withColumn("_df", count(lit(1)).over(w))
+          .filter(col("_df") >= 2 && col("_df") <= 50).count()
+      }
+      probe("df_groupby_SHIPPED", s"docs=$nHot df(hot)=$nHot") {
+        // the shipped shape: map-side-combined groupBy + semi-join
+        val kept = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") >= 2 && col("_df") <= 50).hint("shuffle_hash")
+        inv0.join(kept, Seq("_s"), "left_semi").count()
+      }
+      probe("ngram_jaccard_full", s"docs=$nHot maxDocFreq=50")(
+        Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+          threshold = 0.8, maxDocFreq = 50L).count())
+      probe("tfidf_full", s"docs=$nHot hot_token_df=$nHot")(
+        TextAnalysis.tfIdfTopTerms(hot, "doc_id", "text").count())
+      hot.unpersist()
       spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()

@@ -214,6 +214,66 @@ class PlanSpec extends SparkSuite {
       "dup-window re-attach must be a ShuffledHashJoin")
   }
 
+  test("tf-idf document frequency joins, never windows over the token") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val r = operators.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text")
+    r.collect() // materialize so AQE finalizes the executed plan
+    val plans = flatten(r.queryExecution.executedPlan)
+    // a window partitioned by the token puts a stopword's every tf row
+    // in one task (VERDICT r9 #1) — df must be a groupBy+join; the only
+    // legal window is the per-doc term_rank (bounded by doc length)
+    val tokenWindows = plans.collect {
+      case w: WindowExec
+          if w.partitionSpec.exists(_.references.exists(_.name == "token")) => w
+    }
+    assert(tokenWindows.isEmpty,
+      s"window exchange over the token column:\n${tokenWindows.mkString("\n")}")
+    assert(plans.exists(_.isInstanceOf[joins.ShuffledHashJoinExec]),
+      "df re-attach must be a ShuffledHashJoin (broadcast of a " +
+        "vocabulary-sized table is wrong at corpus scale)")
+  }
+
+  test("n-gram Jaccard df guard joins, never windows over the shingle") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val r = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, maxDocFreq = 50L)
+    r.collect()
+    val plans = flatten(r.queryExecution.executedPlan)
+    // the singleton/maxDocFreq guard must not window-partition by the
+    // shingle hash (VERDICT r9 #2): no WindowExec anywhere in this plan
+    val windows = plans.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"window exchange in the Jaccard plan:\n${windows.mkString("\n")}")
+    assert(plans.exists(_.isInstanceOf[joins.ShuffledHashJoinExec]),
+      "kept-shingle semi-join must be a ShuffledHashJoin")
+  }
+
   test("BM25 plans a partial top-k and filters postings before the explode") {
     val docs = QueryLib.raw(spark, sfDir, "documents")
     val plan = explainOf(operators.TextAnalysis.bm25TopK(
