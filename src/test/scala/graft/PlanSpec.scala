@@ -246,6 +246,31 @@ class PlanSpec extends SparkSuite {
         "vocabulary-sized table is wrong at corpus scale)")
   }
 
+  test("unigram logprob joins the frequency table, never windows the token") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    val r = operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+    r.collect()
+    val plans = flatten(r.queryExecution.executedPlan)
+    val windows = plans.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"window exchange in the unigram plan:\n${windows.mkString("\n")}")
+    assert(plans.exists(_.isInstanceOf[joins.ShuffledHashJoinExec]),
+      "frequency re-attach must be a ShuffledHashJoin")
+  }
+
   test("n-gram Jaccard df guard joins, never windows over the shingle") {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive._
