@@ -51,10 +51,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // fixed warm-up BEFORE any timing: the shuffle/agg/window machinery
+    // (q09) and the multi-round tiny-stage scheduler path (q59, whose
+    // first-run JIT state swung round-over-round totals by 2x — NOTES_r09)
+    // are exercised twice each, so every round's timed section starts
+    // from comparable JVM state. Untimed by design.
+    for (w <- Seq("q09_q1_agg", "q59_dedup_clusters"); _ <- 1 to 2)
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
 
     val qs = headline.filter(n => only.forall(_.contains(n)))
       .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
@@ -74,7 +83,19 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    // the driver captures only the TAIL of stdout, so the full per-query
+    // JSON (2+ kB for 70 queries) lost its head in r8/r9 and parsed null.
+    // Full JSON goes to a file (committed as a round artifact); stdout
+    // gets the same line only when it is short, else a compact summary
+    // line that always fits whole inside the capture window.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    if (full.length <= 1500) println(full)
+    else println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 

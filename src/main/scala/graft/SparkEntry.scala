@@ -440,6 +440,21 @@ object SparkEntry {
       TextAnalysis.trainBpeMerges(
         QueryLib.delta(s, d, "documents"), "text", numMerges = 20)
         .orderBy("rank")),
+    // BPE APPLICATION with the learned merge list: training stays
+    // rows-only (q132), but encoding against a FIXED list is a
+    // fixed-length fold — the DuckDB oracle (dynamicOracleSql) replays
+    // the greedy non-overlapping merge loop over the same vocabulary
+    // with the learned merges exported as literals.
+    "q146_bpe_apply" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents").filter(col("doc_id") < 100)
+      val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.applyBpeMerges(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", col("tokens")).as("enc"))
+        .orderBy("doc_id")
+    }),
     // overlapping-window chunking (RAG/embedding prep)
     "q131_chunk_documents" -> ((s, d) =>
       TextAnalysis.chunkDocuments(
@@ -991,10 +1006,12 @@ object SparkEntry {
         .filter(col("vec_id") < 100)
         .orderBy("vec_id", "dim")),
 
-    // k-means cluster assignment (exposed Lloyd surface). No SQL oracle:
-    // Lloyd iterations are inherently iterative; Round9bSpec pins
-    // determinism and per-row assignment OPTIMALITY against the trained
-    // codebook instead. Driver records the rows-only check.
+    // k-means cluster assignment (exposed Lloyd surface). Training is
+    // iterative, but assignment against the TRAINED codebook is one
+    // argmax — the DuckDB oracle (dynamicOracleSql) re-trains the same
+    // deterministic codebook at Verify time, exports it as a literal
+    // VALUES table, and recomputes the per-row argmax + cosine.
+    // Round9bSpec additionally pins per-row assignment OPTIMALITY.
     "q143_kmeans_clusters" -> ((s, d) =>
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
@@ -2120,5 +2137,86 @@ object SparkEntry {
         |SELECT vec_id, CAST(dim AS BIGINT) AS dim, code,
         |  round((code + 127) / 254.0 * (mx - mn) + mn, 4) AS dequantized
         |FROM c WHERE vec_id < 100 ORDER BY vec_id, dim""".stripMargin,
+  )
+
+  /** Oracle SQL whose text depends on DATA-DERIVED constants (a trained
+    * codebook, a learned merge list): each builder re-derives the
+    * constants deterministically at Verify time with the live session
+    * and emits them as SQL literals. Verify merges these into
+    * oracle_sql.json alongside [[oracleSql]], so the driver's DuckDB
+    * compare treats them like any static entry.
+    */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
+    // k-means: export the Lloyd-trained codebook as a VALUES table and
+    // let DuckDB recompute each row's argmax cell (NearestCentroids'
+    // metric: dot / centroid-norm, ties to the lower index) and the
+    // full cosine to the assigned centroid.
+    "q143_kmeans_clusters" -> ((s, d) => {
+      val cents = Similarity.trainCentroids(
+        QueryLib.delta(s, d, "embeddings"), "vec_id", "embedding",
+        nCells = 8, iters = 5, seed = 42)
+      val values = cents.zipWithIndex.flatMap { case (arr, c) =>
+        arr.zipWithIndex.map { case (v, i) => s"($c, $i, $v::DOUBLE)" }
+      }.mkString(", ")
+      s"""WITH c(c, i, v) AS (VALUES $values),
+         |n AS (SELECT c, sqrt(sum(v*v)) AS nrm FROM c GROUP BY c),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+         |dt AS (SELECT e.vec_id, c.c, sum(e.x * c.v) AS dot
+         |  FROM e JOIN c USING (i) GROUP BY e.vec_id, c.c),
+         |xn AS (SELECT vec_id, sqrt(sum(x*x)) AS xnrm FROM e GROUP BY vec_id),
+         |r AS (SELECT dt.vec_id, dt.c, dt.dot, n.nrm,
+         |  row_number() OVER (PARTITION BY dt.vec_id
+         |    ORDER BY dt.dot * (CASE WHEN n.nrm > 0 THEN 1.0 / n.nrm ELSE 1.0 END) DESC, dt.c) AS rk
+         |  FROM dt JOIN n USING (c))
+         |SELECT r.vec_id, CAST(r.c + 1 AS BIGINT) AS cluster_id,
+         |  round(r.dot / (xn.xnrm * r.nrm), 4) AS centroid_sim
+         |FROM r JOIN xn USING (vec_id) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }),
+    // BPE application: learn the same 20 merges, then replay the greedy
+    // left-to-right non-overlapping merge of each rank as set operations
+    // — candidate positions (s=l, next=r), islands of ADJACENT candidates
+    // (only adjacency can overlap: selecting position p consumes p+1),
+    // keep even offsets within an island (the greedy choice), fuse, and
+    // renumber. One 6-CTE block per merge rank, generated here.
+    "q146_bpe_apply" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents").filter(col("doc_id") < 100)
+      val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      def esc(x: String) = x.replace("'", "''")
+      val steps = merges.zipWithIndex.map { case ((l, r), idx) =>
+        val k = idx + 1
+        val prev = if (k == 1) "s0" else s"m${k - 1}"
+        s"""c$k AS (SELECT w, pos, s, lead(s) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM $prev),
+           |k$k AS (SELECT w, pos, s, CASE WHEN s = '${esc(l)}' AND nxt = '${esc(r)}' THEN 1 ELSE 0 END AS cd FROM c$k),
+           |i$k AS (SELECT w, pos, s, cd, CASE WHEN cd = 1 THEN pos - row_number() OVER (PARTITION BY w, cd ORDER BY pos) END AS isl FROM k$k),
+           |x$k AS MATERIALIZED (SELECT w, pos, s, cd, CASE WHEN cd = 1 AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0 THEN 1 ELSE 0 END AS sel FROM i$k),
+           |u$k AS (SELECT w, pos, '${esc(l + r)}' AS s FROM x$k WHERE sel = 1
+           |  UNION ALL
+           |  SELECT a.w, a.pos, a.s FROM x$k a LEFT JOIN x$k p ON p.w = a.w AND p.pos = a.pos - 1 AND p.sel = 1 WHERE a.sel = 0 AND p.pos IS NULL),
+           |m$k AS MATERIALIZED (SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, s FROM u$k)""".stripMargin
+      }.mkString(",\n")
+      val last = s"m${merges.length}"
+      s"""WITH words AS (SELECT DISTINCT w FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents WHERE doc_id < 100) WHERE w <> ''),
+         |s0 AS (
+         |  SELECT w, generate_subscripts(string_split(w, ''), 1) AS pos,
+         |    unnest(string_split(w, '')) AS s FROM words
+         |  UNION ALL
+         |  SELECT w, length(w) + 1 AS pos, '</w>' AS s FROM words),
+         |$steps,
+         |enc AS (SELECT w, count(*) AS n_sub, string_agg(s, ' ' ORDER BY pos) AS e
+         |  FROM $last GROUP BY w),
+         |occ AS (SELECT doc_id, o AS wpos, w FROM (
+         |    SELECT doc_id,
+         |      generate_subscripts(string_split(lower(text), ' '), 1) AS o,
+         |      unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents WHERE doc_id < 100) WHERE w <> '')
+         |SELECT occ.doc_id, CAST(sum(enc.n_sub) AS BIGINT) AS n_tokens,
+         |  string_agg(enc.e, ' ' ORDER BY occ.wpos) AS enc
+         |FROM occ JOIN enc USING (w) GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin
+    }),
   )
 }

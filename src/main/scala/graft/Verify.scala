@@ -16,7 +16,6 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // micros (not int96) so DuckDB/pyarrow read our timestamps natively
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -42,8 +41,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // data-derived oracles (trained codebooks / learned merge lists as
+    // literals) are built with the live session and merged in; a builder
+    // failure degrades that query to the driver's rows-only check rather
+    // than failing the whole dump
+    val dynamic = SparkEntry.dynamicOracleSql
       .filter { case (k, _) => only.forall(_.exists(k.contains)) }
+      .flatMap { case (k, f) =>
+        try Some(k -> f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle $k failed: ${e.getMessage}")
+          None
+        }
+      }
+    val json = (SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.exists(k.contains)) } ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
