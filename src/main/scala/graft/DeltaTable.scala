@@ -1066,7 +1066,8 @@ final case class DeltaTable(
           else {
             val updated = regenerate(m.select(dlog.schema.fields.toIndexedSeq.map { f =>
               set.get(f.name) match {
-                case Some(v) => v.cast(f.dataType).as(f.name)
+                case Some(v) =>
+                  v.cast(graft.log.DeltaLog.typeShape(f.dataType)).as(f.name)
                 case None    => col(f.name)
               }
             }: _*))
@@ -1832,12 +1833,34 @@ final case class DeltaTable(
     // (the old gate refused them outright)
     // NOT NULL columns are delta's implicit invariant: nullable=false in
     // the DECLARED schema must hold for every written row (first write
-    // has no declared schema yet — the incoming frame defines it)
+    // has no declared schema yet — the incoming frame defines it).
+    // Recurses into nested structs; a nested check fires only when every
+    // ANCESTOR is non-null (a legitimately-null nullable parent has no
+    // child to check — and a non-nullable parent's own check already
+    // catches its nulls), so the guard chain is `a IS NULL OR a.b IS
+    // NULL OR ... OR leaf IS NOT NULL`.
+    def notNullPaths(prefix: Seq[String],
+        st: org.apache.spark.sql.types.StructType): Seq[Seq[String]] =
+      st.fields.toSeq.flatMap { f =>
+        val path = prefix :+ f.name
+        val own = if (f.nullable) Seq.empty else Seq(path)
+        val nested = f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => notNullPaths(path, s)
+          case _ => Seq.empty
+        }
+        own ++ nested
+      }
     val notNull =
       if (dlog.isEmpty) Seq.empty
-      else dlog.schema.fields.toSeq.filterNot(_.nullable)
-        .filter(f => df.columns.contains(f.name)) // absent cols null-fill at scan, checked on their own write
-        .map(f => s"NOT NULL on ${f.name}" -> s"`${f.name}` IS NOT NULL")
+      else notNullPaths(Seq.empty, dlog.schema)
+        .filter(p => df.columns.contains(p.head)) // absent cols null-fill at scan, checked on their own write
+        .map { p =>
+          val quoted = p.indices.map(i =>
+            p.take(i + 1).map(seg => s"`$seg`").mkString("."))
+          val guards = quoted.init.map(anc => s"$anc IS NULL")
+          val pred = (guards :+ s"${quoted.last} IS NOT NULL").mkString(" OR ")
+          s"NOT NULL on ${p.mkString(".")}" -> pred
+        }
     val cs = dlog.constraints ++
       dlog.invariants.map { case (c, sql) => s"invariant on $c" -> sql } ++
       notNull
@@ -2049,7 +2072,12 @@ final case class DeltaTable(
           regenerate(df.select(dlog.schema.fields.toIndexedSeq.map { f =>
             set.get(f.name) match {
               case Some(v) =>
-                when(condition, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+                // cast to the nullability-RELAXED shape: casting to a type
+                // with non-nullable nested fields is an analysis error for
+                // nullable inputs; NOT NULL is enforced by the row-level
+                // validateConstraints check instead
+                when(condition, v.cast(graft.log.DeltaLog.typeShape(f.dataType)))
+                  .otherwise(col(f.name)).as(f.name)
               case None => col(f.name)
             }
           }: _*))
@@ -2334,7 +2362,8 @@ final case class DeltaTable(
       val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
         Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
       }.toMap
-      val p1Row = scanAddsWithMeta(spark, mergeCandidateAdds(spark, src, keyCols))
+      val p1Candidates = mergeCandidateAdds(spark, src, keyCols)
+      val p1Row = scanAddsWithMeta(spark, p1Candidates)
         .drop(DeltaScan.MetaRow)
         .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
         .join(broadcast(keys), keyCols, "left_semi")
@@ -2365,7 +2394,9 @@ final case class DeltaTable(
           val tgt = if (keyCols.contains(f.name)) col(f.name) else col(s"t.${f.name}")
           set.get(f.name) match {
             case Some(v) =>
-              when(matched, v.cast(f.dataType)).otherwise(tgt).as(f.name)
+              // nullability-relaxed cast target — see update()'s applySet
+              when(matched, v.cast(graft.log.DeltaLog.typeShape(f.dataType)))
+                .otherwise(tgt).as(f.name)
             case None => tgt.as(f.name)
           }
         }: _*)
@@ -2386,9 +2417,19 @@ final case class DeltaTable(
       val insertAdds: Seq[AddFile] = insertValues match {
         case None => Seq.empty
         case Some(values) =>
+          // scale shape identical to merge(): the broadcast sides are
+          // bounded by the (small, cached) SOURCE. Matched source keys
+          // come from the stats-pruned candidate files semi-joined with
+          // the broadcast source keys — the target is streamed; then the
+          // anti-join's build side is that matched-key set (⊆ source
+          // keys). Broadcasting the TARGET's distinct keys instead would
+          // scan every live file and ship table-cardinality keys to the
+          // driver — an OOM at 100 TB.
+          val matchedKeys = scanAdds(spark, p1Candidates)
+            .join(broadcast(keys), keyCols, "left_semi")
+            .select(keyCols.map(col): _*).distinct()
           val unmatched = src.alias("s")
-            .join(broadcast(scanAdds(spark, adds.values.toSeq)
-              .select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
+            .join(broadcast(matchedKeys), keyCols, "left_anti")
           val row = unmatched.select(dlog.schema.fields.toIndexedSeq.map { f =>
             values.get(f.name)
               .orElse(keyCols.find(_ == f.name).map(col))
@@ -3221,15 +3262,22 @@ final case class DeltaTable(
         else s"imported-clone-$i/${pathName(a.path)}"
       (srcUri, a.copy(path = rel))
     }
-    // referenced DV sidecar dirs keep their table-root-relative layout,
-    // so the adds' refs survive verbatim
+    // referenced DV sidecar dirs/files keep their table-root-relative
+    // layout, so the adds' refs survive verbatim (delta "u" uuid naming
+    // is root-relative too; "p" absolute refs stay shared, inline DVs
+    // have no file)
     val sidecarFiles: Seq[(String, String)] =
-      adds.flatMap(DeletionVectors.refOf(_)).map(_.sidecar).distinct.flatMap { rel =>
-        val dir = Location.resolve(rel, loc, conf)
-        dir.listDataFilesRecursive().map { st =>
-          (st.getPath.toString, s"$rel/${relativize(st.getPath, dir.path)}")
-        }
-      }
+      adds.flatMap(DeletionVectors.refOf(_)).flatMap {
+        case DeletionVectors.SidecarRef(rel, _) =>
+          val dir = Location.resolve(rel, loc, conf)
+          dir.listDataFilesRecursive().map { st =>
+            (st.getPath.toString, s"$rel/${relativize(st.getPath, dir.path)}")
+          }
+        case DeletionVectors.DeltaRef("u", poi, _, _, _, _) =>
+          val p = DeletionVectors.deltaDvPath("u", poi, loc, conf)
+          Seq((p.toString, relativize(p, loc.path)))
+        case _ => Seq.empty
+      }.distinct
     val copies = mapped.map { case (src, a) => (src, a.path) } ++ sidecarFiles
 
     if (copies.nonEmpty) {
@@ -3407,18 +3455,56 @@ final case class DeltaTable(
       log: DeltaLog = dlog): DeltaLogEntry = {
     ProtocolGate.assertWritable(log.currentProtocol, log.latestMetadata)
     ProtocolGate.assertMutationAllowed(log.latestMetadata, entry)
-    // columnMapping.mode=id: every schema field must CARRY an id — a
-    // schema-evolving commit would mint id-less columns this engine has
-    // no allocation story for (maxColumnId bookkeeping); refuse loudly
-    // instead of writing a table id-addressed readers cannot bind
+    // columnMapping.mode=id: every schema field AT EVERY NESTING LEVEL
+    // must CARRY an id — a schema-evolving commit would mint id-less
+    // columns this engine has no allocation story for (maxColumnId
+    // bookkeeping); refuse loudly instead of writing a table
+    // id-addressed readers cannot bind. Nested physical RENAMES are
+    // refused too: attachFieldIds matches nested fields by name, so a
+    // nested physicalName differing from the field name would make us
+    // write parquet columns under names a name-addressed reader of this
+    // table cannot find.
     entry.metadataAction.foreach { m =>
       if (ColumnMapping.modeOf(m.configuration) == "id") {
-        val idless = m.schema.fields
-          .filterNot(_.metadata.contains(ColumnMapping.IdKey)).map(_.name)
+        def walk(prefix: Seq[String], st: org.apache.spark.sql.types.StructType,
+            top: Boolean): (Seq[String], Seq[String]) = {
+          def walkDt(path: Seq[String],
+              dt: org.apache.spark.sql.types.DataType): (Seq[String], Seq[String]) =
+            dt match {
+              case s: org.apache.spark.sql.types.StructType => walk(path, s, top = false)
+              case org.apache.spark.sql.types.ArrayType(e, _) =>
+                walkDt(path :+ "element", e)
+              case org.apache.spark.sql.types.MapType(k, v, _) =>
+                val (ik, rk) = walkDt(path :+ "key", k)
+                val (iv, rv) = walkDt(path :+ "value", v)
+                (ik ++ iv, rk ++ rv)
+              case _ => (Seq.empty, Seq.empty)
+            }
+          st.fields.toSeq.map { f =>
+            val path = prefix :+ f.name
+            val idless =
+              if (f.metadata.contains(ColumnMapping.IdKey)) Seq.empty
+              else Seq(path.mkString("."))
+            val renamed =
+              if (!top && ColumnMapping.physicalName(f) != f.name)
+                Seq(path.mkString("."))
+              else Seq.empty
+            val (ni, nr) = walkDt(path, f.dataType)
+            (idless ++ ni, renamed ++ nr)
+          }.foldLeft((Seq.empty[String], Seq.empty[String])) {
+            case ((ai, ar), (i, r)) => (ai ++ i, ar ++ r)
+          }
+        }
+        val (idless, nestedRenames) = walk(Seq.empty, m.schema, top = true)
         if (idless.nonEmpty) throw new IllegalStateException(
           s"columnMapping.mode=id: column(s) ${idless.mkString(", ")} carry " +
             "no delta.columnMapping.id — id allocation for new columns is " +
             "not supported; evolve id tables with an id-mode writer")
+        if (nestedRenames.nonEmpty) throw new IllegalStateException(
+          s"columnMapping.mode=id: nested column(s) " +
+            s"${nestedRenames.mkString(", ")} carry a physicalName that " +
+            "differs from the field name — nested physical renames are " +
+            "not supported by this writer")
       }
     }
     // row-id allocation first: it may append the high-water-mark

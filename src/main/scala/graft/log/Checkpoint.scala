@@ -216,19 +216,48 @@ object Checkpoint {
     */
   private def statsStructType(dlog: DeltaLog): Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
+    def statable(dt: DataType): Boolean = dt match {
+      case _: NumericType | StringType | BooleanType | DateType => true
+      case _: TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    // minValues/maxValues mirror the table's NESTED structure down to the
+    // comparable leaves (Statistics.json writes nested stats as nested
+    // objects; a flat top-level-only struct here would permanently drop
+    // nested-leaf bounds at every writeStatsAsJson=false checkpoint)
+    def minMaxShape(st: StructType): Option[StructType] = {
+      val fs = st.fields.flatMap { f =>
+        f.dataType match {
+          case s: StructType => minMaxShape(s).map(n => StructField(f.name, n))
+          case dt if statable(dt) => Some(StructField(f.name, dt))
+          case _ => None
+        }
+      }
+      if (fs.isEmpty) None else Some(StructType(fs))
+    }
+    // nullCount covers EVERY non-repeated leaf (binary included — the
+    // footer fold counts nulls even where no min/max is comparable)
+    def nullShape(st: StructType): Option[StructType] = {
+      val fs = st.fields.flatMap { f =>
+        f.dataType match {
+          case s: StructType => nullShape(s).map(n => StructField(f.name, n))
+          case _: ArrayType | _: MapType => None
+          case _ => Some(StructField(f.name, LongType))
+        }
+      }
+      if (fs.isEmpty) None else Some(StructType(fs))
+    }
     dlog.latestMetadata.map { m =>
       val phys = ColumnMapping.physicalSchema(m.schema)
-      val leaves = StructType(phys.fields.filter(f => f.dataType match {
-        case _: NumericType | StringType | BooleanType | DateType => true
-        case _: TimestampType | TimestampNTZType => true
-        case _ => false
-      }).map(f => StructField(f.name, f.dataType)))
-      val nulls = StructType(leaves.fields.map(f => StructField(f.name, LongType)))
-      StructType(Seq(
-        StructField("numRecords", LongType),
-        StructField("minValues", leaves),
-        StructField("maxValues", leaves),
-        StructField("nullCount", nulls)))
+      StructType(
+        Seq(StructField("numRecords", LongType)) ++
+          minMaxShape(phys).map(StructField("minValues", _)) ++
+          minMaxShape(phys).map(StructField("maxValues", _)) ++
+          nullShape(phys).map(StructField("nullCount", _)) ++
+          // a foreign DV-writing engine's stats carry tightBounds; it
+          // must survive the struct round-trip (to_json drops nulls, so
+          // absent stays absent on restore)
+          Seq(StructField("tightBounds", BooleanType)))
     }
   }
 

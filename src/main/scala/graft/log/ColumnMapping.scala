@@ -53,26 +53,90 @@ object ColumnMapping {
   def modeOf(configuration: Map[String, String]): String =
     configuration.getOrElse(ModeConfigKey, "none")
 
-  /** Write-side projection for an id-mode table: alias each physical
-    * column WITH `parquet.field.id` metadata taken from the table
-    * schema's `delta.columnMapping.id`, so the parquet writer (Spark's
-    * `spark.sql.parquet.fieldId.write.enabled`, default on) stamps real
-    * field ids — an id-addressed foreign reader must be able to bind our
-    * files. No-op for name/none modes or id-less fields.
+  /** Write-side schema reconcile for an id-mode table: merge
+    * `parquet.field.id` metadata (from the table schema's
+    * `delta.columnMapping.id`) into the frame's schema RECURSIVELY —
+    * nested struct fields included, wherever they appear (struct, array
+    * element, map key/value) — then apply it with `Dataset.to`, the one
+    * mechanism that can attach NESTED field metadata (an alias only
+    * reaches top level, which is how id-mode files used to ship nested
+    * columns id-less that id-addressed foreign readers cannot bind).
+    * Spark's parquet writer (`spark.sql.parquet.fieldId.write.enabled`,
+    * default on) stamps the ids at every level. Top-level fields match
+    * by PHYSICAL name (`toPhysical` has already renamed them); nested
+    * fields match by field name (nested physical renames are refused at
+    * commit time — see the id gate). No-op for name/none modes or
+    * id-less schemas.
     */
   def attachFieldIds(df: DataFrame, tableSchema: StructType): DataFrame = {
-    val idByPhysical: Map[String, Long] = tableSchema.fields.iterator.flatMap { f =>
-      if (f.metadata.contains(IdKey))
-        Some(physicalName(f) -> f.metadata.getLong(IdKey))
-      else None
-    }.toMap
-    if (idByPhysical.isEmpty) df
-    else df.select(df.columns.toSeq.map { c =>
-      idByPhysical.get(c) match {
-        case Some(id) => col(c).as(c,
-          new MetadataBuilder().putLong(ParquetFieldIdKey, id).build())
-        case None => col(c)
+    // nested physical renames would make this match bind the wrong
+    // parquet column name (nested matching is by field name): refuse the
+    // write loudly rather than ship files name-addressed readers of this
+    // table cannot find
+    def assertNoNestedRenames(prefix: Seq[String],
+        dt: org.apache.spark.sql.types.DataType, top: Boolean): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        if (!top && physicalName(f) != f.name)
+          throw new IllegalStateException(
+            s"columnMapping: nested column ${(prefix :+ f.name).mkString(".")} " +
+              s"carries physicalName '${physicalName(f)}' differing from its " +
+              "field name — nested physical renames are not supported by " +
+              "this writer")
+        assertNoNestedRenames(prefix :+ f.name, f.dataType, top = false)
       }
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        assertNoNestedRenames(prefix, e, top = false)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        assertNoNestedRenames(prefix, k, top = false)
+        assertNoNestedRenames(prefix, v, top = false)
+      case _ =>
+    }
+    assertNoNestedRenames(Seq.empty, StructType(tableSchema.fields), top = true)
+    var any = false
+    def mergeDt(d: org.apache.spark.sql.types.DataType,
+        t: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      (d, t) match {
+        case (ds: StructType, ts: StructType) => mergeSt(ds, ts)
+        case (org.apache.spark.sql.types.ArrayType(de, n),
+              org.apache.spark.sql.types.ArrayType(te, _)) =>
+          org.apache.spark.sql.types.ArrayType(mergeDt(de, te), n)
+        case (org.apache.spark.sql.types.MapType(dk, dv, n),
+              org.apache.spark.sql.types.MapType(tk, tv, _)) =>
+          org.apache.spark.sql.types.MapType(mergeDt(dk, tk), mergeDt(dv, tv), n)
+        case _ => d
+      }
+    def mergeSt(dfSt: StructType, tblSt: StructType): StructType = {
+      val byName = tblSt.fields.map(f => f.name -> f).toMap
+      StructType(dfSt.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(t) =>
+            val md =
+              if (t.metadata.contains(IdKey)) {
+                any = true
+                new MetadataBuilder().withMetadata(f.metadata)
+                  .putLong(ParquetFieldIdKey, t.metadata.getLong(IdKey)).build()
+              } else f.metadata
+            f.copy(dataType = mergeDt(f.dataType, t.dataType), metadata = md)
+          case None => f
+        }
+      })
+    }
+    // top level keys by physical name (the frame is already physical)
+    val topAsPhysical = StructType(tableSchema.fields.map(f =>
+      f.copy(name = physicalName(f))))
+    val target = mergeSt(df.schema, topAsPhysical)
+    if (!any) df
+    else df.select(target.fields.toSeq.map { f =>
+      // top-level ids ride ALIAS metadata; NESTED ids ride the column's
+      // DataType (a cast to the metadata-annotated struct type — the
+      // parquet writer reads nested field ids from the schema's nested
+      // StructField metadata, which an alias alone cannot reach).
+      // `Dataset.to` looks like the natural tool but skips
+      // metadata-only differences, silently writing no ids at all.
+      val orig = df.schema(f.name).dataType
+      val c = if (f.dataType.json == orig.json) col(f.name)
+              else col(f.name).cast(f.dataType)
+      c.as(f.name, f.metadata)
     }: _*)
   }
 

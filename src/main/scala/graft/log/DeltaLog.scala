@@ -121,10 +121,11 @@ object DeltaLogEntry {
   }
 
   /** Merge-on-read DELETE entry: each touched file is RE-ADDED (same data
-    * file, a new deletionVector ref in `extra`) — no RemoveFile, because
-    * replay applies an entry's adds before its removes, so a same-path
-    * remove+add pair would kill the file; `addActions.updated` replaces the
-    * prior add in place. Files whose every row is now dead are removed
+    * file, a new deletionVector ref in `extra`) — no RemoveFile needed:
+    * `addActions.updated` replaces the prior add in place. (Replay also
+    * accepts delta-spark's remove+add same-path pairing — removes apply
+    * before adds within an entry — but emitting only the add keeps our
+    * entries minimal.) Files whose every row is now dead are removed
     * outright (`fullDead`).
     */
   def deleteMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
@@ -337,8 +338,15 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
   def addActions: ListMap[String, AddFile] = {
     var adds = ListMap.empty[String, AddFile]
     entries.foreach { case (_, entry) =>
-      entry.adds.foreach(a => adds = adds.updated(a.path, a))
+      // removes BEFORE adds within one entry: a same-path remove+add pair
+      // in a single commit (delta-spark's DV delete emits remove(old) +
+      // add(same file, new deletionVector)) leaves the file LIVE under
+      // the new add — the remove is the old version's vacuum tombstone,
+      // not a kill of the re-add. Graft's own commits never pair a path
+      // (rewrites mint fresh uuid paths; MoR re-adds without a remove),
+      // so this matches delta replay without changing native semantics.
       entry.removes.foreach(r => adds = adds.removed(r.path))
+      entry.adds.foreach(a => adds = adds.updated(a.path, a))
     }
     adds
   }
@@ -401,6 +409,28 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     * unless schema_mode=merge; overwrite always takes the new schema.
     */
   def evaluateSchema(newSchema: StructType, mode: WriteMode, schemaMode: String): StructType = {
+    // stats are keyed by DOTTED physical paths (Statistics.json nests on
+    // '.', DataSkipping probes flat dotted maps): a physical name that
+    // itself contains '.' is indistinguishable from a nested path — a
+    // top-level "a.b" column's bounds would be attributed to struct
+    // field a.b (or vice versa) and could mis-prune files, silently
+    // dropping rows. Refuse at write time; column mapping (dot-free
+    // col-<uuid> physical names) is the supported spelling.
+    def assertStatSafe(st: StructType, prefix: Seq[String]): Unit =
+      st.fields.foreach { f =>
+        val phys = graft.log.ColumnMapping.physicalName(f)
+        if (phys.contains("."))
+          throw new IllegalArgumentException(
+            s"column ${(prefix :+ f.name).mkString(".")} has physical name " +
+              s"'$phys' containing '.', which is ambiguous against nested " +
+              "stats paths and can mis-prune files — enable column mapping " +
+              "(dot-free physical names) or rename the column")
+        f.dataType match {
+          case s: StructType => assertStatSafe(s, prefix :+ f.name)
+          case _ =>
+        }
+      }
+    assertStatSafe(newSchema, Seq.empty)
     if (entries.isEmpty) newSchema
     else {
       val existing = schema
@@ -461,22 +491,45 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
 
   /** Legacy COLUMN INVARIANTS (delta's writer-v2 `delta.invariants` field
     * metadata — the pre-CHECK-constraint form delta-spark still enforces
-    * on every write): field name → SQL expression, from the nested
-    * `{"expression":{"expression":"<sql>"}}` wrapper. Malformed wrappers
-    * are ignored (a foreign writer's invariant we cannot parse cannot be
-    * enforced — the write gate's feature check still protects tables
-    * whose protocol demands features beyond us).
+    * on every write): field path → SQL expression, from the nested
+    * `{"expression":{"expression":"<sql>"}}` wrapper, recursing into
+    * nested StructTypes (delta-spark enforces nested-field invariants
+    * recursively, so skipping them would silently unenforce what a
+    * foreign writer relies on). An invariant that is PRESENT but
+    * unparseable throws: a writer-v2 table whose invariant we cannot
+    * evaluate must be refused (as the pre-enforcement protocol gate
+    * refused every invariant-bearing table), never silently writable
+    * with the invariant dropped. Only write paths call this.
     */
   def invariants: Map[String, String] =
     latestMetadata.map { m =>
-      m.schema.fields.iterator.flatMap { f =>
-        if (!f.metadata.contains("delta.invariants")) None
-        else try {
-          val node = Json.mapper.readTree(f.metadata.getString("delta.invariants"))
-          val sql = node.path("expression").path("expression").asText(null)
-          Option(sql).filter(_.nonEmpty).map(f.name -> _)
-        } catch { case _: Exception => None }
-      }.toMap
+      def walk(prefix: Seq[String], st: StructType): Iterator[(String, String)] =
+        st.fields.iterator.flatMap { f =>
+          val path = prefix :+ f.name
+          val own: Option[(String, String)] =
+            if (!f.metadata.contains("delta.invariants")) None
+            else {
+              val raw = f.metadata.getString("delta.invariants")
+              val sql =
+                try {
+                  val node = Json.mapper.readTree(raw)
+                  node.path("expression").path("expression").asText(null)
+                } catch { case _: Exception => null }
+              if (sql == null || sql.isEmpty)
+                throw new IllegalArgumentException(
+                  s"column ${path.mkString(".")} carries a delta.invariants " +
+                    s"expression this engine cannot parse ($raw); refusing " +
+                    "to write — an unenforced invariant would corrupt the " +
+                    "table for writers that rely on it")
+              Some(path.mkString(".") -> sql)
+            }
+          val nested = f.dataType match {
+            case s: StructType => walk(path, s)
+            case _             => Iterator.empty
+          }
+          own.iterator ++ nested
+        }
+      walk(Seq.empty, m.schema).toMap
     }.getOrElse(Map.empty)
 
   /** commitInfo dicts newest-first (reference delta_log/__init__.py:312-318). */
@@ -624,27 +677,80 @@ object DeltaLog {
     DeltaLog(loc, entries)
   }
 
-  /** Order-insensitive, metadata-insensitive schema equality by field name
-    * (reference schema.py:106-109).
+  /** DataType with field metadata removed at EVERY level — raw
+    * `dataType.json` comparison would make a table whose NESTED fields
+    * carry metadata (invariants, column-mapping ids) reject appends of
+    * metadata-less frames with an opaque "Schema mismatch".
+    */
+  private def stripMeta(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, stripMeta(f.dataType), f.nullable)))
+      case org.apache.spark.sql.types.ArrayType(e, n) =>
+        org.apache.spark.sql.types.ArrayType(stripMeta(e), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(stripMeta(k), stripMeta(v), n)
+      case other => other
+    }
+
+  /** stripMeta plus nullability normalized to true everywhere — the
+    * type-shape key for append compatibility, where nullability is
+    * checked separately (and directionally). */
+  private[graft] def typeShape(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, typeShape(f.dataType), nullable = true)))
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        org.apache.spark.sql.types.ArrayType(typeShape(e), containsNull = true)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        org.apache.spark.sql.types.MapType(typeShape(k), typeShape(v),
+          valueContainsNull = true)
+      case other => other
+    }
+
+  /** Incoming nullability tighter-or-equal at every level: non-null data
+    * into a nullable slot is safe, possible nulls into a non-null slot
+    * are not. Assumes type shapes already matched (nested field order is
+    * part of the shape, so positional zip is sound). */
+  private def nullabilityTighter(inc: org.apache.spark.sql.types.DataType,
+      ex: org.apache.spark.sql.types.DataType): Boolean = (inc, ex) match {
+    case (si: StructType, se: StructType) =>
+      si.fields.zip(se.fields).forall { case (fi, fe) =>
+        (!fi.nullable || fe.nullable) && nullabilityTighter(fi.dataType, fe.dataType)
+      }
+    case (org.apache.spark.sql.types.ArrayType(ei, ni),
+          org.apache.spark.sql.types.ArrayType(ee, ne)) =>
+      (!ni || ne) && nullabilityTighter(ei, ee)
+    case (org.apache.spark.sql.types.MapType(ki, vi, ni),
+          org.apache.spark.sql.types.MapType(ke, ve, ne)) =>
+      (!ni || ne) && nullabilityTighter(ki, ke) && nullabilityTighter(vi, ve)
+    case _ => true
+  }
+
+  /** Order-insensitive, metadata-insensitive (at every nesting level)
+    * schema equality by field name (reference schema.py:106-109).
     */
   def schemasEquivalent(a: StructType, b: StructType): Boolean = {
     def key(s: StructType): Map[String, (String, Boolean)] =
-      s.fields.map(f => f.name -> ((f.dataType.json, f.nullable))).toMap
+      s.fields.map(f => f.name -> ((stripMeta(f.dataType).json, f.nullable))).toMap
     key(a) == key(b)
   }
 
-  /** Append compatibility: same column set and types, and the incoming
-    * data's nullability may be TIGHTER than the table's (provably-non-null
-    * rows into a nullable column are always safe — Catalyst tightens a
-    * literal-heavy micro-batch's nullability, and rejecting it would make
-    * streaming sinks flake per batch), never looser (possible nulls into
-    * a non-null column violate the table contract).
+  /** Append compatibility: same column set and type SHAPES (field
+    * metadata ignored at every level), and the incoming data's
+    * nullability may be TIGHTER than the table's at every level
+    * (provably-non-null rows into a nullable column are always safe —
+    * Catalyst tightens a literal-heavy micro-batch's nullability, and
+    * rejecting it would make streaming sinks flake per batch), never
+    * looser (possible nulls into a non-null column violate the table
+    * contract).
     */
   def schemasAppendCompatible(existing: StructType, incoming: StructType): Boolean = {
     def types(s: StructType): Map[String, String] =
-      s.fields.map(f => f.name -> f.dataType.json).toMap
+      s.fields.map(f => f.name -> typeShape(f.dataType).json).toMap
     types(existing) == types(incoming) &&
-      incoming.fields.forall(f => !f.nullable || existing(f.name).nullable)
+      incoming.fields.forall(f => (!f.nullable || existing(f.name).nullable) &&
+        nullabilityTighter(f.dataType, existing(f.name).dataType))
   }
 
   /** Field-union schema merge (reference `pa.unify_schemas`,

@@ -243,6 +243,60 @@ class CheckpointSpec extends SparkSuite {
       "numRecords must survive the struct round trip")
   }
 
+  test("nested leaf stats and tightBounds survive writeStatsAsJson=false checkpoints") {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val d = tempDir("ckpt-stats-nested")
+    val data = spark.range(0, 100).select(col("id"),
+      struct((col("id") / lit(25)).cast("int").as("a"),
+        col("id").cast("string").as("b")).as("s"))
+    val t = DeltaTable.forPath(d).write(data.repartitionByRange(4, col("id")))
+      .setTableProperties(Map(
+        "delta.checkpoint.writeStatsAsStruct" -> "true",
+        "delta.checkpoint.writeStatsAsJson" -> "false"))
+    // splice tightBounds into one add's stats the way a DV engine records
+    // it (a foreign re-add; replay replaces the prior add in place)
+    val a0 = t.dlog.addActions.values.head
+    val patched = a0.copy(stats = a0.stats.map(s =>
+      s.dropRight(1) + ",\"tightBounds\":true}"))
+    t.dlog.commit(graft.log.DeltaLogEntry(Vector(patched,
+      graft.log.CommitInfo.write("Append", Seq.empty))))
+    val t2 = DeltaTable.forPath(d).checkpoint()
+    val v = t2.version
+    val ck = spark.read.parquet(s"$d/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    val sp = ck.filter(col("add").isNotNull).select("add.stats_parsed.*")
+    // nested min/max present under the nested shape, with the leaf's type
+    val mv = sp.schema("minValues").dataType.asInstanceOf[StructType]
+    assert(mv("s").dataType.asInstanceOf[StructType]("a").dataType == IntegerType,
+      mv.treeString)
+    val mm = sp.agg(min("minValues.s.a"), max("maxValues.s.a")).head()
+    assert(mm.getInt(0) == 0 && mm.getInt(1) == 3, mm.toString)
+    // tightBounds survived the typed round trip for exactly the patched add
+    assert(sp.filter(col("tightBounds") === true).count() == 1)
+    // JSON gone (writeStatsAsJson=false)
+    assert(ck.filter(col("add").isNotNull).select("add.stats")
+      .collect().forall(_.isNullAt(0)))
+
+    // wipe graft artifacts + cleaned JSON: the struct checkpoint is the
+    // only stats source — restored JSON must carry nested bounds (prune
+    // on the NESTED path) and the tightBounds flag
+    t2.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val graftArtifact = name.endsWith(".graft-checkpoint.parquet") ||
+        name == Checkpoint.LastCheckpointFile
+      val cleanedJson = name.matches("^\\d+\\.json$") &&
+        name.split("\\.", 2)(0).toLong <= v
+      if (graftArtifact || cleanedJson)
+        t2.logLoc.fs.delete(t2.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assert(re.prunedAdds(col("s.a") === 3).size <
+      re.prunedAdds(org.apache.spark.sql.functions.lit(true)).size,
+      "restored nested struct stats must prune on s.a")
+    assert(re.dlog.addActions.values.flatMap(_.stats)
+      .exists(_.contains("tightBounds")),
+      "tightBounds must survive the JSON restore")
+  }
+
   test("multi-part delta checkpoint (N.checkpoint.i.n.parquet) replays") {
     val d = tempDir("ckpt-delta-parts")
     var t = DeltaTable.forPath(d).write(nation)

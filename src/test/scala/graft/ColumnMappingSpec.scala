@@ -62,6 +62,73 @@ class ColumnMappingSpec extends SparkSuite {
       nation.select("n_name").union(nation.select("n_name")))
   }
 
+  test("id-mode: NESTED fields get parquet field ids; nested renames refused") {
+    import org.apache.spark.sql.types._
+    val d = tempDir("cm-id-nested")
+    val base = spark.range(1, 6).select(col("id"),
+      struct(col("id").cast("int").as("x"),
+        (col("id") * 2).cast("int").as("y")).as("s"))
+    var t = DeltaTable.forPath(d).write(base)
+    val meta = t.dlog.latestMetadata.get
+    def idMeta(name: String, id: Long): Metadata =
+      new MetadataBuilder()
+        .putString(ColumnMapping.PhysicalNameKey, name)
+        .putLong(ColumnMapping.IdKey, id).build()
+    val idSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true, idMeta("id", 1)),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, idMeta("x", 3)),
+        StructField("y", IntegerType, nullable = true, idMeta("y", 4)))),
+        nullable = true, idMeta("s", 2))))
+    t.dlog.commit(graft.log.DeltaLogEntry(Vector(
+      meta.copy(schemaString = idSchema.json,
+        configuration = meta.configuration +
+          (ColumnMapping.ModeConfigKey -> "id") +
+          ("delta.columnMapping.maxColumnId" -> "4")),
+      graft.log.CommitInfo.metaOp(graft.log.CommitInfo.Op.SetProperties,
+        Map.empty, t.version))))
+    val re = DeltaTable.forPath(d)
+    val before = re.fileUris.toSet
+    val t2 = re.write(base)
+    val newFile = t2.fileUris.toSet.diff(before).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(newFile),
+        new org.apache.hadoop.conf.Configuration()))
+    val schema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    // nested leaves must carry their declared ids — an id-addressed
+    // foreign reader binds s.x/s.y by field id, not by name
+    def typ(g: org.apache.parquet.schema.GroupType, n: String) =
+      g.getType(g.getFieldIndex(n))
+    val top = schema.asGroupType()
+    assert(Option(typ(top, "id").getId).map(_.intValue).contains(1), schema.toString)
+    val sGroup = typ(top, "s").asGroupType()
+    assert(Option(typ(top, "s").getId).map(_.intValue).contains(2), schema.toString)
+    assert(Option(typ(sGroup, "x").getId).map(_.intValue).contains(3), schema.toString)
+    assert(Option(typ(sGroup, "y").getId).map(_.intValue).contains(4), schema.toString)
+
+    // nested physical rename: this writer matches nested fields by name,
+    // so a differing nested physicalName must refuse the commit
+    val renamedSchema = StructType(Seq(
+      idSchema.fields(0),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, idMeta("col-phys-x", 3)),
+        StructField("y", IntegerType, nullable = true, idMeta("y", 4)))),
+        nullable = true, idMeta("s", 2))))
+    val ex = intercept[IllegalStateException] {
+      t2.dlog.commit(graft.log.DeltaLogEntry(Vector(
+        meta.copy(schemaString = renamedSchema.json,
+          configuration = meta.configuration +
+            (ColumnMapping.ModeConfigKey -> "id") +
+            ("delta.columnMapping.maxColumnId" -> "4")),
+        graft.log.CommitInfo.metaOp(graft.log.CommitInfo.Op.SetProperties,
+          Map.empty, t2.version))))
+      DeltaTable.forPath(d).write(base)
+    }
+    assert(ex.getMessage.contains("nested"), ex.getMessage)
+  }
+
   test("rename is metadata-only: same data, new logical name, old files") {
     val d = tempDir("cm-rename")
     val t0 = DeltaTable.forPath(d).write(nation)

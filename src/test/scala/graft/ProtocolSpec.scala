@@ -103,6 +103,79 @@ class ProtocolSpec extends SparkSuite {
     assert(t4.toDF(spark).count() == nationDF.count() * 2 - 1)
   }
 
+  test("nested invariants enforced; malformed invariants refuse the write") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, struct, lit, when}
+    val base = spark.range(1, 6).select(col("id"),
+      struct((col("id") * 10).cast("int").as("x"),
+        col("id").cast("int").as("y")).as("s"))
+
+    // nested-field invariant (s.x > 0), spliced the way a foreign
+    // delta-spark writer records it — on the NESTED field's metadata
+    val d = tempDir("nested-invariant")
+    val t = DeltaTable.forPath(d).write(base)
+    val meta = t.dlog.latestMetadata.get
+    def withNestedMeta(metaJson: String): StructType = {
+      val inner = StructType(Seq(
+        StructField("x", IntegerType, nullable = true,
+          metadata = Metadata.fromJson(metaJson)),
+        StructField("y", IntegerType, nullable = true)))
+      StructType(t.schema.fields.map(f =>
+        if (f.name == "s") StructField("s", inner, f.nullable) else f))
+    }
+    t.dlog.commit(DeltaLogEntry(Vector(
+      meta.copy(schemaString = withNestedMeta(
+        """{"delta.invariants":"{\"expression\":{\"expression\":\"s.x > 0\"}}"}""").json),
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t.version))))
+    val bad = spark.range(1, 3).select(col("id"),
+      struct(lit(0).cast("int").as("x"), lit(1).cast("int").as("y")).as("s"))
+    val ex = intercept[IllegalArgumentException](DeltaTable.forPath(d).write(bad))
+    assert(ex.getMessage.contains("invariant on s.x"), ex.getMessage)
+    val t2 = DeltaTable.forPath(d).write(base) // conforming batch lands
+    assert(t2.toDF(spark).count() == 10)
+
+    // malformed invariant JSON: the write is REFUSED (the pre-enforcement
+    // gate's behavior), never silently unenforced
+    val d2 = tempDir("malformed-invariant")
+    val t3 = DeltaTable.forPath(d2).write(base)
+    val meta3 = t3.dlog.latestMetadata.get
+    t3.dlog.commit(DeltaLogEntry(Vector(
+      meta3.copy(schemaString = withNestedMeta(
+        """{"delta.invariants":"not json at all"}""").json),
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t3.version))))
+    val exM = intercept[IllegalArgumentException](DeltaTable.forPath(d2).write(base))
+    assert(exM.getMessage.contains("cannot parse"), exM.getMessage)
+  }
+
+  test("nested NOT NULL enforced only under non-null ancestors") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col, struct, lit, when}
+    val base = spark.range(1, 6).select(col("id"),
+      struct(col("id").cast("int").as("x")).as("s"))
+    val d = tempDir("nested-notnull")
+    val t = DeltaTable.forPath(d).write(base)
+    val meta = t.dlog.latestMetadata.get
+    val schema = StructType(t.schema.fields.map(f =>
+      if (f.name == "s")
+        StructField("s", StructType(Seq(
+          StructField("x", IntegerType, nullable = false))), nullable = true)
+      else f))
+    t.dlog.commit(DeltaLogEntry(Vector(
+      meta.copy(schemaString = schema.json),
+      CommitInfo.metaOp(CommitInfo.Op.SetProperties, Map.empty, t.version))))
+    // UPDATE setting s.x to null under a non-null parent → violation
+    // (the update path's scan frames are nullable-declared, so the ROW
+    // check — not the append-time schema gate — is what fires)
+    val ex = intercept[IllegalArgumentException](
+      DeltaTable.forPath(d).update(spark, Some(col("id") === 1),
+        Map("s" -> struct(lit(null).cast("int").as("x")))))
+    assert(ex.getMessage.contains("NOT NULL on s.x"), ex.getMessage)
+    // s itself set to null (nullable parent) → no child to check, lands
+    val t2 = DeltaTable.forPath(d).update(spark, Some(col("id") === 1),
+      Map("s" -> lit(null).cast(schema("s").dataType)))
+    assert(t2.toDF(spark).filter(col("s").isNull).count() == 1)
+  }
+
   test("appendOnly: mutations rejected, appends and OPTIMIZE pass") {
     val d = tempDir("append-only")
     var t = DeltaTable.forPath(d).write(nationDF)

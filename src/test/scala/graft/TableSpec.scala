@@ -11,6 +11,17 @@ class TableSpec extends SparkSuite {
 
   private def nation = spark.read.parquet(s"$sfDir/nation.parquet")
 
+  test("dotted column names are refused at write time (stats-path ambiguity)") {
+    import org.apache.spark.sql.functions.col
+    // a physical name containing '.' collides with nested stats paths
+    // (Statistics.json nests on '.'): "a.b" and struct a{b} would share
+    // bounds and could mis-prune files — refused loudly
+    val d = tempDir("dotted-name")
+    val df = spark.range(3).select(col("id"), col("id").as("a.b"))
+    val ex = intercept[IllegalArgumentException](DeltaTable.forPath(d).write(df))
+    assert(ex.getMessage.contains("ambiguous"), ex.getMessage)
+  }
+
   test("importRefs registers foreign files without copying") {
     val foreign = tempDir("foreign")
     nation.coalesce(1).write.mode("overwrite").parquet(foreign)
