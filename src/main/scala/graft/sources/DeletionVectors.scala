@@ -58,46 +58,167 @@ object DeletionVectors {
     */
   val BroadcastMaxDeadRows = 2L * 1000 * 1000
 
-  final case class DvRef(sidecar: String, cardinality: Long)
+  /** A file's deletion-vector reference — either graft's parquet sidecar
+    * or a delta-spec descriptor (PROTOCOL.md "Deletion Vectors": roaring
+    * bitmap blobs, storageType u/i/p) recorded by a foreign writer.
+    */
+  sealed trait DvRef { def cardinality: Long }
+
+  /** Graft's native ref: a `(path, row_index)` parquet sidecar dir. */
+  final case class SidecarRef(sidecar: String, cardinality: Long) extends DvRef
+
+  /** Delta-spec descriptor. `ownerPath` is the referencing add's recorded
+    * path — delta DV row indexes are relative to the owning data file, so
+    * resolution must re-key them under it.
+    */
+  final case class DeltaRef(storageType: String, pathOrInlineDv: String,
+      offset: Long, sizeInBytes: Long, cardinality: Long,
+      ownerPath: String) extends DvRef
+
+  object DvRef {
+    /** Sidecar construction shorthand (the write path's spelling). */
+    def apply(sidecar: String, cardinality: Long): SidecarRef =
+      SidecarRef(sidecar, cardinality)
+  }
 
   def refOf(a: AddFile): Option[DvRef] =
     a.extra.get(ExtraKey).map { node =>
-      DvRef(
-        Json.strOpt(node, "sidecar").getOrElse(
-          throw new IllegalArgumentException(s"deletionVector without sidecar on ${a.path}")),
-        Json.longOpt(node, "cardinality").getOrElse(0L))
+      Json.strOpt(node, "sidecar") match {
+        case Some(sc) => SidecarRef(sc, Json.longOpt(node, "cardinality").getOrElse(0L))
+        case None =>
+          val st = Json.strOpt(node, "storageType").getOrElse(
+            throw new IllegalArgumentException(
+              s"deletionVector on ${a.path} carries neither a graft sidecar " +
+                "nor a delta storageType — cannot resolve its dead rows"))
+          DeltaRef(st,
+            Json.strOpt(node, "pathOrInlineDv").getOrElse(throw
+              new IllegalArgumentException(s"deletionVector on ${a.path} has no pathOrInlineDv")),
+            Json.longOpt(node, "offset").getOrElse(1L),
+            Json.longOpt(node, "sizeInBytes").getOrElse(0L),
+            Json.longOpt(node, "cardinality").getOrElse(0L),
+            a.path)
+      }
     }
 
   def withRef(a: AddFile, ref: DvRef): AddFile = {
     val node = Json.obj()
-    node.put("sidecar", ref.sidecar)
-    node.put("cardinality", ref.cardinality)
+    ref match {
+      case SidecarRef(sc, card) =>
+        node.put("sidecar", sc)
+        node.put("cardinality", card)
+      case DeltaRef(st, poi, off, size, card, _) =>
+        node.put("storageType", st)
+        node.put("pathOrInlineDv", poi)
+        node.put("offset", off)
+        node.put("sizeInBytes", size)
+        node.put("cardinality", card)
+    }
     a.copy(extra = a.extra + (ExtraKey -> (node: JsonNode)), dataChange = true)
   }
 
+  /** Resolve a delta descriptor's DV file path (storageType u/p). */
+  def deltaDvPath(storageType: String, pathOrInlineDv: String,
+      tableRoot: Location, conf: Configuration): org.apache.hadoop.fs.Path =
+    storageType match {
+      case "p" => Location.resolve(pathOrInlineDv, tableRoot, conf).path
+      case "u" =>
+        // pathOrInlineDv = <optional random prefix><20-char Z85 uuid>;
+        // the file lives at <root>/<prefix>/deletion_vector_<uuid>.bin
+        val prefix = pathOrInlineDv.dropRight(20)
+        val uuid = RoaringBitmaps.Z85.decodeUuid(pathOrInlineDv.takeRight(20))
+        val dir =
+          if (prefix.isEmpty) tableRoot
+          else tableRoot.child(prefix)
+        dir.child(s"deletion_vector_$uuid.bin").path
+      case other =>
+        throw new IllegalArgumentException(s"no DV file for storageType '$other'")
+    }
+
   /** Dead rows `(path, row_index)` of the given refs, deduplicated across
-    * sidecars (distinct refs may share a sidecar directory).
+    * sidecars (distinct refs may share a sidecar directory). Delta-spec
+    * refs decode in EXECUTORS (one task partition per slice of refs —
+    * a 10⁵-file DV'd table must not funnel every bitmap through the
+    * driver); their `path` is the owning add's recorded path, matching
+    * the sidecar rows' recording-time-path convention.
     */
   def deadRows(spark: SparkSession, refs: Iterable[DvRef], tableRoot: Location,
       conf: Configuration): DataFrame = {
-    val dirs = refs.map(_.sidecar).toSeq.distinct
+    val (sidecars, deltas) = refs.toSeq.partition(_.isInstanceOf[SidecarRef])
+    val dirs = sidecars.collect { case SidecarRef(s, _) => s }.distinct
       .map(s => Location.resolve(s, tableRoot, conf).uri)
-    if (dirs.isEmpty) DeltaScan.emptyDF(spark, sidecarSchema)
-    else spark.read.schema(sidecarSchema).parquet(dirs: _*)
+    val sidecarDf =
+      if (dirs.isEmpty) DeltaScan.emptyDF(spark, sidecarSchema)
+      else spark.read.schema(sidecarSchema).parquet(dirs: _*)
+    if (deltas.isEmpty) sidecarDf
+    else {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      val rootUri = tableRoot.uri
+      // Hadoop conf as a plain serializable map (covers custom schemes)
+      val confMap = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+      val descs = deltas.collect { case d: DeltaRef =>
+        (d.ownerPath, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+      }
+      val deltaDf = spark.createDataset(descs)
+        .flatMap { case (owner, st, poi, off, size) =>
+          val blob: Array[Byte] =
+            if (st == "i") RoaringBitmaps.Z85.decode(poi)
+            else {
+              val hconf = new Configuration(false)
+              confMap.foreach { case (k, v) => hconf.set(k, v) }
+              val root = Location(rootUri, hconf)
+              val p = deltaDvPath(st, poi, root, hconf)
+              val fs = p.getFileSystem(hconf)
+              val in = fs.open(p)
+              try {
+                val version = in.readByte()
+                require(version == 1, s"unsupported DV file version $version at $p")
+                in.seek(off)
+                val sz = in.readInt() // big-endian (DataInput)
+                require(size <= 0 || sz == size,
+                  s"DV size mismatch at $p: descriptor $size, stored $sz")
+                val buf = new Array[Byte](sz)
+                in.readFully(buf)
+                val crc = in.readInt()
+                val c = new java.util.zip.CRC32()
+                c.update(buf)
+                require(crc == c.getValue.toInt,
+                  s"DV checksum mismatch at $p offset $off")
+                buf
+              } finally in.close()
+            }
+          RoaringBitmaps.decodeBlob(blob).toSeq.map(idx => (owner, idx))
+        }.toDF("path", "row_index")
+      sidecarDf.unionByName(deltaDf)
+    }
   }
 
-  /** Sidecar directory URIs referenced by any of `adds` (vacuum's live set). */
+  /** Sidecar/DV-file URIs referenced by any of `adds` (vacuum's live set);
+    * inline DVs contribute nothing.
+    */
   def referencedSidecarUris(adds: Iterable[AddFile], tableRoot: Location,
       conf: Configuration): Set[String] =
-    adds.flatMap(refOf(_)).map(r =>
-      Location.canonical(Location.resolve(r.sidecar, tableRoot, conf).uri)).toSet
+    adds.flatMap(refOf(_)).flatMap {
+      case SidecarRef(s, _) =>
+        Some(Location.canonical(Location.resolve(s, tableRoot, conf).uri))
+      case DeltaRef(st @ ("u" | "p"), poi, _, _, _, _) =>
+        Some(Location.canonical(deltaDvPath(st, poi, tableRoot, conf).toString))
+      case _ => None
+    }.toSet
 
-  /** Clone support: re-point a relative sidecar ref at the source table. */
+  /** Clone support: re-point a relative ref at the source table. Graft
+    * sidecars resolve absolute; uuid-relative delta DVs become absolute
+    * "p" refs (the uuid naming is root-relative and would dangle under
+    * the clone's root); absolute/inline refs pass through.
+    */
   def rewriteRefAbsolute(a: AddFile, srcRoot: Location, conf: Configuration): AddFile =
     refOf(a) match {
-      case Some(ref) =>
+      case Some(ref: SidecarRef) =>
         withRef(a, ref.copy(sidecar = Location.resolve(ref.sidecar, srcRoot, conf).uri))
-      case None => a
+      case Some(ref @ DeltaRef("u", poi, _, _, _, _)) =>
+        withRef(a, ref.copy(storageType = "p",
+          pathOrInlineDv = deltaDvPath("u", poi, srcRoot, conf).toString))
+      case _ => a
     }
 
   /** Drop dead rows from a scan of DV'd files. `df` must carry

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Replay of the vendored foreign-conventions fixture
+  * (`src/test/resources/foreign-delta-table`, written once by
+  * `tools.ForeignFixtureGen` — see its scaladoc): column-mapping `name`
+  * mode, a delta-SPEC roaring-bitmap deletion vector (storageType "u"),
+  * a classic checkpoint carrying the DV descriptor as a typed struct and
+  * a `txn` action, under a reader-3/writer-7 table-features protocol.
+  * The recorded answers (127 live rows, Σid = 8169, Σvalue = 4084.5 —
+  * 130 rows minus DV'd ids 70/71/75) were computed at generation time.
+  *
+  * Analogue of the reference's vendored delta-spark compatibility table
+  * (reference tests/test_compatibility_spark.py:35-77).
+  */
+class ForeignTableSpec extends SparkSuite {
+
+  /** Copy the committed fixture into a scratch dir (tests must not write
+    * into test-classes) and return its path.
+    */
+  private def fixtureDir(): String = {
+    val src = Paths.get(getClass.getResource("/foreign-delta-table").toURI)
+    val dst = Files.createTempDirectory("foreign-table")
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toString
+  }
+
+  test("foreign fixture: name-mode scan, stats prune, spec-DV resolution") {
+    val t = DeltaTable.forPath(fixtureDir())
+    assert(t.version == 2L)
+    val df = t.toDF(spark)
+    // logical names bind through the name-mode mapping
+    assert(df.columns.toSeq == Seq("id", "name", "value"))
+    assert(df.count() == 127L)
+    val r = df.agg(sum("id"), sum("value")).head()
+    assert(r.getLong(0) == 8169L, r.toString)
+    assert(math.abs(r.getDouble(1) - 4084.5) < 1e-9, r.toString)
+    // the roaring-bitmap DV kills exactly rows 0,1,5 of the third file
+    assert(df.filter(col("id").isin(70L, 71L, 75L)).count() == 0L)
+    assert(df.filter(col("id").isin(72L, 76L)).count() == 2L)
+    // stats pruning binds the logical predicate to physical stats keys
+    assert(t.prunedAdds(col("id") >= 100L).size == 1)
+    assert(t.prunedAdds(col("id") < 40L).size == 1)
+    // time travel to the pre-delete pre-append CTAS state
+    assert(t.loadAsVersion(0L).toDF(spark).count() == 100L)
+  }
+
+  test("foreign fixture: classic checkpoint is authoritative when JSON is cleaned") {
+    val d = fixtureDir()
+    // wipe every JSON commit — the classic checkpoint + _last_checkpoint
+    // become the only source of truth (a log-cleaned foreign table)
+    val log = Paths.get(d, "_delta_log")
+    Files.list(log).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) Files.delete(p)
+    }
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 2L)
+    val df = t.toDF(spark)
+    assert(df.count() == 127L)
+    assert(df.agg(sum("id")).head().getLong(0) == 8169L)
+    // the DV descriptor survived the typed checkpoint struct round trip
+    assert(df.filter(col("id").isin(70L, 71L, 75L)).count() == 0L)
+    // the txn action (idempotent-sink watermark) survived the checkpoint
+    val txns = t.dlog.entries.values.flatMap(_.actions).collect {
+      case tx: graft.log.Txn => tx
+    }
+    assert(txns.exists(tx => tx.appId == "foreign-app" && tx.version == 7L),
+      txns.toString)
+  }
+
+  test("roaring DV codec: round trips across container kinds; reads runs") {
+    import graft.sources.RoaringBitmaps
+    // array container (sparse), bitmap container (>4096 per 16-bit
+    // chunk), multiple 32-bit keys (64-bit values)
+    val sparse = Array(0L, 1L, 5L, 65536L, 65600L)
+    val dense = (0L until 5000L).map(_ * 2).toArray // 5000 > 4096 → bitmap
+    val highKey = Array(0L, (1L << 32) | 7L, (5L << 32) | 123456L)
+    for (vs <- Seq(sparse, dense, highKey))
+      assert(RoaringBitmaps.decodeBlob(RoaringBitmaps.encodeBlob(vs)).sameElements(vs))
+
+    // run containers (written by delta's RoaringBitmapArray for dense
+    // ranges): hand-build SERIAL_COOKIE bytes and decode
+    val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(RoaringBitmaps.Magic)
+    bb.putLong(1L) // one bitmap
+    bb.putInt(0)   // key 0
+    bb.putInt(12347 | (0 << 16)) // SERIAL_COOKIE, 1 container
+    bb.put(1.toByte) // run bitset: container 0 is runs
+    bb.putShort(0.toShort) // container key
+    bb.putShort(5.toShort) // cardinality-1 (6 values)
+    bb.putShort(2.toShort) // 2 runs
+    bb.putShort(10.toShort); bb.putShort(2.toShort) // 10,11,12
+    bb.putShort(100.toShort); bb.putShort(2.toShort) // 100,101,102
+    val runBytes = java.util.Arrays.copyOf(bb.array(), bb.position())
+    assert(RoaringBitmaps.decodeBlob(runBytes)
+      .sameElements(Array(10L, 11L, 12L, 100L, 101L, 102L)))
+
+    // Z85 uuid round trip
+    val u = java.util.UUID.randomUUID()
+    assert(RoaringBitmaps.Z85.decodeUuid(RoaringBitmaps.Z85.encodeUuid(u)) == u)
+  }
+
+  test("foreign fixture: vacuum keeps the referenced DV file") {
+    val d = fixtureDir()
+    val t = DeltaTable.forPath(d)
+    t.vacuum(retentionMs = 0L)
+    assert(Files.exists(Paths.get(d,
+      "deletion_vector_01234567-89ab-cdef-fedc-ba9876543210.bin")),
+      "vacuum must not delete a live delta-spec DV file")
+    assert(t.toDF(spark).count() == 127L)
+  }
+}
