@@ -1014,18 +1014,63 @@ final case class DeltaTable(
                 .select(col("_live_path").as("path"), col("row_index"))
               newDead.union(prior)
             }
-          val sidecarRel = s"${DeletionVectors.DvDirName}/dv-${java.util.UUID.randomUUID()}"
           // scope to still-live files via a file-count-scale semi-join (an
           // isin() over 10^5 touched paths would be an expression-tree-
-          // scale In literal); clustered by owning file so a scan-side
-          // broadcast build reads contiguous row groups; dead-row volume
-          // scales with the delete, so the write stays distributed
+          // scale In literal); dead-row volume scales with the delete, so
+          // the write stays distributed either way
           val liveDF = broadcast(stillLive.map(_.path).toDF("path"))
-          allDead.join(liveDF, Seq("path"), "left_semi")
-            .repartition(col("path")).sortWithinPartitions("path", "row_index")
-            .write.parquet(Location.resolve(sidecarRel, loc, conf).uri)
-          stillLive.map(a => DeletionVectors.withRef(a,
-            DeletionVectors.DvRef(sidecarRel, totalDeadOf(a))))
+          val scoped = allDead.join(liveDF, Seq("path"), "left_semi")
+          if (tableProperties.get("delta.enableDeletionVectors").contains("true")) {
+            // delta-SPEC vectors (the property is delta's own MoR switch,
+            // so a table carrying it is expected to interop): one
+            // roaring-bitmap .bin per still-live file, written in the
+            // task that owns that file's dead rows — per-file row counts
+            // bound task memory, no driver funnel — referenced by a
+            // storageType="u" descriptor foreign delta readers resolve.
+            import scala.jdk.CollectionConverters._
+            val rootUri = loc.uri
+            val confMap = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+            val written: Map[String, (String, Int, Long)] =
+              scoped.select(col("path"), col("row_index"))
+                .as[(String, Long)]
+                .groupByKey(_._1)
+                .mapGroups { (path, rows) =>
+                  val idx = rows.map(_._2).toArray.sorted
+                  val blob = graft.sources.RoaringBitmaps.encodeBlob(idx)
+                  val uuid = java.util.UUID.randomUUID()
+                  val hconf = new Configuration(false)
+                  confMap.foreach { case (k, v) => hconf.set(k, v) }
+                  val root = Location(rootUri, hconf)
+                  val dst = root.child(s"deletion_vector_$uuid.bin")
+                  val out = dst.fs.create(dst.path, false)
+                  try {
+                    out.writeByte(1)            // format version
+                    out.writeInt(blob.length)   // big-endian frame size
+                    out.write(blob)
+                    val c = new java.util.zip.CRC32(); c.update(blob)
+                    out.writeInt(c.getValue.toInt)
+                  } finally out.close()
+                  (path, (graft.sources.RoaringBitmaps.Z85.encodeUuid(uuid),
+                    blob.length, idx.length.toLong))
+                }.collect().toMap
+            stillLive.map { a =>
+              val (z85, size, card) = written(a.path)
+              require(card == totalDeadOf(a),
+                s"DV cardinality mismatch for ${a.path}: bin $card, expected ${totalDeadOf(a)}")
+              DeletionVectors.withRef(a, DeletionVectors.DeltaRef(
+                "u", z85, offset = 1L, sizeInBytes = size.toLong,
+                cardinality = card, ownerPath = a.path))
+            }
+          } else {
+            val sidecarRel = s"${DeletionVectors.DvDirName}/dv-${java.util.UUID.randomUUID()}"
+            // clustered by owning file so a scan-side broadcast build
+            // reads contiguous row groups
+            scoped
+              .repartition(col("path")).sortWithinPartitions("path", "row_index")
+              .write.parquet(Location.resolve(sidecarRel, loc, conf).uri)
+            stillLive.map(a => DeletionVectors.withRef(a,
+              DeletionVectors.DvRef(sidecarRel, totalDeadOf(a))))
+          }
         }
 
       (dvAdds, fullDead, numDeleted, withMatched(matched, numDeleted))
@@ -2959,14 +3004,21 @@ final case class DeltaTable(
     val cdcLoc = loc.child(ChangeDataDir)
     val cdcFiles = if (cdcLoc.exists) cdcLoc.listDataFilesRecursive() else Seq.empty
     val candidates = (loc.listDataFilesRecursive() ++ dvFiles ++ cdcFiles)
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
+      // delta-spec DV bins (deletion_vector_<uuid>.bin) age out like any
+      // other unreferenced file once a later total vector supersedes them
+      .filter(st => st.getPath.getName.endsWith(".parquet") ||
+        st.getPath.getName.startsWith("deletion_vector_"))
       .filterNot(st => st.getPath.toString.contains("/_delta_log/") ||
         st.getPath.toString.contains("/_staging-"))
       .filter(_.getModificationTime < cutoff)
       .filterNot(st => live.contains(Location.canonical(
         loc.fs.makeQualified(st.getPath).toString)))
-      .filterNot(st => liveDvDirs.exists(d => Location.canonical(
-        loc.fs.makeQualified(st.getPath).toString).startsWith(d + "/")))
+      // liveDvDirs holds sidecar DIRS (prefix-protected) and spec DV
+      // FILES (exact-match protected)
+      .filterNot { st =>
+        val c = Location.canonical(loc.fs.makeQualified(st.getPath).toString)
+        liveDvDirs.exists(d => c == d || c.startsWith(d + "/"))
+      }
     if (!dryRun) {
       val spark = SparkSession.getActiveSession
         .orElse(SparkSession.getDefaultSession)

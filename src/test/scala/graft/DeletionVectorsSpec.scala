@@ -30,6 +30,56 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(t.history.head._2.operation == "DELETE")
   }
 
+  test("delta.enableDeletionVectors=true writes SPEC roaring DVs foreign readers resolve") {
+    val d = tempDir("dv-spec-write")
+    var t = DeltaTable.forPath(d).write(nation)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 0))
+    // descriptor is the delta wire format, file is the uuid-named .bin
+    val ref = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_)).head
+    val dref = ref match {
+      case r: DeletionVectors.DeltaRef => r
+      case other => fail(s"expected a DeltaRef, got $other")
+    }
+    assert(dref.storageType == "u")
+    assert(dref.cardinality == nation.filter(col("n_regionkey") === 0).count())
+    val bins = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).map(_.getName)
+    assert(bins.length == 1, bins.toSeq.toString)
+    // scan resolves through the spec bitmap; a FRESH handle (pure log
+    // replay, like a foreign reader) agrees
+    val expected = nation.filter(col("n_regionkey") =!= 0)
+    assertSameRows(t.toDF(spark), expected)
+    assertSameRows(DeltaTable.forPath(d).toDF(spark), expected)
+
+    // re-delete merges prior dead rows into a NEW total bin
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 1))
+    val ref2 = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_))
+      .collectFirst { case r: DeletionVectors.DeltaRef => r }.get
+    assert(ref2.cardinality == nation.filter(col("n_regionkey").isin(0, 1)).count())
+    assertSameRows(DeltaTable.forPath(d).toDF(spark),
+      nation.filter(!col("n_regionkey").isin(0, 1)))
+
+    // the delta-format checkpoint carries the descriptor as a typed
+    // struct (what a foreign delta reader consumes)
+    t = t.checkpoint()
+    val v = t.version
+    val ck = spark.read.parquet(s"$d/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    val dvRows = ck.filter(col("add.deletionVector.storageType") === "u")
+      .select("add.deletionVector.pathOrInlineDv", "add.deletionVector.cardinality")
+      .collect()
+    assert(dvRows.length == 1, dvRows.toSeq.toString)
+    assert(dvRows.head.getLong(1) == ref2.cardinality)
+
+    // vacuum keeps the LIVE bin, removes the superseded one
+    t.vacuum(retentionMs = 0L)
+    val after = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).map(_.getName)
+    assert(after.length == 1, after.toSeq.toString)
+    assertSameRows(DeltaTable.forPath(d).toDF(spark),
+      nation.filter(!col("n_regionkey").isin(0, 1)))
+  }
+
   test("re-delete merges prior dead rows: newest sidecar is total per file") {
     val d = tempDir("dv-redelete")
     var t = DeltaTable.forPath(d).write(nation)
