@@ -1030,35 +1030,47 @@ final case class DeltaTable(
             import scala.jdk.CollectionConverters._
             val rootUri = loc.uri
             val confMap = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-            val written: Map[String, (String, Int, Long)] =
+            val written: Map[String, (String, String, Int, Long)] =
               scoped.select(col("path"), col("row_index"))
                 .as[(String, Long)]
                 .groupByKey(_._1)
                 .mapGroups { (path, rows) =>
                   val idx = rows.map(_._2).toArray.sorted
                   val blob = graft.sources.RoaringBitmaps.encodeBlob(idx)
-                  val uuid = java.util.UUID.randomUUID()
-                  val hconf = new Configuration(false)
-                  confMap.foreach { case (k, v) => hconf.set(k, v) }
-                  val root = Location(rootUri, hconf)
-                  val dst = root.child(s"deletion_vector_$uuid.bin")
-                  val out = dst.fs.create(dst.path, false)
-                  try {
-                    out.writeByte(1)            // format version
-                    out.writeInt(blob.length)   // big-endian frame size
-                    out.write(blob)
-                    val c = new java.util.zip.CRC32(); c.update(blob)
-                    out.writeInt(c.getValue.toInt)
-                  } finally out.close()
-                  (path, (graft.sources.RoaringBitmaps.Z85.encodeUuid(uuid),
-                    blob.length, idx.length.toLong))
+                  if (blob.length <= DeltaTable.InlineDvMaxBytes) {
+                    // tiny vector: INLINE descriptor (storageType "i") —
+                    // at 10^6 single-digit-row erasures, one 50-byte .bin
+                    // per file is a small-file disaster; the Z85 payload
+                    // rides the log instead (padded to the codec's 4-byte
+                    // block, real length in sizeInBytes)
+                    val padded = java.util.Arrays.copyOf(blob,
+                      (blob.length + 3) / 4 * 4)
+                    (path, ("i", graft.sources.RoaringBitmaps.Z85.encode(padded),
+                      blob.length, idx.length.toLong))
+                  } else {
+                    val uuid = java.util.UUID.randomUUID()
+                    val hconf = new Configuration(false)
+                    confMap.foreach { case (k, v) => hconf.set(k, v) }
+                    val root = Location(rootUri, hconf)
+                    val dst = root.child(s"deletion_vector_$uuid.bin")
+                    val out = dst.fs.create(dst.path, false)
+                    try {
+                      out.writeByte(1)            // format version
+                      out.writeInt(blob.length)   // big-endian frame size
+                      out.write(blob)
+                      val c = new java.util.zip.CRC32(); c.update(blob)
+                      out.writeInt(c.getValue.toInt)
+                    } finally out.close()
+                    (path, ("u", graft.sources.RoaringBitmaps.Z85.encodeUuid(uuid),
+                      blob.length, idx.length.toLong))
+                  }
                 }.collect().toMap
             stillLive.map { a =>
-              val (z85, size, card) = written(a.path)
+              val (st, poi, size, card) = written(a.path)
               require(card == totalDeadOf(a),
                 s"DV cardinality mismatch for ${a.path}: bin $card, expected ${totalDeadOf(a)}")
               DeletionVectors.withRef(a, DeletionVectors.DeltaRef(
-                "u", z85, offset = 1L, sizeInBytes = size.toLong,
+                st, poi, offset = 1L, sizeInBytes = size.toLong,
                 cardinality = card, ownerPath = a.path))
             }
           } else {
@@ -3871,6 +3883,13 @@ final case class DeltaTable(
 }
 
 object DeltaTable {
+
+  /** Spec-DV vectors at or below this serialized size inline into the
+    * descriptor (storageType "i") instead of writing a one-file-per-DV
+    * `.bin`. Covers single-digit-row erasures (a 3-row vector is ~40
+    * bytes) while keeping log lines small.
+    */
+  val InlineDvMaxBytes: Int = 64
 
   /** Open (or point at a future) table; `version` time-travels (reference
     * xdlake/__init__.py:32-59).

@@ -467,6 +467,12 @@ object SparkEntry {
       TextAnalysis.duplicateSpans(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id", "span_start")),
+    // duplicate-span REMOVAL: the Lee et al. cut — canonical text with
+    // every corpus-duplicated k-gram position excised
+    "q147_remove_dup_spans" -> ((s, d) =>
+      TextAnalysis.removeDuplicateSpans(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text", k = 5)
+        .orderBy("doc_id")),
     // unigram-LM mean log-prob + perplexity per document
     "q86_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(QueryLib.delta(s, d, "documents"),
@@ -1506,6 +1512,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |  CAST(max(pos) + 5 AS BIGINT) AS span_end, count(*) AS n_dup_grams
         |FROM i GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin,
+    "q147_remove_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok FROM t),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 5),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT p.doc_id, p.pos + r.o AS pos
+        |  FROM (SELECT doc_id, pos FROM g JOIN d USING (gram)) p, range(0, 5) r(o)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+        |  WHERE cov.pos IS NULL),
+        |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM t)
+        |SELECT tot.doc_id, coalesce(ka.cleaned_text, '') AS cleaned_text,
+        |  tot.n_tokens,
+        |  CAST(tot.n_tokens - coalesce(ka.kept, 0) AS BIGINT) AS n_removed
+        |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     "q87_rename_scan" ->
       """WITH r AS (SELECT doc_id, text, lang, source, n_chars AS char_count FROM documents)
         |SELECT * FROM r

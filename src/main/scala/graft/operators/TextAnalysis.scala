@@ -400,6 +400,57 @@ object TextAnalysis {
       .drop("_isl")
   }
 
+  /** Duplicate-span REMOVAL — the actual cut of Lee et al. 2022 (they
+    * excise the duplicated substring, not the document): every token
+    * position covered by a corpus-duplicated k-gram (the
+    * [[duplicateSpans]] criterion) is dropped and the remaining tokens
+    * are rejoined. Operates on the lowercased token stream (the same
+    * canonical form every dedup operator here shares), so `cleaned_text`
+    * is canonical text, not a byte-level splice of the original.
+    *
+    * Scale shape: same skeleton as [[duplicateSpans]] — 8-byte positional
+    * gram hashes, map-side-combined occurrence counts, shuffle_hash-
+    * pinned semi-join of the duplicated-hash set — plus a covered-
+    * position expansion (k rows per duplicated gram, bounded by k × doc
+    * length), a per-(doc, pos) anti-join, and a per-doc rebuild whose
+    * memory is bounded by document length. No window over any
+    * content-derived key.
+    *
+    * @return idCol, cleaned_text, n_tokens (original), n_removed
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minOccurrences: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val toks = base.select(col(idCol), posexplode(col("_toks")))
+      .toDF(idCol, "_pos", "_tok")
+    val grams = base.filter(size(col("_toks")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - k),
+          i => xxhash64(slice(col("_toks"), i + 1, lit(k))))))
+      .toDF(idCol, "_gpos", "_h")
+    val dup = grams.groupBy("_h").agg(count(lit(1)).as("_occ"))
+      .filter(col("_occ") >= minOccurrences)
+      .hint("shuffle_hash")
+    val covered = grams.join(dup, Seq("_h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("_gpos"), col("_gpos") + (k - 1))).as("_pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+        s => s.getField("_tok"))).as("cleaned_text"),
+      count(lit(1)).as("_kept"))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Character-entropy quality signal: Shannon entropy (bits/char) of
     * each document's character distribution — gibberish and binary
     * spillage score HIGH, single-char padding scores ~0, natural language

@@ -32,33 +32,31 @@ class DeletionVectorsSpec extends SparkSuite {
 
   test("delta.enableDeletionVectors=true writes SPEC roaring DVs foreign readers resolve") {
     val d = tempDir("dv-spec-write")
-    var t = DeltaTable.forPath(d).write(nation)
+    val data = spark.range(0, 1000).toDF("id").repartition(1)
+    var t = DeltaTable.forPath(d).write(data)
       .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
-    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 0))
-    // descriptor is the delta wire format, file is the uuid-named .bin
-    val ref = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_)).head
-    val dref = ref match {
-      case r: DeletionVectors.DeltaRef => r
-      case other => fail(s"expected a DeltaRef, got $other")
-    }
-    assert(dref.storageType == "u")
-    assert(dref.cardinality == nation.filter(col("n_regionkey") === 0).count())
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    // 100 dead rows exceed the inline threshold: descriptor is the delta
+    // wire format, file is the uuid-named .bin
+    val dref = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_))
+      .collectFirst { case r: DeletionVectors.DeltaRef => r }.get
+    assert(dref.storageType == "u", dref.toString)
+    assert(dref.cardinality == 100L)
     val bins = new java.io.File(d).listFiles()
       .filter(_.getName.startsWith("deletion_vector_")).map(_.getName)
     assert(bins.length == 1, bins.toSeq.toString)
     // scan resolves through the spec bitmap; a FRESH handle (pure log
     // replay, like a foreign reader) agrees
-    val expected = nation.filter(col("n_regionkey") =!= 0)
-    assertSameRows(t.toDF(spark), expected)
-    assertSameRows(DeltaTable.forPath(d).toDF(spark), expected)
+    assert(t.toDF(spark).count() == 900L)
+    assert(DeltaTable.forPath(d).toDF(spark)
+      .filter(col("id") % 10 === 0).count() == 0L)
 
     // re-delete merges prior dead rows into a NEW total bin
-    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 1))
+    t = t.deleteMergeOnRead(spark, Some(col("id") === 5))
     val ref2 = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_))
       .collectFirst { case r: DeletionVectors.DeltaRef => r }.get
-    assert(ref2.cardinality == nation.filter(col("n_regionkey").isin(0, 1)).count())
-    assertSameRows(DeltaTable.forPath(d).toDF(spark),
-      nation.filter(!col("n_regionkey").isin(0, 1)))
+    assert(ref2.cardinality == 101L)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 899L)
 
     // the delta-format checkpoint carries the descriptor as a typed
     // struct (what a foreign delta reader consumes)
@@ -76,8 +74,30 @@ class DeletionVectorsSpec extends SparkSuite {
     val after = new java.io.File(d).listFiles()
       .filter(_.getName.startsWith("deletion_vector_")).map(_.getName)
     assert(after.length == 1, after.toSeq.toString)
-    assertSameRows(DeltaTable.forPath(d).toDF(spark),
-      nation.filter(!col("n_regionkey").isin(0, 1)))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 899L)
+  }
+
+  test("tiny spec DVs inline into the descriptor (no per-file .bin)") {
+    val d = tempDir("dv-spec-inline")
+    val data = spark.range(0, 1000).toDF("id").repartition(1)
+    var t = DeltaTable.forPath(d).write(data)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("id").isin(3L, 7L, 11L)))
+    val dref = t.dlog.addActions.values.flatMap(DeletionVectors.refOf(_))
+      .collectFirst { case r: DeletionVectors.DeltaRef => r }.get
+    assert(dref.storageType == "i", dref.toString)
+    assert(dref.cardinality == 3L)
+    assert(new java.io.File(d).listFiles()
+      .forall(!_.getName.startsWith("deletion_vector_")),
+      "inline DV must not write a .bin")
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 997L)
+    assert(DeltaTable.forPath(d).toDF(spark)
+      .filter(col("id").isin(3L, 7L, 11L)).count() == 0L)
+    // inline payload survives the typed checkpoint struct
+    t = t.checkpoint()
+    val v = t.version
+    val ck = spark.read.parquet(s"$d/_delta_log/" + f"$v%020d.checkpoint.parquet")
+    assert(ck.filter(col("add.deletionVector.storageType") === "i").count() == 1L)
   }
 
   test("re-delete merges prior dead rows: newest sidecar is total per file") {
