@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Joins, Multimodal, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Dedup, Joins, Multimodal, Regression, Similarity, Temporal, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -473,6 +473,17 @@ object SparkEntry {
       TextAnalysis.removeDuplicateSpans(QueryLib.delta(s, d, "documents"),
           "doc_id", "text", k = 5)
         .orderBy("doc_id")),
+    // ridge-fit linear quality scorer: one-pass normal-equations fit
+    // (Gram matrix as codegen'd sums), corpus scored with the learned
+    // coefficients; the oracle re-derives the fit and replays the score
+    "q148_ridge_quality" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = ridgeQualityFeatures
+      val beta = Regression.ridgeFit(docs, f, y, lambda = 1.0)
+      val pred = Regression.score(f, beta)
+      docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
+        round(y - pred, 4).as("residual")).orderBy("doc_id")
+    }),
     // unigram-LM mean log-prob + perplexity per document
     "q86_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(QueryLib.delta(s, d, "documents"),
@@ -547,6 +558,14 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source")),
+    // token-budget mixture allocation: per-language sampling plan
+    // (target token mass, rate, epochs) for a 50k-token budget
+    "q149_mixture_allocation" -> ((s, d) =>
+      operators.Sampling.mixtureAllocation(QueryLib.delta(s, d, "documents"),
+          "lang", size(split(col("text"), " ")).cast("double"),
+          Map("en" -> 0.5, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.1),
+          budgetTokens = 50000L)
+        .orderBy("lang")),
     // Gopher-style within-document repetition signals
     "q75_repetition_signals" -> ((s, d) =>
       TextAnalysis.repetitionSignals(QueryLib.delta(s, d, "documents"),
@@ -1629,6 +1648,20 @@ object SparkEntry {
         |s AS (SELECT d.source FROM documents d JOIN k USING (source)
         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < kb)
         |SELECT source, count(*) AS n_docs FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q149_mixture_allocation" ->
+      """WITH a AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+        |  FROM documents GROUP BY lang),
+        |w(lang, wt) AS (VALUES ('en', 0.5), ('de', 0.15), ('fr', 0.15),
+        |  ('es', 0.1), ('zh', 0.1)),
+        |j AS (SELECT a.lang, a.available_tokens, coalesce(w.wt, 0) AS wt
+        |  FROM a LEFT JOIN w USING (lang)),
+        |t AS (SELECT sum(wt) AS wtot FROM j)
+        |SELECT j.lang, j.available_tokens,
+        |  CAST(floor(50000.0 * j.wt / t.wtot) AS BIGINT) AS target_tokens,
+        |  round(least(1.0, (50000.0 * j.wt / t.wtot) / j.available_tokens), 6) AS sampling_rate,
+        |  round((50000.0 * j.wt / t.wtot) / j.available_tokens, 6) AS epochs
+        |FROM j, t ORDER BY j.lang""".stripMargin,
     "q75_repetition_signals" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
         |tok AS (SELECT doc_id, unnest(ts) AS tk FROM t),
@@ -2163,6 +2196,22 @@ object SparkEntry {
         |FROM c WHERE vec_id < 100 ORDER BY vec_id, dim""".stripMargin,
   )
 
+  /** Shared feature/target expressions for the q148 ridge fit — ONE
+    * definition used by both the query and its dynamic oracle builder,
+    * and mirrored term-for-term in the oracle SQL (ln(1+len), token
+    * count, mean token length; target = punctuation-char ratio).
+    */
+  private def ridgeQualityFeatures: (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val len = length(col("text")).cast("double")
+    val nt = size(split(col("text"), " ")).cast("double")
+    // sum of token lengths == len - (nt - 1): every separator is exactly
+    // one consumed space, regardless of empty tokens
+    val features = Seq(lit(1.0), log(lit(1.0) + len), nt, (len - (nt - 1)) / nt)
+    val y = (len - length(regexp_replace(col("text"), "[.,;:!?]", "")).cast("double")) /
+      greatest(len, lit(1.0))
+    (features, y)
+  }
+
   /** Oracle SQL whose text depends on DATA-DERIVED constants (a trained
     * codebook, a learned merge list): each builder re-derives the
     * constants deterministically at Verify time with the live session
@@ -2241,6 +2290,27 @@ object SparkEntry {
          |SELECT occ.doc_id, CAST(sum(enc.n_sub) AS BIGINT) AS n_tokens,
          |  string_agg(enc.e, ' ' ORDER BY occ.wpos) AS enc
          |FROM occ JOIN enc USING (w) GROUP BY occ.doc_id ORDER BY doc_id""".stripMargin
+    }),
+    // ridge quality scorer: refit (coefficients round to 8 decimals, so
+    // the refit's ulp noise matches the query's) and replay the linear
+    // score over identically-defined SQL features
+    "q148_ridge_quality" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = ridgeQualityFeatures
+      val b = Regression.ridgeFit(docs, f, y, lambda = 1.0)
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS len,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  (CAST(length(text) AS DOUBLE) -
+         |     length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+         |    greatest(length(text), 1) AS y
+         |  FROM documents),
+         |p AS (SELECT doc_id, y,
+         |  ${b(0)} * 1.0 + ${b(1)} * ln(1 + len) + ${b(2)} * nt +
+         |  ${b(3)} * ((len - (nt - 1)) / nt) AS pred FROM t)
+         |SELECT doc_id, round(pred, 4) AS quality_pred,
+         |  round(y - pred, 4) AS residual
+         |FROM p ORDER BY doc_id""".stripMargin
     }),
   )
 }

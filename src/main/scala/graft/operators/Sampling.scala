@@ -177,6 +177,45 @@ object Sampling {
       .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
   }
 
+  /** Token-budget mixture allocation: given target mixture WEIGHTS per
+    * domain and a global token budget, the per-domain sampling plan a
+    * pretraining data loader consumes — target token mass, sampling rate
+    * (≤ 1), and epochs (> 1 means the domain repeats; the
+    * over-sampling signal of every published data-mixture recipe).
+    * Weights renormalize over the domains PRESENT in the corpus, so a
+    * missing domain re-distributes its share instead of silently
+    * shrinking the budget; domains with no declared weight report with
+    * rate 0 (visible, not dropped).
+    *
+    * Scale shape: one map-side-combined aggregation for the per-domain
+    * token mass (domain cardinality is tiny), a broadcast weights join,
+    * and a 1-row broadcast total for the renormalization — no driver
+    * collect, no second pass over the corpus. `target_tokens` floors
+    * (half-up vs half-even round would diverge across engines);
+    * rate/epochs derive from the UNFLOORED target.
+    */
+  def mixtureAllocation(df: DataFrame, keyCol: String, tokensCol: Column,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      "weights must be non-empty and non-negative")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val avail = df.groupBy(col(keyCol))
+      .agg(sum(tokensCol).cast("long").as("available_tokens"))
+    val wDf = weights.toSeq.toDF(keyCol, "_w")
+    val joined = avail.join(broadcast(wDf), Seq(keyCol), "left")
+      .withColumn("_w", coalesce(col("_w"), lit(0.0)))
+    val wtot = broadcast(joined.agg(sum("_w").as("_wtot")))
+    val target = lit(budgetTokens.toDouble) * col("_w") / col("_wtot")
+    joined.crossJoin(wtot)
+      .select(col(keyCol), col("available_tokens"),
+        floor(target).cast("long").as("target_tokens"),
+        round(least(lit(1.0), target / col("available_tokens")), 6)
+          .as("sampling_rate"),
+        round(target / col("available_tokens"), 6).as("epochs"))
+  }
+
   def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")

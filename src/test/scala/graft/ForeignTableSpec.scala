@@ -108,6 +108,34 @@ class ForeignTableSpec extends SparkSuite {
     assert(RoaringBitmaps.Z85.decodeUuid(RoaringBitmaps.Z85.encodeUuid(u)) == u)
   }
 
+  test("foreign fixture: soft and deep clones carry the spec DV") {
+    val d = fixtureDir()
+    val t = DeltaTable.forPath(d)
+    // soft clone: the uuid-relative "u" ref is rewritten to an absolute
+    // "p" ref at the SOURCE (uuid naming would dangle under the clone
+    // root) — dead rows stay dead through the shared file
+    val soft = t.cloneTo(Files.createTempDirectory("foreign-soft").toString)
+    assert(soft.toDF(spark).count() == 127L)
+    assert(soft.toDF(spark).filter(col("id").isin(70L, 71L, 75L)).count() == 0L)
+    val softRef = soft.dlog.addActions.values
+      .flatMap(graft.sources.DeletionVectors.refOf(_))
+      .collectFirst { case r: graft.sources.DeletionVectors.DeltaRef => r }.get
+    assert(softRef.storageType == "p", softRef.toString)
+    // deep clone: the .bin copies into the clone root under the SAME
+    // relative uuid naming, so the "u" ref survives verbatim
+    val deepDir = Files.createTempDirectory("foreign-deep").toString
+    val deep = t.deepCloneTo(spark, deepDir)
+    assert(deep.toDF(spark).count() == 127L)
+    assert(Files.exists(Paths.get(deepDir,
+      "deletion_vector_01234567-89ab-cdef-fedc-ba9876543210.bin")),
+      "deep clone must copy the DV file")
+    // clone stays correct after the SOURCE is destroyed
+    val log = Paths.get(d)
+    Files.walk(log).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    assert(DeltaTable.forPath(deepDir).toDF(spark).count() == 127L)
+  }
+
   test("foreign fixture: vacuum keeps the referenced DV file") {
     val d = fixtureDir()
     val t = DeltaTable.forPath(d)

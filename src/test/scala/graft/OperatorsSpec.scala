@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Regression, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
 
@@ -433,5 +433,24 @@ class StreamingSinkSpec extends SparkSuite {
         sum(when(col("_gap").isNull || col("_gap") > 1800000000L, 1)
           .otherwise(0)).cast("long").as("n_sessions"))
     assertSameRows(t.toDF(spark), batch)
+  }
+}
+
+/** One-pass normal-equations fitting (Regression). */
+class RegressionSpec extends SparkSuite {
+
+  test("ridge fit recovers an exact linear relation; refuses collinear features") {
+    val df = spark.range(1, 101).select(col("id").cast("double").as("x"))
+      .withColumn("y", lit(2.0) + lit(3.0) * col("x"))
+    val b = Regression.ridgeFit(df, Seq(lit(1.0), col("x")), col("y"), lambda = 1e-6)
+    assert(math.abs(b(0) - 2.0) < 1e-3 && math.abs(b(1) - 3.0) < 1e-4, b.toSeq.toString)
+    val pred = Regression.score(Seq(lit(1.0), col("x")), b)
+    val maxErr = df.select(max(abs(col("y") - pred))).head().getDouble(0)
+    assert(maxErr < 1e-2, maxErr.toString)
+    // exactly collinear features with no regularization: loud refusal,
+    // never a garbage model
+    val ex = intercept[IllegalArgumentException](
+      Regression.ridgeFit(df, Seq(col("x"), col("x") * 2), col("y"), lambda = 0.0))
+    assert(ex.getMessage.contains("singular"), ex.getMessage)
   }
 }
