@@ -36,7 +36,8 @@ object Bench {
     "q109_stable_row_ids", "q110_domain_cap", "q111_training_order",
     "q120_bm25", "q121_dup_spans", "q122_random_projection",
     "q125_resample_ffill", "q131_chunk_documents", "q134_dedup_keep_best",
-    "q136_audio_features", "q137_video_features")
+    "q136_audio_features", "q137_video_features",
+    "q147_remove_dup_spans", "q148_ridge_quality", "q150_spec_dv_scan")
 
   val RUNS = 2
 

@@ -90,6 +90,20 @@ object QueryLib {
         .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
     }
 
+  /** lineitem under `delta.enableDeletionVectors=true` (delta's own MoR
+    * switch), so both deletes record delta-SPEC roaring-bitmap vectors —
+    * the same double-delete shape as [[lineitemDvDeletedDir]], but the
+    * dead rows resolve through the spec codec path end to end.
+    */
+  def lineitemSpecDvDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "lineitem_spec_dv") { d =>
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "lineitem"))
+        .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+        .deleteMergeOnRead(spark,
+          Some(col("l_returnflag") === "A" || col("l_quantity") > 45))
+        .deleteMergeOnRead(spark, Some(col("l_discount") > 0.09))
+    }
+
   /** nation with `delta.enableChangeDataFeed=true`, then a copy-on-write
     * UPDATE: the commit carries `cdc` change-data files, so the change
     * feed serves EXACT update_preimage/update_postimage rows instead of

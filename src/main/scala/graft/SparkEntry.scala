@@ -73,6 +73,12 @@ object SparkEntry {
     "q76_dv_delete" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemDvDeletedDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    // same double MoR delete, but the vectors are delta-SPEC roaring
+    // bitmaps (delta.enableDeletionVectors=true) — the scan resolves
+    // dead rows through the spec codec end to end
+    "q150_spec_dv_scan" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.lineitemSpecDvDir(s, d)).toDF(s)
+        .orderBy("l_orderkey", "l_linenumber")),
     // REORG PURGE: the DV debt of q76's deletes rewritten away
     // (dataChange=false) — same live rows, clean files, no anti-join
     "q99_purge_scan" -> ((s, d) =>
@@ -1139,6 +1145,10 @@ object SparkEntry {
     "q05_delete" ->
       "SELECT * FROM lineitem WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) ORDER BY l_orderkey, l_linenumber",
     "q76_dv_delete" ->
+      """SELECT * FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q150_spec_dv_scan" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

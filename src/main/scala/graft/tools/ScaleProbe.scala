@@ -82,7 +82,7 @@ object ScaleProbe {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf", "hotkey"))
+      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf", "hotkey", "specdv"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -455,6 +455,29 @@ object ScaleProbe {
         TextAnalysis.tfIdfTopTerms(hot, "doc_id", "text").count())
       hot.unpersist()
       spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // Spec-DV resolution probe: the same MoR delete over a 64-file
+    // table, once with graft parquet sidecars and once with delta-spec
+    // roaring bins (one per file, decoded in executors) — records that
+    // the spec path's scan cost stays in the same regime as the native
+    // sidecar path at per-file vector granularity.
+    if (sections("specdv")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      for ((tag, spec) <- Seq("sidecar" -> false, "spec_bins" -> true)) {
+        val dir = java.nio.file.Files.createTempDirectory("specdv-").toString
+        var t = graft.DeltaTable.forPath(dir).write(li.repartition(64))
+        if (spec) t = t.setTableProperties(
+          Map("delta.enableDeletionVectors" -> "true"))
+        t = t.deleteMergeOnRead(spark, Some(col("l_quantity") < 3))
+        val dead = t.dlog.addActions.values
+          .flatMap(graft.sources.DeletionVectors.refOf(_)).map(_.cardinality).sum
+        def scan(): Long = t.toDF(spark).count()
+        scan() // warm
+        val t0 = System.nanoTime(); val live = scan()
+        println(f"SPECDV $tag%-10s files=64 dead=$dead%7d live=$live%8d " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      }
     }
     spark.stop()
   }

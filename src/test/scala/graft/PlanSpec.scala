@@ -75,6 +75,27 @@ class PlanSpec extends SparkSuite {
       s"projection must prune unused columns: $readSchema")
   }
 
+  test("SPEC-DV scan keeps the same plan: broadcast anti-join, pushdown, no row shuffle") {
+    val d = tempDir("plan-dv-spec")
+    var t = DeltaTable.forPath(d).write(QueryLib.raw(spark, sfDir, "lineitem"))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("l_quantity") > 45))
+    val plan = explainOf(
+      t.toDF(spark).filter(col("l_discount") > 0.05)
+        .select("l_orderkey", "l_discount"))
+    // resolving roaring-bitmap vectors must not change the scan's plan
+    // contract: dead rows broadcast, data rows never shuffle, pushdown
+    // and pruning intact
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "a spec-DV scan must not shuffle data rows: " + plan.take(800))
+    assert(plan.contains("GreaterThan(l_discount,0.05)"), plan.take(800))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate"),
+      s"projection must prune unused columns: $readSchema")
+  }
+
   test("partitioned delta scan prunes partitions natively") {
     val lp = QueryLib.delta(spark, sfDir, "lineitem", partitionBy = Seq("l_returnflag"))
     val plan = explainOf(lp.filter(col("l_returnflag") === "A").groupBy().count())
