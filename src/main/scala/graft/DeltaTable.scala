@@ -3226,8 +3226,13 @@ final case class DeltaTable(
     val prev = dlog.loadAsVersion(restoreVersion)
     val prevAdds = prev.addActions
     val currAdds = dlog.addActions
+    // a path live in BOTH versions but with a DIFFERENT action must be
+    // re-added too: a deletion vector attached AFTER the restore point
+    // (merge-on-read delete) changes the add without changing the path,
+    // and keeping the newer add would leave those rows dead in the
+    // "restored" table
     val restoreAdds = prevAdds.collect {
-      case (p, a) if !currAdds.contains(p) => a
+      case (p, a) if !currAdds.get(p).contains(a) => a
     }.toSeq
     val removeAdds = currAdds.collect {
       case (p, a) if !prevAdds.contains(p) => a
@@ -3248,8 +3253,31 @@ final case class DeltaTable(
         s"cannot RESTORE to version $restoreVersion: ${gone.size} file(s) " +
           s"it references no longer exist (vacuumed?), e.g. ${gone.head.path}. " +
           "A restore would commit references to deleted data")
+    // same check for the restored adds' DELETION-VECTOR artifacts: a
+    // superseded sidecar/bin ages out under vacuum, and re-adding a ref
+    // to a deleted vector would make every later scan of that file fail
+    val goneDv = restoreAdds.flatMap { a =>
+      DeletionVectors.refOf(a).flatMap {
+        case DeletionVectors.SidecarRef(sc, _) =>
+          val f = Location.resolve(sc, loc, conf)
+          if (try f.exists catch { case _: Exception => false }) None
+          else Some(sc)
+        case DeletionVectors.DeltaRef(st @ ("u" | "p"), poi, _, _, _, _) =>
+          val p = DeletionVectors.deltaDvPath(st, poi, loc, conf)
+          val ok = try p.getFileSystem(conf).exists(p)
+            catch { case _: Exception => false }
+          if (ok) None else Some(p.toString)
+        case _ => None // inline vectors live in the log itself
+      }
+    }
+    if (goneDv.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot RESTORE to version $restoreVersion: ${goneDv.size} deletion " +
+          s"vector(s) it references no longer exist (vacuumed?), e.g. " +
+          s"${goneDv.head}. A restore would commit references to deleted state")
     val entry = DeltaLogEntry.restoreTable(dlog.version, restoreVersion,
-      prev.schema, prev.partitionColumns, removeAdds, restoreAdds)
+      prev.schema, prev.partitionColumns, removeAdds, restoreAdds,
+      prev.latestMetadata.map(_.configuration).getOrElse(Map.empty))
       .withExtraCommitInfo(customMetadata)
     commit(entry)
   }

@@ -297,13 +297,18 @@ object DeltaLogEntry {
     */
   def restoreTable(readVersion: Long, restoreVersion: Long, restoreSchema: StructType,
       restorePartitionBy: Seq[String], addsToRemove: Iterable[AddFile],
-      adds: Seq[AddFile]): DeltaLogEntry = {
+      adds: Seq[AddFile],
+      configuration: Map[String, String] = Map.empty): DeltaLogEntry = {
     val metrics = ListMap[String, JsonNode](
       "num_removed_files" -> Json.num(addsToRemove.size.toLong),
       "num_restored_files" -> Json.num(adds.size.toLong))
     val commit = CommitInfo.restore(readVersion, restoreVersion, metrics)
     val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
+    // RESTORE restores the target version's METADATA, configuration
+    // included (delta semantics) — an empty configuration here silently
+    // stripped constraints, CDF, column-mapping mode and the DV switch
     val meta = Metadata.create(restoreSchema, restorePartitionBy)
+      .copy(configuration = configuration)
     DeltaLogEntry(meta +: (removes ++ adds) :+ commit)
   }
 }

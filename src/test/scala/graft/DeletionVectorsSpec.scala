@@ -129,6 +129,41 @@ class DeletionVectorsSpec extends SparkSuite {
     assertSameRows(t.toDF(spark), nation.filter(col("n_regionkey") > 0))
   }
 
+  test("RESTORE across a MoR delete resurrects the dead rows") {
+    // graft-sidecar flavor: the delete re-ADDS the same path with a DV
+    // ref, so restore must re-add the PRE-delete action for paths whose
+    // action changed, not just paths that disappeared
+    val d = tempDir("dv-restore")
+    var t = DeltaTable.forPath(d).write(nation)
+    val v0 = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("n_regionkey") === 0))
+    assert(t.toDF(spark).count() < nation.count())
+    t = t.restore(v0)
+    assertSameRows(t.toDF(spark), nation)
+
+    // spec flavor
+    val d2 = tempDir("dv-restore-spec")
+    var t2 = DeltaTable.forPath(d2)
+      .write(spark.range(0, 1000).toDF("id").repartition(1))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    val v1 = t2.version
+    t2 = t2.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    assert(t2.toDF(spark).count() == 900L)
+    t2 = t2.restore(v1)
+    assert(t2.toDF(spark).count() == 1000L)
+
+    // restoring TO a DV'd version whose vector was deleted refuses
+    val v2 = t2.version // post-restore (clean)
+    t2 = t2.deleteMergeOnRead(spark, Some(col("id") < 200)) // "u" bin
+    val vDv = t2.version
+    t2 = t2.delete(spark, Some(col("id") < 500)) // CoW rewrite purges refs
+    new java.io.File(d2).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).foreach(_.delete())
+    val ex = intercept[IllegalStateException](
+      DeltaTable.forPath(d2).restore(vDv))
+    assert(ex.getMessage.contains("deletion vector"), ex.getMessage)
+  }
+
   test("time travel reads pre-delete versions in full") {
     val d = tempDir("dv-timetravel")
     var t = DeltaTable.forPath(d).write(nation)
