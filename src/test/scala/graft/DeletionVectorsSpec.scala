@@ -129,6 +129,30 @@ class DeletionVectorsSpec extends SparkSuite {
     assertSameRows(t.toDF(spark), nation.filter(col("n_regionkey") > 0))
   }
 
+  test("CDF and OPTIMIZE work over spec-format vectors") {
+    val d = tempDir("dv-spec-cdf")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 1000).toDF("id").repartition(2))
+      .setTableProperties(Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.enableChangeDataFeed" -> "true"))
+    val vProps = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    // the change feed renders the spec-DV delete as exactly the 100 dead
+    // rows (resolved through the roaring bitmaps)
+    val changes = t.changesBetween(spark, vProps, t.version)
+      .filter(col("_change_type") === "delete")
+    assert(changes.count() == 100L, changes.count().toString)
+    assert(changes.filter(col("id") % 10 =!= 0).count() == 0L)
+    // OPTIMIZE rewrites through the vectors: refs purged, rows stable
+    t = t.compact(spark)
+    assert(t.dlog.addActions.values
+      .forall(a => DeletionVectors.refOf(a).isEmpty),
+      "compaction must purge spec refs")
+    assert(t.toDF(spark).count() == 900L)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 900L)
+  }
+
   test("RESTORE across a MoR delete resurrects the dead rows") {
     // graft-sidecar flavor: the delete re-ADDS the same path with a DV
     // ref, so restore must re-add the PRE-delete action for paths whose
