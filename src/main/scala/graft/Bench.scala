@@ -169,6 +169,16 @@ object Bench {
       t.deleteMergeOnRead(spark, Some(col("l_quantity") < 2))
       (System.nanoTime() - t0) / 1e9
     }
+    // same fixture/predicate with delta.enableDeletionVectors=true: the
+    // vectors are delta-SPEC roaring bins — directly comparable to
+    // m06's graft-sidecar flavor
+    def onceDeleteSpecDv(): Double = {
+      val t = deleteFixture()
+        .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+      val t0 = System.nanoTime()
+      t.deleteMergeOnRead(spark, Some(col("l_quantity") < 2))
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // same predicate/SET as m03: the CoW/MoR update pair is comparable
     def onceUpdateMor(): Double = {
@@ -196,7 +206,8 @@ object Bench {
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
       "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _,
       "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _,
-      "m07_merge_dv" -> onceMergeMor _, "m08_update_dv" -> onceUpdateMor _)
+      "m07_merge_dv" -> onceMergeMor _, "m08_update_dv" -> onceUpdateMor _,
+      "m09_delete_spec_dv" -> onceDeleteSpecDv _)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =

@@ -129,6 +129,22 @@ class ColumnMappingSpec extends SparkSuite {
     assert(ex.getMessage.contains("nested"), ex.getMessage)
   }
 
+  test("RESTORE across a rename reverts the logical name and keeps scans working") {
+    val d = tempDir("cm-restore-rename")
+    var t = DeltaTable.forPath(d).write(nation)
+    val v0 = t.version
+    t = t.renameColumn("n_name", "nation_name")
+    t = t.write(nation.withColumnRenamed("n_name", "nation_name"))
+    // restore to the pre-rename version: the ORIGINAL logical name comes
+    // back (schema AND configuration restored), post-rename rows leave
+    t = t.restore(v0)
+    assert(t.toDF(spark).columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assertSameRows(t.toDF(spark), nation)
+    // the restored table stays writable under the restored schema
+    val t2 = t.write(nation)
+    assert(t2.toDF(spark).count() == nation.count() * 2)
+  }
+
   test("rename is metadata-only: same data, new logical name, old files") {
     val d = tempDir("cm-rename")
     val t0 = DeltaTable.forPath(d).write(nation)
