@@ -620,7 +620,41 @@ object Checkpoint {
         case e: CorruptCheckpointException => throw e
         case _: Exception => None
       }
-    })
+    }).orElse(loadLatestByListing(loc, conf))
+  }
+
+  /** Pointerless discovery: `_last_checkpoint` is a HINT in the delta
+    * spec (it can be stale or lost to eventual consistency / partial
+    * copies) — a reader must still find checkpoints by LISTING the log,
+    * or a log-cleaned table with a dropped pointer opens empty. Only
+    * candidates at the NEWEST checkpointed version are tried (graft
+    * layout preferred): silently serving an OLDER checkpoint when the
+    * newest is unreadable could present stale state, so that case falls
+    * through to the caller's (loud) JSON path instead.
+    */
+  private def loadLatestByListing(loc: Location,
+      conf: Configuration): Option[DeltaLog] = {
+    if (!loc.exists) return None
+    val names = loc.listSorted().map(_.getPath.getName)
+    val graftRe = "^(\\d{20})\\.graft-checkpoint\\.parquet$".r
+    val deltaRe = "^(\\d{20})\\.checkpoint(\\.\\d+\\.\\d+)?\\.parquet$".r
+    val candidates =
+      (names.flatMap(n => graftRe.findFirstMatchIn(n).map(_.group(1).toLong -> true)) ++
+        (names.flatMap(n => deltaRe.findFirstMatchIn(n).map(_.group(1).toLong -> false)) ++
+          names.flatMap(n => V2ManifestRe.findFirstMatchIn(n).map(_.group(1).toLong -> false)))
+          .distinct)
+    if (candidates.isEmpty) return None
+    val top = candidates.map(_._1).max
+    candidates.filter(_._1 == top).sortBy(c => !c._2).iterator
+      .flatMap { case (cv, isGraft) =>
+        try {
+          if (isGraft) Some(withTail(loc, cv, read(loc, cv, conf), conf))
+          else readDeltaFormat(loc, cv, conf).map(withTail(loc, cv, _, conf))
+        } catch {
+          case e: CorruptCheckpointException => throw e
+          case _: Exception => None
+        }
+      }.nextOption()
   }
 
   /** Checkpoint as the base entry at its version + every later JSON entry. */

@@ -153,6 +153,56 @@ class DeletionVectorsSpec extends SparkSuite {
     assert(DeltaTable.forPath(d).toDF(spark).count() == 900L)
   }
 
+  test("MERGE over a spec-DV table reads through the vectors") {
+    val d = tempDir("dv-spec-merge")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 1000).toDF("id")
+        .withColumn("v", col("id") * 2).repartition(1))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    // source updates 50 live rows and inserts 10 new; the rewrite must
+    // read THROUGH the vectors (dead rows must not resurrect)
+    val src = spark.range(0, 50).toDF("id").withColumn("v", lit(-1L))
+      .union(spark.range(2000, 2010).toDF("id").withColumn("v", lit(0L)))
+    t = t.merge(spark, src, Seq("id"))
+    val df = DeltaTable.forPath(d).toDF(spark)
+    // upsert semantics: the 5 DV-dead ids among 0-49 are NOT MATCHED and
+    // re-INSERT (they were deleted, so the source legitimately recreates
+    // them); dead ids outside the source stay dead; matched rows update
+    assert(df.count() == 900L + 5L + 10L, df.count().toString)
+    assert(df.filter(col("id") < 50 && col("v") =!= -1L).count() == 0L)
+    assert(df.filter(col("id") % 10 === 0 && col("id") >= 50 && col("id") < 1000)
+      .count() == 0L, "dead rows outside the source must stay dead")
+    assert(df.filter(col("id") >= 2000).count() == 10L)
+  }
+
+  test("v2 checkpoint round-trips spec-DV descriptors") {
+    val d = tempDir("dv-spec-v2ckpt")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 1000).toDF("id").repartition(1))
+      .setTableProperties(Map(
+        "delta.enableDeletionVectors" -> "true",
+        "delta.checkpointPolicy" -> "v2"))
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    t = t.checkpoint()
+    val v = t.version
+    // wipe graft artifacts, BOTH pointers and the JSON log: the v2
+    // manifest+sidecars are the only source of truth and must be
+    // discovered by LISTING (the pointer is a hint, not a requirement)
+    t.logLoc.listSorted().map(_.getPath.getName).foreach { name =>
+      val graftArtifact = name.endsWith(".graft-checkpoint.parquet") ||
+        name == "_last_checkpoint" ||
+        name == graft.log.Checkpoint.LastCheckpointFile
+      val cleanedJson = name.matches("^\\d+\\.json$")
+      if (graftArtifact || cleanedJson)
+        t.logLoc.fs.delete(t.logLoc.child(name).path, false)
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == v)
+    assert(re.toDF(spark).count() == 900L)
+    assert(re.toDF(spark).filter(col("id") % 10 === 0).count() == 0L)
+  }
+
   test("RESTORE across a MoR delete resurrects the dead rows") {
     // graft-sidecar flavor: the delete re-ADDS the same path with a DV
     // ref, so restore must re-add the PRE-delete action for paths whose
