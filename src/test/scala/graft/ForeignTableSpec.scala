@@ -106,6 +106,16 @@ class ForeignTableSpec extends SparkSuite {
     // Z85 uuid round trip
     val u = java.util.UUID.randomUUID()
     assert(RoaringBitmaps.Z85.decodeUuid(RoaringBitmaps.Z85.encodeUuid(u)) == u)
+
+    // seeded fuzz across container-regime boundaries (cardinalities
+    // straddling 4096, multi-bucket 64-bit values)
+    val rng = new scala.util.Random(42)
+    (1 to 50).foreach { i =>
+      val n = rng.nextInt(6000) + 1
+      val vs = Array.fill(n)(rng.nextLong() & 0x3FFFFFFFFL).distinct.sorted
+      assert(RoaringBitmaps.decodeBlob(RoaringBitmaps.encodeBlob(vs)).sameElements(vs),
+        s"fuzz case $i (n=$n)")
+    }
   }
 
   test("foreign fixture: soft and deep clones carry the spec DV") {
