@@ -438,10 +438,9 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("doc_id")),
     // BPE vocabulary training over the corpus word-frequency table.
-    // No SQL oracle: the merge loop is iterative (each argmax depends on
-    // the previous merge's rewrite) — not expressible as one SQL query;
-    // Round9bSpec pins the exact textbook merges instead. Driver records
-    // the rows-only check.
+    // FULL SQL oracle since r10: the 20-rank merge loop unrolls into
+    // pair-count -> argmax -> island-merge CTE blocks (bpeTrainOracle);
+    // Round9bSpec additionally pins the exact textbook merges.
     "q132_bpe_merges" -> ((s, d) =>
       TextAnalysis.trainBpeMerges(
         QueryLib.delta(s, d, "documents"), "text", numMerges = 20)
@@ -1518,6 +1517,7 @@ object SparkEntry {
         | CAST(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         | round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END) / count(*), 4) AS dup_ratio
         |FROM w JOIN d USING (win) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q132_bpe_merges" -> bpeTrainOracle(20),
     "q131_chunk_documents" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |  FROM documents WHERE doc_id < 100),
@@ -2220,6 +2220,46 @@ object SparkEntry {
     val y = (len - length(regexp_replace(col("text"), "[.,;:!?]", "")).cast("double")) /
       greatest(len, lit(1.0))
     (features, y)
+  }
+
+  /** Static SQL replay of the FULL BPE training loop (q132): `numMerges`
+    * unrolled rank blocks, each = weighted adjacent-pair count → argmax
+    * (count desc, then lexicographic l, r — binary collation on both
+    * engines) → greedy non-overlapping merge via the q146 island
+    * machinery, with the per-rank winner cross-joined in instead of a
+    * literal. MATERIALIZED per step (DuckDB inlines CTEs; a 20-step
+    * chain would re-evaluate exponentially). This retires q132's
+    * rows-only status: iterative ≠ inexpressible, just long.
+    */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val steps = (1 to numMerges).map { k =>
+      val prev = if (k == 1) "s0" else s"m${k - 1}"
+      s"""p$k AS (SELECT a.sym AS l, b.sym AS r, CAST(sum(wc.c) AS BIGINT) AS cnt
+         |  FROM $prev a JOIN $prev b ON b.w = a.w AND b.pos = a.pos + 1
+         |  JOIN wc ON wc.w = a.w GROUP BY a.sym, b.sym),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |c$k AS (SELECT s.w, s.pos, s.sym, lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt FROM $prev s),
+         |k$k AS (SELECT c$k.w, pos, sym, CASE WHEN sym = b.l AND nxt = b.r THEN 1 ELSE 0 END AS cd FROM c$k CROSS JOIN b$k b),
+         |i$k AS (SELECT w, pos, sym, cd, CASE WHEN cd = 1 THEN pos - row_number() OVER (PARTITION BY w, cd ORDER BY pos) END AS isl FROM k$k),
+         |x$k AS MATERIALIZED (SELECT w, pos, sym, cd, CASE WHEN cd = 1 AND (pos - min(pos) OVER (PARTITION BY w, isl)) % 2 = 0 THEN 1 ELSE 0 END AS sel FROM i$k),
+         |u$k AS (SELECT x.w, x.pos, b.l || b.r AS sym FROM x$k x CROSS JOIN b$k b WHERE x.sel = 1
+         |  UNION ALL
+         |  SELECT a.w, a.pos, a.sym FROM x$k a LEFT JOIN x$k p ON p.w = a.w AND p.pos = a.pos - 1 AND p.sel = 1 WHERE a.sel = 0 AND p.pos IS NULL),
+         |m$k AS MATERIALIZED (SELECT w, row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to numMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right", cnt AS pair_count FROM b$k""")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (SELECT w, count(*) AS c FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, generate_subscripts(string_split(w, ''), 1) AS pos,
+       |    unnest(string_split(w, '')) AS sym FROM wc
+       |  UNION ALL
+       |  SELECT w, length(w) + 1 AS pos, '</w>' AS sym FROM wc),
+       |$steps
+       |SELECT * FROM ($ranks) ORDER BY rank""".stripMargin
   }
 
   /** Oracle SQL whose text depends on DATA-DERIVED constants (a trained
