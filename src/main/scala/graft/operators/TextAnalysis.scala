@@ -244,6 +244,12 @@ object TextAnalysis {
   }
 
   def induceVocab(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    // the top-k itself is a partial per-partition TakeOrderedAndProject
+    // (never a global sort of the vocabulary); the GLOBAL id window below
+    // runs over the already-limited topK rows — bounded by the CALLER'S
+    // vocab-size parameter (tens of thousands), not by corpus vocabulary
+    // (hundreds of millions on the web) — which is what makes a
+    // partition-less window acceptable here and nowhere data-scaled
     val counts = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topK)
