@@ -898,9 +898,27 @@ final case class DeltaTable(
           .select(col(DeltaScan.MetaPath), col(DeltaScan.MetaRow)))
     // an unmatched predicate still commits (parity with copy-on-write)
     commitOrRebase(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
-        fullDead, dlog.version, numDeleted).withExtraCommitInfo(customMetadata),
+        fullDead, dlog.version, numDeleted, specDvRemoves(dvAdds))
+      .withExtraCommitInfo(customMetadata),
       candidateAdds.map(_.path).toSet, Some(where))
   }
+
+  /** Paired tombstones for a spec-DV table's re-adds: one RemoveFile per
+    * re-added path, carrying the SUPERSEDED add's deletionVector
+    * descriptor. Spec-compliant delta readers reconcile file actions by
+    * the (path, deletionVector.uniqueId) TUPLE — without the pairing the
+    * prior no-DV (or older-DV) add stays live in their replay alongside
+    * the new one, duplicating files and resurrecting deleted rows, which
+    * defeats the interop `delta.enableDeletionVectors=true` promises.
+    * Graft-native sidecar tables skip the pairing (their DVs are
+    * unreadable to foreign engines by design, and graft's own path-keyed
+    * replay needs no tombstone).
+    */
+  private def specDvRemoves(dvAdds: Seq[AddFile]): Seq[RemoveFile] =
+    if (dvAdds.nonEmpty &&
+        tableProperties.get("delta.enableDeletionVectors").contains("true"))
+      dvAdds.map(a => Action.removeFor(dlog.addActions(a.path)))
+    else Seq.empty
 
   /** Shared merge-on-read mutation core: the rows `selectDead` keeps from
     * a meta-scan of `candidateAdds` (scanned THROUGH existing vectors —
@@ -1070,7 +1088,8 @@ final case class DeltaTable(
               require(card == totalDeadOf(a),
                 s"DV cardinality mismatch for ${a.path}: bin $card, expected ${totalDeadOf(a)}")
               DeletionVectors.withRef(a, DeletionVectors.DeltaRef(
-                st, poi, offset = 1L, sizeInBytes = size.toLong,
+                st, poi, offset = if (st == "i") None else Some(1L),
+                sizeInBytes = size.toLong,
                 cardinality = card, ownerPath = a.path))
             }
           } else {
@@ -1143,7 +1162,7 @@ final case class DeltaTable(
 
     val predicateText = where.map(_.toString).getOrElse("true")
     val entry = DeltaLogEntry.updateMergeOnReadTable(predicateText, dvAdds,
-        fullDead, newAdds, dlog.version, numUpdated)
+        fullDead, newAdds, dlog.version, numUpdated, specDvRemoves(dvAdds))
       .withExtraCommitInfo(customMetadata)
     commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
       candidateAdds.map(_.path).toSet, Some(where))
@@ -1206,7 +1225,8 @@ final case class DeltaTable(
       val numInserted = srcTotal - numUpdated
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")
       commitOrRebase(DeltaLogEntry.mergeMergeOnReadTable(predicate, dvAdds, fullDead,
-          sourceAdds, dlog.version, numUpdated, numInserted, numDead)
+          sourceAdds, dlog.version, numUpdated, numInserted, numDead,
+          specDvRemoves(dvAdds))
         .withExtraCommitInfo(customMetadata), candidateAdds.map(_.path).toSet,
         Some(None))
     } finally src.unpersist()
@@ -3179,20 +3199,28 @@ final case class DeltaTable(
         // not `remove_file`.
         val morEntry = entry.commitInfos.exists(
           _.operationMetrics.get("mode").exists(_.asText == "merge-on-read"))
-        val removed = removes.filter(_.dataChange).map { r =>
-          val synth = AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
-          liveRefs.get(r.path).flatten match {
-            case Some(ref) => DeletionVectors.withRef(synth, ref)
-            case None      => synth
+        // a remove whose path is RE-ADDED in the same entry is a
+        // reconciliation tombstone (the spec-DV remove+add pairing, or a
+        // foreign writer's DV delete), not a data removal: the paired
+        // add's DV delta above already reports the commit's exact
+        // newly-dead rows, so emitting the remove too would double-report
+        val rePaths = adds.map(_.path).toSet
+        val removed = removes.filter(r => r.dataChange && !rePaths.contains(r.path))
+          .map { r =>
+            val synth = AddFile(path = r.path, partitionValues = r.partitionValues, size = r.size)
+            liveRefs.get(r.path).flatten match {
+              case Some(ref) => DeletionVectors.withRef(synth, ref)
+              case None      => synth
+            }
           }
-        }
         if (removed.nonEmpty)
           frames += tagged(scanAdds(spark, removed), v,
             if (morEntry) "delete" else "remove_file")
       }
-      // replay order: adds first, then removes (matches DeltaLog.addActions)
-      adds.foreach(a => liveRefs = liveRefs.updated(a.path, DeletionVectors.refOf(a)))
+      // replay order: removes BEFORE adds (matches DeltaLog.addActions —
+      // a same-entry remove+add pair leaves the path LIVE under the add)
       removes.foreach(r => liveRefs = liveRefs.removed(r.path))
+      adds.foreach(a => liveRefs = liveRefs.updated(a.path, DeletionVectors.refOf(a)))
     }
     val out =
       if (frames.isEmpty)

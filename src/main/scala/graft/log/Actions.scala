@@ -684,5 +684,12 @@ object Action {
       deletionTimestamp = System.currentTimeMillis(),
       partitionValues = add.partitionValues,
       size = add.size,
-      extendedFileMetadata = true)
+      extendedFileMetadata = true,
+      // the remove carries the add's deletionVector descriptor (delta's
+      // convention): spec-compliant readers reconcile file actions by the
+      // (path, deletionVector.uniqueId) TUPLE, so a remove missing the
+      // descriptor would not kill a DV'd add — the file (and its deleted
+      // rows' liveness state) would survive in a foreign reader's replay
+      extra = add.extra.get("deletionVector")
+        .map(dv => Map("deletionVector" -> dv)).getOrElse(Map.empty))
 }

@@ -651,7 +651,18 @@ object Checkpoint {
           if (isGraft) Some(withTail(loc, cv, read(loc, cv, conf), conf))
           else readDeltaFormat(loc, cv, conf).map(withTail(loc, cv, _, conf))
         } catch {
-          case e: CorruptCheckpointException => throw e
+          case e: CorruptCheckpointException =>
+            // a PROVABLY incomplete checkpoint found only by LISTING (the
+            // partial-copy scenario this path exists for) is recoverable
+            // whenever the JSON commits it summarizes still exist: fall
+            // back to full JSON replay then. Loud failure is reserved for
+            // the case where the checkpoint is the only possible source
+            // of truth (the log was cleaned below it).
+            val jsonVs = names.collect {
+              case n if DeltaLog.EntryFilenameRe.matches(n) =>
+                n.split("\\.", 2)(0).toLong
+            }.toSet
+            if ((0L to cv).forall(jsonVs.contains)) None else throw e
           case _: Exception => None
         }
       }.nextOption()

@@ -121,16 +121,23 @@ object DeltaLogEntry {
   }
 
   /** Merge-on-read DELETE entry: each touched file is RE-ADDED (same data
-    * file, a new deletionVector ref in `extra`) — no RemoveFile needed:
-    * `addActions.updated` replaces the prior add in place. (Replay also
-    * accepts delta-spark's remove+add same-path pairing — removes apply
-    * before adds within an entry — but emitting only the add keeps our
-    * entries minimal.) Files whose every row is now dead are removed
-    * outright (`fullDead`).
+    * file, a new deletionVector ref in `extra`). For graft-native sidecar
+    * tables no RemoveFile is needed: `addActions.updated` replaces the
+    * prior add in place and the entry stays minimal. For delta-SPEC DV
+    * tables the caller passes `dvRemoves` — one remove per re-add,
+    * carrying the SUPERSEDED add's deletionVector descriptor — because
+    * spec-compliant readers (delta-spark InMemoryLogReplay, kernel,
+    * delta-rs) reconcile file actions by the (path, dvUniqueId) TUPLE: a
+    * bare re-add would leave the prior no-DV/old-DV add live alongside
+    * the new one, duplicating files and resurrecting deleted rows in
+    * every foreign reader. Graft's own replay (removes-before-adds
+    * within an entry) keeps the paired file live either way. Files whose
+    * every row is now dead are removed outright (`fullDead`).
     */
   def deleteMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
       fullDead: Iterable[AddFile], readVersion: Long,
-      numDeletedRows: Long): DeltaLogEntry = {
+      numDeletedRows: Long,
+      dvRemoves: Seq[RemoveFile] = Seq.empty): DeltaLogEntry = {
     val metrics = ListMap[String, JsonNode](
       "mode" -> Json.text("merge-on-read"),
       "num_dv_files" -> Json.num(dvAdds.size.toLong),
@@ -139,7 +146,7 @@ object DeltaLogEntry {
       "num_deleted_rows" -> Json.num(numDeletedRows))
     val commit = CommitInfo.delete(predicate, readVersion, metrics)
     val removes = fullDead.map(a => Action.removeFor(a)).toVector
-    DeltaLogEntry(dvAdds.toVector ++ removes :+ commit)
+    DeltaLogEntry(dvRemoves.toVector ++ dvAdds ++ removes :+ commit)
   }
 
   /** BLOOM INDEX entry: every live file re-added with its per-file filter
@@ -160,7 +167,8 @@ object DeltaLogEntry {
     */
   def updateMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
       fullDead: Iterable[AddFile], adds: Seq[AddFile], readVersion: Long,
-      numUpdated: Long): DeltaLogEntry = {
+      numUpdated: Long,
+      dvRemoves: Seq[RemoveFile] = Seq.empty): DeltaLogEntry = {
     val metrics = ListMap[String, JsonNode](
       "mode" -> Json.text("merge-on-read"),
       "num_added_files" -> Json.num(adds.size.toLong),
@@ -169,7 +177,7 @@ object DeltaLogEntry {
       "num_updated_rows" -> Json.num(numUpdated))
     val commit = CommitInfo.update(predicate, readVersion, metrics)
     val removes = fullDead.map(a => Action.removeFor(a)).toVector
-    DeltaLogEntry(dvAdds.toVector ++ adds ++ removes :+ commit)
+    DeltaLogEntry(dvRemoves.toVector ++ dvAdds ++ adds ++ removes :+ commit)
   }
 
   /** Merge-on-read MERGE entry: matched target rows die via DV re-adds
@@ -179,7 +187,8 @@ object DeltaLogEntry {
     */
   def mergeMergeOnReadTable(predicate: String, dvAdds: Seq[AddFile],
       fullDead: Iterable[AddFile], sourceAdds: Seq[AddFile], readVersion: Long,
-      numUpdated: Long, numInserted: Long, numDeadRows: Long): DeltaLogEntry = {
+      numUpdated: Long, numInserted: Long, numDeadRows: Long,
+      dvRemoves: Seq[RemoveFile] = Seq.empty): DeltaLogEntry = {
     val metrics = ListMap[String, JsonNode](
       "mode" -> Json.text("merge-on-read"),
       "num_added_files" -> Json.num(sourceAdds.size.toLong),
@@ -192,7 +201,7 @@ object DeltaLogEntry {
         "num_updated_rows=distinct matched keys; num_dead_rows=physical rows"))
     val commit = CommitInfo.merge(predicate, readVersion, metrics)
     val removes = fullDead.map(a => Action.removeFor(a)).toVector
-    DeltaLogEntry(dvAdds.toVector ++ sourceAdds ++ removes :+ commit)
+    DeltaLogEntry(dvRemoves.toVector ++ dvAdds ++ sourceAdds ++ removes :+ commit)
   }
 
   /** replaceWhere entry: predicate-scoped overwrite — removes for every

@@ -206,14 +206,28 @@ object Sampling {
     val wDf = weights.toSeq.toDF(keyCol, "_w")
     val joined = avail.join(broadcast(wDf), Seq(keyCol), "left")
       .withColumn("_w", coalesce(col("_w"), lit(0.0)))
-    val wtot = broadcast(joined.agg(sum("_w").as("_wtot")))
+    // the renormalized weight total must be positive — if NO present
+    // domain carries a declared weight, every rate would silently become
+    // null/Infinity instead of an answer; fail loudly (the "visible, not
+    // dropped" contract cuts both ways)
+    val wtot = broadcast(joined.agg(sum("_w").as("_wtot"))
+      .select(when(col("_wtot") > 0.0, col("_wtot"))
+        .otherwise(raise_error(lit("mixtureAllocation: no declared weight " +
+          "matches any domain present in the corpus (renormalized weight " +
+          "total is 0)"))).as("_wtot")))
     val target = lit(budgetTokens.toDouble) * col("_w") / col("_wtot")
+    // a domain with zero token mass can't be sampled at any rate: report
+    // rate/epochs 0 (target_tokens still shows the ask) instead of a
+    // silent null/Infinity from the division
+    def perAvail(c: Column): Column =
+      when(col("available_tokens") > 0, c).otherwise(lit(0.0))
     joined.crossJoin(wtot)
-      .select(col(keyCol), col("available_tokens"),
+      .select(col(keyCol),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"),
         floor(target).cast("long").as("target_tokens"),
-        round(least(lit(1.0), target / col("available_tokens")), 6)
+        round(perAvail(least(lit(1.0), target / col("available_tokens"))), 6)
           .as("sampling_rate"),
-        round(target / col("available_tokens"), 6).as("epochs"))
+        round(perAvail(target / col("available_tokens")), 6).as("epochs"))
   }
 
   def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,

@@ -69,10 +69,13 @@ object DeletionVectors {
 
   /** Delta-spec descriptor. `ownerPath` is the referencing add's recorded
     * path — delta DV row indexes are relative to the owning data file, so
-    * resolution must re-key them under it.
+    * resolution must re-key them under it. `offset` is present ONLY for
+    * on-disk vectors (storageType u/p): the delta protocol omits it for
+    * inline ("i") descriptors, and strict parsers (delta-kernel) REJECT
+    * an inline descriptor that carries one.
     */
   final case class DeltaRef(storageType: String, pathOrInlineDv: String,
-      offset: Long, sizeInBytes: Long, cardinality: Long,
+      offset: Option[Long], sizeInBytes: Long, cardinality: Long,
       ownerPath: String) extends DvRef
 
   object DvRef {
@@ -93,7 +96,7 @@ object DeletionVectors {
           DeltaRef(st,
             Json.strOpt(node, "pathOrInlineDv").getOrElse(throw
               new IllegalArgumentException(s"deletionVector on ${a.path} has no pathOrInlineDv")),
-            Json.longOpt(node, "offset").getOrElse(1L),
+            Json.longOpt(node, "offset"),
             Json.longOpt(node, "sizeInBytes").getOrElse(0L),
             Json.longOpt(node, "cardinality").getOrElse(0L),
             a.path)
@@ -109,7 +112,7 @@ object DeletionVectors {
       case DeltaRef(st, poi, off, size, card, _) =>
         node.put("storageType", st)
         node.put("pathOrInlineDv", poi)
-        node.put("offset", off)
+        off.foreach(node.put("offset", _))
         node.put("sizeInBytes", size)
         node.put("cardinality", card)
     }
@@ -157,7 +160,8 @@ object DeletionVectors {
       // Hadoop conf as a plain serializable map (covers custom schemes)
       val confMap = conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
       val descs = deltas.collect { case d: DeltaRef =>
-        (d.ownerPath, d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        (d.ownerPath, d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(1L), d.sizeInBytes)
       }
       val deltaDf = spark.createDataset(descs)
         .flatMap { case (owner, st, poi, off, size) =>

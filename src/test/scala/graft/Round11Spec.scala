@@ -1,0 +1,210 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.log.Json
+import graft.sources.DeletionVectors
+import org.apache.spark.sql.functions._
+
+/** Round-11 hardening: delta-SPEC reconciliation of merge-on-read
+  * commits (foreign readers key file actions by the (path, dvUniqueId)
+  * TUPLE, not the path), inline-descriptor wire shape, checkpoint
+  * discovery fallback, and mixture-allocation guard rails.
+  */
+class Round11Spec extends SparkSuite {
+
+  // ------------------------------------------------------------------
+  // A miniature SPEC-COMPLIANT replayer, written from the Delta
+  // protocol's reconciliation rule (PROTOCOL.md "Action Reconciliation":
+  // file actions are keyed by path + deletionVector.uniqueId; a remove
+  // deletes exactly its tuple). delta-spark's InMemoryLogReplay, kernel
+  // and delta-rs all implement this rule — graft's own replay is
+  // path-keyed, so only a tuple-keyed check can catch interop bugs the
+  // native reader masks.
+  // ------------------------------------------------------------------
+
+  private def dvUniqueId(dv: JsonNode): String =
+    if (dv == null) ""
+    else {
+      val st = dv.get("storageType").asText
+      val poi = dv.get("pathOrInlineDv").asText
+      val off = Option(dv.get("offset")).map("@" + _.asLong).getOrElse("")
+      st + poi + off
+    }
+
+  /** (path, dvUniqueId) -> add-JSON of every file a spec reader sees live. */
+  private def specReplay(tableDir: String): Map[(String, String), JsonNode] = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val entries = logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+    var live = Map.empty[(String, String), JsonNode]
+    entries.foreach { f =>
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      lines.forEach { line =>
+        val node = Json.mapper.readTree(line)
+        val add = node.get("add")
+        val remove = node.get("remove")
+        if (remove != null) {
+          val key = (remove.get("path").asText, dvUniqueId(remove.get("deletionVector")))
+          live = live.removed(key)
+        }
+        if (add != null) {
+          val key = (add.get("path").asText, dvUniqueId(add.get("deletionVector")))
+          live = live.updated(key, add)
+        }
+      }
+    }
+    live
+  }
+
+  test("spec-DV mutations reconcile under tuple-keyed (foreign) replay") {
+    val d = tempDir("r11-tuple-replay")
+    val data = spark.range(0, 1000).toDF("id").repartition(2)
+    var t = DeltaTable.forPath(d).write(data)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+
+    // first MoR delete: each touched file must pair remove(no dv) + add(dv)
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    var live = specReplay(d)
+    assert(live.size == t.dlog.addActions.size,
+      s"foreign replay sees ${live.size} live files, graft sees ${t.dlog.addActions.size}")
+    val paths1 = live.keys.map(_._1).toSeq
+    assert(paths1.distinct.size == paths1.size,
+      "a path is live under TWO dv ids — the superseded add was not removed")
+    live.foreach { case ((_, dvId), add) =>
+      assert(dvId.nonEmpty && add.get("deletionVector") != null,
+        "post-delete live adds must carry the new DV descriptor")
+    }
+
+    // re-delete: the remove must name the SUPERSEDED descriptor so the
+    // first delete's (path, dvId) tuple dies in a foreign reader
+    t = t.deleteMergeOnRead(spark, Some(col("id") === 5 || col("id") === 7))
+    live = specReplay(d)
+    assert(live.size == t.dlog.addActions.size)
+    val paths2 = live.keys.map(_._1).toSeq
+    assert(paths2.distinct.size == paths2.size,
+      "re-delete resurrected a superseded DV add under foreign replay")
+
+    // the spec reader's view of live rows == graft's own scan
+    val deadBySpec = live.values.map(a =>
+      Option(a.get("deletionVector")).map(_.get("cardinality").asLong).getOrElse(0L)).sum
+    assert(1000L - deadBySpec == t.toDF(spark).count())
+
+    // update + merge flavors reconcile the same way
+    t = t.updateMergeOnRead(spark, Some(col("id") === 11), Map("id" -> lit(10011)))
+    live = specReplay(d)
+    assert(live.keys.map(_._1).toSeq.distinct.size == live.size,
+      "updateMergeOnRead left a duplicated (path, dvId) pair")
+    assert(live.size == t.dlog.addActions.size)
+
+    import spark.implicits._
+    t = t.mergeMergeOnRead(spark, Seq(3L, 5000L).toDF("id"), Seq("id"))
+    live = specReplay(d)
+    assert(live.keys.map(_._1).toSeq.distinct.size == live.size,
+      "mergeMergeOnRead left a duplicated (path, dvId) pair")
+    assert(live.size == t.dlog.addActions.size)
+    assertSameRows(t.toDF(spark), DeltaTable.forPath(d).toDF(spark))
+  }
+
+  test("native sidecar tables keep minimal MoR entries (no paired removes)") {
+    val d = tempDir("r11-native-minimal")
+    var t = DeltaTable.forPath(d).write(spark.range(0, 100).toDF("id"))
+    t = t.deleteMergeOnRead(spark, Some(col("id") < 10))
+    val entry = t.dlog.entries.last._2
+    assert(entry.removes.isEmpty,
+      "graft-native MoR delete should not emit tombstones (path-keyed replay)")
+    assert(entry.adds.forall(a => DeletionVectors.refOf(a).isDefined))
+  }
+
+  test("inline DV descriptors omit offset; on-disk descriptors carry it") {
+    val d = tempDir("r11-inline-offset")
+    val data = spark.range(0, 1000).toDF("id").repartition(1)
+    var t = DeltaTable.forPath(d).write(data)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    // 2 dead rows -> tiny bitmap -> inline "i" descriptor
+    t = t.deleteMergeOnRead(spark, Some(col("id").isin(3, 4)))
+    val inlineAdd = specReplay(d).values
+      .find(a => a.get("deletionVector") != null).get.get("deletionVector")
+    assert(inlineAdd.get("storageType").asText == "i")
+    assert(inlineAdd.get("offset") == null,
+      "the delta protocol forbids offset on inline descriptors — strict " +
+        "parsers (delta-kernel checkArgument) reject it")
+
+    // 300 dead rows -> on-disk "u" descriptor with an offset
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 3 === 0))
+    val uAdd = specReplay(d).values
+      .find(a => a.get("deletionVector") != null).get.get("deletionVector")
+    assert(uAdd.get("storageType").asText == "u")
+    assert(uAdd.get("offset") != null && uAdd.get("offset").asLong == 1L)
+    // both flavors still resolve exactly
+    assert(DeltaTable.forPath(d).toDF(spark).count() ==
+      1000L - 2L - spark.range(0, 1000).filter(col("id") % 3 === 0 &&
+        !col("id").isin(3, 4)).count())
+  }
+
+  test("CDF stays exact through the spec-DV remove+add pairing") {
+    val d = tempDir("r11-cdf-paired")
+    val data = spark.range(0, 200).toDF("id").repartition(2)
+    var t = DeltaTable.forPath(d).write(data)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    val v0 = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("id") < 20))
+    // exactly the 20 newly-dead rows, once — the paired tombstone must
+    // not double-report the file's surviving rows
+    val changes = t.changesBetween(spark, v0, t.version)
+    assert(changes.filter(col("_change_type") === "delete").count() == 20L)
+    assert(changes.count() == 20L, "paired removes double-reported CDF rows")
+
+    // second delete reports only ITS newly-dead rows
+    val v1 = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("id") < 25))
+    val c2 = t.changesBetween(spark, v1, t.version)
+    assert(c2.filter(col("_change_type") === "delete").count() == 5L)
+    assert(c2.count() == 5L)
+  }
+
+  test("incomplete multipart checkpoint found by listing falls back to JSON replay") {
+    val d = tempDir("r11-ckpt-fallback")
+    var t = DeltaTable.forPath(d).write(spark.range(0, 50).toDF("id"))
+    t = t.write(spark.range(50, 100).toDF("id"))
+    graft.log.Checkpoint.write(t.dlog, t.conf, maxActionsPerPart = 1) // multipart
+    val dir = new java.io.File(d, "_delta_log")
+    val parts = dir.listFiles().filter(_.getName.matches("\\d{20}\\.checkpoint\\.\\d+\\.\\d+\\.parquet"))
+    assert(parts.length >= 2, s"expected a multipart checkpoint, got ${parts.length} parts")
+    // the partial-copy scenario: one part lost, the pointer lost, JSON intact
+    assert(parts.head.delete())
+    val ptr = new java.io.File(dir, "_last_checkpoint")
+    if (ptr.exists) assert(ptr.delete())
+    val graftCkpt = dir.listFiles().filter(_.getName.endsWith(".graft-checkpoint.parquet"))
+    graftCkpt.foreach(f => assert(f.delete())) // force the delta-format path
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.toDF(spark).count() == 100L,
+      "intact JSON must serve the table when the listed checkpoint is incomplete")
+
+    // but when the JSON below the checkpoint is CLEANED, the incomplete
+    // checkpoint is the only possible source of truth: fail loudly
+    val v0json = new java.io.File(dir, f"${0L}%020d.json")
+    assert(v0json.delete())
+    val e = intercept[Exception](DeltaTable.forPath(d).toDF(spark).count())
+    assert(e.getMessage != null)
+  }
+
+  test("mixtureAllocation guards: no matching weights fails loudly; empty domains report 0") {
+    import spark.implicits._
+    val corpus = Seq(("en", 100L), ("fr", 50L), ("de", 0L))
+      .toDF("lang", "tokens")
+    // no declared weight matches any present domain -> loud error
+    val bad = operators.Sampling.mixtureAllocation(corpus, "lang",
+      col("tokens"), Map("zh" -> 1.0), 1000L)
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage != null)
+
+    // a present-but-empty domain reports rate/epochs 0, not Infinity
+    val plan = operators.Sampling.mixtureAllocation(corpus, "lang",
+      col("tokens"), Map("en" -> 1.0, "de" -> 1.0), 1000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(plan("de").getDouble(3) == 0.0, "empty domain sampling_rate must be 0")
+    assert(plan("de").getDouble(4) == 0.0, "empty domain epochs must be 0")
+    assert(plan("fr").getDouble(3) == 0.0, "undeclared domain rate stays 0")
+    assert(plan("en").getLong(2) == 500L) // weights renormalize over declared
+  }
+}
