@@ -69,6 +69,17 @@ object QueryLib {
         .write(df.filter(col("o_orderstatus") === "F"), mode = WriteMode.Overwrite)
     }
 
+  /** MinHash signature STORE (cross-batch dedup history) initialized from
+    * the even-doc_id half of `documents` — the odd half plays the role of
+    * the incoming batch in q151.
+    */
+  def minhashStoreDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "minhash_store") { d =>
+      graft.operators.Dedup.minHashStoreInit(spark, d,
+        delta(spark, sfDir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
   /** lineitem with `l_returnflag = 'A' or l_quantity > 45` deleted
     * copy-on-write.
     */

@@ -79,6 +79,33 @@ object SparkEntry {
     "q150_spec_dv_scan" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.lineitemSpecDvDir(s, d)).toDF(s)
         .orderBy("l_orderkey", "l_linenumber")),
+    // cross-batch incremental near-dup: the odd-doc_id half of documents
+    // dedups against a PERSISTED signature store holding the even half —
+    // banded-LSH candidates (batch side broadcasts, the store only scans)
+    // verified by the MinHash Jaccard estimate; md5-derived component
+    // hashes make the signatures engine-portable, so the oracle replays
+    // them bit-for-bit
+    "q151_minhash_store_dedup" -> ((s, d) =>
+      Dedup.minHashStoreDedup(s, QueryLib.minhashStoreDir(s, d),
+          QueryLib.delta(s, d, "documents").filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", bands = 16, estThreshold = 0.7)
+        .orderBy("a", "b")),
+    // numeric drift report between two SNAPSHOTS of one table (v0 vs the
+    // post-delete current version — Delta time travel makes the "before"
+    // side free): per-column count/mean/stddev/min/max/null-rate + delta
+    "q152_numeric_drift" -> ((s, d) => {
+      val t = DeltaTable.forPath(QueryLib.lineitemDeletedDir(s, d))
+      operators.Drift.numericDrift(t.loadAsVersion(0L).toDF(s), t.toDF(s),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
+    // categorical drift (PSI) of l_returnflag across the same delete:
+    // the vanished 'A' class stays VISIBLE at count 0 with a finite,
+    // smoothed PSI contribution
+    "q153_categorical_drift" -> ((s, d) => {
+      val t = DeltaTable.forPath(QueryLib.lineitemDeletedDir(s, d))
+      operators.Drift.categoricalDrift(t.loadAsVersion(0L).toDF(s), t.toDF(s),
+        "l_returnflag")
+    }),
     // REORG PURGE: the DV debt of q76's deletes rewritten away
     // (dataChange=false) — same live rows, clean files, no anti-join
     "q99_purge_scan" -> ((s, d) =>
@@ -1130,6 +1157,60 @@ object SparkEntry {
     s"""WITH $TriBase
        |SELECT a, b, jaccard FROM pj WHERE j >= 0.8 ORDER BY a, b""".stripMargin
 
+  /** q151 oracle: bit-exact replay of the MinHash signature store dedup.
+    * Component i of a doc = min over its trigram shingles s of the 60-bit
+    * md5 prefix of `i || ':' || s` (graft's Md5Prefix60 ≡ DuckDB's
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`); 16 bands of 4 components
+    * keyed by the comma-joined decimal values; candidates = even-id
+    * (store) × odd-id (batch) band collisions; est_jaccard = matching
+    * component fraction. Every step MATERIALIZED — the chain re-evaluates
+    * exponentially otherwise (DuckDB inlines CTEs).
+    */
+  private val MinHashStoreCte =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |tri AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts) - 1, 1)),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh FROM toks),
+      |e AS MATERIALIZED (
+      |  SELECT doc_id, unnest(sh) AS s FROM tri WHERE len(sh) > 0),
+      |comp AS MATERIALIZED (
+      |  SELECT doc_id, h.i AS i,
+      |    min(('0x' || substr(md5(h.i || ':' || s), 1, 15))::BIGINT) AS c
+      |  FROM e, range(64) h(i) GROUP BY doc_id, h.i),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, list(c ORDER BY i) AS sig FROM comp GROUP BY doc_id),
+      |bnd AS MATERIALIZED (
+      |  SELECT doc_id, r.b AS band,
+      |    array_to_string(list_transform(sig[r.b*4+1 : r.b*4+4],
+      |      x -> CAST(x AS VARCHAR)), ',') AS key
+      |  FROM sig, range(16) r(b)),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
+      |  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),
+      |m AS (
+      |  SELECT a, b,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0 AS est
+      |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+      |SELECT a, b, round(est, 4) AS est_jaccard FROM m
+      |WHERE est >= 0.7 ORDER BY a, b""".stripMargin
+
+  private val DriftCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** One UNION ALL block per drift column: the per-side stats of the q152
+    * numeric drift report, alias-matched to [[operators.Drift.numericDrift]].
+    */
+  private def driftSideSql(cols: Seq[String], src: String, tag: String): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS "column", count($c) AS count_$tag,
+         | round(avg($c), 4) AS mean_$tag,
+         | round(stddev_samp($c), 4) AS stddev_$tag,
+         | CAST(min($c) AS DOUBLE) AS min_$tag, CAST(max($c) AS DOUBLE) AS max_$tag,
+         | round((count(*) - count($c)) / CAST(count(*) AS DOUBLE), 6) AS null_rate_$tag
+         |FROM $src""".stripMargin).mkString("\nUNION ALL\n")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys (hash-seeded LSH internals) get the
     * driver's weaker rows-only check.
@@ -1151,6 +1232,30 @@ object SparkEntry {
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q151_minhash_store_dedup" -> MinHashStoreCte,
+    "q152_numeric_drift" -> {
+      val pred = "NOT (l_returnflag = 'A' OR l_quantity > 45)"
+      s"""WITH delb AS MATERIALIZED (SELECT * FROM lineitem WHERE $pred),
+         |sa AS (${driftSideSql(DriftCols, "lineitem", "a")}),
+         |sb AS (${driftSideSql(DriftCols, "delb", "b")})
+         |SELECT sa."column", count_a, mean_a, stddev_a, min_a, max_a, null_rate_a,
+         | count_b, mean_b, stddev_b, min_b, max_b, null_rate_b,
+         | round(mean_b - mean_a, 4) AS mean_delta
+         |FROM sa JOIN sb ON sa."column" = sb."column" ORDER BY sa."column"""".stripMargin
+    },
+    "q153_categorical_drift" ->
+      """WITH a AS (SELECT l_returnflag AS cat, count(*) AS count_a FROM lineitem GROUP BY 1),
+        |b AS (SELECT l_returnflag AS cat, count(*) AS count_b FROM lineitem
+        |      WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) GROUP BY 1),
+        |j AS (SELECT coalesce(a.cat, b.cat) AS l_returnflag,
+        |  coalesce(count_a, 0) AS count_a, coalesce(count_b, 0) AS count_b,
+        |  coalesce(count_a, 0) / CAST((SELECT sum(count_a) FROM a) AS DOUBLE) AS sa,
+        |  coalesce(count_b, 0) / CAST((SELECT sum(count_b) FROM b) AS DOUBLE) AS sb
+        |  FROM a FULL OUTER JOIN b ON a.cat = b.cat)
+        |SELECT l_returnflag, count_a, count_b,
+        | round(sa, 6) AS share_a, round(sb, 6) AS share_b,
+        | round(((sa + 1e-6) - (sb + 1e-6)) * ln((sa + 1e-6) / (sb + 1e-6)), 6) AS psi
+        |FROM j ORDER BY l_returnflag""".stripMargin,
     "q99_purge_scan" ->
       """SELECT * FROM lineitem
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09

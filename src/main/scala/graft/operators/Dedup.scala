@@ -348,4 +348,150 @@ object Dedup {
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------------------
+  // Cross-batch incremental near-dup: a PERSISTED MinHash signature
+  // store. A continuously-crawled corpus can't re-shingle history on
+  // every batch — the store keeps each document's signature
+  // (numHashes × 8 B, ~512 B/doc: 10⁹ docs fit in ~0.5 TB vs the
+  // corpus's 100 TB of text), and each new batch dedups against it
+  // with a broadcast of the BATCH side only. The store is a Delta
+  // table, so the whole loop is transactional: the match scan pins a
+  // snapshot, the signature append is one atomic commit, and a
+  // concurrent batch's commit rebases instead of corrupting.
+  // ------------------------------------------------------------------
+
+  /** Engine-portable MinHash signatures over trigram shingles: component
+    * i is `min over shingles s of md5_prefix60(i || ':' || s)` — the same
+    * md5-derived 60-bit hash as [[graft.operators.Sampling.idHash]], so
+    * any SQL engine reproduces the signatures bit-for-bit (DuckDB:
+    * `min(('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)`).
+    *
+    * Shape: explode the shingles, project the numHashes per-shingle
+    * hashes in ONE codegen'd pass (Md5Prefix60 has doGenCode), take
+    * map-side-combined `min` aggregates, re-assemble the array. The
+    * aggregation is a deliberate BARRIER — a pure column-algebra
+    * formulation (transform/array_min over the shingle array) was
+    * measured ~80x slower here, because projection collapse inlines the
+    * whole signature expression into every one of the 16 band-key
+    * expressions AND the match-fraction zip (17x recompute of every md5),
+    * all in boxed HOF evaluation. Post-barrier, each doc's signature is
+    * 64 materialized longs consumed as data.
+    */
+  private[graft] def sigOf(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    def md5p60(c: Column): Column = ColumnShim.column(
+      graft.functions.Md5Prefix60(ColumnShim.expression(c.cast("binary"))))
+    // spread the RAW docs before any text work: shingling (split +
+    // HOF transform + array_distinct) and the numHashes md5s per shingle
+    // together cost ~ms of CPU per document, dwarfing one shuffle of the
+    // text — and without the exchange the parallelism of the whole
+    // signature computation is the INPUT's split count (a single-file
+    // batch would shingle AND hash every doc on one task). The partition
+    // count is pinned EXPLICITLY (REPARTITION_BY_NUM): a bare
+    // repartition(col) is a size-based exchange AQE happily coalesces to
+    // ONE partition for a few MB of text — blind to the CPU behind each
+    // byte — re-serializing the stage (both shapes measured on q151;
+    // together ~8x on the signature stage).
+    val spread = df.select(col(idCol), col(textCol))
+      // a doc too short to shingle has no signature (an all-null sig
+      // would land every such doc in one degenerate band bucket). The
+      // guard is a TOKEN-COUNT filter, deliberately not
+      // `size(shingles) > 0`: Catalyst pushes deterministic filters
+      // through the repartition below, and a shingle-expression filter
+      // dragged the whole shingling pipeline down onto the pre-exchange
+      // single-split scan task (measured: 1.5 s of one-task time)
+      .filter(size(split(lower(col(textCol)), " ")) >= n)
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(idCol))
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into a `size(_sh) > 0` filter that rewrites through the
+    // shingle projection and pushes below the exchange — shingling every
+    // doc a second time on the pre-exchange scan task (the very cost the
+    // exchange exists to spread; measured 1.5 s of one-task time). The
+    // outer variant infers nothing, and the token-count filter above
+    // already guarantees non-empty shingle arrays.
+    val tok = shingled(spread, idCol, textCol, n)
+      .select(col("_id").as("id"), explode_outer(col("_sh")).as("_s"))
+    val comps = (0 until numHashes).map(i =>
+      min(md5p60(concat(lit(s"$i:"), col("_s")))).as(s"_c$i"))
+    tok.groupBy("id").agg(comps.head, comps.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_c$i")): _*).as("sig"))
+  }
+
+  /** String band keys of a signature: band b = the comma-joined decimal
+    * components [b·r, (b+1)·r). Strings (not a hash of the slice) so an
+    * external engine's banding is trivially identical.
+    */
+  private[graft] def bandKeyArray(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      concat_ws(",", transform(slice(sig, b * rows + 1, rows),
+        c => c.cast("string")))): _*)
+
+  /** Create the signature store at `storeDir` from an initial corpus:
+    * one `(id, sig)` row per document, with the shingle width and
+    * signature length recorded as table properties so every later batch
+    * provably hashes the same way (a mismatched batch fails loudly
+    * instead of silently never matching).
+    */
+  def minHashStoreInit(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): graft.DeltaTable =
+    graft.DeltaTable.forPath(storeDir)
+      .write(sigOf(docs, idCol, textCol, n, numHashes))
+      .setTableProperties(Map(
+        "graft.minhash.n" -> n.toString,
+        "graft.minhash.numHashes" -> numHashes.toString))
+
+  /** Dedup a new batch against the signature store: banded-LSH candidates
+    * (equi-join on (band, key) — the BATCH side broadcasts; the store is
+    * only ever scanned, never shuffled), verified by the signature-match
+    * fraction `est_jaccard` (the unbiased MinHash Jaccard estimate —
+    * exact shingle verification is impossible against a store that
+    * deliberately keeps no text). With `append=true` the batch's
+    * signatures land in the store as one atomic commit; the match scan is
+    * pinned to the PRE-append snapshot (Delta handles are snapshots), so
+    * the result never self-matches the batch.
+    *
+    * Returns `(a = store id, b = batch id, est_jaccard)` for candidates
+    * with `est_jaccard >= estThreshold`. Intra-batch duplicates are the
+    * caller's [[minHashLshPairs]] — this op's contract is batch-vs-history.
+    */
+  def minHashStoreDedup(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, batch: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, estThreshold: Double = 0.7,
+      append: Boolean = false): DataFrame = {
+    val store = graft.DeltaTable.forPath(storeDir)
+    val props = store.tableProperties
+    val n = props.getOrElse("graft.minhash.n",
+      throw new IllegalStateException(
+        s"$storeDir is not a minhash store (no graft.minhash.n property)")).toInt
+    val numHashes = props("graft.minhash.numHashes").toInt
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    // batch signatures are computed twice (match + append) rather than
+    // cached: the batch is small by this op's contract and a leaked
+    // cache entry per call would outlive the operator
+    val batchSig = sigOf(batch, idCol, textCol, n, numHashes)
+    if (append) store.write(batchSig)
+
+    val storeBands = store.toDF(spark).select(col("id").as("a"),
+        col("sig").as("_siga"),
+        posexplode(bandKeyArray(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    val batchBands = batchSig.select(col("id").as("b"), col("sig").as("_sigb"),
+        posexplode(bandKeyArray(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    val matched = aggregate(
+      zip_with(col("_siga"), col("_sigb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    storeBands.join(broadcast(batchBands), Seq("_band", "_key"))
+      .dropDuplicates("a", "b")
+      .withColumn("_est", matched / lit(numHashes.toDouble))
+      .filter(col("_est") >= estThreshold)
+      .select(col("a"), col("b"), round(col("_est"), 4).as("est_jaccard"))
+  }
 }

@@ -188,6 +188,113 @@ class Round11Spec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("minhash store: incremental cross-batch dedup with a pinned-snapshot append") {
+    import spark.implicits._
+    val d = tempDir("r11-minhash-store")
+    def doc(id: Long, seed: String) =
+      (id, (1 to 30).map(i => s"$seed$i").mkString(" "))
+    // history: docs 1..3; batch A: 11 (dup of 1), 12 (novel);
+    // batch B: 21 (dup of 12 — only catchable if A's sigs were appended)
+    val history = Seq(doc(1, "alpha"), doc(2, "beta"), doc(3, "gamma"))
+      .toDF("doc_id", "text")
+    val batchA = Seq(doc(11, "alpha"), doc(12, "delta")).toDF("doc_id", "text")
+    val batchB = Seq(doc(21, "delta")).toDF("doc_id", "text")
+
+    operators.Dedup.minHashStoreInit(spark, d, history, "doc_id", "text")
+    val store0 = DeltaTable.forPath(d)
+    assert(store0.toDF(spark).count() == 3)
+    assert(store0.tableProperties("graft.minhash.numHashes") == "64")
+
+    val mA = operators.Dedup.minHashStoreDedup(spark, d, batchA,
+      "doc_id", "text", append = true).collect()
+    assert(mA.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 11L)),
+      s"batch A must match only (1,11), got ${mA.mkString(",")}")
+    assert(mA.head.getDouble(2) == 1.0, "identical docs must estimate 1.0")
+    // the append landed as ONE commit; the match above never saw it
+    val store1 = DeltaTable.forPath(d)
+    assert(store1.toDF(spark).count() == 5)
+    assert(store1.version == store0.version + 1)
+
+    // batch B's dup partner arrived in batch A — incremental contract
+    val mB = operators.Dedup.minHashStoreDedup(spark, d, batchB,
+      "doc_id", "text", append = false).collect()
+    assert(mB.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((12L, 21L)))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 5, "append=false must not commit")
+
+    // a non-store table refuses loudly
+    val plain = tempDir("r11-not-a-store")
+    DeltaTable.forPath(plain).write(Seq((1L, "x")).toDF("id", "sig"))
+    val e = intercept[IllegalStateException](
+      operators.Dedup.minHashStoreDedup(spark, plain, batchB, "doc_id", "text"))
+    assert(e.getMessage.contains("minhash store"))
+
+    // too-short docs are skipped, not signed as degenerate all-null sigs
+    val short = Seq((99L, "one two")).toDF("doc_id", "text")
+    assert(operators.Dedup.minHashStoreDedup(spark, d, short,
+      "doc_id", "text").isEmpty)
+  }
+
+  test("minhash store dedup plan: batch side broadcasts, store never sort-merge-joins") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive._
+    import org.apache.spark.sql.execution.exchange._
+    import org.apache.spark.sql.execution.joins._
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val d = tempDir("r11-store-plan")
+    val docs = QueryLib.raw(spark, sfDir, "documents")
+    operators.Dedup.minHashStoreInit(spark, d,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    val r = operators.Dedup.minHashStoreDedup(spark, d,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    r.collect()
+    val plans = flatten(r.queryExecution.executedPlan)
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "candidate join must broadcast the batch side")
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a sort-merge join here would shuffle the (unbounded) store side")
+  }
+
+  test("numericDrift: exact per-column stats, null rates, mean delta") {
+    import spark.implicits._
+    val a = Seq[(java.lang.Long, java.lang.Double)]((1L, 10.0), (2L, 20.0),
+      (3L, 30.0), (4L, null)).toDF("k", "v")
+    val b = Seq[(java.lang.Long, java.lang.Double)]((1L, 40.0), (2L, 60.0))
+      .toDF("k", "v")
+    val r = operators.Drift.numericDrift(a, b, Seq("v")).collect().head
+    assert(r.getAs[String]("column") == "v")
+    assert(r.getAs[Long]("count_a") == 3L && r.getAs[Long]("count_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 20.0 && r.getAs[Double]("mean_b") == 50.0)
+    assert(r.getAs[Double]("mean_delta") == 30.0)
+    assert(r.getAs[Double]("null_rate_a") == 0.25 && r.getAs[Double]("null_rate_b") == 0.0)
+    assert(r.getAs[Double]("min_a") == 10.0 && r.getAs[Double]("max_b") == 60.0)
+    assert(r.getAs[Double]("stddev_a") == 10.0) // stddev_samp of {10,20,30}
+  }
+
+  test("categoricalDrift: vanished category stays visible with finite PSI") {
+    import spark.implicits._
+    val a = Seq("x", "x", "y", "z", "z", "z").toDF("c")
+    val b = Seq("y", "y", "z").toDF("c")
+    val rows = operators.Drift.categoricalDrift(a, b, "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("x", "y", "z"))
+    assert(rows("x").getAs[Long]("count_b") == 0L, "vanished category visible")
+    val psiX = rows("x").getAs[Double]("psi")
+    assert(psiX > 0 && !psiX.isInfinite, s"smoothed PSI must be finite: $psiX")
+    assert(math.abs(rows("y").getAs[Double]("share_a") - 1.0 / 6) < 1e-5)
+    intercept[IllegalArgumentException](
+      operators.Drift.categoricalDrift(a, b, "c", smoothing = 0.0))
+  }
+
   test("mixtureAllocation guards: no matching weights fails loudly; empty domains report 0") {
     import spark.implicits._
     val corpus = Seq(("en", 100L), ("fr", 50L), ("de", 0L))
