@@ -2970,10 +2970,11 @@ final case class DeltaTable(
     * O(loaded log) driver work plus the deletes themselves.
     *
     * Caveats (delta's own): lite only sees removes visible to this
-    * handle's loaded log (JSON tail — graft checkpoints drop expired
-    * tombstones like delta's), so it cannot reclaim files stranded by
-    * crashed writes or files whose tombstones were checkpointed away; run
-    * a full [[vacuum]] occasionally for those. Eligibility is the remove's
+    * handle's loaded log. Checkpoints RETAIN unexpired tombstones
+    * (delta's checkpoint spec — r11), so a fast-path load still serves
+    * them; only files stranded by crashed writes or whose tombstones
+    * EXPIRED out of a checkpoint are invisible — run a full [[vacuum]]
+    * occasionally for those. Eligibility is the remove's
     * own `deletionTimestamp` (no per-file stat round trips). Files already
     * gone are skipped silently (a lite vacuum is retry-safe).
     */

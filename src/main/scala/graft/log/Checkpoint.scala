@@ -81,8 +81,33 @@ object Checkpoint {
     val headCommit = dlog.entries.keys.toSeq.reverseIterator
       .flatMap(v => dlog.entries(v).commitInfos.lastOption)
       .nextOption()
-    Seq(protocol, metadata) ++ txns.values ++
-      dlog.domainMetadata.values ++ dlog.addActions.values ++ headCommit
+    // UNEXPIRED remove tombstones are snapshot state (delta's checkpoint
+    // spec): vacuum needs them to age stranded files after log cleanup.
+    // Reconciliation is TUPLE-keyed like delta's — a tombstone is
+    // excluded only when an identical (path, deletionVector) add is live
+    // (the spec forbids a checkpoint carrying both sides of one tuple);
+    // a (path, oldDV) tombstone under a (path, newDV) live add — the
+    // spec-DV remove+add pairing — is retained, so a foreign reader's
+    // tuple replay of the checkpoint stays consistent. Tombstones at or
+    // past `delta.deletedFileRetentionDuration` (default 7d) drop, like
+    // delta's expired-tombstone cleanup.
+    def dvId(extra: Map[String, com.fasterxml.jackson.databind.JsonNode]): String =
+      extra.get("deletionVector").map(_.toString).getOrElse("")
+    val liveTuples = dlog.addActions.values
+      .map(a => (a.path, dvId(a.extra))).toSet
+    var tombs = scala.collection.immutable.ListMap.empty[(String, String), RemoveFile]
+    dlog.entries.valuesIterator.foreach(_.removes.foreach(r =>
+      tombs = tombs.updated((r.path, dvId(r.extra)), r)))
+    val retentionMs = metadata.configuration
+      .get("delta.deletedFileRetentionDuration")
+      .map(graft.DeltaTable.parseRetentionInterval(_))
+      .getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val tombstones = tombs.values.filter(r =>
+      r.deletionTimestamp >= cutoff &&
+        !liveTuples.contains((r.path, dvId(r.extra))))
+    Seq(protocol, metadata) ++ txns.values ++ dlog.domainMetadata.values ++
+      tombstones ++ dlog.addActions.values ++ headCommit
   }
 
   /** True when the table asks for delta V2 (UUID-manifest + sidecar)
@@ -174,7 +199,12 @@ object Checkpoint {
         StructField("dataChange", BooleanType),
         StructField("extendedFileMetadata", BooleanType),
         StructField("partitionValues", strMap),
-        StructField("size", LongType)))),
+        StructField("size", LongType),
+        // tombstones carry the dead add's DV descriptor (delta's remove
+        // checkpoint schema includes it): spec-DV mutations pair each
+        // re-add with a descriptor-carrying remove, and dropping the
+        // struct here would strip those tombstones at every checkpoint
+        StructField("deletionVector", dv)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),

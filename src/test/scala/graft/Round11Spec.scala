@@ -188,6 +188,49 @@ class Round11Spec extends SparkSuite {
     assert(e.getMessage != null)
   }
 
+  test("spec-DV pairing survives an OCC rebase: disjoint MoR deletes stay tuple-consistent") {
+    import org.apache.spark.sql.SaveMode
+    val d = tempDir("r11-spec-rebase")
+    // two files with disjoint id ranges so stats pruning keeps candidates disjoint
+    val t0 = DeltaTable.forPath(d)
+      .write(spark.range(0, 100).toDF("id").repartition(1))
+      .write(spark.range(1000, 1100).toDF("id").repartition(1))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    val stale = DeltaTable.forPath(d)
+    DeltaTable.forPath(d).deleteMergeOnRead(spark, Some(col("id") === 1050))
+    val rebased = stale.deleteMergeOnRead(spark, Some(col("id") === 50))
+    assert(rebased.version == stale.version + 2)
+    val live = specReplay(d)
+    assert(live.keys.map(_._1).toSeq.distinct.size == live.size,
+      "rebased spec-DV delete duplicated a (path, dvId) tuple in foreign replay")
+    assert(live.size == DeltaTable.forPath(d).dlog.addActions.size)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 198L)
+  }
+
+  test("DV-carrying tombstones survive the delta-format checkpoint") {
+    val d = tempDir("r11-tombstone-ckpt")
+    val data = spark.range(0, 1000).toDF("id").repartition(1)
+    var t = DeltaTable.forPath(d).write(data)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    t = t.deleteMergeOnRead(spark, Some(col("id") === 5)) // paired remove names the v2 descriptor
+    val pairedRemove = t.dlog.entries.last._2.removes
+      .find(_.extra.contains("deletionVector"))
+    assert(pairedRemove.isDefined, "re-delete must tombstone the superseded descriptor")
+
+    graft.log.Checkpoint.write(t.dlog, t.conf)
+    val dir = new java.io.File(d, "_delta_log")
+    // force the delta-format read path: drop the graft layout + all JSON
+    dir.listFiles().filter(f => f.getName.endsWith(".graft-checkpoint.parquet") ||
+      f.getName.matches("\\d{20}\\.json")).foreach(f => assert(f.delete()))
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.toDF(spark).count() == 899L)
+    val tombstones = reopened.dlog.entries.head._2.removes
+      .filter(_.extra.contains("deletionVector"))
+    assert(tombstones.nonEmpty,
+      "checkpoint round-trip stripped the tombstones' DV descriptors")
+  }
+
   test("minhash store: incremental cross-batch dedup with a pinned-snapshot append") {
     import spark.implicits._
     val d = tempDir("r11-minhash-store")
