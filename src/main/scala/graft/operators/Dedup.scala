@@ -191,8 +191,9 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(numBits >= 1 && numBits <= 64, s"numBits must be in [1,64]: $numBits")
     import org.apache.spark.sql.graftshim.ColumnShim
-    val tok = df.select(col(idCol).as("_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("_t"))
+    val tok = Par.spread(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("_t"))
       .withColumn("_h", tokenHash(col("_t")))
     val sig = ColumnShim.column(
       graft.functions.SimHashAgg(ColumnShim.expression(col("_h")), numBits)
@@ -383,28 +384,16 @@ object Dedup {
     import org.apache.spark.sql.graftshim.ColumnShim
     def md5p60(c: Column): Column = ColumnShim.column(
       graft.functions.Md5Prefix60(ColumnShim.expression(c.cast("binary"))))
-    // spread the RAW docs before any text work: shingling (split +
-    // HOF transform + array_distinct) and the numHashes md5s per shingle
-    // together cost ~ms of CPU per document, dwarfing one shuffle of the
-    // text — and without the exchange the parallelism of the whole
-    // signature computation is the INPUT's split count (a single-file
-    // batch would shingle AND hash every doc on one task). The partition
-    // count is pinned EXPLICITLY (REPARTITION_BY_NUM): a bare
-    // repartition(col) is a size-based exchange AQE happily coalesces to
-    // ONE partition for a few MB of text — blind to the CPU behind each
-    // byte — re-serializing the stage (both shapes measured on q151;
-    // together ~8x on the signature stage).
-    val spread = df.select(col(idCol), col(textCol))
-      // a doc too short to shingle has no signature (an all-null sig
-      // would land every such doc in one degenerate band bucket). The
-      // guard is a TOKEN-COUNT filter, deliberately not
-      // `size(shingles) > 0`: Catalyst pushes deterministic filters
-      // through the repartition below, and a shingle-expression filter
-      // dragged the whole shingling pipeline down onto the pre-exchange
-      // single-split scan task (measured: 1.5 s of one-task time)
-      .filter(size(split(lower(col(textCol)), " ")) >= n)
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col(idCol))
+    // a doc too short to shingle has no signature (an all-null sig
+    // would land every such doc in one degenerate band bucket). The
+    // guard is a TOKEN-COUNT filter, deliberately not
+    // `size(shingles) > 0`: Catalyst pushes deterministic filters
+    // through [[shingled]]'s spread exchange, and a shingle-expression
+    // filter dragged the whole shingling pipeline down onto the
+    // pre-exchange single-split scan task (measured: 1.5 s of one-task
+    // time on the q151 bench)
+    val guarded = Par.spread(df.select(col(idCol), col(textCol))
+      .filter(size(split(lower(col(textCol)), " ")) >= n), idCol)
     // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
     // explode into a `size(_sh) > 0` filter that rewrites through the
     // shingle projection and pushes below the exchange — shingling every
@@ -412,7 +401,7 @@ object Dedup {
     // exchange exists to spread; measured 1.5 s of one-task time). The
     // outer variant infers nothing, and the token-count filter above
     // already guarantees non-empty shingle arrays.
-    val tok = shingled(spread, idCol, textCol, n)
+    val tok = shingled(guarded, idCol, textCol, n)
       .select(col("_id").as("id"), explode_outer(col("_sh")).as("_s"))
     val comps = (0 until numHashes).map(i =>
       min(md5p60(concat(lit(s"$i:"), col("_s")))).as(s"_c$i"))

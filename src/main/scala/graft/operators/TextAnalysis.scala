@@ -36,6 +36,10 @@ object TextAnalysis {
         i => f(slice(tokensCol, i + lit(1), lit(n))))))
       .otherwise(empty)
 
+  /** Probe access to the q85 window-hash array (tools.GenProbe). */
+  private[graft] def windowedHashesForProbe(textCol: Column, k: Int): Column =
+    windowed(tokens(textCol), k, w => xxhash64(w), array().cast("array<bigint>"))
+
   /** Word n-gram "shingles" (distinct), the unit of Jaccard similarity. */
   def shingles(tokensCol: Column, n: Int): Column =
     windowed(tokensCol, n, w => concat_ws(" ", w), array().cast("array<string>"))
@@ -336,7 +340,8 @@ object TextAnalysis {
     // argument; the oracle replays the strings).
     val hashed = windowed(tokens(col(textCol)), k, w => xxhash64(w),
       array().cast("array<bigint>"))
-    val w = df.select(col(idCol), explode(hashed).as("_w"))
+    val w = Par.spread(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), explode(hashed).as("_w"))
     // per-doc windows are distinct, so count = document frequency (the
     // partial aggregate combines map-side, so a hot window contributes
     // one row per map task to the exchange, never 10^7 to one reducer)

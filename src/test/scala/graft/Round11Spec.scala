@@ -231,6 +231,29 @@ class Round11Spec extends SparkSuite {
       "checkpoint round-trip stripped the tombstones' DV descriptors")
   }
 
+  test("vacuumLite reclaims through a checkpoint: tombstones survive log cleanup") {
+    val d = tempDir("r11-vaclite-ckpt")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 50).toDF("id").repartition(1))
+      .write(spark.range(50, 100).toDF("id").repartition(1))
+    // copy-on-write delete strands the low file behind a tombstone
+    t = t.delete(spark, Some(col("id") < 50))
+    val stranded = t.dlog.entries.last._2.removes.map(_.path)
+    assert(stranded.size == 1)
+    graft.log.Checkpoint.write(t.dlog, t.conf)
+    // log cleanup: drop every JSON commit at/below the checkpoint — the
+    // tombstone now exists ONLY inside the checkpoint
+    val dir = new java.io.File(d, "_delta_log")
+    dir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(f => assert(f.delete()))
+    val reopened = DeltaTable.forPath(d) // fast-path load
+    assert(reopened.toDF(spark).count() == 50L)
+    val reclaimed = reopened.vacuumLite(retentionMs = 0L)
+    assert(reclaimed.exists(uri => stranded.exists(uri.endsWith)),
+      s"vacuumLite must see the checkpointed tombstone; reclaimed=$reclaimed")
+    assert(reopened.toDF(spark).count() == 50L, "live data untouched")
+  }
+
   test("minhash store: incremental cross-batch dedup with a pinned-snapshot append") {
     import spark.implicits._
     val d = tempDir("r11-minhash-store")
