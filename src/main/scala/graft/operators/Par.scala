@@ -28,6 +28,9 @@ object Par {
     spread(df, Seq(col(keyCol)))
 
   def spread(df: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    // streaming plans cannot be probed with .rdd; their micro-batch
+    // parallelism is the trigger's concern, not this helper's
+    if (df.isStreaming) return df
     val want = df.sparkSession.sessionState.conf.numShufflePartitions
     // getNumPartitions builds the physical RDD DAG (driver-side, no job)
     val have = df.rdd.getNumPartitions
