@@ -224,7 +224,8 @@ object Dedup {
     * treat them as their own singleton cluster).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxRounds: Int = 32): DataFrame = {
+      bCol: String = "b", maxRounds: Int = 32,
+      smallGraphEdges: Long = 1L << 20): DataFrame = {
     // the pair evidence is usually an expensive pipeline (a near-dup
     // self-join); persist it so the node list and round 0 share ONE
     // computation instead of re-running it per consumer
@@ -255,6 +256,47 @@ object Dedup {
       .filter(col("_x") =!= col("_y"))
       .select(greatest(col("_x"), col("_y")).as("u"), least(col("_x"), col("_y")).as("v"))
       .distinct())
+    // SMALL-GRAPH FAST PATH: the canonical edge count is already known
+    // driver-side (it rode the materialization job as an observed
+    // metric, so the check costs nothing). Below `smallGraphEdges` the
+    // alternating-star machinery is pure scheduler overhead — each round
+    // is several synchronous jobs moving kilobytes — while a driver
+    // union-find over ≤2^20 16-byte canonical edges is a ≤16 MB,
+    // tens-of-ms fold. Anything larger takes the distributed rounds
+    // unchanged; the threshold is explicit and conservative against
+    // driver heap, and both paths produce the identical
+    // (node, min-of-component) labeling (Round11Spec pins equality).
+    // The node labeling itself stays DISTRIBUTED (broadcast join): the
+    // node list is not bounded by the edge count (self-pair-only inputs
+    // have nodes without canonical edges), so only edges ever collect.
+    if (sig._1 > 0 && sig._1 <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.contains(x)) x = parent(x)
+        var y = x0 // path compression
+        while (parent.contains(y)) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      // union-by-min: the smaller root becomes the parent, so every
+      // set's root IS its minimum — the distributed fixpoint's label
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelDf = broadcast(
+        edges.iterator.flatMap(t => Iterator(t._1, t._2)).toArray.distinct
+          .map(n => (n, find(n))).toSeq.toDF("u", "v"))
+      val labels = nodes.join(labelDf, nodes("id") === labelDf("u"), "left")
+        .select(nodes("id").as("node"),
+          coalesce(labelDf("v"), nodes("id")).as("component"))
+        .localCheckpoint()
+      p.unpersist(blocking = false)
+      return labels
+    }
     var round = 0
     var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {

@@ -330,6 +330,24 @@ class Round11Spec extends SparkSuite {
       "a sort-merge join here would shuffle the (unbounded) store side")
   }
 
+  test("connectedComponents: driver fast path ≡ distributed rounds") {
+    import spark.implicits._
+    // chains, a star, singleton-by-self-pair, and an isolated pair —
+    // the shapes that distinguish min-labeling implementations
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 1L), // chain -> min 1
+      (20L, 21L), (20L, 22L), (20L, 23L),         // star  -> min 20
+      (40L, 40L),                                  // self-pair node
+      (30L, 31L)).toDF("a", "b")
+    val fast = operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = operators.Dedup.connectedComponents(pairs, smallGraphEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast(5L) == 1L && fast(9L) == 1L && fast(1L) == 1L)
+    assert(fast(23L) == 20L && fast(31L) == 30L)
+    assert(fast(40L) == 40L, "self-pair-only node labels itself")
+  }
+
   test("numericDrift: exact per-column stats, null rates, mean delta") {
     import spark.implicits._
     val a = Seq[(java.lang.Long, java.lang.Double)]((1L, 10.0), (2L, 20.0),
