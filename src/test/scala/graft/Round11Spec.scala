@@ -231,6 +231,58 @@ class Round11Spec extends SparkSuite {
       "checkpoint round-trip stripped the tombstones' DV descriptors")
   }
 
+  test("expired tombstones drop out of checkpoints (retention property)") {
+    val d = tempDir("r11-tomb-expiry")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 50).toDF("id").repartition(1))
+      .setTableProperties(Map("delta.deletedFileRetentionDuration" -> "interval 0 seconds"))
+    t = t.write(spark.range(50, 100).toDF("id").repartition(1))
+    t = t.delete(spark, Some(col("id") < 50))
+    Thread.sleep(5) // let the tombstone age past the 0 ms retention
+    graft.log.Checkpoint.write(t.dlog, t.conf)
+    val dir = new java.io.File(d, "_delta_log")
+    dir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach(f => assert(f.delete()))
+    val reopened = DeltaTable.forPath(d)
+    assert(reopened.toDF(spark).count() == 50L)
+    assert(reopened.dlog.entries.head._2.removes.isEmpty,
+      "a 0ms-retention table must checkpoint no tombstones (delta's expiry)")
+  }
+
+  test("seeded fuzz: random spec-DV mutation sequences stay tuple-consistent") {
+    val rnd = new scala.util.Random(20260814L)
+    val d = tempDir("r11-tuple-fuzz")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 400).toDF("id").repartition(2))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    var live = spark.range(0, 400).toDF("id").collect().map(_.getLong(0)).toSet
+    for (step <- 1 to 8) {
+      val op = rnd.nextInt(3)
+      if (op == 0) { // delete a random residue class
+        val m = rnd.nextInt(17) + 3; val r = rnd.nextInt(m)
+        t = t.deleteMergeOnRead(spark, Some(col("id") % m === r))
+        live = live.filterNot(x => x % m == r)
+      } else if (op == 1) { // update one random live id out of range
+        live.headOption.foreach { x =>
+          t = t.updateMergeOnRead(spark, Some(col("id") === x),
+            Map("id" -> lit(x + 100000)))
+          live = live - x + (x + 100000)
+        }
+      } else { // merge two keys (one likely live, one novel)
+        import spark.implicits._
+        val novel = 200000L + step
+        val tgt = live.headOption.getOrElse(0L)
+        t = t.mergeMergeOnRead(spark, Seq(tgt, novel).toDF("id"), Seq("id"))
+        live = live + tgt + novel
+      }
+      val replayed = specReplay(d)
+      assert(replayed.keys.map(_._1).toSeq.distinct.size == replayed.size,
+        s"step $step ($op): duplicated (path, dvId) tuple under foreign replay")
+      assert(replayed.size == t.dlog.addActions.size, s"step $step ($op)")
+      assert(t.toDF(spark).count() == live.size.toLong, s"step $step ($op)")
+    }
+  }
+
   test("vacuumLite reclaims through a checkpoint: tombstones survive log cleanup") {
     val d = tempDir("r11-vaclite-ckpt")
     var t = DeltaTable.forPath(d)
