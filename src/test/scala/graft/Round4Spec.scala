@@ -234,8 +234,10 @@ class GraphJoinSpec extends SparkSuite {
 
   test("connectedComponents refuses to return a non-converged answer") {
     val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    // smallGraphEdges = 0 forces the DISTRIBUTED rounds (the r11 driver
+    // fast path would otherwise solve a 30-edge chain without rounds)
     assertThrows[IllegalStateException](
-      Dedup.connectedComponents(chain, maxRounds = 1))
+      Dedup.connectedComponents(chain, maxRounds = 1, smallGraphEdges = 0L))
   }
 }
 
