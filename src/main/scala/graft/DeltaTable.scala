@@ -3304,9 +3304,26 @@ final case class DeltaTable(
         s"cannot RESTORE to version $restoreVersion: ${goneDv.size} deletion " +
           s"vector(s) it references no longer exist (vacuumed?), e.g. " +
           s"${goneDv.head}. A restore would commit references to deleted state")
+    // spec-DV tables pair each changed-action re-add with a remove naming
+    // the CURRENT add's descriptor — same tuple-reconciliation argument
+    // as the MoR mutations (specDvRemoves): without it, a foreign
+    // tuple-keyed reader keeps the post-restore-point (path, newDV) add
+    // live ALONGSIDE the restored (path, oldDV) one. Paired only when
+    // the descriptor actually differs: a commit must never carry an add
+    // AND a remove of the identical (path, dvId) tuple (same-tuple
+    // re-adds replace in place under delta reconciliation).
+    def dvKey(a: AddFile): String =
+      a.extra.get("deletionVector").map(_.toString).getOrElse("")
+    val restorePairs =
+      if (!tableProperties.get("delta.enableDeletionVectors").contains("true"))
+        Seq.empty[RemoveFile]
+      else restoreAdds.flatMap(a =>
+        currAdds.get(a.path).filter(cur => dvKey(cur) != dvKey(a))
+          .map(cur => Action.removeFor(cur)))
     val entry = DeltaLogEntry.restoreTable(dlog.version, restoreVersion,
       prev.schema, prev.partitionColumns, removeAdds, restoreAdds,
-      prev.latestMetadata.map(_.configuration).getOrElse(Map.empty))
+      prev.latestMetadata.map(_.configuration).getOrElse(Map.empty),
+      restorePairs)
       .withExtraCommitInfo(customMetadata)
     commit(entry)
   }

@@ -307,12 +307,13 @@ object DeltaLogEntry {
   def restoreTable(readVersion: Long, restoreVersion: Long, restoreSchema: StructType,
       restorePartitionBy: Seq[String], addsToRemove: Iterable[AddFile],
       adds: Seq[AddFile],
-      configuration: Map[String, String] = Map.empty): DeltaLogEntry = {
+      configuration: Map[String, String] = Map.empty,
+      dvRemoves: Seq[RemoveFile] = Seq.empty): DeltaLogEntry = {
     val metrics = ListMap[String, JsonNode](
       "num_removed_files" -> Json.num(addsToRemove.size.toLong),
       "num_restored_files" -> Json.num(adds.size.toLong))
     val commit = CommitInfo.restore(readVersion, restoreVersion, metrics)
-    val removes = addsToRemove.map(a => Action.removeFor(a)).toVector
+    val removes = dvRemoves.toVector ++ addsToRemove.map(a => Action.removeFor(a))
     // RESTORE restores the target version's METADATA, configuration
     // included (delta semantics) — an empty configuration here silently
     // stripped constraints, CDF, column-mapping mode and the DV switch

@@ -231,6 +231,35 @@ class Round11Spec extends SparkSuite {
       "checkpoint round-trip stripped the tombstones' DV descriptors")
   }
 
+  test("RESTORE on a spec-DV table stays tuple-consistent under foreign replay") {
+    val d = tempDir("r11-spec-restore")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 1000).toDF("id").repartition(2))
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    val v0 = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("id") % 10 === 0))
+    val vFirst = t.version
+    t = t.deleteMergeOnRead(spark, Some(col("id") === 5))
+
+    // back to the first-delete state: the re-add swaps dv2 -> dv1, so
+    // the restore must tombstone (path, dv2) for foreign readers
+    t = t.restore(vFirst)
+    var live = specReplay(d)
+    assert(live.keys.map(_._1).toSeq.distinct.size == live.size,
+      "restore resurrected a superseded DV add under foreign replay")
+    assert(live.size == t.dlog.addActions.size)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 900L)
+
+    // back to the clean state: dv1 -> no descriptor
+    t = t.restore(v0)
+    live = specReplay(d)
+    assert(live.keys.map(_._1).toSeq.distinct.size == live.size)
+    assert(live.size == t.dlog.addActions.size)
+    live.values.foreach(a => assert(a.get("deletionVector") == null,
+      "fully-restored adds must carry no descriptor"))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 1000L)
+  }
+
   test("expired tombstones drop out of checkpoints (retention property)") {
     val d = tempDir("r11-tomb-expiry")
     var t = DeltaTable.forPath(d)
