@@ -82,7 +82,8 @@ object ScaleProbe {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv", "zipf", "hotkey", "specdv"))
+      .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv",
+        "zipf", "hotkey", "specdv", "store"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -399,6 +400,34 @@ object ScaleProbe {
     // operators over the same corpus. The verdict line flags a stage as
     // SKEWED only when its slowest task is both >3x median duration AND
     // reads >1.5x median records (a true hot-key straggler).
+    // minhash signature STORE (X157): grow the STORE 4x per step with a
+    // FIXED batch — cross-batch dedup cost must track the batch (the
+    // store is only ever scanned, never shuffled; its bands project off
+    // stored signatures, no re-shingling of history), so dedup wall
+    // should stay near-flat while init cost grows with the store.
+    var storeCopies = 1
+    while (sections("store") && storeCopies <= maxCopies) {
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      val storeDir = java.nio.file.Files.createTempDirectory("probe-mhstore").toString
+      val (initSec, storeN) = time {
+        Dedup.minHashStoreInit(spark, storeDir, salted(docs, storeCopies),
+          "doc_id", "text").toDF(spark).count()
+      }
+      // the batch duplicates the store's copy 0 under novel ids: every
+      // batch doc has exactly one true store partner regardless of size
+      val batch = salted(docs, 1)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+      val (dedupSec, matches) = time(
+        Dedup.minHashStoreDedup(spark, storeDir, batch, "doc_id", "text")
+          .count())
+      println(f"STORE store=$storeN%7d batch=5000 init=$initSec%6.2fs " +
+        f"dedup=$dedupSec%6.2fs matches=$matches%6d")
+      storeCopies *= 4
+    }
+
     if (sections("hotkey")) {
       val listener = new TaskStatsListener
       spark.sparkContext.addSparkListener(listener)
