@@ -489,11 +489,19 @@ object Dedup {
     * Returns `(a = store id, b = batch id, est_jaccard)` for candidates
     * with `est_jaccard >= estThreshold`. Intra-batch duplicates are the
     * caller's [[minHashLshPairs]] — this op's contract is batch-vs-history.
+    *
+    * @param batchTxn optional `(appId, batchVersion)` idempotence marker
+    *        for the append (delta's SetTransaction handshake, the same
+    *        contract as the streaming sinks): a RE-DELIVERED batch — a
+    *        crawl-loop retry, a foreachBatch replay — appends its
+    *        signatures exactly once instead of silently duplicating
+    *        store rows on every retry.
     */
   def minHashStoreDedup(spark: org.apache.spark.sql.SparkSession,
       storeDir: String, batch: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, estThreshold: Double = 0.7,
-      append: Boolean = false): DataFrame = {
+      append: Boolean = false,
+      batchTxn: Option[(String, Long)] = None): DataFrame = {
     val store = graft.DeltaTable.forPath(storeDir)
     val props = store.tableProperties
     val n = props.getOrElse("graft.minhash.n",
@@ -506,7 +514,10 @@ object Dedup {
     // cached: the batch is small by this op's contract and a leaked
     // cache entry per call would outlive the operator
     val batchSig = sigOf(batch, idCol, textCol, n, numHashes)
-    if (append) store.write(batchSig)
+    if (append) batchTxn match {
+      case Some((appId, v)) => store.writeWithTxn(batchSig, appId, v)
+      case None             => store.write(batchSig)
+    }
 
     val storeBands = store.toDF(spark).select(col("id").as("a"),
         col("sig").as("_siga"),

@@ -379,6 +379,16 @@ class Round11Spec extends SparkSuite {
     val short = Seq((99L, "one two")).toDF("doc_id", "text")
     assert(operators.Dedup.minHashStoreDedup(spark, d, short,
       "doc_id", "text").isEmpty)
+
+    // batchTxn: a RE-DELIVERED batch appends exactly once
+    val batchC = Seq(doc(31, "epsilon")).toDF("doc_id", "text")
+    operators.Dedup.minHashStoreDedup(spark, d, batchC, "doc_id", "text",
+      append = true, batchTxn = Some(("crawl-loop", 7L))).collect()
+    operators.Dedup.minHashStoreDedup(spark, d, batchC, "doc_id", "text",
+      append = true, batchTxn = Some(("crawl-loop", 7L))).collect()
+    assert(DeltaTable.forPath(d).toDF(spark)
+      .filter(col("id") === 31L).count() == 1L,
+      "re-delivered batch must append its signatures exactly once")
   }
 
   test("minhash store dedup plan: batch side broadcasts, store never sort-merge-joins") {
