@@ -155,7 +155,6 @@ object QueryLib {
       require(t.dlog.addActions.values.forall(a =>
         graft.sources.DeletionVectors.refOf(a).isEmpty),
         "purge must leave no deletion vectors")
-      t
     }
 
   /** documents with `n_chars` renamed to `char_count` (metadata-only,
