@@ -3312,8 +3312,7 @@ final case class DeltaTable(
     // the descriptor actually differs: a commit must never carry an add
     // AND a remove of the identical (path, dvId) tuple (same-tuple
     // re-adds replace in place under delta reconciliation).
-    def dvKey(a: AddFile): String =
-      a.extra.get("deletionVector").map(_.toString).getOrElse("")
+    def dvKey(a: AddFile): String = Checkpoint.descriptorId(a.extra)
     val restorePairs =
       if (!tableProperties.get("delta.enableDeletionVectors").contains("true"))
         Seq.empty[RemoveFile]

@@ -51,6 +51,21 @@ object Checkpoint {
 
   def checkpointFilename(v: Long): String = f"$v%020d.graft-checkpoint.parquet"
 
+  /** Field-order-insensitive identity of a `deletionVector` descriptor
+    * (graft sidecar or delta-spec fields alike) — the dv half of delta's
+    * (path, dvUniqueId) reconciliation tuple. Raw node.toString depends
+    * on JSON field insertion order, which a delta-format checkpoint round
+    * trip reorders.
+    */
+  private[graft] def descriptorId(
+      extra: Map[String, com.fasterxml.jackson.databind.JsonNode]): String =
+    extra.get("deletionVector").map { n =>
+      Seq("storageType", "pathOrInlineDv", "offset", "sizeInBytes",
+        "cardinality", "sidecar")
+        .map(f => Option(n.get(f)).filterNot(_.isNull)
+          .map(_.asText).getOrElse("")).mkString("|")
+    }.getOrElse("")
+
   /** Snapshot-state actions at the log's head: protocol, latest metadata,
     * the latest `txn` per streaming app (so idempotent sinks keep their
     * progress across the checkpoint fast path, as Delta checkpoints do),
@@ -91,8 +106,10 @@ object Checkpoint {
     // tuple replay of the checkpoint stays consistent. Tombstones at or
     // past `delta.deletedFileRetentionDuration` (default 7d) drop, like
     // delta's expired-tombstone cleanup.
-    def dvId(extra: Map[String, com.fasterxml.jackson.databind.JsonNode]): String =
-      extra.get("deletionVector").map(_.toString).getOrElse("")
+    // field-order-insensitive descriptor key: a delta-format checkpoint
+    // round trip reorders the descriptor's JSON fields (schema order vs
+    // write order), so a raw toString would split one tuple into two
+    val dvId = Checkpoint.descriptorId _
     val liveTuples = dlog.addActions.values
       .map(a => (a.path, dvId(a.extra))).toSet
     var tombs = scala.collection.immutable.ListMap.empty[(String, String), RemoveFile]
