@@ -516,7 +516,10 @@ object Dedup {
     val batchSig = sigOf(batch, idCol, textCol, n, numHashes)
     if (append) batchTxn match {
       case Some((appId, v)) => store.writeWithTxn(batchSig, appId, v)
-      case None             => store.write(batchSig)
+      // a signature append is a BLIND append — concurrent crawl batches
+      // never touch each other's files — so it retries through OCC
+      // rebase instead of failing the whole batch on a commit race
+      case None             => store.write(batchSig, maxRetries = 5)
     }
 
     val storeBands = store.toDF(spark).select(col("id").as("a"),

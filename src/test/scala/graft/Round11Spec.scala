@@ -380,6 +380,22 @@ class Round11Spec extends SparkSuite {
     assert(operators.Dedup.minHashStoreDedup(spark, d, short,
       "doc_id", "text").isEmpty)
 
+    // concurrent batches: parallel appends both land (blind appends
+    // rebase through OCC instead of failing the losing batch on the
+    // commit race)
+    val cA = Seq(doc(51, "zeta")).toDF("doc_id", "text")
+    val cB = Seq(doc(52, "eta")).toDF("doc_id", "text")
+    val pre = DeltaTable.forPath(d).toDF(spark).count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fs = Seq(cA, cB).map(b => Future(
+      operators.Dedup.minHashStoreDedup(spark, d, b, "doc_id", "text",
+        append = true).collect()))
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == pre + 2,
+      "concurrent batch appends must both land via OCC rebase")
+
     // batchTxn: a RE-DELIVERED batch appends exactly once
     val batchC = Seq(doc(31, "epsilon")).toDF("doc_id", "text")
     operators.Dedup.minHashStoreDedup(spark, d, batchC, "doc_id", "text",
