@@ -38,7 +38,8 @@ object Bench {
     "q125_resample_ffill", "q131_chunk_documents", "q134_dedup_keep_best",
     "q136_audio_features", "q137_video_features",
     "q147_remove_dup_spans", "q148_ridge_quality", "q150_spec_dv_scan",
-    "q151_minhash_store_dedup", "q152_numeric_drift", "q153_categorical_drift")
+    "q151_minhash_store_dedup", "q152_numeric_drift", "q153_categorical_drift",
+    "q154_apply_mixture")
 
   val RUNS = 2
 

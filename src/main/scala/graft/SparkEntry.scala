@@ -106,6 +106,15 @@ object SparkEntry {
       operators.Drift.categoricalDrift(t.loadAsVersion(0L).toDF(s), t.toDF(s),
         "l_returnflag")
     }),
+    // mixture plan EXECUTION: per-domain epochs materialize as
+    // deterministic document replication (floor + md5-bernoulli on the
+    // fraction) — the resampled corpus any engine reproduces bit-for-bit
+    "q154_apply_mixture" -> ((s, d) =>
+      operators.Sampling.applyMixture(
+          QueryLib.delta(s, d, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", Map("en" -> 2.3, "de" -> 0.5, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")),
     // REORG PURGE: the DV debt of q76's deletes rewritten away
     // (dataChange=false) — same live rows, clean files, no anti-join
     "q99_purge_scan" -> ((s, d) =>
@@ -1233,6 +1242,18 @@ object SparkEntry {
         |WHERE NOT (l_returnflag = 'A' OR l_quantity > 45) AND NOT l_discount > 0.09
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q151_minhash_store_dedup" -> MinHashStoreCte,
+    "q154_apply_mixture" ->
+      """WITH w(lang, e) AS (SELECT * FROM (VALUES ('en', 2.3), ('de', 0.5),
+        |  ('fr', 1.0)) t(lang, e)),
+        |base AS (SELECT d.doc_id, d.lang, w.e FROM documents d
+        |         JOIN w ON d.lang = w.lang),
+        |k AS (SELECT doc_id, lang,
+        |  CAST(floor(e) AS BIGINT) +
+        |  CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT <
+        |    CAST(floor((e - floor(e)) * 1152921504606846976.0) AS BIGINT)
+        |  THEN 1 ELSE 0 END AS copies FROM base)
+        |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
+        |ORDER BY doc_id, "copy"""".stripMargin,
     "q152_numeric_drift" -> {
       val pred = "NOT (l_returnflag = 'A' OR l_quantity > 45)"
       s"""WITH delb AS MATERIALIZED (SELECT * FROM lineitem WHERE $pred),

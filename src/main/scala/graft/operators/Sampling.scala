@@ -230,6 +230,47 @@ object Sampling {
         round(perAvail(target / col("available_tokens")), 6).as("epochs"))
   }
 
+  /** MATERIALIZE a mixture plan — the execution step behind
+    * [[mixtureAllocation]]'s arithmetic: every document of a domain with
+    * `epochs = e` appears `floor(e)` times plus one more with
+    * probability `frac(e)`, decided deterministically per document by
+    * the 60-bit md5 of `seed:id` (so any engine reproduces the exact
+    * replicated corpus, and re-running the pipeline regenerates it
+    * bit-for-bit — the property that makes >1-epoch oversampling
+    * auditable instead of a dataloader-side dice roll). Domains absent
+    * from `epochs` contribute nothing. A `copy` index (1-based) rides
+    * each output row so downstream shuffling can separate the replicas.
+    *
+    * Scale shape: a broadcast join of the (domain-cardinality) epochs
+    * table, then row-local codegen'd column algebra and one explode of a
+    * ≤⌈e⌉-element sequence — no shuffle, no driver collect; output
+    * volume is exactly the plan's token mass.
+    */
+  def applyMixture(df: DataFrame, keyCol: String, idCol: String,
+      epochs: Map[String, Double], seed: String = "mix"): DataFrame = {
+    require(epochs.values.forall(e => e >= 0.0 && e.isFinite),
+      "epochs must be finite and non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val eDf = broadcast(epochs.toSeq.toDF(keyCol, "_e"))
+    // fractional-part bernoulli as an INTEGER hash compare: the
+    // threshold floor(frac(e) * 2^60) is the same IEEE-double expression
+    // the oracle computes, so the selected copy set is engine-exact
+    val thresh = floor((col("_e") - floor(col("_e"))) *
+      lit(1152921504606846976.0)).cast("long") // 2^60
+    val copies = (floor(col("_e")).cast("long") +
+      when(idHash(concat(lit(s"$seed:"), col(idCol).cast("string"))) < thresh,
+        1L).otherwise(0L)).as("_copies")
+    df.join(eDf, Seq(keyCol)) // inner: undeclared domains contribute nothing
+      .withColumn("_copies", copies)
+      // sequence(1, 0) would generate a DESCENDING [1, 0] — guard to an
+      // empty array so 0-copy docs drop instead of duplicating
+      .withColumn("copy", explode(when(col("_copies") >= 1L,
+        sequence(lit(1L), col("_copies")))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("_e", "_copies")
+  }
+
   def selectUnderTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
       scoreCol: String, budget: Long, partitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")

@@ -486,6 +486,33 @@ class Round11Spec extends SparkSuite {
       operators.Drift.categoricalDrift(a, b, "c", smoothing = 0.0))
   }
 
+  test("applyMixture: deterministic replication matching the epoch arithmetic") {
+    import spark.implicits._
+    val corpus = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = operators.Sampling.applyMixture(corpus, "lang", "doc_id",
+      Map("en" -> 2.25, "de" -> 0.0))
+    // de at 0 epochs contributes nothing; en floor(2.25) = 2 guaranteed
+    // copies plus a ~25% third copy
+    assert(out.filter(col("lang") === "de").isEmpty)
+    val perDoc = out.filter(col("lang") === "en")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(perDoc.forall(c => c == 2L || c == 3L))
+    val threes = perDoc.count(_ == 3L)
+    assert(threes > 60 && threes < 190, s"~25% of 500 docs expected, got $threes")
+    // pure function of (seed, id): a rerun reproduces the exact corpus
+    val again = operators.Sampling.applyMixture(corpus, "lang", "doc_id",
+      Map("en" -> 2.25, "de" -> 0.0))
+    assertSameRows(out, again)
+    // a different seed flips a different ~25% subset
+    val other = operators.Sampling.applyMixture(corpus, "lang", "doc_id",
+      Map("en" -> 2.25, "de" -> 0.0), seed = "other")
+    assert(other.exceptAll(out).count() > 0)
+    intercept[IllegalArgumentException](
+      operators.Sampling.applyMixture(corpus, "lang", "doc_id",
+        Map("en" -> Double.NaN)))
+  }
+
   test("mixtureAllocation guards: no matching weights fails loudly; empty domains report 0") {
     import spark.implicits._
     val corpus = Seq(("en", 100L), ("fr", 50L), ("de", 0L))
