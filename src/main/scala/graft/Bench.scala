@@ -39,7 +39,7 @@ object Bench {
     "q136_audio_features", "q137_video_features",
     "q147_remove_dup_spans", "q148_ridge_quality", "q150_spec_dv_scan",
     "q151_minhash_store_dedup", "q152_numeric_drift", "q153_categorical_drift",
-    "q154_apply_mixture")
+    "q154_apply_mixture", "q155_mixture_pack")
 
   val RUNS = 2
 

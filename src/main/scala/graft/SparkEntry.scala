@@ -115,6 +115,20 @@ object SparkEntry {
           "lang", "doc_id", Map("en" -> 2.3, "de" -> 0.5, "fr" -> 1.0))
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy("doc_id", "copy")),
+    // mixture EXECUTION composed into SEQUENCE PACKING: the replicated
+    // corpus (each (doc, copy) a distinct training unit) packs into
+    // fixed-budget shards — the last two steps of a pretraining data
+    // pipeline chained end to end, fully oracle-replayable
+    "q155_mixture_pack" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val mixed = operators.Sampling.applyMixture(docs, "lang", "doc_id",
+          Map("en" -> 2.3, "de" -> 0.5, "fr" -> 1.0))
+        .withColumn("unit_id", col("doc_id") * 10 + col("copy"))
+      operators.Packing.packChunked(mixed, "unit_id",
+          size(TextAnalysis.tokens(col("text"))), budget = 256, numShards = 8)
+        .orderBy("unit_id")
+    }),
     // REORG PURGE: the DV debt of q76's deletes rewritten away
     // (dataChange=false) — same live rows, clean files, no anti-join
     "q99_purge_scan" -> ((s, d) =>
@@ -1254,6 +1268,31 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    "q155_mixture_pack" ->
+      """WITH w(lang, e) AS (SELECT * FROM (VALUES ('en', 2.3), ('de', 0.5),
+        |  ('fr', 1.0)) t(lang, e)),
+        |base AS (SELECT d.doc_id, d.lang, w.e FROM documents d
+        |         JOIN w ON d.lang = w.lang),
+        |k AS (SELECT doc_id, lang,
+        |  CAST(floor(e) AS BIGINT) +
+        |  CASE WHEN ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT <
+        |    CAST(floor((e - floor(e)) * 1152921504606846976.0) AS BIGINT)
+        |  THEN 1 ELSE 0 END AS copies FROM base),
+        |rep AS (SELECT doc_id, unnest(range(1, copies + 1)) AS c FROM k),
+        |u AS (SELECT doc_id * 10 + c AS unit_id, doc_id FROM rep),
+        |h AS (SELECT unit_id,
+        |  ('0x' || substr(md5(CAST(unit_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM u JOIN documents d ON d.doc_id = u.doc_id),
+        |c2 AS (SELECT unit_id, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY unit_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_offset
+        |  FROM h)
+        |SELECT unit_id, shard, n_tokens, start_offset,
+        | start_offset // 256 AS pack_first,
+        | (start_offset + greatest(n_tokens, 1) - 1) // 256 AS pack_last
+        |FROM c2 ORDER BY unit_id""".stripMargin,
     "q152_numeric_drift" -> {
       val pred = "NOT (l_returnflag = 'A' OR l_quantity > 45)"
       s"""WITH delb AS MATERIALIZED (SELECT * FROM lineitem WHERE $pred),
