@@ -115,6 +115,14 @@ object SparkEntry {
           "lang", "doc_id", Map("en" -> 2.3, "de" -> 0.5, "fr" -> 1.0))
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy("doc_id", "copy")),
+    // embedding-space drift: per-label centroid cosine between the full
+    // corpus and a thinned snapshot — the semantic-shift check numeric
+    // column stats cannot see
+    "q156_embedding_drift" -> ((s, d) => {
+      val emb = QueryLib.delta(s, d, "embeddings")
+      operators.Drift.embeddingDrift(emb,
+        emb.filter(col("vec_id") % 3 =!= 0), "label", "embedding")
+    }),
     // mixture EXECUTION composed into SEQUENCE PACKING: the replicated
     // corpus (each (doc, copy) a distinct training unit) packs into
     // fixed-budget shards — the last two steps of a pretraining data
@@ -1268,6 +1276,27 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    "q156_embedding_drift" ->
+      """WITH sa AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |sb AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE vec_id % 3 <> 0),
+        |ea AS (SELECT label, unnest(range(len(v))) AS dim, unnest(v) AS x,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM sa),
+        |eb AS (SELECT label, unnest(range(len(v))) AS dim, unnest(v) AS x,
+        |  sqrt(list_dot_product(v, v)) AS nrm FROM sb),
+        |ga AS (SELECT label, dim, avg(x) AS m, count(*) AS n, avg(nrm) AS an
+        |       FROM ea GROUP BY 1, 2),
+        |gb AS (SELECT label, dim, avg(x) AS m, count(*) AS n, avg(nrm) AS an
+        |       FROM eb GROUP BY 1, 2),
+        |va AS (SELECT label, list(m ORDER BY dim) AS c, min(n) AS count_a,
+        |       round(min(an), 4) AS mean_norm_a FROM ga GROUP BY label),
+        |vb AS (SELECT label, list(m ORDER BY dim) AS c, min(n) AS count_b,
+        |       round(min(an), 4) AS mean_norm_b FROM gb GROUP BY label)
+        |SELECT a.label, count_a, mean_norm_a, count_b, mean_norm_b,
+        | round(list_dot_product(a.c, b.c) /
+        |   (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))),
+        |   6) AS centroid_cos
+        |FROM va a JOIN vb b ON a.label = b.label ORDER BY a.label""".stripMargin,
     "q155_mixture_pack" ->
       """WITH w(lang, e) AS (SELECT * FROM (VALUES ('en', 2.3), ('de', 0.5),
         |  ('fr', 1.0)) t(lang, e)),

@@ -55,6 +55,44 @@ object Drift {
       .orderBy("column")
   }
 
+  /** EMBEDDING-space drift per domain: the cosine between each key's
+    * centroid vector on the two sides — the semantic-shift check (topic
+    * drift, encoder version skew, poisoned-batch detection) numeric
+    * column stats cannot see. Output: per key, both counts, both mean
+    * L2 norms, and `centroid_cos` (1.0 = no directional shift).
+    *
+    * Scale shape: one posexplode to (key, dim, component) — dim is a
+    * small constant, so this is a constant-factor blowup, not a join —
+    * then a map-side-combined avg per (key, dim) (keys×dim rows,
+    * metadata-scale) reassembled into ordered centroid arrays; the
+    * two sides meet in a key-cardinality join. No data-scale shuffle
+    * beyond the per-(key,dim) partial aggregation.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame, keyCol: String,
+      vecCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val v = Similarity.toDouble(col(vecCol))
+      df.select(col(keyCol), sqrt(Similarity.dot(v, v)).as("_nrm"),
+          posexplode(v))
+        .groupBy(col(keyCol), col("pos"))
+        .agg(avg(col("col")).as("_m"), count(lit(1)).as("_n"),
+          avg(col("_nrm")).as("_an"))
+        .groupBy(col(keyCol))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("_m")))),
+            s => s.getField("_m")).as(s"_c$tag"),
+          // min, not first: the per-dim norm averages are ulp-identical
+          // in exact arithmetic but partial-agg order may differ per
+          // dim — min picks the same representative as the oracle
+          min(col("_n")).as(s"count_$tag"),
+          round(min(col("_an")), 4).as(s"mean_norm_$tag"))
+    }
+    side(a, "a").join(side(b, "b"), keyCol)
+      .withColumn("centroid_cos",
+        round(Similarity.cosine(col("_ca"), col("_cb")), 6))
+      .drop("_ca", "_cb")
+      .orderBy(keyCol)
+  }
+
   /** Per-category drift of one categorical column: each category's count
     * and share on both sides plus its Population Stability Index
     * contribution `(p_a - p_b) * ln(p_a / p_b)` (the standard drift score;
