@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.functions.{KmvAgg, KmvMergeAgg, Md5Prefix60}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Mergeable distinct-count sketches (k-minimum-values).
+  *
+  * The 100 TB problem this solves: "how many distinct urls / docs / users
+  * per domain" over a growing corpus. `count(DISTINCT x)` re-shuffles every
+  * raw value on every question; a KMV sketch row per (shard, group) is ≤k
+  * longs, unions losslessly (`min_k(A ∪ B) = min_k(min_k(A) ∪ min_k(B))`),
+  * and answers later cardinality questions from sketch-sized input only —
+  * the same incremental-store pattern as the MinHash signature table, and
+  * the reason sketches beat exact counting once history can't be rescanned.
+  *
+  * Estimator: with h uniform on [0, 2^60), the k-th smallest of n distinct
+  * values sits near k/n of the range, so `n ≈ (k-1)·2^60 / h_(k)` (the
+  * classic KMV/bottom-k estimator, ~1/√k relative error — k=256 ≈ 6%).
+  * Everything is md5-derived and order-free, so sketches AND estimates are
+  * engine-reproducible bit-for-bit (DuckDB oracle in q158) — the reason
+  * this is KMV and not Spark's HLL++ whose register state nothing else can
+  * replay.
+  */
+object Sketches {
+
+  /** 2^60 — the md5-prefix60 hash-space size, exact as a double. */
+  val HashSpace: Double = 1152921504606846976.0d
+
+  /** The sketch's hash: md5-prefix60 of the value's string form (codegen'd
+    * [[Md5Prefix60]]; DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`).
+    */
+  def kmvHash(value: Column): Column =
+    ColumnShim.column(Md5Prefix60(ColumnShim.expression(value.cast("string"))))
+
+  /** Aggregate Column: the k smallest distinct values of `hash` (ascending
+    * `array<bigint>`, shorter when the group has fewer distincts).
+    */
+  def kmvAgg(hash: Column, k: Int): Column =
+    ColumnShim.column(
+      KmvAgg(ColumnShim.expression(hash), k).toAggregateExpression())
+
+  /** Aggregate Column: union of sketch rows back into one sketch — the
+    * re-aggregation side (shards → corpus, days → month, …).
+    */
+  def kmvMergeAgg(sketch: Column, k: Int): Column =
+    ColumnShim.column(
+      KmvMergeAgg(ColumnShim.expression(sketch), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a sketch: exact size below k (the sketch
+    * IS the distinct set then), else the bottom-k estimator floored to a
+    * long so every engine lands on the same integer.
+    */
+  def estimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(
+        lit((k - 1).toDouble) * lit(HashSpace) /
+          element_at(sketch, k).cast("double")).cast("long"))
+
+  /** Per-key sketch table: `keys…, kmv_sketch` — one bounded row per key,
+    * map-side-combined (the shuffle carries ≤k longs per partition×key).
+    */
+  def kmvSketch(df: DataFrame, keys: Seq[String], value: Column,
+      k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(kmvAgg(kmvHash(value), k).as("kmv_sketch"))
+}
