@@ -45,6 +45,50 @@ object Regression {
       BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  /** L2-regularized logistic regression by IRLS — the fastText-style
+    * quality CLASSIFIER shape (fit on labeled docs, score the corpus with
+    * a probability). Each Newton step is ONE map-side-combined aggregation
+    * (the weighted Gram `Σ w·xᵢ·xⱼ` and moment `Σ xᵢ·(w·xβ + y − p)` as
+    * codegen'd sums over the current β as literals) plus a driver-side
+    * d×d solve — `iters` passes total, no per-row driver data, no
+    * shuffle beyond each pass's aggregate exchange. A FIXED iteration
+    * count (not a convergence test) keeps refits deterministic; λ > 0
+    * bounds β when classes are separable. Coefficients round to 8
+    * decimals for the same refit-noise reason as [[ridgeFit]].
+    */
+  def logisticFit(df: DataFrame, features: Seq[Column], label: Column,
+      lambda: Double = 1.0, iters: Int = 8): Array[Double] = {
+    val d = features.size
+    require(d >= 1 && d <= 32, s"feature count must be in [1, 32]: $d")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64]: $iters")
+    var beta = Array.fill(d)(0.0)
+    for (_ <- 0 until iters) {
+      val xb = features.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-xb))
+      val w = p * (lit(1.0) - p)
+      val z = w * xb + label.cast("double") - p
+      val aggCols =
+        (for (i <- 0 until d; j <- i until d)
+          yield sum(w * features(i) * features(j)).as(s"g_${i}_$j")) ++
+          (0 until d).map(i => sum(features(i) * z).as(s"m_$i"))
+      val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+      val g = Array.ofDim[Double](d, d)
+      var c = 0
+      for (i <- 0 until d; j <- i until d) {
+        g(i)(j) = row.getDouble(c); g(j)(i) = g(i)(j); c += 1
+      }
+      val m = Array.tabulate(d)(i => row.getDouble(c + i))
+      for (i <- 0 until d) g(i)(i) += lambda
+      beta = solve(g, m)
+    }
+    beta.map(x =>
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** σ(x·β) as a codegen'd column — the classifier's probability. */
+  def scoreLogistic(features: Seq[Column], coefs: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-score(features, coefs)))
+
   /** x·β as a codegen'd column over the same feature expressions. */
   def score(features: Seq[Column], coefs: Array[Double]): Column = {
     require(features.size == coefs.length, "feature/coefficient arity mismatch")

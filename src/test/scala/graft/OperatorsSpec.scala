@@ -453,4 +453,26 @@ class RegressionSpec extends SparkSuite {
       Regression.ridgeFit(df, Seq(col("x"), col("x") * 2), col("y"), lambda = 0.0))
     assert(ex.getMessage.contains("singular"), ex.getMessage)
   }
+
+  test("logistic IRLS separates a threshold rule and is refit-deterministic") {
+    // label = 1 iff x > 50; logistic on (1, x) must put the decision
+    // boundary near 50 and order probabilities monotonically in x
+    val df = spark.range(1, 101).select(col("id").cast("double").as("x"))
+      .withColumn("y", (col("x") > 50.0).cast("int"))
+    val b = Regression.logisticFit(df, Seq(lit(1.0), col("x")), col("y"),
+      lambda = 1.0, iters = 8)
+    assert(b(1) > 0, s"slope should be positive: ${b.toSeq}")
+    // λ=1 shrinks the (separable) MLE, so the boundary lands near—not
+    // at—the true threshold; the decision quality is the contract
+    val boundary = -b(0) / b(1)
+    assert(boundary > 40.0 && boundary < 60.0, s"boundary=$boundary")
+    val prob = Regression.scoreLogistic(Seq(lit(1.0), col("x")), b)
+    val acc = df.select(avg(((prob >= 0.5).cast("int") === col("y")).cast("double")))
+      .head().getDouble(0)
+    assert(acc >= 0.9, s"accuracy=$acc")
+    // fixed iteration count + final rounding: a refit is bit-identical
+    val b2 = Regression.logisticFit(df, Seq(lit(1.0), col("x")), col("y"),
+      lambda = 1.0, iters = 8)
+    assert(b.toSeq == b2.toSeq)
+  }
 }
