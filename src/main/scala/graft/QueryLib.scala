@@ -487,6 +487,24 @@ object QueryLib {
       require(deleted.nonEmpty, "vacuum should have removed the compacted-away files")
     }
 
+  /** Whole lifecycle driven through the SQL surface (graft.sql): two
+    * appends, `RESTORE … TO VERSION AS OF 0`, `OPTIMIZE`, `VACUUM RETAIN 0
+    * HOURS` — every maintenance verb as a `spark.sql(...)` statement, so
+    * q157 proves the parser extension end to end, not just in a spec.
+    */
+  def ordersSqlSurfaceDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_sqlsurface") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val df = raw(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(df).write(df) // v0 create, v1 append
+      sql.sql(s"OPTIMIZE '$d'") // v2: compact both appends
+      sql.sql(s"RESTORE '$d' TO VERSION AS OF 1") // v3: pre-optimize layout
+      // the optimized-then-restored-away file is now dead; RETAIN 0 HOURS
+      // reclaims it (same rows stay live through v1's original files)
+      val removed = sql.sql(s"VACUUM '$d' RETAIN 0 HOURS").collect().length
+      require(removed > 0, "SQL VACUUM should reclaim the optimized-away file")
+    }
+
   /** append + append + delete — the CDF (changes feed) fixture. */
   def ordersChangesDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "orders_changes") { d =>

@@ -123,6 +123,50 @@ object SparkEntry {
       operators.Drift.embeddingDrift(emb,
         emb.filter(col("vec_id") % 3 =!= 0), "label", "embedding")
     }),
+    // mergeable KMV distinct-count sketches: per-group sketch + estimate,
+    // and the group sketches UNIONED into the corpus cardinality without
+    // touching raw values again (the sketch-store pattern)
+    "q158_kmv_distinct" -> ((s, d) => {
+      import operators.Sketches
+      val li = QueryLib.delta(s, d, "lineitem")
+      val k = 256
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(Sketches.kmvAgg(Sketches.kmvHash(col("l_partkey")), k).as("_kmv"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+      val per = sk.select(col("l_returnflag").as("grp"),
+        Sketches.estimate(col("_kmv"), k).as("est_distinct"),
+        col("exact_distinct"), element_at(col("_kmv"), k).as("kth_hash"))
+      val all = sk.agg(Sketches.kmvMergeAgg(col("_kmv"), k).as("_kmv"))
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
+        .select(lit("*ALL*").as("grp"),
+          Sketches.estimate(col("_kmv"), k).as("est_distinct"),
+          col("exact_distinct"), element_at(col("_kmv"), k).as("kth_hash"))
+      per.unionByName(all).orderBy("grp")
+    }),
+    // logistic quality CLASSIFIER (IRLS, one aggregation pass per Newton
+    // step): probability + decision per document; the oracle replays the
+    // sigmoid score with the exported coefficients
+    "q159_logit_quality" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = logitQualityFeatures
+      val beta = Regression.logisticFit(docs, f, y, lambda = 1.0, iters = 8)
+      val prob = Regression.scoreLogistic(f, beta)
+      docs.select(col("doc_id"), round(prob, 4).as("p_quality"),
+        (prob >= 0.5).cast("int").as("pred_label"), y.as("label"))
+        .orderBy("doc_id")
+    }),
+    // the SQL surface end to end: a table whose restore/optimize/vacuum
+    // all ran as spark.sql(...) statements through the injected parser;
+    // result = SQL DESCRIBE HISTORY × the live row count
+    "q157_sql_surface" -> ((s, d) => {
+      val dir = QueryLib.ordersSqlSurfaceDir(s, d)
+      val sql = graft.sql.GraftSql.enable(s)
+      val hist = sql.sql(s"DESCRIBE HISTORY '$dir'")
+        .select(col("version"), col("operation"))
+      val live = DeltaTable.forPath(dir).toDF(s)
+        .agg(count(lit(1)).as("rows_live"))
+      hist.crossJoin(live).orderBy("version")
+    }),
     // mixture EXECUTION composed into SEQUENCE PACKING: the replicated
     // corpus (each (doc, copy) a distinct training unit) packs into
     // fixed-budget shards — the last two steps of a pretraining data
@@ -1276,6 +1320,43 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // KMV sketch replay: k smallest distinct md5-prefix60 hashes per
+    // group; estimate = floor((k-1)·2^60 / kth) — identical arithmetic in
+    // both engines since 2^60 and the floored quotient are exact doubles
+    "q158_kmv_distinct" ->
+      """WITH hs AS (SELECT DISTINCT l_returnflag AS grp,
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM hs),
+        |ex AS (SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS exact_distinct
+        |       FROM lineitem GROUP BY 1),
+        |per AS (SELECT r.grp, max(CASE WHEN rn = 256 THEN h END) AS kth_hash,
+        |        min(ex.exact_distinct) AS exact_distinct
+        |        FROM r JOIN ex ON r.grp = ex.grp GROUP BY r.grp),
+        |gh AS (SELECT DISTINCT
+        |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |gr AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM gh),
+        |gall AS (SELECT '*ALL*' AS grp, max(CASE WHEN rn = 256 THEN h END) AS kth_hash,
+        |         (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_distinct
+        |         FROM gr),
+        |u AS (SELECT * FROM per UNION ALL SELECT * FROM gall)
+        |SELECT grp,
+        |  CASE WHEN kth_hash IS NULL THEN exact_distinct
+        |       ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |                       CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |  exact_distinct, kth_hash
+        |FROM u ORDER BY grp""".stripMargin,
+    // the fixture's lifecycle ran as spark.sql statements: create + append
+    // (API), then SQL OPTIMIZE, SQL RESTORE to v1, SQL VACUUM — the live
+    // set is two copies of orders through v1's original files
+    "q157_sql_surface" ->
+      """WITH h(version, operation) AS (VALUES
+        |  (0, 'CREATE TABLE'), (1, 'WRITE'), (2, 'OPTIMIZE'), (3, 'RESTORE'))
+        |SELECT CAST(version AS BIGINT) AS version, operation,
+        |  2 * (SELECT count(*) FROM orders) AS rows_live
+        |FROM h ORDER BY version""".stripMargin,
     "q156_embedding_drift" ->
       """WITH sa AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |sb AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
@@ -2416,6 +2497,21 @@ object SparkEntry {
     (features, y)
   }
 
+  /** Features + binary label for the logistic classifier (q159): predict
+    * "punctuation-rich" (ratio > 1%) from length/shape features alone —
+    * the label must NOT be derivable from any single feature, or the fit
+    * degenerates to a threshold copy.
+    */
+  private def logitQualityFeatures: (Seq[org.apache.spark.sql.Column], org.apache.spark.sql.Column) = {
+    val len = length(col("text")).cast("double")
+    val nt = size(split(col("text"), " ")).cast("double")
+    val punct = (len - length(regexp_replace(col("text"), "[.,;:!?]", "")).cast("double")) /
+      greatest(len, lit(1.0))
+    val features = Seq(lit(1.0), log(lit(1.0) + len), (len - (nt - 1)) / nt)
+    val label = (punct > lit(0.01)).cast("int")
+    (features, label)
+  }
+
   /** Static SQL replay of the FULL BPE training loop (q132): `numMerges`
     * unrolled rank blocks, each = weighted adjacent-pair count → argmax
     * (count desc, then lexicographic l, r — binary collation on both
@@ -2538,6 +2634,27 @@ object SparkEntry {
     // ridge quality scorer: refit (coefficients round to 8 decimals, so
     // the refit's ulp noise matches the query's) and replay the linear
     // score over identically-defined SQL features
+    // the logistic twin of q148: export the IRLS coefficients, replay the
+    // sigmoid score + decision in SQL
+    "q159_logit_quality" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = logitQualityFeatures
+      val b = Regression.logisticFit(docs, f, y, lambda = 1.0, iters = 8)
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS len,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+         |  (CAST(length(text) AS DOUBLE) -
+         |     length(regexp_replace(text, '[.,;:!?]', '', 'g'))) /
+         |    greatest(length(text), 1) AS punct
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN punct > 0.01 THEN 1 ELSE 0 END AS label,
+         |  1.0 / (1.0 + exp(-(${b(0)} * 1.0 + ${b(1)} * ln(1 + len) +
+         |    ${b(2)} * ((len - (nt - 1)) / nt)))) AS prob FROM t)
+         |SELECT doc_id, round(prob, 4) AS p_quality,
+         |  CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS pred_label, label
+         |FROM p ORDER BY doc_id""".stripMargin
+    }),
     "q148_ridge_quality" -> ((s, d) => {
       val docs = QueryLib.delta(s, d, "documents")
       val (f, y) = ridgeQualityFeatures

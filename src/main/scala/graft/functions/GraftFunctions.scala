@@ -47,10 +47,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: graft's SQL functions plus the
+  * table-maintenance command parser ([[graft.sql.GraftSqlParser]] —
+  * `DESCRIBE HISTORY` / `OPTIMIZE … ZORDER BY` / `VACUUM` / `RESTORE` /
+  * `GENERATE` / `CONVERT`), the delta-spark extension shape.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+  }
 }

@@ -1,0 +1,233 @@
+package graft.sql
+
+import graft.DeltaTable
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.{Row, SparkSession}
+
+/** SQL surface for graft's table-maintenance verbs — the delta-spark
+  * `DeltaSparkSessionExtension` analogue: a [[ParserInterface]] wrapper
+  * recognizes the path-addressed commands SQL has no standard syntax for
+  * (`DESCRIBE HISTORY`, `OPTIMIZE … ZORDER BY`, `VACUUM … RETAIN n HOURS`,
+  * `RESTORE … TO VERSION AS OF`, `GENERATE symlink_format_manifest`,
+  * `CONVERT TO GRAFT`) and delegates EVERYTHING else to Spark's own parser,
+  * so the session keeps full ANSI SQL.
+  *
+  * Scale shape: every command here is driver-side log metadata work plus
+  * (for OPTIMIZE/CONVERT) a distributed rewrite that goes through the same
+  * `DeltaTable` code paths the Scala API uses — the parser adds zero
+  * execution machinery of its own. Commands execute eagerly as
+  * [[LeafRunnableCommand]]s, the same contract Spark's built-in DDL uses,
+  * so `spark.sql("VACUUM …")` returns its result rows like any DataFrame.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlCommands.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlCommands {
+  // the table address: 'path', "graft.`path`" or "delta.`path`" (the
+  // delta-spark spelling, accepted for drop-in familiarity)
+  private val P = """(?:(?:graft|delta)\.`([^`]+)`|'([^']+)')"""
+  private def path(a: String, b: String): String = if (a != null) a else b
+
+  private val HistoryRe =
+    s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+$P\\s*;?\\s*""".r
+  private val DetailRe =
+    s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+$P\\s*;?\\s*""".r
+  private val OptimizeRe =
+    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+  private val VacuumRe =
+    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val RestoreVerRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTsRe =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  private val GenerateRe =
+    s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*;?\\s*""".r
+  private val ConvertRe =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+(?:GRAFT|DELTA)\\s+parquet\\.`([^`]+)`\\s*;?\\s*""".r
+
+  /** The graft grammar; None → not ours, let Spark parse it. */
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case HistoryRe(a, b) => Some(DescribeHistoryCommand(path(a, b)))
+      case DetailRe(a, b) => Some(DescribeDetailCommand(path(a, b)))
+      case OptimizeRe(a, b, where, zcols) =>
+        val cols = Option(zcols).toSeq.flatMap(_.split(",").toSeq)
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        Some(OptimizeCommand(path(a, b), cols, Option(where).map(_.trim)))
+      case VacuumRe(a, b, hours, dry) =>
+        Some(VacuumCommand(path(a, b), Option(hours).map(_.toLong), dry != null))
+      case RestoreVerRe(a, b, v) => Some(RestoreCommand(path(a, b), Left(v.toLong)))
+      case RestoreTsRe(a, b, ts) => Some(RestoreCommand(path(a, b), Right(ts)))
+      case GenerateRe(a, b) => Some(GenerateManifestCommand(path(a, b)))
+      case ConvertRe(src) => Some(ConvertCommand(src))
+      case _ => None
+    }
+
+  private[sql] def open(spark: SparkSession, path: String): DeltaTable =
+    DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
+}
+
+/** `DESCRIBE HISTORY '<path>'` — commit log, newest first (metadata only). */
+case class DescribeHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("clientVersion", StringType)(),
+    AttributeReference("readVersion", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCommands.open(spark, path).history.map { case (v, c) =>
+      Row(v, new java.sql.Timestamp(c.effectiveTimestamp), c.operation,
+        c.clientVersion, c.readVersion.map(Long.box).orNull)
+    }
+}
+
+/** `DESCRIBE DETAIL '<path>'` — one metadata row, no data scan. */
+case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
+  // schema is data-independent; build it once against the table-less shape
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("name", StringType)(),
+    AttributeReference("description", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("createdAt", TimestampType)(),
+    AttributeReference("lastModified", TimestampType)(),
+    AttributeReference("partitionColumns", org.apache.spark.sql.types.ArrayType(StringType))(),
+    AttributeReference("numFiles", LongType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("properties", org.apache.spark.sql.types.MapType(StringType, StringType))(),
+    AttributeReference("minReaderVersion", org.apache.spark.sql.types.IntegerType)(),
+    AttributeReference("minWriterVersion", org.apache.spark.sql.types.IntegerType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = GraftSqlCommands.open(spark, path).detail(spark)
+    // realign by name: detail() owns the column set, the command owns order
+    val names = output.map(_.name)
+    df.collect().toSeq.map { r =>
+      Row.fromSeq(names.map(n => r.get(r.fieldIndex(n))))
+    }
+  }
+}
+
+/** `OPTIMIZE '<path>' [WHERE …] [ZORDER BY (…)]` — distributed rewrite via
+  * [[DeltaTable.compact]]; the result row reports the file-count change.
+  */
+case class OptimizeCommand(path: String, zOrderBy: Seq[String],
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType)(),
+    AttributeReference("numFilesBefore", LongType)(),
+    AttributeReference("numFilesAfter", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    val before = t.dlog.addActions.size.toLong
+    val pred = where.map(w => ColumnShim.column(
+      spark.sessionState.sqlParser.parseExpression(w)))
+    val after = t.compact(spark, sortBy = zOrderBy,
+      zOrder = zOrderBy.length > 1, where = pred)
+      .dlog.addActions.size.toLong
+    Seq(Row(path, before, after))
+  }
+}
+
+/** `VACUUM '<path>' [RETAIN n HOURS] [DRY RUN]` — one row per affected
+  * file (delta-spark's shape); deletion fan-out happens in
+  * [[DeltaTable.vacuum]], not here.
+  */
+case class VacuumCommand(path: String, retainHours: Option[Long],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val retention = retainHours.map(_ * 3600L * 1000L).getOrElse(Long.MinValue)
+    GraftSqlCommands.open(spark, path).vacuum(retention, dryRun).map(Row(_))
+  }
+}
+
+/** `RESTORE [TABLE] '<path>' TO VERSION|TIMESTAMP AS OF …`. */
+case class RestoreCommand(path: String,
+    target: Either[Long, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("restoredVersion", LongType)(),
+    AttributeReference("numFiles", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    val (restored, targetVersion) = target match {
+      case Left(v) => (t.restore(v), v)
+      case Right(ts) =>
+        val millis =
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch { case _: IllegalArgumentException =>
+            java.time.Instant.parse(ts).toEpochMilli }
+        (t.restoreToTimestamp(millis), t.versionAt(millis))
+    }
+    Seq(Row(targetVersion, restored.dlog.addActions.size.toLong))
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE '<path>'`. */
+case class GenerateManifestCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("manifest", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftSqlCommands.open(spark, path).generateSymlinkManifest()
+    Seq(Row(s"$path/_symlink_format_manifest/manifest"))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`<path>`` — in-place log mint over existing
+  * parquet (zero data movement, [[DeltaTable.convert]]).
+  */
+case class ConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = DeltaTable.convert(spark, path)
+    Seq(Row(path, t.version))
+  }
+}
+
+/** Runtime enablement for an already-running session: injects the graft
+  * parser (and functions) into the session's extension registry once, then
+  * returns a sibling session — same SparkContext, shared state and
+  * catalog-less temp scope — whose lazily-built `SessionState` picks the
+  * parser up. (A `SessionState` is immutable once built, so the original
+  * session object keeps its stock parser; cluster-wide installs use
+  * `spark.sql.extensions=graft.functions.GraftExtensions` instead and need
+  * none of this.)
+  */
+object GraftSql {
+  private val injected =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSessionExtensions, java.lang.Boolean]())
+
+  def enable(spark: SparkSession): SparkSession = {
+    val ext = ColumnShim.extensions(spark)
+    injected.synchronized {
+      if (injected.add(ext)) new graft.functions.GraftExtensions().apply(ext)
+    }
+    spark.newSession()
+  }
+}

@@ -32,6 +32,14 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.newHadoopConf()
 
+  /** The session's extension registry (`private[sql]` on the classic
+    * session). Injections are picked up by any LATER-built `SessionState`
+    * (i.e. `newSession()`), which is how `graft.sql.GraftSql.enable`
+    * retrofits the graft SQL parser onto a running application.
+    */
+  def extensions(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSessionExtensions =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
+
   def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.internalCreateDataFrame(

@@ -1,0 +1,121 @@
+package graft
+
+import graft.sql.GraftSql
+import org.apache.spark.sql.functions._
+
+/** The SQL command surface (graft.sql.GraftSqlParser via GraftExtensions):
+  * every maintenance verb as a `spark.sql(...)` statement, with the stock
+  * parser still serving everything else.
+  */
+class SqlSurfaceSpec extends SparkSuite {
+
+  private lazy val sql = GraftSql.enable(spark)
+
+  private def seeded(): (String, org.apache.spark.sql.DataFrame) = {
+    val d = tempDir("sqlsurface")
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(df).write(df)
+    (d, df)
+  }
+
+  test("delegation: plain SQL still parses and runs in the enabled session") {
+    assert(sql.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+    // and graft functions are registered in the same session
+    val r = sql.sql("SELECT md5_prefix60('x') AS h").collect().head.getLong(0)
+    assert(r > 0L)
+  }
+
+  test("DESCRIBE HISTORY returns the commit log newest-first") {
+    val (d, _) = seeded()
+    val rows = sql.sql(s"DESCRIBE HISTORY '$d'")
+      .select("version", "operation").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+    assert(rows.last.getString(1) == "CREATE TABLE")
+    assert(rows.head.getString(1) == "WRITE")
+    // the delta-spark address spelling resolves to the same table
+    val alt = sql.sql(s"DESCRIBE HISTORY delta.`$d`").count()
+    assert(alt == 2)
+  }
+
+  test("DESCRIBE DETAIL is one metadata row with live file stats") {
+    val (d, df) = seeded()
+    val r = sql.sql(s"DESCRIBE DETAIL '$d'").collect().head
+    assert(r.getAs[String]("format") == "graft")
+    assert(r.getAs[Long]("numFiles") >= 1L)
+    assert(r.getAs[String]("location").contains(d))
+  }
+
+  test("OPTIMIZE compacts; ZORDER BY lays out by the given columns") {
+    val (d, df) = seeded()
+    val r = sql.sql(s"OPTIMIZE '$d'").collect().head
+    assert(r.getAs[Long]("numFilesBefore") >= r.getAs[Long]("numFilesAfter"))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 2 * df.count())
+    // zorder spelling parses and rewrites (2 dims => morton path)
+    val d2 = tempDir("sqlsurface-z")
+    DeltaTable.forPath(d2).write(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    sql.sql(s"OPTIMIZE '$d2' ZORDER BY (l_orderkey, l_partkey)")
+    assert(DeltaTable.forPath(d2).history.head._2.operation == "OPTIMIZE")
+  }
+
+  test("OPTIMIZE WHERE restricts the rewrite to matching partitions") {
+    val d = tempDir("sqlsurface-w")
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d)
+      .write(df, partitionBy = Some(Seq("n_regionkey")))
+      .write(df)
+    val before = DeltaTable.forPath(d).dlog.addActions.keySet
+    sql.sql(s"OPTIMIZE '$d' WHERE n_regionkey = 1")
+    val after = DeltaTable.forPath(d)
+    // untouched partitions keep their files; data intact
+    assert(after.dlog.addActions.keySet.intersect(before).nonEmpty)
+    assert(!after.dlog.addActions.keySet.sameElements(before))
+    assertSameRows(after.toDF(spark), df.union(df))
+  }
+
+  test("VACUUM DRY RUN lists but keeps; VACUUM RETAIN 0 HOURS reclaims") {
+    val (d, _) = seeded()
+    sql.sql(s"OPTIMIZE '$d'")
+    val dry = sql.sql(s"VACUUM '$d' DRY RUN").collect()
+    // default retention (7d): nothing old enough, dry or not
+    assert(dry.isEmpty)
+    def asFile(uri: String) =
+      new java.io.File(uri.replaceFirst("^file:(//)?", ""))
+    val dry0 = sql.sql(s"VACUUM '$d' RETAIN 0 HOURS DRY RUN").collect()
+    assert(dry0.nonEmpty)
+    assert(dry0.forall(r => asFile(r.getString(0)).exists()))
+    val gone = sql.sql(s"VACUUM '$d' RETAIN 0 HOURS").collect()
+    assert(gone.map(_.getString(0)).sorted.sameElements(
+      dry0.map(_.getString(0)).sorted))
+    assert(gone.forall(r => !asFile(r.getString(0)).exists()))
+  }
+
+  test("RESTORE TO VERSION AS OF rewinds; TIMESTAMP AS OF resolves") {
+    val (d, df) = seeded()
+    val r = sql.sql(s"RESTORE '$d' TO VERSION AS OF 0").collect().head
+    assert(r.getAs[Long]("restoredVersion") == 0L)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == df.count())
+    // timestamp form: restore forward to the v1 state by its commit time
+    val t1 = DeltaTable.forPath(d).history.find(_._1 == 1L).get._2.effectiveTimestamp
+    val ts = new java.sql.Timestamp(t1).toString
+    sql.sql(s"RESTORE TABLE '$d' TO TIMESTAMP AS OF '$ts'")
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 2 * df.count())
+  }
+
+  test("GENERATE symlink_format_manifest writes the manifest") {
+    val (d, _) = seeded()
+    sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
+    val manifest = new java.io.File(s"$d/_symlink_format_manifest/manifest")
+    assert(manifest.exists())
+  }
+
+  test("CONVERT TO GRAFT adopts plain parquet in place") {
+    val d = tempDir("sqlsurface-convert")
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.mode("overwrite").parquet(d)
+    val r = sql.sql(s"CONVERT TO GRAFT parquet.`$d`").collect().head
+    assert(r.getAs[Long]("version") == 0L)
+    assertSameRows(DeltaTable.forPath(d).toDF(spark),
+      spark.read.parquet(s"$sfDir/region.parquet"))
+  }
+}
