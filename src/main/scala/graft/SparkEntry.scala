@@ -143,6 +143,14 @@ object SparkEntry {
           col("exact_distinct"), element_at(col("_kmv"), k).as("kth_hash"))
       per.unionByName(all).orderBy("grp")
     }),
+    // deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis): longer docs proportionally likelier, selection a pure
+    // function of (seed, id, weight) any engine regenerates
+    "q161_weighted_sample" -> ((s, d) =>
+      operators.Sampling.weightedSample(QueryLib.delta(s, d, "documents"),
+          "doc_id", col("n_chars"), 20, "r11seed", Seq("source"))
+        .select(col("doc_id"), col("source"), col("_es_key").as("es_key"))
+        .orderBy("source", "doc_id")),
     // logistic quality CLASSIFIER (IRLS, one aggregation pass per Newton
     // step): probability + decision per document; the oracle replays the
     // sigmoid score with the exported coefficients
@@ -1320,6 +1328,17 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // A-ES replay: same md5-uniform u, same ln(u)/w key rounded to 9
+    // decimals, same per-source top-20 with the doc_id tiebreak
+    "q161_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  round(ln((('0x' || substr(md5('r11seed:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |           / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 9) AS es_key
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY es_key DESC, doc_id) AS rn FROM t)
+        |SELECT doc_id, source, es_key FROM r WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
     // KMV sketch replay: k smallest distinct md5-prefix60 hashes per
     // group; estimate = floor((k-1)·2^60 / kth) — identical arithmetic in
     // both engines since 2^60 and the floored quotient are exact doubles

@@ -116,6 +116,44 @@ object Sampling {
       .drop("_cap_rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u = (md5_prefix60(seed:id)+1)/2^60 and
+    * ranks by `ln(u)/w` (monotone in the classic u^(1/w) key), so the
+    * top-k per group IS a weighted sample without replacement — and a pure
+    * function of (seed, id, w) that any engine regenerates row for row.
+    * The key is rounded to 9 decimals with an id tiebreak so a last-ulp
+    * libm difference between engines cannot reorder the cut.
+    *
+    * Scale shape: grouped mode is a bounded-k window — row_number over
+    * (group, key) runs through WindowGroupLimit, which drops losers
+    * map-side before the shuffle, so a hot group never materializes its
+    * full membership in one task. Global mode (no group) never uses a
+    * single-partition window: it is sort+limit, i.e. TakeOrdered's
+    * per-partition top-k then a k-sized driver merge.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column, k: Int,
+      seed: String, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = (idHash(concat(lit(seed), lit(":"), col(idCol).cast("string"))) +
+      lit(1L)).cast("double") / lit(Sketches.HashSpace)
+    // weight must be strictly positive for the key to be defined; make a
+    // bad weight a loud error, not a silently-dropped row
+    val guarded = when(weight > 0, weight.cast("double"))
+      .otherwise(raise_error(concat(lit(s"weightedSample: non-positive weight for id "),
+        col(idCol).cast("string"))))
+    val keyed = df.withColumn("_es_key", round(log(u) / guarded, 9))
+    if (groupCols.isEmpty)
+      keyed.orderBy(col("_es_key").desc, col(idCol)).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("_es_key").desc, col(idCol))
+      keyed.withColumn("_es_rk", row_number().over(w))
+        .filter(col("_es_rk") <= k)
+        .drop("_es_rk")
+    }
+  }
+
   /** Deterministic global permutation — the "shuffle the corpus once per
     * epoch" step of a training pipeline, as a pure function of (seed,
     * id) so any engine reproduces the identical order. The key is

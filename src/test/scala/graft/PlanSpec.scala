@@ -389,6 +389,18 @@ class PlanSpec extends SparkSuite {
       "expected partial + final WindowGroupLimit:\n" + plan.take(1500))
   }
 
+  test("weighted sample: grouped mode plans WindowGroupLimit; global mode plans TakeOrdered") {
+    val docs = QueryLib.delta(spark, sfDir, "documents")
+    val grouped = explainOf(operators.Sampling.weightedSample(
+      docs, "doc_id", col("n_chars"), 10, "s", Seq("source")))
+    assert(grouped.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      "expected partial + final WindowGroupLimit:\n" + grouped.take(1500))
+    val global = explainOf(operators.Sampling.weightedSample(
+      docs, "doc_id", col("n_chars"), 10, "s"))
+    // per-partition top-k + k-sized merge, never a one-task global sort
+    assert(global.contains("TakeOrderedAndProject"), global.take(1200))
+  }
+
   test("deterministic shuffle plans one range exchange, no global sort") {
     val docs = QueryLib.delta(spark, sfDir, "documents")
     val plan = explainOf(operators.Sampling.deterministicShuffle(
