@@ -505,6 +505,26 @@ object QueryLib {
       require(removed > 0, "SQL VACUUM should reclaim the optimized-away file")
     }
 
+  /** KMV sketch store built in two batches (doc_id parity halves): init
+    * with half 0's per-lang token sketches, append half 1's with the
+    * exactly-once txn marker — q160 answers per-lang vocabulary
+    * cardinality from the store alone.
+    */
+  def kmvStoreDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "kmv_store") { d =>
+      val docs = raw(spark, sfDir, "documents")
+      def toks(half: org.apache.spark.sql.DataFrame) =
+        half.select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("token"))
+          .filter(col("token") =!= "")
+      operators.Sketches.kmvStoreInit(d,
+        toks(docs.filter(col("doc_id") % 2 === 0)),
+        Seq("lang"), col("token"), 256, "b0")
+      operators.Sketches.kmvStoreAppend(d,
+        toks(docs.filter(col("doc_id") % 2 === 1)),
+        col("token"), "b1", batchTxn = Some(("kmv-fixture", 1L)))
+    }
+
   /** append + append + delete — the CDF (changes feed) fixture. */
   def ordersChangesDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "orders_changes") { d =>

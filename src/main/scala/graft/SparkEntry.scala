@@ -135,14 +135,20 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("exact_distinct"))
       val per = sk.select(col("l_returnflag").as("grp"),
         Sketches.estimate(col("_kmv"), k).as("est_distinct"),
-        col("exact_distinct"), element_at(col("_kmv"), k).as("kth_hash"))
+        col("exact_distinct"), try_element_at(col("_kmv"), lit(k)).as("kth_hash"))
       val all = sk.agg(Sketches.kmvMergeAgg(col("_kmv"), k).as("_kmv"))
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
         .select(lit("*ALL*").as("grp"),
           Sketches.estimate(col("_kmv"), k).as("est_distinct"),
-          col("exact_distinct"), element_at(col("_kmv"), k).as("kth_hash"))
+          col("exact_distinct"), try_element_at(col("_kmv"), lit(k)).as("kth_hash"))
       per.unionByName(all).orderBy("grp")
     }),
+    // the sketch STORE: per-lang vocabulary cardinality answered from
+    // two batches' persisted sketch rows alone — the raw corpus is never
+    // rescanned (losslessly-merging bottom-k state)
+    "q160_kmv_store" -> ((s, d) =>
+      operators.Sketches.kmvStoreCardinality(s, QueryLib.kmvStoreDir(s, d))
+        .orderBy("lang")),
     // deterministic weighted sampling without replacement (Efraimidis–
     // Spirakis): longer docs proportionally likelier, selection a pure
     // function of (seed, id, weight) any engine regenerates
@@ -1328,6 +1334,25 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // store replay: the merged per-lang sketch over both batches equals
+    // the bottom-256 distinct token hashes of the WHOLE corpus (min-k
+    // composability), so the oracle recomputes from documents directly
+    "q160_kmv_store" ->
+      """WITH tok AS (SELECT DISTINCT lang,
+        |  ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS cnt FROM tok),
+        |g AS (SELECT lang, max(CASE WHEN rn = 256 THEN h END) AS kth_hash,
+        |      max(cnt) AS cnt FROM r GROUP BY lang)
+        |SELECT lang,
+        |  CASE WHEN kth_hash IS NULL THEN cnt
+        |       ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+        |                       CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |  kth_hash, CAST(2 AS BIGINT) AS n_batches
+        |FROM g ORDER BY lang""".stripMargin,
     // A-ES replay: same md5-uniform u, same ln(u)/w key rounded to 9
     // decimals, same per-source top-20 with the doc_id tiebreak
     "q161_weighted_sample" ->

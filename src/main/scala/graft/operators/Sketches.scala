@@ -65,4 +65,67 @@ object Sketches {
       k: Int): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(kmvAgg(kmvHash(value), k).as("kmv_sketch"))
+
+  // ------------------------------------------------------------------
+  // Sketch STORE: per-batch sketch rows persisted as a Delta table, so
+  // corpus-wide cardinality questions read sketch-sized history instead
+  // of 100 TB of raw values (the KMV twin of the MinHash signature
+  // store). Store schema: keys…, kmv_sketch, batch.
+  // ------------------------------------------------------------------
+
+  /** Create the store from the first batch; k and the key columns pin to
+    * table properties so later appends cannot silently change the sketch
+    * contract.
+    */
+  def kmvStoreInit(storeDir: String, df: DataFrame, keys: Seq[String],
+      value: Column, k: Int, batchId: String): graft.DeltaTable =
+    graft.DeltaTable.forPath(storeDir)
+      .write(kmvSketch(df, keys, value, k).withColumn("batch", lit(batchId)))
+      .setTableProperties(Map(
+        "graft.kmv.k" -> k.toString,
+        "graft.kmv.keys" -> keys.mkString(",")))
+
+  /** Append one batch's per-key sketches as one atomic commit. The
+    * optional `batchTxn` (appId, batchVersion) rides delta's
+    * SetTransaction handshake so a RE-DELIVERED batch appends exactly
+    * once — same idempotence contract as the MinHash store and the
+    * streaming sinks.
+    */
+  def kmvStoreAppend(storeDir: String, df: DataFrame, value: Column,
+      batchId: String, batchTxn: Option[(String, Long)] = None): graft.DeltaTable = {
+    val store = graft.DeltaTable.forPath(storeDir)
+    val (k, keys) = storeContract(store, storeDir)
+    val rows = kmvSketch(df, keys, value, k).withColumn("batch", lit(batchId))
+    batchTxn match {
+      case Some((app, ver)) => store.writeWithTxn(rows, app, ver)
+      case None => store.write(rows)
+    }
+  }
+
+  /** Corpus cardinality per key from the store alone: merge each key's
+    * batch sketches (lossless — min-k composes) and estimate. Input is
+    * O(keys × batches × k) longs; the raw corpus is never touched.
+    */
+  def kmvStoreCardinality(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val store = graft.DeltaTable.forPath(storeDir)
+    val (k, keys) = storeContract(store, storeDir)
+    store.toDF(spark)
+      .groupBy(keys.map(col): _*)
+      .agg(kmvMergeAgg(col("kmv_sketch"), k).as("_kmv"),
+        countDistinct(col("batch")).as("n_batches"))
+      .select(keys.map(col) ++ Seq(
+        estimate(col("_kmv"), k).as("est_distinct"),
+        // try_: a key with under k distincts has a short sketch (NULL kth)
+        try_element_at(col("_kmv"), lit(k)).as("kth_hash"),
+        col("n_batches")): _*)
+  }
+
+  private def storeContract(store: graft.DeltaTable,
+      storeDir: String): (Int, Seq[String]) = {
+    val props = store.tableProperties
+    val k = props.getOrElse("graft.kmv.k", throw new IllegalStateException(
+      s"$storeDir is not a kmv store (no graft.kmv.k property)")).toInt
+    (k, props("graft.kmv.keys").split(",").toSeq)
+  }
 }

@@ -43,4 +43,38 @@ class Round12Spec extends SparkSuite {
       Sampling.weightedSample(df, "id", col("w"), 1, "s").collect())
     assert(ex.getMessage.contains("non-positive weight"), ex.getMessage)
   }
+
+  test("kmv store: incremental cardinality equals the direct whole-corpus sketch") {
+    import graft.operators.Sketches
+    val d = tempDir("kmv-store")
+    val all = (1 to 3000).map(i => (s"g${i % 2}", s"v${i % 700}")).toDF("grp", "v")
+    val (h0, h1) = (all.filter(hash(col("v")) % 2 === 0),
+      all.filter(hash(col("v")) % 2 =!= 0))
+    Sketches.kmvStoreInit(d, h0, Seq("grp"), col("v"), 64, "b0")
+    Sketches.kmvStoreAppend(d, h1, col("v"), "b1")
+    val fromStore = Sketches.kmvStoreCardinality(spark, d)
+      .select("grp", "est_distinct", "kth_hash")
+    val direct = Sketches.kmvSketch(all, Seq("grp"), col("v"), 64)
+      .select(col("grp"), Sketches.estimate(col("kmv_sketch"), 64).as("est_distinct"),
+        element_at(col("kmv_sketch"), 64).as("kth_hash"))
+    assertSameRows(fromStore, direct)
+  }
+
+  test("kmv store: re-delivered batch appends exactly once; non-store refused") {
+    import graft.operators.Sketches
+    val d = tempDir("kmv-once")
+    val df = (1 to 100).map(i => ("g", i.toString)).toDF("grp", "v")
+    Sketches.kmvStoreInit(d, df, Seq("grp"), col("v"), 32, "b0")
+    Sketches.kmvStoreAppend(d, df, col("v"), "b1", Some(("app", 1L)))
+    Sketches.kmvStoreAppend(d, df, col("v"), "b1", Some(("app", 1L))) // retry
+    val batches = DeltaTable.forPath(d).toDF(spark)
+      .groupBy("batch").count().collect()
+    assert(batches.length == 2 && batches.forall(_.getLong(1) == 1L),
+      batches.mkString(","))
+    val plain = tempDir("kmv-notstore")
+    DeltaTable.forPath(plain).write(df)
+    val ex = intercept[IllegalStateException](
+      Sketches.kmvStoreAppend(plain, df, col("v"), "bX"))
+    assert(ex.getMessage.contains("not a kmv store"), ex.getMessage)
+  }
 }
