@@ -3094,13 +3094,26 @@ final case class DeltaTable(
     * version 0 (metadata-scale).
     */
   def changesBetween(spark: SparkSession, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long, includeTimestamp: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.substring_index
     var liveRefs = Map.empty[String, Option[DeletionVectors.DvRef]]
     val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    def tagged(df: DataFrame, v: Long, change: String): DataFrame =
-      df.withColumn("_commit_version", lit(v)).withColumn("_change_type", lit(change))
+    // delta CDF parity: `_commit_timestamp` rides each change row when
+    // asked (opt-in — timestamps are wall-clock, so deterministic-replay
+    // consumers and the existing oracles stay on the two stable columns).
+    // One metadata-scale map, ICT-aware via effectiveTimestamp.
+    val commitTs: Map[Long, Long] =
+      if (!includeTimestamp) Map.empty
+      else withFullHistory.history.map { case (v, c) => v -> c.effectiveTimestamp }.toMap
+
+    def tagged(df: DataFrame, v: Long, change: String): DataFrame = {
+      val base = df.withColumn("_commit_version", lit(v))
+        .withColumn("_change_type", lit(change))
+      if (!includeTimestamp) base
+      else base.withColumn("_commit_timestamp",
+        lit(new java.sql.Timestamp(commitTs(v))))
+    }
 
     /** (file basename, row_index) key of every dead row of `refs`,
       * restricted to the given basenames (file-count-scale semi-join, not
@@ -3163,8 +3176,11 @@ final case class DeltaTable(
         // rule): they carry the exact row-level changes with in-file
         // _change_type, so the add/remove reconstruction below is skipped
         // — it would double-report the rewrite
-        frames += readChangeData(spark, cdcActs)
+        val cdc = readChangeData(spark, cdcActs)
           .withColumn("_commit_version", lit(v))
+        frames += (if (!includeTimestamp) cdc
+          else cdc.withColumn("_commit_timestamp",
+            lit(new java.sql.Timestamp(commitTs(v)))))
       } else if (v > fromVersion) {
         // a DV'd re-add of a LIVE path is a row-level delete, not an insert
         val (dvDelta, plainAdds) = adds.filter(_.dataChange).partition(a =>
@@ -3239,10 +3255,13 @@ final case class DeltaTable(
     // literal-true `when` away during analysis, so the condition must
     // stay non-foldable.
     def relaxed(c: org.apache.spark.sql.Column) = when(c.isNotNull, c)
-    out.select(
-      dlog.schema.fieldNames.map(col).toSeq :+
-        relaxed(col("_commit_version")).as("_commit_version") :+
-        relaxed(col("_change_type")).as("_change_type"): _*)
+    val cdfCols =
+      Seq(relaxed(col("_commit_version")).as("_commit_version"),
+        relaxed(col("_change_type")).as("_change_type")) ++
+        (if (includeTimestamp)
+          Seq(relaxed(col("_commit_timestamp")).as("_commit_timestamp"))
+        else Seq.empty)
+    out.select(dlog.schema.fieldNames.map(col).toSeq ++ cdfCols: _*)
   }
 
   // ------------------------------------------------------------------

@@ -143,6 +143,18 @@ object SparkEntry {
           col("exact_distinct"), try_element_at(col("_kmv"), lit(k)).as("kth_hash"))
       per.unionByName(all).orderBy("grp")
     }),
+    // as-of join with a freshness bound: purchases older than 6h before
+    // the event are no match (pandas merge_asof tolerance semantics)
+    "q162_asof_tolerance" -> ((s, d) => {
+      val ev = QueryLib.eventsDelta(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("purchase_ts"))
+      Temporal.asOfJoin(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          keyCols = Seq("user_id"), leftTimeCol = "ts", rightTimeCol = "ts",
+          valueCols = Seq("purchase_ts"), toleranceSeconds = Some(6L * 3600))
+        .orderBy("event_id")
+    }),
     // the sketch STORE: per-lang vocabulary cardinality answered from
     // two batches' persisted sketch rows alone — the raw corpus is never
     // rescanned (losslessly-merging bottom-k state)
@@ -1334,6 +1346,13 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // q57's oracle plus the tolerance bound on the correlated max
+    "q162_asof_tolerance" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        | (SELECT max(p.ts) FROM events p WHERE p.user_id = e.user_id
+        |    AND p.event_type = 'purchase' AND p.ts <= e.ts
+        |    AND p.ts >= e.ts - INTERVAL 6 HOUR) AS asof_purchase_ts
+        |FROM events e ORDER BY e.event_id""".stripMargin,
     // store replay: the merged per-lang sketch over both batches equals
     // the bottom-256 distinct token hashes of the WHOLE corpus (min-k
     // composability), so the oracle recomputes from documents directly

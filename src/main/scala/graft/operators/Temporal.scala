@@ -68,18 +68,28 @@ object Temporal {
     *
     * @param valueCols right-side columns to carry onto each left row
     *                  (aliased as-is in the output)
+    * @param toleranceSeconds pandas-merge_asof-style bound: a match whose
+    *                  right time is more than this many seconds before
+    *                  the left row counts as NO match (all-null values)
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    toleranceSeconds.foreach(t => require(t > 0, s"tolerance must be positive: $t"))
     require(keyCols.nonEmpty, "asOfJoin requires key columns")
     val leftCols = left.columns.toSeq
     // the value columns ride as ONE struct, so the output always comes
     // from the single latest right ROW — per-column `last(ignoreNulls)`
     // would resurrect a stale value when the as-of row holds a genuine
     // NULL (and could mix columns from different right rows)
+    // `_rt` (the matched right row's own time) rides LAST in the struct:
+    // it is what a tolerance bound compares against, and last place keeps
+    // the same-instant tie-break ordering on the value fields unchanged
     val structType = org.apache.spark.sql.types.StructType(
-      valueCols.map(v => right.schema(v).copy(name = v)))
+      valueCols.map(v => right.schema(v).copy(name = v)) :+
+        org.apache.spark.sql.types.StructField("_rt",
+          org.apache.spark.sql.types.TimestampNTZType))
     // tag sides; right rows sort BEFORE left rows at the same instant so
     // the join is inclusive (right.ts == left.ts matches)
     val l = left.withColumn("_t", col(leftTimeCol).cast("timestamp_ntz"))
@@ -93,7 +103,8 @@ object Temporal {
     val r = right.filter(rightNonNull).select(
       keyCols.map(col) ++
         Seq(col(rightTimeCol).cast("timestamp_ntz").as("_t"), lit(0).as("_side"),
-          struct(valueCols.map(col): _*).as("_vs")): _*)
+          struct(valueCols.map(col) :+
+            col(rightTimeCol).cast("timestamp_ntz").as("_rt"): _*).as("_vs")): _*)
     val unioned = l.select(
         (keyCols.map(col) ++ Seq(col("_t"), col("_side"), col("_vs")) ++
           leftCols.filterNot(keyCols.contains).map(col)): _*)
@@ -105,9 +116,17 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("_asof",
       last(col("_vs"), ignoreNulls = true).over(w))
+    // tolerance (pandas merge_asof parity): an as-of match older than
+    // `toleranceSeconds` before the left row is no match at all — every
+    // value field nulls together (the struct came from one right row)
+    val within = toleranceSeconds.map { t =>
+      col("_asof._rt").cast("timestamp").cast("double") >=
+        col("_t").cast("timestamp").cast("double") - lit(t.toDouble)
+    }.getOrElse(lit(true))
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(v => col(s"_asof.$v").as(s"asof_$v")): _*)
+        valueCols.map(v =>
+          when(within, col(s"_asof.$v")).as(s"asof_$v")): _*)
   }
 
   /** Point-in-interval range join: pairs each left row whose `pointCol`

@@ -60,6 +60,51 @@ class Round12Spec extends SparkSuite {
     assertSameRows(fromStore, direct)
   }
 
+  test("asof join tolerance: stale matches null out together, fresh ones survive") {
+    import graft.operators.Temporal
+    val left = Seq((1L, "u", "2024-01-01 10:00:00"),
+      (2L, "u", "2024-01-01 12:00:00"),
+      (3L, "u", "2024-01-01 12:30:00")).toDF("id", "k", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val right = Seq(("u", "2024-01-01 09:30:00", 1.0, "a"),
+      ("u", "2024-01-01 12:10:00", 2.0, "b")).toDF("k", "ts", "v", "tag")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    // no tolerance: every left row has an as-of match
+    val plain = Temporal.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("v", "tag")).orderBy("id").collect()
+    assert(plain.map(_.getAs[Double]("asof_v")).toSeq == Seq(1.0, 1.0, 2.0))
+    // 1h tolerance: row 2's only candidate (09:30) is 2.5h stale — BOTH
+    // value columns null together; rows 1 and 3 keep their fresh match
+    val tol = Temporal.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("v", "tag"), toleranceSeconds = Some(3600L)).orderBy("id").collect()
+    assert(tol.map(r => Option(r.getAs[java.lang.Double]("asof_v"))).toSeq ==
+      Seq(Some(1.0), None, Some(2.0)))
+    assert(tol.map(r => Option(r.getAs[String]("asof_tag"))).toSeq ==
+      Seq(Some("a"), None, Some("b")))
+    // exactly-at-the-bound is inclusive (>=)
+    val edge = Temporal.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("v"), toleranceSeconds = Some(9000L)).orderBy("id").collect()
+    assert(Option(edge(1).getAs[java.lang.Double]("asof_v")) == Some(1.0))
+  }
+
+  test("CDF _commit_timestamp opt-in matches per-version history timestamps") {
+    val d = tempDir("cdf-ts")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val t = DeltaTable.forPath(d).write(nation).write(nation)
+      .delete(spark, Some(col("n_nationkey") < 5))
+    val hist = t.history.map { case (v, c) => v -> c.effectiveTimestamp }.toMap
+    val rows = t.changesBetween(spark, 0L, 2L, includeTimestamp = true)
+      .select(col("_commit_version"), col("_commit_timestamp").cast("long") * 1000)
+      .distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == hist(r.getLong(0)) / 1000 * 1000,
+        s"v${r.getLong(0)}: ${r.getLong(1)} vs ${hist(r.getLong(0))}")
+    }
+    // default shape unchanged: no timestamp column
+    assert(!t.changesBetween(spark, 0L, 2L).columns.contains("_commit_timestamp"))
+  }
+
   test("kmv store: re-delivered batch appends exactly once; non-store refused") {
     import graft.operators.Sketches
     val d = tempDir("kmv-once")
