@@ -367,6 +367,101 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** Streaming CRAWL INGESTION with inline near-dup dedup — the
+    * composition a crawl pipeline actually runs: each micro-batch drops
+    * (1) docs near-dup against HISTORY via the persisted MinHash
+    * signature store (banded LSH; the store is scanned, never shuffled —
+    * X157's contract) and (2) intra-batch near-dups (the larger id of any
+    * verified pair loses), then appends ONLY the novel docs to the corpus
+    * table and ONLY their signatures to the store — each as its own
+    * SetTransaction-idempotent commit, so a replayed micro-batch (a
+    * foreachBatch redelivery after a crash) re-commits nothing on either
+    * table and corpus/store stay row-for-row consistent.
+    *
+    * Scale shape: everything batch-sized broadcasts; history participates
+    * only through the signature store (10⁹ docs ≈ 0.5 TB of signatures
+    * standing in for 100 TB of text) and both appends are blind — no
+    * rewrite, no unbounded streaming state; the TABLES are the state.
+    *
+    * The store must exist (create it once with `minHashStoreInit`, an
+    * empty first batch is fine): batch-0-creates would turn a redelivered
+    * first batch into a silent duplicate store.
+    */
+  def crawlIngestSink(corpusDir: String, storeDir: String, appId: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      estThreshold: Double = 0.7)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val store = DeltaTable.forPath(storeDir)
+    val props = store.tableProperties
+    val n = props.getOrElse("graft.minhash.n", throw new IllegalStateException(
+      s"$storeDir is not a minhash store — minHashStoreInit it before streaming")).toInt
+    val numHashes = props("graft.minhash.numHashes").toInt
+    val intraLosers = graft.operators.Dedup
+      .minHashLshPairs(batch, idCol, textCol, n = n, numHashes = numHashes,
+        threshold = estThreshold)
+      .select(col("b").as(idCol)).distinct()
+    val histLosers = graft.operators.Dedup
+      .minHashStoreDedup(spark, storeDir, batch, idCol, textCol,
+        estThreshold = estThreshold)
+      .select(col("b").as(idCol)).distinct()
+    val novel = batch.join(intraLosers.unionByName(histLosers).distinct(),
+      Seq(idCol), "left_anti")
+    DeltaTable.forPath(corpusDir).writeWithTxn(novel, s"$appId:corpus", batchId)
+    store.writeWithTxn(
+      graft.operators.Dedup.sigOf(novel, idCol, textCol, n, numHashes),
+      s"$appId:sig", batchId)
+  }
+
+  /** Drive [[crawlIngestSink]] over three document micro-batches with
+    * planted cross-batch and intra-batch duplicates
+    * (`maxFilesPerTrigger=1`; slice files get strictly increasing
+    * modification times so arrival order is the crawl order).
+    */
+  def runStreamingCrawlIngest(spark: SparkSession, sfDir: String,
+      corpusDir: String, storeDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.Dedup.minHashStoreInit(spark, storeDir, docs.limit(0),
+      "doc_id", "text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft-crawl-in-")
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    def copies(slice: DataFrame, offset: Long) =
+      slice.withColumn("doc_id", col("doc_id") + offset)
+    // deterministic id-range predicates (limit() has no order): 10 planted
+    // history dups of slice a in b, 10 of b in c, plus one synthetic
+    // INTRA-batch twin pair in c whose text exists nowhere else
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(copies(a.filter(col("doc_id") < 30), 1000000L))
+    import spark.implicits._
+    val twinText = Seq.fill(40)("uniquecrawltoken").zipWithIndex
+      .map { case (w, i) => s"$w$i" }.mkString(" ")
+    val twins = Seq(5000000L, 5000001L)
+      .map(id => (id, twinText, "xx", "synthetic", twinText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = docs.filter(col("doc_id") % 3 === 2)
+      .unionByName(copies(docs.filter(col("doc_id") % 3 === 1 &&
+        col("doc_id") < 30), 2000000L))
+      .unionByName(twins.select(docs.columns.map(col): _*))
+    Seq("a" -> a, "b" -> b, "c" -> c).zipWithIndex.foreach {
+      case ((name, df), i) =>
+        df.coalesce(1).write.parquet(s"$inDir/slice_$name")
+        // FileStreamSource admits oldest-first: pin the crawl order
+        new java.io.File(s"$inDir/slice_$name").listFiles()
+          .foreach(_.setLastModified(1000000L * (i + 1)))
+    }
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$inDir/slice_*/*.parquet")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(crawlIngestSink(corpusDir, storeDir, "crawl-demo") _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** BOUNDED-state streaming dedup: `dropDuplicatesWithinWatermark` keeps
     * a key's dedup state only until the watermark passes its event time
     * plus the delay, so the state store is proportional to the watermark

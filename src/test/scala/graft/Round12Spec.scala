@@ -105,6 +105,61 @@ class Round12Spec extends SparkSuite {
     assert(!t.changesBetween(spark, 0L, 2L).columns.contains("_commit_timestamp"))
   }
 
+  test("streaming crawl ingestion: history dups dropped via the store, intra-batch twins resolved, corpus/store consistent, redelivery idempotent") {
+    import graft.streaming.DeltaStreamSink
+    val corpusDir = tempDir("crawl-corpus")
+    val storeDir = tempDir("crawl-store")
+    DeltaStreamSink.runStreamingCrawlIngest(spark, sfDir, corpusDir, storeDir)
+    val corpus = DeltaTable.forPath(corpusDir)
+    val store = DeltaTable.forPath(storeDir)
+    val ids = corpus.toDF(spark).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // every planted cross-batch copy was caught against the store
+    assert(!ids.exists(id => id >= 1000000L && id < 3000000L),
+      s"history dups survived: ${ids.filter(_ >= 1000000L)}")
+    // the intra-batch twin pair collapsed to its smaller id
+    assert(ids.contains(5000000L) && !ids.contains(5000001L))
+    // slice a (first batch, empty store): exactly the intra-a survivors
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val aLosers = graft.operators.Dedup
+      .minHashLshPairs(a, "doc_id", "text", threshold = 0.7)
+      .select("b").collect().map(_.getLong(0)).toSet
+    val aIds = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.filter(_ % 3 == 0).filter(_ < 1000000L) == (aIds -- aLosers))
+    // row-for-row consistency: one signature per corpus doc, no more
+    val sigIds = store.toDF(spark).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds == ids, s"store/corpus drift: ${(sigIds diff ids) ++ (ids diff sigIds)}")
+    // a redelivered final batch re-commits NOTHING on either table
+    val (cv, sv) = (corpus.version, store.version)
+    val lastBatch = docs.filter(col("doc_id") % 3 === 2)
+    DeltaStreamSink.crawlIngestSink(corpusDir, storeDir, "crawl-demo")(
+      lastBatch, 2L)
+    assert(DeltaTable.forPath(corpusDir).version == cv)
+    assert(DeltaTable.forPath(storeDir).version == sv)
+  }
+
+  test("bigram LM: hand-computed interpolation on a 2-doc corpus") {
+    import graft.operators.TextAnalysis
+    // corpus "a b" / "a c": big (a,b)=1 (a,c)=1, left a=2; uni a=2 b=1
+    // c=1, total 4. Each doc's one bigram scores
+    // ln(0.7·(1/2) + 0.3·(1/4)) = ln(0.425) = -0.8557 → ppl 2.35
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_bigrams") == 1L)
+      assert(row.getAs[Double]("avg_logprob") == -0.8557, row.toString)
+      assert(row.getAs[Double]("ppl") == 2.35, row.toString)
+    }
+    // single-token docs have no bigrams and no row
+    val single = TextAnalysis.bigramLogProb(
+      Seq((1L, "alone")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(single.count() == 0)
+  }
+
   test("kmv store: re-delivered batch appends exactly once; non-store refused") {
     import graft.operators.Sketches
     val d = tempDir("kmv-once")
