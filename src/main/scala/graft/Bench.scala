@@ -39,7 +39,9 @@ object Bench {
     "q136_audio_features", "q137_video_features",
     "q147_remove_dup_spans", "q148_ridge_quality", "q150_spec_dv_scan",
     "q151_minhash_store_dedup", "q152_numeric_drift", "q153_categorical_drift",
-    "q154_apply_mixture", "q155_mixture_pack")
+    "q154_apply_mixture", "q155_mixture_pack", "q156_embedding_drift",
+    "q158_kmv_distinct", "q159_logit_quality", "q160_kmv_store",
+    "q161_weighted_sample", "q162_asof_tolerance", "q163_bigram_logprob")
 
   val RUNS = 2
 
@@ -52,6 +54,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")

@@ -617,6 +617,12 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // interpolated bigram-LM mean log-prob + perplexity per document —
+    // the KenLM-shaped quality scorer one order up from q86
+    "q163_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(QueryLib.delta(s, d, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")),
     // unigram-LM mean log-prob + perplexity per document
     "q86_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(QueryLib.delta(s, d, "documents"),
@@ -1346,6 +1352,27 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // bigram replay: adjacency by position self-join; 1 - 0.7 stays a
+    // SQL-side double subtraction so both engines use the identical
+    // interpolation weight; avg rounds before the exp (the q86 rule)
+    "q163_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos, unnest(ts) AS tok FROM t),
+        |pc AS (SELECT a.doc_id, a.tok AS prev, b.tok AS w, count(*) AS c
+        |       FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2, 3),
+        |big AS (SELECT prev, w, sum(c) AS cb FROM pc GROUP BY 1, 2),
+        |lft AS (SELECT prev, sum(cb) AS cl FROM big GROUP BY 1),
+        |uni AS (SELECT tok AS w, count(*) AS cu FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+        |d AS (SELECT pc.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  round(sum(c * ln(0.7 * (CAST(cb AS DOUBLE) / cl) +
+        |    (1 - 0.7) * (CAST(cu AS DOUBLE) / total))) / sum(c), 4) AS avg_logprob
+        |  FROM pc JOIN big USING (prev, w) JOIN lft USING (prev)
+        |       JOIN uni USING (w) CROSS JOIN tot
+        |  GROUP BY pc.doc_id)
+        |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 2) AS ppl
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q57's oracle plus the tolerance bound on the correlated max
     "q162_asof_tolerance" ->
       """SELECT e.event_id, e.user_id, e.ts,

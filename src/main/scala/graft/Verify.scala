@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the production install shape: functions + SQL command parser ride
+      // the extensions injection point (q157 exercises the surface)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // micros (not int96) so DuckDB/pyarrow read our timestamps natively
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -717,6 +717,59 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
   }
 
+  /** Interpolated BIGRAM LM document scoring — the KenLM-shaped quality
+    * scorer one step past [[unigramLogProb]]: per document, the
+    * count-weighted mean of `log(λ·P(w|prev) + (1−λ)·P(w))` over adjacent
+    * token pairs, with `P(w|prev)` the corpus bigram MLE and `P(w)` the
+    * unigram MLE. Interpolation (λ<1) keeps unseen-pair mass positive
+    * with no extra smoothing knobs.
+    *
+    * Scale shape: adjacency comes from a PER-DOCUMENT window (bounded by
+    * document length — never a corpus-token partition, the
+    * [[unigramLogProb]] rule); per-(doc, pair) partial counts first, so
+    * downstream work is bounded by document frequency; corpus bigram /
+    * bigram-left / unigram tables are map-side-combined groupBys joined
+    * back shuffle_hash-pinned (vocabulary-sized hash builds, never
+    * broadcast-the-vocabulary); the token total rides the unigram
+    * aggregate as a broadcast 1-row join. `avg_logprob` rounds to 4
+    * digits before the perplexity exponentiation (cross-engine ln
+    * summation-order armor, same as unigram).
+    *
+    * @return idCol, n_bigrams, avg_logprob, ppl per document (single-token
+    *         documents have no bigrams and no row)
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0, 1): $lambda")
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_tk")
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+    val pairs = toks.withColumn("_prev", lag(col("_tk"), 1).over(byPos))
+      .filter(col("_prev").isNotNull)
+      .groupBy(col(idCol), col("_prev"), col("_tk"))
+      .agg(count(lit(1)).as("_c"))
+    val big = pairs.groupBy("_prev", "_tk").agg(sum("_c").as("_cb"))
+      .hint("shuffle_hash")
+    val left = big.groupBy("_prev").agg(sum("_cb").as("_cl"))
+      .hint("shuffle_hash")
+    val uni = toks.groupBy(col("_tk")).agg(count(lit(1)).as("_cu"))
+      .hint("shuffle_hash")
+    val total = broadcast(uni.agg(sum("_cu").cast("double").as("_total")))
+    // NOTE: lit(1 - lambda) is computed in DOUBLE here and as `1 - λ` in
+    // the oracle SQL — the same IEEE subtraction, so both engines weight
+    // the unigram term with the identical (non-decimal-exact) double
+    pairs.join(big, Seq("_prev", "_tk")).join(left, Seq("_prev"))
+      .join(uni, Seq("_tk")).crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(sum("_c").cast("long").as("n_bigrams"),
+        round(sum(col("_c") * log(
+          lit(lambda) * (col("_cb").cast("double") / col("_cl")) +
+            lit(1 - lambda) * (col("_cu").cast("double") / col("_total"))))
+          / sum("_c"), 4).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
+  }
+
   /** Document fingerprints: a canonical whole-text hash plus a min-shingle
     * fingerprint (winnowing-lite) that is stable under small edits.
     * md5 (not xxhash) so the fingerprint is reproducible by any engine.
