@@ -61,28 +61,39 @@ object Regression {
     val d = features.size
     require(d >= 1 && d <= 32, s"feature count must be in [1, 32]: $d")
     require(iters >= 1 && iters <= 64, s"iters must be in [1, 64]: $iters")
-    var beta = Array.fill(d)(0.0)
-    for (_ <- 0 until iters) {
-      val xb = features.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
-      val p = lit(1.0) / (lit(1.0) + exp(-xb))
-      val w = p * (lit(1.0) - p)
-      val z = w * xb + label.cast("double") - p
-      val aggCols =
-        (for (i <- 0 until d; j <- i until d)
-          yield sum(w * features(i) * features(j)).as(s"g_${i}_$j")) ++
-          (0 until d).map(i => sum(features(i) * z).as(s"m_$i"))
-      val row = df.agg(aggCols.head, aggCols.tail: _*).head()
-      val g = Array.ofDim[Double](d, d)
-      var c = 0
-      for (i <- 0 until d; j <- i until d) {
-        g(i)(j) = row.getDouble(c); g(j)(i) = g(i)(j); c += 1
+    // materialize (features, label) ONCE: the passes differ only in the
+    // β literals, so iterating over the raw frame would re-run the whole
+    // feature pipeline (text parsing, typically) `iters` times — cached,
+    // each Newton step reads d+1 doubles per row (narrow, column-pruned)
+    val mat = df.select(
+      features.zipWithIndex.map { case (f, i) => f.cast("double").as(s"_x$i") } :+
+        label.cast("double").as("_y"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val xs = (0 until d).map(i => col(s"_x$i"))
+      var beta = Array.fill(d)(0.0)
+      for (_ <- 0 until iters) {
+        val xb = xs.zip(beta).map { case (f, b) => f * lit(b) }.reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-xb))
+        val w = p * (lit(1.0) - p)
+        val z = w * xb + col("_y") - p
+        val aggCols =
+          (for (i <- 0 until d; j <- i until d)
+            yield sum(w * xs(i) * xs(j)).as(s"g_${i}_$j")) ++
+            (0 until d).map(i => sum(xs(i) * z).as(s"m_$i"))
+        val row = mat.agg(aggCols.head, aggCols.tail: _*).head()
+        val g = Array.ofDim[Double](d, d)
+        var c = 0
+        for (i <- 0 until d; j <- i until d) {
+          g(i)(j) = row.getDouble(c); g(j)(i) = g(i)(j); c += 1
+        }
+        val m = Array.tabulate(d)(i => row.getDouble(c + i))
+        for (i <- 0 until d) g(i)(i) += lambda
+        beta = solve(g, m)
       }
-      val m = Array.tabulate(d)(i => row.getDouble(c + i))
-      for (i <- 0 until d) g(i)(i) += lambda
-      beta = solve(g, m)
-    }
-    beta.map(x =>
-      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      beta.map(x =>
+        BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    } finally { mat.unpersist(); () }
   }
 
   /** σ(x·β) as a codegen'd column — the classifier's probability. */

@@ -65,6 +65,8 @@ object GraftSqlCommands {
     s"""(?is)\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+$P\\s*;?\\s*""".r
   private val ConvertRe =
     s"""(?is)\\s*CONVERT\\s+TO\\s+(?:GRAFT|DELTA)\\s+parquet\\.`([^`]+)`\\s*;?\\s*""".r
+  private val ShowPartitionsRe =
+    s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*""".r
 
   /** The graft grammar; None → not ours, let Spark parse it. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
@@ -81,6 +83,7 @@ object GraftSqlCommands {
       case RestoreTsRe(a, b, ts) => Some(RestoreCommand(path(a, b), Right(ts)))
       case GenerateRe(a, b) => Some(GenerateManifestCommand(path(a, b)))
       case ConvertRe(src) => Some(ConvertCommand(src))
+      case ShowPartitionsRe(a, b) => Some(ShowPartitionsCommand(path(a, b)))
       case _ => None
     }
 
@@ -193,6 +196,24 @@ case class GenerateManifestCommand(path: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     GraftSqlCommands.open(spark, path).generateSymlinkManifest()
     Seq(Row(s"$path/_symlink_format_manifest/manifest"))
+  }
+}
+
+/** `SHOW PARTITIONS '<path>'` — Hive's `k1=v1/k2=v2` string shape (one
+  * static column, so the schema needs no parse-time table open); values
+  * come from the LOG's partitionValues, no file listing, no data scan.
+  */
+case class ShowPartitionsCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    val cols = t.dlog.partitionColumns
+    require(cols.nonEmpty, s"$path is not a partitioned table")
+    t.dlog.addActions.values
+      .map(a => cols.map(c => s"$c=${a.partitionValues.get(c).flatten
+        .getOrElse("__HIVE_DEFAULT_PARTITION__")}").mkString("/"))
+      .toSeq.distinct.sorted.map(Row(_))
   }
 }
 

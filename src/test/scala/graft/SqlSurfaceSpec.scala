@@ -102,6 +102,17 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(DeltaTable.forPath(d).toDF(spark).count() == 2 * df.count())
   }
 
+  test("SHOW PARTITIONS lists hive-shaped tuples from the log; unpartitioned refused") {
+    val d = tempDir("sqlsurface-parts")
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(df, partitionBy = Some(Seq("n_regionkey")))
+    val parts = sql.sql(s"SHOW PARTITIONS '$d'").collect().map(_.getString(0))
+    assert(parts.sameElements((0 to 4).map(r => s"n_regionkey=$r")), parts.mkString(","))
+    val (flat, _) = seeded()
+    val ex = intercept[Exception](sql.sql(s"SHOW PARTITIONS '$flat'").collect())
+    assert(ex.getMessage.contains("not a partitioned table"), ex.getMessage)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
