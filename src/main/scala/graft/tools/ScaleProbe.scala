@@ -83,7 +83,7 @@ object ScaleProbe {
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
       .getOrElse(Set("docs", "text", "ann", "semdedup", "temporal", "cc", "dv",
-        "zipf", "hotkey", "specdv", "store"))
+        "zipf", "hotkey", "specdv", "store", "kmv"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -426,6 +426,47 @@ object ScaleProbe {
       println(f"STORE store=$storeN%7d batch=5000 init=$initSec%6.2fs " +
         f"dedup=$dedupSec%6.2fs matches=$matches%6d")
       storeCopies *= 4
+    }
+
+    // KMV sketch store (X165/X166): the direct per-group sketch must
+    // track the corpus (it reads every token), while the STORE cardinality
+    // query reads only sketch rows (batches × groups × k longs) — its
+    // wall must stay flat as the corpus behind the sketches grows 4x/step.
+    var kmvCopies = 1
+    val kmvStoreDir =
+      java.nio.file.Files.createTempDirectory("probe-kmvstore").toString
+    var kmvBatches = 0
+    while (sections("kmv") && kmvCopies <= maxCopies) {
+      def time[A](f: => A): (Double, A) = {
+        val t0 = System.nanoTime(); val r = f
+        ((System.nanoTime() - t0) / 1e9, r)
+      }
+      def toksOf(d: DataFrame) = d.select((col("doc_id") % 16).as("grp"),
+        explode(split(lower(col("text")), " ")).as("token"))
+      val corpus = salted(docs, kmvCopies)
+      val (directSec, nGroups) = time(
+        graft.operators.Sketches.kmvSketch(toksOf(corpus), Seq("grp"),
+          col("token"), 256).count())
+      // one fixed-size batch per step: the store's ROW count (not the
+      // corpus behind it) is what the cardinality query reads
+      kmvBatches += 1
+      // each batch is the NEWEST salted copy only: fixed size, novel
+      // tokens, so the store's answer genuinely grows per batch
+      val kmvBatch = toksOf(salted(docs, kmvBatches)
+        .filter(col("doc_id") >= (kmvBatches - 1) * 1000000L))
+      if (kmvBatches == 1)
+        graft.operators.Sketches.kmvStoreInit(kmvStoreDir, kmvBatch,
+          Seq("grp"), col("token"), 256, "b1")
+      else
+        graft.operators.Sketches.kmvStoreAppend(kmvStoreDir,
+          kmvBatch, col("token"), s"b$kmvBatches")
+      val (cardSec, card) = time(
+        graft.operators.Sketches.kmvStoreCardinality(spark, kmvStoreDir)
+          .collect())
+      println(f"KMV corpus=${kmvCopies * 5000}%7d docs direct=$directSec%6.2fs " +
+        f"groups=$nGroups%3d store_batches=$kmvBatches card=$cardSec%6.2fs " +
+        f"est_sum=${card.map(_.getAs[Long]("est_distinct")).sum}%9d")
+      kmvCopies *= 4
     }
 
     if (sections("hotkey")) {
