@@ -41,7 +41,8 @@ object Bench {
     "q151_minhash_store_dedup", "q152_numeric_drift", "q153_categorical_drift",
     "q154_apply_mixture", "q155_mixture_pack", "q156_embedding_drift",
     "q158_kmv_distinct", "q159_logit_quality", "q160_kmv_store",
-    "q161_weighted_sample", "q162_asof_tolerance", "q163_bigram_logprob")
+    "q161_weighted_sample", "q162_asof_tolerance", "q163_bigram_logprob",
+    "q164_robust_zscore")
 
   val RUNS = 2
 

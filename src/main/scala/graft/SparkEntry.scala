@@ -617,6 +617,13 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // per-source robust z-scores (median/MAD): outlier-immune length
+    // anomaly scoring where mean/stddev would chase the outliers
+    "q164_robust_zscore" -> ((s, d) =>
+      operators.Sampling.robustZScore(QueryLib.delta(s, d, "documents"),
+          "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "robust_z")
+        .orderBy("doc_id")),
     // interpolated bigram-LM mean log-prob + perplexity per document —
     // the KenLM-shaped quality scorer one order up from q86
     "q163_bigram_logprob" -> ((s, d) =>
@@ -1352,6 +1359,20 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // robust-z replay: DuckDB's quantile_cont IS Spark's interpolated
+    // percentile (the q52 contract); MAD-0 groups stay null
+    "q164_robust_zscore" ->
+      """WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |            FROM documents GROUP BY 1),
+        |mad AS (SELECT d.source, quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+        |        FROM documents d JOIN med USING (source) GROUP BY d.source),
+        |j AS (SELECT d.doc_id, d.source, d.n_chars, med.med, mad.mad
+        |      FROM documents d JOIN med USING (source)
+        |      JOIN mad ON mad.source = d.source)
+        |SELECT doc_id, source, n_chars,
+        |  CASE WHEN mad > 0
+        |       THEN round((n_chars - med) / (1.4826 * mad), 6) END AS robust_z
+        |FROM j ORDER BY doc_id""".stripMargin,
     // bigram replay: adjacency by position self-join; 1 - 0.7 stays a
     // SQL-side double subtraction so both engines use the identical
     // interpolation weight; avg rounds before the exp (the q86 rule)

@@ -203,6 +203,29 @@ object Sampling {
     * @return the input rows that survive, plus their group's fences
     *         (`_lo`, `_hi`) for auditability
     */
+  /** Per-group ROBUST z-scores (median/MAD — outlier-immune where
+    * mean/stddev are not): `z = (x − median) / (1.4826·MAD)`, MAD the
+    * median absolute deviation; 1.4826 makes z σ-consistent under
+    * normality (the standard robust-scaling constant). EXACT interpolated
+    * medians (the q52/engine-reproducible contract, like [[iqrClip]]'s
+    * quartiles), so any engine replays the scores. Two map-side-combined
+    * group aggregations (median pass, then MAD over joined deviations) +
+    * a group-cardinality join back; all-equal groups (MAD 0) yield null z
+    * rather than ±Infinity.
+    */
+  def robustZScore(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val mad = df.join(med, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - _med), 0.5)").as("_mad"))
+    df.join(med, Seq(groupCol)).join(mad, Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("_mad") > 0,
+          round((col(valueCol) - col("_med")) / (lit(1.4826) * col("_mad")), 6)))
+      .drop("_med", "_mad")
+  }
+
   def iqrClip(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 1.5): DataFrame = {
     val bounds = df.groupBy(col(groupCol))

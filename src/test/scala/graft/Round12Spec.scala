@@ -160,6 +160,24 @@ class Round12Spec extends SparkSuite {
     assert(single.count() == 0)
   }
 
+  test("robust z-score: hand-computed median/MAD; all-equal group nulls") {
+    // group g: values 1..5 -> median 3, |dev| = {2,1,0,1,2} -> MAD 1;
+    // z(5) = 2 / 1.4826, rounded like the engine rounds
+    val df = ((1 to 5).map(v => ("g", v.toLong)) ++
+      Seq(("h", 7L), ("h", 7L), ("h", 7L))).toDF("src", "v")
+    val r = Sampling.robustZScore(df, "src", "v")
+    val z5 = r.filter(col("src") === "g" && col("v") === 5)
+      .select("robust_z").head().getDouble(0)
+    val want = BigDecimal(2.0 / 1.4826)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(z5 == want, s"$z5 vs $want")
+    assert(r.filter(col("src") === "g" && col("v") === 3)
+      .select("robust_z").head().getDouble(0) == 0.0)
+    // MAD 0 (all equal): null, never Infinity
+    assert(r.filter(col("src") === "h").collect().forall(_.isNullAt(
+      r.columns.indexOf("robust_z"))))
+  }
+
   test("kmv store: re-delivered batch appends exactly once; non-store refused") {
     import graft.operators.Sketches
     val d = tempDir("kmv-once")
