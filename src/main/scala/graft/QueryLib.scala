@@ -525,6 +525,16 @@ object QueryLib {
         col("token"), "b1", batchTxn = Some(("kmv-fixture", 1L)))
     }
 
+  /** Exact-fingerprint store over the even-id documents half (q165 deduqs
+    * the odd half + planted recrawls against it).
+    */
+  def exactStoreDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "exact_store") { d =>
+      operators.Dedup.exactStoreInit(d,
+        raw(spark, sfDir, "documents").filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+    }
+
   /** append + append + delete — the CDF (changes feed) fixture. */
   def ordersChangesDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "orders_changes") { d =>

@@ -617,6 +617,40 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // quality-curriculum ordering: classifier score -> exact-quantile
+    // bins -> deterministic md5 order inside each bin. Thresholds are a
+    // broadcast 1-row agg; no global window anywhere
+    "q166_curriculum" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = logitQualityFeatures
+      val beta = Regression.logisticFit(docs, f, y, lambda = 1.0, iters = 8)
+      val scored = docs.select(col("doc_id"),
+        round(Regression.scoreLogistic(f, beta), 4).as("p_quality"))
+      val th = broadcast(scored.agg(
+        expr("percentile(p_quality, 0.25)").as("_t1"),
+        expr("percentile(p_quality, 0.5)").as("_t2"),
+        expr("percentile(p_quality, 0.75)").as("_t3")))
+      scored.crossJoin(th)
+        .withColumn("bin", when(col("p_quality") <= col("_t1"), 1)
+          .when(col("p_quality") <= col("_t2"), 2)
+          .when(col("p_quality") <= col("_t3"), 3).otherwise(4))
+        .withColumn("order_key", operators.Sampling.idHash(
+          concat(lit("cur:"), col("doc_id").cast("string"))))
+        .select("doc_id", "p_quality", "bin", "order_key")
+        .orderBy("bin", "order_key", "doc_id")
+    }),
+    // cross-batch EXACT dedup via the fingerprint store (CCNet-style):
+    // a batch of the odd half plus 20 byte-identical recrawls of stored
+    // docs — every recrawl matches, organic exact twins too
+    "q165_exact_store_dedup" -> ((s, d) => {
+      val dir = QueryLib.exactStoreDir(s, d)
+      val docs = QueryLib.raw(s, d, "documents")
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      operators.Dedup.exactStoreDedup(s, dir, batch, "doc_id", "text")
+        .orderBy("a", "b")
+    }),
     // per-source robust z-scores (median/MAD): outlier-immune length
     // anomaly scoring where mean/stddev would chase the outliers
     "q164_robust_zscore" -> ((s, d) =>
@@ -1359,6 +1393,16 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // exact-store replay: md5 equality IS text equality; both engines
+    // hash the same UTF-8 bytes to the same lowercase hex
+    "q165_exact_store_dedup" ->
+      """WITH h0 AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, md5(text) FROM documents
+        |      WHERE doc_id % 2 = 0 AND doc_id < 40)
+        |SELECT h0.doc_id AS a, b.doc_id AS b, h0.fp
+        |FROM h0 JOIN b USING (fp) ORDER BY a, b""".stripMargin,
     // robust-z replay: DuckDB's quantile_cont IS Spark's interpolated
     // percentile (the q52 contract); MAD-0 groups stay null
     "q164_robust_zscore" ->
@@ -2765,6 +2809,28 @@ object SparkEntry {
          |SELECT doc_id, round(prob, 4) AS p_quality,
          |  CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS pred_label, label
          |FROM p ORDER BY doc_id""".stripMargin
+    }),
+    // curriculum replay: identical rounded scores -> identical
+    // quantile_cont thresholds -> identical bins and md5 order keys
+    "q166_curriculum" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val (f, y) = logitQualityFeatures
+      val b = Regression.logisticFit(docs, f, y, lambda = 1.0, iters = 8)
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS len,
+         |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+         |  FROM documents),
+         |sc AS (SELECT doc_id,
+         |  round(1.0 / (1.0 + exp(-(${b(0)} * 1.0 + ${b(1)} * ln(1 + len) +
+         |    ${b(2)} * ((len - (nt - 1)) / nt)))), 4) AS p_quality FROM t),
+         |th AS (SELECT quantile_cont(p_quality, 0.25) AS t1,
+         |  quantile_cont(p_quality, 0.5) AS t2,
+         |  quantile_cont(p_quality, 0.75) AS t3 FROM sc)
+         |SELECT doc_id, p_quality,
+         |  CASE WHEN p_quality <= t1 THEN 1 WHEN p_quality <= t2 THEN 2
+         |       WHEN p_quality <= t3 THEN 3 ELSE 4 END AS bin,
+         |  ('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS order_key
+         |FROM sc CROSS JOIN th ORDER BY bin, order_key, doc_id""".stripMargin
     }),
     "q148_ridge_quality" -> ((s, d) => {
       val docs = QueryLib.delta(s, d, "documents")

@@ -539,4 +539,48 @@ object Dedup {
       .filter(col("_est") >= estThreshold)
       .select(col("a"), col("b"), round(col("_est"), 4).as("est_jaccard"))
   }
+
+  // ------------------------------------------------------------------
+  // EXACT-fingerprint store: the cheap sibling of the MinHash store
+  // (CCNet-style cross-batch exact dedup). One md5 per document — 32
+  // bytes of state standing in for the text — catches byte-identical
+  // recrawls before any shingling runs.
+  // ------------------------------------------------------------------
+
+  /** Create the exact-fingerprint store: one `(id, fp = md5(text))` row
+    * per document (hex md5 — trivially reproducible by any engine).
+    */
+  def exactStoreInit(storeDir: String, docs: DataFrame, idCol: String,
+      textCol: String): graft.DeltaTable =
+    graft.DeltaTable.forPath(storeDir)
+      .write(fpOf(docs, idCol, textCol))
+      .setTableProperties(Map("graft.exactstore" -> "md5"))
+
+  private def fpOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("fp"))
+
+  /** Exact matches of a new batch against the store: `(a = store id,
+    * b = batch id, fp)` for byte-identical texts. The BATCH side
+    * broadcasts (a crawl batch is small by contract); the store is only
+    * ever scanned — never shuffled, never re-hashed. With `append=true`
+    * the batch's fingerprints land as one atomic commit pinned AFTER the
+    * match scan (the handle is a snapshot), idempotent under `batchTxn`
+    * exactly like the MinHash store.
+    */
+  def exactStoreDedup(spark: org.apache.spark.sql.SparkSession,
+      storeDir: String, batch: DataFrame, idCol: String, textCol: String,
+      append: Boolean = false,
+      batchTxn: Option[(String, Long)] = None): DataFrame = {
+    val store = graft.DeltaTable.forPath(storeDir)
+    require(store.tableProperties.contains("graft.exactstore"),
+      s"$storeDir is not an exact-fingerprint store")
+    val batchFp = fpOf(batch, idCol, textCol)
+    if (append) batchTxn match {
+      case Some((appId, v)) => store.writeWithTxn(batchFp, appId, v)
+      case None             => store.write(batchFp, maxRetries = 5)
+    }
+    store.toDF(spark).select(col("id").as("a"), col("fp"))
+      .join(broadcast(batchFp.select(col("id").as("b"), col("fp"))), Seq("fp"))
+      .select(col("a"), col("b"), col("fp"))
+  }
 }

@@ -389,6 +389,38 @@ class PlanSpec extends SparkSuite {
       "expected partial + final WindowGroupLimit:\n" + plan.take(1500))
   }
 
+  test("kmv sketch plans map-side partial aggregation (<=k longs on the wire)") {
+    val li = QueryLib.delta(spark, sfDir, "lineitem")
+    val plan = explainOf(operators.Sketches.kmvSketch(
+      li, Seq("l_returnflag"), col("l_partkey"), 64))
+    // ObjectHashAggregate partial before the exchange, final after — the
+    // shuffle carries serialized bounded buffers, not raw hashes
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(plan.contains("partial_kmv_agg"), plan.take(2000))
+  }
+
+  test("bigram LM: vocabulary joins stay shuffle-hash, token total broadcasts") {
+    val docs = QueryLib.delta(spark, sfDir, "documents")
+    val plan = explainOf(operators.TextAnalysis.bigramLogProb(
+      docs, "doc_id", "text"))
+    // the corpus bigram/unigram tables must NEVER broadcast (vocabulary-
+    // sized); the 1-row total must NEVER shuffle
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(1500))
+    // adjacency window partitions by DOCUMENT (bounded), not by token
+    assert(plan.contains("windowspecdefinition(doc_id"),
+      plan.linesIterator.filter(_.contains("windowspecdefinition"))
+        .mkString("\n"))
+  }
+
+  test("embedding drift: no window anywhere, one key-cardinality join") {
+    val emb = QueryLib.delta(spark, sfDir, "embeddings")
+    val plan = explainOf(operators.Drift.embeddingDrift(emb,
+      emb.filter(col("vec_id") % 3 =!= 0), "label", "embedding"))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("weighted sample: grouped mode plans WindowGroupLimit; global mode plans TakeOrdered") {
     val docs = QueryLib.delta(spark, sfDir, "documents")
     val grouped = explainOf(operators.Sampling.weightedSample(

@@ -178,6 +178,36 @@ class Round12Spec extends SparkSuite {
       r.columns.indexOf("robust_z"))))
   }
 
+  test("exact store: match pinned pre-append, idempotent redelivery, refusal") {
+    import graft.operators.Dedup
+    val d = tempDir("exact-store")
+    val base = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    Dedup.exactStoreInit(d, base, "doc_id", "text")
+    // batch: one byte-identical recrawl + two novel docs (one pair of
+    // in-batch twins — exact store matches HISTORY only, so the twins
+    // must NOT match each other through the just-appended rows)
+    val batch = Seq((10L, "alpha text"), (11L, "delta text"),
+      (12L, "delta text")).toDF("doc_id", "text")
+    val m = Dedup.exactStoreDedup(spark, d, batch, "doc_id", "text",
+      append = true, batchTxn = Some(("exact-app", 1L))).collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)), m.mkString(","))
+    val storeN = DeltaTable.forPath(d).toDF(spark).count()
+    assert(storeN == 6) // 3 base + 3 batch fingerprints
+    // redelivery: same txn version -> nothing appends, same matches
+    val m2 = Dedup.exactStoreDedup(spark, d, batch, "doc_id", "text",
+      append = true, batchTxn = Some(("exact-app", 1L))).collect()
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 6)
+    // the NEW handle sees the appended fingerprints: twins now match history
+    assert(m2.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (10L, 10L), (11L, 11L), (12L, 12L), (11L, 12L), (12L, 11L)))
+    val plain = tempDir("exact-notstore")
+    DeltaTable.forPath(plain).write(base)
+    val ex = intercept[IllegalArgumentException](
+      Dedup.exactStoreDedup(spark, plain, batch, "doc_id", "text"))
+    assert(ex.getMessage.contains("not an exact-fingerprint store"))
+  }
+
   test("kmv store: re-delivered batch appends exactly once; non-store refused") {
     import graft.operators.Sketches
     val d = tempDir("kmv-once")
