@@ -617,6 +617,28 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // frame-level video dedup: per-frame fingerprints from real AVI
+    // walks, equal frames paired across files (shared intro/outro shape)
+    "q168_video_frame_dedup" -> ((s, d) => {
+      val fh = Multimodal.videoFrameHashes(
+        DeltaTable.forPath(QueryLib.documentsVideoDir(s, d)).toDF(s))
+      fh.select(col("doc_id").as("a"), col("frame_idx").as("frame_a"),
+          col("frame_md5"))
+        .join(fh.select(col("doc_id").as("b"), col("frame_idx").as("frame_b"),
+          col("frame_md5")), Seq("frame_md5"))
+        .filter(col("a") < col("b"))
+        .select("a", "b", "frame_a", "frame_b", "frame_md5")
+        .orderBy("a", "b", "frame_a", "frame_b")
+    }),
+    // perceptual image dHash over REAL decoded PNG pixels: the decode is
+    // genuine ImageIO, the arithmetic all-integer, so the oracle replays
+    // decode -> grayscale -> 9x8 box grid -> 64 gradient bits exactly
+    "q167_perceptual_dhash" -> ((s, d) =>
+      Multimodal.perceptualDHash(
+          DeltaTable.forPath(QueryLib.documentsMediaDir(s, d)).toDF(s)
+            .filter(col("media_type") === "image/png"))
+        .select("doc_id", "width", "height", "dhash")
+        .orderBy("doc_id")),
     // quality-curriculum ordering: classifier score -> exact-quantile
     // bins -> deterministic md5 order inside each bin. Thresholds are a
     // broadcast 1-row agg; no global window anywhere
@@ -1393,6 +1415,47 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // frame-dedup replay: frames regenerate from the closed form
+    // (id + f) and fingerprint as md5 of the comma-joined unsigned bytes
+    "q168_video_frame_dedup" ->
+      """WITH v AS (SELECT doc_id, 4 + doc_id % 13 AS nf FROM documents
+        |           WHERE doc_id < 200),
+        |fr AS (SELECT doc_id, f.range AS f FROM v, range(0, 17) f
+        |       WHERE f.range < nf),
+        |fh AS (SELECT doc_id, f,
+        |  md5((SELECT string_agg(((doc_id + f) * 2654435761 + i.range * 31) & 255,
+        |       ',' ORDER BY i.range) FROM range(0, 64) i)) AS frame_md5
+        |  FROM fr)
+        |SELECT a.doc_id AS a, b.doc_id AS b, a.f AS frame_a, b.f AS frame_b,
+        |  a.frame_md5
+        |FROM fh a JOIN fh b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        |ORDER BY a, b, frame_a, frame_b""".stripMargin,
+    // dHash replay from the fixture's closed-form pixels (PNG is
+    // lossless, so the real decode recovers them exactly): integer
+    // grayscale, floor box averages, gradient bits ordered (row, col)
+    "q167_perceptual_dhash" ->
+      """WITH imgs AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+        |  16 + (doc_id * 3) % 32 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT i.doc_id, i.w, i.h, x.range AS x, y.range AS y,
+        |  ((i.doc_id * 2654435761) + x.range * 31 + y.range * 131) & 16777215 AS rgb
+        |  FROM imgs i, range(0, 47) x, range(0, 47) y
+        |  WHERE x.range < i.w AND y.range < i.h),
+        |g AS (SELECT doc_id, w, h, x, y,
+        |  (((rgb >> 16) & 255) * 299 + ((rgb >> 8) & 255) * 587 +
+        |   (rgb & 255) * 114) // 1000 AS gray FROM px),
+        |c AS (SELECT doc_id, (y * 8) // h AS rj, (x * 9) // w AS ci,
+        |  sum(gray) // count(*) AS cell FROM g GROUP BY 1, 2, 3),
+        |b AS (SELECT l.doc_id, l.rj, l.ci,
+        |  CASE WHEN r.cell > l.cell THEN '1' ELSE '0' END AS bit
+        |  FROM c l JOIN c r ON r.doc_id = l.doc_id AND r.rj = l.rj
+        |    AND r.ci = l.ci + 1
+        |  WHERE l.ci < 8),
+        |d AS (SELECT doc_id, string_agg(bit, '' ORDER BY rj, ci) AS dhash
+        |      FROM b GROUP BY doc_id)
+        |SELECT i.doc_id, CAST(i.w AS BIGINT) AS width,
+        |  CAST(i.h AS BIGINT) AS height, d.dhash
+        |FROM imgs i JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     // exact-store replay: md5 equality IS text equality; both engines
     // hash the same UTF-8 bytes to the same lowercase hex
     "q165_exact_store_dedup" ->

@@ -193,6 +193,150 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Perceptual dHash over REAL decoded pixels — image near-dup detection
+    * for multimodal training data (re-encoded/renamed duplicates share a
+    * hash; byte-level md5 cannot see them). Pipeline per row, all INTEGER
+    * arithmetic so any engine replays it bit-for-bit: decode the first
+    * frame with ImageIO → BT.601 integer grayscale
+    * `(299r + 587g + 114b) / 1000` → 9×8 box-average grid (pixel (x,y) →
+    * cell `(x·9 / w, y·8 / h)`, cell value = floor mean) → 64 bits, bit
+    * (r,c) = 1 iff `cell(r, c+1) > cell(r, c)`, emitted as a 64-char
+    * '0'/'1' string (a 2^63 bit would overflow a signed long).
+    *
+    * Same batched `mapPartitions` decode shape as
+    * [[extractFeaturesWith]] — no shuffle, no driver, amortized decoder
+    * init. Output: doc_id, media_type, width, height, dhash.
+    */
+  def perceptualDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "media_type", "payload").rdd
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          require(img != null, s"undecodable payload for doc ${r.getLong(0)}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sum = Array.ofDim[Long](8, 9)
+          val cnt = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = (((rgb >> 16) & 255) * 299L +
+                ((rgb >> 8) & 255) * 587L + (rgb & 255) * 114L) / 1000L
+              val (ci, rj) = (x * 9 / w, y * 8 / h)
+              sum(rj)(ci) += gray; cnt(rj)(ci) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val bits = new StringBuilder(64)
+          var rj = 0
+          while (rj < 8) {
+            var ci = 0
+            while (ci < 8) {
+              bits += (if (sum(rj)(ci + 1) / cnt(rj)(ci + 1) >
+                sum(rj)(ci) / cnt(rj)(ci)) '1' else '0')
+              ci += 1
+            }
+            rj += 1
+          }
+          Row(r.getLong(0), r.getString(1), w.toLong, h.toLong, bits.toString)
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media_type", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("dhash", StringType, nullable = false))))
+  }
+
+  /** Near-dup image pairs by banded dHash (the SimHash pigeonhole): 4
+    * bands of 16 bits — hamming ≤ 3 guarantees an identical band — then
+    * the exact hamming verify on candidates only. Never all-pairs: the
+    * join key is (band index, band bits).
+    */
+  def perceptualNearDupPairs(hashed: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 6): DataFrame = {
+    val banded = hashed.select(col(idCol), col("dhash"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("dhash"), b * 16 + 1, 16)): _*)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_key")
+    val hamming = aggregate(
+      zip_with(split(col("_ha"), ""), split(col("_hb"), ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, v) => acc + v)
+    banded.select(col(idCol).as("a"), col("dhash").as("_ha"),
+        col("_band"), col("_key"))
+      .join(banded.select(col(idCol).as("b"), col("dhash").as("_hb"),
+        col("_band"), col("_key")), Seq("_band", "_key"))
+      .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Per-frame content fingerprints from REAL AVI containers — the
+    * frame-level dedup primitive of video dataset curation (shared
+    * intros/outros/static cards duplicate across files; file-level hashes
+    * can't see them). Walks RIFF → `LIST movi` → `00db` chunks in
+    * `mapPartitions` (batched, no shuffle) and fingerprints each frame as
+    * the md5 of its bytes' canonical comma-joined unsigned form — a
+    * string form any engine reproduces. Output: doc_id, frame_idx,
+    * frame_len, frame_md5.
+    */
+  def videoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag4() == "RIFF", s"doc $id: not a RIFF container")
+        buf.getInt()
+        require(tag4() == "AVI ", s"doc $id: not an AVI")
+        // walk top-level LIST chunks to the movi payload
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (buf.remaining() >= 8) {
+          val tag = tag4(); val len = buf.getInt()
+          if (tag == "LIST") {
+            val listEnd = buf.position() + len
+            if (tag4() == "movi") {
+              var idx = 0L
+              while (buf.position() < listEnd) {
+                val ctag = tag4(); val clen = buf.getInt()
+                val bytes = new Array[Byte](clen); buf.get(bytes)
+                if (ctag == "00db") {
+                  digest.reset()
+                  val canonical = bytes.map(_ & 0xFF).mkString(",")
+                  val md5hex = digest.digest(canonical.getBytes("UTF-8"))
+                    .map("%02x".format(_)).mkString
+                  frames += Row(id, idx, clen.toLong, md5hex)
+                  idx += 1
+                }
+              }
+            } else buf.position(listEnd)
+          } else buf.position(buf.position() + len)
+        }
+        frames
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("frame_md5", StringType, nullable = false))))
+  }
+
   /** Frame sampling stub: every `stride`-th frame index of each media row —
     * shows the explode-shaped (one row per frame) pipeline stage used by
     * video training-data prep.

@@ -178,6 +178,55 @@ class Round12Spec extends SparkSuite {
       r.columns.indexOf("robust_z"))))
   }
 
+  test("perceptual dHash: re-encode invariant, 1-pixel perturbation pairs, strangers don't") {
+    import graft.operators.Multimodal
+    javax.imageio.ImageIO.setUseCache(false)
+    val base = Multimodal.attachImagePayload(
+      Seq(100L, 102L, 104L).toDF("doc_id"), "doc_id")
+    // doc 900: doc 100's image with ONE pixel flipped, re-encoded — a
+    // recompressed near-duplicate no byte hash can see
+    val perturbed = base.filter(col("doc_id") === 100L).collect().map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x00FFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (900L, "image/png", bos.toByteArray)
+    }.toSeq.toDF("doc_id", "media_type", "payload")
+    val hashed = Multimodal.perceptualDHash(base.unionByName(perturbed))
+    val h = hashed.select("doc_id", "dhash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(h.values.forall(_.length == 64))
+    // identical content re-encoded through a second PNG pass: same hash
+    assert(h(900L).zip(h(100L)).count { case (a, b) => a != b } <= 2)
+    val pairs = Multimodal.perceptualNearDupPairs(hashed).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 900L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 102L || p._2 == 102L), pairs.toString)
+  }
+
+  test("video frame hashes: real AVI walk, closed-form fingerprints, cross-file shares") {
+    import graft.operators.Multimodal
+    val media = Multimodal.attachAviPayload(Seq(7L, 8L).toDF("doc_id"), "doc_id")
+    val fh = Multimodal.videoFrameHashes(media)
+    val byDoc = fh.collect().groupBy(_.getLong(0))
+    // frame counts match the container's declared closed form
+    assert(byDoc(7L).length == 4 + 7 % 13)
+    assert(byDoc(8L).length == 4 + 8 % 13)
+    // frame f of video 7 is byte-identical to frame f-1 of video 8
+    // (content keyed by id + f): fingerprints must agree
+    val h7 = byDoc(7L).map(r => r.getLong(1) -> r.getString(3)).toMap
+    val h8 = byDoc(8L).map(r => r.getLong(1) -> r.getString(3)).toMap
+    assert(h7(1L) == h8(0L) && h7(2L) == h8(1L))
+    assert(h7(0L) != h8(0L))
+    // fingerprint is the md5 of the canonical comma-joined unsigned bytes
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest((0 until 64).map(i => ((7L * 2654435761L + i * 31L) & 0xFF))
+        .mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h7(0L) == want)
+  }
+
   test("exact store: match pinned pre-append, idempotent redelivery, refusal") {
     import graft.operators.Dedup
     val d = tempDir("exact-store")
