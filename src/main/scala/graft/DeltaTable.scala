@@ -3678,6 +3678,11 @@ final case class DeltaTable(
     // misread the binary metadata/value encoding
     val variantOn = tracked.metadataAction
       .exists(_.schemaString.contains("\"variant\""))
+    // same rule for timestampNtz (delta spec: required whenever a column
+    // is TIMESTAMP_NTZ — a feature-unaware reader would misinterpret the
+    // zone-less encoding as an instant)
+    val ntzOn = tracked.metadataAction
+      .exists(_.schemaString.contains("\"timestamp_ntz\""))
     // delta 4.0's checkpointProtection: setting the protected-boundary
     // property must announce the feature, or a feature-unaware writer's
     // log cleanup could delete the protected history
@@ -3693,6 +3698,7 @@ final case class DeltaTable(
       (if (identityOn) Seq("identityColumns") else Seq.empty) ++
       (if (v2CkptOn) Seq("v2Checkpoint") else Seq.empty) ++
       (if (variantOn) Seq("variantType") else Seq.empty) ++
+      (if (ntzOn) Seq("timestampNtz") else Seq.empty) ++
       (if (ckptProtOn) Seq("checkpointProtection") else Seq.empty)
     if (needed.isEmpty) return tracked
     val inEntry = tracked.actions.collectFirst { case p: Protocol => p }

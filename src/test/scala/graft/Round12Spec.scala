@@ -227,6 +227,23 @@ class Round12Spec extends SparkSuite {
     assert(h7(0L) == want)
   }
 
+  test("timestampNtz auto-declares as a readerWriter feature (delta spec)") {
+    import graft.log.ProtocolGate
+    val d = tempDir("ntz-feature")
+    val df = Seq((1L, "2024-01-01 10:00:00")).toDF("id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val t = DeltaTable.forPath(d).write(df)
+    val p = t.dlog.currentProtocol
+    assert(ProtocolGate.readerFeatures(p).contains("timestampNtz"), p.toString)
+    assert(ProtocolGate.writerFeatures(p).contains("timestampNtz"), p.toString)
+    // a zone-carrying-only table declares nothing extra
+    val d2 = tempDir("ts-feature")
+    val p2 = DeltaTable.forPath(d2).write(
+      Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts"))
+      .dlog.currentProtocol
+    assert(!ProtocolGate.writerFeatures(p2).contains("timestampNtz"), p2.toString)
+  }
+
   test("exact store: match pinned pre-append, idempotent redelivery, refusal") {
     import graft.operators.Dedup
     val d = tempDir("exact-store")
