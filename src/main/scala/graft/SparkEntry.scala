@@ -617,6 +617,16 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // plain SQL over a path table, with Spark's own time-travel syntax:
+    // the v0 snapshot aggregates through the injected path resolution
+    "q169_sql_select" -> ((s, d) => {
+      val dir = QueryLib.ordersSqlSurfaceDir(s, d)
+      graft.sql.GraftSql.enable(s).sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS revenue
+           |FROM graft.`$dir` VERSION AS OF 0
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
     // frame-level video dedup: per-frame fingerprints from real AVI
     // walks, equal frames paired across files (shared intro/outro shape)
     "q168_video_frame_dedup" -> ((s, d) => {
@@ -1415,6 +1425,11 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // v0 of the lifecycle fixture is exactly one copy of orders
+    "q169_sql_select" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // frame-dedup replay: frames regenerate from the closed form
     // (id + f) and fingerprint as md5 of the comma-joined unsigned bytes
     "q168_video_frame_dedup" ->

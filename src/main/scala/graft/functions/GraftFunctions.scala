@@ -57,6 +57,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
-    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.sql.GraftSqlParser(delegate, Option(session)))
   }
 }

@@ -25,9 +25,16 @@ import org.apache.spark.sql.{Row, SparkSession}
   * [[LeafRunnableCommand]]s, the same contract Spark's built-in DDL uses,
   * so `spark.sql("VACUUM …")` returns its result rows like any DataFrame.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlCommands.parse(sqlText, delegate).getOrElse(delegate.parsePlan(sqlText))
+class GraftSqlParser(delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = GraftSqlCommands.parse(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+    // post-parse path-table rewrite (see GraftPathResolution for why the
+    // analyzer is too late); active sessions only — the parser is also
+    // constructible session-less for command-grammar tests
+    session.map(s => new GraftPathResolution(s).apply(plan)).getOrElse(plan)
+  }
   override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
     delegate.parseTableIdentifier(sqlText)

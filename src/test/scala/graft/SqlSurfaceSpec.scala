@@ -113,6 +113,36 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(ex.getMessage.contains("not a partitioned table"), ex.getMessage)
   }
 
+  test("SELECT over graft.`path` resolves, time-travels and joins") {
+    val (d, df) = seeded()
+    val n = df.count()
+    assert(sql.sql(s"SELECT count(*) AS n FROM graft.`$d`")
+      .collect().head.getLong(0) == 2 * n)
+    // delta-spark spelling resolves identically
+    assert(sql.sql(s"SELECT count(*) FROM delta.`$d`")
+      .collect().head.getLong(0) == 2 * n)
+    // Spark's own time-travel syntax maps to log replay
+    assert(sql.sql(s"SELECT count(*) FROM graft.`$d` VERSION AS OF 0")
+      .collect().head.getLong(0) == n)
+    val t1 = DeltaTable.forPath(d).history.find(_._1 == 1L).get._2.effectiveTimestamp
+    val ts = new java.sql.Timestamp(t1).toString
+    assert(sql.sql(s"SELECT count(*) FROM graft.`$d` TIMESTAMP AS OF '$ts'")
+      .collect().head.getLong(0) == 2 * n)
+    // a join of two path tables analyzes like any relation
+    val joined = sql.sql(
+      s"""SELECT count(*) FROM graft.`$d` a
+         |JOIN (SELECT DISTINCT n_regionkey FROM graft.`$d` VERSION AS OF 0) b
+         |ON a.n_regionkey = b.n_regionkey""".stripMargin)
+      .collect().head.getLong(0)
+    assert(joined == 2 * n)
+    // a log-less path falls through unresolved and fails analysis loudly
+    // (Spark's own SQL-on-file rule names the source) — never a silent
+    // empty relation
+    val ex = intercept[Exception](
+      sql.sql(s"SELECT * FROM graft.`${tempDir("nolog")}`").collect())
+    assert(ex.getMessage.toLowerCase.contains("graft"), ex.getMessage)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
