@@ -535,6 +535,19 @@ object QueryLib {
         "doc_id", "text")
     }
 
+  /** Table populated entirely through SQL INSERT statements (q170):
+    * create-on-first-insert, append, then INSERT OVERWRITE down to the
+    * low-key slice — every step a log commit through the parser surface.
+    */
+  def ordersSqlInsertDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_sqlinsert") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val src = deltaDir(spark, sfDir, "orders")
+      sql.sql(s"INSERT INTO graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey < 3000")
+      sql.sql(s"INSERT INTO graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey >= 3000")
+      sql.sql(s"INSERT OVERWRITE graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey < 1000")
+    }
+
   /** append + append + delete — the CDF (changes feed) fixture. */
   def ordersChangesDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "orders_changes") { d =>

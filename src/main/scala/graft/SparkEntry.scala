@@ -617,6 +617,11 @@ object SparkEntry {
       docs.select(col("doc_id"), round(pred, 4).as("quality_pred"),
         round(y - pred, 4).as("residual")).orderBy("doc_id")
     }),
+    // a table whose every row arrived through SQL INSERT statements
+    // (create-on-first-insert, append, INSERT OVERWRITE) — scanned back
+    "q170_sql_insert" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersSqlInsertDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
     // plain SQL over a path table, with Spark's own time-travel syntax:
     // the v0 snapshot aggregates through the injected path resolution
     "q169_sql_select" -> ((s, d) => {
@@ -1425,6 +1430,9 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END AS copies FROM base)
         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
         |ORDER BY doc_id, "copy"""".stripMargin,
+    // the surviving state after the INSERT OVERWRITE is the low-key slice
+    "q170_sql_insert" ->
+      "SELECT * FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
     // v0 of the lifecycle fixture is exactly one copy of orders
     "q169_sql_select" ->
       """SELECT o_orderstatus, count(*) AS n,

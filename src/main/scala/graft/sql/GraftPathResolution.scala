@@ -4,7 +4,7 @@ import graft.DeltaTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.StringType
@@ -47,7 +47,29 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
     if (t.version < 0) None else Some(t)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INSERTs first, and top-down: the table child must NOT be rewritten
+    // into a raw file relation (Spark would then plan a bare parquet
+    // write into the table directory — files with no log commit, i.e.
+    // corruption). The captured command is a LEAF, so the read rewrite
+    // below cannot descend into it — its query is rewritten here.
+    val afterInserts = plan.transformDown {
+      case i: InsertIntoStatement => i.table match {
+        case u: UnresolvedRelation if pathOf(u.multipartIdentifier).isDefined =>
+          val path = pathOf(u.multipartIdentifier).get
+          require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+            "INSERT into a graft path table supports no PARTITION spec " +
+              "(partitioning is table metadata; use the table's own layout)")
+          require(i.userSpecifiedCols.isEmpty,
+            "INSERT into a graft path table supports no column list yet")
+          GraftInsertCommand(path, rewriteReads(i.query), i.overwrite, i.byName)
+        case _ => i
+      }
+    }
+    rewriteReads(afterInserts)
+  }
+
+  private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
       pathOf(u.multipartIdentifier).flatMap(open).map { t =>
         val resolved = (ts, version) match {
@@ -68,5 +90,32 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       pathOf(u.multipartIdentifier).flatMap(open)
         .map(_.toDF(session).queryExecution.analyzed)
         .getOrElse(u)
+  }
+}
+
+/** `INSERT INTO | OVERWRITE graft.`/path`` as one atomic log commit
+  * through [[DeltaTable.write]] — never a bare file write into the table
+  * directory. Position-based column binding unless the statement was
+  * `BY NAME`; a log-less target is created by the first insert (the same
+  * create-on-first-write contract as the Scala API).
+  */
+case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
+    overwrite: Boolean, byName: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val df = ColumnShim.ofRows(spark, queryPlan)
+    val t = DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
+    val aligned =
+      if (byName || t.version < 0) df
+      else {
+        val names = t.dlog.schema.fieldNames
+        require(df.schema.length == names.length,
+          s"INSERT arity ${df.schema.length} != table arity ${names.length}")
+        df.toDF(names.toIndexedSeq: _*)
+      }
+    t.write(aligned,
+      mode = if (overwrite) graft.log.WriteMode.Overwrite
+        else graft.log.WriteMode.Append)
+    Seq.empty
   }
 }

@@ -74,6 +74,10 @@ object GraftSqlCommands {
     s"""(?is)\\s*CONVERT\\s+TO\\s+(?:GRAFT|DELTA)\\s+parquet\\.`([^`]+)`\\s*;?\\s*""".r
   private val ShowPartitionsRe =
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*""".r
+  private val DeleteRe =
+    s"""(?is)\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  private val UpdateRe =
+    s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
 
   /** The graft grammar; None → not ours, let Spark parse it. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
@@ -91,11 +95,37 @@ object GraftSqlCommands {
       case GenerateRe(a, b) => Some(GenerateManifestCommand(path(a, b)))
       case ConvertRe(src) => Some(ConvertCommand(src))
       case ShowPartitionsRe(a, b) => Some(ShowPartitionsCommand(path(a, b)))
+      case DeleteRe(a, b, where) =>
+        Some(DeleteCommand(path(a, b), Option(where).map(_.trim)))
+      case UpdateRe(a, b, sets, where) =>
+        Some(UpdateCommand(path(a, b), sets.trim, Option(where).map(_.trim)))
       case _ => None
     }
 
   private[sql] def open(spark: SparkSession, path: String): DeltaTable =
     DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
+
+  /** Split at commas outside any paren/bracket nesting and outside
+    * single-quoted strings.
+    */
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' | '[' if !inStr => depth += 1
+        case ')' | ']' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
 }
 
 /** `DESCRIBE HISTORY '<path>'` — commit log, newest first (metadata only). */
@@ -221,6 +251,43 @@ case class ShowPartitionsCommand(path: String) extends LeafRunnableCommand {
       .map(a => cols.map(c => s"$c=${a.partitionValues.get(c).flatten
         .getOrElse("__HIVE_DEFAULT_PARTITION__")}").mkString("/"))
       .toSeq.distinct.sorted.map(Row(_))
+  }
+}
+
+/** `DELETE FROM '<path>' [WHERE …]` — the copy-on-write delete commit
+  * ([[DeltaTable.delete]]: stats-pruned two-phase rewrite), with the
+  * predicate parsed by the session's own expression parser. Catalog-table
+  * DELETEs never reach here: the grammar requires a path-shaped address.
+  */
+case class DeleteCommand(path: String,
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = where.map(w => ColumnShim.column(
+      spark.sessionState.sqlParser.parseExpression(w)))
+    GraftSqlCommands.open(spark, path).delete(spark, pred)
+    Seq.empty
+  }
+}
+
+/** `UPDATE '<path>' SET c = expr[, …] [WHERE …]` — [[DeltaTable.update]]'s
+  * copy-on-write rewrite. Assignments split at TOP-LEVEL commas only
+  * (a `SET c = greatest(a, b)` clause carries commas of its own).
+  */
+case class UpdateCommand(path: String, sets: String,
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parser = spark.sessionState.sqlParser
+    val assignments = GraftSqlCommands.splitTopLevel(sets).map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: $a")
+      val name = a.substring(0, eq).trim.stripPrefix("`").stripSuffix("`")
+      name -> ColumnShim.column(parser.parseExpression(a.substring(eq + 1).trim))
+    }.toMap
+    val pred = where.map(w => ColumnShim.column(parser.parseExpression(w)))
+    GraftSqlCommands.open(spark, path).update(spark, pred, assignments)
+    Seq.empty
   }
 }
 

@@ -40,6 +40,15 @@ object ColumnShim {
   def extensions(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSessionExtensions =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].extensions
 
+  /** A DataFrame over an arbitrary logical plan (`Dataset.ofRows` is
+    * `private[sql]`) — how `graft.sql`'s INSERT command materializes its
+    * captured query subtree at run time.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val classic = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     classic.internalCreateDataFrame(

@@ -143,6 +143,51 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(ex.getMessage.toLowerCase.contains("graft"), ex.getMessage)
   }
 
+  test("INSERT INTO/OVERWRITE a graft path table commits through the log") {
+    val d = tempDir("sqlsurface-insert")
+    val src = tempDir("sqlsurface-insert-src")
+    DeltaTable.forPath(src).write(
+      spark.read.parquet(s"$sfDir/nation.parquet"))
+    // create-on-first-insert, then append, then overwrite — every one a
+    // log commit, never bare files in the table dir
+    sql.sql(s"INSERT INTO graft.`$d` SELECT * FROM graft.`$src` WHERE n_nationkey < 10")
+    sql.sql(s"INSERT INTO graft.`$d` SELECT * FROM graft.`$src` WHERE n_nationkey >= 10")
+    val t = DeltaTable.forPath(d)
+    assert(t.toDF(spark).count() == 25)
+    assert(t.history.map(_._2.operation).toSet == Set("CREATE TABLE", "WRITE"))
+    // every data file is log-tracked: no strays from a raw parquet write
+    val live = t.dlog.addActions.keySet
+    val onDisk = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk.subsetOf(live), s"untracked files: ${onDisk -- live}")
+    sql.sql(s"INSERT OVERWRITE graft.`$d` SELECT * FROM graft.`$src` WHERE n_nationkey = 0")
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 1)
+    // unsupported shapes refuse loudly instead of planning a raw write
+    val ex = intercept[Exception](sql.sql(
+      s"INSERT INTO graft.`$d` PARTITION (n_regionkey=1) SELECT * FROM graft.`$src`"))
+    assert(ex.getMessage.contains("no PARTITION spec"), ex.getMessage)
+  }
+
+  test("DELETE FROM and UPDATE ... SET commit copy-on-write through the log") {
+    val d = tempDir("sqlsurface-dml")
+    DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    sql.sql(s"DELETE FROM graft.`$d` WHERE n_nationkey >= 20")
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 20)
+    // SET exprs with nested commas parse whole; unqualified columns bind
+    sql.sql(s"UPDATE '$d' SET n_name = concat(n_name, '!'), " +
+      "n_regionkey = greatest(n_regionkey, 1) WHERE n_nationkey < 5")
+    val t = DeltaTable.forPath(d)
+    assert(t.history.map(_._2.operation).take(2) == Seq("UPDATE", "DELETE"))
+    val r = t.toDF(spark).filter(col("n_nationkey") === 0).head()
+    assert(r.getAs[String]("n_name").endsWith("!"))
+    assert(r.getAs[Number]("n_regionkey").longValue >= 1L)
+    assert(t.toDF(spark).filter(col("n_name").endsWith("!")).count() == 5)
+    // catalog-shaped DML never routes here: the stock parser still owns it
+    val ex = intercept[Exception](
+      sql.sql("DELETE FROM some_catalog_table WHERE x = 1").collect())
+    assert(!ex.getMessage.contains("graft"), ex.getMessage)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
