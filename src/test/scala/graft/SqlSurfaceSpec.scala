@@ -188,6 +188,24 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(!ex.getMessage.contains("graft"), ex.getMessage)
   }
 
+  test("SQL SELECT over a path table keeps filter/projection pushdown") {
+    val d = tempDir("sqlsurface-pushdown")
+    DeltaTable.forPath(d).write(
+      spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val plan = sql.sql(
+      s"SELECT l_orderkey, l_quantity FROM graft.`$d` WHERE l_orderkey < 100")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the predicate must reach the parquet scan, and the scan must read
+    // only the projected columns — the SQL route pays no pushdown tax
+    // over the DataFrame route
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(l_orderkey,100)"), plan.take(2000))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && !readSchema.contains("l_extendedprice"), readSchema)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
