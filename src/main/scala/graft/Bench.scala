@@ -74,18 +74,25 @@ object Bench {
 
     val qs = headline.filter(n => only.forall(_.contains(n)))
       .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    val results = qs.map { case (name, fn) =>
-      def once(): Double = {
+    // Sweep-structured timing: one full UNTIMED sweep over the whole suite
+    // (fixture builds + JIT for every shared code path), then RUNS timed
+    // sweeps, reporting each query's min. Same 3 executions per query as
+    // the old per-query warm-and-repeat, but no query is timed until the
+    // entire JVM is warm — this is what keeps driver captures (fresh
+    // machine, concurrent gates) within noise of builder captures.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
-      val sec =
-        try { once(); (1 to RUNS).map(_ => once()).min }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-        }
-      name -> sec
+    qs.foreach { case (name, fn) => once(name, fn) } // warm sweep, untimed
+    val sweeps = (1 to RUNS).map(_ => qs.map { case (name, fn) => once(name, fn) })
+    val results = qs.zipWithIndex.map { case ((name, _), i) =>
+      val runs = sweeps.map(_(i))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     } ++ maintenanceTimings(spark, sfDir, only)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -636,9 +636,9 @@ object QueryLib {
 
   /** Normalize the events fixture's `ts` column — whatever physical type a
     * fixture generation carried — to a µs-precision TIMESTAMP_NTZ:
-    *   - `LongType`: legacy INT64-nanos fixture read under
-    *     `spark.sql.legacy.parquet.nanosAsLong` → truncate to µs, reinterpret
-    *     as naive micros;
+    *   - `LongType`: epoch-ns longs (the retired INT64-nanos fixture shape;
+    *     kept as a defensive branch) → truncate to µs, reinterpret as naive
+    *     micros;
     *   - `TIMESTAMP(MICROS, isAdjustedToUTC=0)`: current fixture, already
     *     NTZ → identity;
     *   - UTC-adjusted `TimestampType`: cast (session tz is UTC, lossless).
@@ -675,9 +675,6 @@ object QueryLib {
     * fixture's physical type (probe `raw`'s schema, branch — see tsToNtz).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    // tolerate the legacy INT64-nanos fixture (reader rejects NANOS without
-    // this; a no-op for the TIMESTAMP(MICROS) fixture)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = raw(spark, sfDir, "events")
     df.withColumn("ts", tsToNtz(df.schema("ts").dataType))
   }

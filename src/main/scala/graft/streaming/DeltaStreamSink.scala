@@ -28,11 +28,8 @@ object DeltaStreamSink {
     * files with a batch read and normalize `ts` afterwards via
     * [[graft.QueryLib.tsToNtz]] / [[graft.QueryLib.tsToTimestamp]].
     */
-  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
-    // tolerate the legacy INT64-nanos fixture; no-op for TIMESTAMP(MICROS)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
     spark.read.parquet(s"$dir/events*.parquet").schema
-  }
 
   /** Write each micro-batch's (complete-mode) result as the new content of
     * the Delta table at `tableDir`: the first batch creates, later batches

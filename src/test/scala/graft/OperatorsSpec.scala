@@ -399,7 +399,6 @@ class StreamingSinkSpec extends SparkSuite {
     // times: maxFilesPerTrigger=1 forces one micro-batch per file, in time
     // order — users spanning batches re-emit cumulative rows, which the
     // upsert sink must replace, not append.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = QueryLib.raw(spark, sfDir, "events")
     val src = tempDir("stream-split")
     // quantile over an epoch-µs view of ts (approxQuantile needs a numeric
