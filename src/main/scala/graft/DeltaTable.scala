@@ -2416,15 +2416,27 @@ final case class DeltaTable(
     * Scale shape identical to [[merge]]: touched files found by a
     * semi-join against the (broadcastable) source keys, only those files
     * rewritten, inserts appended as new files, one atomic commit.
+    *
+    * @param matchedUpdateCondition delta's `whenMatchedUpdate(condition)`:
+    *        the SET applies only to matched rows meeting it (evaluated
+    *        over the t/s join, like the delete condition); rows matched
+    *        but failing it copy through unchanged. `numRowsUpdated` still
+    *        reports matched keys — the file-rewrite granularity.
     */
   def mergeWhenMatchedUpdate(spark: SparkSession, source: DataFrame,
       keyCols: Seq[String], set: Map[String, Column],
       insertValues: Option[Map[String, Column]] = None,
       matchedDeleteCondition: Option[Column] = None,
-      customMetadata: Map[String, JsonNode] = Map.empty): DeltaTable = {
+      customMetadata: Map[String, JsonNode] = Map.empty,
+      matchedUpdateCondition: Option[Column] = None): DeltaTable = {
     assertPreWrite(removesData = true)
-    require(keyCols.nonEmpty && set.nonEmpty,
-      "mergeWhenMatchedUpdate requires key columns and a SET map")
+    require(keyCols.nonEmpty, "mergeWhenMatchedUpdate requires key columns")
+    // any single clause stands alone: SET-only, matched-DELETE-only (a
+    // keyed anti-delete), or INSERT-only (insert-if-absent); SQL MERGE
+    // statements arrive in all three degenerate shapes
+    require(set.nonEmpty || matchedDeleteCondition.isDefined ||
+      insertValues.isDefined,
+      "merge needs at least one clause: SET, matched DELETE, or NOT MATCHED INSERT")
     set.keys.foreach(c => require(dlog.schema.fieldNames.contains(c),
       s"SET references unknown column $c"))
     require(set.keySet.intersect(keyCols.toSet).isEmpty,
@@ -2448,8 +2460,19 @@ final case class DeltaTable(
           count_distinct(struct(keyCols.map(col): _*)).as("_mk")).head()
       val touchedCanonical =
         p1Row.getSeq[String](0).map(Location.canonical).toSet
-      val numUpdated = p1Row.getLong(1)
-      val touchedAdds = addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+      // an insert-only merge (no SET, no matched DELETE) never rewrites the
+      // target: matched keys are only the anti-join guard for the insert
+      val rewriteNeeded = set.nonEmpty || matchedDeleteCondition.isDefined
+      val numUpdated = if (set.nonEmpty) p1Row.getLong(1) else 0L
+      val touchedAdds =
+        if (rewriteNeeded)
+          addByCanonical.view.filterKeys(touchedCanonical).values.toSeq
+        else Seq.empty
+      // a conditional UPDATE clause gates the SET inside the rewrite; rows
+      // that are matched but fail it copy through unchanged (numUpdated
+      // still reports matched keys — the file-level rewrite granularity)
+      val updCond: Column = matchedUpdateCondition
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
 
       // phase 2: rewrite touched files with the SET applied to matched rows
       def applied(touchedDF: DataFrame): DataFrame = {
@@ -2472,7 +2495,8 @@ final case class DeltaTable(
           set.get(f.name) match {
             case Some(v) =>
               // nullability-relaxed cast target — see update()'s applySet
-              when(matched, v.cast(graft.log.DeltaLog.typeShape(f.dataType)))
+              when(matched && updCond,
+                  v.cast(graft.log.DeltaLog.typeShape(f.dataType)))
                 .otherwise(tgt).as(f.name)
             case None => tgt.as(f.name)
           }
@@ -2491,6 +2515,7 @@ final case class DeltaTable(
 
       // optional WHEN NOT MATCHED INSERT from explicit value expressions
       var numInserted = 0L
+      var insertedRows: Option[DataFrame] = None
       val insertAdds: Seq[AddFile] = insertValues match {
         case None => Seq.empty
         case Some(values) =>
@@ -2515,12 +2540,19 @@ final case class DeltaTable(
           numInserted = row.count()
           if (numInserted == 0) Seq.empty
           else {
+            insertedRows = Some(row)
             validateConstraints(row)
             writeData(regenerate(row), dlog.versionToWrite, dlog.partitionColumns)
           }
       }
 
       var cdc: Seq[AddCDCFile] = Seq.empty
+      // inserted rows are changes too (merge()'s feed has them; so must
+      // the clause path's)
+      if (cdfEnabled && touchedAdds.isEmpty) insertedRows.foreach { r =>
+        cdc = writeChangeData(r.withColumn("_change_type", lit("insert")),
+          dlog.versionToWrite)
+      }
       if (cdfEnabled && touchedAdds.nonEmpty) {
         // one t/s inner join partitions the matched rows into updated
         // (pre+post pairs) and clause-deleted (delete rows only)
@@ -2531,14 +2563,24 @@ final case class DeltaTable(
         def targets(df: DataFrame): DataFrame =
           df.select(dlog.schema.fieldNames.toIndexedSeq.map(n =>
             (if (keyCols.contains(n)) col(n) else col(s"t.$n")).as(n)): _*)
-        val updatedT = targets(joinedTS.filter(not(delCond)))
-        val pre = updatedT.withColumn("_change_type", lit("update_preimage"))
-        val post = applied(updatedT)
-          .withColumn("_change_type", lit("update_postimage"))
+        // rows matched but failing a conditional UPDATE copy through
+        // unchanged — they are not changes, so they emit no CDC rows
+        val updatedT = targets(joinedTS.filter(not(delCond) && updCond))
         val del = targets(joinedTS.filter(delCond))
           .withColumn("_change_type", lit("delete"))
-        cdc = writeChangeData(pre.unionByName(post).unionByName(del),
-          dlog.versionToWrite)
+        val changes =
+          if (set.isEmpty) del // delete-only merge: no update images exist
+          else {
+            val pre = updatedT.withColumn("_change_type", lit("update_preimage"))
+            val post = applied(updatedT)
+              .withColumn("_change_type", lit("update_postimage"))
+            pre.unionByName(post).unionByName(del)
+          }
+        val withInserts = insertedRows
+          .map(r => changes.unionByName(
+            r.withColumn("_change_type", lit("insert"))))
+          .getOrElse(changes)
+        cdc = writeChangeData(withInserts, dlog.versionToWrite)
       }
 
       val predicate = keyCols.map(k => s"target.$k = source.$k").mkString(" AND ")

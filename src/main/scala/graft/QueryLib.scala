@@ -548,6 +548,39 @@ object QueryLib {
       sql.sql(s"INSERT OVERWRITE graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey < 1000")
     }
 
+  /** customer mutated by ONE SQL `MERGE INTO` statement (q171): the full
+    * clause surface — matched delete-marked rows dropped, the other
+    * matched rows updated column-wise, unmatched source rows inserted —
+    * as a single `spark.sql(…)` commit through the parser surface, with
+    * the source itself a graft path table resolved in the USING clause.
+    */
+  def customerSqlMergedDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_sqlmerge") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val cust = raw(spark, sfDir, "customer")
+      DeltaTable.forPath(d).write(cust)
+      val srcDir = cachedDir(sfDir, "customer_sqlmerge_src") { sd =>
+        val upd = cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("op", lit("update"))
+        val del = cust.filter(col("c_custkey") % 10 === 5)
+          .withColumn("op", lit("delete"))
+        val ins = cust.filter(col("c_custkey") < 50)
+          .withColumn("c_custkey", col("c_custkey") + 1000000)
+          .withColumn("op", lit("insert"))
+        DeltaTable.forPath(sd).write(upd.union(del).union(ins))
+      }
+      sql.sql(
+        s"""MERGE INTO graft.`$d` t USING graft.`$srcDir` s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED AND s.op = 'delete' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal * 2,
+           |  c_mktsegment = 'MERGED'
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey,
+           |  c_acctbal, c_mktsegment)
+           |  VALUES (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal, 'NEW')"""
+          .stripMargin)
+    }
+
   /** append + append + delete — the CDF (changes feed) fixture. */
   def ordersChangesDir(spark: SparkSession, sfDir: String): String =
     cachedDir(sfDir, "orders_changes") { d =>

@@ -622,6 +622,12 @@ object SparkEntry {
     "q170_sql_insert" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersSqlInsertDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
+    // the full SQL MERGE INTO clause surface (matched DELETE + matched
+    // UPDATE + NOT MATCHED INSERT, one statement, one commit) over a path
+    // target with a path-table USING source — scanned back
+    "q171_sql_merge" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
     // plain SQL over a path table, with Spark's own time-travel syntax:
     // the v0 snapshot aggregates through the injected path resolution
     "q169_sql_select" -> ((s, d) => {
@@ -1433,6 +1439,19 @@ object SparkEntry {
     // the surviving state after the INSERT OVERWRITE is the low-key slice
     "q170_sql_insert" ->
       "SELECT * FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    // SQL MERGE replay: %10=5 deleted, %10=0 updated (doubled balance,
+    // MERGED segment), sub-50 keys re-inserted shifted by 1e6 as NEW
+    "q171_sql_merge" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal * 2
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 10 = 0 THEN 'MERGED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 5
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEW'
+        |FROM customer WHERE c_custkey < 50
+        |ORDER BY c_custkey""".stripMargin,
     // v0 of the lifecycle fixture is exactly one copy of orders
     "q169_sql_select" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -4,7 +4,8 @@ import graft.DeltaTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
+  LogicalPlan, MergeIntoTable, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.StringType
@@ -65,6 +66,30 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
           GraftInsertCommand(path, rewriteReads(i.query), i.overwrite, i.byName)
         case _ => i
       }
+      // MERGE INTO a graft path: same top-down capture as INSERT — the
+      // target must never fall through to the read rewrite (a merge
+      // against a raw file relation would plan a log-bypassing write).
+      // The command is a LEAF, so only its source is read-rewritten here.
+      case m: MergeIntoTable =>
+        val (tgtAlias, tgtPath) = m.targetTable match {
+          case SubqueryAlias(id, u: UnresolvedRelation) =>
+            (Some(id.name), pathOf(u.multipartIdentifier))
+          case u: UnresolvedRelation => (None, pathOf(u.multipartIdentifier))
+          case _ => (None, None)
+        }
+        tgtPath match {
+          case None => m
+          case Some(path) =>
+            val srcAlias = m.sourceTable match {
+              case SubqueryAlias(id, _) => Some(id.name)
+              case _ => None
+            }
+            GraftMergeCommand(path, rewriteReads(m.sourceTable), tgtAlias,
+              srcAlias,
+              new MergeSpecHolder(m.mergeCondition, m.matchedActions,
+                m.notMatchedActions, m.notMatchedBySourceActions),
+              m.schemaEvolutionEnabled)
+        }
     }
     rewriteReads(afterInserts)
   }

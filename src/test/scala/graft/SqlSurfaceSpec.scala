@@ -206,6 +206,143 @@ class SqlSurfaceSpec extends SparkSuite {
       && !readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  // ---- MERGE INTO clause matrix (X181) ----
+
+  private def mergeFixture(): (String, String) = {
+    val d = tempDir("sqlsurface-merge-t")
+    val s = tempDir("sqlsurface-merge-s")
+    DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    // source: updates for keys 0-9 (renamed key!), deletes for 20-24,
+    // inserts for 100-102
+    val src = spark.range(0, 10)
+      .select(col("id").cast("int").as("nk"), lit("upd").as("op"),
+        lit(7).as("newreg"))
+      .union(spark.range(20, 25).select(col("id").cast("int"),
+        lit("del"), lit(0)))
+      .union(spark.range(100, 103).select(col("id").cast("int"),
+        lit("ins"), lit(9)))
+    DeltaTable.forPath(s).write(src)
+    (d, s)
+  }
+
+  test("MERGE INTO: DELETE + UPDATE + INSERT clauses in one statement") {
+    val (d, s) = mergeFixture()
+    sql.sql(
+      s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+         |ON t.n_nationkey = s.nk
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET n_regionkey = s.newreg
+         |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+         |  VALUES (s.nk, concat('new-', s.op), s.newreg)""".stripMargin)
+    val t = DeltaTable.forPath(d).toDF(spark)
+    assert(t.count() == 23) // 25 - 5 deleted + 3 inserted
+    assert(t.filter(col("n_regionkey") === 7).count() == 10)
+    assert(t.filter(col("n_nationkey") >= 20 && col("n_nationkey") < 100)
+      .count() == 0)
+    assert(t.filter(col("n_name") === "new-ins").count() == 3)
+    assert(DeltaTable.forPath(d).history.head._2.operation == "MERGE")
+    // every data file is log-tracked (live or tombstoned) — the
+    // no-strays corruption guard: a raw write would be in neither set
+    val dlog = DeltaTable.forPath(d).dlog
+    val tracked = dlog.addActions.keySet ++
+      dlog.entries.values.flatMap(_.removes).map(_.path)
+    val onDisk = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk.subsetOf(tracked), s"untracked files: ${onDisk -- tracked}")
+  }
+
+  test("MERGE INTO whole-row: UPDATE SET * / INSERT * / NMBS DELETE") {
+    val d = tempDir("sqlsurface-merge-star")
+    val s = tempDir("sqlsurface-merge-star-s")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(nation)
+    // whole-row source: keys 0-9 with bumped region, plus key 100
+    DeltaTable.forPath(s).write(
+      nation.filter(col("n_nationkey") < 10)
+        .withColumn("n_regionkey", col("n_regionkey") + 100)
+        .union(nation.filter(col("n_nationkey") === 0)
+          .withColumn("n_nationkey", lit(100))))
+    sql.sql(
+      s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND t.n_nationkey >= 20 THEN DELETE""".stripMargin)
+    val t = DeltaTable.forPath(d).toDF(spark)
+    assert(t.count() == 21) // 25 matched/kept - 5 NMBS-deleted + 1 inserted
+    assert(t.filter(col("n_regionkey") >= 100).count() == 10)
+    assert(t.filter(col("n_nationkey") === 100).count() == 1)
+    assert(t.filter(col("n_nationkey") >= 20 && col("n_nationkey") < 100)
+      .count() == 0)
+  }
+
+  test("MERGE INTO: UPDATE before DELETE shields rows its condition matches") {
+    val (d, s) = mergeFixture()
+    // delta's first-clause-wins: nk<5 updates even though the DELETE's
+    // condition (op in upd/del) would also match it
+    sql.sql(
+      s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+         |ON t.n_nationkey = s.nk
+         |WHEN MATCHED AND s.nk < 5 THEN UPDATE SET n_regionkey = s.newreg
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    val t = DeltaTable.forPath(d).toDF(spark)
+    // 25 - (matched 15, of which 5 shielded+updated, 10 deleted)
+    assert(t.count() == 15)
+    assert(t.filter(col("n_regionkey") === 7).count() == 5)
+    assert(t.filter(col("n_nationkey") >= 5 && col("n_nationkey") < 10)
+      .count() == 0)
+  }
+
+  test("MERGE INTO: INSERT-only is insert-if-absent; DELETE-only a keyed delete") {
+    val (d, s) = mergeFixture()
+    sql.sql(
+      s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+         |ON t.n_nationkey = s.nk
+         |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+         |  VALUES (s.nk, 'inserted', s.newreg)""".stripMargin)
+    val afterInsert = DeltaTable.forPath(d)
+    assert(afterInsert.toDF(spark).count() == 28)
+    // insert-only merge rewrites nothing: only the 0-24 create file plus
+    // the inserted file are live
+    assert(afterInsert.toDF(spark).filter(col("n_name") === "inserted")
+      .count() == 3)
+    sql.sql(
+      s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+         |ON t.n_nationkey = s.nk
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE""".stripMargin)
+    val afterDelete = DeltaTable.forPath(d).toDF(spark)
+    assert(afterDelete.count() == 23)
+    assert(afterDelete.filter(col("n_nationkey") >= 20 &&
+      col("n_nationkey") < 100).count() == 0)
+  }
+
+  test("MERGE INTO: unsupported shapes refuse loudly") {
+    val (d, s) = mergeFixture()
+    def bad(stmt: String, needle: String): Unit = {
+      val ex = intercept[Exception](sql.sql(stmt))
+      assert(ex.getMessage.contains(needle), ex.getMessage)
+    }
+    bad(s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+           |ON t.n_nationkey = s.nk
+           |WHEN NOT MATCHED AND s.op = 'ins' THEN INSERT
+           |  (n_nationkey, n_name, n_regionkey) VALUES (s.nk, 'x', 1)""".stripMargin,
+      "conditional WHEN NOT MATCHED INSERT")
+    bad(s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+           |ON t.n_nationkey = s.nk
+           |WHEN MATCHED THEN UPDATE SET n_regionkey = s.newreg
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+      "whole-row")
+    bad(s"""MERGE INTO graft.`$d` t USING graft.`$s` s
+           |ON t.n_nationkey < s.nk
+           |WHEN MATCHED THEN DELETE""".stripMargin,
+      "equality conjuncts")
+    // catalog-shaped MERGE never routes here
+    val ex = intercept[Exception](sql.sql(
+      s"""MERGE INTO some_catalog_table t USING graft.`$s` s
+         |ON t.k = s.nk WHEN MATCHED THEN DELETE""".stripMargin).collect())
+    assert(!ex.getMessage.contains("graft path"), ex.getMessage)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
