@@ -17,6 +17,60 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Temporal {
 
+  /** Skew-immune running `last(ignoreNulls)` — the two-pass bucket carry
+    * that replaces a `Window.partitionBy(key)` over an unbounded key
+    * (the shape this repo retired from the text operators in r9; a
+    * celebrity key would land its entire timeline in ONE task, and
+    * windows cannot be split by AQE):
+    *
+    *   pass A  per-(key, bucket) last non-null fill value as a map-side-
+    *           combined `max(when(isNotNull, struct(order…, fill)))` —
+    *           partial aggregation absorbs the hot key;
+    *   carry   per-key prefix of those bucket-lasts via a window over the
+    *           BUCKET rows (metadata-scale: ≤ `buckets` rows per key, no
+    *           matter how many data rows the key has), shifted one bucket
+    *           back (`rowsBetween(…, -1)`);
+    *   pass B  the running last INSIDE each (key, bucket) window, seeded
+    *           by the carry — same answer as the unbounded window, skew
+    *           bounded by bucket width. The carry re-attach is an
+    *           equi-join on (key, bucket) whose hash partitioning the
+    *           pass-B window reuses — no extra exchange between them.
+    *
+    * Null buckets (null order key) sort first in both the carry window
+    * and the old formulation, so null-time semantics are unchanged.
+    */
+  private[graft] def bucketedRunningLast(df: DataFrame, keyCols: Seq[String],
+      bucketCol: String, orderCols: Seq[Column], fillCol: String,
+      outCol: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    val ordTuple = struct(orderCols :+ col(fillCol): _*)
+    val bucketLast = df
+      .groupBy(keyC :+ col(bucketCol): _*)
+      .agg(max(when(col(fillCol).isNotNull, ordTuple)).as("_bl"))
+    val wCarry = Window.partitionBy(keyC: _*).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketLast
+      .withColumn("_pb", last(col("_bl"), ignoreNulls = true).over(wCarry))
+      .select(keyC ++ Seq(col(bucketCol), col(s"_pb.$fillCol").as("_carry")): _*)
+    val wIn = Window.partitionBy(keyC :+ col(bucketCol): _*)
+      .orderBy(orderCols :+ col(fillCol): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(carry, keyCols :+ bucketCol, "left")
+      .withColumn(outCol, coalesce(
+        last(col(fillCol), ignoreNulls = true).over(wIn), col("_carry")))
+      .drop("_carry")
+  }
+
+  /** Global [lo, hi] of a micros expression → bucket width that splits the
+    * span into ~`buckets` cells (a metadata-scale 1-row aggregate; the one
+    * extra pass is what buys bounded-task skew immunity).
+    */
+  private def bucketWidthOf(df: DataFrame, micros: Column, buckets: Int): Long = {
+    val row = df.agg(min(micros), max(micros)).head()
+    if (row.isNullAt(0)) 1L
+    else math.max(1L, (row.getLong(1) - row.getLong(0)) / buckets + 1L)
+  }
+
   /** Regular-grid resample with forward fill (gap filling — the
     * time-series normalization every feature/training pipeline runs
     * before windowed models): per key, bucket observations to the step,
@@ -26,9 +80,10 @@ object Temporal {
     * Scale shape: the bucket aggregate is a map-side-combined groupBy;
     * the grid is generated per key from its own [min, max] span (a
     * codegen'd `sequence` explode — grid size is data-driven, never a
-    * driver loop); the forward fill is one running `last(ignoreNulls)`
-    * window per key, O(grid) per partition. Nothing global: a million
-    * keys resample as a million independent partitions.
+    * driver loop); the forward fill is the [[bucketedRunningLast]]
+    * two-pass carry over super-buckets of the grid, so even a key whose
+    * grid spans centuries (10⁶+ grid points) fills across bounded tasks
+    * instead of one window partition.
     *
     * @return keyCol, bucket_ts (grid-aligned), filled (forward-filled
     *         4-digit bucket average; null until the key's first
@@ -48,23 +103,30 @@ object Temporal {
     val grid = span.select(col(keyCol),
       explode(sequence(col("_lo"), col("_hi"), expr(s"INTERVAL $step")))
         .as("bucket_ts"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_ts"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq(keyCol, "bucket_ts"), "left")
-      .withColumn("filled", last(col("obs"), ignoreNulls = true).over(w))
+    val joined = grid.join(hourly, Seq(keyCol, "bucket_ts"), "left")
+    val width = bucketWidthOf(hourly,
+      unix_micros(col("bucket_ts").cast("timestamp")), buckets = 256)
+    val bucketed = joined.withColumn("_sb",
+      floor(unix_micros(col("bucket_ts").cast("timestamp")) / width))
+    bucketedRunningLast(bucketed, Seq(keyCol), "_sb",
+        Seq(col("bucket_ts")), "obs", "filled")
       .withColumn("is_observed", col("obs").isNotNull)
-      .drop("obs")
+      .drop("obs", "_sb")
   }
 
   /** As-of join: for each left row, the single latest right row whose time
     * is <= the left row's time (inclusive), matched within `keyCols`.
     * Right columns come back null when no right row precedes the left row.
     *
-    * Scale shape: ONE shuffle of (left ∪ right) on the key, then a
-    * per-key sort — no row ever compares against more than its own key's
-    * history, and the window's running `last(ignoreNulls)` is O(n) per
-    * partition. Contrast with the inequality-join formulation, which is
-    * |left| x |right| per key.
+    * Scale shape: (left ∪ right) shuffled on (key, time-bucket) — NOT on
+    * the bare key — with the [[bucketedRunningLast]] two-pass carry
+    * seeding each bucket from its key's earlier buckets. A celebrity key
+    * (one symbol carrying 10⁸ ticks) therefore spreads across ~`buckets`
+    * tasks instead of landing its entire merged timeline in one window
+    * partition (the r11-verdict skew hole). No row ever compares against
+    * more than its own (key, bucket) slice plus one carried struct, and
+    * the inequality-join formulation's |left| x |right| blowup never
+    * appears.
     *
     * @param valueCols right-side columns to carry onto each left row
     *                  (aliased as-is in the output)
@@ -109,13 +171,16 @@ object Temporal {
         (keyCols.map(col) ++ Seq(col("_t"), col("_side"), col("_vs")) ++
           leftCols.filterNot(keyCols.contains).map(col)): _*)
       .unionByName(r, allowMissingColumns = true)
+    // time-bucket for the skew-immune carry; null _t maps to a null
+    // bucket, which sorts first — exactly where null times sorted before
+    val width = bucketWidthOf(unioned,
+      unix_micros(col("_t").cast("timestamp")), buckets = 256)
+    val bucketed = unioned.withColumn("_bkt",
+      floor(unix_micros(col("_t").cast("timestamp")) / width))
     // the struct in the ordering makes ties among same-instant right rows
     // deterministic (the greatest value tuple wins)
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_vs"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("_asof",
-      last(col("_vs"), ignoreNulls = true).over(w))
+    val carried = bucketedRunningLast(bucketed, keyCols, "_bkt",
+      Seq(col("_t"), col("_side")), "_vs", "_asof")
     // tolerance (pandas merge_asof parity): an as-of match older than
     // `toleranceSeconds` before the left row is no match at all — every
     // value field nulls together (the struct came from one right row)

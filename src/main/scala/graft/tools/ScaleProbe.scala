@@ -56,6 +56,32 @@ private class TaskStatsListener extends SparkListener {
         (sid, ds.length, mx, med, mx.toDouble / med, maxRec, medRec)
       }.toSeq.sortBy(-_._5).headOption
     }
+  /** Worst RECORD skew (max-task records / median records) among stages
+    * doing real work. Catches what [[worstStage]]'s minTasks=8 cannot: AQE
+    * coalesces a small-bytes exchange to 2-3 fat partitions, and a hot key
+    * then hides inside a stage too small for the duration filter — but its
+    * max task still reads the whole key.
+    */
+  def worstRecords(minTasks: Int = 2, minMaxRec: Long = 100000): Option[(Int, Int, Long, Long, Double)] =
+    synchronized {
+      byStage.iterator.collect {
+        case (sid, ds) if ds.length >= minTasks && ds.map(_._2).max >= minMaxRec =>
+          val recs = ds.map(_._2).sorted
+          val medRec = math.max(recs(recs.length / 2), 1L)
+          val maxRec = recs.last
+          (sid, ds.length, maxRec, medRec, maxRec.toDouble / medRec)
+      }.toSeq.sortBy(-_._5).headOption
+    }
+  /** Every stage's task distribution — for reading a probe's raw shape. */
+  def dumpAll(): String = synchronized {
+    byStage.toSeq.sortBy(_._1).map { case (sid, ds) =>
+      val durs = ds.map(_._1).sorted
+      val recs = ds.map(_._2).sorted
+      f"stage=$sid%4d tasks=${ds.length}%4d max_ms=${durs.last}%7d " +
+        f"med_ms=${durs(durs.length / 2)}%7d max_rec=${ds.maxBy(_._1)._2}%9d " +
+        f"med_rec=${recs(recs.length / 2)}%9d  ${nameOf(sid).take(60)}"
+    }.mkString("\n")
+  }
 }
 
 /** Scaling probe for the similarity-dedup operators: grows the corpus by
@@ -483,7 +509,7 @@ object ScaleProbe {
         while (waited < 10000 && listener.taskCount != prev) {
           prev = listener.taskCount; Thread.sleep(500); waited += 500
         }
-        val report = listener.worstStage() match {
+        val durReport = listener.worstStage() match {
           case Some((sid, n, mx, med, r, maxRec, medRec)) =>
             val dataSkewed = maxRec > medRec * 3 / 2
             f"worst_stage=$sid tasks=$n max_task=${mx}ms median_task=${med}ms " +
@@ -493,7 +519,16 @@ object ScaleProbe {
                else "SKEWED(>3x duration AND >1.5x records)")
           case None => "all stages below heavy-task threshold"
         }
-        println(f"HOTKEY $tag%-18s $detail rows=$rows%8d wall=$wall%6.2fs $report")
+        // record-skew verdict: a hot key inside an AQE-coalesced 2-3-task
+        // stage never trips the duration filter, but its max task still
+        // reads the whole key's rows
+        val recReport = listener.worstRecords() match {
+          case Some((sid, n, maxRec, medRec, r)) =>
+            f"rec_stage=$sid tasks=$n max_rec=$maxRec med_rec=$medRec " +
+              f"rec_ratio=$r%5.2f " + (if (r <= 3.0) "OK(<=3x)" else "SKEWED(>3x records)")
+          case None => "rec: no heavy-record stage"
+        }
+        println(f"HOTKEY $tag%-18s $detail rows=$rows%8d wall=$wall%6.2fs $durReport | $recReport")
       }
       // every doc ends with the same 3-token footer -> with n=3 the
       // footer shingle's df == |docs|. The corpus is grown with salted
@@ -524,6 +559,39 @@ object ScaleProbe {
       probe("tfidf_full", s"docs=$nHot hot_token_df=$nHot")(
         TextAnalysis.tfIdfTopTerms(hot, "doc_id", "text").count())
       hot.unpersist()
+
+      // temporal family: a celebrity symbol carrying 90% of all ticks.
+      // CONTROL is the retired bare-key window (the whole merged timeline
+      // of the hot key in ONE task — r11-verdict hole); SHIPPED is the
+      // (key, time-bucket) two-pass carry.
+      val nTicks = 2000000L
+      def sym(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(c % 10 < 9, lit("HOT")).otherwise(concat(lit("k"), c % 97))
+      val ticks = spark.range(nTicks).select(sym(col("id")).as("sym"),
+        expr("timestamp_micros(id * 1000)").as("ts"),
+        col("id").as("event_id")).cache()
+      val quotes = spark.range(nTicks / 4).select(sym(col("id")).as("sym"),
+        expr("timestamp_micros(id * 4000)").as("ts"),
+        col("id").as("price")).cache()
+      val (nT, nQ) = (ticks.count(), quotes.count())
+      probe("asof_window_CONTROL", s"ticks=$nT quotes=$nQ hot=90%") {
+        val l = ticks.select(col("sym"), col("ts"), lit(1).as("_side"),
+          lit(null).cast("long").as("_v"))
+        val r = quotes.select(col("sym"), col("ts"), lit(0).as("_side"),
+          col("price").as("_v"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sym")
+          .orderBy(col("ts"), col("_side"), col("_v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        l.unionByName(r)
+          .withColumn("_asof", last(col("_v"), ignoreNulls = true).over(w))
+          .filter(col("_side") === 1 && col("_asof").isNotNull).count()
+      }
+      probe("asof_carry_SHIPPED", s"ticks=$nT quotes=$nQ hot=90%")(
+        graft.operators.Temporal.asOfJoin(ticks, quotes, Seq("sym"),
+            "ts", "ts", Seq("price"))
+          .filter(col("asof_price").isNotNull).count())
+      ticks.unpersist(); quotes.unpersist()
       spark.sparkContext.removeSparkListener(listener)
     }
 
