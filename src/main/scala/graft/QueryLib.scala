@@ -548,6 +548,24 @@ object QueryLib {
       sql.sql(s"INSERT OVERWRITE graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey < 1000")
     }
 
+  /** Persisted IVF index (q172): built over the base embeddings in one
+    * commit, the +10000 twin half appended in a SECOND commit against the
+    * persisted codebook (no retraining) with a SetTransaction marker —
+    * the replayed append proves exactly-once. Queries at q172 touch only
+    * the index tables; the training cost was paid here, once.
+    */
+  def ivfIndexDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "ivf_index") { d =>
+      val emb = raw(spark, sfDir, "embeddings")
+      operators.Similarity.ivfIndexBuild(spark, d, emb, "vec_id", "embedding")
+      val twins = emb.withColumn("vec_id", col("vec_id") + 10000)
+      operators.Similarity.ivfIndexAppend(spark, d, twins, "vec_id",
+        "embedding", batchTxn = Some(("ivf-fixture", 1L)))
+      // re-delivered batch: the txn marker must make this a no-op
+      operators.Similarity.ivfIndexAppend(spark, d, twins, "vec_id",
+        "embedding", batchTxn = Some(("ivf-fixture", 1L)))
+    }
+
   /** customer mutated by ONE SQL `MERGE INTO` statement (q171): the full
     * clause surface — matched delete-marked rows dropped, the other
     * matched rows updated column-wise, unmatched source rows inserted —

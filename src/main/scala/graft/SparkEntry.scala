@@ -628,6 +628,15 @@ object SparkEntry {
     "q171_sql_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // ANN over a PERSISTED IVF index (codebook + cell-partitioned codes,
+    // built and twin-appended in prior commits): the query pays probe +
+    // pruned scan only, never training. Twin corpus ⇒ the q43 closed form
+    "q172_ann_index" -> ((s, d) =>
+      Similarity.ivfIndexTopK(s, QueryLib.ivfIndexDir(s, d),
+          QueryLib.raw(s, d, "embeddings").filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 1)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")),
     // plain SQL over a path table, with Spark's own time-travel syntax:
     // the v0 snapshot aggregates through the injected path resolution
     "q169_sql_select" -> ((s, d) => {
@@ -1923,6 +1932,12 @@ object SparkEntry {
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
     "q43_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
+        | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+    // persisted-index IVF shares q43's twin closed form: the twin shares
+    // the query's nearest cell by construction and exact-ranks to 1.0
+    "q172_ann_index" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS rank,
         | vec_id + 10000 AS neighbor_id, CAST(1.0 AS DOUBLE) AS cos_sim
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,

@@ -653,6 +653,115 @@ object Similarity {
     exactRerank(candidates, corpus, q, idCol, vecCol, k)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted IVF index: build/refresh separated from query. The r11
+  // verdict's gap — ivfTopK/pqTopK retrain codebooks per call, paying the
+  // Lloyd pass on every query batch. The index is a PAIR of Delta tables
+  // under one directory (the minhash-store X157 pattern: properties pin
+  // the construction so a mismatched query fails loudly):
+  //   codebook/  (cell, centroid)           — nCells x dim doubles
+  //   cells/     (id, cell, vec), PARTITIONED BY cell — so a probe's
+  //              cell filter becomes file-level PARTITION PRUNING: a
+  //              query touches nProbe/nCells of the corpus bytes, and
+  //              that fraction is enforced by the scan, not by a filter
+  //              after a full read
+  // ------------------------------------------------------------------
+
+  private def ivfProps(dim: Int, nCells: Int, iters: Int, seed: Int) = Map(
+    "graft.ivf.dim" -> dim.toString,
+    "graft.ivf.nCells" -> nCells.toString,
+    "graft.ivf.iters" -> iters.toString,
+    "graft.ivf.seed" -> seed.toString)
+
+  private def encodeCells(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    batch.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("cell", element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+      .select("id", "cell", "vec")
+
+  private def loadIvfCodebook(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Array[Array[Double]], Map[String, String]) = {
+    val t = graft.DeltaTable.forPath(s"$indexDir/codebook")
+    val props = t.tableProperties
+    require(props.contains("graft.ivf.nCells"),
+      s"$indexDir is not an IVF index (no graft.ivf.nCells property)")
+    val rows = t.toDF(spark).select("cell", "centroid").orderBy("cell").collect()
+    (rows.map(_.getSeq[Double](1).toArray), props)
+  }
+
+  /** Build the persisted index: train centroids once, write both tables.
+    * Driver state is the nCells × dim centroid matrix only; encoding is
+    * the codegen'd [[nearestCentroids]] argmax, row-local.
+    */
+  def ivfIndexBuild(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 64, iters: Int = 1, seed: Int = 42): Unit = {
+    val dim = probeDim(corpus, vecCol)
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters, seed)
+    val props = ivfProps(dim, centroids.length, iters, seed)
+    import spark.implicits._
+    graft.DeltaTable.forPath(s"$indexDir/codebook")
+      .write(centroids.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid"))
+      .setTableProperties(props)
+    graft.DeltaTable.forPath(s"$indexDir/cells")
+      .write(encodeCells(corpus, idCol, vecCol, centroids),
+        partitionBy = Some(Seq("cell")))
+      .setTableProperties(props)
+  }
+
+  /** Refresh: encode a new batch against the PERSISTED codebook (no
+    * retraining — the build/refresh/query separation is the point) and
+    * append it to the cells table. `batchTxn` is delta's SetTransaction
+    * idempotence handshake: a re-delivered batch lands exactly once;
+    * without it the blind append retries through OCC rebase.
+    */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batch: DataFrame, idCol: String, vecCol: String,
+      batchTxn: Option[(String, Long)] = None): Unit = {
+    val (centroids, props) = loadIvfCodebook(spark, indexDir)
+    require(probeDim(batch, vecCol) == props("graft.ivf.dim").toInt,
+      s"batch dim ${probeDim(batch, vecCol)} != index dim ${props("graft.ivf.dim")}")
+    val cells = graft.DeltaTable.forPath(s"$indexDir/cells")
+    val enc = encodeCells(batch, idCol, vecCol, centroids)
+    batchTxn match {
+      case Some((appId, v)) => cells.writeWithTxn(enc, appId, v)
+      case None             => cells.write(enc, maxRetries = 5)
+    }
+  }
+
+  /** Query the persisted index: probe each query's `nProbe` nearest cells
+    * (codebook is a driver-side collect of nCells rows), scan ONLY the
+    * probed cell partitions (`cell IN (…)` over the hive layout →
+    * partition pruning; probed-cell list is ≤ nCells values), exact
+    * cosine within candidates, per-query top-k. Query wall is governed by
+    * the probed fraction of the index, never by training — the build cost
+    * was paid once, in a prior commit.
+    */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 8): DataFrame = {
+    val (centroids, _) = loadIvfCodebook(spark, indexDir)
+    val probeN = math.min(nProbe, centroids.length)
+    val qin = queries.select(col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("_qv"))
+      .withColumn("cell", explode(nearestCentroids(col("_qv"), centroids, probeN)))
+    // bounded by nCells values — a driver-side literal that the scan can
+    // partition-prune with (a join predicate cannot prune files)
+    val probed = qin.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val cand = graft.DeltaTable.forPath(s"$indexDir/cells").toDF(spark)
+      .filter(col("cell").isin(probed.map(Int.box).toSeq: _*))
+      .join(broadcast(qin), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("_cos", cosineFast(col("_qv"), col("vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"),
+        round(col("_cos"), 4).as("cos_sim"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine >= `threshold`, blocked
     * by LSH band buckets (same inverted-index pattern as Dedup): recall is
     * governed by the banding, precision is exact.
