@@ -566,6 +566,26 @@ object QueryLib {
         "embedding", batchTxn = Some(("ivf-fixture", 1L)))
     }
 
+  /** customer evolved entirely through SQL ALTER TABLE statements (q173):
+    * ADD COLUMNS (with COMMENT/AFTER), a SQL UPDATE filling them, the
+    * widening gate via SET TBLPROPERTIES, ALTER COLUMN TYPE, and a
+    * mapping-mode RENAME — five metadata commits, zero data rewrites
+    * except the UPDATE's own.
+    */
+  def customerSqlAlteredDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "customer_sqlalter") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "customer"))
+      sql.sql(s"ALTER TABLE graft.`$d` ADD COLUMNS " +
+        "(vip STRING COMMENT 'tier' AFTER c_name, score DOUBLE)")
+      sql.sql(s"UPDATE '$d' SET vip = CASE WHEN c_acctbal > 5000 " +
+        "THEN 'gold' ELSE 'std' END, score = c_acctbal * 0.1")
+      sql.sql(s"ALTER TABLE '$d' SET TBLPROPERTIES " +
+        "('delta.enableTypeWidening' = 'true')")
+      sql.sql(s"ALTER TABLE graft.`$d` ALTER COLUMN c_nationkey TYPE BIGINT")
+      sql.sql(s"ALTER TABLE graft.`$d` RENAME COLUMN c_mktsegment TO segment")
+    }
+
   /** customer mutated by ONE SQL `MERGE INTO` statement (q171): the full
     * clause surface — matched delete-marked rows dropped, the other
     * matched rows updated column-wise, unmatched source rows inserted —

@@ -628,6 +628,12 @@ object SparkEntry {
     "q171_sql_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // the SQL ALTER TABLE lifecycle: columns added/filled/widened/renamed
+    // purely through spark.sql statements — scanned back through the
+    // mapping the rename minted
+    "q173_sql_alter" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.customerSqlAlteredDir(s, d)).toDF(s)
+        .orderBy("c_custkey")),
     // ANN over a PERSISTED IVF index (codebook + cell-partitioned codes,
     // built and twin-appended in prior commits): the query pays probe +
     // pruned scan only, never training. Twin corpus ⇒ the q43 closed form
@@ -1448,6 +1454,14 @@ object SparkEntry {
     // the surviving state after the INSERT OVERWRITE is the low-key slice
     "q170_sql_insert" ->
       "SELECT * FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    // ALTER lifecycle replay: added columns filled by the SQL UPDATE,
+    // nationkey widened to BIGINT, mktsegment renamed
+    "q173_sql_alter" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS vip,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+        |  c_mktsegment AS segment, c_acctbal * 0.1 AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // SQL MERGE replay: %10=5 deleted, %10=0 updated (doubled balance,
     // MERGED segment), sub-50 keys re-inserted shifted by 1e6 as NEW
     "q171_sql_merge" ->

@@ -78,6 +78,22 @@ object GraftSqlCommands {
     s"""(?is)\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  // ALTER TABLE family — each verb routes to the engine API that already
+  // owns its semantics (schema evolution, mapping-mode renames, widening)
+  private val AlterAddColsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterAddColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+COLUMNS?\\s+([^()]+?)\\s*;?\\s*""".r
+  private val AlterSetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterUnsetPropsRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterRenameColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+TO\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
+  private val AlterDropColRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
+  private val AlterColTypeRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
 
   /** The graft grammar; None → not ours, let Spark parse it. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
@@ -99,6 +115,20 @@ object GraftSqlCommands {
         Some(DeleteCommand(path(a, b), Option(where).map(_.trim)))
       case UpdateRe(a, b, sets, where) =>
         Some(UpdateCommand(path(a, b), sets.trim, Option(where).map(_.trim)))
+      case AlterAddColsRe(a, b, cols) =>
+        Some(AlterAddColumnsCommand(path(a, b), splitTopLevel(cols)))
+      case AlterAddColRe(a, b, spec) =>
+        Some(AlterAddColumnsCommand(path(a, b), Seq(spec.trim)))
+      case AlterSetPropsRe(a, b, props) =>
+        Some(AlterPropertiesCommand(path(a, b), splitTopLevel(props), set = true))
+      case AlterUnsetPropsRe(a, b, keys) =>
+        Some(AlterPropertiesCommand(path(a, b), splitTopLevel(keys), set = false))
+      case AlterRenameColRe(a, b, from, to) =>
+        Some(AlterRenameColumnCommand(path(a, b), from, to))
+      case AlterDropColRe(a, b, name) =>
+        Some(AlterDropColumnCommand(path(a, b), name))
+      case AlterColTypeRe(a, b, name, tpe) =>
+        Some(AlterColumnTypeCommand(path(a, b), name, tpe.trim))
       case _ => None
     }
 
@@ -289,6 +319,96 @@ case class UpdateCommand(path: String, sets: String,
     GraftSqlCommands.open(spark, path).update(spark, pred, assignments)
     Seq.empty
   }
+}
+
+/** `ALTER TABLE '<path>' ADD COLUMN[S] …` — each `name type [COMMENT 'c']
+  * [AFTER col]` entry routes to [[DeltaTable.addColumn]] (nullable,
+  * metadata-only commit; existing files null-fill on read). Types parse
+  * with the session's own DataType parser, so every Spark SQL type
+  * spelling works.
+  */
+case class AlterAddColumnsCommand(path: String,
+    colSpecs: Seq[String]) extends LeafRunnableCommand {
+  private val SpecRe =
+    """(?is)\s*`?([^`\s]+)`?\s+(.+?)(?:\s+COMMENT\s+'([^']*)')?(?:\s+AFTER\s+`?([^`\s]+)`?)?\s*""".r
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    var t = GraftSqlCommands.open(spark, path)
+    colSpecs.foreach {
+      case SpecRe(name, tpe, comment, after) =>
+        t = t.addColumn(name, spark.sessionState.sqlParser.parseDataType(tpe),
+          after = Option(after), comment = Option(comment))
+      case other => throw new IllegalArgumentException(
+        s"malformed ADD COLUMN entry: $other")
+    }
+    Seq(Row(t.version))
+  }
+}
+
+/** `ALTER TABLE '<path>' SET|UNSET TBLPROPERTIES (…)` —
+  * [[DeltaTable.setTableProperties]] / [[DeltaTable.unsetTableProperties]]
+  * (one metadata commit; retention/appendOnly/DV gates live behind these
+  * keys, so the SQL spelling reaches the same protocol checks).
+  */
+case class AlterPropertiesCommand(path: String, entries: Seq[String],
+    set: Boolean) extends LeafRunnableCommand {
+  private val PairRe = """(?is)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+  private val KeyRe = """(?is)\s*'([^']+)'\s*""".r
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    val out =
+      if (set) t.setTableProperties(entries.map {
+        case PairRe(k, v) => k -> v
+        case other => throw new IllegalArgumentException(
+          s"malformed TBLPROPERTIES pair: $other (want 'k' = 'v')")
+      }.toMap)
+      else t.unsetTableProperties(entries.map {
+        case KeyRe(k) => k
+        case other => throw new IllegalArgumentException(
+          s"malformed TBLPROPERTIES key: $other (want 'k')")
+      })
+    Seq(Row(out.version))
+  }
+}
+
+/** `ALTER TABLE '<path>' RENAME COLUMN a TO b` —
+  * [[DeltaTable.renameColumn]] (column-mapping name mode: physical files
+  * never rewrite; the rename is a mapping-metadata commit).
+  */
+case class AlterRenameColumnCommand(path: String, from: String,
+    to: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.open(spark, path).renameColumn(from, to).version))
+}
+
+/** `ALTER TABLE '<path>' DROP COLUMN a` — [[DeltaTable.dropColumn]]
+  * (mapping mode; metadata-only, data files untouched).
+  */
+case class AlterDropColumnCommand(path: String,
+    name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.open(spark, path).dropColumn(name).version))
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN a TYPE t` —
+  * [[DeltaTable.alterColumnType]] (lossless widenings only; anything else
+  * refuses, same as the Scala surface).
+  */
+case class AlterColumnTypeCommand(path: String, name: String,
+    tpe: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.open(spark, path)
+      .alterColumnType(name, spark.sessionState.sqlParser.parseDataType(tpe))
+      .version))
 }
 
 /** `CONVERT TO GRAFT parquet.`<path>`` — in-place log mint over existing

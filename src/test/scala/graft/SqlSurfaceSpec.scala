@@ -343,6 +343,44 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(!ex.getMessage.contains("graft path"), ex.getMessage)
   }
 
+  // ---- ALTER TABLE family (X183) ----
+
+  test("ALTER TABLE: ADD COLUMNS / SET-UNSET TBLPROPERTIES / RENAME / DROP / TYPE") {
+    val d = tempDir("sqlsurface-alter")
+    DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    // ADD COLUMNS: metadata-only, existing rows null-fill; COMMENT + AFTER
+    sql.sql(s"ALTER TABLE graft.`$d` ADD COLUMNS (score DOUBLE, " +
+      "tag STRING COMMENT 'quality tag' AFTER n_name)")
+    val t1 = DeltaTable.forPath(d)
+    assert(t1.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "tag", "n_regionkey", "score"))
+    assert(t1.schema("tag").metadata.getString("comment") == "quality tag")
+    assert(t1.toDF(spark).filter(col("score").isNull).count() == 25)
+    // SET / UNSET TBLPROPERTIES (the widening gate rides the same verb)
+    sql.sql(s"ALTER TABLE '$d' SET TBLPROPERTIES " +
+      "('graft.owner' = 'pipeline', 'delta.enableTypeWidening' = 'true')")
+    assert(DeltaTable.forPath(d).tableProperties("graft.owner") == "pipeline")
+    sql.sql(s"ALTER TABLE '$d' UNSET TBLPROPERTIES ('graft.owner')")
+    assert(!DeltaTable.forPath(d).tableProperties.contains("graft.owner"))
+    // ALTER COLUMN TYPE: lossless widening only
+    sql.sql(s"ALTER TABLE graft.`$d` ALTER COLUMN n_regionkey TYPE BIGINT")
+    assert(DeltaTable.forPath(d).schema("n_regionkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val exNarrow = intercept[Exception](sql.sql(
+      s"ALTER TABLE graft.`$d` ALTER COLUMN n_regionkey TYPE INT"))
+    assert(exNarrow.getMessage.toLowerCase.contains("widen"), exNarrow.getMessage)
+    // RENAME (self-enables name-mode mapping) + DROP: metadata-only
+    sql.sql(s"ALTER TABLE graft.`$d` RENAME COLUMN n_name TO nation_name")
+    sql.sql(s"ALTER TABLE graft.`$d` DROP COLUMN tag")
+    val t2 = DeltaTable.forPath(d)
+    assert(t2.schema.fieldNames.toSeq ==
+      Seq("n_nationkey", "nation_name", "n_regionkey", "score"))
+    // data still reads through the mapping (physical files untouched)
+    assert(t2.toDF(spark).filter(col("nation_name").isNotNull).count() == 25)
+    // every step was a commit through the log
+    assert(DeltaTable.forPath(d).history.length == 8)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
