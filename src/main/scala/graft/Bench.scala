@@ -43,7 +43,8 @@ object Bench {
     "q158_kmv_distinct", "q159_logit_quality", "q160_kmv_store",
     "q161_weighted_sample", "q162_asof_tolerance", "q163_bigram_logprob",
     "q164_robust_zscore", "q165_exact_store_dedup", "q166_curriculum", "q167_perceptual_dhash", "q168_video_frame_dedup", "q169_sql_select", "q170_sql_insert",
-    "q171_sql_merge", "q172_ann_index", "q173_sql_alter")
+    "q171_sql_merge", "q172_ann_index", "q173_sql_alter",
+    "q174_paragraph_neardup")
 
   val RUNS = 2
 

@@ -566,6 +566,27 @@ object QueryLib {
         "embedding", batchTxn = Some(("ivf-fixture", 1L)))
     }
 
+  /** Multi-paragraph documents for q174: composed doc d (d < 200) =
+    * text(d) ⏎⏎ text((d+100) % 200) ⏎⏎ text(d % 50). The third paragraph
+    * repeats every 50 docs (shared boilerplate), the second is another
+    * doc's first (cross-document recrawl), and for d < 50 the first and
+    * third coincide (an INTRA-document duplicate) — a closed-form pair
+    * structure any engine can replay from the base table.
+    */
+  def documentsParagraphsDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_paragraphs") { d =>
+      val t = raw(spark, sfDir, "documents").filter(col("doc_id") < 200)
+        .select("doc_id", "text")
+      val composed = t.as("a")
+        .join(t.select(col("doc_id").as("_j1"), col("text").as("_t1")),
+          pmod(col("a.doc_id") + 100, lit(200)) === col("_j1"))
+        .join(t.select(col("doc_id").as("_j2"), col("text").as("_t2")),
+          pmod(col("a.doc_id"), lit(50)) === col("_j2"))
+        .select(col("a.doc_id").as("doc_id"),
+          concat_ws("\n\n", col("a.text"), col("_t1"), col("_t2")).as("text"))
+      DeltaTable.forPath(d).write(composed)
+    }
+
   /** customer evolved entirely through SQL ALTER TABLE statements (q173):
     * ADD COLUMNS (with COMMENT/AFTER), a SQL UPDATE filling them, the
     * widening gate via SET TBLPROPERTIES, ALTER COLUMN TYPE, and a

@@ -628,6 +628,14 @@ object SparkEntry {
     "q171_sql_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // paragraph-granularity MinHash: blank-line paragraphs signed and
+    // banded like documents; shared boilerplate pairs across AND inside
+    // docs (the composed fixture plants both shapes)
+    "q174_paragraph_neardup" -> ((s, d) =>
+      Dedup.paragraphMinHashPairs(
+          DeltaTable.forPath(QueryLib.documentsParagraphsDir(s, d)).toDF(s),
+          "doc_id", "text")
+        .orderBy("a_doc", "a_para", "b_doc", "b_para")),
     // the SQL ALTER TABLE lifecycle: columns added/filled/widened/renamed
     // purely through spark.sql statements — scanned back through the
     // mapping the rename minted
@@ -1454,6 +1462,36 @@ object SparkEntry {
     // the surviving state after the INSERT OVERWRITE is the low-key slice
     "q170_sql_insert" ->
       "SELECT * FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    // paragraph near-dup replay: the fixture's composition is closed-form
+    // (para0 = text(d), para1 = text((d+100)%200), para2 = text(d%50)), so
+    // the oracle rebuilds the paragraph table from the base documents and
+    // computes EXACT trigram Jaccard — banding recall is 100% here because
+    // all >= 0.8 pairs are identical texts (jaccard 1.0), which collide in
+    // every band (the q21 equivalence argument)
+    "q174_paragraph_neardup" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT doc_id AS doc, 0 AS para, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT d.doc_id, 1, s.text FROM documents d JOIN documents s
+        |    ON s.doc_id = (d.doc_id + 100) % 200 WHERE d.doc_id < 200
+        |  UNION ALL
+        |  SELECT d.doc_id, 2, s.text FROM documents d JOIN documents s
+        |    ON s.doc_id = d.doc_id % 50 WHERE d.doc_id < 200),
+        |toks AS MATERIALIZED (
+        |  SELECT doc, para, string_split(lower(text), ' ') AS ts FROM p),
+        |tri AS MATERIALIZED (
+        |  SELECT doc, para, list_distinct(list_transform(
+        |    range(1, greatest(len(ts) - 1, 1)),
+        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh FROM toks),
+        |pr AS (SELECT x.doc AS a_doc, x.para AS a_para,
+        |    y.doc AS b_doc, y.para AS b_para,
+        |    len(list_intersect(x.sh, y.sh)) AS i, len(x.sh) AS nx, len(y.sh) AS ny
+        |  FROM tri x JOIN tri y
+        |    ON (x.doc < y.doc OR (x.doc = y.doc AND x.para < y.para)))
+        |SELECT a_doc, a_para, b_doc, b_para,
+        |  round(i * 1.0 / (nx + ny - i), 4) AS jaccard
+        |FROM pr WHERE i * 1.0 / (nx + ny - i) >= 0.8
+        |ORDER BY a_doc, a_para, b_doc, b_para""".stripMargin,
     // ALTER lifecycle replay: added columns filled by the SQL UPDATE,
     // nationkey widened to BIGINT, mktsegment renamed
     "q173_sql_alter" ->

@@ -172,6 +172,35 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Paragraph-granularity MinHash near-dup — the RefinedWeb dedup step
+    * between X3's whole-document and X61's k-token-window granularities:
+    * documents split on blank lines, every paragraph signed and banded
+    * exactly like a document (the [[minHashLshPairs]] machinery over a
+    * `(doc, para)` struct id), so boilerplate paragraphs pair across AND
+    * inside documents while unique prose survives.
+    *
+    * Scale shape inherits X3's: paragraph count replaces doc count; the
+    * explode is a row multiplier bounded by paragraphs-per-doc, the
+    * signature aggregate stays map-side-combined on the struct key, and
+    * the band self-join stays narrow. Pair order is (doc, para)
+    * lexicographic, so intra-document duplicates emit with a_doc == b_doc.
+    *
+    * @return (a_doc, a_para, b_doc, b_para, jaccard) with exact-verified
+    *         Jaccard >= `threshold` (candidates from banding, like X3)
+    */
+  def paragraphMinHashPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val paras = df.select(col(idCol).as("_doc"),
+        posexplode(split(col(textCol), "\n\\s*\n")))
+      .select(struct(col("_doc").as("doc"), col("pos").as("para")).as("_pid"),
+        trim(col("col")).as("_ptxt"))
+      .filter(length(col("_ptxt")) > 0)
+    minHashLshPairs(paras, "_pid", "_ptxt", n, numHashes, bands, threshold)
+      .select(col("a.doc").as("a_doc"), col("a.para").as("a_para"),
+        col("b.doc").as("b_doc"), col("b.para").as("b_para"), col("jaccard"))
+  }
+
   /** SimHash over whitespace tokens: bit j is the sign of
     * Σ_tokens (bit j of tokenHash(token) ? +1 : -1). One shuffle on the
     * doc id; the per-doc bit counters live in a single custom

@@ -44,6 +44,29 @@ class Round13Spec extends SparkSuite {
     assert(ex.getMessage.contains("dim"), ex.getMessage)
   }
 
+  test("paragraph minhash pairs duplicates across and inside documents") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 8).select("doc_id", "text")
+    // doc 0: unique ++ boiler; doc 1: boiler ++ unique2; doc 2: twice the
+    // SAME paragraph (intra-document duplicate)
+    val boiler = docs.filter(col("doc_id") === 7).head().getString(1)
+    val composed = docs.filter(col("doc_id") < 3).select(col("doc_id"),
+      when(col("doc_id") === 0, concat_ws("\n\n", col("text"), lit(boiler)))
+        .when(col("doc_id") === 1, concat_ws("\n\n", lit(boiler), col("text")))
+        .otherwise(concat_ws("\n\n", lit(boiler), lit(boiler))).as("text"))
+    val pairs = Dedup.paragraphMinHashPairs(composed, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getInt(3)), r.getDouble(4))).toSet
+    // all 4 boiler copies pair: (0,1)x(1,0),(0,1)x(2,0),(0,1)x(2,1),
+    // (1,0)x(2,0),(1,0)x(2,1) and the INTRA-doc (2,0)x(2,1)
+    assert(pairs.size == 6, pairs.toString)
+    assert(pairs.contains(((2L, 0), (2L, 1), 1.0)), "intra-doc pair missing")
+    assert(pairs.forall(_._3 == 1.0))
+    assert(pairs.forall(p => p._1._1 < p._2._1 ||
+      (p._1._1 == p._2._1 && p._1._2 < p._2._2)), "pair ordering")
+  }
+
   test("ivf index query scans only the probed cell partitions") {
     val d = tempDir("ivf-prune")
     Similarity.ivfIndexBuild(spark, d, emb, "vec_id", "embedding",
