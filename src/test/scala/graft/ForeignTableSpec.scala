@@ -155,4 +155,77 @@ class ForeignTableSpec extends SparkSuite {
       "vacuum must not delete a live delta-spec DV file")
     assert(t.toDF(spark).count() == 127L)
   }
+
+  // ---- scenario 4: the SECOND vendored fixture (id mode + V2 checkpoint
+  // + inline DV), written by tools.ForeignFixtureGenV2 — recorded answers
+  // 117 live rows (120 minus inline-DV'd ids 40/42/44), Σid = 7014,
+  // Σvalue = 1753.5 ----
+
+  private def fixtureV2Dir(): String = {
+    val src = Paths.get(getClass.getResource("/foreign-delta-table-v2").toURI)
+    val dst = Files.createTempDirectory("foreign-table-v2")
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toString
+  }
+
+  test("foreign v2 fixture: id-mode scan, stats prune, inline-DV resolution") {
+    val t = DeltaTable.forPath(fixtureV2Dir())
+    assert(t.version == 2L)
+    val df = t.toDF(spark)
+    // logical names bind through the id-mode mapping (files carry both
+    // parquet field ids and col-<uuid> physical names, like delta-spark)
+    assert(df.columns.toSeq == Seq("id", "txt", "value"))
+    assert(df.count() == 117L)
+    val r = df.agg(sum("id"), sum("value")).head()
+    assert(r.getLong(0) == 7014L, r.toString)
+    assert(math.abs(r.getDouble(1) - 1753.5) < 1e-9, r.toString)
+    // the INLINE ("i") roaring DV kills exactly rows 0,2,4 of file 1
+    assert(df.filter(col("id").isin(40L, 42L, 44L)).count() == 0L)
+    assert(df.filter(col("id").isin(41L, 43L, 45L)).count() == 3L)
+    // stats pruning binds logical predicates to the physical stats keys
+    assert(t.prunedAdds(col("id") >= 80L).size == 1)
+    assert(t.prunedAdds(col("id") < 40L).size == 1)
+    // time travel to the pre-delete CTAS state
+    assert(t.loadAsVersion(0L).toDF(spark).count() == 80L)
+    // the protocol declares v2Checkpoint — a feature this engine supports
+    val p = t.dlog.entries.values.flatMap(_.actions).collectFirst {
+      case pr: graft.log.Protocol => pr
+    }.get
+    assert(graft.log.ProtocolGate.readerFeatures(p).contains("v2Checkpoint"))
+  }
+
+  test("foreign v2 fixture: UUID-manifest checkpoint + foreign sidecars are authoritative") {
+    val d = fixtureV2Dir()
+    // wipe every JSON commit — the V2 manifest, its two foreign-named
+    // sidecars under _delta_log/_sidecars/, and _last_checkpoint become
+    // the only source of truth (a log-cleaned foreign table)
+    val log = Paths.get(d, "_delta_log")
+    Files.list(log).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) Files.delete(p)
+    }
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 2L)
+    val df = t.toDF(spark)
+    assert(df.count() == 117L)
+    assert(df.agg(sum("id")).head().getLong(0) == 7014L)
+    // the inline-DV descriptor survived the sidecar struct round trip
+    assert(df.filter(col("id").isin(40L, 42L, 44L)).count() == 0L)
+    // id-mode mapping still binds from the checkpointed metaData
+    assert(df.columns.toSeq == Seq("id", "txt", "value"))
+    // the txn watermark rode the manifest (idempotent sinks keep working
+    // against a log-cleaned table)
+    val txns = t.dlog.entries.values.flatMap(_.actions).collect {
+      case tx: graft.log.Txn => tx
+    }
+    assert(txns.exists(tx => tx.appId == "foreign-v2-app" && tx.version == 9L),
+      txns.toString)
+    // and a commit ON TOP of the checkpoint-only state still works
+    val t2 = t.delete(spark, Some(col("id") >= 115L))
+    assert(t2.toDF(spark).count() == 112L)
+  }
 }
