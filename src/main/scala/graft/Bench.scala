@@ -76,12 +76,14 @@ object Bench {
 
     val qs = headline.filter(n => only.forall(_.contains(n)))
       .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
-    // Sweep-structured timing: one full UNTIMED sweep over the whole suite
-    // (fixture builds + JIT for every shared code path), then RUNS timed
-    // sweeps, reporting each query's min. Same 3 executions per query as
-    // the old per-query warm-and-repeat, but no query is timed until the
-    // entire JVM is warm — this is what keeps driver captures (fresh
-    // machine, concurrent gates) within noise of builder captures.
+    // Hybrid warm-up: one full UNTIMED sweep over the whole suite first
+    // (fixture builds + JIT for every shared code path — no query is
+    // timed until the entire JVM is warm, which keeps a fresh-machine
+    // driver capture comparable to an iterated builder one), THEN
+    // per-query back-to-back timed min-of-RUNS. Back-to-back timing
+    // preserves CPU/JIT locality — a timed-sweep variant was measured
+    // ~20% slower across the board because 98 other queries separate a
+    // query's two runs.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
       try {
         val t0 = System.nanoTime()
@@ -91,9 +93,8 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     qs.foreach { case (name, fn) => once(name, fn) } // warm sweep, untimed
-    val sweeps = (1 to RUNS).map(_ => qs.map { case (name, fn) => once(name, fn) })
-    val results = qs.zipWithIndex.map { case ((name, _), i) =>
-      val runs = sweeps.map(_(i))
+    val results = qs.map { case (name, fn) =>
+      val runs = (1 to RUNS).map(_ => once(name, fn))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     } ++ maintenanceTimings(spark, sfDir, only)
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
