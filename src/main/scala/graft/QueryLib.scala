@@ -587,6 +587,25 @@ object QueryLib {
       DeltaTable.forPath(d).write(composed)
     }
 
+  /** SQL CTAS + INSERT + version-pinned SHALLOW CLONE (q175): a base
+    * table born by `CREATE TABLE … AS SELECT`, grown by INSERT, then
+    * cloned at `VERSION AS OF 0` — the clone must see exactly the CTAS
+    * slice, through cloned-log replay, not the base's current state.
+    */
+  def ordersSqlCtasCloneDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_sqlctas_clone") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val base = cachedDir(sfDir, "orders_sqlctas_base") { b =>
+        val src = deltaDir(spark, sfDir, "orders")
+        sql.sql(s"CREATE TABLE graft.`$b` AS SELECT * FROM graft.`$src` " +
+          "WHERE o_orderkey < 2000")
+        sql.sql(s"INSERT INTO graft.`$b` SELECT * FROM graft.`$src` " +
+          "WHERE o_orderkey >= 2000 AND o_orderkey < 4000")
+      }
+      sql.sql(s"CREATE TABLE graft.`$d` SHALLOW CLONE graft.`$base` " +
+        "VERSION AS OF 0")
+    }
+
   /** customer evolved entirely through SQL ALTER TABLE statements (q173):
     * ADD COLUMNS (with COMMENT/AFTER), a SQL UPDATE filling them, the
     * widening gate via SET TBLPROPERTIES, ALTER COLUMN TYPE, and a

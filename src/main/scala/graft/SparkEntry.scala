@@ -628,6 +628,11 @@ object SparkEntry {
     "q171_sql_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
+    // replays the truncated cloned log and sees only the CTAS slice
+    "q175_sql_ctas_clone" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersSqlCtasCloneDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
     // paragraph-granularity MinHash: blank-line paragraphs signed and
     // banded like documents; shared boilerplate pairs across AND inside
     // docs (the composed fixture plants both shapes)
@@ -1462,6 +1467,9 @@ object SparkEntry {
     // the surviving state after the INSERT OVERWRITE is the low-key slice
     "q170_sql_insert" ->
       "SELECT * FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey",
+    // the v0-pinned clone sees exactly the CTAS slice
+    "q175_sql_ctas_clone" ->
+      "SELECT * FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
     // paragraph near-dup replay: the fixture's composition is closed-form
     // (para0 = text(d), para1 = text((d+100)%200), para2 = text(d%50)), so
     // the oracle rebuilds the paragraph table from the base documents and

@@ -2,10 +2,13 @@ package graft.sql
 
 import graft.DeltaTable
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
+  UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
-  LogicalPlan, MergeIntoTable, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition,
+  CreateTable, CreateTableAsSelect, InsertIntoStatement, LogicalPlan,
+  MergeIntoTable, ReplaceTable, ReplaceTableAsSelect, SubqueryAlias,
+  TableSpec, TableSpecBase, UnresolvedTableSpec}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.StringType
@@ -66,6 +69,22 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
           GraftInsertCommand(path, rewriteReads(i.query), i.overwrite, i.byName)
         case _ => i
       }
+      // CREATE/REPLACE TABLE a graft path (schema-only and AS SELECT):
+      // same corruption guard — a CTAS target must never become a raw
+      // file write. The CTAS query is read-rewritten at capture.
+      case ct: CreateTable if identPath(ct.name).isDefined =>
+        createCmd(identPath(ct.name).get, Some(ct.columns), ct.partitioning,
+          ct.tableSpec, None, orReplace = false, ifNotExists = ct.ignoreIfExists)
+      case ct: CreateTableAsSelect if identPath(ct.name).isDefined =>
+        createCmd(identPath(ct.name).get, None, ct.partitioning, ct.tableSpec,
+          Some(rewriteReads(ct.query)), orReplace = false,
+          ifNotExists = ct.ignoreIfExists)
+      case rt: ReplaceTable if identPath(rt.name).isDefined =>
+        createCmd(identPath(rt.name).get, Some(rt.columns), rt.partitioning,
+          rt.tableSpec, None, orReplace = true, ifNotExists = false)
+      case rt: ReplaceTableAsSelect if identPath(rt.name).isDefined =>
+        createCmd(identPath(rt.name).get, None, rt.partitioning, rt.tableSpec,
+          Some(rewriteReads(rt.query)), orReplace = true, ifNotExists = false)
       // MERGE INTO a graft path: same top-down capture as INSERT — the
       // target must never fall through to the read rewrite (a merge
       // against a raw file relation would plan a log-bypassing write).
@@ -92,6 +111,51 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
         }
     }
     rewriteReads(afterInserts)
+  }
+
+  private def identPath(name: LogicalPlan): Option[String] = name match {
+    case u: UnresolvedIdentifier => pathOf(u.nameParts)
+    case _ => None
+  }
+
+  /** Build the create command from the parsed v2 pieces, validating that
+    * nothing unsupported (a LOCATION differing from the path address,
+    * a non-graft provider, non-identity partition transforms) slips
+    * through silently.
+    */
+  private def createCmd(path: String,
+      columns: Option[Seq[ColumnDefinition]],
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      spec: TableSpecBase, query: Option[LogicalPlan], orReplace: Boolean,
+      ifNotExists: Boolean): LogicalPlan = {
+    val (props, provider, location) = spec match {
+      case s: TableSpec => (s.properties, s.provider, s.location)
+      case s: UnresolvedTableSpec => (s.properties, s.provider, s.location)
+      case other => throw new IllegalArgumentException(
+        s"unsupported table spec: $other")
+    }
+    provider.foreach(p => require(
+      p.equalsIgnoreCase("graft") || p.equalsIgnoreCase("delta") ||
+        p.equalsIgnoreCase("parquet"),
+      s"CREATE TABLE over a graft path supports USING graft, got USING $p"))
+    location.foreach(l => require(l == path,
+      s"LOCATION '$l' conflicts with the path address '$path'"))
+    val partCols = partitioning.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"only PARTITIONED BY (column) is supported, got: $t")
+      t.references.head.fieldNames.mkString(".")
+    }
+    val schemaJson = columns.filter(_.nonEmpty).map { cols =>
+      org.apache.spark.sql.types.StructType(cols.map { c =>
+        val base = org.apache.spark.sql.types.StructField(
+          c.name, c.dataType, c.nullable)
+        c.comment.map(cm => base.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", cm).build())).getOrElse(base)
+      }).json
+    }
+    GraftCreateTableCommand(path, schemaJson, partCols, props, query,
+      orReplace, ifNotExists)
   }
 
   private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {

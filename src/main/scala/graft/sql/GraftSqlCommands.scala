@@ -78,6 +78,17 @@ object GraftSqlCommands {
     s"""(?is)\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  // delta's CLONE verb is not in Spark's grammar, so it parses here; the
+  // schema/CTAS CREATE forms parse with Spark's own grammar and intercept
+  // as plans in GraftPathResolution
+  private val CloneRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?$P\\s+(SHALLOW|DEEP)\\s+CLONE\\s+$P(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?(?:\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?\\s*;?\\s*""".r
+  private val CloneIfNotExistsRe =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+IF\\s+NOT\\s+EXISTS\\s+$P\\s+(?:SHALLOW|DEEP)\\s+CLONE\\s+.*""".r
+  private val ShowTblPropsRe =
+    s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*""".r
+  private val DescribeTableRe =
+    s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?$P\\s*;?\\s*""".r
   // ALTER TABLE family — each verb routes to the engine API that already
   // owns its semantics (schema evolution, mapping-mode renames, widening)
   private val AlterAddColsRe =
@@ -129,6 +140,13 @@ object GraftSqlCommands {
         Some(AlterDropColumnCommand(path(a, b), name))
       case AlterColTypeRe(a, b, name, tpe) =>
         Some(AlterColumnTypeCommand(path(a, b), name, tpe.trim))
+      case CloneRe(da, db, kind, sa, sb, ver, ts) =>
+        Some(GraftCloneCommand(path(da, db), path(sa, sb),
+          deep = kind.equalsIgnoreCase("DEEP"),
+          version = Option(ver).map(_.toLong), timestamp = Option(ts),
+          ifNotExists = CloneIfNotExistsRe.matches(sqlText)))
+      case ShowTblPropsRe(a, b) => Some(ShowTblPropertiesCommand(path(a, b)))
+      case DescribeTableRe(a, b) => Some(DescribeTableCommand(path(a, b)))
       case _ => None
     }
 

@@ -381,6 +381,84 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(DeltaTable.forPath(d).history.length == 8)
   }
 
+  // ---- CREATE TABLE / CTAS / CLONE / SHOW TBLPROPERTIES / DESCRIBE (X187/X188) ----
+
+  test("CREATE TABLE: schema-only create, then INSERT through the log") {
+    val d = tempDir("sqlsurface-create")
+    val r = sql.sql(s"CREATE TABLE graft.`$d` (id BIGINT, name STRING " +
+      "COMMENT 'label', amount DECIMAL(10,2)) PARTITIONED BY (name) " +
+      "TBLPROPERTIES ('graft.kind' = 'ledger')").collect().head
+    assert(r.getString(0) == d)
+    val t = DeltaTable.forPath(d)
+    assert(t.toDF(spark).count() == 0)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "name", "amount"))
+    assert(t.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(t.schema("name").metadata.getString("comment") == "label")
+    assert(t.dlog.partitionColumns == Seq("name"))
+    assert(t.tableProperties("graft.kind") == "ledger")
+    // the empty create is a real table: inserts land through the log
+    sql.sql(s"INSERT INTO graft.`$d` SELECT CAST(1 AS BIGINT), 'a', " +
+      "CAST(2.50 AS DECIMAL(10,2))")
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 1)
+    // plain CREATE on an existing table refuses; IF NOT EXISTS no-ops
+    intercept[Exception](sql.sql(s"CREATE TABLE graft.`$d` (x INT)"))
+    sql.sql(s"CREATE TABLE IF NOT EXISTS graft.`$d` (x INT)")
+    assert(DeltaTable.forPath(d).schema.fieldNames.toSeq ==
+      Seq("id", "name", "amount"))
+  }
+
+  test("CTAS and CREATE OR REPLACE ... AS SELECT commit atomically") {
+    val d = tempDir("sqlsurface-ctas")
+    val src = tempDir("sqlsurface-ctas-src")
+    DeltaTable.forPath(src).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    sql.sql(s"CREATE TABLE graft.`$d` USING graft PARTITIONED BY (n_regionkey) " +
+      s"AS SELECT * FROM graft.`$src` WHERE n_nationkey < 10")
+    val t = DeltaTable.forPath(d)
+    assert(t.toDF(spark).count() == 10)
+    assert(t.dlog.partitionColumns == Seq("n_regionkey"))
+    sql.sql(s"CREATE OR REPLACE TABLE graft.`$d` AS SELECT * FROM " +
+      s"graft.`$src` WHERE n_nationkey >= 20")
+    val t2 = DeltaTable.forPath(d)
+    assert(t2.toDF(spark).count() == 5)
+    // the replace is one overwrite commit; prior state stays time-travelable
+    assert(t2.loadAsVersion(0L).toDF(spark).count() == 10)
+  }
+
+  test("SHALLOW/DEEP CLONE with VERSION AS OF; SHOW TBLPROPERTIES; DESCRIBE") {
+    val src = tempDir("sqlsurface-clone-src")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(src).write(nation).write(nation)
+      .setTableProperties(Map("graft.team" -> "data"))
+    // shallow clone pinned at v0 carries only the first append
+    val sh = tempDir("sqlsurface-clone-sh")
+    sql.sql(s"CREATE TABLE graft.`$sh` SHALLOW CLONE graft.`$src` VERSION AS OF 0")
+    val shT = DeltaTable.forPath(sh)
+    assert(shT.version == 0L)
+    assert(shT.toDF(spark).count() == 25)
+    // deep clone owns its bytes: fresh v0, full current rows
+    val dp = tempDir("sqlsurface-clone-dp")
+    sql.sql(s"CREATE TABLE graft.`$dp` DEEP CLONE graft.`$src`")
+    val dpT = DeltaTable.forPath(dp)
+    assert(dpT.version == 0L)
+    assert(dpT.toDF(spark).count() == 50)
+    // existing target refuses; IF NOT EXISTS no-ops
+    intercept[Exception](
+      sql.sql(s"CREATE TABLE graft.`$dp` SHALLOW CLONE graft.`$src`"))
+    sql.sql(s"CREATE TABLE IF NOT EXISTS graft.`$dp` SHALLOW CLONE graft.`$src`")
+    assert(DeltaTable.forPath(dp).toDF(spark).count() == 50)
+    // SHOW TBLPROPERTIES reads the log's configuration
+    val props = sql.sql(s"SHOW TBLPROPERTIES '$src'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.team") == "data")
+    // DESCRIBE lists the schema (+ partition section when partitioned)
+    val desc = sql.sql(s"DESCRIBE TABLE graft.`$src`").collect()
+    assert(desc.map(_.getString(0)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // ... and DESCRIBE HISTORY/DETAIL still route to their own commands
+    assert(sql.sql(s"DESCRIBE HISTORY '$src'").count() == 3)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
