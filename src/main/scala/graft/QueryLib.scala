@@ -875,6 +875,17 @@ object QueryLib {
     DeltaTable.forPath(dir).toDF(spark)
   }
 
+  /** purchases LEFT OUTER clicks per user within [purchase, purchase + 1 h]
+    * as a watermarked stream-stream join: unmatched purchases null-pad
+    * once the watermark proves no click can still arrive.
+    */
+  def eventsStreamLeftJoined(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cachedDir(sfDir, "events_stream_leftjoined") { d =>
+      streaming.DeltaStreamSink.runStreamStreamLeftJoin(spark, sfDir, d)
+    }
+    DeltaTable.forPath(dir).toDF(spark)
+  }
+
   /** A graft Delta table consumed AS a streaming source: nation appended
     * twice into a source table, streamed out via
     * [[streaming.DeltaStreamSource.appendOnlyStream]], aggregated, and

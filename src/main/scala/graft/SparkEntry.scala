@@ -1157,6 +1157,18 @@ object SparkEntry {
         .orderBy("event_id")),
     "q63_stream_stream_join" -> ((s, d) =>
       QueryLib.eventsStreamJoined(s, d).orderBy("purchase_id", "click_id")),
+    // stream-stream LEFT OUTER join: unmatched purchases null-pad once
+    // the watermark proves no click can arrive. Consumers cut at a
+    // watermark-safe horizon (max ts - 2h > window 1h + delay 30min), so
+    // boundary eviction timing can never flip a row in or out
+    "q176_stream_left_join" -> ((s, d) => {
+      val cut = QueryLib.events(s, d)
+        .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("_cut"))
+      QueryLib.eventsStreamLeftJoined(s, d).join(broadcast(cut))
+        .filter(col("purchase_ts").cast("timestamp_ntz") < col("_cut"))
+        .select("user_id", "purchase_id", "click_id")
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
     "q67_idempotent_sink" -> ((s, d) =>
       QueryLib.eventsIdempotentViaStream(s, d)
         .groupBy("user_id")
@@ -2728,6 +2740,18 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // left-outer replay below the watermark-safe horizon: matched pairs
+    // plus null-padded no-click purchases, exactly a batch LEFT JOIN
+    "q176_stream_left_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  AND ts < (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.purchase_id, c.click_id
+        |FROM p LEFT JOIN c ON c.c_user = p.user_id
+        |  AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
     // every batch was delivered twice; the txn handshake must keep ONE copy
     "q67_idempotent_sink" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -235,6 +235,57 @@ object DeltaStreamSink {
     q.awaitTermination()
   }
 
+  /** Stream-stream LEFT OUTER join with watermark-driven null emission —
+    * the attribution shape ([[runStreamStreamJoin]]'s inner join can
+    * never answer "which purchases had NO click"): matched pairs emit as
+    * they join; an UNMATCHED left row emits null-padded only once the
+    * watermark proves no match can still arrive (event-time watermark
+    * past `p_ts + window + delay`), which is when its state evicts. The
+    * final no-data micro-batch (on by default) advances the watermark
+    * after input exhausts, so a bounded replay flushes everything
+    * eligible.
+    *
+    * Scale shape: state is bounded by delay + window per Spark's outer
+    * stream-stream join contract; both sides shuffle on the equality key
+    * only. The sink keeps `purchase_ts` so consumers can cut at a
+    * watermark-safe horizon (rows closer to max event time than
+    * delay + window are still legitimately in state, not dropped).
+    */
+  def runStreamStreamLeftJoin(spark: SparkSession, sfDir: String,
+      tableDir: String, delay: String = "30 minutes"): Unit = {
+    val raw = eventsRawSchema(spark, sfDir)
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+    def side(eventType: String, prefix: String) = {
+      val s = spark.readStream
+        .schema(raw)
+        .option("basePath", sfDir)
+        .parquet(s"$sfDir/events*.parquet")
+        .withColumn("ts", graft.QueryLib.tsToTimestamp(raw("ts").dataType))
+        .filter(col("event_type") === eventType)
+        .withWatermark("ts", delay)
+      s.select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"), col("ts").as(s"${prefix}_ts"))
+    }
+    val purchases = side("purchase", "p")
+    val clicks = side("click", "c")
+    val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"),
+        col("p_id").as("purchase_id"),
+        col("p_ts").as("purchase_ts"),
+        col("c_id").as("click_id"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(appendSink(tableDir) _)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact deduplication: `dropDuplicates` on the id keeps a
     * keyed state store across micro-batches, so a duplicate arriving in a
     * LATER batch than its original is still dropped — the streaming
