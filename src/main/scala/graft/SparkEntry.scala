@@ -1304,6 +1304,13 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // cluster-balanced diversity sample: per-k-means-cell quotas
+    // ∝ |cell|^0.5 (up-weights rare embedding modes), md5-least picks —
+    // the oracle exports codebook AND quotas as trained literals
+    "q177_cluster_balanced_sample" -> ((s, d) =>
+      operators.Sampling.clusterBalancedSample(QueryLib.delta(s, d, "embeddings"),
+          "vec_id", "embedding", total = 200)
+        .orderBy("vec_id")),
     // ---- embedding compression: JL random projection (±1 sign matrix) ----
     "q122_random_projection" -> ((s, d) =>
       Similarity.randomProject(QueryLib.delta(s, d, "embeddings"),
@@ -2944,6 +2951,43 @@ object SparkEntry {
          |SELECT r.vec_id, CAST(r.c + 1 AS BIGINT) AS cluster_id,
          |  round(r.dot / (xn.xnrm * r.nrm), 4) AS centroid_sim
          |FROM r JOIN xn USING (vec_id) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }),
+    // cluster-balanced sample: re-derive the SAME codebook (deterministic
+    // Lloyd), export it plus the driver-computed quotas as literals, and
+    // replay assignment + md5-least per-cluster picks. Quotas ride as
+    // literals because Σ n^alpha is float arithmetic whose summation
+    // ORDER DuckDB doesn't guarantee — the exported constants make the
+    // oracle exact, the same trained-constant pattern as the codebook.
+    "q177_cluster_balanced_sample" -> ((s, d) => {
+      val emb = QueryLib.delta(s, d, "embeddings")
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        nCells = 8, iters = 5, seed = 42)
+      val assigned = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8)
+        .select(col("vec_id"), col("cluster_id"))
+      val quotas = operators.Sampling.clusterQuotas(assigned, total = 200, alpha = 0.5)
+      val cvalues = cents.zipWithIndex.flatMap { case (arr, c) =>
+        arr.zipWithIndex.map { case (v, i) => s"($c, $i, $v::DOUBLE)" }
+      }.mkString(", ")
+      val qvalues = quotas.map { case (c, q) => s"($c, $q)" }.mkString(", ")
+      s"""WITH c(c, i, v) AS (VALUES $cvalues),
+         |q(cl, quota) AS (VALUES $qvalues),
+         |n AS (SELECT c, sqrt(sum(v*v)) AS nrm FROM c GROUP BY c),
+         |e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |  unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+         |dt AS (SELECT e.vec_id, c.c, sum(e.x * c.v) AS dot
+         |  FROM e JOIN c USING (i) GROUP BY e.vec_id, c.c),
+         |a AS (SELECT vec_id, c AS cluster_id FROM (
+         |  SELECT dt.vec_id, dt.c, row_number() OVER (PARTITION BY dt.vec_id
+         |    ORDER BY dt.dot * (CASE WHEN n.nrm > 0 THEN 1.0 / n.nrm ELSE 1.0 END) DESC, dt.c) AS rk
+         |  FROM dt JOIN n USING (c)) WHERE rk = 1),
+         |r AS (SELECT vec_id, cluster_id + 1 AS cluster_id,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY md5('div:' || vec_id), vec_id) AS pick
+         |  FROM a)
+         |SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         |  CAST(pick AS BIGINT) AS pick_rank
+         |FROM r JOIN q ON r.cluster_id = q.cl AND r.pick <= q.quota
+         |ORDER BY vec_id""".stripMargin
     }),
     // BPE application: learn the same 20 merges, then replay the greedy
     // left-to-right non-overlapping merge of each rank as set operations

@@ -361,4 +361,73 @@ object Sampling {
       .filter(col("_tb_cum") <= budget)
       .drop("_tb_pid", "_tb_off", "_tb_cum")
   }
+
+  /** Cluster-balanced diversity sampling (the DataComp/SemDeDup
+    * diversification step): k-means the embedding space, then draw
+    * per-cluster quotas proportional to |cluster|^alpha — alpha = 1
+    * reproduces the corpus distribution, alpha = 0 samples clusters
+    * uniformly (maximum diversity), 0.5 is the usual sub-linear
+    * compromise that up-weights rare modes without drowning the head.
+    * Quotas are ceil'd and every non-empty cluster gets >= 1, so the
+    * draw can exceed `total` by at most nCells - 1 (the contract a
+    * "cover every mode" sample wants).
+    *
+    * Within a cluster the picks are the md5-least ids — a pure function
+    * of the id that any engine replays row for row (same convention as
+    * [[deterministicShuffle]]).
+    *
+    * Scale shape: assignment is row-local after the centroid broadcast
+    * ([[Similarity.kmeansAssign]]); cluster sizes are a map-side-combined
+    * nCells-row aggregate; quotas are driver arithmetic over those
+    * nCells rows (exported as literals for the oracle, like the
+    * codebook); the per-cluster rank caps at the max quota FIRST — a
+    * constant bound the optimizer turns into a WindowGroupLimit partial
+    * top-k — before the exact per-cluster quota join. Cluster size skew
+    * is governed by nCells, the same knob as semanticDedup.
+    *
+    * @return (idCol, cluster_id, pick_rank) — quota-surviving rows only
+    */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      total: Long, alpha: Double = 0.5, nCells: Int = 8, iters: Int = 5,
+      seed: Int = 42): DataFrame = {
+    require(total > 0, "total must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val spark = df.sparkSession
+    val assigned = Similarity.kmeansAssign(df, idCol, vecCol,
+        k = nCells, iters = iters, seed = seed)
+      .select(col(idCol), col("cluster_id"))
+    val quotas = clusterQuotas(assigned, total, alpha)
+    val maxQuota = quotas.map(_._2).max
+    import spark.implicits._
+    val quotaDf = broadcast(quotas.toDF("cluster_id", "_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("_ord"), col(idCol))
+    assigned
+      .withColumn("_ord", md5(concat(lit("div:"), col(idCol).cast("string"))))
+      .withColumn("pick_rank", row_number().over(w))
+      // constant cap first: WindowGroupLimit prunes losers before the
+      // exact quota join ever sees them
+      .filter(col("pick_rank") <= lit(maxQuota))
+      .join(quotaDf, "cluster_id")
+      .filter(col("pick_rank") <= col("_quota"))
+      .select(col(idCol), col("cluster_id"),
+        col("pick_rank").cast("long").as("pick_rank"))
+  }
+
+  /** Driver-side per-cluster quotas: ceil(total * n^alpha / Σ n^alpha),
+    * floor 1 per non-empty cluster — nCells rows of arithmetic, exported
+    * as oracle literals by the caller.
+    */
+  private[graft] def clusterQuotas(assigned: DataFrame, total: Long,
+      alpha: Double): Seq[(Long, Long)] = {
+    val sizes = assigned.groupBy("cluster_id").count().collect()
+      .map(r => (r.getAs[Number]("cluster_id").longValue, r.getLong(1)))
+      .sortBy(_._1)
+    val weights = sizes.map { case (c, n) => (c, math.pow(n.toDouble, alpha)) }
+    val wSum = weights.map(_._2).sum
+    weights.map { case (c, wgt) =>
+      c -> math.max(1L, math.ceil(total * wgt / wSum).toLong)
+    }.toSeq
+  }
 }

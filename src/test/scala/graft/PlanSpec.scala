@@ -420,6 +420,19 @@ class PlanSpec extends SparkSuite {
       "expected partial + final WindowGroupLimit:\n" + plan.take(1500))
   }
 
+  test("cluster-balanced sample caps with WindowGroupLimit before the quota join") {
+    val emb = QueryLib.delta(spark, sfDir, "embeddings")
+    val plan = explainOf(operators.Sampling.clusterBalancedSample(
+      emb, "vec_id", "embedding", total = 50))
+    // the constant max-quota cap must turn into a partial top-k: a huge
+    // cluster ships at most maxQuota rows per upstream partition, and the
+    // exact per-cluster quota join only ever sees survivors
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"),
+      "quota re-attach must broadcast the nCells-row quota table:\n" +
+        plan.take(1500))
+  }
+
   test("kmv sketch plans map-side partial aggregation (<=k longs on the wire)") {
     val li = QueryLib.delta(spark, sfDir, "lineitem")
     val plan = explainOf(operators.Sketches.kmvSketch(
