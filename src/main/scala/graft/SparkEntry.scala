@@ -1304,6 +1304,14 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // UniMax mixture: uniform token budget across languages capped at 3
+    // epochs — at sf0.01 the cap binds on 4 of 5 langs and en fills the
+    // rest with a partial epoch; allocation exported as oracle literals
+    "q178_unimax_sample" -> ((s, d) =>
+      operators.Sampling.unimaxSample(QueryLib.delta(s, d, "documents"),
+          "lang", "doc_id", size(split(lower(col("text")), " ")),
+          budgetTokens = 60000L, maxEpochs = 3.0)
+        .orderBy("doc_id", "copy")),
     // cluster-balanced diversity sample: per-k-means-cell quotas
     // ∝ |cell|^0.5 (up-weights rare embedding modes), md5-least picks —
     // the oracle exports codebook AND quotas as trained literals
@@ -2951,6 +2959,28 @@ object SparkEntry {
          |SELECT r.vec_id, CAST(r.c + 1 AS BIGINT) AS cluster_id,
          |  round(r.dot / (xn.xnrm * r.nrm), 4) AS centroid_sim
          |FROM r JOIN xn USING (vec_id) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }),
+    // UniMax: the waterfill is integer-exact driver arithmetic, exported
+    // as (lang, fullEpochs, remainderTokens) literals; the replay is the
+    // per-lang md5-ordered inclusive cumsum and copy expansion
+    "q178_unimax_sample" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val plan = operators.Sampling.unimaxPlan(docs, "lang",
+        size(split(lower(col("text")), " ")), 60000L, 3.0)
+      val values = plan.map { case (k, _, f, rem) => s"('$k', $f, $rem)" }
+        .mkString(", ")
+      s"""WITH a(lang, f, rem) AS (VALUES $values),
+         |tk AS (SELECT doc_id, lang,
+         |  len(string_split(lower(text), ' ')) AS tok FROM documents),
+         |o AS (SELECT doc_id, lang, tok, md5('unimax:' || doc_id) AS h FROM tk),
+         |c AS (SELECT doc_id, lang, tok, sum(tok) OVER (PARTITION BY lang
+         |  ORDER BY h, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM o),
+         |k AS (SELECT c.doc_id, c.lang,
+         |  a.f + CASE WHEN c.cum <= a.rem THEN 1 ELSE 0 END AS copies
+         |  FROM c JOIN a USING (lang))
+         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy"
+         |FROM k WHERE copies >= 1 ORDER BY doc_id, "copy"""".stripMargin
     }),
     // cluster-balanced sample: re-derive the SAME codebook (deterministic
     // Lloyd), export it plus the driver-computed quotas as literals, and

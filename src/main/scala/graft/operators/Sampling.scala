@@ -362,6 +362,92 @@ object Sampling {
       .drop("_tb_pid", "_tb_off", "_tb_cum")
   }
 
+  /** UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a token budget as UNIFORMLY as possible
+    * across keys (languages/domains), capped at `maxEpochs` passes over
+    * any key's corpus — the published alternative to temperature mixing
+    * that never over-repeats a low-resource key. Allocation is the
+    * canonical waterfill: keys ascending by their cap
+    * (floor(maxEpochs × capacity), integer arithmetic throughout so the
+    * plan is engine-exact); each takes min(cap, remaining / keysLeft).
+    *
+    * The allocation MATERIALIZES like [[applyMixture]]: every doc of a
+    * key repeats floor(alloc / capacity) full epochs, and the md5-least
+    * docs fill the remainder as one partial epoch (inclusive-cumsum
+    * ≤ remainder, the [[selectUnderTokenBudget]] rule).
+    *
+    * Scale shape: capacities are a map-side-combined nKeys-row
+    * aggregate; the waterfill is driver arithmetic over those rows
+    * (exported as oracle literals); the per-key running token sum uses
+    * the md5-PREFIX bucket trick — bucket = first hex char of the order
+    * key, so bucket order IS order-prefix order — giving a two-pass
+    * carry exactly like [[graft.operators.Temporal.bucketedRunningLast]]:
+    * no window ever partitions by the bare key, so a 90%-English corpus
+    * cumsums across 16 bounded tasks, not one.
+    *
+    * @return (idCol, keyCol, copy) — one row per materialized copy
+    */
+  def unimaxSample(df: DataFrame, keyCol: String, idCol: String,
+      tokensCol: Column, budgetTokens: Long, maxEpochs: Double = 4.0,
+      seed: String = "unimax"): DataFrame = {
+    val alloc = unimaxPlan(df, keyCol, tokensCol, budgetTokens, maxEpochs)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allocDf = broadcast(alloc.map { case (k, _, full, rem) => (k, full, rem) }
+      .toDF(keyCol, "_full", "_rem"))
+    val tk = df.select(col(keyCol), col(idCol),
+        tokensCol.cast("long").as("_tok"))
+      .withColumn("_ord", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("_b", substring(col("_ord"), 1, 1))
+    // two-pass per-key prefix sum: per-(key, hex-bucket) totals, exclusive
+    // offsets over the ≤16 bucket rows per key, in-bucket running sum
+    import org.apache.spark.sql.expressions.Window
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = tk.groupBy(col(keyCol), col("_b"))
+      .agg(sum(col("_tok")).as("_bsum"))
+      .withColumn("_off", coalesce(sum("_bsum").over(wOff), lit(0L)))
+      .drop("_bsum")
+    val wIn = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col("_ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tk.join(offDf, Seq(keyCol, "_b"))
+      .withColumn("_cum", col("_off") + sum(col("_tok")).over(wIn))
+      .join(allocDf, Seq(keyCol))
+      .withColumn("_copies", col("_full") +
+        when(col("_cum") <= col("_rem"), 1L).otherwise(0L))
+      .withColumn("copy", explode(when(col("_copies") >= 1L,
+        sequence(lit(1L), col("_copies")))
+        .otherwise(array().cast("array<bigint>"))))
+      .select(col(idCol), col(keyCol), col("copy"))
+  }
+
+  /** The UniMax waterfill over driver-collected capacities:
+    * (key, capacityTokens, fullEpochs, remainderTokens) per key —
+    * integer arithmetic only, so any engine replays it from the
+    * exported constants.
+    */
+  private[graft] def unimaxPlan(df: DataFrame, keyCol: String,
+      tokensCol: Column, budgetTokens: Long,
+      maxEpochs: Double): Seq[(String, Long, Long, Long)] = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val caps = df.groupBy(col(keyCol))
+      .agg(sum(tokensCol.cast("long")).as("_cap")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (k, cap) => (math.floor(maxEpochs * cap).toLong, k) }
+    var remaining = budgetTokens
+    var left = caps.length
+    caps.map { case (k, cap) =>
+      val capLim = math.floor(maxEpochs * cap).toLong
+      val give = math.min(capLim, if (left > 0) remaining / left else 0L)
+      remaining -= give
+      left -= 1
+      (k, cap, give / cap, give % cap)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** Cluster-balanced diversity sampling (the DataComp/SemDeDup
     * diversification step): k-means the embedding space, then draw
     * per-cluster quotas proportional to |cluster|^alpha — alpha = 1

@@ -67,6 +67,46 @@ class Round13Spec extends SparkSuite {
       (p._1._1 == p._2._1 && p._1._2 < p._2._2)), "pair ordering")
   }
 
+  test("unimax waterfill: epoch cap binds ascending, leftover flows to the head") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tok = size(split(lower(col("text")), " "))
+    val caps = docs.groupBy("lang").agg(sum(tok.cast("long")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budget sized from the data so the uniform share strictly exceeds
+    // the smallest key's 3-epoch cap — the cap must bind there
+    val budget = caps.size * (3L * caps.values.min + 500L)
+    val plan = Sampling.unimaxPlan(docs, "lang", tok,
+      budgetTokens = budget, maxEpochs = 3.0)
+    // every key at most 3 epochs; allocation never exceeds the budget
+    plan.foreach { case (k, cap, full, rem) =>
+      assert(cap == caps(k))
+      assert(full * cap + rem <= 3L * cap, s"$k over the epoch cap")
+      assert(rem < cap, s"$k remainder must be a partial epoch")
+    }
+    val allocated = plan.map { case (_, cap, f, r) => f * cap + r }.sum
+    assert(allocated <= budget)
+    // the budget is big enough that low-resource keys hit the cap exactly
+    val capped = plan.filter { case (_, cap, f, r) => f * cap + r == 3L * cap }
+    assert(capped.nonEmpty, "fixture budget should bind the cap somewhere")
+    // and the head key absorbs the leftover as a partial epoch
+    val en = plan.find(_._1 == "en").get
+    assert(en._3 >= 1L && en._4 > 0L, en.toString)
+    // materialization: per-key copy totals equal the plan's epochs
+    val sampled = Sampling.unimaxSample(docs, "lang", "doc_id", tok,
+      budgetTokens = budget, maxEpochs = 3.0)
+    val nDocs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (k, _, full, rem) =>
+      assert(rows.getOrElse(k, 0L) >= full * nDocs(k),
+        s"$k must carry $full full epochs")
+      if (rem == 0) assert(rows(k) == full * nDocs(k), s"$k partial unexpected")
+      else assert(rows(k) > full * nDocs(k) && rows(k) <= (full + 1) * nDocs(k))
+    }
+  }
+
   test("ivf index query scans only the probed cell partitions") {
     val d = tempDir("ivf-prune")
     Similarity.ivfIndexBuild(spark, d, emb, "vec_id", "embedding",
