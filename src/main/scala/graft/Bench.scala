@@ -45,7 +45,8 @@ object Bench {
     "q164_robust_zscore", "q165_exact_store_dedup", "q166_curriculum", "q167_perceptual_dhash", "q168_video_frame_dedup", "q169_sql_select", "q170_sql_insert",
     "q171_sql_merge", "q172_ann_index", "q173_sql_alter",
     "q174_paragraph_neardup", "q175_sql_ctas_clone", "q176_stream_left_join",
-    "q177_cluster_balanced_sample", "q178_unimax_sample")
+    "q177_cluster_balanced_sample", "q178_unimax_sample",
+    "q179_video_scene_cuts")
 
   val RUNS = 2
 

@@ -288,6 +288,17 @@ object QueryLib {
           raw(spark, sfDir, "documents").filter(col("doc_id") < 200), "doc_id"))
     }
 
+  /** Scene-structured AVI fixture (q179): frames byte-identical inside a
+    * scene, hash-random across boundaries — closed form of (id, f, i), so
+    * scene-cut detection gets a full pixel-rederiving oracle.
+    */
+  def documentsVideoScenesDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "documents_video_scenes") { d =>
+      DeltaTable.forPath(d).write(
+        graft.operators.Multimodal.attachAviScenesPayload(
+          raw(spark, sfDir, "documents").filter(col("doc_id") < 200), "doc_id"))
+    }
+
   /** int8 codes of [[embX2]] materialized as a graft table (stats in
     * commit metadata) — the serving-side layout the two-stage quantized
     * retrieval scans for candidates.

@@ -666,6 +666,13 @@ object SparkEntry {
            |FROM graft.`$dir` VERSION AS OF 0
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
+    // scene-cut detection over REAL AVI walks: consecutive-frame mean
+    // absolute byte delta thresholded, decode-local (no shuffle); the
+    // oracle re-derives every pixel pair from the closed form
+    "q179_video_scene_cuts" -> ((s, d) =>
+      Multimodal.videoSceneCuts(
+          DeltaTable.forPath(QueryLib.documentsVideoScenesDir(s, d)).toDF(s))
+        .orderBy("doc_id", "frame_idx")),
     // frame-level video dedup: per-frame fingerprints from real AVI
     // walks, equal frames paired across files (shared intro/outro shape)
     "q168_video_frame_dedup" -> ((s, d) => {
@@ -1553,6 +1560,24 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // scene-cut replay: both frames of every consecutive pair regenerate
+    // from the closed form (scene s = f // sceneLen), the mean abs byte
+    // delta recomputes exactly (64 small ints sum exactly in a double),
+    // and the threshold replays — is_cut true exactly at scene boundaries
+    "q179_video_scene_cuts" ->
+      """WITH v AS (SELECT doc_id, 8 + doc_id % 9 AS nf, 3 + doc_id % 4 AS sl
+        |           FROM documents WHERE doc_id < 200),
+        |fr AS (SELECT doc_id, sl, f.range AS f FROM v, range(1, 17) f
+        |       WHERE f.range < nf),
+        |d AS (SELECT doc_id, f,
+        |  (SELECT avg(abs(
+        |     (((doc_id*131 + (f // sl)) * 2654435761 + i.range*31) & 255) -
+        |     (((doc_id*131 + ((f-1) // sl)) * 2654435761 + i.range*31) & 255)))
+        |   FROM range(0, 64) i) AS delta
+        | FROM fr)
+        |SELECT doc_id, f AS frame_idx, round(delta, 4) AS delta,
+        |  delta >= 16.0 AS is_cut
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
     // frame-dedup replay: frames regenerate from the closed form
     // (id + f) and fingerprint as md5 of the comma-joined unsigned bytes
     "q168_video_frame_dedup" ->

@@ -337,6 +337,98 @@ object Multimodal {
       StructField("frame_md5", StringType, nullable = false))))
   }
 
+  /** Scene parameters for the scene-structured AVI arm: (frames,
+    * sceneLen) — frames within a scene are byte-identical, scenes differ
+    * hash-randomly.
+    */
+  def sceneParams(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 3 + (id % 4).toInt)
+
+  /** AVI payloads whose frames are SCENE-structured: frame f of doc id
+    * carries byte i = ((id·131 + ⌊f/sceneLen⌋)·2654435761 + i·31) & 0xFF —
+    * byte-identical inside a scene, hash-random across scene boundaries.
+    * Closed form of (id, f, i), so scene-cut detection over REAL container
+    * walks gets a full pixel-rederiving oracle (the q167/q168 pattern).
+    */
+  def attachAviScenesPayload(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast("long")).rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (n, sceneLen) = sceneParams(id)
+        Row(id, "video/avi",
+          encodeAviFrames(id, 32, 24, n, 10,
+            (f, i) => (((id * 131 + f / sceneLen) * 2654435761L + i * 31L) & 0xFF).toByte))
+      }
+    }
+    spark.createDataFrame(rdd, payloadSchema)
+  }
+
+  /** Scene-cut detection over real AVI walks: consecutive-frame mean
+    * absolute byte delta, thresholded — the keyframe segmentation a
+    * frame-sampling video pipeline runs before picking representative
+    * frames per scene.
+    *
+    * Scale shape: the container is one blob, so the comparison is
+    * DECODE-LOCAL — the walk keeps the previous frame in a local and
+    * emits (frame, delta, is_cut) rows with NO shuffle at all; a
+    * downstream per-scene aggregation shuffles scene rows, never pixels.
+    */
+  def videoSceneCuts(media: DataFrame, threshold: Double = 16.0): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val buf = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag4(): String = {
+          val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+        }
+        require(tag4() == "RIFF", s"doc $id: not a RIFF container")
+        buf.getInt()
+        require(tag4() == "AVI ", s"doc $id: not an AVI")
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var prev: Array[Byte] = null
+        while (buf.remaining() >= 8) {
+          val tag = tag4(); val len = buf.getInt()
+          if (tag == "LIST") {
+            val listEnd = buf.position() + len
+            if (tag4() == "movi") {
+              var idx = 0L
+              while (buf.position() < listEnd) {
+                val ctag = tag4(); val clen = buf.getInt()
+                val bytes = new Array[Byte](clen); buf.get(bytes)
+                if (ctag == "00db") {
+                  if (prev != null) {
+                    var s = 0L; var i = 0
+                    val n = math.min(bytes.length, prev.length)
+                    while (i < n) {
+                      s += math.abs((bytes(i) & 0xFF) - (prev(i) & 0xFF)); i += 1
+                    }
+                    val delta = s.toDouble / math.max(1, n)
+                    out += Row(id, idx,
+                      BigDecimal(delta).setScale(4,
+                        BigDecimal.RoundingMode.HALF_UP).toDouble,
+                      delta >= threshold)
+                  }
+                  prev = bytes
+                  idx += 1
+                }
+              }
+            } else buf.position(listEnd)
+          } else buf.position(buf.position() + len)
+        }
+        out
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("delta", DoubleType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false))))
+  }
+
   /** Frame sampling stub: every `stride`-th frame index of each media row —
     * shows the explode-shaped (one row per frame) pipeline stage used by
     * video training-data prep.
@@ -463,7 +555,12 @@ object Multimodal {
     spark.createDataFrame(rdd, payloadSchema)
   }
 
-  private def encodeAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int): Array[Byte] = {
+  private def encodeAvi(id: Long, w: Int, h: Int, frames: Int, fps: Int): Array[Byte] =
+    encodeAviFrames(id, w, h, frames, fps,
+      (f, i) => (((id + f) * 2654435761L + i * 31L) & 0xFF).toByte)
+
+  private def encodeAviFrames(id: Long, w: Int, h: Int, frames: Int, fps: Int,
+      byteAt: (Long, Long) => Byte): Array[Byte] = {
     val frameLen = 64 // token frame payload (uncompressed stand-in)
     val moviLen = 4 + frames * (8 + frameLen)
     val hdrlLen = 4 + 8 + 56 // 'hdrl' + avih chunk header + avih body
@@ -489,7 +586,7 @@ object Multimodal {
       buf.put("00db".getBytes("US-ASCII")).putInt(frameLen)
       var i = 0
       while (i < frameLen) {
-        buf.put((((id + f) * 2654435761L + i * 31L) & 0xFF).toByte)
+        buf.put(byteAt(f.toLong, i.toLong))
         i += 1
       }
       f += 1
