@@ -3052,6 +3052,44 @@ final case class DeltaTable(
     candidates
   }
 
+  /** FSCK REPAIR (delta-spark's verb): drop add entries whose data files
+    * no longer exist in storage — the recovery move after an out-of-band
+    * deletion (a misfired lifecycle policy, a manual rm) leaves the log
+    * pointing at ghosts that fail every scan. Missing entries commit as
+    * removes with `dataChange = true` (readers genuinely lose rows).
+    *
+    * Scale shape: the existence check is DISTRIBUTED over the file list
+    * (an RDD of paths — a 10⁶-file table must not serialize a million
+    * driver-side round trips); only the missing subset returns. `dryRun`
+    * reports without committing.
+    *
+    * @return the missing file paths (log-recorded form)
+    */
+  def fsckRepair(spark: SparkSession, dryRun: Boolean = false): Seq[String] = {
+    val adds = dlog.addActions.values.toSeq
+    if (adds.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val confKvs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    val rootUri = loc.uri
+    val missing = spark.sparkContext
+      .parallelize(adds.map(_.path), math.max(1, math.min(adds.size, 64)))
+      .filter { p =>
+        val c = new Configuration()
+        confKvs.foreach { case (k, v) => c.set(k, v) }
+        val root = Location(rootUri, c)
+        val hp = Location.resolve(p, root, c).path
+        !hp.getFileSystem(c).exists(hp)
+      }.collect().toSeq.sorted
+    if (missing.isEmpty || dryRun) return missing
+    val missingSet = missing.toSet
+    val removes = adds.filter(a => missingSet(a.path))
+      .map(Action.removeFor(_))
+    commit(DeltaLogEntry((removes :+
+      CommitInfo.metaOp(CommitInfo.Op.Fsck,
+        Map("numRemovedFiles" -> missing.size.toString), dlog.version)).toVector))
+    missing
+  }
+
   def vacuum(retentionMs: Long = Long.MinValue,
       dryRun: Boolean = false): Seq[String] = {
     val retention =

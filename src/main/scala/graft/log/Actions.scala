@@ -409,6 +409,7 @@ object CommitInfo {
     val RemoveDomainMetadata = "REMOVE DOMAIN METADATA"
     val ClusterBy = "CLUSTER BY"
     val ChangeColumn = "CHANGE COLUMN"
+    val Fsck = "FSCK"
   }
 
   /** Deep-clone v0 commit (delta's CLONE operation). */

@@ -78,6 +78,10 @@ object GraftSqlCommands {
     s"""(?is)\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  private val ReorgRe =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private val FsckRe =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$P(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   // delta's CLONE verb is not in Spark's grammar, so it parses here; the
   // schema/CTAS CREATE forms parse with Spark's own grammar and intercept
   // as plans in GraftPathResolution
@@ -146,6 +150,10 @@ object GraftSqlCommands {
           version = Option(ver).map(_.toLong), timestamp = Option(ts),
           ifNotExists = CloneIfNotExistsRe.matches(sqlText)))
       case ShowTblPropsRe(a, b) => Some(ShowTblPropertiesCommand(path(a, b)))
+      case ReorgRe(a, b, where) =>
+        Some(ReorgPurgeCommand(path(a, b), Option(where).map(_.trim)))
+      case FsckRe(a, b, dry) =>
+        Some(FsckRepairCommand(path(a, b), dry != null))
       case DescribeTableRe(a, b) => Some(DescribeTableCommand(path(a, b)))
       case _ => None
     }
@@ -427,6 +435,34 @@ case class AlterColumnTypeCommand(path: String, name: String,
     Seq(Row(GraftSqlCommands.open(spark, path)
       .alterColumnType(name, spark.sessionState.sqlParser.parseDataType(tpe))
       .version))
+}
+
+/** `REORG TABLE '<path>' [WHERE pp] APPLY (PURGE)` —
+  * [[DeltaTable.purge]]: rewrite DV'd files without their dead rows so
+  * the vectors (and soft-deleted bytes) can be vacuumed.
+  */
+case class ReorgPurgeCommand(path: String,
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = where.map(w => ColumnShim.column(
+      spark.sessionState.sqlParser.parseExpression(w)))
+    Seq(Row(path, GraftSqlCommands.open(spark, path).purge(spark, pred).version))
+  }
+}
+
+/** `FSCK REPAIR TABLE '<path>' [DRY RUN]` — [[DeltaTable.fsckRepair]]:
+  * one row per missing data file (delta-spark's shape); without DRY RUN
+  * the ghosts are committed away as removes.
+  */
+case class FsckRepairCommand(path: String,
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("file", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlCommands.open(spark, path).fsckRepair(spark, dryRun).map(Row(_))
 }
 
 /** `CONVERT TO GRAFT parquet.`<path>`` — in-place log mint over existing

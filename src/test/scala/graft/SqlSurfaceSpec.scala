@@ -459,6 +459,38 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sql.sql(s"DESCRIBE HISTORY '$src'").count() == 3)
   }
 
+  test("REORG APPLY (PURGE) rewrites DV'd files; FSCK REPAIR drops ghosts") {
+    // REORG: a MoR delete leaves a DV; purge must rewrite it away
+    val d = tempDir("sqlsurface-reorg")
+    DeltaTable.forPath(d)
+      .write(spark.read.parquet(s"$sfDir/nation.parquet"))
+      .deleteMergeOnRead(spark, Some(col("n_nationkey") < 5))
+    assert(DeltaTable.forPath(d).dlog.addActions.values
+      .exists(a => graft.sources.DeletionVectors.refOf(a).isDefined))
+    sql.sql(s"REORG TABLE graft.`$d` APPLY (PURGE)")
+    val t = DeltaTable.forPath(d)
+    assert(t.dlog.addActions.values
+      .forall(a => graft.sources.DeletionVectors.refOf(a).isEmpty))
+    assert(t.toDF(spark).count() == 20)
+    // FSCK: delete a data file out-of-band; DRY RUN reports, repair commits
+    val d2 = tempDir("sqlsurface-fsck")
+    DeltaTable.forPath(d2).write(
+      spark.read.parquet(s"$sfDir/nation.parquet").repartition(4))
+    val victim = DeltaTable.forPath(d2).dlog.addActions.keys.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(d2, victim))
+    val dry = sql.sql(s"FSCK REPAIR TABLE graft.`$d2` DRY RUN").collect()
+    assert(dry.map(_.getString(0)).toSeq == Seq(victim))
+    // dry run committed nothing: the scan still fails on the ghost
+    intercept[Exception](DeltaTable.forPath(d2).toDF(spark).count())
+    val fixed = sql.sql(s"FSCK REPAIR TABLE graft.`$d2`").collect()
+    assert(fixed.map(_.getString(0)).toSeq == Seq(victim))
+    val t2 = DeltaTable.forPath(d2)
+    assert(t2.history.head._2.operation == "FSCK")
+    assert(t2.toDF(spark).count() < 25 && t2.toDF(spark).count() > 0)
+    // repaired table is clean: nothing left to repair
+    assert(sql.sql(s"FSCK REPAIR TABLE graft.`$d2`").count() == 0)
+  }
+
   test("GENERATE symlink_format_manifest writes the manifest") {
     val (d, _) = seeded()
     sql.sql(s"GENERATE symlink_format_manifest FOR TABLE '$d'")
