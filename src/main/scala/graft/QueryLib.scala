@@ -617,6 +617,23 @@ object QueryLib {
         "VERSION AS OF 0")
     }
 
+  /** Deterministic proxy-run excess-loss table for the DoReMi fixture
+    * (q180): 8 "checkpoints", per-(step, lang) excess derived from the
+    * corpus — mean text length vs the cross-domain mean, decaying by
+    * step. Domains above the mean act "hard" early and converge later,
+    * the shape a real proxy run logs.
+    */
+  def doremiLosses(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = delta(spark, sfDir, "documents")
+      .groupBy("lang").agg(avg(length(col("text"))).as("_m"))
+    val g = perLang.agg(avg(col("_m")).as("_g"))
+    perLang.crossJoin(broadcast(g))
+      .crossJoin(spark.range(0, 8).toDF("step"))
+      .select(col("step"), col("lang"),
+        ((col("_m") / col("_g") - 1.0) * (lit(1.0) - col("step") * 0.1))
+          .as("excess"))
+  }
+
   /** customer evolved entirely through SQL ALTER TABLE statements (q173):
     * ADD COLUMNS (with COMMENT/AFTER), a SQL UPDATE filling them, the
     * widening gate via SET TBLPROPERTIES, ALTER COLUMN TYPE, and a

@@ -1311,6 +1311,21 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // DoReMi: Group-DRO exponentiated-gradient fold over a proxy run's
+    // per-(step, domain) excess losses → domain weights → mixture
+    // realization; the oracle consumes the exported epoch literals
+    "q180_doremi_mixture" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val weights = operators.Sampling.doremiWeights(
+        QueryLib.doremiLosses(s, d), "step", "lang", "excess").toMap
+      val tok = size(split(lower(col("text")), " "))
+      val epochs = operators.Sampling
+        .mixtureAllocation(docs, "lang", tok, weights, budgetTokens = 30000L)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+      operators.Sampling.applyMixture(docs, "lang", "doc_id", epochs,
+          seed = "doremi")
+        .select("doc_id", "lang", "copy").orderBy("doc_id", "copy")
+    }),
     // UniMax mixture: uniform token budget across languages capped at 3
     // epochs — at sf0.01 the cap binds on 4 of 5 langs and en fills the
     // rest with a partial epoch; allocation exported as oracle literals
@@ -2984,6 +2999,30 @@ object SparkEntry {
          |SELECT r.vec_id, CAST(r.c + 1 AS BIGINT) AS cluster_id,
          |  round(r.dot / (xn.xnrm * r.nrm), 4) AS centroid_sim
          |FROM r JOIN xn USING (vec_id) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }),
+    // DoReMi: the EG fold re-runs (deterministic driver arithmetic over
+    // the same loss table) and the realized epochs export as literals —
+    // the replay is applyMixture's md5-bernoulli copy expansion
+    "q180_doremi_mixture" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val weights = operators.Sampling.doremiWeights(
+        QueryLib.doremiLosses(s, d), "step", "lang", "excess").toMap
+      val tok = size(split(lower(col("text")), " "))
+      val epochs = operators.Sampling
+        .mixtureAllocation(docs, "lang", tok, weights, budgetTokens = 30000L)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+      val values = epochs.toSeq.sortBy(_._1)
+        .map { case (k, e) => s"('$k', $e)" }.mkString(", ")
+      s"""WITH w(lang, e) AS (SELECT * FROM (VALUES $values) t(lang, e)),
+         |base AS (SELECT d.doc_id, d.lang, w.e FROM documents d
+         |         JOIN w ON d.lang = w.lang),
+         |k AS (SELECT doc_id, lang,
+         |  CAST(floor(e) AS BIGINT) +
+         |  CASE WHEN ('0x' || substr(md5('doremi:' || doc_id), 1, 15))::BIGINT <
+         |    CAST(floor((e - floor(e)) * 1152921504606846976.0) AS BIGINT)
+         |  THEN 1 ELSE 0 END AS copies FROM base)
+         |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy" FROM k
+         |ORDER BY doc_id, "copy"""".stripMargin
     }),
     // UniMax: the waterfill is integer-exact driver arithmetic, exported
     // as (lang, fullEpochs, remainderTokens) literals; the replay is the

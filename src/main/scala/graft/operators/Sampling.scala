@@ -362,6 +362,52 @@ object Sampling {
       .drop("_tb_pid", "_tb_off", "_tb_cum")
   }
 
+  /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): fold the
+    * Group-DRO exponentiated-gradient update over a per-(step, domain)
+    * excess-loss table — λ_t ∝ λ_{t-1} ⊙ exp(η · excess_t), final
+    * weights = the step-average of λ smoothed with uniform
+    * ((1−s)·avg + s/k) — and return the domain weights a mixture then
+    * realizes via [[mixtureAllocation]]/[[applyMixture]].
+    *
+    * Scale shape: the per-(step, domain) excess means are a map-side-
+    * combined aggregate over however many loss rows the proxy run
+    * logged; the EG fold itself is inherently SEQUENTIAL over steps, so
+    * it runs on the driver over the collected steps × domains matrix —
+    * metadata scale (checkpoints × domains, thousands of doubles), the
+    * same driver-arithmetic contract as [[unimaxPlan]]. Weights export
+    * as oracle literals.
+    */
+  def doremiWeights(losses: DataFrame, stepCol: String, domainCol: String,
+      excessCol: String, eta: Double = 1.0,
+      smoothing: Double = 1e-3): Seq[(String, Double)] = {
+    require(eta > 0, "eta must be positive")
+    require(smoothing >= 0 && smoothing < 1, s"smoothing in [0,1): $smoothing")
+    val rows: Array[(Long, String, Double)] = losses
+      .groupBy(col(stepCol).cast("long").as("_t"), col(domainCol).as("_d"))
+      .agg(avg(col(excessCol).cast("double")).as("_x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    require(rows.nonEmpty, "doremiWeights needs at least one loss row")
+    val domains = rows.map(_._2).distinct.sorted
+    val k = domains.length
+    val bySteps = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var lambda = domains.map(_ => 1.0 / k)
+    val acc = Array.fill(k)(0.0)
+    bySteps.foreach { case (_, stepRows) =>
+      val ex = stepRows.map(r => r._2 -> r._3).toMap
+      // excess clipped at 0 per the paper (a domain already below the
+      // reference never gains weight from the update)
+      val bumped = domains.zip(lambda).map { case (d, w) =>
+        w * math.exp(eta * math.max(0.0, ex.getOrElse(d, 0.0)))
+      }
+      val z = bumped.sum
+      lambda = bumped.map(_ / z)
+      lambda.zipWithIndex.foreach { case (w, i) => acc(i) += w }
+    }
+    val meanLambda = acc.map(_ / bySteps.length)
+    domains.zip(meanLambda.map(a => (1 - smoothing) * a + smoothing / k)).toSeq
+  }
+
   /** UniMax sampling (Chung et al. 2023, "UniMax: Fairer and More
     * Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): distribute a token budget as UNIFORMLY as possible

@@ -107,6 +107,30 @@ class Round13Spec extends SparkSuite {
     }
   }
 
+  test("doremi EG fold: hand-computable updates, clipping, smoothing") {
+    import graft.operators.Sampling
+    val spark2 = spark
+    import spark2.implicits._
+    // step 0: A excess ln2 -> lambda (2/3, 1/3); step 1: B excess ln4 ->
+    // bumped (2/3, 4/3), z=2 -> (1/3, 2/3). Step-average = (1/2, 1/2),
+    // which smoothing maps to itself — exact closed form.
+    val losses = Seq(
+      (0L, "A", math.log(2.0)), (0L, "B", 0.0),
+      (1L, "A", 0.0), (1L, "B", math.log(4.0))
+    ).toDF("step", "domain", "excess")
+    val w = Sampling.doremiWeights(losses, "step", "domain", "excess",
+      eta = 1.0, smoothing = 0.1).toMap
+    assert(math.abs(w("A") - 0.5) < 1e-12, w.toString)
+    assert(math.abs(w("B") - 0.5) < 1e-12, w.toString)
+    // negative excess clips to zero: a domain already below the reference
+    // never gains weight, so a one-sided run tilts monotonically
+    val tilted = Sampling.doremiWeights(Seq(
+      (0L, "A", 1.0), (0L, "B", -5.0)).toDF("step", "domain", "excess"),
+      "step", "domain", "excess", eta = 1.0, smoothing = 0.0).toMap
+    assert(tilted("A") > 0.7 && tilted("B") < 0.3, tilted.toString)
+    assert(math.abs(tilted.values.sum - 1.0) < 1e-12)
+  }
+
   test("ivf index query scans only the probed cell partitions") {
     val d = tempDir("ivf-prune")
     Similarity.ivfIndexBuild(spark, d, emb, "vec_id", "embedding",
