@@ -221,11 +221,27 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // incremental clustered OPTIMIZE: the timed section re-clusters ONLY
+    // the post-clustering append (the existing cube is tag-skipped) —
+    // compare with m02's full rewrite to see what the skip buys
+    def onceIncrementalCluster(): Double = {
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val sortBy = Seq("o_orderkey", "o_custkey")
+      var t = DeltaTable.forPath(tmp())
+        .write(orders.filter(col("o_orderkey") % 2 === 0).repartition(4))
+      t = t.compact(spark, sortBy = sortBy, zOrder = true, incremental = true)
+      t = t.write(orders.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      val t0 = System.nanoTime()
+      t.compact(spark, sortBy = sortBy, zOrder = true, incremental = true)
+      (System.nanoTime() - t0) / 1e9
+    }
+
     Seq("m01_merge_upsert" -> onceMerge _, "m02_compact" -> onceCompact _,
       "m03_update" -> onceUpdate _, "m04_replace_where" -> onceReplaceWhere _,
       "m05_delete_cow" -> onceDeleteCow _, "m06_delete_dv" -> onceDeleteDv _,
       "m07_merge_dv" -> onceMergeMor _, "m08_update_dv" -> onceUpdateMor _,
-      "m09_delete_spec_dv" -> onceDeleteSpecDv _)
+      "m09_delete_spec_dv" -> onceDeleteSpecDv _,
+      "m10_optimize_incremental" -> onceIncrementalCluster _)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =

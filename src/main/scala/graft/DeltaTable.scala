@@ -2631,7 +2631,8 @@ final case class DeltaTable(
     */
   def compact(spark: SparkSession, sortBy: Seq[String] = Seq.empty,
       targetFiles: Int = 0, zOrder: Boolean = false,
-      where: Option[Column] = None, curve: String = "morton"): DeltaTable = {
+      where: Option[Column] = None, curve: String = "morton",
+      incremental: Boolean = false): DeltaTable = {
     require(curve == "morton" || curve == "hilbert",
       s"curve must be morton|hilbert, got $curve")
     // liquid default (delta's OPTIMIZE on a clustered table): with no
@@ -2644,7 +2645,8 @@ final case class DeltaTable(
       if (cc.nonEmpty)
         return compact(spark, sortBy = cc, targetFiles = targetFiles,
           zOrder = cc.size >= 2, where = where,
-          curve = tableProperties.getOrElse("graft.clustering.curve", curve))
+          curve = tableProperties.getOrElse("graft.clustering.curve", curve),
+          incremental = incremental)
     }
     // OPTIMIZE WHERE (delta parity): the predicate must touch only
     // partition columns — compaction is file-level, so a data-column
@@ -2662,11 +2664,27 @@ final case class DeltaTable(
       .groupBy(a => dlog.partitionColumns.map(c => a.partitionValues.getOrElse(c, None)))
     // singleton files still benefit from compaction when they carry a
     // deletion vector: the rewrite purges dead rows and drops the sidecar
-    val toCompact =
+    val toCompact0 =
       if (sortBy.nonEmpty) candidates
       else (groups.filter(_._2.size > 1).values.flatten ++
         groups.filter(_._2.size == 1).values.flatten
           .filter(a => DeletionVectors.refOf(a).isDefined)).toSeq
+    // incremental clustering (delta's ZCUBE behavior): files already laid
+    // out under the CURRENT clustering spec — recorded as a tag on the
+    // add at rewrite time — are left alone; only newly-appended (or
+    // differently-clustered, or DV-carrying) files rewrite. At 100 TB
+    // this is the difference between re-sorting the whole table on every
+    // OPTIMIZE and paying only for the new data; the cost is stats
+    // overlap BETWEEN cubes, exactly delta's documented trade.
+    val specTag: Option[String] =
+      if (sortBy.isEmpty) None
+      else Some((if (zOrder && sortBy.size >= 2) curve else "linear") +
+        ":" + sortBy.mkString(","))
+    val toCompact =
+      if (!incremental || specTag.isEmpty) toCompact0
+      else toCompact0.filter(a =>
+        !DeltaTable.clusterSpecOf(a).contains(specTag.get) ||
+          DeletionVectors.refOf(a).isDefined)
     if (toCompact.isEmpty) return this
     val df = scanForRewrite(spark, toCompact)
     // `delta.targetFileSize` (delta-spark's OPTIMIZE sizing knob): output
@@ -2763,7 +2781,17 @@ final case class DeltaTable(
       } else if (dlog.partitionColumns.nonEmpty)
         df.repartition(dlog.partitionColumns.map(col): _*)
       else df.coalesce(1)
-    val adds = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
+    val adds0 = writeData(compacted, dlog.versionToWrite, dlog.partitionColumns)
+    // clustered outputs carry the spec tag so the NEXT incremental
+    // OPTIMIZE can skip them without reading any data
+    val adds = specTag match {
+      case None => adds0
+      case Some(tag) => adds0.map { a =>
+        val t = graft.log.Json.obj()
+        t.put("graft.clusterSpec", tag)
+        a.copy(extra = a.extra.updated("tags", t))
+      }
+    }
     commitOrRebase(DeltaLogEntry.optimizeTable(toCompact, adds, dlog.version),
       toCompact.map(_.path).toSet)
   }
@@ -4068,6 +4096,13 @@ object DeltaTable {
     * bytes) while keeping log lines small.
     */
   val InlineDvMaxBytes: Int = 64
+
+  /** The clustering-spec tag a prior clustered OPTIMIZE stamped on this
+    * add (rides in delta's `tags` field; absent on plain writes).
+    */
+  private[graft] def clusterSpecOf(a: AddFile): Option[String] =
+    a.extra.get("tags").flatMap(t => Option(t.get("graft.clusterSpec")))
+      .filter(_.isTextual).map(_.asText)
 
   /** Open (or point at a future) table; `version` time-travels (reference
     * xdlake/__init__.py:32-59).

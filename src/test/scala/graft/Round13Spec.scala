@@ -131,6 +131,42 @@ class Round13Spec extends SparkSuite {
     assert(math.abs(tilted.values.sum - 1.0) < 1e-12)
   }
 
+  test("incremental clustered OPTIMIZE rewrites only unclustered files") {
+    val d = tempDir("inc-cluster")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    var t = DeltaTable.forPath(d).write(half.repartition(4))
+    val sortBy = Seq("o_orderkey", "o_custkey")
+    t = t.compact(spark, sortBy = sortBy, zOrder = true, incremental = true)
+    val v1 = t.version
+    val clustered = t.dlog.addActions.values.toSeq
+    assert(clustered.forall(a =>
+      DeltaTable.clusterSpecOf(a).contains("morton:o_orderkey,o_custkey")),
+      "clustered outputs must carry the spec tag")
+    // idempotent: everything already clustered under this spec — no-op,
+    // decided from the LOG alone (no data read, no commit)
+    val t2 = DeltaTable.forPath(d)
+      .compact(spark, sortBy = sortBy, zOrder = true, incremental = true)
+    assert(t2.version == v1, "re-OPTIMIZE of a clustered table must no-op")
+    // new appends: only THEY rewrite; the clustered cube is untouched
+    val more = orders.filter(col("o_orderkey") % 2 === 1)
+    val t3 = DeltaTable.forPath(d).write(more.repartition(3))
+    val preserved = t3.dlog.addActions.keySet
+      .intersect(clustered.map(_.path).toSet)
+    val t4 = t3.compact(spark, sortBy = sortBy, zOrder = true,
+      incremental = true)
+    assert(t4.dlog.addActions.keySet.intersect(preserved) == preserved,
+      "incremental OPTIMIZE must not rewrite the existing cube")
+    val removed = t3.dlog.addActions.keySet -- t4.dlog.addActions.keySet
+    assert(removed.size == 3, s"only the 3 appended files rewrite: $removed")
+    // rows survive the whole sequence; a FULL (non-incremental) OPTIMIZE
+    // still rewrites everything when asked
+    assertSameRows(t4.toDF(spark), orders)
+    val t5 = t4.compact(spark, sortBy = sortBy, zOrder = true)
+    assert(t5.version == t4.version + 1)
+    assertSameRows(t5.toDF(spark), orders)
+  }
+
   test("ivf index query scans only the probed cell partitions") {
     val d = tempDir("ivf-prune")
     Similarity.ivfIndexBuild(spark, d, emb, "vec_id", "embedding",
