@@ -1311,6 +1311,27 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // Gopher rule bundle over a deterministically-dirtied corpus: each
+    // %7 slice trips exactly one rule (symbols, bullets, ellipses,
+    // numeric words, short words) or repairs one (stop words) — pure
+    // column algebra, so the oracle replays every signal and the verdict
+    "q181_gopher_rules" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val m = col("doc_id") % 7
+      val dirty = docs.withColumn("text",
+        when(m === 0, concat(col("text"), lit(" # # # # # # # # # #")))
+          .when(m === 1, concat(lit("- "), col("text"),
+            lit("\n- filler one\n- filler two")))
+          .when(m === 2, concat(col("text"),
+            lit("\ntail one...\ntail two...\ntail three...")))
+          .when(m === 3, concat(col("text"), lit(" 12345" * 60)))
+          .when(m === 4, concat(col("text"), lit(" a" * 200)))
+          .when(m === 5, concat(col("text"), lit(" the of and that")))
+          .otherwise(col("text")))
+      TextAnalysis.gopherQualitySignals(dirty, "doc_id", "text",
+          minWords = 20)
+        .orderBy("doc_id")
+    }),
     // DoReMi: Group-DRO exponentiated-gradient fold over a proxy run's
     // per-(step, domain) excess losses → domain weights → mixture
     // realization; the oracle consumes the exported epoch literals
@@ -2795,6 +2816,54 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // Gopher-rules replay: the same dirtying CASE, then every signal as
+    // the same list algebra (words/lines splits, counts, ratios) and the
+    // same conjunctive verdict
+    "q181_gopher_rules" ->
+      """WITH dirty AS MATERIALIZED (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' # # # # # # # # # #'
+         |       WHEN doc_id % 7 = 1 THEN '- ' || text || chr(10) ||
+         |         '- filler one' || chr(10) || '- filler two'
+         |       WHEN doc_id % 7 = 2 THEN text || chr(10) || 'tail one...' ||
+         |         chr(10) || 'tail two...' || chr(10) || 'tail three...'
+         |       WHEN doc_id % 7 = 3 THEN text || repeat(' 12345', 60)
+         |       WHEN doc_id % 7 = 4 THEN text || repeat(' a', 200)
+         |       WHEN doc_id % 7 = 5 THEN text || ' the of and that'
+         |       ELSE text END AS text FROM documents),
+         |t AS MATERIALIZED (SELECT doc_id, text,
+         |  list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS ws,
+         |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ls
+         |  FROM dirty),
+         |sig AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  round(list_sum(list_transform(ws, w -> len(w))) * 1.0 / len(ws), 4)
+         |    AS mean_word_len,
+         |  round(((len(text) - len(replace(text, '#', ''))) +
+         |    (len(text) - len(replace(text, '...', ''))) // 3) * 1.0 / len(ws), 4)
+         |    AS symbol_ratio,
+         |  round(len(list_filter(ls, l -> trim(l) LIKE '- %' OR
+         |    trim(l) LIKE '* %' OR trim(l) LIKE '•%')) * 1.0 /
+         |    greatest(len(ls), 1), 4) AS bullet_line_ratio,
+         |  round(len(list_filter(ls, l -> trim(l) LIKE '%...' OR
+         |    trim(l) LIKE '%…')) * 1.0 / greatest(len(ls), 1), 4)
+         |    AS ellipsis_line_ratio,
+         |  round(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+         |    * 1.0 / len(ws), 4) AS alpha_word_ratio,
+         |  CAST(
+         |    (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS stop_hits FROM t)
+         |SELECT *, (n_words BETWEEN 20 AND 100000 AND
+         |  mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio <= 0.1 AND
+         |  bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AND
+         |  alpha_word_ratio >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM sig ORDER BY doc_id""".stripMargin,
     // left-outer replay below the watermark-safe horizon: matched pairs
     // plus null-padded no-click purchases, exactly a batch LEFT JOIN
     "q176_stream_left_join" ->

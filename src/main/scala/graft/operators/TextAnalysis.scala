@@ -154,6 +154,62 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_trigram_ratio"))
   }
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, §A1.1) — the rule half
+    * that complements [[repetitionSignals]]' repetition half: per-doc
+    * signals plus the conjunctive keep verdict —
+    *
+    *   word count ∈ [minWords, maxWords]; mean word length ∈ [3, 10];
+    *   symbol-to-word ratio ('#' chars + "..." occurrences) ≤ 0.1;
+    *   bullet-started lines ≤ 90%; ellipsis-ended lines ≤ 30%;
+    *   words with ≥ 1 alphabetic char ≥ 80%; ≥ 2 distinct stop words.
+    *
+    * All row-local column algebra over one split — zero UDFs, zero
+    * shuffles; the filter is embarrassingly parallel at any scale and
+    * every signal replays in any SQL engine.
+    */
+  def gopherQualitySignals(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val nWords = size(words).cast("long")
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val meanLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+      .cast("double") / nWords
+    val nHash = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val nEllipsis = ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3).cast("long")
+    val symRatio = (nHash + nEllipsis).cast("double") / nWords
+    val bulletRatio = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("* ") ||
+        trim(l).startsWith("•"))).cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines, l =>
+      trim(l).endsWith("...") || trim(l).endsWith("…")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWords
+    val stopHits = stop.map(s =>
+      when(array_contains(words, s), 1).otherwise(0)).reduce(_ + _)
+      .cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"),
+        round(meanLen, 4).as("mean_word_len"),
+        round(symRatio, 4).as("symbol_ratio"),
+        round(bulletRatio, 4).as("bullet_line_ratio"),
+        round(ellipsisLineRatio, 4).as("ellipsis_line_ratio"),
+        round(alphaRatio, 4).as("alpha_word_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stop_hits") >= 2L)
+  }
+
   /** Vocabulary induction: the `topK` most frequent whitespace tokens
     * across the corpus with stable ids — the first step of training any
     * subword/word tokenizer.
