@@ -46,7 +46,8 @@ object Bench {
     "q171_sql_merge", "q172_ann_index", "q173_sql_alter",
     "q174_paragraph_neardup", "q175_sql_ctas_clone", "q176_stream_left_join",
     "q177_cluster_balanced_sample", "q178_unimax_sample",
-    "q179_video_scene_cuts", "q180_doremi_mixture", "q181_gopher_rules")
+    "q179_video_scene_cuts", "q180_doremi_mixture", "q181_gopher_rules",
+    "q182_remove_dup_lines")
 
   val RUNS = 2
 

@@ -1311,6 +1311,15 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // line-level boilerplate removal over the paragraph fixture: the
+    // every-50-docs boilerplate paragraph (df = 4) strips, the df-2
+    // recrawl paragraphs survive — C4's preprocessing move with the
+    // X2-style df-guard shape (no window over the line key)
+    "q182_remove_dup_lines" -> ((s, d) =>
+      TextAnalysis.removeDuplicateLines(
+          DeltaTable.forPath(QueryLib.documentsParagraphsDir(s, d)).toDF(s),
+          "doc_id", "text", maxDocFreq = 3)
+        .orderBy("doc_id")),
     // Gopher rule bundle over a deterministically-dirtied corpus: each
     // %7 slice trips exactly one rule (symbols, bullets, ellipses,
     // numeric words, short words) or repairs one (stop words) — pure
@@ -2816,6 +2825,35 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // line-dedup replay: rebuild the composed paragraph fixture, split
+    // to non-empty lines, per-(doc, line) distinct df, drop df > 3,
+    // string_agg survivors in line order
+    "q182_remove_dup_lines" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    d.text || chr(10) || chr(10) || s1.text || chr(10) || chr(10)
+        |      || s2.text AS text
+        |  FROM documents d
+        |  JOIN documents s1 ON s1.doc_id = (d.doc_id + 100) % 200
+        |  JOIN documents s2 ON s2.doc_id = d.doc_id % 50
+        |  WHERE d.doc_id < 200),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id, i.i AS ln, trim(lines[i.i]) AS line FROM (
+        |    SELECT doc_id, string_split(text, chr(10)) AS lines FROM p),
+        |    LATERAL (SELECT unnest(range(1, len(lines) + 1)) AS i) i
+        |  WHERE len(trim(lines[i.i])) > 0),
+        |hot AS (SELECT line FROM (
+        |  SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line)
+        |  WHERE df > 3),
+        |f AS (SELECT l.doc_id, l.ln, l.line,
+        |  CASE WHEN hot.line IS NULL THEN 1 ELSE 0 END AS kept
+        |  FROM l LEFT JOIN hot ON l.line = hot.line)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN kept = 1 THEN line END, chr(10) ORDER BY ln)
+        |    AS clean_text,
+        |  count(*) AS n_lines,
+        |  CAST(count(*) - sum(kept) AS BIGINT) AS n_removed
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Gopher-rules replay: the same dirtying CASE, then every signal as
     // the same list algebra (words/lines splits, counts, ratios) and the
     // same conjunctive verdict

@@ -588,6 +588,47 @@ object TextAnalysis {
       regexp_replace(lower(textCol), "[\\x00-\\x1f\\x7f]", " "),
       " {2,}", " "))
 
+  /** Line-level boilerplate removal (the C4/CCNet preprocessing move):
+    * drop every line whose exact text appears in MORE than `maxDocFreq`
+    * documents — nav bars, footers, cookie banners — and rebuild each
+    * document from its surviving lines in order. Empty lines are
+    * structure, not content: they neither count toward document
+    * frequency nor survive reconstruction.
+    *
+    * Scale shape: one explode → per-(doc, line) distinct → map-side-
+    * combined `groupBy(lineHash)` document frequencies → the HOT set
+    * (df > threshold — boilerplate-vocabulary-sized, tiny next to the
+    * corpus) re-attached by a `shuffle_hash` anti-join — no window over
+    * the line key, the X2/X44 df-guard shape. Reconstruction is a
+    * per-doc `collect_list` + sort of that doc's OWN lines (bounded by
+    * document length, never corpus-wide).
+    *
+    * @return (idCol, clean_text, n_lines, n_removed)
+    */
+  def removeDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long = 10): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "_ln")
+      .select(col(idCol), col("_ln"), trim(col("col")).as("_line"))
+      .filter(length(col("_line")) > 0)
+      .withColumn("_h", xxhash64(col("_line")))
+    val hot = lines.select(col(idCol), col("_h")).distinct()
+      .groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .hint("shuffle_hash")
+    lines.join(hot, Seq("_h"), "left")
+      .withColumn("_kept", when(col("_df").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("_kept") === 1L,
+            struct(col("_ln"), col("_line"))))),
+          x => x.getField("_line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        (count(lit(1)) - sum(col("_kept"))).as("n_removed"))
+  }
+
   /** Normalized documents with before/after size signals. */
   def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
