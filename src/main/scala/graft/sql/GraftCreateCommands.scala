@@ -121,6 +121,38 @@ case class ShowTblPropertiesCommand(path: String) extends LeafRunnableCommand {
       .map { case (k, v) => Row(k, v) }
 }
 
+/** `SHOW CREATE TABLE '<path>'` — the statement that would recreate this
+  * table through the X187 surface: column list with comments, USING
+  * graft, PARTITIONED BY, TBLPROPERTIES. One row, Spark's
+  * `createtab_stmt` shape.
+  */
+case class ShowCreateTableCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("createtab_stmt", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    require(t.version >= 0, s"no table at $path")
+    val cols = t.schema.fields.map { f =>
+      val comment =
+        if (f.metadata.contains("comment"))
+          s" COMMENT '${f.metadata.getString("comment").replace("'", "''")}'"
+        else ""
+      s"  ${f.name} ${f.dataType.sql}$comment"
+    }.mkString(",\n")
+    val parts = t.dlog.partitionColumns
+    val partClause =
+      if (parts.isEmpty) "" else s"\nPARTITIONED BY (${parts.mkString(", ")})"
+    val props = t.tableProperties
+    val propClause =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"'${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString("\nTBLPROPERTIES (", ", ", ")")
+    Seq(Row(
+      s"CREATE TABLE graft.`$path` (\n$cols)\nUSING graft$partClause$propClause"))
+  }
+}
+
 /** `DESCRIBE [TABLE] '<path>'` — Spark's three-column schema listing,
   * with the partition-information section delta-spark appends.
   */

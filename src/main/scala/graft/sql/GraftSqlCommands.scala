@@ -91,6 +91,8 @@ object GraftSqlCommands {
     s"""(?is)\\s*CREATE\\s+TABLE\\s+IF\\s+NOT\\s+EXISTS\\s+$P\\s+(?:SHALLOW|DEEP)\\s+CLONE\\s+.*""".r
   private val ShowTblPropsRe =
     s"""(?is)\\s*SHOW\\s+TBLPROPERTIES\\s+$P\\s*;?\\s*""".r
+  private val ShowCreateRe =
+    s"""(?is)\\s*SHOW\\s+CREATE\\s+TABLE\\s+$P\\s*;?\\s*""".r
   private val DescribeTableRe =
     s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+(?:TABLE\\s+)?$P\\s*;?\\s*""".r
   // ALTER TABLE family — each verb routes to the engine API that already
@@ -150,6 +152,7 @@ object GraftSqlCommands {
           version = Option(ver).map(_.toLong), timestamp = Option(ts),
           ifNotExists = CloneIfNotExistsRe.matches(sqlText)))
       case ShowTblPropsRe(a, b) => Some(ShowTblPropertiesCommand(path(a, b)))
+      case ShowCreateRe(a, b) => Some(ShowCreateTableCommand(path(a, b)))
       case ReorgRe(a, b, where) =>
         Some(ReorgPurgeCommand(path(a, b), Option(where).map(_.trim)))
       case FsckRe(a, b, dry) =>

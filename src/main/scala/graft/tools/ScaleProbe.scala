@@ -108,8 +108,9 @@ object ScaleProbe {
     val maxCopies = args.headOption.map(_.toInt).getOrElse(16)
     // optional 2nd arg: comma list of sections (docs,text,ann,temporal,cc,dv,zipf)
     val sections = args.lift(1).map(_.split(",").toSet)
-      .getOrElse(Set("docs", "text", "ann", "annindex", "semdedup", "temporal",
-        "cc", "dv", "zipf", "hotkey", "specdv", "store", "kmv"))
+      .getOrElse(Set("docs", "text", "ann", "annindex", "inccluster",
+        "semdedup", "temporal", "cc", "dv", "zipf", "hotkey", "specdv",
+        "store", "kmv"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -263,6 +264,37 @@ object ScaleProbe {
         f"query2=$q2%6.2fs direct_retrain=$direct%6.2fs")
       corpus.unpersist()
       ic *= 4
+    }
+
+    // Incremental clustered OPTIMIZE: the clustered base grows 1x/4x/16x
+    // while the newly-appended slice stays FIXED — the incremental pass
+    // (tag-skips the clustered cube) should stay flat while the full
+    // rewrite grows with the base.
+    var icc = 1
+    while (sections("inccluster") && icc <= maxCopies) {
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val base = (0 until icc).map(i => orders.select(
+        (col("o_orderkey") + i.toLong * 100000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))).reduce(_.union(_))
+      val slice = orders.select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      val sortBy = Seq("o_orderkey", "o_custkey")
+      def freshly(): graft.DeltaTable = {
+        val dir = java.nio.file.Files.createTempDirectory("inccluster-").toString
+        graft.DeltaTable.forPath(dir).write(base.repartition(8))
+          .compact(spark, sortBy = sortBy, zOrder = true, incremental = true)
+          .write(slice.repartition(2))
+      }
+      def time(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tInc = { val t = freshly(); time(
+        t.compact(spark, sortBy = sortBy, zOrder = true, incremental = true)) }
+      val tFull = { val t = freshly(); time(
+        t.compact(spark, sortBy = sortBy, zOrder = true)) }
+      println(f"INCCLUSTER base=${icc * 60000}%8d slice=60000 " +
+        f"incremental=$tInc%6.2fs full=$tFull%6.2fs")
+      icc *= 4
     }
 
     // SemDeDup: cluster-scoped pairwise comparison — nCells grows with the

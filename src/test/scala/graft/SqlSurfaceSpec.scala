@@ -459,6 +459,26 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sql.sql(s"DESCRIBE HISTORY '$src'").count() == 3)
   }
 
+  test("SHOW CREATE TABLE round-trips through the CREATE surface") {
+    val d = tempDir("sqlsurface-showcreate")
+    sql.sql(s"CREATE TABLE graft.`$d` (id BIGINT, name STRING " +
+      "COMMENT 'label', amount DECIMAL(10,2)) PARTITIONED BY (name) " +
+      "TBLPROPERTIES ('graft.kind' = 'ledger')")
+    val stmt = sql.sql(s"SHOW CREATE TABLE graft.`$d`")
+      .collect().head.getString(0)
+    assert(stmt.contains("USING graft") && stmt.contains("PARTITIONED BY (name)")
+      && stmt.contains("'graft.kind' = 'ledger'")
+      && stmt.contains("COMMENT 'label'"), stmt)
+    // the statement RECREATES an equivalent table when replayed at a new
+    // path — the strongest fidelity check the verb can have
+    val d2 = tempDir("sqlsurface-showcreate2")
+    sql.sql(stmt.replace(s"graft.`$d`", s"graft.`$d2`"))
+    val (t1, t2) = (DeltaTable.forPath(d), DeltaTable.forPath(d2))
+    assert(t2.schema == t1.schema, t2.schema.treeString)
+    assert(t2.dlog.partitionColumns == t1.dlog.partitionColumns)
+    assert(t2.tableProperties("graft.kind") == "ledger")
+  }
+
   test("REORG APPLY (PURGE) rewrites DV'd files; FSCK REPAIR drops ghosts") {
     // REORG: a MoR delete leaves a DV; purge must rewrite it away
     val d = tempDir("sqlsurface-reorg")
