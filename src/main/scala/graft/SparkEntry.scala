@@ -1311,6 +1311,26 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // span-level benchmark decontamination: docs %10=0 carry an appended
+    // 8-token benchmark snippet; exactly those 8 tokens excise (their
+    // internal 5-grams hit the broadcast benchmark gram set), the
+    // original text survives verbatim
+    "q183_decontaminate_spans" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val bench = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+        .select(col("doc_id").as("_bid"), col("text").as("_btext"))
+      val snippet = array_join(
+        slice(split(lower(col("_btext")), " "), 1, 8), " ")
+      val corpus = docs.filter(col("doc_id") < 200)
+        .join(bench, pmod(col("doc_id"), lit(20)) + 300 === col("_bid"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" "), snippet))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.decontaminateSpans(corpus, "doc_id", "text",
+          bench.select(col("_btext").as("text")), "text")
+        .orderBy("doc_id")
+    }),
     // line-level boilerplate removal over the paragraph fixture: the
     // every-50-docs boilerplate paragraph (df = 4) strips, the df-2
     // recrawl paragraphs survive — C4's preprocessing move with the
@@ -2825,6 +2845,42 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // decontamination replay: rebuild the contaminated corpus, the
+    // benchmark 5-gram set, covered positions, excision — q147's shape
+    // with the dup-set swapped for the benchmark set
+    "q183_decontaminate_spans" ->
+      """WITH bench AS MATERIALIZED (SELECT doc_id AS bid,
+        |    string_split(lower(text), ' ') AS bts
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 320),
+        |corpus AS MATERIALIZED (SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 10 = 0 THEN
+        |    lower(d.text) || ' ' || array_to_string(b.bts[1:8], ' ')
+        |  ELSE lower(d.text) END AS text
+        |  FROM documents d JOIN bench b ON b.bid = d.doc_id % 20 + 300
+        |  WHERE d.doc_id < 200),
+        |t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM corpus),
+        |tok AS (SELECT doc_id, generate_subscripts(ts, 1) - 1 AS pos,
+        |  unnest(ts) AS tok FROM t),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |  array_to_string(ts[i:i+4], ' ') AS gram
+        |  FROM t, unnest(range(1, len(ts) - 3)) AS u(i) WHERE len(ts) >= 5),
+        |bg AS (SELECT DISTINCT array_to_string(bts[i:i+4], ' ') AS gram
+        |  FROM bench, unnest(range(1, len(bts) - 3)) AS u(i)
+        |  WHERE len(bts) >= 5),
+        |cov AS (SELECT DISTINCT p.doc_id, p.pos + r.o AS pos
+        |  FROM (SELECT doc_id, pos FROM g JOIN bg USING (gram)) p,
+        |  range(0, 5) r(o)),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+        |  LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+        |  WHERE cov.pos IS NULL),
+        |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text,
+        |  count(*) AS kept FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM t)
+        |SELECT tot.doc_id, coalesce(ka.cleaned_text, '') AS cleaned_text,
+        |  tot.n_tokens,
+        |  CAST(tot.n_tokens - coalesce(ka.kept, 0) AS BIGINT) AS n_removed
+        |FROM tot LEFT JOIN ka USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     // line-dedup replay: rebuild the composed paragraph fixture, split
     // to non-empty lines, per-(doc, line) distinct df, drop df > 3,
     // string_agg survivors in line order

@@ -518,6 +518,57 @@ object TextAnalysis {
           .cast("long").as("n_removed"))
   }
 
+  /** Span-level benchmark decontamination — the excision counterpart of
+    * [[graft.operators.Decontaminate.flagOverlap]]'s doc-level flag (the
+    * Llama-style move: don't drop the whole document, cut the
+    * benchmark-overlapping k-grams out of it): every corpus token
+    * covered by a k-gram that appears ANYWHERE in the benchmark set is
+    * removed, the document rebuilt from survivors in order.
+    *
+    * Scale shape: the benchmark's k-gram hash set is benchmark-sized —
+    * BROADCAST — so the corpus-side pass is one explode + a broadcast
+    * semi-join; excision reuses [[removeDuplicateSpans]]' shape
+    * (covered-position explode, anti-join, per-doc bounded rebuild).
+    * No corpus-side window, no corpus self-join.
+    *
+    * @return (idCol, cleaned_text, n_tokens, n_removed)
+    */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    val base = df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val toks = base.select(col(idCol), posexplode(col("_toks")))
+      .toDF(idCol, "_pos", "_tok")
+    val grams = base.filter(size(col("_toks")) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("_toks")) - k),
+          i => xxhash64(slice(col("_toks"), i + 1, lit(k))))))
+      .toDF(idCol, "_gpos", "_h")
+    val benchGrams = benchmark
+      .select(tokens(col(benchTextCol)).as("_bt"))
+      .filter(size(col("_bt")) >= k)
+      .select(explode(transform(sequence(lit(0), size(col("_bt")) - k),
+        i => xxhash64(slice(col("_bt"), i + 1, lit(k))))).as("_h"))
+      .distinct()
+    val covered = grams.join(broadcast(benchGrams), Seq("_h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("_gpos"), col("_gpos") + (k - 1))).as("_pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "_pos"), "left_anti")
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+        s => s.getField("_tok"))).as("cleaned_text"),
+      count(lit(1)).as("_kept"))
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Character-entropy quality signal: Shannon entropy (bits/char) of
     * each document's character distribution — gibberish and binary
     * spillage score HIGH, single-char padding scores ~0, natural language
