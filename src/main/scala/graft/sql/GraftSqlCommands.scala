@@ -111,6 +111,10 @@ object GraftSqlCommands {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
   private val AlterColTypeRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
+  private val AlterColSetDefaultRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
+  private val AlterColDropDefaultRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+DROP\\s+DEFAULT\\s*;?\\s*""".r
 
   /** The graft grammar; None → not ours, let Spark parse it. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
@@ -144,6 +148,11 @@ object GraftSqlCommands {
         Some(AlterRenameColumnCommand(path(a, b), from, to))
       case AlterDropColRe(a, b, name) =>
         Some(AlterDropColumnCommand(path(a, b), name))
+      // DEFAULT forms must match before the TYPE form never sees them
+      case AlterColSetDefaultRe(a, b, name, expr) =>
+        Some(AlterColumnDefaultCommand(path(a, b), name, Some(expr.trim)))
+      case AlterColDropDefaultRe(a, b, name) =>
+        Some(AlterColumnDefaultCommand(path(a, b), name, None))
       case AlterColTypeRe(a, b, name, tpe) =>
         Some(AlterColumnTypeCommand(path(a, b), name, tpe.trim))
       case CloneRe(da, db, kind, sa, sb, ver, ts) =>
@@ -424,6 +433,25 @@ case class AlterDropColumnCommand(path: String,
     Seq(AttributeReference("version", LongType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftSqlCommands.open(spark, path).dropColumn(name).version))
+}
+
+/** `ALTER TABLE '<path>' ALTER COLUMN a SET DEFAULT expr | DROP DEFAULT`
+  * — [[DeltaTable.setColumnDefault]] / [[DeltaTable.dropColumnDefault]]
+  * (delta's `allowColumnDefaults` writer feature; the default fills
+  * omitted columns at write time).
+  */
+case class AlterColumnDefaultCommand(path: String, name: String,
+    defaultExpr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    val out = defaultExpr match {
+      case Some(e) => t.setColumnDefault(name, e)
+      case None    => t.dropColumnDefault(name)
+    }
+    Seq(Row(out.version))
+  }
 }
 
 /** `ALTER TABLE '<path>' ALTER COLUMN a TYPE t` —

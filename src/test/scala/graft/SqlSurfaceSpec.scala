@@ -459,6 +459,30 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sql.sql(s"DESCRIBE HISTORY '$src'").count() == 3)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT fills omitted writes through SQL") {
+    val d = tempDir("sqlsurface-default")
+    sql.sql(s"CREATE TABLE graft.`$d` (id BIGINT, tier STRING)")
+    sql.sql(s"INSERT INTO graft.`$d` SELECT CAST(1 AS BIGINT), 'gold'")
+    sql.sql(s"ALTER TABLE graft.`$d` ALTER COLUMN tier SET DEFAULT 'std'")
+    // an omitted-column write now fills with the default
+    DeltaTable.forPath(d).write(
+      spark.range(2, 4).select(col("id").cast("long").as("id")),
+      schemaMode = "merge")
+    val t = DeltaTable.forPath(d).toDF(spark)
+    assert(t.filter(col("tier") === "std").count() == 2)
+    assert(t.filter(col("tier") === "gold").count() == 1)
+    sql.sql(s"ALTER TABLE graft.`$d` ALTER COLUMN tier DROP DEFAULT")
+    DeltaTable.forPath(d).write(
+      spark.range(4, 5).select(col("id").cast("long").as("id")),
+      schemaMode = "merge")
+    val t2 = DeltaTable.forPath(d).toDF(spark)
+    assert(t2.filter(col("id") === 4 && col("tier").isNull).count() == 1)
+    // a non-constant default refuses loudly
+    val ex = intercept[Exception](sql.sql(
+      s"ALTER TABLE graft.`$d` ALTER COLUMN tier SET DEFAULT concat(id, 'x')"))
+    assert(ex.getMessage.contains("constant"), ex.getMessage)
+  }
+
   test("SHOW CREATE TABLE round-trips through the CREATE surface") {
     val d = tempDir("sqlsurface-showcreate")
     sql.sql(s"CREATE TABLE graft.`$d` (id BIGINT, name STRING " +
