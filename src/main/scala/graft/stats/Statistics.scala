@@ -145,13 +145,49 @@ object Statistics {
           }
         }
       }
+      // string bounds truncate to 32 chars AFTER the cross-block fold
+      // (truncate-then-compare could mis-order): min as a plain prefix
+      // (still a valid lower bound), max as the prefix with its last
+      // incrementable char bumped (still a valid upper bound) — delta-
+      // spark's rule. Pruning stays conservative-correct and a 10 kB
+      // string column no longer writes 20 kB of stats per file into the
+      // log (at 10⁶ files that is gigabytes of pure log bloat).
+      val truncMins = mins.map {
+        case (k, s: String) => k -> (truncMinString(s): Any)
+        case kv => kv
+      }
+      val truncMaxs = maxs.flatMap {
+        case (k, s: String) => truncMaxString(s).map(t => k -> (t: Any))
+        case kv => Some(kv)
+      }
       Statistics(
         numRecords,
-        mins.map { case (k, v) => k -> toNode(v) },
-        maxs.map { case (k, v) => k -> toNode(v) },
+        truncMins.map { case (k, v) => k -> toNode(v) },
+        truncMaxs.map { case (k, v) => k -> toNode(v) },
         nulls.map { case (k, v) => k -> Json.num(v) })
     } finally reader.close()
   }
+
+  /** Delta's string-stats width. */
+  private[graft] val StringStatsMaxLen = 32
+
+  private[graft] def truncMinString(s: String): String =
+    if (s.length <= StringStatsMaxLen) s else s.substring(0, StringStatsMaxLen)
+
+  /** 32-char prefix with the rightmost incrementable char bumped — a
+    * string STRICTLY above every string sharing the prefix, so it stays
+    * an upper bound. None when every prefix char is ￿ (no valid
+    * widened bound exists; the column goes max-less, i.e. unbounded).
+    */
+  private[graft] def truncMaxString(s: String): Option[String] =
+    if (s.length <= StringStatsMaxLen) Some(s)
+    else {
+      val p = s.substring(0, StringStatsMaxLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+    }
 
   /** Parquet-physical value → comparable JVM value with Delta JSON
     * rendering semantics. NaN is excluded from min/max (meaningless bound).

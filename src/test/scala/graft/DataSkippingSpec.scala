@@ -8,6 +8,36 @@ import org.apache.spark.sql.functions._
   */
 class DataSkippingSpec extends SparkSuite {
 
+  test("long string stats truncate to widened-but-correct 32-char bounds") {
+    import graft.stats.Statistics
+    val d = tempDir("stats-trunc")
+    val longA = "a" * 100 + "zzz" // min candidate
+    val longB = "b" * 100 + "qqq" // max candidate
+    val spark2 = spark; import spark2.implicits._
+    val t = DeltaTable.forPath(d).write(
+      Seq((1L, longA), (2L, longB)).toDF("id", "s").coalesce(1))
+    val add = t.dlog.addActions.values.head
+    val stats = add.stats.get
+    val node = graft.log.Json.mapper.readTree(stats)
+    val mn = node.get("minValues").get("s").asText
+    val mx = node.get("maxValues").get("s").asText
+    assert(mn == "a" * 32, mn)                      // prefix lower bound
+    assert(mx == "b" * 31 + "c", mx)                 // incremented upper bound
+    assert(mn <= longA && mx > longB, s"$mn / $mx")  // bounds stay valid
+    // pruning stays conservative-correct with the widened bounds:
+    // a predicate INSIDE the real range keeps the file...
+    assert(t.prunedAdds(col("s") === longB).size == 1)
+    // ...a value between the real max and the widened bound keeps it
+    // too (conservative, never wrong)...
+    assert(t.prunedAdds(col("s") === ("b" * 31 + "a")).size == 1)
+    // ...and a value above the widened bound prunes it
+    assert(t.prunedAdds(col("s") > "c").isEmpty)
+    // unit edges: short strings pass through; un-incrementable maxes drop
+    assert(Statistics.truncMinString("short") == "short")
+    assert(Statistics.truncMaxString("short").contains("short"))
+    assert(Statistics.truncMaxString("￿" * 40).isEmpty)
+  }
+
   private lazy val dir: String = {
     val d = tempDir("skip")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
