@@ -47,7 +47,8 @@ object Bench {
     "q174_paragraph_neardup", "q175_sql_ctas_clone", "q176_stream_left_join",
     "q177_cluster_balanced_sample", "q178_unimax_sample",
     "q179_video_scene_cuts", "q180_doremi_mixture", "q181_gopher_rules",
-    "q182_remove_dup_lines", "q183_decontaminate_spans")
+    "q182_remove_dup_lines", "q183_decontaminate_spans",
+    "q184_stratified_split", "q185_hard_negatives")
 
   val RUNS = 2
 

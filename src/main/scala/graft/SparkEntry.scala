@@ -1311,6 +1311,22 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // hard-negative mining: per anchor, top-5 most-similar vectors in
+    // the [0.2, 0.5) cosine band — informative negatives below the
+    // near-dup ceiling; anchors broadcast, exact-cosine oracle
+    "q185_hard_negatives" -> ((s, d) => {
+      val emb = QueryLib.delta(s, d, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", m = 5, lo = 0.2, hi = 0.5)
+        .orderBy("anchor_id", "rank")
+    }),
+    // exact stratified split: per-language 8:1:1 with EXACT counts cut
+    // at integer-weight boundaries over md5-least ordering — never the
+    // in-expectation-only hash split
+    "q184_stratified_split" -> ((s, d) =>
+      operators.Sampling.stratifiedSplit(QueryLib.delta(s, d, "documents"),
+          "lang", "doc_id", Seq(("train", 8L), ("val", 1L), ("test", 1L)))
+        .orderBy("doc_id")),
     // span-level benchmark decontamination: docs %10=0 carry an appended
     // 8-token benchmark snippet; exactly those 8 tokens excise (their
     // internal 5-grams hit the broadcast benchmark gram set), the
@@ -2845,6 +2861,37 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // hard-negative replay: exact cosine over the anchor cross, band
+    // filter, per-anchor rank — the q23 machinery with a band
+    "q185_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS negative_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |s AS (SELECT anchor_id, negative_id,
+        |  list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) *
+        |    sqrt(list_dot_product(cv, cv))) AS cos
+        |  FROM q, c WHERE negative_id <> anchor_id),
+        |b AS (SELECT * FROM s WHERE cos >= 0.2 AND cos < 0.5),
+        |r AS (SELECT anchor_id, negative_id, cos,
+        |  row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cos DESC, negative_id) AS rank FROM b)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, negative_id,
+        |  round(cos, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+    // stratified-split replay: per-lang md5 ranks, integer-exact
+    // boundaries at n*8/10 and n*9/10
+    "q184_stratified_split" ->
+      """WITH o AS (SELECT doc_id, lang, md5('split:' || doc_id) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM o)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= (n * 8) // 10 THEN 'train'
+        |       WHEN rk <= (n * 9) // 10 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
     // decontamination replay: rebuild the contaminated corpus, the
     // benchmark 5-gram set, covered positions, excision — q147's shape
     // with the dup-set swapped for the benchmark set

@@ -362,6 +362,61 @@ object Sampling {
       .drop("_tb_pid", "_tb_off", "_tb_cum")
   }
 
+  /** EXACT stratified split: within every stratum, deterministic
+    * md5-least ordering cut at integer-weight boundaries — split i takes
+    * ranks (n·cumW_{i−1}/W, n·cumW_i/W], the last takes the remainder —
+    * so per-stratum counts are EXACT (a plain hash split is only
+    * stratified in expectation; at 8:1:1 a 40-doc language can easily
+    * draw a 6-row validation set by luck). Integer weights make the
+    * boundary arithmetic engine-exact: no 0.8+0.1 ≠ 0.9 IEEE trap
+    * between the operator and an oracle.
+    *
+    * Scale shape: ranking inside a stratum is the X185/X191 bucket-carry
+    * again — per-(key, md5-hex-bucket) counts, exclusive offsets over
+    * ≤16 bucket rows per key, in-bucket row_number + offset — so a
+    * 90%-one-language corpus ranks across 16 bounded tasks, never one
+    * key-partition window; stratum sizes broadcast.
+    *
+    * @param splits (name, weight) in order; weights need not normalize
+    * @return (idCol, keyCol, split)
+    */
+  def stratifiedSplit(df: DataFrame, keyCol: String, idCol: String,
+      splits: Seq[(String, Long)], seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val w = splits.map(_._2).sum
+    val cum = splits.scanLeft(0L) { case (acc, (_, wt)) => acc + wt }.tail
+    val spark = df.sparkSession
+    val base = df.select(col(keyCol), col(idCol))
+      .withColumn("_ord", md5(concat(lit(s"$seed:"), col(idCol).cast("string"))))
+      .withColumn("_b", substring(col("_ord"), 1, 1))
+    import org.apache.spark.sql.expressions.Window
+    val wOff = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offDf = base.groupBy(col(keyCol), col("_b"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off", coalesce(sum("_bn").over(wOff), lit(0L)))
+    val sizes = broadcast(df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("_n")))
+    val wIn = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col("_ord"), col(idCol))
+    val ranked = base.join(offDf.select(col(keyCol), col("_b"), col("_off")),
+        Seq(keyCol, "_b"))
+      .withColumn("_rk", col("_off") + row_number().over(wIn))
+      .join(sizes, Seq(keyCol))
+    // boundary_i = floor(n·cumW_i / W) — the product is far below 2^53,
+    // so the double division is exact and floor() matches any engine's
+    // integer division; the last split takes everything left, so the
+    // union is exactly the stratum
+    val splitCol = splits.zip(cum).init.foldRight(
+        lit(splits.last._1): Column) { case (((name, _), c), rest) =>
+      when(col("_rk") <= floor(col("_n") * c / w), name).otherwise(rest)
+    }
+    ranked.select(col(idCol), col(keyCol), splitCol.as("split"))
+  }
+
   /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
     * Data Mixtures Speeds Up Language Model Pretraining"): fold the
     * Group-DRO exponentiated-gradient update over a per-(step, domain)

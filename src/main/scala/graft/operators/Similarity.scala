@@ -653,6 +653,36 @@ object Similarity {
     exactRerank(candidates, corpus, q, idCol, vecCol, k)
   }
 
+  /** Hard-negative mining for embedding-model training (the ANN-mined
+    * negatives of the DPR/SBERT recipe): for each anchor, the top-m most
+    * similar candidates INSIDE the cosine band [lo, hi) — similar enough
+    * to be informative negatives, below the near-duplicate ceiling so an
+    * actual positive never poisons the loss as a false negative.
+    *
+    * Scale shape: the anchor set is training-batch-sized and BROADCASTS
+    * over one corpus scan (swap the corpus side for [[ivfIndexTopK]]'s
+    * pruned cells when an index exists); the per-anchor top-m is a
+    * WindowGroupLimit-shaped rank over band survivors only.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, m: Int, lo: Double, hi: Double): DataFrame = {
+    require(m > 0 && lo < hi, s"need m > 0 and lo < hi, got m=$m [$lo,$hi)")
+    val c = corpus.select(col(idCol).as("negative_id"),
+      toDouble(col(vecCol)).as("_cv"))
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      toDouble(col(vecCol)).as("_av"))
+    val scored = c.join(broadcast(a),
+        col("negative_id") =!= col("anchor_id"))
+      .withColumn("_cos", cosineFast(col("_av"), col("_cv")))
+      .filter(col("_cos") >= lo && col("_cos") < hi)
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("_cos").desc, col("negative_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("negative_id"), round(col("_cos"), 4).as("cos_sim"))
+  }
+
   // ------------------------------------------------------------------
   // Persisted IVF index: build/refresh separated from query. The r11
   // verdict's gap — ivfTopK/pqTopK retrain codebooks per call, paying the
