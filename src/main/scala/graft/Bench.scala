@@ -48,7 +48,7 @@ object Bench {
     "q177_cluster_balanced_sample", "q178_unimax_sample",
     "q179_video_scene_cuts", "q180_doremi_mixture", "q181_gopher_rules",
     "q182_remove_dup_lines", "q183_decontaminate_spans",
-    "q184_stratified_split", "q185_hard_negatives")
+    "q184_stratified_split", "q185_hard_negatives", "q186_cms_estimates")
 
   val RUNS = 2
 

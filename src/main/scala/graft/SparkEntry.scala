@@ -1311,6 +1311,19 @@ object SparkEntry {
       Similarity.kmeansAssign(QueryLib.delta(s, d, "embeddings"),
           "vec_id", "embedding", k = 8)
         .orderBy("vec_id")),
+    // count-min heavy-hitter estimates: d x w counters from one pass,
+    // probed with doc 0's vocabulary — est >= exact always, replayable
+    // md5 hashing
+    "q186_cms_estimates" -> ((s, d) => {
+      import operators.Sketches
+      val docs = QueryLib.delta(s, d, "documents")
+      val toks = docs.select(
+        explode(split(lower(col("text")), " ")).as("v"))
+      val sketch = Sketches.cmsSketch(toks, col("v"))
+      val probes = docs.filter(col("doc_id") === 0)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      Sketches.cmsEstimate(sketch, probes, "token").orderBy("token")
+    }),
     // hard-negative mining: per anchor, top-5 most-similar vectors in
     // the [0.2, 0.5) cosine band — informative negatives below the
     // near-dup ceiling; anchors broadcast, exact-cosine oracle
@@ -2861,6 +2874,25 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // CMS replay: identical md5-60 row:value bucketing, d x w counter
+    // table, min over rows per probe token
+    "q186_cms_estimates" ->
+      """WITH tv AS MATERIALIZED (SELECT v FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS v
+        |    FROM documents) WHERE v <> ''),
+        |e AS (SELECT r.range AS row,
+        |  ('0x' || substr(md5(r.range || ':' || v), 1, 15))::BIGINT % 1024
+        |    AS bucket FROM tv, range(0, 4) r),
+        |cms AS MATERIALIZED (SELECT row, bucket, count(*) AS cnt
+        |  FROM e GROUP BY row, bucket),
+        |probes AS (SELECT DISTINCT unnest(string_split(lower(text), ' '))
+        |  AS token FROM documents WHERE doc_id = 0),
+        |pe AS (SELECT token, r.range AS row,
+        |  ('0x' || substr(md5(r.range || ':' || token), 1, 15))::BIGINT % 1024
+        |    AS bucket FROM probes, range(0, 4) r WHERE token <> '')
+        |SELECT token, min(coalesce(cnt, 0)) AS est_count
+        |FROM pe LEFT JOIN cms USING (row, bucket)
+        |GROUP BY token ORDER BY token""".stripMargin,
     // hard-negative replay: exact cosine over the anchor cross, band
     // filter, per-anchor rank — the q23 machinery with a band
     "q185_hard_negatives" ->

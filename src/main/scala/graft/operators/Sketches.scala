@@ -66,6 +66,48 @@ object Sketches {
     df.groupBy(keys.map(col): _*)
       .agg(kmvAgg(kmvHash(value), k).as("kmv_sketch"))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * heavy-hitter counter that answers "how frequent is this token/key"
+    * from d × w counters instead of a vocabulary-sized exact groupBy:
+    * the cheap pre-pass that FEEDS the df guards (X2's maxDocFreq) and
+    * salting decisions without ever shuffling the full vocabulary.
+    * Hash row r of value v increments bucket md5₆₀(r:v) mod w; an
+    * estimate is the min over rows — always ≥ the true count, within
+    * εN with probability 1−δ at w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    *
+    * Scale shape: one explode (×d) into a map-side-combined
+    * groupBy(row, bucket) — the result is d·w rows TOTAL regardless of
+    * corpus size, trivially mergeable across batches by summing cnt.
+    * md5-based hashing keeps it engine-replayable like every store.
+    */
+  def cmsSketch(df: DataFrame, value: Column, d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    df.select(value.cast("string").as("_v"))
+      .filter(length(col("_v")) > 0)
+      .withColumn("row", explode(sequence(lit(0L), lit(d - 1L))))
+      .select(col("row"),
+        pmod(Sampling.idHash(concat_ws(":", col("row"), col("_v"))),
+          lit(w.toLong)).as("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a CMS: min over the d rows' buckets; an
+    * unseen bucket counts 0. The d·w-row sketch BROADCASTS.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val pb = probes.select(col(tokenCol).cast("string").as("token"))
+      .filter(length(col("token")) > 0).distinct()
+      .withColumn("row", explode(sequence(lit(0L), lit(d - 1L))))
+      .withColumn("bucket",
+        pmod(Sampling.idHash(concat_ws(":", col("row"), col("token"))),
+          lit(w.toLong)))
+    pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   // ------------------------------------------------------------------
   // Sketch STORE: per-batch sketch rows persisted as a Delta table, so
   // corpus-wide cardinality questions read sketch-sized history instead
