@@ -61,7 +61,7 @@ object GraftSqlCommands {
   private val DetailRe =
     s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+$P\\s*;?\\s*""".r
   private val OptimizeRe =
-    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+(FULL))?(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val RestoreVerRe =
@@ -121,10 +121,11 @@ object GraftSqlCommands {
     sqlText match {
       case HistoryRe(a, b) => Some(DescribeHistoryCommand(path(a, b)))
       case DetailRe(a, b) => Some(DescribeDetailCommand(path(a, b)))
-      case OptimizeRe(a, b, where, zcols) =>
+      case OptimizeRe(a, b, full, where, zcols) =>
         val cols = Option(zcols).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(OptimizeCommand(path(a, b), cols, Option(where).map(_.trim)))
+        Some(OptimizeCommand(path(a, b), cols, Option(where).map(_.trim),
+          full = full != null))
       case VacuumRe(a, b, hours, dry) =>
         Some(VacuumCommand(path(a, b), Option(hours).map(_.toLong), dry != null))
       case RestoreVerRe(a, b, v) => Some(RestoreCommand(path(a, b), Left(v.toLong)))
@@ -238,11 +239,15 @@ case class DescribeDetailCommand(path: String) extends LeafRunnableCommand {
   }
 }
 
-/** `OPTIMIZE '<path>' [WHERE …] [ZORDER BY (…)]` — distributed rewrite via
-  * [[DeltaTable.compact]]; the result row reports the file-count change.
+/** `OPTIMIZE '<path>' [FULL] [WHERE …] [ZORDER BY (…)]` — distributed
+  * rewrite via [[DeltaTable.compact]]; the result row reports the
+  * file-count change. Delta's liquid-clustering contract: a plain
+  * OPTIMIZE on a CLUSTERED table is INCREMENTAL (already-clustered
+  * files tag-skip, X195); `FULL` forces the total re-cluster. On
+  * unclustered tables the flag is inert (no spec tag exists).
   */
 case class OptimizeCommand(path: String, zOrderBy: Seq[String],
-    where: Option[String]) extends LeafRunnableCommand {
+    where: Option[String], full: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType)(),
     AttributeReference("numFilesBefore", LongType)(),
@@ -252,8 +257,12 @@ case class OptimizeCommand(path: String, zOrderBy: Seq[String],
     val before = t.dlog.addActions.size.toLong
     val pred = where.map(w => ColumnShim.column(
       spark.sessionState.sqlParser.parseExpression(w)))
+    // incremental ONLY for the liquid path (declared clustering columns,
+    // no explicit ZORDER BY) — an explicit ZORDER BY stays a full
+    // rewrite, delta's legacy-Z-order parity
     val after = t.compact(spark, sortBy = zOrderBy,
-      zOrder = zOrderBy.length > 1, where = pred)
+      zOrder = zOrderBy.length > 1, where = pred,
+      incremental = !full && zOrderBy.isEmpty)
       .dlog.addActions.size.toLong
     Seq(Row(path, before, after))
   }

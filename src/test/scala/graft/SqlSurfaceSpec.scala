@@ -503,6 +503,27 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(t2.tableProperties("graft.kind") == "ledger")
   }
 
+  test("OPTIMIZE is incremental on clustered tables; FULL forces re-cluster") {
+    val d = tempDir("sqlsurface-liquid")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(nation.repartition(3))
+      .clusterBy(Seq("n_nationkey", "n_regionkey"))
+    sql.sql(s"OPTIMIZE '$d'") // clusters everything, tags outputs
+    val v1 = DeltaTable.forPath(d).version
+    // plain OPTIMIZE again: the cube tag-skips — commit-free no-op
+    sql.sql(s"OPTIMIZE '$d'")
+    assert(DeltaTable.forPath(d).version == v1,
+      "repeat OPTIMIZE of a clustered table must no-op")
+    // an append re-OPTIMIZEs only itself...
+    DeltaTable.forPath(d).write(nation.repartition(2))
+    val before = sql.sql(s"OPTIMIZE '$d'").collect().head
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 50)
+    // ...and FULL rewrites the whole layout in one commit
+    val r = sql.sql(s"OPTIMIZE '$d' FULL").collect().head
+    assert(r.getLong(2) <= r.getLong(1), r.toString)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 50)
+  }
+
   test("REORG APPLY (PURGE) rewrites DV'd files; FSCK REPAIR drops ghosts") {
     // REORG: a MoR delete leaves a DV; purge must rewrite it away
     val d = tempDir("sqlsurface-reorg")
