@@ -115,9 +115,14 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // stop Spark and flush BOTH streams BEFORE the summary so the
+    // driver's tail capture never windows over late executor/streaming
+    // log fragments — the JSON line is guaranteed to be stdout's last.
+    spark.stop()
+    System.err.flush(); System.out.flush()
     if (full.length <= 1500) println(full)
     else println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_file":"$outPath","sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
   }
 
   /** Write-path timings: MERGE upsert and OPTIMIZE compaction, each over a

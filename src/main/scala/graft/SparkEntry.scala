@@ -3283,7 +3283,7 @@ object SparkEntry {
          |  ORDER BY h, doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM o),
          |k AS (SELECT c.doc_id, c.lang,
-         |  a.f + CASE WHEN c.cum <= a.rem THEN 1 ELSE 0 END AS copies
+         |  a.f + CASE WHEN a.rem > 0 AND c.cum <= a.rem THEN 1 ELSE 0 END AS copies
          |  FROM c JOIN a USING (lang))
          |SELECT doc_id, lang, unnest(range(1, copies + 1)) AS "copy"
          |FROM k WHERE copies >= 1 ORDER BY doc_id, "copy"""".stripMargin

@@ -517,7 +517,8 @@ object Sampling {
       .withColumn("_cum", col("_off") + sum(col("_tok")).over(wIn))
       .join(allocDf, Seq(keyCol))
       .withColumn("_copies", col("_full") +
-        when(col("_cum") <= col("_rem"), 1L).otherwise(0L))
+        when(col("_rem") > 0L && col("_cum") <= col("_rem"), 1L)
+          .otherwise(0L))
       .withColumn("copy", explode(when(col("_copies") >= 1L,
         sequence(lit(1L), col("_copies")))
         .otherwise(array().cast("array<bigint>"))))
@@ -534,9 +535,14 @@ object Sampling {
       maxEpochs: Double): Seq[(String, Long, Long, Long)] = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     require(maxEpochs > 0, "maxEpochs must be positive")
-    val caps = df.groupBy(col(keyCol))
+    val raw = df.groupBy(col(keyCol))
       .agg(sum(tokensCol.cast("long")).as("_cap")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
+    // zero-capacity keys (all-null/empty token sums) allocate 0 — they
+    // can't enter the waterfill, whose give/cap arithmetic divides by cap
+    val zeros = raw.collect { case (k, cap) if cap <= 0L => (k, 0L, 0L, 0L) }
+    val caps = raw.filter(_._2 > 0L)
       .sortBy { case (k, cap) => (math.floor(maxEpochs * cap).toLong, k) }
     var remaining = budgetTokens
     var left = caps.length
@@ -546,7 +552,7 @@ object Sampling {
       remaining -= give
       left -= 1
       (k, cap, give / cap, give % cap)
-    }.toSeq.sortBy(_._1)
+    }.toSeq.++(zeros).sortBy(_._1)
   }
 
   /** Cluster-balanced diversity sampling (the DataComp/SemDeDup

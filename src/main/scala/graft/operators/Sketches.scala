@@ -90,20 +90,31 @@ object Sketches {
         pmod(Sampling.idHash(concat_ws(":", col("row"), col("_v"))),
           lit(w.toLong)).as("bucket"))
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+      // carry the build parameters WITH the sketch so estimates can never
+      // probe against mismatched buckets (a wrong d/w would silently
+      // undercut the est >= true CMS contract)
+      .withColumn("d", lit(d)).withColumn("w", lit(w))
   }
 
   /** Point estimates from a CMS: min over the d rows' buckets; an
-    * unseen bucket counts 0. The d·w-row sketch BROADCASTS.
+    * unseen bucket counts 0. The d·w-row sketch BROADCASTS. d and w are
+    * read off the sketch's own carried columns — the parameters it was
+    * BUILT with — so a non-default sketch cannot be probed wrong.
     */
-  def cmsEstimate(sketch: DataFrame, probes: DataFrame, tokenCol: String,
-      d: Int = 4, w: Int = 1024): DataFrame = {
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      tokenCol: String): DataFrame = {
+    require(sketch.columns.contains("d") && sketch.columns.contains("w"),
+      "sketch must carry its build parameters (d, w) — build with cmsSketch")
+    val Array(d, w) = sketch.select(max("d"), max("w")).head()
+      .toSeq.map(_.asInstanceOf[Int].toLong).toArray
     val pb = probes.select(col(tokenCol).cast("string").as("token"))
       .filter(length(col("token")) > 0).distinct()
       .withColumn("row", explode(sequence(lit(0L), lit(d - 1L))))
       .withColumn("bucket",
         pmod(Sampling.idHash(concat_ws(":", col("row"), col("token"))),
-          lit(w.toLong)))
-    pb.join(broadcast(sketch), Seq("row", "bucket"), "left")
+          lit(w)))
+    pb.join(broadcast(sketch.select("row", "bucket", "cnt")),
+        Seq("row", "bucket"), "left")
       .groupBy("token")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }

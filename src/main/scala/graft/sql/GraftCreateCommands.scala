@@ -95,10 +95,7 @@ case class GraftCloneCommand(dstPath: String, srcPath: String, deep: Boolean,
     val pinned = (version, timestamp) match {
       case (Some(v), _) => src.loadAsVersion(v)
       case (_, Some(ts)) =>
-        val millis =
-          try java.sql.Timestamp.valueOf(ts).getTime
-          catch { case _: IllegalArgumentException =>
-            java.time.Instant.parse(ts).toEpochMilli }
+        val millis = GraftSqlCommands.parseTsLiteral(spark, ts)
         src.loadAsTimestamp(millis)
       case _ => src
     }

@@ -165,10 +165,7 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
           case (None, Some(v)) => t.loadAsVersion(v.toLong)
           case (Some(Literal(s, StringType)), None) =>
             val str = s.toString
-            val millis =
-              try java.sql.Timestamp.valueOf(str).getTime
-              catch { case _: IllegalArgumentException =>
-                java.time.Instant.parse(str).toEpochMilli }
+            val millis = GraftSqlCommands.parseTsLiteral(session, str)
             t.loadAsTimestamp(millis)
           case _ => throw new IllegalArgumentException(
             s"unsupported time-travel spec for graft path table: $tt")

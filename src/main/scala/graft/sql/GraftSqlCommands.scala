@@ -138,7 +138,8 @@ object GraftSqlCommands {
       case UpdateRe(a, b, sets, where) =>
         Some(UpdateCommand(path(a, b), sets.trim, Option(where).map(_.trim)))
       case AlterAddColsRe(a, b, cols) =>
-        Some(AlterAddColumnsCommand(path(a, b), splitTopLevel(cols)))
+        Some(AlterAddColumnsCommand(path(a, b),
+          splitTopLevel(cols, trackAngles = true)))
       case AlterAddColRe(a, b, spec) =>
         Some(AlterAddColumnsCommand(path(a, b), Seq(spec.trim)))
       case AlterSetPropsRe(a, b, props) =>
@@ -174,10 +175,29 @@ object GraftSqlCommands {
   private[sql] def open(spark: SparkSession, path: String): DeltaTable =
     DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
 
-  /** Split at commas outside any paren/bracket nesting and outside
-    * single-quoted strings.
+  /** Parse a `TIMESTAMP AS OF` literal in the SESSION timezone (what
+    * delta-spark does), not the JVM default — `Timestamp.valueOf` would
+    * shift a pinned clone/restore by the host tz offset. Accepts Spark's
+    * full timestamp literal grammar plus ISO instants with `Z`.
     */
-  private[sql] def splitTopLevel(s: String): Seq[String] = {
+  private[graft] def parseTsLiteral(spark: SparkSession, ts: String): Long = {
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+      .map(micros => Math.floorDiv(micros, 1000L))
+      .getOrElse(java.time.Instant.parse(ts).toEpochMilli)
+  }
+
+  /** Split at commas outside any paren/bracket nesting and outside
+    * single-quoted strings. `trackAngles` additionally nests on `<`/`>`
+    * so parameterized type spellings (MAP<STRING, INT>, STRUCT<...>)
+    * survive — opt-in because general expressions (UPDATE SET) use bare
+    * `<` as a comparison operator.
+    */
+  private[graft] def splitTopLevel(s: String,
+      trackAngles: Boolean = false): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = 0
     var i = 0
@@ -186,6 +206,8 @@ object GraftSqlCommands {
         case '\'' => inStr = !inStr
         case '(' | '[' if !inStr => depth += 1
         case ')' | ']' if !inStr => depth -= 1
+        case '<' if trackAngles && !inStr => depth += 1
+        case '>' if trackAngles && !inStr && depth > 0 => depth -= 1
         case ',' if !inStr && depth == 0 =>
           out += s.substring(start, i); start = i + 1
         case _ => ()
@@ -293,10 +315,7 @@ case class RestoreCommand(path: String,
     val (restored, targetVersion) = target match {
       case Left(v) => (t.restore(v), v)
       case Right(ts) =>
-        val millis =
-          try java.sql.Timestamp.valueOf(ts).getTime
-          catch { case _: IllegalArgumentException =>
-            java.time.Instant.parse(ts).toEpochMilli }
+        val millis = GraftSqlCommands.parseTsLiteral(spark, ts)
         (t.restoreToTimestamp(millis), t.versionAt(millis))
     }
     Seq(Row(targetVersion, restored.dlog.addActions.size.toLong))

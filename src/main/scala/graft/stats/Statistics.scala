@@ -171,22 +171,51 @@ object Statistics {
   /** Delta's string-stats width. */
   private[graft] val StringStatsMaxLen = 32
 
+  /** ≤32-char prefix cut at a CODE POINT boundary — a cut landing on the
+    * high half of a surrogate pair backs off one unit, so the bound is
+    * always well-formed Unicode (an unpaired surrogate is malformed UTF-8
+    * to a foreign delta reader). A shorter prefix is still a lower bound.
+    */
   private[graft] def truncMinString(s: String): String =
-    if (s.length <= StringStatsMaxLen) s else s.substring(0, StringStatsMaxLen)
+    if (s.length <= StringStatsMaxLen) s
+    else {
+      val cut =
+        if (Character.isHighSurrogate(s.charAt(StringStatsMaxLen - 1)) &&
+            Character.isLowSurrogate(s.charAt(StringStatsMaxLen)))
+          StringStatsMaxLen - 1
+        else StringStatsMaxLen
+      s.substring(0, cut)
+    }
 
-  /** 32-char prefix with the rightmost incrementable char bumped — a
-    * string STRICTLY above every string sharing the prefix, so it stays
-    * an upper bound. None when every prefix char is ￿ (no valid
-    * widened bound exists; the column goes max-less, i.e. unbounded).
+  /** 32-char (code-point-boundary) prefix with the rightmost incrementable
+    * CODE POINT bumped — a string STRICTLY above every string sharing the
+    * prefix in BOTH UTF-16 (this repo's compareTo pruner) and UTF-8 /
+    * code-point order (foreign readers). Increments skip the surrogate
+    * block (U+D7FF → U+E000) so the bound stays well-formed; U+FFFF and
+    * U+10FFFF are treated as non-incrementable (bumping U+FFFF to a
+    * supplementary char would sort BELOW it in UTF-16 order — the one
+    * increment the two orders disagree on). None when no code point can
+    * be bumped (the column goes max-less, i.e. unbounded).
     */
   private[graft] def truncMaxString(s: String): Option[String] =
     if (s.length <= StringStatsMaxLen) Some(s)
     else {
-      val p = s.substring(0, StringStatsMaxLen).toCharArray
-      var i = p.length - 1
-      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
-      if (i < 0) None
-      else { p(i) = (p(i) + 1).toChar; Some(new String(p, 0, i + 1)) }
+      val prefix = truncMinString(s)
+      // walk code points right-to-left looking for one we can bump
+      var i = prefix.length
+      while (i > 0) {
+        val cpStart = prefix.offsetByCodePoints(i, -1)
+        val cp = prefix.codePointAt(cpStart)
+        val bumped =
+          if (cp == 0xD7FF) 0xE000                       // skip surrogates
+          else if (cp == 0xFFFF || cp == 0x10FFFF) -1    // not incrementable
+          else cp + 1
+        if (bumped >= 0)
+          return Some(prefix.substring(0, cpStart) +
+            new String(Character.toChars(bumped)))
+        i = cpStart
+      }
+      None
     }
 
   /** Parquet-physical value → comparable JVM value with Delta JSON

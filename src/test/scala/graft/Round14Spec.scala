@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{Sampling, Sketches}
+import graft.sql.{GraftSql, GraftSqlCommands}
+import graft.stats.Statistics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructType}
+
+/** Round-14 regression pins: the r12-verdict ADVICE fixes (nested-type
+  * ADD COLUMNS splitting, session-tz timestamp literals, CMS parameter
+  * carry, code-point-safe string-stat bounds, zero-capacity UniMax keys).
+  */
+class Round14Spec extends SparkSuite {
+
+  private lazy val sql = GraftSql.enable(spark)
+
+  test("splitTopLevel keeps parameterized nested types whole") {
+    val specs = GraftSqlCommands.splitTopLevel(
+      "m MAP<STRING, INT>, s STRUCT<a: INT, b: STRING>, x ARRAY<MAP<STRING, ARRAY<INT>>>, n INT",
+      trackAngles = true)
+    assert(specs.size == 4, specs.toString)
+    assert(specs(0) == "m MAP<STRING, INT>")
+    assert(specs(1) == "s STRUCT<a: INT, b: STRING>")
+    // UPDATE-style expression splitting (no angle tracking) is unchanged:
+    // a bare `<` comparison must not suppress the comma split
+    val sets = GraftSqlCommands.splitTopLevel(
+      "a = CASE WHEN x < 3 THEN 1 ELSE 2 END, b = 'y,z'")
+    assert(sets.size == 2, sets.toString)
+  }
+
+  test("SQL ADD COLUMNS accepts parameterized nested types end-to-end") {
+    val d = tempDir("r14-addcols")
+    DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/region.parquet"))
+    sql.sql(
+      s"ALTER TABLE '$d' ADD COLUMNS (m MAP<STRING, INT>, s STRUCT<a: INT, b: STRING>)")
+    val sch = DeltaTable.forPath(d).schema
+    assert(sch("m").dataType == MapType(StringType, IntegerType))
+    assert(sch("s").dataType == new StructType()
+      .add("a", IntegerType).add("b", StringType))
+  }
+
+  test("TIMESTAMP AS OF literals parse in the SESSION timezone") {
+    // session is pinned UTC in SparkSuite; a wall-clock literal must mean
+    // UTC regardless of the JVM default zone (the Timestamp.valueOf trap)
+    val ms = GraftSqlCommands.parseTsLiteral(spark, "2026-01-02 03:04:05")
+    assert(ms == java.time.Instant.parse("2026-01-02T03:04:05Z").toEpochMilli)
+    // explicit-offset ISO forms still work
+    val iso = GraftSqlCommands.parseTsLiteral(spark, "2026-01-02T03:04:05Z")
+    assert(iso == ms)
+    // and a non-UTC session shifts the interpretation accordingly
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val ny = GraftSqlCommands.parseTsLiteral(spark, "2026-01-02 03:04:05")
+      assert(ny == ms + 5L * 3600 * 1000, s"expected EST offset, got ${ny - ms}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("cmsEstimate derives d/w from the sketch it was built with") {
+    import spark.implicits._
+    val df = (Seq.fill(50)("hot") ++ (1 to 30).map(i => s"t$i")).toDF("v")
+    // non-default parameters: the old estimator would rehash against
+    // d=4/w=1024 buckets and undercut the est >= true contract
+    val sketch = Sketches.cmsSketch(df, col("v"), d = 3, w = 64)
+    assert(sketch.columns.toSet == Set("row", "bucket", "cnt", "d", "w"))
+    val probes = df.select(col("v")).distinct()
+    val est = Sketches.cmsEstimate(sketch, probes, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("v").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS undercuts true count for $t: ${est(t)} < $n")
+    }
+    assert(est("hot") == 50L, "w=64 over 31 keys should estimate the head exactly-ish")
+  }
+
+  test("string stat bounds never emit unpaired surrogates") {
+    // 31 chars + a surrogate PAIR straddling the 32-char cut
+    val straddle = "a" * 31 + new String(Character.toChars(0x1F600)) + "tail"
+    val mn = Statistics.truncMinString(straddle)
+    assert(mn == "a" * 31, "cut must back off the high surrogate")
+    val mx = Statistics.truncMaxString(straddle).get
+    assert(mx == "a" * 30 + "b", mx)
+    // U+D7FF bumps OVER the surrogate block to U+E000
+    val edge = "x" * 31 + "퟿" + "tail"
+    val mxe = Statistics.truncMaxString(edge).get
+    assert(mxe == "x" * 31 + "", mxe.map(_.toInt).mkString(","))
+    assert(mxe > edge)                                 // UTF-16 order bound
+    // U+FFFF is non-incrementable (a supplementary bump would sort BELOW
+    // it in UTF-16 order): the increment moves left
+    val ffff = "y" * 31 + "￿" + "tail"
+    val mxf = Statistics.truncMaxString(ffff).get
+    assert(mxf == "y" * 30 + "z", mxf)
+    // supplementary code points bump within the supplementary plane
+    val supp = "z" * 30 + new String(Character.toChars(0x1F600)) + "tail"
+    val mxs = Statistics.truncMaxString(supp).get
+    assert(mxs == "z" * 30 + new String(Character.toChars(0x1F601)), mxs)
+    assert(mxs > supp)
+    // every produced bound is well-formed (round-trips through UTF-8)
+    Seq(mn, mx, mxe, mxf, mxs).foreach { b =>
+      val rt = new String(b.getBytes("UTF-8"), "UTF-8")
+      assert(rt == b, s"malformed bound: ${b.map(_.toInt).mkString(",")}")
+    }
+  }
+
+  test("unimax tolerates zero-capacity keys (allocated 0, no crash)") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "d1", 10L), ("a", "d2", 10L),
+      ("b", "d3", 0L), ("b", "d4", 0L)            // zero-token key
+    ).toDF("k", "id", "tok")
+    val plan = Sampling.unimaxPlan(df, "k", col("tok"), 100L, 4.0)
+    val byKey = plan.map(p => p._1 -> p).toMap
+    assert(byKey("b") == (("b", 0L, 0L, 0L)), byKey("b").toString)
+    assert(byKey("a")._3 == 4L, "key a takes its full 4-epoch cap")
+    val sampled = Sampling.unimaxSample(df, "k", "id", col("tok"), 100L, 4.0)
+      .collect()
+    assert(sampled.forall(_.getString(1) == "a"),
+      "zero-capacity key must materialize no copies")
+    assert(sampled.length == 8, s"2 docs x 4 epochs, got ${sampled.length}")
+  }
+}
