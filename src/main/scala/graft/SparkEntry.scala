@@ -544,9 +544,10 @@ object SparkEntry {
           "doc_id", "n_tokens", "stopword_ratio", budget = 30000)
         .orderBy("doc_id")
     }),
-    // deflate-compressibility quality gate. No SQL oracle (no zlib in
-    // DuckDB SQL); Round9bSpec pins the separation property and
-    // determinism. Driver records the rows-only check.
+    // deflate-compressibility quality gate. DuckDB has no zlib, so the
+    // oracle is DYNAMIC (dynamicOracleSql): Verify-time driver deflates
+    // export as literals, the raw-byte side replays in SQL. Round9bSpec
+    // pins the separation property and determinism.
     "q145_compressibility" -> ((s, d) =>
       TextAnalysis.compressionRatio(QueryLib.delta(s, d, "documents"),
           "doc_id", "text")
@@ -3241,6 +3242,35 @@ object SparkEntry {
          |SELECT r.vec_id, CAST(r.c + 1 AS BIGINT) AS cluster_id,
          |  round(r.dot / (xn.xnrm * r.nrm), 4) AS centroid_sim
          |FROM r JOIN xn USING (vec_id) WHERE rk = 1 ORDER BY vec_id""".stripMargin
+    }),
+    // deflate compressibility: DuckDB has no zlib, but the zlib half is a
+    // deterministic pure function of the bytes — compute it at Verify
+    // time in a DRIVER loop (independent of the mapPartitions operator
+    // path) and export (doc_id, deflate_bytes, ratio) as literals; the
+    // raw-byte half and row coverage replay in SQL from the documents
+    // table itself (an INNER join: a doc missing from either side drops
+    // a row and fails the count/hash).
+    "q145_compressibility" -> ((s, d) => {
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.BEST_SPEED)
+      val buf = new Array[Byte](1 << 16)
+      val values = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().sortBy(_.getLong(0))
+        .map { r =>
+          val raw = r.getString(1).getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(raw); deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio = if (raw.isEmpty) 1.0
+            else math.rint(out.toDouble / raw.length * 10000) / 10000
+          s"(${r.getLong(0)}, $out, $ratio)"
+        }.mkString(", ")
+      s"""WITH z(doc_id, deflate_bytes, compression_ratio) AS (VALUES $values)
+         |SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS raw_bytes,
+         |  CAST(z.deflate_bytes AS BIGINT) AS deflate_bytes,
+         |  CAST(z.compression_ratio AS DOUBLE) AS compression_ratio
+         |FROM documents d JOIN z USING (doc_id) ORDER BY d.doc_id""".stripMargin
     }),
     // DoReMi: the EG fold re-runs (deterministic driver arithmetic over
     // the same loss table) and the realized epochs export as literals —
