@@ -48,6 +48,28 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Default document-frequency cap for shingle blocking keys in auto
+    * mode: bounds any single shingle's self-join contribution to
+    * cap^2/2 ~= 5*10^5 pairs — bounded work per key no matter how
+    * pathological the boilerplate.
+    */
+  val DefaultMaxDocFreq: Long = 1024L
+
+  /** Certified upper bound on the hottest blocking key's document
+    * frequency from a Count-Min pre-pass: `est >= true` holds for every
+    * key, so `min over hash rows of (max bucket count)` bounds the max
+    * df of ANY key. One pass over the postings into d x w bounded state;
+    * the returned scalar is a plan-time decision input (same class as
+    * the UniMax waterfill constants), not a hot-path collect.
+    */
+  private[graft] def estMaxDocFreq(postings: DataFrame): Long = {
+    val first = postings.columns.head
+    val sk = Sketches.cmsSketch(postings, col(first), d = 4, w = 1 << 16)
+    val r = sk.groupBy("row").agg(max("cnt").as("_m"))
+      .agg(min(col("_m")).as("_b")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** (id, shingleArray) with distinct word n-gram shingles per doc. */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("_id"),
@@ -58,9 +80,16 @@ object Dedup {
     * count -> |A∪B| from per-doc set sizes. Exact (100% recall) — the
     * blocking key IS the similarity evidence, so no candidate is missed.
     *
-    * @param maxDocFreq drop shingles occurring in more docs than this
-    *        (0 = keep all). Trades a bounded recall loss on boilerplate
-    *        shingles for skew-resistance at corpus scale.
+    * @param maxDocFreq drop shingles occurring in more docs than this.
+    *        0 (the default) = AUTO: a Count-Min pre-pass over the shingle
+    *        stream ([[Sketches.cmsSketch]]) upper-bounds the hottest
+    *        shingle's document frequency — when even that certified bound
+    *        stays under [[DefaultMaxDocFreq]] no key can explode the
+    *        self-join and the guard is provably redundant (plan unchanged);
+    *        otherwise the default cap engages. Pass a positive value for
+    *        an explicit cap, or a NEGATIVE value to run unbounded (scale-
+    *        unsafe: one df-10^6 boilerplate shingle contributes 5*10^11
+    *        pairs — only for corpora known free of hot shingles).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 0L): DataFrame = {
@@ -90,10 +119,20 @@ object Dedup {
     // shuffle_hash pins the (corpus-dependent, possibly huge) kept-key
     // set as a hash build — already partitioned on _s by its aggregate,
     // so that side needs no extra exchange — instead of a broadcast.
-    // The upper maxDocFreq guard rides the same count.
+    // The upper maxDocFreq guard rides the same count. In auto mode the
+    // CMS pre-pass decides whether it is needed at all: est >= true for
+    // every key, so estMaxDocFreq <= cap CERTIFIES no key can exceed the
+    // cap and the filter is dropped (tiny corpora keep today's exact
+    // plan); anything larger — including every corpus big enough for
+    // bucket sums to blow past the cap — engages the safe default.
+    val cap: Long =
+      if (maxDocFreq > 0L) maxDocFreq
+      else if (maxDocFreq < 0L) 0L                        // explicit opt-out
+      else if (estMaxDocFreq(inv0.select(col("_s"))) <= DefaultMaxDocFreq) 0L
+      else DefaultMaxDocFreq
     val kept = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 &&
-        (if (maxDocFreq > 0L) col("_df") <= maxDocFreq else lit(true)))
+        (if (cap > 0L) col("_df") <= cap else lit(true)))
       .hint("shuffle_hash")
     val inv = inv0.join(kept, Seq("_s"), "left_semi")
     inv.as("x").join(inv.as("y"),

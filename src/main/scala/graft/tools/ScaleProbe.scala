@@ -618,6 +618,16 @@ object ScaleProbe {
       probe("ngram_jaccard_full", s"docs=$nHot maxDocFreq=50")(
         Dedup.ngramJaccardPairs(hot, "doc_id", "text",
           threshold = 0.8, maxDocFreq = 50L).count())
+      // r12-verdict guard wiring: AUTO (CMS pre-pass engages the default
+      // cap, the df=|docs| footer shingle never reaches the self-join)
+      // vs UNBOUNDED (the footer key joins |docs|^2/2 pairs before the
+      // threshold can reject them) — the pair-stage wall is the story.
+      probe("ngram_guard_AUTO", s"docs=$nHot df(hot)=$nHot cap=auto")(
+        Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+          threshold = 0.8).count())
+      probe("ngram_guard_UNBOUNDED", s"docs=$nHot df(hot)=$nHot cap=off")(
+        Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+          threshold = 0.8, maxDocFreq = -1L).count())
       probe("tfidf_full", s"docs=$nHot hot_token_df=$nHot")(
         TextAnalysis.tfIdfTopTerms(hot, "doc_id", "text").count())
       hot.unpersist()

@@ -103,6 +103,38 @@ class Round14Spec extends SparkSuite {
     }
   }
 
+  test("auto df guard: a planted hot boilerplate shingle never reaches the self-join") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // 2000 docs sharing ONE 3-gram ("boiler plate gram", df = 2000 >
+    // DefaultMaxDocFreq = 1024); every other shingle is doc-unique.
+    // Plus one genuine duplicate pair whose shingles have df = 2.
+    val boiler = (1 to 2000).map(i =>
+      (i.toLong, s"boiler plate gram u${i}a u${i}b u${i}c"))
+    val dups = Seq((9001L, "alpha beta gamma delta epsilon"),
+      (9002L, "alpha beta gamma delta epsilon"))
+    val df = (boiler ++ dups).toDF("doc_id", "text")
+    // the CMS pre-pass certifies an upper bound ABOVE the true hot df
+    val postings = df.select(explode(graft.operators.TextAnalysis.shingles(
+      graft.operators.TextAnalysis.tokens(col("text")), 3)).as("s"))
+    assert(Dedup.estMaxDocFreq(postings) >= 2000L)
+    // threshold 0: ANY surviving co-occurrence becomes a pair — so the
+    // only pair proves the df-2000 shingle was dropped BEFORE the join
+    // (unbounded, this corpus would join 2000*1999/2 boilerplate pairs)
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 3, threshold = 0.0).collect()
+    assert(pairs.length == 1, s"got ${pairs.length} pairs")
+    assert(pairs.head.getLong(0) == 9001L && pairs.head.getLong(1) == 9002L)
+    assert(pairs.head.getDouble(2) == 1.0)
+    // a clean small corpus certifies the guard OFF: auto output equals
+    // the explicit-unbounded output row for row
+    val clean = spark.read.parquet(s"$sfDir/documents.parquet")
+    assertSameRows(
+      Dedup.ngramJaccardPairs(clean, "doc_id", "text", threshold = 0.5),
+      Dedup.ngramJaccardPairs(clean, "doc_id", "text", threshold = 0.5,
+        maxDocFreq = -1L))
+  }
+
   test("unimax tolerates zero-capacity keys (allocated 0, no crash)") {
     import spark.implicits._
     val df = Seq(
