@@ -1258,7 +1258,7 @@ final case class DeltaTable(
       meta.configuration + (s"delta.constraints.$name" -> sqlExpr))
     val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.AddConstraint,
       name, Some(sqlExpr), dlog.version)
-    commit(DeltaLogEntry(Vector(newMeta, commitInfo)).withExtraCommitInfo(customMetadata))
+    commitMeta(DeltaLogEntry(Vector(newMeta, commitInfo)).withExtraCommitInfo(customMetadata))
   }
 
   /** Drop a CHECK constraint (metadata-only commit). */
@@ -1269,7 +1269,7 @@ final case class DeltaTable(
       meta.configuration - s"delta.constraints.$name")
     val commitInfo = CommitInfo.constraintChange(CommitInfo.Op.DropConstraint,
       name, None, dlog.version)
-    commit(DeltaLogEntry(Vector(newMeta, commitInfo)))
+    commitMeta(DeltaLogEntry(Vector(newMeta, commitInfo)))
   }
 
   // ------------------------------------------------------------------
@@ -1325,7 +1325,7 @@ final case class DeltaTable(
         rest + (RowTracking.MaterializedColKey -> RowTracking.mintMaterializedCol())
       else rest
     val newMeta = meta.copy(configuration = meta.configuration ++ minted)
-    upgraded.commit(DeltaLogEntry(Vector(newMeta,
+    upgraded.commitMeta(DeltaLogEntry(Vector(newMeta,
       CommitInfo.metaOp(CommitInfo.Op.SetProperties, rest, upgraded.dlog.version)))
       .withExtraCommitInfo(customMetadata))
   }
@@ -1338,7 +1338,7 @@ final case class DeltaTable(
     val meta = dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
     val newMeta = meta.copy(configuration = meta.configuration -- keys)
-    commit(DeltaLogEntry(Vector(newMeta,
+    commitMeta(DeltaLogEntry(Vector(newMeta,
       CommitInfo.metaOp(CommitInfo.Op.UnsetProperties,
         Map("properties" -> keys.mkString(",")), dlog.version))))
   }
@@ -1382,7 +1382,7 @@ final case class DeltaTable(
         case Some(up) => Vector(up, d, info)
         case None => Vector(d, info)
       }
-    commit(DeltaLogEntry(actions))
+    commitMeta(DeltaLogEntry(actions))
   }
 
   /** The table's clustering columns (delta's liquid-clustering state,
@@ -1405,7 +1405,9 @@ final case class DeltaTable(
     */
   def clusterBy(cols: Seq[String]): DeltaTable = {
     require(!dlog.isEmpty, "clusterBy requires an existing table")
-    require(cols.nonEmpty, "clusterBy needs at least one column")
+    // empty = CLUSTER BY NONE: the domain records an empty column list
+    // (delta-spark's spelling for un-clustering) and OPTIMIZE reverts to
+    // plain compaction from the next run on
     val schemaNames = dlog.schema.fieldNames.toSet
     cols.foreach(c => require(schemaNames.contains(c), s"unknown column: $c"))
     val parts = dlog.partitionColumns.toSet
@@ -1420,7 +1422,7 @@ final case class DeltaTable(
       (p, f) => ProtocolGate.withFeature(p, f).getOrElse(p))
     val actions: Vector[Action] =
       if (upgraded == base) Vector(dm, info) else Vector(upgraded, dm, info)
-    commit(DeltaLogEntry(actions))
+    commitMeta(DeltaLogEntry(actions))
   }
 
   /** Explicit protocol upgrade (delta's `upgradeTableProtocol`): raises
@@ -1454,7 +1456,7 @@ final case class DeltaTable(
     val target = cur.copy(minReaderVersion = minReader,
       minWriterVersion = minWriter, extra = extra)
     ProtocolGate.assertWritable(target, dlog.latestMetadata)
-    commit(DeltaLogEntry(Vector(target,
+    commitMeta(DeltaLogEntry(Vector(target,
       CommitInfo.metaOp(CommitInfo.Op.UpgradeProtocol,
         Map("minReaderVersion" -> minReader.toString,
           "minWriterVersion" -> minWriter.toString), dlog.version))))
@@ -1541,7 +1543,7 @@ final case class DeltaTable(
         case Some(up) => Vector(up, amended, info)
         case None => Vector(amended, info)
       }
-    commit(DeltaLogEntry(actions))
+    commitMeta(DeltaLogEntry(actions))
   }
 
   /** Fill omitted default-bearing columns with their declared constants
@@ -1624,13 +1626,21 @@ final case class DeltaTable(
           patches += name -> (next + (n - 1L) * sp.step)
         }
       } else {
-        require(sp.allowExplicitInsert,
-          s"identity column $name is GENERATED ALWAYS: explicit values are " +
-            "rejected (declare it with allowExplicitInsert to permit them)")
-        require(sp.step > 0L,
-          s"explicit inserts into identity column $name require a positive step")
         val mx = out.agg(org.apache.spark.sql.functions.max(col(name))).first()
-        if (!mx.isNullAt(0)) {
+        if (mx.isNullAt(0)) {
+          // a ZERO-row frame carrying the column supplies no values (the
+          // SQL CREATE's empty schema frame lands here) — nothing to
+          // gate or allocate; all-NULL values into ALWAYS still reject
+          require(out.isEmpty || sp.allowExplicitInsert,
+            s"identity column $name is GENERATED ALWAYS: explicit values " +
+              "(even NULLs) are rejected (declare it with " +
+              "allowExplicitInsert to permit them)")
+        } else {
+          require(sp.allowExplicitInsert,
+            s"identity column $name is GENERATED ALWAYS: explicit values are " +
+              "rejected (declare it with allowExplicitInsert to permit them)")
+          require(sp.step > 0L,
+            s"explicit inserts into identity column $name require a positive step")
           val supplied = mx.getLong(0)
           val cur = sp.highWaterMark.getOrElse(sp.start - sp.step)
           if (supplied > cur) patches += name -> supplied
@@ -1754,7 +1764,7 @@ final case class DeltaTable(
     }
     val meta = dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))
-    commit(DeltaLogEntry(Vector(
+    commitMeta(DeltaLogEntry(Vector(
       meta.copy(schemaString = StructType(fields).json),
       CommitInfo.columnChange(CommitInfo.Op.AddColumn,
         Map("column" -> name), dlog.version))))
@@ -1872,7 +1882,7 @@ final case class DeltaTable(
         case Some(up) => Vector(up, amended, info)
         case None => Vector(amended, info)
       }
-    commit(DeltaLogEntry(actions))
+    commitMeta(DeltaLogEntry(actions))
   }
 
   private def commitMappingChange(newSchema: StructType,
@@ -1896,7 +1906,7 @@ final case class DeltaTable(
       else Vector(cur.copy(
         minReaderVersion = math.max(cur.minReaderVersion, 2),
         minWriterVersion = math.max(cur.minWriterVersion, 5)))
-    commit(DeltaLogEntry(bump ++ Vector(newMeta, info)))
+    commitMeta(DeltaLogEntry(bump ++ Vector(newMeta, info)))
   }
 
   /** One validation job over the batch: throws naming the first violated
@@ -3133,36 +3143,26 @@ final case class DeltaTable(
     val liveDvDirs: Set[String] =
       DeletionVectors.referencedSidecarUris(adds.values, loc, conf)
     val cutoff = System.currentTimeMillis() - retention
-    // the recursive data listing skips _-prefixed dirs, so DV sidecars
-    // under _graft_dv/ are walked explicitly (unreferenced ones age out).
-    // Change-data files likewise: they are never "live" table state, so
-    // they age out purely by the retention window — after which the
-    // change feed for those versions errors like any post-vacuum time
-    // travel (delta's behavior; without this the _change_data dir grows
-    // forever on an update-heavy table)
-    val dvDir = loc.child(DeletionVectors.DvDirName)
-    val dvFiles = if (dvDir.exists) dvDir.listDataFilesRecursive() else Seq.empty
-    val cdcLoc = loc.child(ChangeDataDir)
-    val cdcFiles = if (cdcLoc.exists) cdcLoc.listDataFilesRecursive() else Seq.empty
-    val candidates = (loc.listDataFilesRecursive() ++ dvFiles ++ cdcFiles)
+    val spark = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val candidates = vacuumCandidateListing(spark)
       // delta-spec DV bins (deletion_vector_<uuid>.bin) age out like any
       // other unreferenced file once a later total vector supersedes them
-      .filter(st => st.getPath.getName.endsWith(".parquet") ||
-        st.getPath.getName.startsWith("deletion_vector_"))
-      .filterNot(st => st.getPath.toString.contains("/_delta_log/") ||
-        st.getPath.toString.contains("/_staging-"))
-      .filter(_.getModificationTime < cutoff)
-      .filterNot(st => live.contains(Location.canonical(
-        loc.fs.makeQualified(st.getPath).toString)))
+      .filter { case (uri, _) =>
+        val name = uri.substring(uri.lastIndexOf('/') + 1)
+        name.endsWith(".parquet") || name.startsWith("deletion_vector_")
+      }
+      .filterNot { case (uri, _) =>
+        uri.contains("/_delta_log/") || uri.contains("/_staging-") }
+      .filter(_._2 < cutoff)
+      .filterNot { case (uri, _) => live.contains(Location.canonical(uri)) }
       // liveDvDirs holds sidecar DIRS (prefix-protected) and spec DV
       // FILES (exact-match protected)
-      .filterNot { st =>
-        val c = Location.canonical(loc.fs.makeQualified(st.getPath).toString)
+      .filterNot { case (uri, _) =>
+        val c = Location.canonical(uri)
         liveDvDirs.exists(d => c == d || c.startsWith(d + "/"))
       }
     if (!dryRun) {
-      val spark = SparkSession.getActiveSession
-        .orElse(SparkSession.getDefaultSession)
       if (candidates.size >= 64 && spark.isDefined) {
         // distributed delete (delta-spark's shape): at 10⁶ stranded files
         // a sequential driver loop is the vacuum bottleneck — the same
@@ -3170,7 +3170,7 @@ final case class DeltaTable(
         // ships only O(files) paths.
         import scala.jdk.CollectionConverters._
         val confKvs = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-        val paths = candidates.map(_.getPath.toString)
+        val paths = candidates.map(_._1)
         spark.get.sparkContext
           .parallelize(paths, math.max(1, math.min(paths.size / 16, 64)))
           .foreachPartition { it =>
@@ -3181,9 +3181,75 @@ final case class DeltaTable(
               p.getFileSystem(c).delete(p, false)
             }
           }
-      } else candidates.foreach(st => loc.fs.delete(st.getPath, false))
+      } else candidates.foreach { case (uri, _) =>
+        loc.fs.delete(new org.apache.hadoop.fs.Path(uri), false) }
     }
-    candidates.map(st => loc.fs.makeQualified(st.getPath).toString)
+    candidates.map(_._1)
+  }
+
+  /** Vacuum's candidate listing as qualified `(uri, mtime)` pairs. The
+    * r12-verdict's last driver funnel: a recursive root walk serializes
+    * a 10⁸-object listing through one thread, so the walk is DISTRIBUTED
+    * per top-level prefix (hive partition dirs, the DV dir, the CDC dir)
+    * the same way [[fsckRepair]] distributes its existence check —
+    * executors each list their subtree, the driver ships only prefixes
+    * and collects only (uri, mtime). Root-level files come from the ONE
+    * driver `listStatus` that discovered the prefixes. Small tables
+    * (< 2 prefixes) and session-less callers keep the driver walk.
+    *
+    * The `_`-prefix skip matches [[storage.Location.listDataFilesRecursive]];
+    * the DV and change-data dirs are walked explicitly because their
+    * top-level names carry the underscore on purpose (unreferenced
+    * sidecars and aged-out change files must age out).
+    */
+  private def vacuumCandidateListing(
+      spark: Option[SparkSession]): Seq[(String, Long)] = {
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    if (!loc.exists) return Seq.empty
+    val rootChildren = loc.fs.listStatus(loc.path).toSeq
+    val rootFiles = rootChildren
+      .filter(st => !st.isDirectory && visible(st.getPath.getName))
+      .map(st => (loc.fs.makeQualified(st.getPath).toString,
+        st.getModificationTime))
+    val subtreeRoots =
+      rootChildren.filter(st => st.isDirectory && visible(st.getPath.getName))
+        .map(_.getPath) ++
+      Seq(DeletionVectors.DvDirName, ChangeDataDir).map(loc.child)
+        .filter(_.exists).map(_.path)
+    val walked: Seq[(String, Long)] =
+      if (spark.isEmpty || subtreeRoots.size < 2) {
+        def walk(fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+          fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+            .flatMap { st =>
+              if (st.isDirectory) walk(fs, st.getPath)
+              else Seq((fs.makeQualified(st.getPath).toString,
+                st.getModificationTime))
+            }
+        subtreeRoots.flatMap(p => walk(loc.fs, p))
+      } else {
+        import scala.jdk.CollectionConverters._
+        val confKvs = conf.iterator().asScala
+          .map(e => (e.getKey, e.getValue)).toArray
+        val dirs = subtreeRoots.map(_.toString)
+        spark.get.sparkContext
+          .parallelize(dirs, math.max(1, math.min(dirs.size, 64)))
+          .flatMap { dir =>
+            val c = new Configuration()
+            confKvs.foreach { case (k, v) => c.set(k, v) }
+            val root = new org.apache.hadoop.fs.Path(dir)
+            val fs = root.getFileSystem(c)
+            def walk(p: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+              fs.listStatus(p).toSeq.filter(st => visible(st.getPath.getName))
+                .flatMap { st =>
+                  if (st.isDirectory) walk(st.getPath)
+                  else Seq((fs.makeQualified(st.getPath).toString,
+                    st.getModificationTime))
+                }
+            walk(root)
+          }.collect().toSeq
+      }
+    rootFiles ++ walked
   }
 
   /** CDF-lite: row-level changes between versions (exclusive, inclusive].
@@ -3691,6 +3757,17 @@ final case class DeltaTable(
 
   private def commit(entry: DeltaLogEntry): DeltaTable =
     copy(dlog = maybeCheckpoint(dlog.commit(gated(entry), commitContext)))
+
+  /** Metadata/protocol-only commit with OCC rebase (r13 torture finding:
+    * these surfaced the raw version-file race as
+    * FileAlreadyExistsException instead of rebasing). The entry carries
+    * no file actions, so [[commitOrRebase]]'s file-overlap checks pass
+    * trivially; blind data commits rebase past, while a concurrent
+    * metadata/protocol change still aborts — delta's
+    * MetadataChangedException shape.
+    */
+  private def commitMeta(entry: DeltaLogEntry): DeltaTable =
+    commitOrRebase(entry, Set.empty)
 
   /** Commit-time guards, applied at both commit choke points: the
     * writer-side protocol gate, `delta.appendOnly` enforcement, and the

@@ -654,6 +654,36 @@ object QueryLib {
       sql.sql(s"ALTER TABLE graft.`$d` RENAME COLUMN c_mktsegment TO segment")
     }
 
+  /** The round-14 SQL DDL lifecycle (q188): CREATE TABLE with an
+    * IDENTITY column, a GENERATED column and CLUSTER BY, a CHECK
+    * constraint added then dropped, column-list VALUES inserts (identity
+    * allocates 100,110,… in VALUES order — LocalRelation single-partition
+    * determinism), a clustering re-declaration, and a FULL clustered
+    * OPTIMIZE — every step a `spark.sql` statement.
+    */
+  def sqlDdlLifecycleDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "sql_ddl") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      sql.sql(
+        s"""CREATE TABLE graft.`$d` (
+           |  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+           |  nk BIGINT,
+           |  name STRING,
+           |  uname STRING GENERATED ALWAYS AS (upper(name)),
+           |  bal DOUBLE
+           |) USING graft CLUSTER BY (nk)""".stripMargin)
+      sql.sql(s"ALTER TABLE '$d' ADD CONSTRAINT bal_nonneg CHECK (bal >= 0)")
+      sql.sql(s"INSERT INTO graft.`$d` (name, nk, bal) VALUES " +
+        "('ada', 2, 1.5), ('bob', 1, 2.5), ('cat', 3, 0.0), " +
+        "('dan', 2, 4.25), ('eve', 1, 3.5), ('fox', 3, 1.25)")
+      sql.sql(s"INSERT INTO graft.`$d` (name, nk, bal) VALUES " +
+        "('gus', 2, 5.0), ('hal', 1, 0.75)")
+      sql.sql(s"ALTER TABLE graft.`$d` CLUSTER BY (bal)")
+      sql.sql(s"ALTER TABLE '$d' DROP CONSTRAINT bal_nonneg")
+      sql.sql(s"INSERT INTO graft.`$d` (name, nk, bal) VALUES ('ion', 3, -2.5)")
+      sql.sql(s"OPTIMIZE '$d' FULL")
+    }
+
   /** customer mutated by ONE SQL `MERGE INTO` statement (q171): the full
     * clause surface — matched delete-marked rows dropped, the other
     * matched rows updated column-wise, unmatched source rows inserted —

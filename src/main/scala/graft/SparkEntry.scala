@@ -629,6 +629,12 @@ object SparkEntry {
     "q171_sql_merge" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.customerSqlMergedDir(s, d)).toDF(s)
         .orderBy("c_custkey")),
+    // the round-14 SQL DDL lifecycle: IDENTITY + GENERATED columns,
+    // CLUSTER BY, CHECK constraint add/drop, column-list inserts, FULL
+    // clustered OPTIMIZE — all through spark.sql; scanned back
+    "q188_sql_ddl_lifecycle" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.sqlDdlLifecycleDir(s, d)).toDF(s)
+        .orderBy("rid")),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1599,6 +1605,19 @@ object SparkEntry {
     // the v0-pinned clone sees exactly the CTAS slice
     "q175_sql_ctas_clone" ->
       "SELECT * FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey",
+    // the DDL lifecycle is literal-closed-form: identity rids are
+    // 100,110,… in VALUES order (LocalRelation single-partition blocks),
+    // uname = upper(name), the constraint-era rows all have bal >= 0 and
+    // the post-drop row is the one negative
+    "q188_sql_ddl_lifecycle" ->
+      """SELECT CAST(rid AS BIGINT) AS rid, CAST(nk AS BIGINT) AS nk,
+        |  name, upper(name) AS uname, CAST(bal AS DOUBLE) AS bal
+        |FROM (VALUES
+        |  (100, 2, 'ada', 1.5), (110, 1, 'bob', 2.5), (120, 3, 'cat', 0.0),
+        |  (130, 2, 'dan', 4.25), (140, 1, 'eve', 3.5), (150, 3, 'fox', 1.25),
+        |  (160, 2, 'gus', 5.0), (170, 1, 'hal', 0.75), (180, 3, 'ion', -2.5))
+        |  t(rid, nk, name, bal)
+        |ORDER BY rid""".stripMargin,
     // paragraph near-dup replay: the fixture's composition is closed-form
     // (para0 = text(d), para1 = text((d+100)%200), para2 = text(d%50)), so
     // the oracle rebuilds the paragraph table from the base documents and

@@ -145,10 +145,20 @@ object Checkpoint {
   def write(dlog: DeltaLog, conf: Configuration,
       maxActionsPerPart: Int = DeltaCheckpointPartSize): Unit = {
     val v = dlog.version
-    val actions = snapshotActions(dlog)
+    // idempotent: a checkpoint is a pure function of the version's
+    // snapshot, so if another writer already checkpointed v there is
+    // nothing to add — and REWRITING it would yank the file out from
+    // under concurrent readers mid-scan (r13 torture finding)
     val out = dlog.loc.child(checkpointFilename(v))
+    if (out.exists) return
+    val actions = snapshotActions(dlog)
+    // write-then-rename: the checkpoint must appear atomically — a
+    // reader following _graft_last_checkpoint must never open a
+    // half-written parquet
+    val tmp = dlog.loc.child(
+      s"_ckpt_tmp-${java.util.UUID.randomUUID().toString.take(8)}.parquet")
     val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(out.path, conf))
+      .builder(HadoopOutputFile.fromPath(tmp.path, conf))
       .withType(parquetSchema)
       .withConf(conf)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
@@ -157,6 +167,11 @@ object Checkpoint {
     try actions.foreach { a =>
       writer.write(factory.newGroup().append("json", a.toLine))
     } finally writer.close()
+    if (out.exists || !out.fs.rename(tmp.path, out.path)) {
+      // lost a same-version race: the winner's copy is equivalent
+      tmp.delete()
+      return
+    }
     dlog.loc.child(LastCheckpointFile)
       .writeString(s"""{"version":$v,"size":${actions.size}}""")
     if (wantsV2(dlog)) writeDeltaFormatV2(dlog, actions, conf, maxActionsPerPart)
@@ -388,7 +403,8 @@ object Checkpoint {
       .json(spark.createDataset(lines)(Encoders.STRING)))
     val wantParts =
       math.max(1, math.ceil(actions.size.toDouble / maxActionsPerPart).toInt)
-    val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
+    val staging = dlog.loc.child(
+      s"_delta_ckpt_staging-$v-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       if (wantParts == 1) {
         df.coalesce(1).write.mode("overwrite").parquet(staging.uri)
@@ -396,8 +412,10 @@ object Checkpoint {
           .filter(_.getPath.getName.endsWith(".parquet"))
         require(part.size == 1, s"expected one staged checkpoint file, got ${part.size}")
         val dest = dlog.loc.child(f"$v%020d.checkpoint.parquet")
-        if (dest.exists) dest.fs.delete(dest.path, false)
-        if (!dest.fs.rename(part.head.getPath, dest.path))
+        // never delete-then-rewrite: a concurrent reader may be mid-scan
+        // of the winner's copy, which is equivalent content anyway
+        if (!dest.exists && !dest.fs.rename(part.head.getPath, dest.path)
+            && !dest.exists)
           throw new java.io.IOException(
             s"rename ${part.head.getPath} -> ${dest.path} failed")
         dlog.loc.child("_last_checkpoint")
@@ -415,8 +433,8 @@ object Checkpoint {
         parts.zipWithIndex.foreach { case (st, i) =>
           val dest = dlog.loc.child(
             f"$v%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
-          if (dest.exists) dest.fs.delete(dest.path, false)
-          if (!dest.fs.rename(st.getPath, dest.path))
+          if (!dest.exists && !dest.fs.rename(st.getPath, dest.path)
+              && !dest.exists)
             throw new java.io.IOException(
               s"rename ${st.getPath} -> ${dest.path} failed")
         }
@@ -480,7 +498,8 @@ object Checkpoint {
       .filterNot(_.isInstanceOf[CommitInfo])
       .partition(a => a.isInstanceOf[AddFile] || a.isInstanceOf[RemoveFile])
     val sidecarDir = dlog.loc.child("_sidecars")
-    val staging = dlog.loc.child(s"_delta_ckpt_staging-$v")
+    val staging = dlog.loc.child(
+      s"_delta_ckpt_staging-$v-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
       // ---- sidecars: file actions, schema-driven nested layout ----
       val wantParts =

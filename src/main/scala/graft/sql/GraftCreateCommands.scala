@@ -27,7 +27,10 @@ import org.apache.spark.sql.{Row, SparkSession}
 case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
     partitionBy: Seq[String], properties: Map[String, String],
     queryPlan: Option[LogicalPlan], orReplace: Boolean,
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean,
+    generated: Seq[(String, String)] = Seq.empty,
+    identity: Seq[(String, Long, Long, Boolean)] = Seq.empty,
+    clusterBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType)(),
     AttributeReference("version", LongType)())
@@ -44,6 +47,15 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
       throw new IllegalArgumentException(
         s"REPLACE cannot change partitioning ${t.dlog.partitionColumns} " +
           s"-> $partitionBy; write a new table instead")
+    if (exists && (generated.nonEmpty || identity.nonEmpty))
+      throw new IllegalArgumentException(
+        "REPLACE cannot (re)declare GENERATED/IDENTITY columns on an " +
+          "existing table — their fill state belongs to the create")
+    if (!exists) {
+      generated.foreach { case (n, e) => t = t.withGeneratedColumn(n, e) }
+      identity.foreach { case (n, start, step, allow) =>
+        t = t.withIdentityColumn(n, start, step, allow) }
+    }
     val part = if (partitionBy.nonEmpty) Some(partitionBy) else None
     val df = queryPlan match {
       case Some(q) => ColumnShim.ofRows(spark, q)
@@ -58,6 +70,7 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
       mode = if (exists) graft.log.WriteMode.Overwrite
         else graft.log.WriteMode.Append,
       partitionBy = part)
+    if (clusterBy.nonEmpty) t = t.clusterBy(clusterBy)
     if (properties.nonEmpty) t = t.setTableProperties(properties)
     Seq(Row(path, t.version))
   }

@@ -64,9 +64,8 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
           require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
             "INSERT into a graft path table supports no PARTITION spec " +
               "(partitioning is table metadata; use the table's own layout)")
-          require(i.userSpecifiedCols.isEmpty,
-            "INSERT into a graft path table supports no column list yet")
-          GraftInsertCommand(path, rewriteReads(i.query), i.overwrite, i.byName)
+          GraftInsertCommand(path, rewriteReads(i.query), i.overwrite,
+            i.byName, i.userSpecifiedCols)
         case _ => i
       }
       // CREATE/REPLACE TABLE a graft path (schema-only and AS SELECT):
@@ -140,11 +139,27 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       s"CREATE TABLE over a graft path supports USING graft, got USING $p"))
     location.foreach(l => require(l == path,
       s"LOCATION '$l' conflicts with the path address '$path'"))
-    val partCols = partitioning.map { t =>
+    // CLUSTER BY arrives as a ClusterByTransform among the partitioning
+    // transforms; everything else must be a plain identity column ref
+    val (clusterTs, partTs) = partitioning.partition {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(_) => true
+      case _ => false
+    }
+    val clusterCols = clusterTs.flatMap {
+      case org.apache.spark.sql.connector.expressions.ClusterByTransform(refs) =>
+        refs.map(_.fieldNames.mkString("."))
+    }
+    val partCols = partTs.map { t =>
       require(t.name == "identity" && t.references.length == 1,
         s"only PARTITIONED BY (column) is supported, got: $t")
       t.references.head.fieldNames.mkString(".")
     }
+    // GENERATED ALWAYS AS (expr) / AS IDENTITY ride the parsed column
+    // definitions; they hand off to the engine's pre-create declarations
+    val colDefs = columns.getOrElse(Seq.empty)
+    val generated = colDefs.flatMap(c => c.generationExpression.map(c.name -> _))
+    val identity = colDefs.flatMap(c => c.identityColumnSpec.map(s =>
+      (c.name, s.getStart, s.getStep, s.isAllowExplicitInsert)))
     val schemaJson = columns.filter(_.nonEmpty).map { cols =>
       org.apache.spark.sql.types.StructType(cols.map { c =>
         val base = org.apache.spark.sql.types.StructField(
@@ -155,7 +170,7 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       }).json
     }
     GraftCreateTableCommand(path, schemaJson, partCols, props, query,
-      orReplace, ifNotExists)
+      orReplace, ifNotExists, generated, identity, clusterCols)
   }
 
   private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -186,13 +201,31 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
   * create-on-first-write contract as the Scala API).
   */
 case class GraftInsertCommand(path: String, queryPlan: LogicalPlan,
-    overwrite: Boolean, byName: Boolean)
+    overwrite: Boolean, byName: Boolean, cols: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val df = ColumnShim.ofRows(spark, queryPlan)
     val t = DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
     val aligned =
-      if (byName || t.version < 0) df
+      if (cols.nonEmpty) {
+        // explicit column list: positional under the GIVEN names; columns
+        // left out fall to the write path's fill machinery (generated /
+        // identity / DEFAULT / null backfill) — the delta INSERT shape
+        require(df.schema.length == cols.length,
+          s"INSERT arity ${df.schema.length} != column list arity ${cols.length}")
+        val named = df.toDF(cols.toIndexedSeq: _*)
+        if (t.version >= 0) {
+          val sch = t.dlog.schema
+          val known = sch.fieldNames.toSet
+          cols.foreach(c => require(known.contains(c),
+            s"INSERT column list names unknown column: $c"))
+          // cast to the declared types (Spark's own INSERT coercion —
+          // a VALUES literal arrives as decimal/int, not the column type)
+          named.select(cols.map(c => org.apache.spark.sql.functions.col(c)
+            .cast(sch(c).dataType).as(c)).toIndexedSeq: _*)
+        } else named
+      }
+      else if (byName || t.version < 0) df
       else {
         val names = t.dlog.schema.fieldNames
         require(df.schema.length == names.length,

@@ -115,6 +115,14 @@ object GraftSqlCommands {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+SET\\s+DEFAULT\\s+(.+?)\\s*;?\\s*""".r
   private val AlterColDropDefaultRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+DROP\\s+DEFAULT\\s*;?\\s*""".r
+  private val AlterAddConstraintRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+ADD\\s+CONSTRAINT\\s+`?([^`\\s]+)`?\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val AlterDropConstraintRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+CONSTRAINT\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
+  private val AlterClusterByRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
+  private val AlterClusterByNoneRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s+NONE\\s*;?\\s*""".r
 
   /** The graft grammar; None → not ours, let Spark parse it. */
   def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
@@ -146,6 +154,15 @@ object GraftSqlCommands {
         Some(AlterPropertiesCommand(path(a, b), splitTopLevel(props), set = true))
       case AlterUnsetPropsRe(a, b, keys) =>
         Some(AlterPropertiesCommand(path(a, b), splitTopLevel(keys), set = false))
+      case AlterAddConstraintRe(a, b, name, expr) =>
+        Some(AlterConstraintCommand(path(a, b), name, Some(expr.trim)))
+      case AlterDropConstraintRe(a, b, name) =>
+        Some(AlterConstraintCommand(path(a, b), name, None))
+      case AlterClusterByNoneRe(a, b) =>
+        Some(AlterClusterByCommand(path(a, b), Seq.empty))
+      case AlterClusterByRe(a, b, cols) =>
+        Some(AlterClusterByCommand(path(a, b), cols.split(",").toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
       case AlterRenameColRe(a, b, from, to) =>
         Some(AlterRenameColumnCommand(path(a, b), from, to))
       case AlterDropColRe(a, b, name) =>
@@ -494,6 +511,36 @@ case class AlterColumnTypeCommand(path: String, name: String,
     Seq(Row(GraftSqlCommands.open(spark, path)
       .alterColumnType(name, spark.sessionState.sqlParser.parseDataType(tpe))
       .version))
+}
+
+/** `ALTER TABLE '<path>' ADD CONSTRAINT name CHECK (expr)` /
+  * `… DROP CONSTRAINT name` — [[DeltaTable.addConstraint]] (existing rows
+  * validated in one scan before the metadata commit; later writes gate on
+  * it) / [[DeltaTable.dropConstraint]].
+  */
+case class AlterConstraintCommand(path: String, name: String,
+    checkExpr: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlCommands.open(spark, path)
+    Seq(Row(checkExpr match {
+      case Some(e) => t.addConstraint(spark, name, e).version
+      case None => t.dropConstraint(name).version
+    }))
+  }
+}
+
+/** `ALTER TABLE '<path>' CLUSTER BY (c1, c2)` / `… CLUSTER BY NONE` —
+  * [[DeltaTable.clusterBy]]: metadata-only re-declaration; layout
+  * happens incrementally on the next OPTIMIZE (liquid-style).
+  */
+case class AlterClusterByCommand(path: String,
+    cols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.open(spark, path).clusterBy(cols).version))
 }
 
 /** `REORG TABLE '<path>' [WHERE pp] APPLY (PURGE)` —

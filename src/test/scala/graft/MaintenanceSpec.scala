@@ -72,6 +72,9 @@ class MaintenanceSpec extends SparkSuite {
     // lite's (lite derives candidates from tombstones, not a listing)
     val stranded = new java.io.File(d, "stranded-not-in-log.parquet")
     java.nio.file.Files.write(stranded.toPath, Array[Byte](1, 2, 3))
+    // backdate: with retentionMs=0 the cutoff is "now", and a same-
+    // millisecond mtime ties the `<` comparison (observed flake)
+    stranded.setLastModified(System.currentTimeMillis() - 10000L)
     val full = t.vacuum(retentionMs = 0L, dryRun = true).toSet
     val lite = t.vacuumLite(retentionMs = 0L, dryRun = true).toSet
     assert(lite.nonEmpty)

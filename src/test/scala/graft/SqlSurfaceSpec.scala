@@ -563,6 +563,60 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(manifest.exists())
   }
 
+  test("ADD/DROP CONSTRAINT gates writes through SQL") {
+    val (d, df) = seeded()
+    val v0 = DeltaTable.forPath(d).version
+    val r = sql.sql(
+      s"ALTER TABLE '$d' ADD CONSTRAINT key_nonneg CHECK (n_nationkey >= 0)")
+      .collect().head
+    assert(r.getLong(0) == v0 + 1)
+    assert(DeltaTable.forPath(d).constraints ==
+      Map("key_nonneg" -> "n_nationkey >= 0"))
+    // a violating batch is rejected BEFORE any file lands
+    val bad = df.withColumn("n_nationkey", (-col("n_nationkey") - 1).cast("int"))
+    intercept[Exception](DeltaTable.forPath(d).write(bad))
+    // a constraint existing data violates refuses to attach
+    intercept[Exception](sql.sql(
+      s"ALTER TABLE '$d' ADD CONSTRAINT impossible CHECK (n_nationkey < 0)"))
+    sql.sql(s"ALTER TABLE '$d' DROP CONSTRAINT key_nonneg")
+    assert(DeltaTable.forPath(d).constraints.isEmpty)
+    DeltaTable.forPath(d).write(bad)              // gate gone
+  }
+
+  test("CREATE TABLE with GENERATED/IDENTITY columns and CLUSTER BY") {
+    val d = tempDir("sqlsurface-ddl")
+    sql.sql(
+      s"""CREATE TABLE graft.`$d` (
+         |  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+         |  name STRING,
+         |  uname STRING GENERATED ALWAYS AS (upper(name)),
+         |  bal DOUBLE
+         |) USING graft CLUSTER BY (name)""".stripMargin)
+    val t0 = DeltaTable.forPath(d)
+    assert(t0.schema.fieldNames.toSeq == Seq("rid", "name", "uname", "bal"))
+    assert(t0.generatedColumns == Map("uname" -> "upper(name)"))
+    assert(t0.identityColumns.keySet == Set("rid"))
+    assert(t0.clusteringColumns == Seq("name"))
+    // column-list INSERT omits rid + uname: identity allocates 100,110,…
+    // in VALUES order, the generation expression computes uname
+    sql.sql(s"INSERT INTO graft.`$d` (name, bal) VALUES " +
+      "('ada', 1.0), ('bob', 2.0), ('eve', 3.0)")
+    val rows = sql.sql(s"SELECT * FROM graft.`$d` ORDER BY rid").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(100L, 110L, 120L))
+    assert(rows.map(_.getString(2)).toSeq == Seq("ADA", "BOB", "EVE"))
+    // the high-water mark persists: a second insert continues the run
+    sql.sql(s"INSERT INTO graft.`$d` (name, bal) VALUES ('zed', 4.0)")
+    assert(sql.sql(s"SELECT max(rid) FROM graft.`$d`").head().getLong(0) == 130L)
+    // explicit identity values reject (GENERATED ALWAYS)
+    intercept[Exception](sql.sql(
+      s"INSERT INTO graft.`$d` (rid, name, bal) VALUES (999, 'bad', 0.0)"))
+    // ALTER ... CLUSTER BY re-declares; NONE un-clusters
+    sql.sql(s"ALTER TABLE graft.`$d` CLUSTER BY (bal, name)")
+    assert(DeltaTable.forPath(d).clusteringColumns == Seq("bal", "name"))
+    sql.sql(s"ALTER TABLE graft.`$d` CLUSTER BY NONE")
+    assert(DeltaTable.forPath(d).clusteringColumns.isEmpty)
+  }
+
   test("CONVERT TO GRAFT adopts plain parquet in place") {
     val d = tempDir("sqlsurface-convert")
     spark.read.parquet(s"$sfDir/region.parquet")

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Randomized multi-writer torture (r12-verdict #4): N threads fire M
+  * random ops (append / delete / update / optimize / setProperties /
+  * checkpoint) at ONE table through the OCC rebase path, then the test
+  * asserts true serializability evidence:
+  *
+  *  1. every committed op landed at a DISTINCT log version and the
+  *     committed versions tile 1..K with no gaps — no commit lost, no
+  *     phantom commit minted;
+  *  2. the final table equals a MODEL built by replaying each committed
+  *     op's LOGICAL spec in log-version order — the log's serial order
+  *     IS the serialization witness, so state equality proves every
+  *     rebase preserved its op's semantics against the winners it
+  *     rebased over;
+  *  3. FSCK is clean (no ghost adds) after the dust settles.
+  *
+  * Ops that lose a true logical conflict throw and are simply not
+  * recorded — exactly the committed-ops-only contract the check wants.
+  * The directed 8-case matrix lives in ConcurrencySpec; this is the
+  * randomized sweep over its interleavings, seeded for reproducibility.
+  */
+class TortureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private case class OpRec(version: Long, readVersion: Long, kind: String,
+    param: Long)
+
+  private def runSeed(seed: Long): Unit = {
+    val d = tempDir(s"torture-$seed")
+    DeltaTable.forPath(d).write(
+      spark.range(0, 50).select(col("id"), lit(0L).as("v")).coalesce(1))
+    val nThreads = 4
+    val opsPer = 25
+    val recs = new java.util.concurrent.ConcurrentLinkedQueue[OpRec]()
+    val failed = new java.util.concurrent.atomic.AtomicInteger()
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val noops = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val rnd = new scala.util.Random(seed * 1000 + tid)
+        var nextId = 100000L * (tid + 1)
+        (0 until opsPer).foreach { i =>
+          val t = DeltaTable.forPath(d)
+          val before = t.version
+          // record ONLY when the returned handle advanced: a no-op
+          // (empty delete/update match, single-file compact) returns the
+          // same version and must not enter the serialization witness
+          def rec(committed: DeltaTable, kind: String, param: Long): Unit =
+            if (committed.version > before)
+              recs.add(OpRec(committed.version, before, kind, param))
+            else {
+              noops.putIfAbsent(kind, new java.util.concurrent.atomic.AtomicInteger())
+              noops.get(kind).incrementAndGet(); ()
+            }
+          try rnd.nextInt(10) match {
+            case 0 | 1 | 2 | 3 =>
+              val start = nextId; nextId += 5
+              rec(t.write((start until start + 5).toDF("id")
+                .select(col("id"), lit(0L).as("v")).coalesce(1)),
+                "append", start)
+            case 4 =>
+              val r = rnd.nextInt(10).toLong
+              rec(t.delete(spark, Some(col("id") % 10 === r)), "delete", r)
+            case 5 =>
+              val r = rnd.nextInt(10).toLong
+              rec(t.deleteMergeOnRead(spark, Some(col("id") % 10 === r)),
+                "delete", r)
+            case 6 | 7 =>
+              val r = rnd.nextInt(13).toLong
+              rec(t.update(spark, Some(col("id") % 13 === r),
+                Map("v" -> (col("v") + 1))), "update", r)
+            case 8 =>
+              rec(t.compact(spark), "noop", 0L)
+            case 9 =>
+              rec(t.setTableProperties(Map("torture.last" -> s"$tid-$i")),
+                "noop", 0L)
+          } catch {
+            // a lost logical conflict (or a rebase that gave up) — the op
+            // did not commit, so it stays out of the witness
+            case _: java.util.ConcurrentModificationException =>
+              failed.incrementAndGet()
+            // rebase exhausted its attempts under heavy contention — the
+            // op did not commit (ConcurrencySpec pins this surfacing)
+            case _: java.nio.file.FileAlreadyExistsException =>
+              failed.incrementAndGet()
+            case e: Throwable => unexpected.add(e)
+          }
+          if (rnd.nextInt(5) == 0)
+            try { DeltaTable.forPath(d).checkpoint(); () }
+            catch { case _: java.util.ConcurrentModificationException => () }
+        }
+      } catch { case e: Throwable => unexpected.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    val errs = unexpected.toArray(Array.empty[Throwable])
+    assert(errs.isEmpty, s"seed $seed: ${errs.length} unexpected errors, " +
+      s"first: ${errs.headOption.map(e =>
+        e.getClass.getName + ": " + e.getMessage).getOrElse("")}")
+
+    val committed = recs.toArray(Array.empty[OpRec]).sortBy(_.version)
+    // (1) distinct versions tiling 1..K — no lost or phantom commits
+    assert(committed.map(_.version).toSeq == (1L to committed.length),
+      s"seed $seed: committed versions ${committed.map(_.version).mkString(",")}")
+    // liveness: most aborts here are GENUINE logical conflicts (4 writers
+    // rewriting the same handful of files), which OCC must refuse — but
+    // blind appends and metadata commits rebase past them, so a healthy
+    // run still lands a solid fraction, and every kind must land at
+    // least once (the classification matrix really ran)
+    assert(Set("append", "delete", "update", "noop")
+      .subsetOf(committed.map(_.kind).toSet),
+      s"seed $seed: kinds committed = ${committed.map(_.kind).distinct.mkString(",")}")
+    assert(committed.length >= nThreads * opsPer * 3 / 10,
+      s"seed $seed: only ${committed.length} of ${nThreads * opsPer} ops " +
+        s"committed (${failed.get()} lost conflicts, noops: " +
+        s"${scala.jdk.CollectionConverters.MapHasAsScala(noops).asScala.map { case (k, v) => s"$k=${v.get}" }.mkString(",")})")
+
+    // (2) model replay == final state, under delta's WriteSerializable
+    // contract: ops apply in LOG order, but a predicate mutation's
+    // effect covers only rows that existed at its READ snapshot — a
+    // blind append it rebased over stays untouched even though the
+    // append sits EARLIER in the log (the documented anomaly vs strict
+    // Serializable; an op that instead read/touched a winner's files
+    // aborted and is not in the witness). Each model row carries the
+    // version its append committed at to evaluate that gate.
+    val model = scala.collection.mutable.LinkedHashMap[Long, (Long, Long)]()
+    (0L until 50L).foreach(id => model(id) = (0L, 0L))
+    committed.foreach {
+      case OpRec(v, _, "append", start) =>
+        (start until start + 5).foreach(id => model(id) = (0L, v))
+      case OpRec(_, readV, "delete", r) =>
+        model.filter { case (id, (_, bornAt)) =>
+          id % 10 == r && bornAt <= readV }.keys.toSeq.foreach(model.remove)
+      case OpRec(_, readV, "update", r) =>
+        model.foreach { case (id, (value, bornAt)) =>
+          if (id % 13 == r && bornAt <= readV) model(id) = (value + 1L, bornAt) }
+      case _ => ()
+    }
+    val expected = model.map { case (id, (value, _)) => id -> value }.toMap
+    val got = DeltaTable.forPath(d).toDF(spark)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"seed $seed: ${(got.toSet diff expected.toSet).take(5)} only in table, " +
+        s"${(expected.toSet diff got.toSet).take(5)} only in model")
+
+    // (3) no ghost files
+    assert(DeltaTable.forPath(d).fsckRepair(spark, dryRun = true).isEmpty,
+      s"seed $seed: fsck found ghosts")
+  }
+
+  for (seed <- Seq(7L, 41L, 1013L))
+    test(s"100 random concurrent ops serialize cleanly (seed $seed)") {
+      runSeed(seed)
+    }
+}
