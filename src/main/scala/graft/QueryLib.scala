@@ -684,6 +684,40 @@ object QueryLib {
       sql.sql(s"OPTIMIZE '$d' FULL")
     }
 
+  /** The X204 catalog-named lifecycle (q189): every statement addresses
+    * the table by NAME — external CTAS registers `graftq.orders_named` in
+    * the warehouse registry, then INSERT, a full-clause MERGE, DELETE,
+    * UPDATE and OPTIMIZE all resolve the name through the same post-parse
+    * interception the path spellings use. All arithmetic is exact IEEE
+    * (×2 and +1 on doubles), so DuckDB replays the final state bit-for-bit.
+    */
+  def namedLifecycleDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "named_lifecycle") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val src = deltaDir(spark, sfDir, "orders")
+      sql.sql("DROP TABLE IF EXISTS graftq.orders_named")
+      sql.sql(s"CREATE TABLE graftq.orders_named USING graft LOCATION '$d' " +
+        s"AS SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graft.`$src` WHERE o_orderkey < 4000")
+      sql.sql("INSERT INTO graftq.orders_named " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft.`$src` " +
+        "WHERE o_orderkey >= 4000 AND o_orderkey < 8000")
+      sql.sql(
+        s"""MERGE INTO graftq.orders_named t
+           |USING (SELECT o_orderkey, o_totalprice FROM graft.`$src`
+           |       WHERE o_orderkey % 100 = 0) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2,
+           |  o_orderstatus = 'M'
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus,
+           |  o_totalprice) VALUES (s.o_orderkey, 'N', s.o_totalprice)"""
+          .stripMargin)
+      sql.sql("DELETE FROM graftq.orders_named WHERE o_orderkey % 10 = 7")
+      sql.sql("UPDATE graftq.orders_named SET o_totalprice = o_totalprice + 1 " +
+        "WHERE o_orderstatus = 'N'")
+      sql.sql("OPTIMIZE graftq.orders_named")
+    }
+
   /** customer mutated by ONE SQL `MERGE INTO` statement (q171): the full
     * clause surface — matched delete-marked rows dropped, the other
     * matched rows updated column-wise, unmatched source rows inserted —

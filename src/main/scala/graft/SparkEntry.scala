@@ -635,6 +635,27 @@ object SparkEntry {
     "q188_sql_ddl_lifecycle" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.sqlDdlLifecycleDir(s, d)).toDF(s)
         .orderBy("rid")),
+    // catalog-NAMED table lifecycle (X204): CTAS/INSERT/MERGE/DELETE/
+    // UPDATE/OPTIMIZE all addressed the table by its registered name; the
+    // readback is a name-addressed SELECT joining the current state to
+    // the name-addressed `VERSION AS OF 0` time travel
+    "q189_sql_named_catalog" -> ((s, d) => {
+      val dir = QueryLib.namedLifecycleDir(s, d)
+      val sql = graft.sql.GraftSql.enable(s)
+      // re-adopt under the name (registry may be stale across JVMs/SFs):
+      // pure SQL-surface plumbing, no data commit
+      sql.sql("DROP TABLE IF EXISTS graftq.orders_named")
+      sql.sql("CREATE TABLE IF NOT EXISTS graftq.orders_named " +
+        s"USING graft LOCATION '$dir'")
+      sql.sql(
+        """SELECT cur.o_orderkey, cur.o_orderstatus, cur.o_totalprice,
+          |  CASE WHEN v0.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS in_v0
+          |FROM graftq.orders_named cur
+          |LEFT JOIN (SELECT o_orderkey FROM graftq.orders_named
+          |           VERSION AS OF 0) v0
+          |  ON cur.o_orderkey = v0.o_orderkey
+          |ORDER BY cur.o_orderkey""".stripMargin)
+    }),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1618,6 +1639,25 @@ object SparkEntry {
         |  (160, 2, 'gus', 5.0), (170, 1, 'hal', 0.75), (180, 3, 'ion', -2.5))
         |  t(rid, nk, name, bal)
         |ORDER BY rid""".stripMargin,
+    // named-lifecycle replay: v0 = CTAS slice (keys < 4000); current =
+    // keys < 8000 with %100=0 rows merged (price doubled exactly, status
+    // 'M') plus the %100=0 keys >= 8000 inserted as 'N' (+1 by the later
+    // UPDATE, exact IEEE), minus the %10=7 deletes
+    "q189_sql_named_catalog" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN 'M' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey < 8000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'N', o_totalprice + 1 FROM orders
+        |  WHERE o_orderkey % 100 = 0 AND o_orderkey >= 8000)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_orderkey < 4000 THEN 1 ELSE 0 END AS in_v0
+        |FROM merged WHERE o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
     // paragraph near-dup replay: the fixture's composition is closed-form
     // (para0 = text(d), para1 = text((d+100)%200), para2 = text(d%50)), so
     // the oracle rebuilds the paragraph table from the base documents and

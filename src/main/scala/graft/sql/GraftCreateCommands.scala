@@ -30,7 +30,8 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
     ifNotExists: Boolean,
     generated: Seq[(String, String)] = Seq.empty,
     identity: Seq[(String, Long, Long, Boolean)] = Seq.empty,
-    clusterBy: Seq[String] = Seq.empty) extends LeafRunnableCommand {
+    clusterBy: Seq[String] = Seq.empty,
+    registerName: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType)(),
     AttributeReference("version", LongType)())
@@ -38,7 +39,13 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
   override def run(spark: SparkSession): Seq[Row] = {
     var t = DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
     val exists = t.version >= 0
-    if (exists && ifNotExists) return Seq(Row(path, t.version))
+    // name registration is idempotent and happens even on the IF NOT
+    // EXISTS early return: `CREATE TABLE IF NOT EXISTS n USING graft
+    // LOCATION p` over a live table ADOPTS it under the name (delta's
+    // external-table-over-existing-data contract)
+    def register(): Unit =
+      registerName.foreach(n => GraftCatalog.register(spark, n, path))
+    if (exists && ifNotExists) { register(); return Seq(Row(path, t.version)) }
     if (exists && !orReplace)
       throw new java.nio.file.FileAlreadyExistsException(
         s"table already exists at $path (use OR REPLACE or IF NOT EXISTS)")
@@ -72,6 +79,7 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
       partitionBy = part)
     if (clusterBy.nonEmpty) t = t.clusterBy(clusterBy)
     if (properties.nonEmpty) t = t.setTableProperties(properties)
+    register()
     Seq(Row(path, t.version))
   }
 
@@ -91,15 +99,18 @@ case class GraftCreateTableCommand(path: String, schemaJson: Option[String],
   */
 case class GraftCloneCommand(dstPath: String, srcPath: String, deep: Boolean,
     version: Option[Long], timestamp: Option[String],
-    ifNotExists: Boolean) extends LeafRunnableCommand {
+    ifNotExists: Boolean,
+    registerName: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType)(),
     AttributeReference("version", LongType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    def register(): Unit =
+      registerName.foreach(n => GraftCatalog.register(spark, n, dstPath))
     val existing = DeltaTable.forPath(dstPath, conf = ColumnShim.hadoopConf(spark))
     if (existing.version >= 0) {
-      if (ifNotExists) return Seq(Row(dstPath, existing.version))
+      if (ifNotExists) { register(); return Seq(Row(dstPath, existing.version)) }
       throw new java.nio.file.FileAlreadyExistsException(
         s"clone target already exists at $dstPath")
     }
@@ -115,6 +126,7 @@ case class GraftCloneCommand(dstPath: String, srcPath: String, deep: Boolean,
     val cloned =
       if (deep) pinned.deepCloneTo(spark, dstPath)
       else pinned.cloneTo(dstPath)
+    register()
     Seq(Row(dstPath, cloned.version))
   }
 }

@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel,
   UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition,
-  CreateTable, CreateTableAsSelect, InsertIntoStatement, LogicalPlan,
-  MergeIntoTable, ReplaceTable, ReplaceTableAsSelect, SubqueryAlias,
-  TableSpec, TableSpecBase, UnresolvedTableSpec}
+  CreateTable, CreateTableAsSelect, DropTable, InsertIntoStatement,
+  LogicalPlan, MergeIntoTable, ReplaceTable, ReplaceTableAsSelect,
+  SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.StringType
@@ -43,6 +43,20 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Table address from a multipart identifier: a path spelling, or a
+    * CATALOG-REGISTERED name (X204). Temp views shadow registered names —
+    * Spark's own precedence — and an unregistered name stays unresolved so
+    * the session catalog's error messages are untouched.
+    */
+  private def addrOf(parts: Seq[String]): Option[String] =
+    pathOf(parts).orElse {
+      if (isTempView(parts)) None else GraftCatalog.resolve(session, parts)
+    }
+
+  private def isTempView(parts: Seq[String]): Boolean =
+    try session.sessionState.catalog.isTempView(parts)
+    catch { case _: Exception => false }
+
   /** None when no log exists at the path — the reference falls through to
     * the catalog, whose not-found error names the identifier.
     */
@@ -59,8 +73,8 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
     // below cannot descend into it — its query is rewritten here.
     val afterInserts = plan.transformDown {
       case i: InsertIntoStatement => i.table match {
-        case u: UnresolvedRelation if pathOf(u.multipartIdentifier).isDefined =>
-          val path = pathOf(u.multipartIdentifier).get
+        case u: UnresolvedRelation if addrOf(u.multipartIdentifier).isDefined =>
+          val path = addrOf(u.multipartIdentifier).get
           require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
             "INSERT into a graft path table supports no PARTITION spec " +
               "(partitioning is table metadata; use the table's own layout)")
@@ -68,22 +82,42 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
             i.byName, i.userSpecifiedCols)
         case _ => i
       }
-      // CREATE/REPLACE TABLE a graft path (schema-only and AS SELECT):
-      // same corruption guard — a CTAS target must never become a raw
-      // file write. The CTAS query is read-rewritten at capture.
-      case ct: CreateTable if identPath(ct.name).isDefined =>
-        createCmd(identPath(ct.name).get, Some(ct.columns), ct.partitioning,
+      // CREATE/REPLACE TABLE a graft path (schema-only and AS SELECT) or
+      // a catalog NAME with `USING graft` (X204 — the name registers in
+      // GraftCatalog at run time): same corruption guard — a CTAS target
+      // must never become a raw file write. Query read-rewritten at capture.
+      case ct: CreateTable if createAddr(ct.name, ct.tableSpec).isDefined =>
+        val (p, reg) = createAddr(ct.name, ct.tableSpec).get
+        createCmd(p, reg, Some(ct.columns), ct.partitioning,
           ct.tableSpec, None, orReplace = false, ifNotExists = ct.ignoreIfExists)
-      case ct: CreateTableAsSelect if identPath(ct.name).isDefined =>
-        createCmd(identPath(ct.name).get, None, ct.partitioning, ct.tableSpec,
+      case ct: CreateTableAsSelect if createAddr(ct.name, ct.tableSpec).isDefined =>
+        val (p, reg) = createAddr(ct.name, ct.tableSpec).get
+        createCmd(p, reg, None, ct.partitioning, ct.tableSpec,
           Some(rewriteReads(ct.query)), orReplace = false,
           ifNotExists = ct.ignoreIfExists)
-      case rt: ReplaceTable if identPath(rt.name).isDefined =>
-        createCmd(identPath(rt.name).get, Some(rt.columns), rt.partitioning,
+      case rt: ReplaceTable if createAddr(rt.name, rt.tableSpec).isDefined =>
+        val (p, reg) = createAddr(rt.name, rt.tableSpec).get
+        createCmd(p, reg, Some(rt.columns), rt.partitioning,
           rt.tableSpec, None, orReplace = true, ifNotExists = false)
-      case rt: ReplaceTableAsSelect if identPath(rt.name).isDefined =>
-        createCmd(identPath(rt.name).get, None, rt.partitioning, rt.tableSpec,
+      case rt: ReplaceTableAsSelect if createAddr(rt.name, rt.tableSpec).isDefined =>
+        val (p, reg) = createAddr(rt.name, rt.tableSpec).get
+        createCmd(p, reg, None, rt.partitioning, rt.tableSpec,
           Some(rewriteReads(rt.query)), orReplace = true, ifNotExists = false)
+      // DROP TABLE of a REGISTERED name: unregister, and for a managed
+      // table (data under the warehouse default path) delete the data too
+      // — delta's managed/external split. Unregistered names stay Spark's.
+      case dt @ DropTable(child, _, purge) =>
+        val parts = child match {
+          case u: UnresolvedIdentifier => Some(u.nameParts)
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+            Some(u.multipartIdentifier)
+          case _ => None
+        }
+        parts.filterNot(isTempView).flatMap(GraftCatalog.key)
+          .filter(GraftCatalog.all(session).contains) match {
+          case Some(k) => GraftDropTableCommand(k, purge)
+          case None => dt
+        }
       // MERGE INTO a graft path: same top-down capture as INSERT — the
       // target must never fall through to the read rewrite (a merge
       // against a raw file relation would plan a log-bypassing write).
@@ -91,8 +125,8 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable =>
         val (tgtAlias, tgtPath) = m.targetTable match {
           case SubqueryAlias(id, u: UnresolvedRelation) =>
-            (Some(id.name), pathOf(u.multipartIdentifier))
-          case u: UnresolvedRelation => (None, pathOf(u.multipartIdentifier))
+            (Some(id.name), addrOf(u.multipartIdentifier))
+          case u: UnresolvedRelation => (None, addrOf(u.multipartIdentifier))
           case _ => (None, None)
         }
         tgtPath match {
@@ -112,8 +146,31 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
     rewriteReads(afterInserts)
   }
 
-  private def identPath(name: LogicalPlan): Option[String] = name match {
-    case u: UnresolvedIdentifier => pathOf(u.nameParts)
+  /** CREATE-target address: a path spelling (any provider the command
+    * validates), or — with an explicit `USING graft|delta` — a catalog
+    * name, whose path is the LOCATION clause (external) or the warehouse
+    * default (managed). The second tuple slot is the registry key to
+    * write at run time; a name already registered to a LIVE table reuses
+    * its registered path (so IF NOT EXISTS / REPLACE see the real state).
+    */
+  private def createAddr(name: LogicalPlan,
+      spec: TableSpecBase): Option[(String, Option[String])] = name match {
+    case u: UnresolvedIdentifier =>
+      pathOf(u.nameParts).map(p => (p, Option.empty[String])).orElse {
+        val (provider, location) = spec match {
+          case s: TableSpec => (s.provider, s.location)
+          case s: UnresolvedTableSpec => (s.provider, s.location)
+          case _ => (None, None)
+        }
+        if (!provider.exists(p => p.equalsIgnoreCase("graft") ||
+            p.equalsIgnoreCase("delta")) || isTempView(u.nameParts)) None
+        else GraftCatalog.key(u.nameParts).map { k =>
+          val registered = GraftCatalog.all(session).get(k)
+            .filter(p => open(p).isDefined) // stale registry ≠ existing
+          (registered.orElse(location)
+            .getOrElse(GraftCatalog.defaultPath(session, k)), Some(k))
+        }
+      }
     case _ => None
   }
 
@@ -122,7 +179,7 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
     * a non-graft provider, non-identity partition transforms) slips
     * through silently.
     */
-  private def createCmd(path: String,
+  private def createCmd(path: String, registerName: Option[String],
       columns: Option[Seq[ColumnDefinition]],
       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
       spec: TableSpecBase, query: Option[LogicalPlan], orReplace: Boolean,
@@ -170,12 +227,12 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       }).json
     }
     GraftCreateTableCommand(path, schemaJson, partCols, props, query,
-      orReplace, ifNotExists, generated, identity, clusterCols)
+      orReplace, ifNotExists, generated, identity, clusterCols, registerName)
   }
 
   private def rewriteReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
-      pathOf(u.multipartIdentifier).flatMap(open).map { t =>
+      addrOf(u.multipartIdentifier).flatMap(open).map { t =>
         val resolved = (ts, version) match {
           case (None, Some(v)) => t.loadAsVersion(v.toLong)
           case (Some(Literal(s, StringType)), None) =>
@@ -188,9 +245,30 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
         resolved.toDF(session).queryExecution.analyzed
       }.getOrElse(tt)
     case u: UnresolvedRelation =>
-      pathOf(u.multipartIdentifier).flatMap(open)
+      addrOf(u.multipartIdentifier).flatMap(open)
         .map(_.toDF(session).queryExecution.analyzed)
         .getOrElse(u)
+  }
+}
+
+/** `DROP TABLE <registered name>` — removes the registry entry; a MANAGED
+  * table (its data lives at the warehouse default path for the name, i.e.
+  * no LOCATION was given at create) also deletes the table directory,
+  * delta's managed/external split. PURGE forces the data delete for
+  * external tables too.
+  */
+case class GraftDropTableCommand(name: String, purge: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    GraftCatalog.resolveName(spark, name).foreach { p =>
+      val managed = p == GraftCatalog.defaultPath(spark, name)
+      GraftCatalog.unregister(spark, name)
+      if (managed || purge) {
+        val loc = graft.storage.Location(p, ColumnShim.hadoopConf(spark))
+        if (loc.exists) loc.delete(recursive = true)
+      }
+    }
+    Seq.empty
   }
 }
 

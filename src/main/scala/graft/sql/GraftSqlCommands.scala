@@ -28,7 +28,8 @@ import org.apache.spark.sql.{Row, SparkSession}
 class GraftSqlParser(delegate: ParserInterface,
     session: Option[SparkSession] = None) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = GraftSqlCommands.parse(sqlText, delegate)
+    val plan = GraftSqlCommands.parse(sqlText, delegate,
+        session.map(NameResolver.forSession).getOrElse(NameResolver.none))
       .getOrElse(delegate.parsePlan(sqlText))
     // post-parse path-table rewrite (see GraftPathResolution for why the
     // analyzer is too late); active sessions only — the parser is also
@@ -50,11 +51,50 @@ class GraftSqlParser(delegate: ParserInterface,
   override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
 }
 
+/** Name → address resolution for the command grammar (X204). `existing`
+  * answers only for REGISTERED names not shadowed by a temp view — an
+  * unresolved name makes the whole command fall through to Spark's parser,
+  * so catalog-table/temp-view errors keep Spark's own wording. `creatable`
+  * additionally derives a fresh warehouse path for an unregistered name
+  * (the CLONE-destination case).
+  */
+trait NameResolver {
+  def existing(name: String): Option[String]
+  def creatable(name: String): Option[(String, Option[String])]
+}
+
+object NameResolver {
+  val none: NameResolver = new NameResolver {
+    def existing(name: String): Option[String] = None
+    def creatable(name: String): Option[(String, Option[String])] = None
+  }
+
+  def forSession(spark: SparkSession): NameResolver = new NameResolver {
+    def existing(name: String): Option[String] = {
+      val ps = GraftSqlCommands.splitIdent(name)
+      if (isTempView(spark, ps)) None else GraftCatalog.resolve(spark, ps)
+    }
+    def creatable(name: String): Option[(String, Option[String])] = {
+      val ps = GraftSqlCommands.splitIdent(name)
+      if (isTempView(spark, ps)) None
+      else GraftCatalog.key(ps).map { k =>
+        val reg = GraftCatalog.all(spark).get(k)
+          .filter(p => GraftSqlCommands.open(spark, p).version >= 0)
+        (reg.getOrElse(GraftCatalog.defaultPath(spark, k)), Some(k))
+      }
+    }
+  }
+
+  private def isTempView(spark: SparkSession, ps: Seq[String]): Boolean =
+    try spark.sessionState.catalog.isTempView(ps)
+    catch { case _: Exception => false }
+}
+
 object GraftSqlCommands {
   // the table address: 'path', "graft.`path`" or "delta.`path`" (the
-  // delta-spark spelling, accepted for drop-in familiarity)
-  private val P = """(?:(?:graft|delta)\.`([^`]+)`|'([^']+)')"""
-  private def path(a: String, b: String): String = if (a != null) a else b
+  // delta-spark spelling, accepted for drop-in familiarity), or a bare
+  // 1-3 part identifier resolved through the name registry (X204)
+  private val P = """(?:(?:graft|delta)\.`([^`]+)`|'([^']+)'|((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*)){0,2}))"""
 
   private val HistoryRe =
     s"""(?is)\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+$P\\s*;?\\s*""".r
@@ -123,71 +163,107 @@ object GraftSqlCommands {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*""".r
   private val AlterClusterByNoneRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+CLUSTER\\s+BY\\s+NONE\\s*;?\\s*""".r
+  private val ShowGraftTablesRe =
+    """(?is)\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*""".r
 
-  /** The graft grammar; None → not ours, let Spark parse it. */
-  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+  /** The graft grammar; None → not ours, let Spark parse it. An address
+    * that is a BARE NAME resolves through `resolver` at parse time; an
+    * unregistered (or temp-view-shadowed) name turns the match into None
+    * so Spark's own parser — and its error wording — handles the statement.
+    */
+  def parse(sqlText: String, delegate: ParserInterface,
+      resolver: NameResolver = NameResolver.none): Option[LogicalPlan] = {
+    // address of an existing table: path spelling, or registered name
+    def A(a: String, b: String, n: String): Option[String] =
+      if (a != null) Some(a) else if (b != null) Some(b)
+      else resolver.existing(n)
     sqlText match {
-      case HistoryRe(a, b) => Some(DescribeHistoryCommand(path(a, b)))
-      case DetailRe(a, b) => Some(DescribeDetailCommand(path(a, b)))
-      case OptimizeRe(a, b, full, where, zcols) =>
+      case HistoryRe(a, b, n) => A(a, b, n).map(DescribeHistoryCommand(_))
+      case DetailRe(a, b, n) => A(a, b, n).map(DescribeDetailCommand(_))
+      case OptimizeRe(a, b, n, full, where, zcols) =>
         val cols = Option(zcols).toSeq.flatMap(_.split(",").toSeq)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        Some(OptimizeCommand(path(a, b), cols, Option(where).map(_.trim),
+        A(a, b, n).map(OptimizeCommand(_, cols, Option(where).map(_.trim),
           full = full != null))
-      case VacuumRe(a, b, hours, dry) =>
-        Some(VacuumCommand(path(a, b), Option(hours).map(_.toLong), dry != null))
-      case RestoreVerRe(a, b, v) => Some(RestoreCommand(path(a, b), Left(v.toLong)))
-      case RestoreTsRe(a, b, ts) => Some(RestoreCommand(path(a, b), Right(ts)))
-      case GenerateRe(a, b) => Some(GenerateManifestCommand(path(a, b)))
+      case VacuumRe(a, b, n, hours, dry) =>
+        A(a, b, n).map(VacuumCommand(_, Option(hours).map(_.toLong), dry != null))
+      case RestoreVerRe(a, b, n, v) =>
+        A(a, b, n).map(RestoreCommand(_, Left(v.toLong)))
+      case RestoreTsRe(a, b, n, ts) =>
+        A(a, b, n).map(RestoreCommand(_, Right(ts)))
+      case GenerateRe(a, b, n) => A(a, b, n).map(GenerateManifestCommand(_))
       case ConvertRe(src) => Some(ConvertCommand(src))
-      case ShowPartitionsRe(a, b) => Some(ShowPartitionsCommand(path(a, b)))
-      case DeleteRe(a, b, where) =>
-        Some(DeleteCommand(path(a, b), Option(where).map(_.trim)))
-      case UpdateRe(a, b, sets, where) =>
-        Some(UpdateCommand(path(a, b), sets.trim, Option(where).map(_.trim)))
-      case AlterAddColsRe(a, b, cols) =>
-        Some(AlterAddColumnsCommand(path(a, b),
+      case ShowGraftTablesRe() => Some(ShowGraftTablesCommand())
+      case ShowPartitionsRe(a, b, n) => A(a, b, n).map(ShowPartitionsCommand(_))
+      case DeleteRe(a, b, n, where) =>
+        A(a, b, n).map(DeleteCommand(_, Option(where).map(_.trim)))
+      case UpdateRe(a, b, n, sets, where) =>
+        A(a, b, n).map(UpdateCommand(_, sets.trim, Option(where).map(_.trim)))
+      case AlterAddColsRe(a, b, n, cols) =>
+        A(a, b, n).map(AlterAddColumnsCommand(_,
           splitTopLevel(cols, trackAngles = true)))
-      case AlterAddColRe(a, b, spec) =>
-        Some(AlterAddColumnsCommand(path(a, b), Seq(spec.trim)))
-      case AlterSetPropsRe(a, b, props) =>
-        Some(AlterPropertiesCommand(path(a, b), splitTopLevel(props), set = true))
-      case AlterUnsetPropsRe(a, b, keys) =>
-        Some(AlterPropertiesCommand(path(a, b), splitTopLevel(keys), set = false))
-      case AlterAddConstraintRe(a, b, name, expr) =>
-        Some(AlterConstraintCommand(path(a, b), name, Some(expr.trim)))
-      case AlterDropConstraintRe(a, b, name) =>
-        Some(AlterConstraintCommand(path(a, b), name, None))
-      case AlterClusterByNoneRe(a, b) =>
-        Some(AlterClusterByCommand(path(a, b), Seq.empty))
-      case AlterClusterByRe(a, b, cols) =>
-        Some(AlterClusterByCommand(path(a, b), cols.split(",").toSeq
+      case AlterAddColRe(a, b, n, spec) =>
+        A(a, b, n).map(AlterAddColumnsCommand(_, Seq(spec.trim)))
+      case AlterSetPropsRe(a, b, n, props) =>
+        A(a, b, n).map(AlterPropertiesCommand(_, splitTopLevel(props), set = true))
+      case AlterUnsetPropsRe(a, b, n, keys) =>
+        A(a, b, n).map(AlterPropertiesCommand(_, splitTopLevel(keys), set = false))
+      case AlterAddConstraintRe(a, b, n, name, expr) =>
+        A(a, b, n).map(AlterConstraintCommand(_, name, Some(expr.trim)))
+      case AlterDropConstraintRe(a, b, n, name) =>
+        A(a, b, n).map(AlterConstraintCommand(_, name, None))
+      case AlterClusterByNoneRe(a, b, n) =>
+        A(a, b, n).map(AlterClusterByCommand(_, Seq.empty))
+      case AlterClusterByRe(a, b, n, cols) =>
+        A(a, b, n).map(AlterClusterByCommand(_, cols.split(",").toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
-      case AlterRenameColRe(a, b, from, to) =>
-        Some(AlterRenameColumnCommand(path(a, b), from, to))
-      case AlterDropColRe(a, b, name) =>
-        Some(AlterDropColumnCommand(path(a, b), name))
+      case AlterRenameColRe(a, b, n, from, to) =>
+        A(a, b, n).map(AlterRenameColumnCommand(_, from, to))
+      case AlterDropColRe(a, b, n, name) =>
+        A(a, b, n).map(AlterDropColumnCommand(_, name))
       // DEFAULT forms must match before the TYPE form never sees them
-      case AlterColSetDefaultRe(a, b, name, expr) =>
-        Some(AlterColumnDefaultCommand(path(a, b), name, Some(expr.trim)))
-      case AlterColDropDefaultRe(a, b, name) =>
-        Some(AlterColumnDefaultCommand(path(a, b), name, None))
-      case AlterColTypeRe(a, b, name, tpe) =>
-        Some(AlterColumnTypeCommand(path(a, b), name, tpe.trim))
-      case CloneRe(da, db, kind, sa, sb, ver, ts) =>
-        Some(GraftCloneCommand(path(da, db), path(sa, sb),
-          deep = kind.equalsIgnoreCase("DEEP"),
-          version = Option(ver).map(_.toLong), timestamp = Option(ts),
-          ifNotExists = CloneIfNotExistsRe.matches(sqlText)))
-      case ShowTblPropsRe(a, b) => Some(ShowTblPropertiesCommand(path(a, b)))
-      case ShowCreateRe(a, b) => Some(ShowCreateTableCommand(path(a, b)))
-      case ReorgRe(a, b, where) =>
-        Some(ReorgPurgeCommand(path(a, b), Option(where).map(_.trim)))
-      case FsckRe(a, b, dry) =>
-        Some(FsckRepairCommand(path(a, b), dry != null))
-      case DescribeTableRe(a, b) => Some(DescribeTableCommand(path(a, b)))
+      case AlterColSetDefaultRe(a, b, n, name, expr) =>
+        A(a, b, n).map(AlterColumnDefaultCommand(_, name, Some(expr.trim)))
+      case AlterColDropDefaultRe(a, b, n, name) =>
+        A(a, b, n).map(AlterColumnDefaultCommand(_, name, None))
+      case AlterColTypeRe(a, b, n, name, tpe) =>
+        A(a, b, n).map(AlterColumnTypeCommand(_, name, tpe.trim))
+      case CloneRe(da, db, dn, kind, sa, sb, sn, ver, ts) =>
+        // the DESTINATION may be a fresh name (registers at run time);
+        // the source must already exist
+        val dst =
+          if (da != null) Some((da: String, Option.empty[String]))
+          else if (db != null) Some((db, Option.empty[String]))
+          else resolver.creatable(dn)
+        for { (dPath, dReg) <- dst; sPath <- A(sa, sb, sn) }
+          yield GraftCloneCommand(dPath, sPath,
+            deep = kind.equalsIgnoreCase("DEEP"),
+            version = Option(ver).map(_.toLong), timestamp = Option(ts),
+            ifNotExists = CloneIfNotExistsRe.matches(sqlText),
+            registerName = dReg)
+      case ShowTblPropsRe(a, b, n) => A(a, b, n).map(ShowTblPropertiesCommand(_))
+      case ShowCreateRe(a, b, n) => A(a, b, n).map(ShowCreateTableCommand(_))
+      case ReorgRe(a, b, n, where) =>
+        A(a, b, n).map(ReorgPurgeCommand(_, Option(where).map(_.trim)))
+      case FsckRe(a, b, n, dry) =>
+        A(a, b, n).map(FsckRepairCommand(_, dry != null))
+      case DescribeTableRe(a, b, n) => A(a, b, n).map(DescribeTableCommand(_))
       case _ => None
     }
+  }
+
+  /** Split a dotted identifier into parts, honoring backtick quoting. */
+  private[sql] def splitIdent(name: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder; var inBt = false
+    name.foreach {
+      case '`' => inBt = !inBt
+      case '.' if !inBt => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq
+  }
 
   private[sql] def open(spark: SparkSession, path: String): DeltaTable =
     DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
@@ -569,6 +645,18 @@ case class FsckRepairCommand(path: String,
     Seq(AttributeReference("file", StringType)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlCommands.open(spark, path).fsckRepair(spark, dryRun).map(Row(_))
+}
+
+/** `SHOW GRAFT TABLES` — the name registry (X204): one (name, path) row
+  * per registered table, names sorted. Registry-file read only; no table
+  * logs open.
+  */
+case class ShowGraftTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType)(),
+    AttributeReference("path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftCatalog.all(spark).toSeq.sortBy(_._1).map { case (n, p) => Row(n, p) }
 }
 
 /** `CONVERT TO GRAFT parquet.`<path>`` — in-place log mint over existing

@@ -626,4 +626,123 @@ class SqlSurfaceSpec extends SparkSuite {
     assertSameRows(DeltaTable.forPath(d).toDF(spark),
       spark.read.parquet(s"$sfDir/region.parquet"))
   }
+
+  // ---- catalog-named tables (X204) ----
+
+  test("named tables: external CREATE registers; the full verb matrix " +
+      "resolves by name; no strays") {
+    val d = tempDir("sqlname-ext")
+    val src = tempDir("sqlname-ext-src")
+    DeltaTable.forPath(src).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    sql.sql("DROP TABLE IF EXISTS nmx.nation_ext")
+    sql.sql(s"CREATE TABLE nmx.nation_ext USING graft LOCATION '$d' " +
+      s"AS SELECT * FROM graft.`$src` WHERE n_nationkey < 20")
+    // registered, and the name resolves in every verb family
+    assert(graft.sql.GraftCatalog.resolveName(sql, "nmx.nation_ext")
+      .contains(d))
+    assert(sql.sql("SELECT count(*) AS n FROM nmx.nation_ext")
+      .head().getLong(0) == 20L)
+    sql.sql(s"INSERT INTO nmx.nation_ext SELECT * FROM graft.`$src` " +
+      "WHERE n_nationkey >= 20")
+    sql.sql(
+      s"""MERGE INTO nmx.nation_ext t USING graft.`$src` s
+         |ON t.n_nationkey = s.n_nationkey
+         |WHEN MATCHED AND s.n_nationkey < 3 THEN UPDATE SET n_regionkey = 9"""
+        .stripMargin)
+    sql.sql("UPDATE nmx.nation_ext SET n_name = upper(n_name) " +
+      "WHERE n_nationkey = 5")
+    sql.sql("DELETE FROM nmx.nation_ext WHERE n_nationkey = 24")
+    sql.sql("OPTIMIZE nmx.nation_ext")
+    val t = DeltaTable.forPath(d)
+    assert(t.toDF(spark).count() == 24)
+    assert(t.toDF(spark).filter(col("n_regionkey") === 9).count() == 3)
+    // maintenance/metadata verbs by name
+    assert(sql.sql("DESCRIBE HISTORY nmx.nation_ext").count() >= 5)
+    assert(sql.sql("DESCRIBE DETAIL nmx.nation_ext").head()
+      .getAs[String]("location").contains(d))
+    // time travel by name: v0 is the CTAS slice
+    assert(sql.sql("SELECT count(*) AS n FROM nmx.nation_ext VERSION AS OF 0")
+      .head().getLong(0) == 20L)
+    // SHOW GRAFT TABLES lists it
+    assert(sql.sql("SHOW GRAFT TABLES").collect()
+      .exists(r => r.getString(0) == "nmx.nation_ext" && r.getString(1) == d))
+    // no strays: every on-disk data file is log-tracked (live or removed)
+    val dlog = t.dlog
+    val tracked = dlog.addActions.keySet ++
+      dlog.entries.values.flatMap(_.removes).map(_.path)
+    val onDisk = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk.subsetOf(tracked), s"untracked files: ${onDisk -- tracked}")
+    // external DROP unregisters but keeps the data
+    sql.sql("DROP TABLE nmx.nation_ext")
+    assert(graft.sql.GraftCatalog.resolveName(sql, "nmx.nation_ext").isEmpty)
+    assert(DeltaTable.forPath(d).version >= 0)
+  }
+
+  test("named tables: managed CTAS lands under the warehouse; DROP " +
+      "deletes data; names are case-insensitive") {
+    sql.sql("DROP TABLE IF EXISTS nmx.nation_mng")
+    val src = tempDir("sqlname-mng-src")
+    DeltaTable.forPath(src).write(spark.read.parquet(s"$sfDir/nation.parquet"))
+    sql.sql(s"CREATE TABLE nmx.nation_mng USING graft AS " +
+      s"SELECT * FROM graft.`$src`")
+    val p = graft.sql.GraftCatalog.resolveName(sql, "nmx.nation_mng").get
+    assert(p == graft.sql.GraftCatalog.defaultPath(sql, "nmx.nation_mng"), p)
+    // case-insensitive resolution (Spark identifier semantics)
+    assert(sql.sql("SELECT count(*) AS n FROM NMX.Nation_MNG")
+      .head().getLong(0) == 25L)
+    // IF NOT EXISTS over a live named table is a no-op that keeps state
+    sql.sql(s"CREATE TABLE IF NOT EXISTS nmx.nation_mng USING graft AS " +
+      s"SELECT * FROM graft.`$src` WHERE n_nationkey < 1")
+    assert(sql.sql("SELECT count(*) AS n FROM nmx.nation_mng")
+      .head().getLong(0) == 25L)
+    // plain CREATE over a live name refuses
+    val ex = intercept[Exception](sql.sql(
+      "CREATE TABLE nmx.nation_mng (x INT) USING graft"))
+    assert(ex.getMessage.contains("exists"), ex.getMessage)
+    // managed DROP removes both the registration and the data dir
+    sql.sql("DROP TABLE nmx.nation_mng")
+    assert(graft.sql.GraftCatalog.resolveName(sql, "nmx.nation_mng").isEmpty)
+    assert(!new java.io.File(p).exists())
+  }
+
+  test("named tables: temp views shadow names; unregistered names keep " +
+      "Spark's errors; stale registrations are re-creatable") {
+    val d = tempDir("sqlname-shadow")
+    val src = tempDir("sqlname-shadow-src")
+    DeltaTable.forPath(src).write(spark.read.parquet(s"$sfDir/region.parquet"))
+    sql.sql("DROP TABLE IF EXISTS shadow_t")
+    sql.sql(s"CREATE TABLE shadow_t USING graft LOCATION '$d' AS " +
+      s"SELECT * FROM graft.`$src`")
+    assert(sql.sql("SELECT count(*) AS n FROM shadow_t").head().getLong(0) == 5L)
+    // a temp view with the same name WINS (Spark's own precedence) — for
+    // reads AND for the command grammar (DESCRIBE falls to Spark's error)
+    sql.range(3).createOrReplaceTempView("shadow_t")
+    assert(sql.sql("SELECT count(*) AS n FROM shadow_t").head().getLong(0) == 3L)
+    sql.catalog.dropTempView("shadow_t")
+    assert(sql.sql("SELECT count(*) AS n FROM shadow_t").head().getLong(0) == 5L)
+    // an unregistered name is NOT ours: Spark's not-found wording survives
+    val ex = intercept[Exception](
+      sql.sql("SELECT * FROM never_registered_xyz").collect())
+    assert(!ex.getMessage.toLowerCase.contains("graft"), ex.getMessage)
+    // a registration whose log is gone (wiped temp dir) does not block a
+    // fresh CREATE under the same name
+    graft.sql.GraftCatalog.register(sql, "stale_t", tempDir("sqlname-stale"))
+    sql.sql(s"CREATE TABLE stale_t USING graft AS SELECT * FROM graft.`$src`")
+    assert(sql.sql("SELECT count(*) AS n FROM stale_t").head().getLong(0) == 5L)
+    sql.sql("DROP TABLE stale_t")
+    sql.sql("DROP TABLE shadow_t")
+  }
+
+  test("named tables: SHALLOW CLONE to a fresh NAME registers the clone") {
+    val src = tempDir("sqlname-clone-src")
+    DeltaTable.forPath(src).write(spark.read.parquet(s"$sfDir/region.parquet"))
+    sql.sql("DROP TABLE IF EXISTS nmx.region_clone")
+    sql.sql(s"CREATE TABLE nmx.region_clone SHALLOW CLONE graft.`$src`")
+    val p = graft.sql.GraftCatalog.resolveName(sql, "nmx.region_clone").get
+    assert(sql.sql("SELECT count(*) AS n FROM nmx.region_clone")
+      .head().getLong(0) == 5L)
+    sql.sql("DROP TABLE nmx.region_clone") // managed-path clone: data goes
+    assert(!new java.io.File(p).exists())
+  }
 }
