@@ -224,7 +224,12 @@ object Checkpoint {
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
         StructField("tags", strMap),
-        StructField("deletionVector", dv)))),
+        StructField("deletionVector", dv),
+        // rowTracking state (delta's checkpoint add schema): dropping
+        // these would strip every file's row-id range from the one place
+        // a log-cleaned foreign reader can still find it
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -236,7 +241,9 @@ object Checkpoint {
         // checkpoint schema includes it): spec-DV mutations pair each
         // re-add with a descriptor-carrying remove, and dropping the
         // struct here would strip those tombstones at every checkpoint
-        StructField("deletionVector", dv)))),
+        StructField("deletionVector", dv),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),

@@ -122,7 +122,8 @@ class CheckpointSpec extends SparkSuite {
     assert(Set("add", "remove", "metaData", "protocol", "txn").subsetOf(top), top)
     assert(ck.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.toSet == Set("path", "partitionValues", "size", "modificationTime",
-        "dataChange", "stats", "tags", "deletionVector"))
+        "dataChange", "stats", "tags", "deletionVector",
+        "baseRowId", "defaultRowCommitVersion"))
     // exactly one protocol row, one metaData row, and every live add
     assert(ck.filter(col("protocol").isNotNull).count() == 1)
     val meta = ck.filter(col("metaData").isNotNull)

@@ -228,4 +228,97 @@ class ForeignTableSpec extends SparkSuite {
     val t2 = t.delete(spark, Some(col("id") >= 115L))
     assert(t2.toDF(spark).count() == 112L)
   }
+
+  // ---- scenario 5: the THIRD vendored fixture (ICT + rowTracking with
+  // a materialized row-id column + domainMetadata, foreign field order),
+  // written by tools.ForeignFixtureGenV3 — recorded answers: 120 rows,
+  // Σid = 7140, Σamt = 3570.0, Σ_row_id = 9140, ICTs 1720000000100/200/
+  // 300, rowIdHighWaterMark 219 ----
+
+  private def fixtureV3Dir(): String = {
+    val src = Paths.get(getClass.getResource("/foreign-delta-table-v3").toURI)
+    val dst = Files.createTempDirectory("foreign-table-v3")
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toString
+  }
+
+  test("foreign v3 fixture: ICT clock, materialized row ids, domain replay") {
+    val t = DeltaTable.forPath(fixtureV3Dir())
+    assert(t.version == 2L)
+    val df = t.toDF(spark)
+    // the materialized row-id parquet column is NOT in the logical schema
+    assert(df.columns.toSeq == Seq("id", "cat", "amt"))
+    assert(df.count() == 120L)
+    val r = df.agg(sum("id"), sum("amt")).head()
+    assert(r.getLong(0) == 7140L, r.toString)
+    assert(math.abs(r.getDouble(1) - 3570.0) < 1e-9, r.toString)
+    // row ids: the foreign OPTIMIZE physically re-ordered the 100
+    // compacted rows, so base + position would be WRONG for them — the
+    // materialized column must win (delta's resolution order); the
+    // appended file has no materialized column and falls back to
+    // base(200) + position
+    val ids = t.toDFWithRowIds(spark)
+    assert(ids.agg(sum("_row_id")).head().getLong(0) == 9140L)
+    assert(ids.filter(col("id") === 7L).head().getAs[Long]("_row_id") == 7L)
+    assert(ids.filter(col("id") === 105L).head().getAs[Long]("_row_id") == 205L)
+    assert(ids.filter(col("_row_id") =!= col("id")).count() == 20L)
+    // the ICT clock is authoritative: the legacy timestamp field LAGS it
+    // in this fixture, so history/timestampAsOf must read inCommitTimestamp
+    assert(t.history.map(_._2.effectiveTimestamp) ==
+      Seq(1720000000300L, 1720000000200L, 1720000000100L))
+    assert(t.versionAt(1720000000250L) == 1L)
+    assert(t.versionAt(1720000000100L) == 0L)
+    // domain replay: latest config wins, the removed domain stays hidden
+    assert(t.domainMetadata.get("foreign.pipeline")
+      .contains("""{"stage":"silver"}"""))
+    assert(!t.domainMetadata.contains("foreign.retention"))
+    assert(graft.log.RowTracking.highWaterMark(t.dlog) == 219L)
+  }
+
+  test("foreign v3 fixture: checkpoint-only replay keeps row ids, domains, " +
+      "the txn and the ICT clock; fresh writes allocate above the HWM") {
+    val d = fixtureV3Dir()
+    val log = Paths.get(d, "_delta_log")
+    Files.list(log).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) Files.delete(p)
+    }
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 2L)
+    // the checkpoint's TYPED baseRowId/defaultRowCommitVersion columns
+    // survived the schema-less replay — row ids identical to the JSON path
+    val ids = t.toDFWithRowIds(spark)
+    assert(ids.count() == 120L)
+    assert(ids.agg(sum("_row_id")).head().getLong(0) == 9140L)
+    // domains, txn watermark and the rowTracking HWM rode the checkpoint
+    assert(t.domainMetadata.get("foreign.pipeline")
+      .contains("""{"stage":"silver"}"""))
+    assert(!t.domainMetadata.contains("foreign.retention"))
+    val txns = t.dlog.entries.values.flatMap(_.actions).collect {
+      case tx: graft.log.Txn => tx
+    }
+    assert(txns.exists(tx => tx.appId == "foreign-v3-app" && tx.version == 4L))
+    assert(graft.log.RowTracking.highWaterMark(t.dlog) == 219L)
+    // a fresh engine append on top: new rows allocate ABOVE the foreign
+    // high-water mark, and the commit keeps recording inCommitTimestamp
+    // (the table's config demands it)
+    import spark.implicits._
+    val t2 = t.write(Seq((200L, "c0", 100.0), (201L, "c1", 100.5))
+      .toDF("id", "cat", "amt"))
+    val newAdd = t2.dlog.entries(3L).actions.collectFirst {
+      case a: graft.log.AddFile => a
+    }.get
+    assert(newAdd.baseRowId.contains(220L), newAdd.baseRowId.toString)
+    assert(graft.log.RowTracking.highWaterMark(t2.dlog) == 221L)
+    val newCommit = t2.dlog.entries(3L).commitInfos.last
+    assert(newCommit.extra.contains("inCommitTimestamp"), newCommit.toString)
+    assert(newCommit.effectiveTimestamp > 1720000000300L)
+    val ids2 = t2.toDFWithRowIds(spark)
+    assert(ids2.filter(col("id") === 200L).head().getAs[Long]("_row_id") == 220L)
+    assert(ids2.filter(col("id") === 201L).head().getAs[Long]("_row_id") == 221L)
+  }
 }

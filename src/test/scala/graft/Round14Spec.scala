@@ -151,4 +151,31 @@ class Round14Spec extends SparkSuite {
       "zero-capacity key must materialize no copies")
     assert(sampled.length == 8, s"2 docs x 4 epochs, got ${sampled.length}")
   }
+
+  test("delta-format checkpoint carries baseRowId/defaultRowCommitVersion " +
+      "(a DELTA reader of a log-cleaned rowTracking table keeps row ids)") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("r14-rt-ckpt")
+    var t = DeltaTable.forPath(d).write(nation.limit(0))
+      .setTableProperties(Map(graft.log.RowTracking.EnableKey -> "true"))
+    t = t.write(nation.coalesce(1)).write(nation.coalesce(1))
+    val n = nation.count()
+    t.checkpoint()
+    // leave ONLY the delta-format classic checkpoint: wipe the graft
+    // checkpoint + pointer and every JSON commit — the view a foreign
+    // delta reader (or a graft reader of a foreign-cleaned table) gets
+    val log = new java.io.File(d, "_delta_log")
+    log.listFiles().foreach { f =>
+      if (f.getName.endsWith(".json") || f.getName.contains("graft")) f.delete()
+    }
+    val re = DeltaTable.forPath(d)
+    assert(re.version == t.version)
+    // before the r14 schema fix the typed emission DROPPED baseRowId and
+    // this threw "live file(s) lack baseRowId"
+    val ids = re.toDFWithRowIds(spark).select("_row_id").collect()
+      .map(_.getLong(0))
+    assert(ids.length == 2 * n && ids.distinct.length == ids.length)
+    assert(ids.min == 0L && ids.max == 2 * n - 1)
+    assert(graft.log.RowTracking.highWaterMark(re.dlog) == 2 * n - 1)
+  }
 }

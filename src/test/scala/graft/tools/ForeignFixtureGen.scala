@@ -179,7 +179,7 @@ object ForeignFixtureGen {
       else null
       Row(null,
         Row(name, Map.empty[String, String], sizes(name), 1700000000000L,
-          false, statsPlain(lo, hi), null, dv),
+          false, statsPlain(lo, hi), null, dv, null, null),
         null, null, null, null)
     }
     val rows = Seq(protoRow, metaRow, txnRow) ++ addRows

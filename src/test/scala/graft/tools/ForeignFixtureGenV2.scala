@@ -170,7 +170,7 @@ object ForeignFixtureGenV2 {
       val (name, lo, hi) = files(i)
       val dv = if (i == 1) Row("i", inlineZ85, null, dvSize, 3L, null) else null
       Row(Row(name, Map.empty[String, String], sizes(name), 1710000000000L,
-        false, statsPlain(lo, hi), null, dv), null)
+        false, statsPlain(lo, hi), null, dv, null, null), null)
     }
     val sidecarNames = Seq(
       "3a3a3a3a-0000-4000-8000-000000000001.parquet",
