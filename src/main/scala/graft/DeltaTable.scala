@@ -807,8 +807,32 @@ final case class DeltaTable(
     // scan then reads only predicate columns with pushed filters.
     val candidateAdds =
       where.map(prunedAdds).getOrElse(adds.values.toSeq)
+
+    // Metadata-only fast path (delta-spark's partition delete,
+    // generalized): a candidate file PROVABLY all-match per log stats /
+    // partition values is dropped without ever being opened — at 100 TB
+    // a partition-predicate GDPR erasure is a pure log commit, not a
+    // table scan. With CDF on, a predicate delete's cdc files are
+    // authoritative for the whole commit and producing them requires
+    // reading the matched rows anyway, so the fast path stays off; a
+    // no-predicate TRUNCATE was already cdc-free (the feed reconstructs
+    // its removes as remove_file) and keeps that exact contract here.
+    val droppedAdds: Seq[AddFile] =
+      if (where.isEmpty) candidateAdds
+      else if (cdfEnabled) Seq.empty
+      else allMatchAdds(pred, candidateAdds)
+    if (droppedAdds.size == candidateAdds.size) {
+      val numDeleted = liveRowCount(spark, droppedAdds)
+      val predicateText = where.map(_.toString).getOrElse("true")
+      val entry = DeltaLogEntry.deleteTable(predicateText, droppedAdds,
+        Seq.empty, dlog.version, 0L, numDeleted).withExtraCommitInfo(customMetadata)
+      return commitOrRebase(entry, candidateAdds.map(_.path).toSet, Some(where))
+    }
+    val droppedPaths = droppedAdds.map(_.path).toSet
+    val scanCandidates = candidateAdds.filterNot(a => droppedPaths.contains(a.path))
+
     val touchedCanonical: Set[String] =
-      scanAddsWithMeta(spark, candidateAdds)
+      scanAddsWithMeta(spark, scanCandidates)
         .filter(pred)
         .select(col(DeltaScan.MetaPath).as("f")).distinct()
         .collect().map(r => Location.canonical(r.getString(0))).toSet
@@ -845,11 +869,41 @@ final case class DeltaTable(
         written
       }
 
+    // stats-dropped files join the remove list and the deleted-rows
+    // metric without ever having been opened (cdf off on this branch)
     val predicateText = where.map(_.toString).getOrElse("true")
-    val entry = DeltaLogEntry.deleteTable(predicateText, touchedAdds, newAdds,
-      dlog.version, numCopied, numDeleted).withExtraCommitInfo(customMetadata)
+    val entry = DeltaLogEntry.deleteTable(predicateText,
+      touchedAdds ++ droppedAdds, newAdds, dlog.version, numCopied,
+      numDeleted + liveRowCount(spark, droppedAdds))
+      .withExtraCommitInfo(customMetadata)
     commitOrRebase(DeltaLogEntry(entry.actions ++ cdc),
       candidateAdds.map(_.path).toSet, Some(where))
+  }
+
+  /** Candidate adds PROVABLY all-match under `pred` (metadata-only
+    * delete): [[prunedAdds]]'s physical-name rewrite, opposite
+    * conservative direction — only files with complete evidence return.
+    */
+  private def allMatchAdds(pred: Column, candidates: Seq[AddFile]): Seq[AddFile] = {
+    val sch = dlog.schema
+    val m = ColumnMapping.logicalToPhysical(sch)
+    DataSkipping.provablyAllMatch(candidates,
+      ColumnMapping.toPhysicalPredicate(pred, m),
+      ColumnMapping.physicalSchema(sch), dlog.partitionColumns)
+  }
+
+  /** LIVE rows of `adds` — log stats minus DV cardinality where
+    * numRecords is recorded; the (rare, foreign-written) stat-less files
+    * are counted with one DV-aware scan. Metric-grade: a count-only read
+    * of the stragglers still beats opening every file.
+    */
+  private def liveRowCount(spark: SparkSession, adds: Seq[AddFile]): Long = {
+    val (statted, statless) =
+      adds.partition(a => a.stats.exists(s => numRecordsOpt(s).isDefined))
+    val fromStats = statted.map(a => parseNumRecords(a.stats.get) -
+      DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
+    val scanned = if (statless.isEmpty) 0L else scanAdds(spark, statless).count()
+    fromStats + scanned
   }
 
   /** numRecords from a stats JSON — None when the field is absent (all
@@ -890,15 +944,32 @@ final case class DeltaTable(
     val candidateAdds =
       where.map(prunedAdds).getOrElse(dlog.addActions.values.toSeq)
     val predicateText = where.map(_.toString).getOrElse("true")
+    // Metadata-only fast path, MoR flavor: a provably all-match file is
+    // removed OUTRIGHT without being opened — no point writing an
+    // all-live-rows vector for it. Feed-safe even with CDF on: the MoR
+    // entry's removes reconstruct their surviving rows as `delete`
+    // through the prior vector (changesBetween's morEntry channel),
+    // exactly like the scan-found fullDead removes. Files without a
+    // recorded numRecords stay on the scan path (the fullDead decision
+    // and the deleted-rows metric need the count).
+    val dropped = where.map(_ => allMatchAdds(pred, candidateAdds)
+        .filter(_.stats.exists(s => numRecordsOpt(s).isDefined)))
+      .getOrElse(Seq.empty)
+    val droppedPaths = dropped.map(_.path).toSet
+    val droppedLive = dropped.map(a => parseNumRecords(a.stats.get) -
+      DeletionVectors.refOf(a).map(_.cardinality).getOrElse(0L)).sum
     // project the matched cache down to the two meta columns: DELETE never
     // reads the payload, so a 100M-row erasure pins row-ids, not rows
+    val scanSet = candidateAdds.filterNot(a => droppedPaths.contains(a.path))
     val (dvAdds, fullDead, numDeleted) =
-      morMark(spark, candidateAdds, df =>
-        df.filter(coalesce(pred, lit(false)))
+      if (scanSet.isEmpty) (Seq.empty[AddFile], Seq.empty[AddFile], 0L)
+      else morMark(spark, scanSet,
+        df => df.filter(coalesce(pred, lit(false)))
           .select(col(DeltaScan.MetaPath), col(DeltaScan.MetaRow)))
     // an unmatched predicate still commits (parity with copy-on-write)
     commitOrRebase(DeltaLogEntry.deleteMergeOnReadTable(predicateText, dvAdds,
-        fullDead, dlog.version, numDeleted, specDvRemoves(dvAdds))
+        fullDead ++ dropped, dlog.version, numDeleted + droppedLive,
+        specDvRemoves(dvAdds))
       .withExtraCommitInfo(customMetadata),
       candidateAdds.map(_.path).toSet, Some(where))
   }

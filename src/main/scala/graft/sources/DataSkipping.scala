@@ -247,6 +247,105 @@ object DataSkipping {
       eval(pred, add, stats)
     }
 
+    def allMatch(pred: Expression, add: AddFile): Boolean = {
+      lazy val stats = parseStats(add, schema)
+      evalAll(pred, add, stats)
+    }
+
+    // Dual of `eval`: true only when EVERY row of the file PROVABLY
+    // satisfies `e` (three-valued TRUE — a null predicate row is a miss,
+    // so data columns additionally need nullCount == 0 evidence).
+    // Default false: unknown shapes, missing stats, unsupported types
+    // all prove nothing. Widened maxima / truncated minima (X200, the
+    // timestamp-grain widening) stay safe in this direction too: stats
+    // max ≥ true max, so max < v still implies every row < v; stats
+    // min ≤ true min symmetric.
+    private def evalAll(e: Expression, add: AddFile, st: FileStats): Boolean = e match {
+      case Literal(true, BooleanType) => true
+      case And(l, r) => evalAll(l, add, st) && evalAll(r, add, st)
+      // sufficient, not necessary (rows may split between the branches) —
+      // conservative in the right direction
+      case Or(l, r) => evalAll(l, add, st) || evalAll(r, add, st)
+      case EqualTo(a, v) if attrName(a).isDefined =>
+        provablyConstantEqual(a, v, add, st)
+      case EqualTo(v, a) if attrName(a).isDefined =>
+        provablyConstantEqual(a, v, add, st)
+      case EqualNullSafe(a, v) if attrName(a).isDefined =>
+        provablyConstantEqual(a, v, add, st)
+      case EqualNullSafe(v, a) if attrName(a).isDefined =>
+        provablyConstantEqual(a, v, add, st)
+      case LessThan(a, v) if attrName(a).isDefined => allBinary(a, v, add, st)(allLt)
+      case LessThan(v, a) if attrName(a).isDefined => allBinary(a, v, add, st)(allGt)
+      case LessThanOrEqual(a, v) if attrName(a).isDefined => allBinary(a, v, add, st)(allLe)
+      case LessThanOrEqual(v, a) if attrName(a).isDefined => allBinary(a, v, add, st)(allGe)
+      case GreaterThan(a, v) if attrName(a).isDefined => allBinary(a, v, add, st)(allGt)
+      case GreaterThan(v, a) if attrName(a).isDefined => allBinary(a, v, add, st)(allLt)
+      case GreaterThanOrEqual(a, v) if attrName(a).isDefined => allBinary(a, v, add, st)(allGe)
+      case GreaterThanOrEqual(v, a) if attrName(a).isDefined => allBinary(a, v, add, st)(allLe)
+      case In(a, vs) if attrName(a).isDefined =>
+        vs.exists(v => provablyConstantEqual(a, v, add, st))
+      case IsNull(a) => provablyAllNull(a, add, st)
+      case Not(IsNotNull(a)) => provablyAllNull(a, add, st)
+      case IsNotNull(a) => provablyNoNulls(a, add, st)
+      case Not(IsNull(a)) => provablyNoNulls(a, add, st)
+      case _ => false
+    }
+
+    private def provablyAllNull(a: Expression, add: AddFile, st: FileStats): Boolean =
+      attrName(a).flatMap(n => fieldByLower.get(n.toLowerCase)).exists { f =>
+        if (partitionLower.contains(f.name.toLowerCase))
+          add.partitionValues.collectFirst {
+            case (k, pv) if k.equalsIgnoreCase(f.name) => pv
+          }.exists(_.isEmpty)
+        else (st.nullCount.get(f.name), st.numRecords) match {
+          case (Some(n), Some(total)) => n == total
+          case _ => false
+        }
+      }
+
+    private def provablyNoNulls(a: Expression, add: AddFile, st: FileStats): Boolean =
+      attrName(a).flatMap(n => fieldByLower.get(n.toLowerCase)).exists { f =>
+        if (partitionLower.contains(f.name.toLowerCase))
+          add.partitionValues.collectFirst {
+            case (k, pv) if k.equalsIgnoreCase(f.name) => pv
+          }.exists(_.nonEmpty)
+        else st.nullCount.get(f.name).contains(0L)
+      }
+
+    private def allLt(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      hi.exists(h => cmp(h, v).exists(_ < 0))
+    private def allLe(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      hi.exists(h => cmp(h, v).exists(_ <= 0))
+    private def allGt(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.exists(l => cmp(l, v).exists(_ > 0))
+    private def allGe(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.exists(l => cmp(l, v).exists(_ >= 0))
+
+    /** `binary`'s dual: missing attribute, unparseable literal, missing
+      * stats side, or surviving nulls all prove NOTHING (false).
+      */
+    private def allBinary(a: Expression, v: Expression, add: AddFile,
+        st: FileStats)(test: (Option[Any], Option[Any], Any) => Boolean): Boolean =
+      (attrName(a), evalFoldable(v)) match {
+        case (Some(name), Some((raw, dt))) =>
+          fieldByLower.get(name.toLowerCase) match {
+            case None => false
+            case Some(field) =>
+              normalizeLit(raw, dt) match {
+                case None => false
+                case Some(value) =>
+                  if (partitionLower.contains(field.name.toLowerCase))
+                    add.partitionValues.collectFirst {
+                      case (k, pv) if k.equalsIgnoreCase(field.name) => pv
+                    }.flatten.flatMap(normalizePartition(_, field.dataType))
+                      .exists(pv => test(Some(pv), Some(pv), value))
+                  else st.nullCount.get(field.name).contains(0L) &&
+                    test(st.min.get(field.name), st.max.get(field.name), value)
+              }
+          }
+        case _ => false
+      }
+
     // three-valued not needed: conservative boolean (true = can't exclude)
     private def eval(e: Expression, add: AddFile, st: FileStats): Boolean = e match {
       case And(l, r) => eval(l, add, st) && eval(r, add, st)
@@ -426,5 +525,20 @@ object DataSkipping {
     val pruner = new FilePruner(schema, partitionColumns)
     val e = normalize(ColumnShim.expression(pred))
     adds.filter(pruner.mayMatch(e, _))
+  }
+
+  /** Dual of [[prune]]: the subset of `adds` whose EVERY physical row
+    * provably satisfies `pred` per log-recorded partition values and
+    * min/max/nullCount stats — complete evidence only, so a DELETE may
+    * drop the file from the log without ever opening it (delta-spark's
+    * metadata-only delete, generalized from partition predicates to any
+    * stats-proven range). Physical rows ⊇ live rows, so the proof holds
+    * for DV'd files too.
+    */
+  def provablyAllMatch(adds: Seq[AddFile], pred: Column, schema: StructType,
+      partitionColumns: Seq[String]): Seq[AddFile] = {
+    val pruner = new FilePruner(schema, partitionColumns)
+    val e = normalize(ColumnShim.expression(pred))
+    adds.filter(pruner.allMatch(e, _))
   }
 }

@@ -116,6 +116,10 @@ object GraftSqlCommands {
     s"""(?is)\\s*SHOW\\s+PARTITIONS\\s+$P\\s*;?\\s*""".r
   private val DeleteRe =
     s"""(?is)\\s*DELETE\\s+FROM\\s+$P(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
+  // TRUNCATE TABLE = the metadata-only no-predicate DELETE (one log
+  // commit, zero file reads on a fully-statted table)
+  private val TruncateRe =
+    s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$P\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val ReorgRe =
@@ -197,6 +201,8 @@ object GraftSqlCommands {
       case ShowPartitionsRe(a, b, n) => A(a, b, n).map(ShowPartitionsCommand(_))
       case DeleteRe(a, b, n, where) =>
         A(a, b, n).map(DeleteCommand(_, Option(where).map(_.trim)))
+      case TruncateRe(a, b, n) =>
+        A(a, b, n).map(DeleteCommand(_, None))
       case UpdateRe(a, b, n, sets, where) =>
         A(a, b, n).map(UpdateCommand(_, sets.trim, Option(where).map(_.trim)))
       case AlterAddColsRe(a, b, n, cols) =>

@@ -178,4 +178,132 @@ class Round14Spec extends SparkSuite {
     assert(ids.min == 0L && ids.max == 2 * n - 1)
     assert(graft.log.RowTracking.highWaterMark(re.dlog) == 2 * n - 1)
   }
+
+  // ------------------------------------------------------------------
+  // X212: metadata-only DELETE fast paths
+  // ------------------------------------------------------------------
+
+  /** Spark jobs launched by `body` — 0 proves a pure driver-side log
+    * commit (no file was opened). Listener events are async; the grace
+    * sleep lets a stray JobStart land before the zero assertion.
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) } finally
+      spark.sparkContext.removeSparkListener(l)
+    n.get
+  }
+
+  test("TRUNCATE (no-predicate DELETE) is a zero-job pure log commit") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("r14-trunc")
+    val t = DeltaTable.forPath(d).write(nation.repartition(3))
+    val total = nation.count()
+    var t1: DeltaTable = null
+    val jobs = jobsDuring { t1 = t.delete(spark) }
+    assert(jobs == 0, s"truncate launched $jobs Spark jobs; expected a pure log commit")
+    assert(t1.toDF(spark).count() == 0L)
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_deleted_rows").asLong() == total)
+    assert(m("num_removed_files").asLong() == 3L)
+    assert(m("num_added_files").asLong() == 0L)
+    // time travel still serves the pre-truncate rows (logical delete)
+    assert(DeltaTable.forPath(d, version = Some(0L)).toDF(spark).count() == total)
+  }
+
+  test("partition-predicate DELETE drops whole files without opening them") {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val d = tempDir("r14-part-del")
+    val t = DeltaTable.forPath(d)
+      .write(nation, partitionBy = Some(Seq("n_regionkey")))
+    val expectDeleted = nation.filter(col("n_regionkey") === 2).count()
+    var t1: DeltaTable = null
+    val jobs = jobsDuring {
+      t1 = t.delete(spark, Some(col("n_regionkey") === 2))
+    }
+    assert(jobs == 0, s"partition delete launched $jobs jobs; expected metadata-only")
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_deleted_rows").asLong() == expectDeleted)
+    assert(m("num_copied_rows").asLong() == 0L)
+    assertSameRows(t1.toDF(spark), nation.filter(col("n_regionkey") =!= 2))
+  }
+
+  test("stats-range DELETE: provable files drop metadata-only, straddlers rewrite") {
+    import spark.implicits._
+    val d = tempDir("r14-range-del")
+    // file A: keys 0..49 (max 49 < 50 → provably all-match under k < 50);
+    // file B: keys 40..99 (straddles the cut → scanned and rewritten)
+    var t = DeltaTable.forPath(d)
+      .write((0 until 50).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    t = t.write((40 until 100).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    val adds = t.dlog.addActions.values.toSeq
+    val provable = graft.sources.DataSkipping.provablyAllMatch(
+      adds, col("k") < 50, t.schema, Seq.empty)
+    assert(provable.size == 1, s"expected exactly file A provable, got ${provable.size}")
+    val t1 = t.delete(spark, Some(col("k") < 50))
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_removed_files").asLong() == 2L)
+    assert(m("num_deleted_rows").asLong() == 60L, m.toString) // 50 from A + 10 from B
+    assert(m("num_copied_rows").asLong() == 50L)
+    assertSameRows(t1.toDF(spark),
+      (50 until 100).map(i => (i, s"b$i")).toDF("k", "v"))
+  }
+
+  test("CDF keeps exact delete rows: the fast path yields to cdc authority") {
+    import spark.implicits._
+    val d = tempDir("r14-cdf-del")
+    var t = DeltaTable.forPath(d).write(
+      (0 until 20).map(i => (i, i % 2)).toDF("k", "par").coalesce(1),
+      partitionBy = Some(Seq("par")))
+    t = t.setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val t1 = t.delete(spark, Some(col("par") === 1))
+    val changes = t1.changesBetween(spark, t.version, t1.version)
+    assert(changes.filter(col("_change_type") === "delete").count() == 10L,
+      "cdf-on predicate delete must emit exact per-row delete changes")
+    assert(changes.filter(col("_change_type") === "remove_file").count() == 0L)
+    assertSameRows(t1.toDF(spark),
+      (0 until 20).filter(_ % 2 == 0).map(i => (i, i % 2)).toDF("k", "par"))
+  }
+
+  test("merge-on-read DELETE removes provable files outright, zero jobs, feed-safe") {
+    import spark.implicits._
+    val d = tempDir("r14-mor-del")
+    var t = DeltaTable.forPath(d).write(
+      (0 until 30).map(i => (i, i % 3)).toDF("k", "par").coalesce(1),
+      partitionBy = Some(Seq("par")))
+    // the engine MoR entry point is called directly (no
+    // delta.enableDeletionVectors property needed for graft-native DVs)
+    t = t.setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    val preVersion = t.version
+    var t1: DeltaTable = null
+    val jobs = jobsDuring {
+      t1 = t.deleteMergeOnRead(spark, Some(col("par") === 2))
+    }
+    assert(jobs == 0, s"MoR partition delete launched $jobs jobs; expected metadata-only")
+    val m = t1.history.head._2.operationMetrics
+    assert(m("num_deleted_rows").asLong() == 10L)
+    assertSameRows(t1.toDF(spark),
+      (0 until 30).filter(_ % 3 != 2).map(i => (i, i % 3)).toDF("k", "par"))
+    // CDF reconstruction: the MoR entry's removes surface as per-row
+    // `delete` changes (q78's contract), not remove_file
+    val changes = t1.changesBetween(spark, preVersion, t1.version)
+    assert(changes.filter(col("_change_type") === "delete").count() == 10L)
+    assert(changes.filter(col("_change_type") === "remove_file").count() == 0L)
+  }
+
+  test("TRUNCATE TABLE parses as SQL and routes to the metadata-only delete") {
+    val d = tempDir("r14-trunc-sql")
+    DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/region.parquet"))
+    sql.sql(s"TRUNCATE TABLE '$d'")
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 1L)
+    assert(t.toDF(spark).count() == 0L)
+    assert(t.history.head._2.operationMetrics("num_copied_rows").asLong() == 0L)
+  }
 }
