@@ -48,7 +48,9 @@ object Bench {
     "q177_cluster_balanced_sample", "q178_unimax_sample",
     "q179_video_scene_cuts", "q180_doremi_mixture", "q181_gopher_rules",
     "q182_remove_dup_lines", "q183_decontaminate_spans",
-    "q184_stratified_split", "q185_hard_negatives", "q186_cms_estimates")
+    "q184_stratified_split", "q185_hard_negatives", "q186_cms_estimates",
+    "q188_sql_ddl_lifecycle", "q189_sql_named_catalog",
+    "q190_metadata_only_agg")
 
   val RUNS = 2
 

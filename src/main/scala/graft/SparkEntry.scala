@@ -656,6 +656,26 @@ object SparkEntry {
           |  ON cur.o_orderkey = v0.o_orderkey
           |ORDER BY cur.o_orderkey""".stripMargin)
     }),
+    // metadata-only aggregates (X214): COUNT(*)/MIN/MAX/COUNT(col)
+    // answered purely from the log's per-file stats — the require proves
+    // the optimized plan collapsed to a LocalRelation (zero file reads);
+    // at 100 TB this is a dashboard row-count costing one log replay
+    "q190_metadata_only_agg" -> ((s, d) => {
+      val sql = graft.sql.GraftSql.enable(s)
+      val t = DeltaTable.forPath(QueryLib.deltaDir(s, d, "orders"))
+      val agg = t.toDF(sql).agg(
+        count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        count(col("o_orderpriority")).as("cnt_prio"))
+      require(agg.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "metadata-only aggregate did not collapse to a LocalRelation:\n" +
+          agg.queryExecution.optimizedPlan)
+      agg
+    }),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1639,6 +1659,13 @@ object SparkEntry {
         |  (160, 2, 'gus', 5.0), (170, 1, 'hal', 0.75), (180, 3, 'ion', -2.5))
         |  t(rid, nk, name, bal)
         |ORDER BY rid""".stripMargin,
+    // the metadata answers must equal the scan answers exactly
+    "q190_metadata_only_agg" ->
+      """SELECT count(*) AS cnt,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  count(o_orderpriority) AS cnt_prio
+        |FROM orders""".stripMargin,
     // named-lifecycle replay: v0 = CTAS slice (keys < 4000); current =
     // keys < 8000 with %100=0 rows merged (price doubled exactly, status
     // 'M') plus the %100=0 keys >= 8000 inserted as 'N' (+1 by the later

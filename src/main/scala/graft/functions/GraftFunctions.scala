@@ -59,5 +59,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectParser((session, delegate) =>
       new graft.sql.GraftSqlParser(delegate, Option(session)))
+    // COUNT/MIN/MAX over a bare graft scan answered from log stats
+    ext.injectOptimizerRule(session =>
+      new graft.sources.MetadataOnlyAggregates(session))
   }
 }

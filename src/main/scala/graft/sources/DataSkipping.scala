@@ -144,7 +144,7 @@ object DataSkipping {
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  private[sources] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
     case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
     case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
@@ -541,4 +541,45 @@ object DataSkipping {
     val e = normalize(ColumnShim.expression(pred))
     adds.filter(pruner.allMatch(e, _))
   }
+
+  /** The EXACT file set matching an (already-resolved) predicate, when
+    * stats can prove it: every may-match file must also be provably
+    * all-match — then pruning is a partition of the add-list, not an
+    * approximation, and metadata-only answers over the kept files are
+    * exact. A single straddling file returns None (caller must scan).
+    */
+  def exactMatchingFiles(adds: Seq[AddFile], pred: Expression,
+      schema: StructType, partitionColumns: Seq[String]): Option[Seq[AddFile]] = {
+    val pruner = new FilePruner(schema, partitionColumns)
+    val e = normalize(pred)
+    val kept = adds.filter(pruner.mayMatch(e, _))
+    if (kept.forall(pruner.allMatch(e, _))) Some(kept) else None
+  }
+
+  /** Hive partition string → comparison domain (exposed for the
+    * metadata-only aggregate rule; partition values are exact, so they
+    * may serve MIN/MAX answers types the truncatable file stats cannot).
+    */
+  def partitionValueOf(s: String, dt: DataType): Option[Any] =
+    normalizePartition(s, dt)
+
+  /** EXACT timestamp stat in micros, or None: the recorded bound counts
+    * as attained only when it carries full microsecond precision — a
+    * foreign ms-truncated maximum is floored (then conservatively
+    * widened for pruning), and a truncated minimum is floored below the
+    * attained value, so neither may serve a metadata-only MIN/MAX.
+    * `field` is the dotted stats key; `side` "minValues"/"maxValues".
+    */
+  def exactTimestampStat(add: AddFile, field: String, side: String): Option[Long] =
+    add.stats.flatMap { s =>
+      try {
+        val root = Json.mapper.readTree(s)
+        val v = field.split('.').foldLeft(root.path(side))((n, p) => n.path(p))
+        if (!v.isTextual || fractionalDigits(v.asText()) != 6) None
+        else {
+          val inst = java.time.OffsetDateTime.parse(v.asText()).toInstant
+          Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+        }
+      } catch { case _: Exception => None }
+    }
 }

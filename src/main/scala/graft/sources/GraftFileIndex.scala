@@ -67,6 +67,12 @@ final class GraftFileIndex(
   override val partitionSchema: StructType =
     StructType(partitionCols.map(c => physSchema(c)))
 
+  // metadata-only aggregate rule hooks: the live add-list this snapshot
+  // scan serves, with the physical schema its stats are keyed under
+  private[graft] def liveAdds: Seq[AddFile] = adds
+  private[graft] def statsSchema: StructType = physSchema
+  private[graft] def partitionColumnNames: Seq[String] = partitionCols
+
   private val resolved: Seq[(AddFile, Path)] =
     adds.map(a => a -> Location.resolve(a.path, tableRoot, hconf).path)
 

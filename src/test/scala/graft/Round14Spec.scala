@@ -297,6 +297,75 @@ class Round14Spec extends SparkSuite {
     assert(changes.filter(col("_change_type") === "remove_file").count() == 0L)
   }
 
+  // ------------------------------------------------------------------
+  // X213: metadata-only aggregates (COUNT/MIN/MAX from log stats)
+  // ------------------------------------------------------------------
+
+  private def isMetadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+
+  test("COUNT/MIN/MAX over a graft scan answer from log stats, zero scan") {
+    val d = tempDir("r14-meta-agg")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    DeltaTable.forPath(d).write(orders.repartition(4))
+    val t = DeltaTable.forPath(d)
+    val agg = t.toDF(sql).agg(
+      count(lit(1)).as("cnt"), min(col("o_totalprice")).as("mn"),
+      max(col("o_totalprice")).as("mx"), count(col("o_orderpriority")).as("cc"),
+      min(col("o_orderdate")).as("md"))
+    assert(isMetadataOnly(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = orders.agg(count(lit(1)), min(col("o_totalprice")),
+      max(col("o_totalprice")), count(col("o_orderpriority")),
+      min(col("o_orderdate"))).collect().head
+    assert(agg.collect().head == expect)
+    // the escape hatch restores the scan
+    sql.conf.set("spark.graft.metadataOnlyAggregates", "false")
+    try assert(!isMetadataOnly(t.toDF(sql).agg(count(lit(1)))))
+    finally sql.conf.unset("spark.graft.metadataOnlyAggregates")
+  }
+
+  test("metadata aggregate honors EXACT partition filters, falls back on straddlers") {
+    val d = tempDir("r14-meta-agg-f")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(nation, partitionBy = Some(Seq("n_regionkey")))
+    val t = DeltaTable.forPath(d)
+    val filtered = t.toDF(sql).filter(col("n_regionkey") === 2)
+      .agg(count(lit(1)).as("cnt"), max(col("n_nationkey")).as("mx"))
+    assert(isMetadataOnly(filtered), "partition filter must stay metadata-only")
+    val expect = nation.filter(col("n_regionkey") === 2)
+      .agg(count(lit(1)), max(col("n_nationkey"))).collect().head
+    assert(filtered.collect().head == expect)
+    // a data-column straddling predicate cannot split exactly → scan,
+    // same answer
+    val straddle = t.toDF(sql).filter(col("n_nationkey") > 7)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!isMetadataOnly(straddle))
+    assert(straddle.collect().head.getLong(0) ==
+      nation.filter(col("n_nationkey") > 7).count())
+  }
+
+  test("metadata aggregate refuses unprovable shapes (DV, long strings)") {
+    import spark.implicits._
+    val d = tempDir("r14-meta-agg-dv")
+    var t = DeltaTable.forPath(d)
+      .write((0 until 100).map(i => (i, i.toString * 40)).toDF("k", "s").coalesce(1))
+    // long strings: min/max stats are truncated → no metadata answer
+    assert(!isMetadataOnly(t.toDF(sql).agg(max(col("s")))))
+    // short strings: exact
+    val d2 = tempDir("r14-meta-agg-s")
+    DeltaTable.forPath(d2).write(Seq(("aa", 1), ("zz", 2)).toDF("s", "k"))
+    val short = DeltaTable.forPath(d2).toDF(sql).agg(max(col("s")).as("mx"))
+    assert(isMetadataOnly(short))
+    assert(short.collect().head.getString(0) == "zz")
+    // a DV'd table must not answer min/max (a dead row may hold the
+    // extremum) — count still can, via cardinality subtraction, but the
+    // DV anti-join shape already forces the scan; assert correctness
+    t = t.deleteMergeOnRead(spark, Some(col("k") === 0))
+    val cnt = t.toDF(sql).agg(count(lit(1))).collect().head.getLong(0)
+    assert(cnt == 99L)
+  }
+
   test("TRUNCATE TABLE parses as SQL and routes to the metadata-only delete") {
     val d = tempDir("r14-trunc-sql")
     DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/region.parquet"))
