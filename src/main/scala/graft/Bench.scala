@@ -50,7 +50,8 @@ object Bench {
     "q182_remove_dup_lines", "q183_decontaminate_spans",
     "q184_stratified_split", "q185_hard_negatives", "q186_cms_estimates",
     "q188_sql_ddl_lifecycle", "q189_sql_named_catalog",
-    "q190_metadata_only_agg")
+    "q190_metadata_only_agg", "q191_table_changes",
+    "q192_sql_replace_where", "q193_copy_into")
 
   val RUNS = 2
 

@@ -559,6 +559,56 @@ object QueryLib {
       sql.sql(s"INSERT OVERWRITE graft.`$d` SELECT * FROM graft.`$src` WHERE o_orderkey < 1000")
     }
 
+  /** q192 fixture: the classic partition backfill through pure SQL.
+    * Orders land partitioned by status, then `INSERT INTO … REPLACE
+    * WHERE o_orderstatus = 'O'` atomically swaps that slice for a
+    * re-priced copy (prices doubled, exact IEEE) in ONE commit — the
+    * predicate delete and the replacement append never expose a gap.
+    */
+  def ordersReplaceWhereSqlDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_sql_replacewhere") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val src = deltaDir(spark, sfDir, "orders")
+      DeltaTable.forPath(d).write(raw(spark, sfDir, "orders"),
+        partitionBy = Some(Seq("o_orderstatus")))
+      sql.sql(
+        s"""INSERT INTO graft.`$d` REPLACE WHERE o_orderstatus = 'O'
+           |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2
+           |    AS o_totalprice, o_orderdate, o_orderpriority
+           |FROM graft.`$src` WHERE o_orderstatus = 'O'""".stripMargin)
+      require(DeltaTable.forPath(d).version == 1L,
+        "REPLACE WHERE must land as ONE commit")
+    }
+
+  /** q193 fixture: COPY INTO's exactly-once-per-file contract. A landing
+    * directory gets the even-key half of orders; COPY INTO loads it, a
+    * VERBATIM re-run loads nothing (the loaded-file memory in commit
+    * metadata), then the odd-key half lands as NEW files and a third run
+    * loads exactly those. Table ≡ orders, each row exactly once.
+    */
+  def ordersCopyIntoDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "orders_copyinto") { d =>
+      val sql = graft.sql.GraftSql.enable(spark)
+      val landing = d + "_landing"
+      val orders = raw(spark, sfDir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0).repartition(2)
+        .write.parquet(landing)
+      val first = sql.sql(
+        s"COPY INTO graft.`$d` FROM '$landing' FILEFORMAT = PARQUET").head()
+      require(first.getLong(0) == 2L && first.getLong(1) == 0L,
+        s"first COPY INTO must load both landing files: $first")
+      val rerun = sql.sql(
+        s"COPY INTO graft.`$d` FROM '$landing' FILEFORMAT = PARQUET").head()
+      require(rerun.getLong(0) == 0L && rerun.getLong(2) == 0L,
+        s"verbatim re-run must load nothing: $rerun")
+      orders.filter(col("o_orderkey") % 2 === 1).repartition(3)
+        .write.mode("append").parquet(landing)
+      val third = sql.sql(
+        s"COPY INTO graft.`$d` FROM '$landing' FILEFORMAT = PARQUET").head()
+      require(third.getLong(0) == 3L && third.getLong(1) == 2L,
+        s"third run must load exactly the new files: $third")
+    }
+
   /** Persisted IVF index (q172): built over the base embeddings in one
     * commit, the +10000 twin half appended in a SECOND commit against the
     * persisted codebook (no retraining) with a SetTransaction marker —

@@ -676,6 +676,27 @@ object SparkEntry {
           agg.queryExecution.optimizedPlan)
       agg
     }),
+    // delta-spark's table_changes TVF (X215): the q100 CDF feed addressed
+    // through pure SQL — start version INCLUSIVE, stable columns selected
+    // (_commit_timestamp rides along for parity but is wall-clock)
+    "q191_table_changes" -> ((s, d) => {
+      val dir = QueryLib.nationCdcUpdatedDir(s, d)
+      graft.sql.GraftSql.enable(s).sql(
+        s"""SELECT n_nationkey, n_name, n_regionkey, _commit_version,
+           |  _change_type
+           |FROM table_changes('$dir', 1, 2)
+           |ORDER BY _change_type, n_nationkey""".stripMargin)
+    }),
+    // SQL INSERT INTO … REPLACE WHERE (X216): the partition-backfill
+    // verb — one commit swaps the 'O' slice for a re-priced copy
+    "q192_sql_replace_where" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersReplaceWhereSqlDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
+    // COPY INTO (X217): idempotent bulk file loading — three runs over a
+    // growing landing dir, each file loaded exactly once; table ≡ orders
+    "q193_copy_into" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.ordersCopyIntoDir(s, d)).toDF(s)
+        .orderBy("o_orderkey")),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1659,6 +1680,28 @@ object SparkEntry {
         |  (160, 2, 'gus', 5.0), (170, 1, 'hal', 0.75), (180, 3, 'ion', -2.5))
         |  t(rid, nk, name, bal)
         |ORDER BY rid""".stripMargin,
+    // replaced slice re-priced exactly (double is IEEE-exact), the rest
+    // byte-identical
+    "q192_sql_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // exactly-once per file ⇒ the table is orders, no duplicates
+    "q193_copy_into" ->
+      "SELECT * FROM orders ORDER BY o_orderkey",
+    // same replay as q100 (the TVF is the SQL spelling of that feed)
+    "q191_table_changes" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | CAST(2 AS BIGINT) AS _commit_version,
+        | 'update_preimage' AS _change_type
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT n_nationkey, n_name, CAST(n_regionkey + 10 AS INTEGER),
+        | CAST(2 AS BIGINT), 'update_postimage'
+        |FROM nation WHERE n_nationkey < 5
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
     // the metadata answers must equal the scan answers exactly
     "q190_metadata_only_agg" ->
       """SELECT count(*) AS cnt,

@@ -248,6 +248,55 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       addrOf(u.multipartIdentifier).flatMap(open)
         .map(_.toDF(session).queryExecution.analyzed)
         .getOrElse(u)
+    // delta-spark's CDF table-valued function:
+    //   table_changes('<path|graft.`path`|registered name>', start [, end])
+    // start/end are versions (ints) or timestamp literals; start is
+    // INCLUSIVE (maps to the engine's exclusive-from changesBetween).
+    // Only engages when the address resolves to a graft log — any other
+    // table_changes stays unresolved for Spark's own error wording.
+    case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if tvf.name.map(_.toLowerCase) == Seq("table_changes") && !tvf.isStreaming =>
+      tableChangesPlan(tvf).getOrElse(tvf)
+  }
+
+  private def tableChangesPlan(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction)
+      : Option[LogicalPlan] = {
+    def litStr(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match { case Literal(s, StringType) if s != null => Some(s.toString); case _ => None }
+    def litLong(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e match {
+        case Literal(v: Int, _) => Some(v.toLong)
+        case Literal(v: Long, _) => Some(v)
+        case _ => None
+      }
+    val args = tvf.functionArgs
+    if (args.isEmpty || args.size > 3) return None
+    val PathSpelling = """(?is)\s*(?:graft|delta)\.`([^`]+)`\s*""".r
+    val addr = litStr(args.head).flatMap {
+      case PathSpelling(p) => Some(p)
+      case p if p.startsWith("/") || p.contains("://") => Some(p)
+      case n => GraftCatalog.resolve(session, n.split('.').toSeq)
+    }.getOrElse(return None)
+    val t = open(addr).getOrElse(return None)
+    // a timestamp start resolves to the FIRST version committed at or
+    // after it; a timestamp end to the LAST at or before (delta's rule)
+    def versionOf(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        isStart: Boolean): Option[Long] =
+      litLong(e).orElse(litStr(e).map { s =>
+        val ms = GraftSqlCommands.parseTsLiteral(session, s)
+        val hist = t.history
+        if (isStart)
+          hist.filter(_._2.effectiveTimestamp >= ms).map(_._1)
+            .minOption.getOrElse(t.version + 1)
+        else
+          hist.filter(_._2.effectiveTimestamp <= ms).map(_._1)
+            .maxOption.getOrElse(-1L)
+      })
+    val start = args.lift(1).flatMap(versionOf(_, isStart = true)).getOrElse(0L)
+    val end = args.lift(2).flatMap(versionOf(_, isStart = false)).getOrElse(t.version)
+    Some(t.changesBetween(session, start - 1, end, includeTimestamp = true)
+      .queryExecution.analyzed)
   }
 }
 

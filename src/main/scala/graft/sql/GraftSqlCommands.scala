@@ -120,6 +120,13 @@ object GraftSqlCommands {
   // commit, zero file reads on a fully-statted table)
   private val TruncateRe =
     s"""(?is)\\s*TRUNCATE\\s+TABLE\\s+$P\\s*;?\\s*""".r
+  // delta-spark's predicate-scoped atomic overwrite; the inner query
+  // starts at the first top-level query keyword after the predicate
+  private val InsertReplaceWhereRe =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+$P\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+((?:SELECT|WITH|VALUES|TABLE|FROM)\\b.+?)\\s*;?\\s*""".r
+  // idempotent bulk file loading (the delta COPY INTO verb)
+  private val CopyIntoRe =
+    s"""(?is)\\s*COPY\\s+INTO\\s+$P\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(PARQUET|JSON|CSV)(?:\\s+PATTERN\\s*=\\s*'([^']+)')?(?:\\s+FORMAT_OPTIONS\\s*\\((.*?)\\))?(?:\\s+COPY_OPTIONS\\s*\\((.*?)\\))?\\s*;?\\s*""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+$P\\s+SET\\s+(.+?)(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val ReorgRe =
@@ -203,6 +210,13 @@ object GraftSqlCommands {
         A(a, b, n).map(DeleteCommand(_, Option(where).map(_.trim)))
       case TruncateRe(a, b, n) =>
         A(a, b, n).map(DeleteCommand(_, None))
+      case InsertReplaceWhereRe(a, b, n, cond, query) =>
+        A(a, b, n).map(InsertReplaceWhereCommand(_, cond.trim, query.trim))
+      case CopyIntoRe(a, b, n, src, fmt, pattern, fmtOpts, copyOpts) =>
+        A(a, b, n).map(CopyIntoCommand(_, src, fmt.toLowerCase,
+          Option(pattern), quotedOptions(Option(fmtOpts)),
+          quotedOptions(Option(copyOpts)).get("force")
+            .exists(_.equalsIgnoreCase("true"))))
       case UpdateRe(a, b, n, sets, where) =>
         A(a, b, n).map(UpdateCommand(_, sets.trim, Option(where).map(_.trim)))
       case AlterAddColsRe(a, b, n, cols) =>
@@ -273,6 +287,18 @@ object GraftSqlCommands {
 
   private[sql] def open(spark: SparkSession, path: String): DeltaTable =
     DeltaTable.forPath(path, conf = ColumnShim.hadoopConf(spark))
+
+  /** `'key' = 'value'[, …]` option lists (COPY INTO's FORMAT_OPTIONS /
+    * COPY_OPTIONS). Malformed entries refuse loudly.
+    */
+  private[sql] def quotedOptions(s: Option[String]): Map[String, String] = {
+    val Pair = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+    s.map(splitTopLevel(_).map {
+      case Pair(k, v) => k -> v
+      case other => throw new IllegalArgumentException(
+        s"malformed option entry (expected 'key' = 'value'): $other")
+    }.toMap).getOrElse(Map.empty)
+  }
 
   /** Parse a `TIMESTAMP AS OF` literal in the SESSION timezone (what
     * delta-spark does), not the JVM default — `Timestamp.valueOf` would
@@ -462,6 +488,83 @@ case class DeleteCommand(path: String,
       spark.sessionState.sqlParser.parseExpression(w)))
     GraftSqlCommands.open(spark, path).delete(spark, pred)
     Seq.empty
+  }
+}
+
+/** `INSERT INTO '<path>' REPLACE WHERE <cond> <query>` — delta-spark's
+  * predicate-scoped atomic overwrite: ONE commit replaces exactly the
+  * rows matching the predicate with the query's rows
+  * ([[graft.DeltaTable.replaceWhere]] — every inserted row must satisfy
+  * the predicate, the scoping contract that keeps concurrent disjoint
+  * backfills logically independent). The inner query parses in the
+  * session, so it may itself reference graft tables.
+  */
+case class InsertReplaceWhereCommand(path: String, cond: String,
+    query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val pred = ColumnShim.column(
+      spark.sessionState.sqlParser.parseExpression(cond))
+    GraftSqlCommands.open(spark, path).replaceWhere(spark, pred, spark.sql(query))
+    Seq.empty
+  }
+}
+
+/** `COPY INTO '<path>' FROM '<dir>' FILEFORMAT = PARQUET|JSON|CSV
+  * [PATTERN = '<glob>'] [FORMAT_OPTIONS('k'='v', …)]
+  * [COPY_OPTIONS('force'='true')]` — delta's idempotent bulk loader: a
+  * source file already loaded into the table is SKIPPED on re-run, so a
+  * scheduled `COPY INTO` over a landing directory is exactly-once per
+  * file without any external bookkeeping. Loaded-file memory rides the
+  * commit's custom metadata (`copyIntoFiles` in commitInfo, M8's
+  * round-trip) and is reconstructed by one history replay — it therefore
+  * reaches only as far back as retained history, like delta's own.
+  * `force` reloads regardless; the returned row reports loaded/skipped
+  * file counts and inserted rows.
+  */
+case class CopyIntoCommand(path: String, srcDir: String, format: String,
+    pattern: Option[String], formatOptions: Map[String, String],
+    force: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_loaded_files", LongType, nullable = false)(),
+    AttributeReference("num_skipped_files", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.log.Json
+    val hconf = ColumnShim.hadoopConf(spark)
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(hconf)
+    val matcher = pattern.map(g =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + g))
+    val files = fs.listStatus(src).toSeq.filter(_.isFile)
+      .map(_.getPath)
+      .filter { fp =>
+        val nm = fp.getName
+        !nm.startsWith("_") && !nm.startsWith(".") &&
+          matcher.forall(_.matches(java.nio.file.Paths.get(nm)))
+      }
+      .map(_.toUri.toString).sorted
+    val t0 = GraftSqlCommands.open(spark, path)
+    val already: Set[String] =
+      if (force || t0.version < 0) Set.empty
+      else t0.history.flatMap(_._2.extra.get("copyIntoFiles")).flatMap { n =>
+        if (!n.isArray) Seq.empty
+        else (0 until n.size).map(i => n.get(i).asText)
+      }.toSet
+    val todo = files.filterNot(already)
+    if (todo.isEmpty)
+      return Seq(Row(0L, files.size.toLong, 0L))
+    val df = spark.read.options(formatOptions).format(format).load(todo: _*)
+    val beforePaths = if (t0.version < 0) Set.empty[String]
+      else t0.dlog.addActions.keySet
+    val t1 = t0.write(df, customMetadata = Map(
+      "copyIntoFiles" -> Json.arr(todo.map(Json.text)),
+      "copyIntoSource" -> Json.text(srcDir)))
+    val inserted = t1.dlog.addActions.collect {
+      case (p, a) if !beforePaths.contains(p) => a.numRecords.getOrElse(0L)
+    }.sum
+    Seq(Row(todo.size.toLong, (files.size - todo.size).toLong, inserted))
   }
 }
 

@@ -545,8 +545,11 @@ class SqlSurfaceSpec extends SparkSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(d2, victim))
     val dry = sql.sql(s"FSCK REPAIR TABLE graft.`$d2` DRY RUN").collect()
     assert(dry.map(_.getString(0)).toSeq == Seq(victim))
-    // dry run committed nothing: the scan still fails on the ghost
-    intercept[Exception](DeltaTable.forPath(d2).toDF(spark).count())
+    // dry run committed nothing: a real scan still fails on the ghost
+    // (collect, not count — the metadata-only aggregate rule answers a
+    // bare count from the log without opening any file, delta-spark's
+    // own default)
+    intercept[Exception](DeltaTable.forPath(d2).toDF(spark).collect())
     val fixed = sql.sql(s"FSCK REPAIR TABLE graft.`$d2`").collect()
     assert(fixed.map(_.getString(0)).toSeq == Seq(victim))
     val t2 = DeltaTable.forPath(d2)
@@ -732,6 +735,115 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(sql.sql("SELECT count(*) AS n FROM stale_t").head().getLong(0) == 5L)
     sql.sql("DROP TABLE stale_t")
     sql.sql("DROP TABLE shadow_t")
+  }
+
+  test("table_changes TVF: versions, timestamps, names, and fallthrough") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = tempDir("tvf-cdf")
+    var t = DeltaTable.forPath(d).write(
+      (0 until 10).map(i => (i, s"v$i")).toDF("k", "v"),
+      customMetadata = Map.empty)
+    t = t.setTableProperties(Map("delta.enableChangeDataFeed" -> "true"))
+    t = t.update(spark, Some(col("k") < 3), Map("v" -> lit("upd")))
+    // start INCLUSIVE: version 2 alone carries the 3 pre + 3 post images
+    val rows = sql.sql(s"SELECT _change_type, count(*) AS n " +
+      s"FROM table_changes('$d', 2, 2) GROUP BY 1 ORDER BY 1").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("update_postimage", 3L), ("update_preimage", 3L)))
+    // full range from 0 includes the create-commit inserts
+    val all = sql.sql(s"SELECT count(*) AS n FROM table_changes('$d', 0)")
+      .head().getLong(0)
+    assert(all == 10L + 6L)
+    // _commit_timestamp rides along (delta's third CDF column)
+    assert(sql.sql(s"SELECT _commit_timestamp FROM table_changes('$d', 2, 2)")
+      .collect().forall(!_.isNullAt(0)))
+    // timestamp bounds: everything at-or-after v0's commit time
+    val ts0 = new java.sql.Timestamp(t.history.last._2.effectiveTimestamp)
+    val byTs = sql.sql(s"SELECT count(*) AS n FROM table_changes('$d', '$ts0')")
+      .head().getLong(0)
+    assert(byTs == 16L, s"timestamp start at v0 must cover the whole feed, got $byTs")
+    // a registered NAME resolves through the same TVF
+    sql.sql("DROP TABLE IF EXISTS tvf_cdf_named")
+    sql.sql(s"CREATE TABLE IF NOT EXISTS tvf_cdf_named USING graft LOCATION '$d'")
+    assert(sql.sql("SELECT count(*) AS n FROM table_changes('tvf_cdf_named', 2, 2)")
+      .head().getLong(0) == 6L)
+    sql.sql("DROP TABLE tvf_cdf_named")
+    // a non-graft address stays unresolved: Spark's own wording survives
+    val ex = intercept[Exception](
+      sql.sql("SELECT * FROM table_changes('not_a_table_xyz', 0)").collect())
+    assert(!ex.getMessage.toLowerCase.contains("graft"), ex.getMessage)
+  }
+
+  test("INSERT INTO … REPLACE WHERE: scoped swap in one commit; " +
+      "out-of-scope rows refuse; names resolve") {
+    import org.apache.spark.sql.functions._
+    val d = tempDir("sqlsurface-rw")
+    DeltaTable.forPath(d).write(
+      spark.read.parquet(s"$sfDir/nation.parquet"),
+      partitionBy = Some(Seq("n_regionkey")))
+    sql.sql(s"INSERT INTO graft.`$d` REPLACE WHERE n_regionkey = 2 " +
+      "SELECT n_nationkey + 100 AS n_nationkey, n_name, 2 AS n_regionkey " +
+      s"FROM graft.`$d` WHERE n_regionkey = 2")
+    val t = DeltaTable.forPath(d)
+    assert(t.version == 1L, "REPLACE WHERE must be ONE commit")
+    val keys = t.toDF(spark).filter(col("n_regionkey") === 2)
+      .select("n_nationkey").collect()
+      .map(_.get(0).asInstanceOf[Number].longValue).sorted
+    assert(keys.forall(_ >= 100), keys.mkString(","))
+    assert(t.toDF(spark).filter(col("n_regionkey") =!= 2).count() == 20)
+    // scoping contract: a row OUTSIDE the predicate refuses the commit
+    val ex = intercept[Exception](
+      sql.sql(s"INSERT INTO graft.`$d` REPLACE WHERE n_regionkey = 2 " +
+        "SELECT 999 AS n_nationkey, 'x' AS n_name, 3 AS n_regionkey"))
+    assert(ex.getMessage.toLowerCase.contains("predicate")
+      || ex.getMessage.toLowerCase.contains("replacewhere")
+      || ex.getMessage.toLowerCase.contains("satisf"), ex.getMessage)
+    assert(DeltaTable.forPath(d).version == 1L, "failed swap must not commit")
+    // registered names take the verb too
+    sql.sql("DROP TABLE IF EXISTS rw_named")
+    sql.sql(s"CREATE TABLE IF NOT EXISTS rw_named USING graft LOCATION '$d'")
+    sql.sql("INSERT INTO rw_named REPLACE WHERE n_regionkey = 2 " +
+      "SELECT n_nationkey + 100 AS n_nationkey, n_name, 2 AS n_regionkey " +
+      "FROM rw_named WHERE n_regionkey = 2")
+    assert(DeltaTable.forPath(d).toDF(spark)
+      .filter(col("n_regionkey") === 2)
+      .select(min(col("n_nationkey"))).head()
+      .get(0).asInstanceOf[Number].longValue >= 200)
+    sql.sql("DROP TABLE rw_named")
+  }
+
+  test("COPY INTO: CSV options, PATTERN, force reload, name addressing") {
+    val landing = tempDir("copyinto-csv")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "a.csv"), "k,v\n1,aa\n2,bb\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "b.csv"), "k,v\n3,cc\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(landing, "notes.txt"), "ignore me")
+    val d = tempDir("copyinto-table")
+    val r1 = sql.sql(s"COPY INTO '$d' FROM '$landing' FILEFORMAT = CSV " +
+      "PATTERN = '*.csv' " +
+      "FORMAT_OPTIONS('header' = 'true', 'inferSchema' = 'true')").head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((2L, 0L, 3L)), r1.toString)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 3L)
+    // idempotent re-run
+    val r2 = sql.sql(s"COPY INTO '$d' FROM '$landing' FILEFORMAT = CSV " +
+      "PATTERN = '*.csv' FORMAT_OPTIONS('header' = 'true', 'inferSchema' = 'true')").head()
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 2L, r2.toString)
+    // force reloads everything (rows double)
+    val r3 = sql.sql(s"COPY INTO '$d' FROM '$landing' FILEFORMAT = CSV " +
+      "PATTERN = '*.csv' FORMAT_OPTIONS('header' = 'true', 'inferSchema' = 'true') " +
+      "COPY_OPTIONS('force' = 'true')").head()
+    assert(r3.getLong(0) == 2L, r3.toString)
+    assert(DeltaTable.forPath(d).toDF(spark).count() == 6L)
+    // registered names take the verb too
+    sql.sql("DROP TABLE IF EXISTS copy_named")
+    sql.sql(s"CREATE TABLE IF NOT EXISTS copy_named USING graft LOCATION '$d'")
+    val r4 = sql.sql(s"COPY INTO copy_named FROM '$landing' FILEFORMAT = CSV " +
+      "PATTERN = '*.csv' FORMAT_OPTIONS('header' = 'true', 'inferSchema' = 'true')").head()
+    assert(r4.getLong(0) == 0L, r4.toString)
+    sql.sql("DROP TABLE copy_named")
   }
 
   test("named tables: SHALLOW CLONE to a fresh NAME registers the clone") {
