@@ -51,7 +51,8 @@ object Bench {
     "q184_stratified_split", "q185_hard_negatives", "q186_cms_estimates",
     "q188_sql_ddl_lifecycle", "q189_sql_named_catalog",
     "q190_metadata_only_agg", "q191_table_changes",
-    "q192_sql_replace_where", "q193_copy_into")
+    "q192_sql_replace_where", "q193_copy_into", "q194_variant_column",
+    "q195_filter_funnel")
 
   val RUNS = 2
 

@@ -64,7 +64,11 @@ final case class DeltaTable(
     * re-replay the JSON commits (never deleted) in that case.
     */
   private def withFullHistory: DeltaLog =
-    if (dlog.entries.isEmpty || dlog.entries.firstKey == 0L) dlog
+    // contiguous 0..version keys = true per-commit granularity; a
+    // checkpoint base OR a log-compaction range entry (one key covering
+    // many commits) fails the size check and forces the raw replay
+    if (dlog.entries.isEmpty || (dlog.entries.firstKey == 0L &&
+        dlog.entries.size.toLong == dlog.version + 1)) dlog
     else {
       val full = DeltaLog.load(logLoc, None)
       // a cleaned log's JSON replay cannot reach version 0; the
@@ -680,7 +684,35 @@ final case class DeltaTable(
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.toString)
 
-      val keepStats = statsColumnFilter
+      // VARIANT columns carry no stats (delta's rule): the shredded
+      // parquet layout would otherwise leak `typed_value` sub-structure
+      // into minValues/maxValues — nonconformant JSON a foreign stats
+      // parser never expects, and useless for skipping
+      val underVariant: String => Boolean = {
+        val physSchema = physDf.schema
+        dotted => {
+          val parts = dotted.split('.')
+          var cur: org.apache.spark.sql.types.DataType = physSchema
+          var hit = false
+          var i = 0
+          while (i < parts.length && !hit) {
+            cur match {
+              case st: org.apache.spark.sql.types.StructType =>
+                st.fields.find(_.name == parts(i)) match {
+                  case Some(f) =>
+                    if (f.dataType.typeName == "variant") hit = true
+                    cur = f.dataType
+                  case None => i = parts.length
+                }
+              case _ => i = parts.length
+            }
+            i += 1
+          }
+          hit
+        }
+      }
+      val baseKeep = statsColumnFilter
+      val keepStats: String => Boolean = c => baseKeep(c) && !underVariant(c)
       // `delta.randomizeFilePrefixes` (delta's S3 key-sharding knob):
       // data files land under 2-hex-char prefix dirs instead of the table
       // root, spreading object keys across S3's partition key ranges — at
@@ -4173,6 +4205,23 @@ final case class DeltaTable(
     * snapshot). The reference never deletes commits — this is the piece
     * that makes its "log grows forever" model survive production scale.
     */
+  /** Write a LOG COMPACTION file for commits [start, end] (delta's
+    * `<start>.<end>.compacted.json` minor compaction): snapshot opens
+    * replaying that range read ONE reconciled object instead of
+    * end-start+1 commits — the between-checkpoints listing/read cost
+    * that dominates opening a high-commit-rate table on an object
+    * store. Raw commits stay in place (history, CDF and mid-range time
+    * travel read them); [[cleanupLog]] removes compactions that fall
+    * below the checkpoint horizon. Pure function of the covered
+    * commits, so concurrent compactors are idempotent.
+    */
+  def compactLog(start: Long, end: Long): DeltaTable = {
+    require(end <= dlog.version,
+      s"cannot compact [$start, $end]: table is at version ${dlog.version}")
+    LogCompaction.write(logLoc, start, end)
+    this
+  }
+
   def cleanupLog(): DeltaTable = {
     val ck = Checkpoint.lastCheckpointVersion(logLoc)
       .orElse(Checkpoint.deltaLastCheckpointVersion(logLoc))
@@ -4222,6 +4271,15 @@ final case class DeltaTable(
           name.split("\\.", 2)(0).toLong <= ck &&
           (retention <= 0L || st.getModificationTime < cutoff))
         logLoc.fs.delete(st.getPath, false)
+      // log-compaction files wholly below the checkpoint horizon expire
+      // with the commits they cover
+      name match {
+        case LogCompaction.NameRe(_, e)
+            if e.toLong <= ck &&
+              (retention <= 0L || st.getModificationTime < cutoff) =>
+          logLoc.fs.delete(st.getPath, false)
+        case _ => ()
+      }
     }
     // crc sidecars below the checkpoint go with their commits — except
     // the checkpoint version's own, which still validates fast-path opens

@@ -609,6 +609,24 @@ object QueryLib {
         s"third run must load exactly the new files: $third")
     }
 
+  /** q194 fixture: events with `props` stored as a real VARIANT column
+    * (Spark 4 / delta's variantType table feature). The write must
+    * auto-declare the readerWriter feature — a feature-unaware reader
+    * would misread the binary value/metadata encoding — and variant
+    * columns carry NO stats (delta's rule; the shredded parquet layout
+    * would otherwise leak typed_value sub-structure into the log).
+    */
+  def eventsVariantDir(spark: SparkSession, sfDir: String): String =
+    cachedDir(sfDir, "events_variant") { d =>
+      val ev = raw(spark, sfDir, "events").select(
+        col("event_id"), col("event_type"), col("value"),
+        expr("parse_json(props)").as("props_v"))
+      val t = DeltaTable.forPath(d).write(ev)
+      val p = t.dlog.currentProtocol
+      require(graft.log.ProtocolGate.readerFeatures(p).contains("variantType"),
+        s"variant write must declare the variantType feature: $p")
+    }
+
   /** Persisted IVF index (q172): built over the base embeddings in one
     * commit, the +10000 twin half appended in a SECOND commit against the
     * persisted codebook (no retraining) with a SetTransaction marker —

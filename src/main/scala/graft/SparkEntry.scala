@@ -656,7 +656,7 @@ object SparkEntry {
           |  ON cur.o_orderkey = v0.o_orderkey
           |ORDER BY cur.o_orderkey""".stripMargin)
     }),
-    // metadata-only aggregates (X214): COUNT(*)/MIN/MAX/COUNT(col)
+    // metadata-only aggregates (X213): COUNT(*)/MIN/MAX/COUNT(col)
     // answered purely from the log's per-file stats — the require proves
     // the optimized plan collapsed to a LocalRelation (zero file reads);
     // at 100 TB this is a dashboard row-count costing one log replay
@@ -676,7 +676,7 @@ object SparkEntry {
           agg.queryExecution.optimizedPlan)
       agg
     }),
-    // delta-spark's table_changes TVF (X215): the q100 CDF feed addressed
+    // delta-spark's table_changes TVF (X214): the q100 CDF feed addressed
     // through pure SQL — start version INCLUSIVE, stable columns selected
     // (_commit_timestamp rides along for parity but is wall-clock)
     "q191_table_changes" -> ((s, d) => {
@@ -687,16 +687,37 @@ object SparkEntry {
            |FROM table_changes('$dir', 1, 2)
            |ORDER BY _change_type, n_nationkey""".stripMargin)
     }),
-    // SQL INSERT INTO … REPLACE WHERE (X216): the partition-backfill
+    // SQL INSERT INTO … REPLACE WHERE (X215): the partition-backfill
     // verb — one commit swaps the 'O' slice for a re-priced copy
     "q192_sql_replace_where" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersReplaceWhereSqlDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
-    // COPY INTO (X217): idempotent bulk file loading — three runs over a
+    // COPY INTO (X216): idempotent bulk file loading — three runs over a
     // growing landing dir, each file loaded exactly once; table ≡ orders
     "q193_copy_into" -> ((s, d) =>
       DeltaTable.forPath(QueryLib.ordersCopyIntoDir(s, d)).toDF(s)
         .orderBy("o_orderkey")),
+    // VARIANT column (X217): binary semi-structured storage scanned back
+    // with typed variant_get extraction — protocol feature auto-declared
+    "q194_variant_column" -> ((s, d) =>
+      DeltaTable.forPath(QueryLib.eventsVariantDir(s, d)).toDF(s)
+        .select(col("event_id"),
+          expr("variant_get(props_v, '$.k', 'long')").as("k"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")),
+    // filter-funnel report (X219): the per-stage survival accounting of
+    // a C4/Gopher/Dolma-style cleaning pipeline, ONE corpus pass
+    "q195_filter_funnel" -> ((s, d) => {
+      val docs = QueryLib.delta(s, d, "documents")
+      val ts = split(lower(col("text")), " ")
+      operators.Funnel.report(docs, Seq(
+        "min_chars" -> (length(col("text")) >= 80),
+        "min_tokens" -> (size(ts) >= 40),
+        "distinct_ratio" ->
+          (size(array_distinct(ts)).cast("double") / size(ts) >= 0.28),
+        "has_spark" -> array_contains(ts, "spark")))
+        .orderBy("rank")
+    }),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1691,6 +1712,35 @@ object SparkEntry {
     // exactly-once per file ⇒ the table is orders, no duplicates
     "q193_copy_into" ->
       "SELECT * FROM orders ORDER BY o_orderkey",
+    // cumulative-AND funnel replayed with lateral aliases
+    "q195_filter_funnel" ->
+      """WITH t AS (SELECT text, string_split(lower(text), ' ') AS ts
+        |           FROM documents),
+        |f AS (SELECT
+        |  CASE WHEN length(text) >= 80 THEN 1 ELSE 0 END AS k1,
+        |  k1 * (CASE WHEN len(ts) >= 40 THEN 1 ELSE 0 END) AS k2,
+        |  k2 * (CASE WHEN len(list_distinct(ts)) * 1.0 / len(ts) >= 0.28
+        |        THEN 1 ELSE 0 END) AS k3,
+        |  k3 * (CASE WHEN list_contains(ts, 'spark') THEN 1 ELSE 0 END) AS k4
+        | FROM t),
+        |a AS (SELECT count(*) AS n, sum(k1) AS k1, sum(k2) AS k2,
+        |             sum(k3) AS k3, sum(k4) AS k4 FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, stage,
+        |  CAST(entered AS BIGINT) AS entered, CAST(dropped AS BIGINT) AS dropped,
+        |  CAST(kept AS BIGINT) AS kept
+        |FROM (
+        |  SELECT 1 AS rank, 'min_chars' AS stage, n AS entered,
+        |         n - k1 AS dropped, k1 AS kept FROM a
+        |  UNION ALL SELECT 2, 'min_tokens', k1, k1 - k2, k2 FROM a
+        |  UNION ALL SELECT 3, 'distinct_ratio', k2, k2 - k3, k3 FROM a
+        |  UNION ALL SELECT 4, 'has_spark', k3, k3 - k4, k4 FROM a
+        |  UNION ALL SELECT 5, 'TOTAL', n, n - k4, k4 FROM a)
+        |ORDER BY rank""".stripMargin,
+    // variant_get typed extraction ≡ json_extract on the source strings
+    "q194_variant_column" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     // same replay as q100 (the TVF is the SQL spelling of that feed)
     "q191_table_changes" ->
       """SELECT n_nationkey, n_name, n_regionkey,

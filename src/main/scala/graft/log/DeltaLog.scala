@@ -638,6 +638,20 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
     // best-effort — the commit above is already durable, a lost crc only
     // costs validation coverage on later opens
     try Checksum.write(committed) catch { case _: Exception => () }
+    // opt-in AUTO log compaction (`graft.logCompaction.interval=N`):
+    // every Nth commit folds the last N into one compaction file, so a
+    // high-commit-rate table's between-checkpoints tail stays O(v/N)
+    // reads without anyone scheduling maintenance. Best-effort and
+    // idempotent — losing a race or failing here costs nothing (the raw
+    // commits are authoritative); only window-ALIGNED ranges are
+    // written, so concurrent writers produce identical files.
+    try {
+      val interval = committed.latestMetadata
+        .flatMap(_.configuration.get("graft.logCompaction.interval"))
+        .flatMap(_.toLongOption).getOrElse(0L)
+      if (interval > 1 && (v + 1) % interval == 0 && v - interval + 1 >= 0)
+        LogCompaction.write(loc, v - interval + 1, v)
+    } catch { case scala.util.control.NonFatal(_) => () }
     committed
   }
 }

@@ -188,6 +188,79 @@ object ScaleProbe {
       }
     }
 
+    // metadata-only DELETE (X212) and metadata-only aggregates (X213):
+    // at growing table sizes, the metadata paths must stay FLAT (driver
+    // log work only) while the forced-scan controls grow with the data.
+    if (sections("metaops")) {
+      import graft.DeltaTable
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      var mk = 1
+      while (mk <= maxCopies) {
+        val data = (0 until mk).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+          .reduce(_.unionByName(_))
+        val d = java.nio.file.Files.createTempDirectory("graft-meta-").toString
+        val t = DeltaTable.forPath(d)
+          .write(data, partitionBy = Some(Seq("l_returnflag")))
+        val n = t.toDF(spark).count()
+        def wall(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        // metadata aggregate vs forced scan aggregate (rule disabled)
+        val sqlS = graft.sql.GraftSql.enable(spark)
+        val aggMeta = wall(t.toDF(sqlS).agg(count(lit(1)),
+          min(col("l_quantity")), max(col("l_quantity"))).collect())
+        sqlS.conf.set("spark.graft.metadataOnlyAggregates", "false")
+        val aggScan = wall(t.toDF(sqlS).agg(count(lit(1)),
+          min(col("l_quantity")), max(col("l_quantity"))).collect())
+        sqlS.conf.unset("spark.graft.metadataOnlyAggregates")
+        // metadata partition delete vs forced-scan delete (an opaque
+        // predicate the stats pruner cannot prove)
+        val delMeta = wall(t.delete(spark, Some(col("l_returnflag") === "A")))
+        val t2 = DeltaTable.forPath(java.nio.file.Files
+          .createTempDirectory("graft-meta2-").toString)
+          .write(data, partitionBy = Some(Seq("l_returnflag")))
+        val delScan = wall(t2.delete(spark,
+          Some(substring(col("l_returnflag"), 1, 1) === "A")))
+        println(f"METAOPS rows=$n%9d agg_meta=$aggMeta%6.3fs agg_scan=$aggScan%6.2fs " +
+          f"del_meta=$delMeta%6.3fs del_scan=$delScan%6.2fs")
+        mk *= 4
+      }
+    }
+
+    // log compaction (X218): snapshot-open wall over a long checkpoint-
+    // less commit tail, raw vs compacted — the object-store listing/read
+    // cost this feature exists to kill (here both pay local-FS reads, so
+    // the gap is pure file-count mechanics and a LOWER bound on the
+    // object-store win).
+    if (sections("logcompact")) {
+      import graft.DeltaTable
+      Seq(64, 256, 1024).foreach { commits =>
+        val d = java.nio.file.Files.createTempDirectory("graft-lc-").toString
+        var t = DeltaTable.forPath(d).write(
+          spark.range(100).toDF("id"))
+        (1 until commits).foreach(i =>
+          t = t.setTableProperties(Map("graft.probe.tick" -> i.toString)))
+        def openWall(): Double = {
+          val t0 = System.nanoTime()
+          DeltaTable.forPath(d).version
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rawOpen = (1 to 3).map(_ => openWall()).min
+        t.compactLog(0, commits - 1L)
+        val compactOpen = (1 to 3).map(_ => openWall()).min
+        // local FS hides the per-read cost (page cache); the honest
+        // number is READS: raw = `commits` opens, compacted = 1. Deleting
+        // the raws proves the compacted path alone serves the snapshot.
+        new java.io.File(d, "_delta_log").listFiles()
+          .filter(_.getName.matches("^\\d+\\.json$")).foreach(_.delete())
+        val onlyCompacted = (1 to 3).map(_ => openWall()).min
+        println(f"LOGCOMPACT commits=$commits%5d open_raw=$rawOpen%6.3fs " +
+          f"(reads=$commits) open_compacted=$compactOpen%6.3fs " +
+          f"open_compacted_only=$onlyCompacted%6.3fs (reads=1)")
+      }
+    }
+
     // text-quality pipeline: duplicate-passage windows and unigram-LM
     // scoring over salted corpus copies. Both are explode + bounded-key
     // window/agg shapes; time/doc should stay ~flat as the corpus grows.

@@ -366,6 +366,145 @@ class Round14Spec extends SparkSuite {
     assert(cnt == 99L)
   }
 
+  test("VARIANT columns: feature declared, no stats leaked, checkpoint round-trip") {
+    import spark.implicits._
+    val d = tempDir("r14-variant")
+    val df = Seq((1, """{"a": 5, "b": "x"}"""), (2, """{"a": 7, "b": "y"}"""))
+      .toDF("k", "js").select(col("k"), expr("parse_json(js)").as("v"))
+    val t = DeltaTable.forPath(d).write(df)
+    // schema serializes with delta's "variant" spelling; the readerWriter
+    // feature is auto-declared (a feature-unaware reader would misread
+    // the binary value/metadata encoding)
+    assert(t.dlog.schema.json.contains("\"variant\""))
+    val p = t.dlog.currentProtocol
+    assert(graft.log.ProtocolGate.readerFeatures(p).contains("variantType"), p.toString)
+    assert(graft.log.ProtocolGate.writerFeatures(p).contains("variantType"), p.toString)
+    // variant columns carry NO stats — the shredded typed_value layout
+    // must not leak into minValues/maxValues/nullCount
+    val st = t.dlog.addActions.values.head.stats.get
+    assert(!st.contains("typed_value") && !st.contains("\"v\""), st)
+    assert(st.contains("\"k\""), st)
+    // typed extraction works on scan and survives a checkpoint-only read
+    def read(tt: DeltaTable) = tt.toDF(spark)
+      .select(col("k"), expr("variant_get(v, '$.a', 'int')").as("a"),
+        expr("variant_get(v, '$.b', 'string')").as("b"))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(read(t) == Seq((1, 5, "x"), (2, 7, "y")))
+    t.checkpoint()
+    val log = new java.io.File(d, "_delta_log")
+    log.listFiles().foreach(f => if (f.getName.endsWith(".json")) f.delete())
+    assert(read(DeltaTable.forPath(d)) == Seq((1, 5, "x"), (2, 7, "y")))
+  }
+
+  // ------------------------------------------------------------------
+  // X218: log compaction files (<start>.<end>.compacted.json)
+  // ------------------------------------------------------------------
+
+  test("log compaction: zero-anchored range serves a checkpointless open") {
+    import spark.implicits._
+    val d = tempDir("r14-logcompact")
+    var t = DeltaTable.forPath(d)
+      .write((0 until 10).map(i => (i, s"a$i")).toDF("k", "v").coalesce(1))
+    t = t.write((10 until 20).map(i => (i, s"b$i")).toDF("k", "v").coalesce(1))
+    t = t.delete(spark, Some(col("k") < 5))
+    t = t.setTableProperties(Map("graft.note" -> "compacted"))
+    t = t.write((20 until 25).map(i => (i, s"c$i")).toDF("k", "v").coalesce(1))
+    assert(t.version == 4L)
+    val expect = t.toDF(spark).collect().toSet
+    t.compactLog(0, 3)
+    val log = new java.io.File(d, "_delta_log")
+    assert(log.listFiles().exists(_.getName.endsWith(".compacted.json")))
+    // per-commit views keep raw granularity while raws remain
+    assert(DeltaTable.forPath(d).history.size == 5)
+    assert(DeltaTable.forPath(d, version = Some(1L)).toDF(spark).count() == 20L)
+    // wipe the covered raw commits: the compaction alone must serve the
+    // base state (plus the raw v4 tail) — proves the read path uses it
+    (0L to 3L).foreach(v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d,
+        "_delta_log", f"$v%020d.json")))
+    val re = DeltaTable.forPath(d)
+    assert(re.version == 4L)
+    assert(re.toDF(spark).collect().toSet == expect)
+    assert(re.tableProperties.get("graft.note").contains("compacted"))
+    // deleted rows stayed deleted (the remove tombstones survived)
+    assert(re.toDF(spark).filter(col("k") < 5).count() == 0L)
+  }
+
+  test("log compaction: range above a checkpoint rides the tail replay; " +
+      "cleanup expires covered compactions") {
+    import spark.implicits._
+    val d = tempDir("r14-logcompact-ck")
+    var t = DeltaTable.forPath(d)
+      .write((0 until 10).map(i => (i, i)).toDF("k", "p").coalesce(1))
+    t.checkpoint() // checkpoint at v0
+    t = t.write((10 until 20).map(i => (i, i)).toDF("k", "p").coalesce(1))
+    t = t.delete(spark, Some(col("k") === 3)) // kills a v0 file row (rewrite)
+    t = t.write((20 until 30).map(i => (i, i)).toDF("k", "p").coalesce(1))
+    val expect = t.toDF(spark).collect().toSet
+    t.compactLog(1, 3)
+    // wipe the covered raws: checkpoint base + compaction must rebuild
+    (1L to 3L).foreach(v =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d,
+        "_delta_log", f"$v%020d.json")))
+    val re = DeltaTable.forPath(d)
+    assert(re.version == 3L)
+    assert(re.toDF(spark).collect().toSet == expect)
+    // a later checkpoint past the range expires the compaction at cleanup
+    val t2 = DeltaTable.forPath(d)
+      .write((30 until 35).map(i => (i, i)).toDF("k", "p").coalesce(1))
+    t2.checkpoint()
+    t2.cleanupLog()
+    val names = new java.io.File(d, "_delta_log").listFiles().map(_.getName)
+    assert(!names.exists(_.endsWith(".compacted.json")),
+      names.filter(_.endsWith(".compacted.json")).mkString(","))
+    assert(DeltaTable.forPath(d).toDF(spark).count() == expect.size + 5)
+  }
+
+  test("funnel report: exact per-stage accounting, null drops, one job") {
+    import spark.implicits._
+    import graft.operators.Funnel
+    val df = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("id", "x")
+      .withColumn("x", when(col("id") === 4, lit(null)).otherwise(col("x")))
+    val stages = Seq(
+      "ge20" -> (col("x") >= 20), // drops id=1 AND null id=4 (null = drop)
+      "le20" -> (col("x") <= 20)) // of survivors {2,3}, drops 3
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val jobs = jobsDuring { rows = Funnel.report(df, stages).collect() }
+    // one corpus pass (AQE may split the single aggregation into 2 jobs);
+    // the naive per-stage loop would be >= stages+1 = 3
+    assert(jobs <= 2, s"funnel must be ONE corpus pass, launched $jobs jobs")
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "ge20", 4L, 2L, 2L), (2L, "le20", 2L, 1L, 1L),
+      (3L, "TOTAL", 4L, 3L, 1L)), got.toString)
+    assert(Funnel.survivors(df, stages).select("id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("auto log compaction: graft.logCompaction.interval writes aligned ranges") {
+    import spark.implicits._
+    val d = tempDir("r14-autocompact")
+    var t = DeltaTable.forPath(d)
+      .write(Seq((0, "a")).toDF("k", "v"))
+      .setTableProperties(Map("graft.logCompaction.interval" -> "3"))
+    (2 to 8).foreach(i => t = t.write(Seq((i, s"v$i")).toDF("k", "v")))
+    assert(t.version == 8L)
+    val names = new java.io.File(d, "_delta_log").listFiles().map(_.getName)
+    val compacted = names.filter(_.endsWith(".compacted.json")).sorted
+    // commits 0..8: windows ending at v2, v5 and v8 are aligned
+    assert(compacted.toSeq == Seq(
+      f"${0L}%020d.${2L}%020d.compacted.json",
+      f"${3L}%020d.${5L}%020d.compacted.json",
+      f"${6L}%020d.${8L}%020d.compacted.json"), compacted.mkString(","))
+    // the compactions alone reconstruct the full state (wipe all raws)
+    val expect = t.toDF(spark).collect().toSet
+    names.filter(n => n.matches("^\\d+\\.json$")).foreach(n =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d, "_delta_log", n)))
+    val re = DeltaTable.forPath(d)
+    assert(re.version == 8L)
+    assert(re.toDF(spark).collect().toSet == expect)
+  }
+
   test("TRUNCATE TABLE parses as SQL and routes to the metadata-only delete") {
     val d = tempDir("r14-trunc-sql")
     DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/region.parquet"))
