@@ -119,16 +119,19 @@ object Dedup {
     // shuffle_hash pins the (corpus-dependent, possibly huge) kept-key
     // set as a hash build — already partitioned on _s by its aggregate,
     // so that side needs no extra exchange — instead of a broadcast.
-    // The upper maxDocFreq guard rides the same count. In auto mode the
-    // CMS pre-pass decides whether it is needed at all: est >= true for
-    // every key, so estMaxDocFreq <= cap CERTIFIES no key can exceed the
-    // cap and the filter is dropped (tiny corpora keep today's exact
-    // plan); anything larger — including every corpus big enough for
-    // bucket sums to blow past the cap — engages the safe default.
+    // The upper maxDocFreq guard rides the same count. AUTO applies the
+    // default cap UNCONDITIONALLY: the aggregate computes every key's
+    // EXACT df anyway, and the `_df <= cap` predicate only drops keys
+    // whose actual df exceeds the cap — on a clean corpus it is a no-op
+    // (output row-for-row identical to unbounded, Round14Spec pins it),
+    // on a hot corpus it is exactly the protection wanted. The r13 CMS
+    // certification pre-pass was measured at ~40% of the operator's wall
+    // (a full extra postings pass) to avoid this FREE predicate — it
+    // certified a plan identity the output never needed; the sketch
+    // survives as [[estMaxDocFreq]] for callers sizing salts/caps.
     val cap: Long =
       if (maxDocFreq > 0L) maxDocFreq
       else if (maxDocFreq < 0L) 0L                        // explicit opt-out
-      else if (estMaxDocFreq(inv0.select(col("_s"))) <= DefaultMaxDocFreq) 0L
       else DefaultMaxDocFreq
     val kept = inv0.groupBy("_s").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= 2 &&

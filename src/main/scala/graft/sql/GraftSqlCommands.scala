@@ -103,7 +103,11 @@ object GraftSqlCommands {
   private val OptimizeRe =
     s"""(?is)\\s*OPTIMIZE\\s+$P(?:\\s+(FULL))?(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\))?\\s*;?\\s*""".r
   private val VacuumRe =
-    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$P(?:\\s+LITE)?(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  // delta 4.0's LITE mode must be detected separately (the main regex
+  // accepts it so the address groups stay aligned)
+  private val VacuumLiteRe =
+    s"""(?is)\\s*VACUUM\\s+$P\\s+LITE\\b.*""".r
   private val RestoreVerRe =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$P\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTsRe =
@@ -197,7 +201,9 @@ object GraftSqlCommands {
         A(a, b, n).map(OptimizeCommand(_, cols, Option(where).map(_.trim),
           full = full != null))
       case VacuumRe(a, b, n, hours, dry) =>
-        A(a, b, n).map(VacuumCommand(_, Option(hours).map(_.toLong), dry != null))
+        val lite = VacuumLiteRe.matches(sqlText)
+        A(a, b, n).map(VacuumCommand(_, Option(hours).map(_.toLong),
+          dry != null, lite = lite))
       case RestoreVerRe(a, b, n, v) =>
         A(a, b, n).map(RestoreCommand(_, Left(v.toLong)))
       case RestoreTsRe(a, b, n, ts) =>
@@ -420,12 +426,17 @@ case class OptimizeCommand(path: String, zOrderBy: Seq[String],
   * [[DeltaTable.vacuum]], not here.
   */
 case class VacuumCommand(path: String, retainHours: Option[Long],
-    dryRun: Boolean) extends LeafRunnableCommand {
+    dryRun: Boolean, lite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val retention = retainHours.map(_ * 3600L * 1000L).getOrElse(Long.MinValue)
-    GraftSqlCommands.open(spark, path).vacuum(retention, dryRun).map(Row(_))
+    val t = GraftSqlCommands.open(spark, path)
+    // LITE (delta 4.0): reclaim exactly the log's expired tombstones —
+    // no table-directory listing at all (X112's engine path)
+    val removed = if (lite) t.vacuumLite(retention, dryRun)
+      else t.vacuum(retention, dryRun)
+    removed.map(Row(_))
   }
 }
 

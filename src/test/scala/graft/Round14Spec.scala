@@ -505,6 +505,44 @@ class Round14Spec extends SparkSuite {
     assert(re.toDF(spark).collect().toSet == expect)
   }
 
+  test("VACUUM LITE parses as SQL and reclaims tombstones without listing") {
+    import spark.implicits._
+    val d = tempDir("r14-vac-lite")
+    var t = DeltaTable.forPath(d).write(Seq((1, "a")).toDF("k", "v"))
+    t = t.write(Seq((2, "b")).toDF("k", "v"),
+      mode = graft.log.WriteMode.Overwrite)
+    // a stray un-logged file: full vacuum (listing) would see it, LITE
+    // must not touch it — the proof the lite path never lists the dir
+    val stray = java.nio.file.Paths.get(d, "stray-not-in-log.parquet")
+    java.nio.file.Files.writeString(stray, "not parquet")
+    val removed = sql.sql(s"VACUUM '$d' LITE RETAIN 0 HOURS").collect()
+      .map(_.getString(0))
+    assert(removed.nonEmpty, "the overwritten file's tombstone must reclaim")
+    assert(java.nio.file.Files.exists(stray),
+      "LITE must not list (and so never touches) un-logged strays")
+    assert(DeltaTable.forPath(d).toDF(spark).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("concurrent same-range compactLog: one valid file, no corruption") {
+    import spark.implicits._
+    val d = tempDir("r14-cc-compact")
+    var t = DeltaTable.forPath(d).write(Seq((0, "a")).toDF("k", "v"))
+    (1 to 5).foreach(i => t = t.write(Seq((i, s"v$i")).toDF("k", "v")))
+    val ex = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (1 to 4).map(_ => ex.submit(new Runnable {
+        override def run(): Unit = DeltaTable.forPath(d).compactLog(0, 5)
+      }))
+      futs.foreach(_.get())
+    } finally ex.shutdown()
+    val names = new java.io.File(d, "_delta_log").listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".compacted.json")) == 1)
+    val expect = t.toDF(spark).collect().toSet
+    names.filter(_.matches("^\\d+\\.json$")).foreach(n =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(d, "_delta_log", n)))
+    assert(DeltaTable.forPath(d).toDF(spark).collect().toSet == expect)
+  }
+
   test("TRUNCATE TABLE parses as SQL and routes to the metadata-only delete") {
     val d = tempDir("r14-trunc-sql")
     DeltaTable.forPath(d).write(spark.read.parquet(s"$sfDir/region.parquet"))
