@@ -345,6 +345,22 @@ class Round14Spec extends SparkSuite {
       nation.filter(col("n_nationkey") > 7).count())
   }
 
+  test("metadata aggregate answers per-VERSION snapshots") {
+    import spark.implicits._
+    val d = tempDir("r14-meta-tt")
+    var t = DeltaTable.forPath(d)
+      .write((0 until 10).map(i => (i, i * 2)).toDF("k", "x"))
+    t = t.write((10 until 25).map(i => (i, i * 2)).toDF("k", "x"))
+    val v0 = DeltaTable.forPath(d, version = Some(0L)).toDF(sql)
+      .agg(count(lit(1)).as("c"), max(col("k")).as("m"))
+    assert(isMetadataOnly(v0))
+    assert(v0.collect().head == org.apache.spark.sql.Row(10L, 9))
+    val cur = DeltaTable.forPath(d).toDF(sql)
+      .agg(count(lit(1)).as("c"), max(col("k")).as("m"))
+    assert(isMetadataOnly(cur))
+    assert(cur.collect().head == org.apache.spark.sql.Row(25L, 24))
+  }
+
   test("metadata aggregate refuses unprovable shapes (DV, long strings)") {
     import spark.implicits._
     val d = tempDir("r14-meta-agg-dv")

