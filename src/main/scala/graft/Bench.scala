@@ -52,7 +52,7 @@ object Bench {
     "q188_sql_ddl_lifecycle", "q189_sql_named_catalog",
     "q190_metadata_only_agg", "q191_table_changes",
     "q192_sql_replace_where", "q193_copy_into", "q194_variant_column",
-    "q195_filter_funnel")
+    "q195_filter_funnel", "q196_metadata_grouped_agg")
 
   val RUNS = 2
 

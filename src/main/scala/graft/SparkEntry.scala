@@ -718,6 +718,22 @@ object SparkEntry {
         "has_spark" -> array_contains(ts, "spark")))
         .orderBy("rank")
     }),
+    // GROUPED metadata aggregates (X213's partition-group flavor):
+    // GROUP BY a partition column + COUNT/MIN/MAX answered from the log
+    // — "rows per partition" over 100 TB as a log-only query
+    "q196_metadata_grouped_agg" -> ((s, d) => {
+      val sql = graft.sql.GraftSql.enable(s)
+      val t = DeltaTable.forPath(
+        QueryLib.deltaDir(s, d, "lineitem", Seq("l_returnflag")))
+      val g = t.toDF(sql).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"))
+      require(g.queryExecution.optimizedPlan.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "grouped metadata aggregate did not collapse to a LocalRelation:\n" +
+          g.queryExecution.optimizedPlan)
+      g.orderBy("l_returnflag")
+    }),
     // SQL CTAS + INSERT + version-pinned SHALLOW CLONE: the clone's scan
     // replays the truncated cloned log and sees only the CTAS slice
     "q175_sql_ctas_clone" -> ((s, d) =>
@@ -1752,6 +1768,11 @@ object SparkEntry {
         | CAST(2 AS BIGINT), 'update_postimage'
         |FROM nation WHERE n_nationkey < 5
         |ORDER BY _change_type, n_nationkey""".stripMargin,
+    // per-partition metadata answers ≡ the scan's grouped aggregate
+    "q196_metadata_grouped_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, min(l_quantity) AS min_qty,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // the metadata answers must equal the scan answers exactly
     "q190_metadata_only_agg" ->
       """SELECT count(*) AS cnt,

@@ -284,6 +284,12 @@ object DataSkipping {
       case GreaterThanOrEqual(v, a) if attrName(a).isDefined => allBinary(a, v, add, st)(allLe)
       case In(a, vs) if attrName(a).isDefined =>
         vs.exists(v => provablyConstantEqual(a, v, add, st))
+      // every row != v: the whole [min, max] range lies strictly on one
+      // side of v (for a partition column: the value simply differs)
+      case Not(EqualTo(a, v)) if attrName(a).isDefined =>
+        allBinary(a, v, add, st)(allNe)
+      case Not(EqualTo(v, a)) if attrName(a).isDefined =>
+        allBinary(a, v, add, st)(allNe)
       case IsNull(a) => provablyAllNull(a, add, st)
       case Not(IsNotNull(a)) => provablyAllNull(a, add, st)
       case IsNotNull(a) => provablyNoNulls(a, add, st)
@@ -320,6 +326,9 @@ object DataSkipping {
       lo.exists(l => cmp(l, v).exists(_ > 0))
     private def allGe(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
       lo.exists(l => cmp(l, v).exists(_ >= 0))
+    private def allNe(lo: Option[Any], hi: Option[Any], v: Any): Boolean =
+      lo.exists(l => cmp(l, v).exists(_ > 0)) ||
+        hi.exists(h => cmp(h, v).exists(_ < 0))
 
     /** `binary`'s dual: missing attribute, unparseable literal, missing
       * stats side, or surviving nulls all prove NOTHING (false).

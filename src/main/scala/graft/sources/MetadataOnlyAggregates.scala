@@ -59,7 +59,75 @@ final class MetadataOnlyAggregates(session: SparkSession)
             }
           case None => agg
         }
+      // grouped flavor: GROUP BY over PARTITION columns only — each
+      // group is a set of whole files, so every whole-table rule applies
+      // per group ("rows per day" on a date-partitioned 100 TB table is
+      // a log-only query)
+      case agg @ Aggregate(groupings, aggExprs, child, _)
+          if groupings.nonEmpty && groupings.forall(_.isInstanceOf[AttributeReference]) &&
+            aggExprs.forall(_.deterministic) =>
+        unwrap(child, None) match {
+          case Some((idx, filter)) =>
+            answerGrouped(idx, filter,
+              groupings.map(_.asInstanceOf[AttributeReference]), aggExprs) match {
+              case Some(rows) => LocalRelation(agg.output, rows)
+              case None => agg
+            }
+          case None => agg
+        }
     }
+  }
+
+  /** Partition-grouped metadata answer: rows in group order of first
+    * appearance, or None when unprovable (a grouping column that is not
+    * a partition column, an unparseable partition value, or any
+    * per-group aggregate the whole-table rules refuse).
+    */
+  private def answerGrouped(idx: GraftFileIndex, filter: Option[Expression],
+      groupings: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression]): Option[Seq[InternalRow]] = {
+    val schema = idx.statsSchema
+    val partCols = idx.partitionColumnNames
+    val gFields = groupings.map { g =>
+      val f = fieldOf(schema, g.name).getOrElse(return None)
+      if (!partCols.exists(_.equalsIgnoreCase(f.name))) return None
+      f
+    }
+    val files: Seq[AddFile] = filter match {
+      case None => idx.liveAdds
+      case Some(f) =>
+        DataSkipping.exactMatchingFiles(idx.liveAdds, f, schema, partCols)
+          .getOrElse(return None)
+    }
+    // group files by their partition tuple for the grouping columns;
+    // a missing partition key bails, an empty value is a NULL group key
+    val grouped = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], Vector[AddFile]]
+    files.foreach { a =>
+      val key = gFields.map(f => partitionValue(a, f).getOrElse(return None))
+      grouped.updateWith(key)(v => Some(v.getOrElse(Vector.empty) :+ a))
+    }
+    val rows = grouped.map { case (key, group) =>
+      val keyInternal: Map[String, Any] = gFields.zip(key).map { case (f, pv) =>
+        f.name.toLowerCase -> pv.filter(_.nonEmpty)
+          .map(s => DataSkipping.partitionValueOf(s, f.dataType)
+            .map(toInternal(_, f.dataType)).getOrElse(return None))
+          .orNull
+      }.toMap
+      val values = aggExprs.map {
+        case Alias(l: Literal, _) => l.value
+        case l: Literal => l.value
+        case a: AttributeReference => keyInternal.getOrElse(
+          a.name.toLowerCase, return None)
+        case Alias(a: AttributeReference, _) => keyInternal.getOrElse(
+          a.name.toLowerCase, return None)
+        case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
+          aggValue(fn, group, schema, partCols).getOrElse(return None)
+        case _ => return None
+      }
+      InternalRow.fromSeq(values)
+    }.toSeq
+    Some(rows)
   }
 
   /** Peel attribute-only Projects and deterministic Filters down to a

@@ -361,6 +361,27 @@ class Round14Spec extends SparkSuite {
     assert(cur.collect().head == org.apache.spark.sql.Row(25L, 24))
   }
 
+  test("GROUP BY partition column answers from the log (grouped metadata agg)") {
+    val d = tempDir("r14-meta-grp")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    DeltaTable.forPath(d).write(nation, partitionBy = Some(Seq("n_regionkey")))
+    val t = DeltaTable.forPath(d)
+    val g = t.toDF(sql).groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"), max(col("n_nationkey")).as("mx"))
+    assert(isMetadataOnly(g), g.queryExecution.optimizedPlan.toString)
+    assertSameRows(g, nation.groupBy("n_regionkey")
+      .agg(count(lit(1)).as("cnt"), max(col("n_nationkey")).as("mx")))
+    // exact partition filter composes with the grouping
+    val gf = t.toDF(sql).filter(col("n_regionkey") =!= 2)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("cnt"))
+    assert(isMetadataOnly(gf))
+    assertSameRows(gf, nation.filter(col("n_regionkey") =!= 2)
+      .groupBy("n_regionkey").agg(count(lit(1)).as("cnt")))
+    // grouping by a DATA column cannot answer from the log
+    assert(!isMetadataOnly(t.toDF(sql).groupBy("n_name")
+      .agg(count(lit(1)).as("cnt"))))
+  }
+
   test("metadata aggregate refuses unprovable shapes (DV, long strings)") {
     import spark.implicits._
     val d = tempDir("r14-meta-agg-dv")
