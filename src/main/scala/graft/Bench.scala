@@ -54,7 +54,18 @@ object Bench {
     "q192_sql_replace_where", "q193_copy_into", "q194_variant_column",
     "q195_filter_funnel", "q196_metadata_grouped_agg")
 
-  val RUNS = 2
+  // median-of-3: a single loaded-host run can no longer dominate the
+  // reported number (min-of-2 let one clean run hide load, and one loaded
+  // run of a 2-sample min was indistinguishable from a code regression)
+  val RUNS = 3
+
+  private def median(runs: Seq[Double]): Double = {
+    val s = runs.sorted; s(s.size / 2)
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,20 +115,31 @@ object Bench {
     // (a clearCache() here was tried and REJECTED: dropping the sweep's
     // cache blocks before timing measured ~10% SLOWER overall — timed
     // first runs lost warm blocks they legitimately reuse)
+    val loadStart = loadAvg
     val results = qs.map { case (name, fn) =>
       val runs = (1 to RUNS).map(_ => once(name, fn))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      name -> (if (runs.exists(_ < 0)) -1.0 else median(runs))
     } ++ maintenanceTimings(spark, sfDir, only)
+    val loadEnd = loadAvg
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    val cores = Runtime.getRuntime.availableProcessors
+    // host-condition fields make a loaded-host capture attributable from
+    // the artifact alone (r13's 68.5s driver capture vs 39.9s judge rerun
+    // was pure load noise nothing in the JSON could explain)
+    val host = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cores,"runs":$RUNS,"timing":"median""""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir",$host}"""
     // the driver captures only the TAIL of stdout, so the full per-query
     // JSON (2+ kB for 70 queries) lost its head in r8/r9 and parsed null.
     // Full JSON goes to a file (committed as a round artifact); stdout
     // gets the same line only when it is short, else a compact summary
     // line that always fits whole inside the capture window.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A FILTERED run (SPARK_GRAFT_BENCH_QUERIES set) must never clobber
+    // the committed full capture — it defaults to its own file (the r13
+    // gate commit recorded a 2-entry BENCH_FULL.json this way).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_PARTIAL.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -128,7 +150,7 @@ object Bench {
     spark.stop()
     System.err.flush(); System.out.flush()
     if (full.length <= 1500) println(full)
-    else println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_file":"$outPath","sf":"$sfDir"}""")
+    else println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_file":"$outPath","sf":"$sfDir",$host}""")
     System.out.flush()
   }
 
@@ -259,7 +281,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, f) =>
         val sec =
-          try { f(); (1 to RUNS).map(_ => f()).min }
+          try { f(); median((1 to RUNS).map(_ => f())) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
           }

@@ -410,6 +410,7 @@ object CommitInfo {
     val ClusterBy = "CLUSTER BY"
     val ChangeColumn = "CHANGE COLUMN"
     val Fsck = "FSCK"
+    val DropFeature = "DROP FEATURE"
   }
 
   /** Deep-clone v0 commit (delta's CLONE operation). */

@@ -198,4 +198,23 @@ object ProtocolGate {
     Some(cur.copy(minReaderVersion = newReaderV, minWriterVersion = 7,
       extra = extra))
   }
+
+  /** The protocol with `feature` RETIRED (delta's `DROP FEATURE`
+    * protocol downgrade): the remaining reader/writer features
+    * re-expressed in explicit table-features form — a legacy-implied
+    * feature can only be dropped by moving to explicit lists, and an
+    * explicit list can never silently resurrect one. The reader version
+    * falls back to 1 when no reader feature remains (reader 1 + writer 7
+    * is a legal protocol); the writer list stays explicit at v7.
+    */
+  def withoutFeature(cur: Protocol, feature: String): Protocol = {
+    val rf = readerFeatures(cur) - feature
+    val wf = writerFeatures(cur) - feature
+    val readerV = if (rf.nonEmpty) 3 else 1
+    var extra = cur.extra - "readerFeatures" - "writerFeatures"
+    extra += ("writerFeatures" -> Json.arr(wf.toSeq.sorted.map(Json.text)))
+    if (readerV >= 3)
+      extra += ("readerFeatures" -> Json.arr(rf.toSeq.sorted.map(Json.text)))
+    cur.copy(minReaderVersion = readerV, minWriterVersion = 7, extra = extra)
+  }
 }

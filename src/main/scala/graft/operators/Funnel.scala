@@ -39,8 +39,11 @@ object Funnel {
         acc.withColumn(s"_s${i + 1}",
           if (i == 0) surv else col(s"_s$i") * surv)
     }
+    // coalesce: sum() over zero rows is NULL — an empty corpus must
+    // degrade to an all-zeros report, not an NPE
     val aggs = count(lit(1)).as("_n") +:
-      stages.indices.map(i => sum(col(s"_s${i + 1}")).as(s"_k${i + 1}"))
+      stages.indices.map(i =>
+        coalesce(sum(col(s"_s${i + 1}")), lit(0L)).as(s"_k${i + 1}"))
     val row = flagged.agg(aggs.head, aggs.tail: _*).collect().head
     val total = row.getLong(0)
     val kept = stages.indices.map(i => row.getLong(i + 1))

@@ -107,7 +107,14 @@ final class MetadataOnlyAggregates(session: SparkSession)
       val key = gFields.map(f => partitionValue(a, f).getOrElse(return None))
       grouped.updateWith(key)(v => Some(v.getOrElse(Vector.empty) :+ a))
     }
-    val rows = grouped.map { case (key, group) =>
+    val rows = grouped.flatMap { case (key, group) =>
+      // a group whose files hold zero live rows (empty create-commit
+      // files, numRecords==0 foreign adds, fully-DV-dead files) emits NO
+      // row from a real scan — skip it here too; an unknown row count
+      // makes live-ness unprovable, so bail entirely
+      val liveTotal = group.foldLeft(Option(0L))((acc, a) =>
+        for { s <- acc; n <- liveOf(a) } yield s + n).getOrElse(return None)
+      if (liveTotal == 0L) Nil else {
       val keyInternal: Map[String, Any] = gFields.zip(key).map { case (f, pv) =>
         f.name.toLowerCase -> pv.filter(_.nonEmpty)
           .map(s => DataSkipping.partitionValueOf(s, f.dataType)
@@ -125,7 +132,8 @@ final class MetadataOnlyAggregates(session: SparkSession)
           aggValue(fn, group, schema, partCols).getOrElse(return None)
         case _ => return None
       }
-      InternalRow.fromSeq(values)
+      Seq(InternalRow.fromSeq(values))
+      }
     }.toSeq
     Some(rows)
   }

@@ -14,14 +14,21 @@ import org.apache.spark.sql.graftshim.ColumnShim
   * fall through to Spark's built-in catalog and become a raw parquet
   * write (the X180 no-strays hazard applies to names identically).
   *
-  * Registry state is one JSON object (`name → path`) at
-  * `<spark.sql.warehouse.dir>/_graft_catalog.json`: engine-independent,
-  * human-readable, shared by every session pointing at the warehouse.
-  * Keys are case-insensitive (Spark identifier semantics), 1–3 dotted
-  * parts. Writes rewrite the file via temp + rename (atomic visibility
-  * on every Hadoop filesystem this repo targets) under a JVM lock;
-  * reads cache on (uri, mtime) so per-statement resolution costs a
-  * getFileStatus, not a parse.
+  * Registry state is a VERSIONED sequence of full JSON snapshots
+  * (`name → path`) at `<spark.sql.warehouse.dir>/_graft_catalog/
+  * <%020d>.json` — the table log's own OCC mechanism
+  * ([[graft.storage.Location.createIfAbsent]]) applied to the name
+  * registry: a mutation reads the latest snapshot, applies, and commits
+  * version+1 atomically; a cross-process loser gets
+  * FileAlreadyExists, re-reads, and re-applies. The r13 temp+rename
+  * single-file scheme gave atomic VISIBILITY but last-rename-wins
+  * semantics — two concurrent drivers registering different names could
+  * silently drop one registration. Keys are case-insensitive (Spark
+  * identifier semantics), 1–3 dotted parts. Reads list the directory
+  * and parse only when the latest version advanced (cached otherwise);
+  * a committer prunes snapshots more than a few versions behind. A
+  * legacy single-file `_graft_catalog.json` (pre-r14 layout) seeds
+  * version 0 and keeps resolving until the first mutation migrates it.
   *
   * Scale shape: the registry is names-only metadata (bytes per table,
   * never file lists — those stay in each table's own log), so even 10⁵
@@ -31,10 +38,15 @@ import org.apache.spark.sql.graftshim.ColumnShim
 object GraftCatalog {
 
   val FileName = "_graft_catalog.json"
+  val DirName = "_graft_catalog"
 
-  private val lock = new Object
-  // (file uri) -> (mtime seen, parsed map)
+  // (dir uri) -> (latest version seen, parsed map)
   @volatile private var cache: Option[(String, Long, Map[String, String])] = None
+
+  /** Test hook: forget the cached snapshot (e.g. after moving a registry
+    * directory on disk out from under the cache key).
+    */
+  private[graft] def invalidateCache(): Unit = cache = None
 
   /** Case-insensitive catalog key for a multipart identifier; None when
     * the parts are a path spelling (handled elsewhere) or empty.
@@ -50,9 +62,40 @@ object GraftCatalog {
     else Some(norm.map(_.toLowerCase(java.util.Locale.ROOT)).mkString("."))
   }
 
-  private def registryLoc(spark: SparkSession): Location = {
+  private def legacyLoc(spark: SparkSession): Location = {
     val wh = spark.sessionState.conf.warehousePath
     Location(wh, ColumnShim.hadoopConf(spark)).child(FileName)
+  }
+
+  private def registryDir(spark: SparkSession): Location = {
+    val wh = spark.sessionState.conf.warehousePath
+    Location(wh, ColumnShim.hadoopConf(spark)).child(DirName)
+  }
+
+  private val VersionFile = """(\d{20})\.json""".r
+
+  private def versionOf(name: String): Option[Long] = name match {
+    case VersionFile(v) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** Latest committed (version, snapshot); version -1 with the legacy
+    * single-file content (or empty) when no versioned snapshot exists.
+    */
+  private def latest(spark: SparkSession): (Long, Map[String, String]) = {
+    val dir = registryDir(spark)
+    val versions = dir.listSorted().flatMap(s => versionOf(s.getPath.getName))
+    versions.lastOption match {
+      case Some(v) =>
+        val m = parse(dir.child(f"$v%020d.json").readString())
+        (v, m)
+      case None =>
+        val leg = legacyLoc(spark)
+        val m =
+          try parse(leg.readString())
+          catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
+        (-1L, m)
+    }
   }
 
   /** The default data path for a managed-style named table (no LOCATION
@@ -71,18 +114,16 @@ object GraftCatalog {
     resolve(spark, name.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`")))
 
   def all(spark: SparkSession): Map[String, String] = {
-    val loc = registryLoc(spark)
-    val uri = loc.uri
-    val mtime =
-      try loc.fs.getFileStatus(loc.path).getModificationTime
-      catch { case _: java.io.FileNotFoundException => -1L }
+    val dir = registryDir(spark)
+    val uri = dir.uri
+    // a list, not a read: parse only when the latest version advanced
+    val top = dir.listSorted().flatMap(s => versionOf(s.getPath.getName))
+      .lastOption.getOrElse(-1L)
     cache match {
-      case Some((u, m, map)) if u == uri && m == mtime => map
+      case Some((u, v, map)) if u == uri && v == top && top >= 0L => map
       case _ =>
-        val map =
-          if (mtime < 0L) Map.empty[String, String]
-          else parse(loc.readString())
-        cache = Some((uri, mtime, map))
+        val (v, map) = latest(spark)
+        cache = Some((uri, v, map))
         map
     }
   }
@@ -97,28 +138,52 @@ object GraftCatalog {
     present
   }
 
+  /** OCC mutation: read latest snapshot, apply, commit version+1 via
+    * atomic create-if-absent; a concurrent committer (ANY process) makes
+    * the create fail and this retries against the fresh state — the same
+    * read-apply-rebase loop the table log uses, so two drivers
+    * registering different names both land. Deliberately NOT also
+    * JVM-locked: OCC is the ONLY mechanism, so an in-process concurrency
+    * spec exercises exactly the cross-process path. An identity mutation
+    * commits nothing.
+    */
   private def mutate(spark: SparkSession)(
-      f: Map[String, String] => Map[String, String]): Unit = lock.synchronized {
-    val loc = registryLoc(spark)
-    val cur =
-      try parse(loc.readString())
-      catch { case _: java.io.FileNotFoundException => Map.empty[String, String] }
-    val next = f(cur)
-    val node = graft.log.Json.obj()
-    next.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
-    val parent = loc.path.getParent
-    if (!loc.fs.exists(parent)) loc.fs.mkdirs(parent)
-    val tmpLoc = Location(parent.toString, ColumnShim.hadoopConf(spark)).child(
-      s".${FileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    tmpLoc.writeString(node.toString)
-    // local/posix rename replaces atomically; HDFS-style fs needs the
-    // dest gone first — the JVM lock serializes in-process writers and
-    // cross-process losers simply re-read and re-apply
-    if (loc.exists) loc.fs.delete(loc.path, false)
-    if (!loc.fs.rename(tmpLoc.path, loc.path))
-      throw new java.io.IOException(s"could not publish ${loc.uri}")
-    cache = None
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val dir = registryDir(spark)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val (v, cur) = latest(spark)
+      val next = f(cur)
+      if (next == cur) { cache = Some((dir.uri, v, cur)); done = true }
+      else {
+        val node = graft.log.Json.obj()
+        next.toSeq.sortBy(_._1).foreach { case (k, p) => node.put(k, p) }
+        val target = dir.child(f"${v + 1}%020d.json")
+        try {
+          target.createIfAbsent(node.toString)
+          cache = Some((dir.uri, v + 1, next))
+          prune(dir, v + 1)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempt += 1
+            if (attempt > 50) throw new java.io.IOException(
+              s"catalog registry contention: 50 failed commits at ${dir.uri}")
+        }
+      }
+    }
   }
+
+  /** Keep a small trailing window of snapshots (readers only ever open
+    * the latest; the window covers a reader that listed just before a
+    * commit), delete the rest — the registry directory stays O(1) files.
+    */
+  private def prune(dir: Location, committed: Long): Unit =
+    try dir.listSorted().flatMap(s => versionOf(s.getPath.getName))
+      .filter(_ < committed - 4)
+      .foreach(v => dir.child(f"$v%020d.json").delete(recursive = false))
+    catch { case _: Throwable => () } // best-effort housekeeping
 
   private def parse(json: String): Map[String, String] = {
     val root = graft.log.Json.mapper.readTree(json)

@@ -286,12 +286,20 @@ class GraftPathResolution(session: SparkSession) extends Rule[LogicalPlan] {
       litLong(e).orElse(litStr(e).map { s =>
         val ms = GraftSqlCommands.parseTsLiteral(session, s)
         val hist = t.history
+        // a bound outside the table's commit-time range fails LOUDLY
+        // (delta-spark's table_changes out-of-range error) — a silently
+        // empty feed turns a misconfigured audit query into "no changes"
+        def outOfRange(side: String): Nothing =
+          throw new IllegalArgumentException(
+            s"table_changes $side timestamp '$s' is outside the " +
+            s"table's commit range [${hist.map(_._2.effectiveTimestamp).min}, " +
+            s"${hist.map(_._2.effectiveTimestamp).max}] for $addr")
         if (isStart)
           hist.filter(_._2.effectiveTimestamp >= ms).map(_._1)
-            .minOption.getOrElse(t.version + 1)
+            .minOption.getOrElse(outOfRange("start"))
         else
           hist.filter(_._2.effectiveTimestamp <= ms).map(_._1)
-            .maxOption.getOrElse(-1L)
+            .maxOption.getOrElse(outOfRange("end"))
       })
     val start = args.lift(1).flatMap(versionOf(_, isStart = true)).getOrElse(0L)
     val end = args.lift(2).flatMap(versionOf(_, isStart = false)).getOrElse(t.version)

@@ -164,6 +164,10 @@ object GraftSqlCommands {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+RENAME\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+TO\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
   private val AlterDropColRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+COLUMN\\s+`?([^`\\s]+)`?\\s*;?\\s*""".r
+  // delta 4.0's protocol downgrade verb; must match before DROP COLUMN
+  // never sees it (distinct keyword, but kept adjacent for clarity)
+  private val AlterDropFeatureRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+DROP\\s+FEATURE\\s+`?([\\w.-]+)`?(\\s+TRUNCATE\\s+HISTORY)?\\s*;?\\s*""".r
   private val AlterColTypeRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$P\\s+(?:ALTER|CHANGE)\\s+COLUMN\\s+`?([^`\\s]+)`?\\s+TYPE\\s+(.+?)\\s*;?\\s*""".r
   private val AlterColSetDefaultRe =
@@ -217,6 +221,18 @@ object GraftSqlCommands {
       case TruncateRe(a, b, n) =>
         A(a, b, n).map(DeleteCommand(_, None))
       case InsertReplaceWhereRe(a, b, n, cond, query) =>
+        // the regex splits the predicate from the inner query at a query
+        // keyword, so a predicate with a subquery (k IN (SELECT …)) either
+        // gets truncated at the inner SELECT (unbalanced parens in the
+        // capture) or swallows the whole subquery (a query keyword inside
+        // the capture) — refuse both clearly instead of failing expression
+        // parsing or binding the wrong query
+        if (cond.count(_ == '(') != cond.count(_ == ')') ||
+            """(?i)\b(SELECT|WITH|VALUES|TABLE)\b""".r
+              .findFirstIn(cond).isDefined)
+          throw new IllegalArgumentException(
+            "subqueries are not supported in a REPLACE WHERE predicate; " +
+            s"got: ${cond.trim}")
         A(a, b, n).map(InsertReplaceWhereCommand(_, cond.trim, query.trim))
       case CopyIntoRe(a, b, n, src, fmt, pattern, fmtOpts, copyOpts) =>
         A(a, b, n).map(CopyIntoCommand(_, src, fmt.toLowerCase,
@@ -245,6 +261,9 @@ object GraftSqlCommands {
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
       case AlterRenameColRe(a, b, n, from, to) =>
         A(a, b, n).map(AlterRenameColumnCommand(_, from, to))
+      case AlterDropFeatureRe(a, b, n, feature, truncate) =>
+        A(a, b, n).map(AlterDropFeatureCommand(_, feature,
+          truncate != null))
       case AlterDropColRe(a, b, n, name) =>
         A(a, b, n).map(AlterDropColumnCommand(_, name))
       // DEFAULT forms must match before the TYPE form never sees them
@@ -668,6 +687,20 @@ case class AlterRenameColumnCommand(path: String, from: String,
 /** `ALTER TABLE '<path>' DROP COLUMN a` — [[DeltaTable.dropColumn]]
   * (mapping mode; metadata-only, data files untouched).
   */
+/** `ALTER TABLE '<path>' DROP FEATURE f [TRUNCATE HISTORY]` —
+  * [[DeltaTable.dropFeature]] (delta 4.0's protocol downgrade verb:
+  * retire a declared feature once no live state needs it; reader-scoped
+  * features protect or truncate the feature-bearing history).
+  */
+case class AlterDropFeatureCommand(path: String, feature: String,
+    truncateHistory: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(GraftSqlCommands.open(spark, path)
+      .dropFeature(feature, truncateHistory).version))
+}
+
 case class AlterDropColumnCommand(path: String,
     name: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

@@ -77,9 +77,22 @@ final class Location private (val path: Path, val fs: FileSystem) {
     if (scheme == "file") {
       val f = new java.io.File(path.toUri.getPath)
       f.getParentFile.mkdirs()
-      if (!f.createNewFile()) // atomic O_CREAT|O_EXCL
-        throw new java.nio.file.FileAlreadyExistsException(uri)
-      java.nio.file.Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+      // write-then-hardlink: link(2) fails with EEXIST atomically AND the
+      // published name carries its full content from the first instant —
+      // a bare createNewFile-then-write claim let a concurrent lister
+      // read the claimed-but-still-empty file (observed: the OCC catalog
+      // registry rebasing against a wiped snapshot)
+      val tmp = new java.io.File(f.getParentFile,
+        s".${f.getName}.occ-${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
+      try java.nio.file.Files.createLink(f.toPath, tmp.toPath)
+      catch {
+        case _: UnsupportedOperationException =>
+          // no-hardlink filesystem: fall back to the two-step claim
+          if (!f.createNewFile())
+            throw new java.nio.file.FileAlreadyExistsException(uri)
+          java.nio.file.Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+      } finally tmp.delete()
     } else {
       if (exists)
         throw new java.nio.file.FileAlreadyExistsException(uri)
