@@ -274,6 +274,35 @@ class DataSourceSpec extends SparkSuite {
     assert(DeltaTable.forPath(out).toDF(spark).count() == 5 * five.count() + 10)
   }
 
+  test("streaming CDF: rate limits split a 100-version backlog into bounded batches") {
+    // the r13-verdict ask: prove the CDF path shares the append path's
+    // admission control — a 100-version change-feed backlog must drain as
+    // file-capped micro-batches, never one giant batch
+    val src = tempDir("cdf-rate"); val out = tempDir("cdf-rate-out")
+    val ckpt = tempDir("cdf-rate-ckpt")
+    val one = nationDF.limit(1).coalesce(1)
+    var t = DeltaTable.forPath(src).write(one) // v0
+    (1 to 99).foreach(_ => t = t.write(one)) // versions 1..99, 1 file each
+    runGraftStream(src, out, ckpt, Map("readChangeFeed" -> "true",
+      "startingVersion" -> "0", "maxFilesPerTrigger" -> "10"))
+    val outT = DeltaTable.forPath(out)
+    val rows = outT.toDF(spark)
+    assert(rows.count() == 100) // one insert frame per version
+    assert(rows.select("_commit_version").distinct().count() == 100)
+    // 10-file batches over 100 single-file versions => >= 10 sink commits
+    assert(outT.version >= 9L,
+      s"CDF backlog not split by maxFilesPerTrigger: ${outT.versions}")
+    // the version cap bounds the CDF tail identically
+    (1 to 6).foreach(_ => t = t.write(one))
+    val before = DeltaTable.forPath(out).version
+    runGraftStream(src, out, ckpt, Map("readChangeFeed" -> "true",
+      "startingVersion" -> "0", "maxVersionsPerTrigger" -> "2"))
+    val after = DeltaTable.forPath(out)
+    assert(after.toDF(spark).count() == 106)
+    assert(after.version >= before + 3,
+      s"CDF tail not split by maxVersionsPerTrigger: ${after.versions}")
+  }
+
   test("versioned source: startingVersion/startingTimestamp skip the snapshot") {
     val src = tempDir("vsrc-sv")
     var t = DeltaTable.forPath(src).write(nationDF) // v0: 25 rows

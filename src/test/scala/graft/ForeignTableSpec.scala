@@ -321,4 +321,94 @@ class ForeignTableSpec extends SparkSuite {
     assert(ids2.filter(col("id") === 200L).head().getAs[Long]("_row_id") == 220L)
     assert(ids2.filter(col("id") === 201L).head().getAs[Long]("_row_id") == 221L)
   }
+
+  // ---- scenario 6: the FOURTH vendored fixture (r13-verdict #7) — a V2
+  // checkpoint with foreign-named sidecars PLUS a multi-part classic
+  // fallback at the same version, under checkpointProtection; written by
+  // tools.ForeignFixtureGenV4 — recorded answers: 70 live rows (ids
+  // 0..29 ∪ 60..79 ∪ 120..139), Σid = 4415, Σamt = 1103.75, v0 = 80 rows ----
+
+  private def fixtureV4Dir(): String = {
+    val src = Paths.get(getClass.getResource("/foreign-delta-table-v4").toURI)
+    val dst = Files.createTempDirectory("foreign-table-v4")
+    Files.walk(src).forEach { p =>
+      val rel = src.relativize(p)
+      val target = dst.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(target)
+      else Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+    dst.toString
+  }
+
+  private def assertV4State(t: DeltaTable): Unit = {
+    assert(t.version == 1L)
+    val df = t.toDF(spark)
+    assert(df.count() == 70L)
+    val r = df.agg(sum("id"), sum("amt")).head()
+    assert(r.getLong(0) == 4415L, r.toString)
+    assert(math.abs(r.getDouble(1) - 1103.75) < 1e-9, r.toString)
+    assert(df.filter(col("id").between(30L, 59L)).count() == 0L) // F1 removed
+    assert(t.domainMetadata.get("foreign.quality")
+      .contains("""{"tier":"gold"}"""))
+    // checkpointProtection rode in: feature declared, boundary live
+    assert(graft.log.ProtocolGate.writerFeatures(t.dlog.currentProtocol)
+      .contains("checkpointProtection"))
+    assert(t.tableProperties.get(
+      "delta.requireCheckpointProtectionBeforeVersion").contains("1"))
+  }
+
+  test("foreign v4 fixture: JSON replay, then multi-part classic checkpoint-only") {
+    val d = fixtureV4Dir()
+    assertV4State(DeltaTable.forPath(d)) // full JSON replay first
+    // wipe the JSON log: the reader must pick the CLASSIC multi-part form
+    // (graft's documented preference) and replay identical state
+    val log = Paths.get(d, "_delta_log")
+    Files.list(log).forEach { p =>
+      if (p.getFileName.toString.endsWith(".json")) Files.delete(p)
+    }
+    val t = DeltaTable.forPath(d)
+    assertV4State(t)
+    // a graft commit on top of the checkpoint-only state keeps the
+    // protocol (checkpointProtection must survive the metadata rewrite)
+    import spark.implicits._
+    val t2 = t.write(Seq((500L, 125.0)).toDF("id", "amt"))
+    assert(t2.toDF(spark).count() == 71L)
+    assert(graft.log.ProtocolGate.writerFeatures(t2.dlog.currentProtocol)
+      .contains("checkpointProtection"))
+  }
+
+  test("foreign v4 fixture: V2 manifest + foreign sidecars when the classic parts are gone") {
+    val d = fixtureV4Dir()
+    val log = Paths.get(d, "_delta_log")
+    Files.list(log).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".json") ||
+          n.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+        Files.delete(p)
+    }
+    assertV4State(DeltaTable.forPath(d))
+    // a missing sidecar is a LOUD corrupt-checkpoint error, not a silent
+    // partial snapshot
+    Files.list(log.resolve("_sidecars")).forEach(p => Files.delete(p))
+    val e = intercept[Exception](DeltaTable.forPath(d).toDF(spark).count())
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+  }
+
+  test("foreign v4 fixture: an incomplete multi-part checkpoint fails loudly") {
+    val d = fixtureV4Dir()
+    val log = Paths.get(d, "_delta_log")
+    // drop the JSON log, the v2 manifest AND one classic part: the
+    // declared part count (2) no longer matches — replaying the remaining
+    // part would silently drop table state
+    Files.list(log).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".json") ||
+          n.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet") ||
+          n.endsWith(".checkpoint.0000000002.0000000002.parquet"))
+        Files.delete(p)
+    }
+    val e = intercept[Exception](DeltaTable.forPath(d).toDF(spark).count())
+    assert(e.getMessage.contains("incomplete") ||
+      e.getMessage.contains("corrupt"), e.getMessage)
+  }
 }
