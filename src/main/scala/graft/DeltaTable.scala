@@ -1618,7 +1618,17 @@ final case class DeltaTable(
     val info = CommitInfo.metaOp(CommitInfo.Op.DropFeature,
       Map("featureName" -> feature,
         "truncateHistory" -> truncateHistory.toString), dlog.version)
-    val committed = commitMeta(DeltaLogEntry(Vector(newProto, newMeta, info)))
+    // STRICT commit, not commitMeta: a blind data commit rebasing past
+    // the drop could mint the very artifact the gate just proved absent
+    // (a concurrent MoR delete adds a deletion vector between gate and
+    // commit → the protocol would lie about the snapshot). Full-table
+    // read under SERIALIZABLE makes ANY concurrent data or metadata
+    // commit abort the drop — an admin verb retries, it never publishes
+    // a protocol the state contradicts.
+    val committed = copy(serializableIsolation = true)
+      .commitOrRebase(DeltaLogEntry(Vector(newProto, newMeta, info)),
+        dlog.addActions.keySet, Some(None))
+      .copy(serializableIsolation = serializableIsolation)
     if (readerScoped || truncateHistory) {
       // the post-drop checkpoint is what makes the downgrade REAL for
       // feature-unaware readers: they open from it (new protocol, no

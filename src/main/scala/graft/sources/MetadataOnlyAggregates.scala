@@ -99,6 +99,7 @@ final class MetadataOnlyAggregates(session: SparkSession)
         DataSkipping.exactMatchingFiles(idx.liveAdds, f, schema, partCols)
           .getOrElse(return None)
     }
+    val memo = MetadataOnlyAggregates.memoFor(idx)
     // group files by their partition tuple for the grouping columns;
     // a missing partition key bails, an empty value is a NULL group key
     val grouped = scala.collection.mutable.LinkedHashMap
@@ -129,7 +130,7 @@ final class MetadataOnlyAggregates(session: SparkSession)
         case Alias(a: AttributeReference, _) => keyInternal.getOrElse(
           a.name.toLowerCase, return None)
         case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-          aggValue(fn, group, schema, partCols).getOrElse(return None)
+          aggValue(fn, group, schema, partCols, memo).getOrElse(return None)
         case _ => return None
       }
       Seq(InternalRow.fromSeq(values))
@@ -168,11 +169,12 @@ final class MetadataOnlyAggregates(session: SparkSession)
         DataSkipping.exactMatchingFiles(idx.liveAdds, f, schema, partCols)
           .getOrElse(return None)
     }
+    val memo = MetadataOnlyAggregates.memoFor(idx)
     val values = aggExprs.map {
       case Alias(l: Literal, _) => l.value
       case l: Literal => l.value
       case Alias(AggregateExpression(fn, Complete, false, None, _), _) =>
-        aggValue(fn, files, schema, partCols).getOrElse(return None)
+        aggValue(fn, files, schema, partCols, memo).getOrElse(return None)
       case _ => return None
     }
     Some(InternalRow.fromSeq(values))
@@ -192,7 +194,8 @@ final class MetadataOnlyAggregates(session: SparkSession)
     }
 
   private def aggValue(fn: AggregateFunction, files: Seq[AddFile],
-      schema: StructType, partCols: Seq[String]): Option[Any] = fn match {
+      schema: StructType, partCols: Seq[String],
+      memo: MetadataOnlyAggregates.StatsMemo): Option[Any] = fn match {
     case Count(Seq(l: Literal)) if l.value != null =>
       // COUNT(*) / COUNT(1): live rows
       files.foldLeft(Option(0L))((acc, a) =>
@@ -213,11 +216,13 @@ final class MetadataOnlyAggregates(session: SparkSession)
             s <- acc
             if dvCard(a) == 0L
             n <- a.numRecords
-            st = DataSkipping.parseStats(a, schema)
+            st = memo.of(a)
             nc <- st.nullCount.get(f.name)
           } yield s + (n - nc))
-    case Min(attr: AttributeReference) => extremum(files, schema, partCols, attr, isMax = false)
-    case Max(attr: AttributeReference) => extremum(files, schema, partCols, attr, isMax = true)
+    case Min(attr: AttributeReference) =>
+      extremum(files, schema, partCols, attr, isMax = false, memo)
+    case Max(attr: AttributeReference) =>
+      extremum(files, schema, partCols, attr, isMax = true, memo)
     case _ => None
   }
 
@@ -226,7 +231,7 @@ final class MetadataOnlyAggregates(session: SparkSession)
     */
   private def extremum(files: Seq[AddFile], schema: StructType,
       partCols: Seq[String], attr: AttributeReference,
-      isMax: Boolean): Option[Any] = {
+      isMax: Boolean, memo: MetadataOnlyAggregates.StatsMemo): Option[Any] = {
     val f = fieldOf(schema, attr.name).getOrElse(return None)
     val isPartition = partCols.exists(_.equalsIgnoreCase(f.name))
     // recorded stats bounds are attained only for these; partition
@@ -254,7 +259,7 @@ final class MetadataOnlyAggregates(session: SparkSession)
         }
         else {
           if (dvCard(a) > 0L) return None
-          val st = DataSkipping.parseStats(a, schema)
+          val st = memo.of(a)
           // stat absent (or timestamp not exactly recorded): a provable
           // all-null file contributes nothing, anything else bails
           def allNullOrBail: Any =
@@ -312,4 +317,37 @@ final class MetadataOnlyAggregates(session: SparkSession)
     case _: TimestampType | _: TimestampNTZType => v.asInstanceOf[Long]
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
+}
+
+object MetadataOnlyAggregates {
+
+  /** Per-snapshot stats-parse memo: COUNT(col)/MIN/MAX each walk the file
+    * list, so an N-agg query over an M-file snapshot parsed each stats
+    * JSON N times (measured 0.6 s of driver time at M = 10⁵, PLANNER
+    * probe), and every re-query of the same DataFrame re-parsed all M.
+    * One parse per file per index instead, keyed WEAKLY on index identity
+    * (an index embodies one immutable snapshot; its `liveAdds` Seq is
+    * stable), so the memo dies with the index.
+    */
+  private[sources] final class StatsMemo(schema: StructType) {
+    private val cache = new java.util.IdentityHashMap[AddFile, DataSkipping.FileStats]()
+    def of(a: AddFile): DataSkipping.FileStats = synchronized {
+      val hit = cache.get(a)
+      if (hit != null) hit
+      else { val v = DataSkipping.parseStats(a, schema); cache.put(a, v); v }
+    }
+  }
+
+  private val memos = new java.util.WeakHashMap[GraftFileIndex, StatsMemo]()
+
+  private[sources] def memoFor(idx: GraftFileIndex): StatsMemo =
+    memos.synchronized {
+      val hit = memos.get(idx)
+      if (hit != null) hit
+      else {
+        val m = new StatsMemo(idx.statsSchema)
+        memos.put(idx, m)
+        m
+      }
+    }
 }

@@ -261,6 +261,109 @@ object ScaleProbe {
       }
     }
 
+    // DEDUPSCALE (r13-verdict #4): the four near-dup pipelines (q20/q21/
+    // q59/q174) at 1x and ~10x docs (sf1-equivalent), recording pair-stage
+    // wall AND shuffle-write bytes — the empirical check that the
+    // default-on df cap and the alternating-star contraction keep the
+    // asymptotics near-linear (an all-pairs regression would show as
+    // ~100x pair-stage bytes at 10x docs).
+    if (sections("dedupscale")) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+      val lst = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          Option(t.taskMetrics).foreach(m =>
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+      }
+      spark.sparkContext.addSparkListener(lst)
+      def measured(tag: String, copies: Int, n: Long)(f: => Long): Unit = {
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime(); val rows = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"DEDUPSCALE op=$tag%-16s copies=$copies%3d docs=$n%7d " +
+          f"wall=$sec%7.2fs shuffleMB=${shuffleBytes.get / 1e6}%9.1f rows=$rows%7d")
+      }
+      Seq(1, 10).foreach { copies =>
+        val corpus = salted(docs, copies).cache()
+        val n = corpus.count()
+        measured("ngram_jaccard", copies, n)(
+          Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+            n = 3, threshold = 0.8).count())
+        measured("minhash_lsh", copies, n)(
+          Dedup.minHashLshPairs(corpus, "doc_id", "text",
+            n = 3, numHashes = 64, bands = 16, threshold = 0.8).count())
+        measured("dedup_clusters", copies, n)(
+          Dedup.connectedComponents(Dedup.ngramJaccardPairs(corpus,
+            "doc_id", "text", n = 3, threshold = 0.8)).count())
+        measured("paragraph_nd", copies, n)(
+          Dedup.paragraphMinHashPairs(corpus, "doc_id", "text").count())
+        corpus.unpersist()
+      }
+      spark.sparkContext.removeSparkListener(lst)
+    }
+
+    // PLANNER overhead (r13-verdict #5): MetadataOnlyAggregates +
+    // GraftPathResolution run on EVERY statement of a GraftSql session —
+    // on a synthetic 1e5-add snapshot, measure (a) optimize wall of the
+    // MATCHING aggregate with the rule on vs off (the rewrite's own cost,
+    // which replaces a 1e5-file scan), (b) optimize wall of a NON-matching
+    // statement on the same table rules on vs off (the tax every other
+    // query pays), (c) a graft-free statement in the GraftSql session vs
+    // the plain one (the path-resolution tax on unrelated SQL).
+    if (sections("planner")) {
+      import graft.DeltaTable
+      Seq(10000, 100000).foreach { nAdds =>
+        val d = java.nio.file.Files.createTempDirectory("graft-plan-").toString
+        // real create (schema + partition col), then one raw commit
+        // carrying nAdds synthetic adds — planner cost depends only on
+        // log metadata, never on file bytes, so the files need not exist
+        val seed = (0 until 16).map(i => (i.toLong, i / 2.0, s"p$i"))
+        DeltaTable.forPath(d).write(
+          spark.createDataFrame(seed).toDF("id", "v", "k").coalesce(1),
+          partitionBy = Some(Seq("k")))
+        val lines = (0 until nAdds).map { i =>
+          val lo = i * 1000L; val hi = lo + 999L
+          s"""{"add":{"path":"k=p${i % 16}/part-$i.parquet","partitionValues":{"k":"p${i % 16}"},"size":10000,"modificationTime":1730000000000,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":$lo,\\"v\\":$lo.5},\\"maxValues\\":{\\"id\\":$hi,\\"v\\":$hi.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}"""
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(
+          d, "_delta_log", "00000000000000000001.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        def wall(f: => Any): Double = {
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          runs.sorted.apply(1)
+        }
+        val openSec = wall(DeltaTable.forPath(d).version)
+        val sqlS = graft.sql.GraftSql.enable(spark)
+        val t = DeltaTable.forPath(d)
+        val base = t.toDF(sqlS)
+        def optAgg() = base.agg(count(lit(1)), min(col("v")), max(col("v")))
+          .queryExecution.optimizedPlan
+        def optGrouped() = base.groupBy("k").agg(count(lit(1)), max(col("id")))
+          .queryExecution.optimizedPlan
+        def optOther() = base.filter(col("id") > 500).select("id", "v")
+          .queryExecution.optimizedPlan
+        val aggOn = wall(optAgg())
+        val groupedOn = wall(optGrouped())
+        val otherOn = wall(optOther())
+        sqlS.conf.set("spark.graft.metadataOnlyAggregates", "false")
+        val aggOff = wall(optAgg())
+        val otherOff = wall(optOther())
+        sqlS.conf.unset("spark.graft.metadataOnlyAggregates")
+        // the tax on graft-free SQL in an extension-enabled session
+        def freeSql(s: org.apache.spark.sql.SparkSession) =
+          s.range(1000).filter(col("id") % 7 === 0)
+            .groupBy((col("id") % 3).as("g")).count()
+            .queryExecution.optimizedPlan
+        val freeExt = wall(freeSql(sqlS))
+        val freePlain = wall(freeSql(spark))
+        println(f"PLANNER adds=$nAdds%7d open=$openSec%6.3fs " +
+          f"agg_on=$aggOn%6.3fs agg_off=$aggOff%6.3fs grouped_on=$groupedOn%6.3fs " +
+          f"other_on=$otherOn%6.3fs other_off=$otherOff%6.3fs " +
+          f"free_ext=$freeExt%6.4fs free_plain=$freePlain%6.4fs")
+      }
+    }
+
     // text-quality pipeline: duplicate-passage windows and unigram-LM
     // scoring over salted corpus copies. Both are explode + bounded-key
     // window/agg shapes; time/doc should stay ~flat as the corpus grows.

@@ -109,6 +109,32 @@ class Round15Spec extends SparkSuite {
     assert(!ProtocolGate.writerFeatures(tc.dlog.currentProtocol).contains("clustering"))
   }
 
+  test("dropFeature aborts when a data commit lands between gate and commit") {
+    // the race the strict commit exists for: the gate proves no live DV,
+    // then a concurrent MoR delete mints one — a metadata-style rebase
+    // would publish a protocol the snapshot contradicts; the drop must
+    // conflict on ANY concurrent data commit instead
+    val d = tempDir("dropfeat-race")
+    var t = DeltaTable.forPath(d)
+      .write(spark.range(0, 40).select(col("id"), (col("id") % 4).as("k")))
+    t = t.setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    t = t.deleteMergeOnRead(spark, Some(col("k") === 1))
+    t = t.setTableProperties(Map("delta.enableDeletionVectors" -> "false"))
+    t = t.purge(spark)
+    // stale handle passes the gate; a fresh handle then DVs a file
+    val stale = t
+    DeltaTable.forPath(d)
+      .setTableProperties(Map("delta.enableDeletionVectors" -> "true"))
+    DeltaTable.forPath(d).deleteMergeOnRead(spark, Some(col("k") === 2))
+    intercept[java.util.ConcurrentModificationException](
+      stale.dropFeature("deletionVectors"))
+    // the feature survives, the snapshot stays honest
+    val re = DeltaTable.forPath(d)
+    assert(graft.log.ProtocolGate.readerFeatures(re.dlog.currentProtocol)
+      .contains("deletionVectors"))
+    assert(re.toDF(spark).filter(col("k") === 2).count() == 0)
+  }
+
   // ---- r13 ADVICE pins ----
 
   test("grouped metadata aggregate skips zero-live-row partitions") {
