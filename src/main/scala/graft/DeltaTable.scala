@@ -1407,13 +1407,42 @@ final case class DeltaTable(
     // Metadata.configuration
     val protoR = props.get("delta.minReaderVersion").map(_.toInt)
     val protoW = props.get("delta.minWriterVersion").map(_.toInt)
-    val rest = props -- Seq("delta.minReaderVersion", "delta.minWriterVersion")
-    val upgraded =
+    // `delta.feature.<name>=supported` (delta-spark's feature-enablement
+    // property spelling — the declarative counterpart of DROP FEATURE):
+    // also a protocol action, never configuration. Unknown features are
+    // refused up front — declaring one we don't implement would make the
+    // table unwritable by this very engine on the next commit.
+    val FeatureKey = """delta\.feature\.([A-Za-z0-9_-]+)""".r
+    val featureNames = props.keys.toSeq.sorted.collect {
+      case k @ FeatureKey(f) =>
+        val v = props(k).trim.toLowerCase(java.util.Locale.ROOT)
+        require(v == "supported" || v == "enabled",
+          s"$k: only 'supported' is accepted, got '${props(k)}'")
+        require(ProtocolGate.SupportedReaderFeatures.contains(f) ||
+            ProtocolGate.SupportedWriterFeatures.contains(f),
+          s"unknown table feature '$f' — this engine implements: " +
+            (ProtocolGate.SupportedReaderFeatures ++
+              ProtocolGate.SupportedWriterFeatures).toSeq.sorted.mkString(", "))
+        f
+    }
+    val rest = props -- Seq("delta.minReaderVersion", "delta.minWriterVersion") --
+      featureNames.map(f => s"delta.feature.$f")
+    var upgraded =
       if (protoR.isDefined || protoW.isDefined) {
         val cur = dlog.currentProtocol
         upgradeProtocol(protoR.getOrElse(cur.minReaderVersion),
           protoW.getOrElse(cur.minWriterVersion))
       } else this
+    if (featureNames.nonEmpty) {
+      val cur = upgraded.dlog.currentProtocol
+      val target = featureNames.foldLeft(cur)((p, f) =>
+        ProtocolGate.withFeature(p, f).getOrElse(p))
+      if (target != cur)
+        upgraded = upgraded.commitMeta(DeltaLogEntry(Vector(target,
+          CommitInfo.metaOp(CommitInfo.Op.UpgradeProtocol,
+            Map("supportedFeatures" -> featureNames.mkString(",")),
+            upgraded.dlog.version))))
+    }
     if (rest.isEmpty) return upgraded
     val meta = upgraded.dlog.latestMetadata
       .getOrElse(throw new IllegalStateException("no metadata to amend"))

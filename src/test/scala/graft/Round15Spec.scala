@@ -135,6 +135,37 @@ class Round15Spec extends SparkSuite {
     assert(re.toDF(spark).filter(col("k") === 2).count() == 0)
   }
 
+  test("delta.feature.<name>=supported declares the feature, never lands in config") {
+    val d = tempDir("featprop")
+    var t = DeltaTable.forPath(d).write(Seq((1, "a")).toDF("id", "s"))
+    t = t.setTableProperties(Map(
+      "delta.feature.deletionVectors" -> "supported",
+      "graft.note" -> "x")) // mixed with a real config property
+    val p = t.dlog.currentProtocol
+    assert(ProtocolGate.readerFeatures(p).contains("deletionVectors"))
+    assert(ProtocolGate.writerFeatures(p).contains("deletionVectors"))
+    // the spelling is a protocol action, not configuration (delta parity)
+    assert(!t.tableProperties.keys.exists(_.startsWith("delta.feature.")))
+    assert(t.tableProperties.get("graft.note").contains("x"))
+    // SQL surface rides the same path
+    val r = sql.sql(s"ALTER TABLE graft.`$d` SET TBLPROPERTIES " +
+      "('delta.feature.rowTracking' = 'supported')")
+    assert(ProtocolGate.writerFeatures(
+      DeltaTable.forPath(d).dlog.currentProtocol).contains("rowTracking"))
+    // unknown features refused up front (declaring one we don't implement
+    // would make the table unwritable by this very engine)
+    val e = intercept[Exception](t.setTableProperties(
+      Map("delta.feature.futureMagic" -> "supported")))
+    assert(e.getMessage.contains("unknown table feature"), e.getMessage)
+    // values other than supported/enabled refused
+    intercept[Exception](t.setTableProperties(
+      Map("delta.feature.deletionVectors" -> "maybe")))
+    // full lifecycle: property-spelling enable → DROP FEATURE retires it
+    val dropped = DeltaTable.forPath(d).dropFeature("rowTracking")
+    assert(!ProtocolGate.writerFeatures(dropped.dlog.currentProtocol)
+      .contains("rowTracking"))
+  }
+
   // ---- r13 ADVICE pins ----
 
   test("grouped metadata aggregate skips zero-live-row partitions") {
