@@ -112,9 +112,13 @@ object Checkpoint {
     val dvId = Checkpoint.descriptorId _
     val liveTuples = dlog.addActions.values
       .map(a => (a.path, dvId(a.extra))).toSet
-    var tombs = scala.collection.immutable.ListMap.empty[(String, String), RemoveFile]
-    dlog.entries.valuesIterator.foreach(_.removes.foreach(r =>
-      tombs = tombs.updated((r.path, dvId(r.extra)), r)))
+    // LinkedHashMap, not ListMap: a long-lived table accumulates O(live
+    // files) remove tombstones and ListMap.updated made this fold
+    // quadratic (the DeltaLog.addActions CKPTSCALE finding, same shape)
+    val tombs = scala.collection.mutable.LinkedHashMap.empty[(String, String), RemoveFile]
+    dlog.entries.valuesIterator.foreach(_.removes.foreach { r =>
+      val k = (r.path, dvId(r.extra)); tombs.remove(k); tombs.update(k, r)
+    })
     val retentionMs = metadata.configuration
       .get("delta.deletedFileRetentionDuration")
       .map(graft.DeltaTable.parseRetentionInterval(_))

@@ -348,10 +348,19 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
   }
 
   /** Live files: fold add/remove by path in version order (reference
-    * delta_log/__init__.py:336-346). Insertion order preserved.
+    * delta_log/__init__.py:336-346). Insertion order preserved; a
+    * re-added path moves to the END, matching the previous immutable
+    * ListMap.updated semantics.
+    *
+    * NOT a ListMap: its O(n) `updated`/`removed` made this fold O(N²) —
+    * a 10⁵-add replay burned MINUTES of driver time (caught by the
+    * CKPTSCALE probe jstack-sampling `ListMap$Node.updated`). A mutable
+    * LinkedHashMap build + VectorMap snapshot is O(N log N), and the
+    * `lazy val` collapses the repeated per-operation replays of one
+    * immutable log into a single fold.
     */
-  def addActions: ListMap[String, AddFile] = {
-    var adds = ListMap.empty[String, AddFile]
+  lazy val addActions: scala.collection.immutable.SeqMap[String, AddFile] = {
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     entries.foreach { case (_, entry) =>
       // removes BEFORE adds within one entry: a same-path remove+add pair
       // in a single commit (delta-spark's DV delete emits remove(old) +
@@ -360,10 +369,10 @@ final case class DeltaLog(loc: Location, entries: SortedMap[Long, DeltaLogEntry]
       // not a kill of the re-add. Graft's own commits never pair a path
       // (rewrites mint fresh uuid paths; MoR re-adds without a remove),
       // so this matches delta replay without changing native semantics.
-      entry.removes.foreach(r => adds = adds.removed(r.path))
-      entry.adds.foreach(a => adds = adds.updated(a.path, a))
+      entry.removes.foreach(r => adds.remove(r.path))
+      entry.adds.foreach { a => adds.remove(a.path); adds.update(a.path, a) }
     }
-    adds
+    scala.collection.immutable.VectorMap.from(adds)
   }
 
   /** Last-committed `txn` version for a streaming application id — None if

@@ -49,8 +49,12 @@ object LogCompaction {
     var protocol: Option[Protocol] = None
     var metadata: Option[Metadata] = None
     // path → final file action for the range (replay order: within one
-    // entry removes land before adds, matching DeltaLog.addActions)
-    var files = scala.collection.immutable.ListMap.empty[String, Action]
+    // entry removes land before adds, matching DeltaLog.addActions).
+    // LinkedHashMap with remove-then-update (≡ ListMap.updated ordering,
+    // O(1) per action): an immutable ListMap here made compaction O(R²)
+    // in the range's file actions — the same quadratic fold the
+    // CKPTSCALE probe caught in DeltaLog.addActions
+    val files = scala.collection.mutable.LinkedHashMap.empty[String, Action]
     var txns = scala.collection.immutable.ListMap.empty[String, Txn]
     var domains = scala.collection.immutable.ListMap.empty[String, DomainMetadata]
     val raws = Vector.newBuilder[Action]
@@ -62,8 +66,8 @@ object LogCompaction {
         case t: Txn => txns = txns.updated(t.appId, t)
         case d: DomainMetadata => domains = domains.updated(d.domain, d)
         case _: AddCDCFile => () // cdc serves the feed, not snapshot state
-        case r: RemoveFile => files = files.updated(r.path, r)
-        case a: AddFile => files = files.updated(a.path, a)
+        case r: RemoveFile => files.remove(r.path); files.update(r.path, r)
+        case a: AddFile => files.remove(a.path); files.update(a.path, a)
         case other => raws += other
       }
       // removes-before-adds WITHIN an entry is already the log's write

@@ -116,14 +116,30 @@ object GraftCatalog {
   def all(spark: SparkSession): Map[String, String] = {
     val dir = registryDir(spark)
     val uri = dir.uri
-    // a list, not a read: parse only when the latest version advanced
+    // a list, not a read: parse only when the cache STAMP moved — the
+    // latest version for a versioned registry, or (encoded negative) the
+    // legacy file's mtime when only the pre-r14 single file exists, or -1
+    // when neither does. Without the legacy/absent arm every statement of
+    // a registry-less session would re-read (or re-throw FileNotFound on)
+    // the legacy path.
     val top = dir.listSorted().flatMap(s => versionOf(s.getPath.getName))
       .lastOption.getOrElse(-1L)
+    val stamp =
+      if (top >= 0L) top
+      else {
+        val leg = legacyLoc(spark)
+        val mtime =
+          try leg.fs.getFileStatus(leg.path).getModificationTime
+          catch { case _: java.io.FileNotFoundException => -1L }
+        if (mtime < 0L) -1L else -2L - mtime
+      }
     cache match {
-      case Some((u, v, map)) if u == uri && v == top && top >= 0L => map
+      case Some((u, s, map)) if u == uri && s == stamp => map
       case _ =>
-        val (v, map) = latest(spark)
-        cache = Some((uri, v, map))
+        val map =
+          if (stamp == -1L) Map.empty[String, String]
+          else latest(spark)._2
+        cache = Some((uri, stamp, map))
         map
     }
   }

@@ -364,6 +364,62 @@ object ScaleProbe {
       }
     }
 
+    // CKPTSCALE: checkpoint machinery at metadata scale — write + fast-
+    // path open for the graft layout, the delta classic layout, and the
+    // V2 manifest+sidecars layout over a synthetic 1e5-add snapshot,
+    // against the raw-JSON-replay control. At 100 TB the table OPEN cost
+    // is log mechanics, not data — these are the numbers that bound it.
+    if (sections("ckptscale")) {
+      import graft.DeltaTable
+      Seq(10000, 100000).foreach { nAdds =>
+        def freshSynth(): String = {
+          val d = java.nio.file.Files.createTempDirectory("graft-cks-").toString
+          val seed = (0 until 16).map(i => (i.toLong, i / 2.0, s"p$i"))
+          DeltaTable.forPath(d).write(
+            spark.createDataFrame(seed).toDF("id", "v", "k").coalesce(1),
+            partitionBy = Some(Seq("k")))
+          val lines = (0 until nAdds).map { i =>
+            val lo = i * 1000L; val hi = lo + 999L
+            s"""{"add":{"path":"k=p${i % 16}/part-$i.parquet","partitionValues":{"k":"p${i % 16}"},"size":10000,"modificationTime":1730000000000,"dataChange":true,"stats":"{\\"numRecords\\":1000,\\"minValues\\":{\\"id\\":$lo,\\"v\\":$lo.5},\\"maxValues\\":{\\"id\\":$hi,\\"v\\":$hi.5},\\"nullCount\\":{\\"id\\":0,\\"v\\":0}}"}}"""
+          }
+          java.nio.file.Files.write(java.nio.file.Paths.get(
+            d, "_delta_log", "00000000000000000001.json"),
+            lines.mkString("\n").getBytes("UTF-8"))
+          d
+        }
+        def wall(f: => Any): Double = {
+          val runs = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          runs.sorted.apply(1)
+        }
+        // writes are timed SINGLE-SHOT: checkpoint() is idempotent (an
+        // existing file short-circuits), so a median-of-3 would be 0
+        def wall1(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        val dG = freshSynth()
+        val rawOpen = wall(DeltaTable.forPath(dG).version)
+        val tG = DeltaTable.forPath(dG)
+        val writeGraft = wall1(tG.checkpoint())
+        val openGraft = wall(DeltaTable.forPath(dG).version)
+        val dD = freshSynth()
+        val tD = DeltaTable.forPath(dD)
+          .setTableProperties(Map("delta.checkpointPolicy" -> "classic"))
+        val writeDelta = wall1(tD.checkpoint())
+        val openDelta = wall(DeltaTable.forPath(dD).version)
+        val dV = freshSynth()
+        val tV = DeltaTable.forPath(dV)
+          .setTableProperties(Map("delta.checkpointPolicy" -> "v2"))
+        val writeV2 = wall1(tV.checkpoint())
+        val openV2 = wall(DeltaTable.forPath(dV).version)
+        println(f"CKPTSCALE adds=$nAdds%7d open_raw=$rawOpen%6.3fs " +
+          f"graft[w=$writeGraft%6.3fs o=$openGraft%6.3fs] " +
+          f"delta_classic[w=$writeDelta%6.3fs o=$openDelta%6.3fs] " +
+          f"delta_v2[w=$writeV2%6.3fs o=$openV2%6.3fs]")
+      }
+    }
+
     // text-quality pipeline: duplicate-passage windows and unigram-LM
     // scoring over salted corpus copies. Both are explode + bounded-key
     // window/agg shapes; time/doc should stay ~flat as the corpus grows.
