@@ -166,6 +166,34 @@ class Round15Spec extends SparkSuite {
       .contains("rowTracking"))
   }
 
+  test("addActions replay order: insertion-ordered, re-added paths move to the end") {
+    // the O(N²) ListMap fold was replaced by a LinkedHashMap+VectorMap
+    // build — this pins the ordering contract the replacement promised
+    // (ListMap.updated semantics: first-insertion order, an updated key
+    // moves to the END), which scan file order inherits
+    import graft.log._
+    val e0 = DeltaLogEntry(Vector(
+      AddFile("a.parquet", Map.empty, 1L, 1L, dataChange = true),
+      AddFile("b.parquet", Map.empty, 1L, 1L, dataChange = true),
+      AddFile("c.parquet", Map.empty, 1L, 1L, dataChange = true)))
+    // v1: re-add b (MoR-style, no remove) and kill a
+    val e1 = DeltaLogEntry(Vector(
+      RemoveFile("a.parquet", dataChange = true, deletionTimestamp = 2L),
+      AddFile("b.parquet", Map.empty, 2L, 2L, dataChange = true)))
+    val log = DeltaLog(
+      graft.storage.Location(tempDir("replay-order")),
+      scala.collection.immutable.SortedMap(0L -> e0, 1L -> e1))
+    assert(log.addActions.keys.toSeq == Seq("c.parquet", "b.parquet"))
+    assert(log.addActions("b.parquet").modificationTime == 2L)
+    // same-entry remove+add of one path leaves the file live (DV re-add)
+    val e2 = DeltaLogEntry(Vector(
+      RemoveFile("c.parquet", dataChange = true, deletionTimestamp = 3L),
+      AddFile("c.parquet", Map.empty, 3L, 3L, dataChange = true)))
+    val log2 = DeltaLog(log.loc,
+      scala.collection.immutable.SortedMap(0L -> e0, 1L -> e1, 2L -> e2))
+    assert(log2.addActions.keys.toSeq == Seq("b.parquet", "c.parquet"))
+  }
+
   // ---- r13 ADVICE pins ----
 
   test("grouped metadata aggregate skips zero-live-row partitions") {
