@@ -889,14 +889,27 @@ object TextAnalysis {
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
       lambda: Double = 0.7): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0, 1): $lambda")
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))))
-      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_tk")
-    val byPos = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_pos"))
-    val pairs = toks.withColumn("_prev", lag(col("_tk"), 1).over(byPos))
-      .filter(col("_prev").isNotNull)
+    // Adjacent (prev, tk) pairs straight from the token ARRAY: zip the
+    // array against itself shifted by one. The prior formulation
+    // (posexplode + lag().over(partitionBy(doc).orderBy(pos))) paid a
+    // full Exchange + per-partition Sort + WindowExec over EVERY token
+    // occurrence just to pair neighbors that already sit adjacent in the
+    // in-row array — and that subtree was replicated under each of the
+    // three join arms below (pairs/big/left), so the plan carried three
+    // window sorts (r14 plan capture: 30 Exchanges → 22, and the whole
+    // pre-aggregation pipeline is now one codegen stage off the scan).
+    // At scale this removes the only token-stream-wide sort in the
+    // operator; order within a doc is irrelevant to the counts.
+    val ts = tokens(col(textCol))
+    val pairArr = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => struct(a.as("_prev"), b.as("_tk")))
+    val pairs = df.select(col(idCol), explode(pairArr).as("_pr"))
+      .select(col(idCol), col("_pr._prev").as("_prev"), col("_pr._tk").as("_tk"))
       .groupBy(col(idCol), col("_prev"), col("_tk"))
       .agg(count(lit(1)).as("_c"))
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
     val big = pairs.groupBy("_prev", "_tk").agg(sum("_c").as("_cb"))
       .hint("shuffle_hash")
     val left = big.groupBy("_prev").agg(sum("_cb").as("_cl"))
@@ -907,14 +920,28 @@ object TextAnalysis {
     // NOTE: lit(1 - lambda) is computed in DOUBLE here and as `1 - λ` in
     // the oracle SQL — the same IEEE subtraction, so both engines weight
     // the unigram term with the identical (non-decimal-exact) double
-    pairs.join(big, Seq("_prev", "_tk")).join(left, Seq("_prev"))
-      .join(uni, Seq("_tk")).crossJoin(total)
+    //
+    // The interpolated log term is assembled on the VOCAB-sized side
+    // first (big ⋈ left ⋈ uni ⋈ total — all bigram/unigram-type
+    // cardinality), and the heavy per-(doc, bigram) stream joins that
+    // weight table exactly ONCE. The prior chain
+    // `pairs ⋈ big ⋈ left ⋈ uni` re-exchanged the per-doc stream on
+    // (_prev,_tk), then (_prev), then (_tk) — three full shuffles of the
+    // corpus-sized stream where one suffices (guide §2.3/§2.4); the log()
+    // now also evaluates once per bigram TYPE, not once per document
+    // occurrence. Summands and their per-doc summation set are identical,
+    // so the rounded result is unchanged (oracle-verified).
+    val weights = big.join(left, Seq("_prev")).join(uni, Seq("_tk"))
+      .crossJoin(total)
+      .select(col("_prev"), col("_tk"),
+        log(lit(lambda) * (col("_cb").cast("double") / col("_cl")) +
+          lit(1 - lambda) * (col("_cu").cast("double") / col("_total")))
+          .as("_lp"))
+      .hint("shuffle_hash")
+    pairs.join(weights, Seq("_prev", "_tk"))
       .groupBy(col(idCol))
       .agg(sum("_c").cast("long").as("n_bigrams"),
-        round(sum(col("_c") * log(
-          lit(lambda) * (col("_cb").cast("double") / col("_cl")) +
-            lit(1 - lambda) * (col("_cu").cast("double") / col("_total"))))
-          / sum("_c"), 4).as("avg_logprob"))
+        round(sum(col("_c") * col("_lp")) / sum("_c"), 4).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 2))
   }
 
