@@ -188,29 +188,37 @@ object Similarity {
       vecCol: String, nCells: Int, iters: Int,
       seed: Int): Array[Array[Double]] = {
     val dim = probeDim(corpus, vecCol)
-    // deterministic seed sample: nCells vectors with smallest hashed id
-    var centroids: Array[Array[Double]] = corpus
-      .select(toDouble(col(vecCol)).as("_v"),
+    // materialize the parsed vectors ONCE: every Lloyd pass differs only
+    // in the centroid literals, so iterating over the raw frame would
+    // re-run the scan + element-wise double conversion `iters + 1` times
+    // (the [[graft.operators.Regression.logisticFit]] mat-persist idiom;
+    // the cache holds one double array per vector — narrow, column-pruned)
+    val mat = corpus.select(toDouble(col(vecCol)).as("_v"),
         xxhash64(col(idCol).cast("string"), lit(seed)).as("_h"))
-      .orderBy("_h").limit(nCells)
-      .collect().map(_.getSeq[Double](0).toArray)
-    // Lloyd refinement: assign (codegen'd argmax) -> per-(cell, dim) mean
-    for (_ <- 1 to iters) {
-      val assigned = corpus.select(toDouble(col(vecCol)).as("_v"))
-        .withColumn("_cell", element_at(nearestCentroids(col("_v"), centroids, 1), 1))
-      val sums = assigned.select(col("_cell"), posexplode(col("_v")))
-        .groupBy("_cell", "pos").agg(avg("col").as("_m"))
-        .collect()
-      val byCell = sums.groupBy(_.getInt(0))
-      centroids = centroids.indices.map { c =>
-        byCell.get(c).map { rows =>
-          val arr = new Array[Double](dim)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-          arr
-        }.getOrElse(centroids(c)) // empty cell keeps its seed
-      }.toArray
-    }
-    centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seed sample: nCells vectors with smallest hashed id
+      var centroids: Array[Array[Double]] = mat
+        .orderBy("_h").limit(nCells)
+        .collect().map(_.getSeq[Double](0).toArray)
+      // Lloyd refinement: assign (codegen'd argmax) -> per-(cell, dim) mean
+      for (_ <- 1 to iters) {
+        val assigned = mat.select(col("_v"))
+          .withColumn("_cell", element_at(nearestCentroids(col("_v"), centroids, 1), 1))
+        val sums = assigned.select(col("_cell"), posexplode(col("_v")))
+          .groupBy("_cell", "pos").agg(avg("col").as("_m"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCell.get(c).map { rows =>
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          }.getOrElse(centroids(c)) // empty cell keeps its seed
+        }.toArray
+      }
+      centroids
+    } finally { mat.unpersist(); () }
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

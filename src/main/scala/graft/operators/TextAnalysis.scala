@@ -905,6 +905,12 @@ object TextAnalysis {
       slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
       slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
       (a, b) => struct(a.as("_prev"), b.as("_tk")))
+    // NB a Par.spread before the explodes was tried and REJECTED: at the
+    // bench's one-file-corpus scale the extra exchange + stage barrier
+    // measured ~1.8x SLOWER than letting the scan task tokenize (median
+    // 2.23 s vs 1.27 s, r14) — the tokenize passes are cheaper than a
+    // full-text reshuffle here, and at warehouse scale the input has
+    // thousands of splits anyway
     val pairs = df.select(col(idCol), explode(pairArr).as("_pr"))
       .select(col(idCol), col("_pr._prev").as("_prev"), col("_pr._tk").as("_tk"))
       .groupBy(col(idCol), col("_prev"), col("_tk"))
