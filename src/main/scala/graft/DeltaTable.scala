@@ -2502,24 +2502,38 @@ final case class DeltaTable(
     * (conservative, never wrong). The one-row min/max agg runs on the
     * already-cached source.
     */
+  /** The single merge-key column when its type supports stats-range
+    * pruning of the phase-1 candidate set; None for composite keys or
+    * unprunable types.
+    */
+  private[graft] def mergePrunableKey(keyCols: Seq[String]): Option[String] =
+    keyCols match {
+      case Seq(k) => dlog.schema(k).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => Some(k)
+        case org.apache.spark.sql.types.StringType => Some(k)
+        case org.apache.spark.sql.types.DateType => Some(k)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Candidate adds for the given source key bounds (None = empty or
+    * all-null source: nothing prunes).
+    */
+  private[graft] def mergeCandidateAddsFromBounds(key: Option[String],
+      bounds: Option[(Any, Any)]): Seq[AddFile] = (key, bounds) match {
+    case (Some(k), Some((lo, hi))) => prunedAdds(col(k) >= lit(lo) && col(k) <= lit(hi))
+    case _ => dlog.addActions.values.toSeq
+  }
+
   private[graft] def mergeCandidateAdds(spark: SparkSession, src: DataFrame,
       keyCols: Seq[String]): Seq[AddFile] = {
-    val all = dlog.addActions.values.toSeq
-    if (keyCols.size != 1) return all
-    val k = keyCols.head
-    val prunable = dlog.schema(k).dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case org.apache.spark.sql.types.StringType => true
-      case org.apache.spark.sql.types.DateType => true
-      case _ => false
-    }
-    if (!prunable) return all
+    val k = mergePrunableKey(keyCols)
+      .getOrElse(return dlog.addActions.values.toSeq)
     val mm = src.agg(org.apache.spark.sql.functions.min(col(k)),
       org.apache.spark.sql.functions.max(col(k))).head()
-    if (mm.isNullAt(0)) return all // empty/all-null source: nothing prunes
-    val lo = lit(mm.get(0))
-    val hi = lit(mm.get(1))
-    prunedAdds(col(k) >= lo && col(k) <= hi)
+    mergeCandidateAddsFromBounds(Some(k),
+      if (mm.isNullAt(0)) None else Some((mm.get(0), mm.get(1))))
   }
 
   /** Upsert `source` into the table by equality on `keyCols`: target rows
@@ -2558,11 +2572,24 @@ final case class DeltaTable(
     // computed once, not once per job
     val src = source.cache()
     try {
-      // one pass: row count + distinct-key count (duplicate-key check)
-      val srcAgg = src.agg(count(lit(1)).as("_n"),
-        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
+      // ONE pass over the source: row count + distinct-key count
+      // (duplicate-key check) + the prunable key's min/max — the bounds
+      // previously cost mergeCandidateAdds a second full source
+      // aggregation job (guide §1.2: at a 100 GB source that pass is
+      // pure waste; the fused aggregate is free)
+      val pk = mergePrunableKey(keyCols)
+      val aggCols = Seq(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_k")) ++
+        pk.map(k => Seq(org.apache.spark.sql.functions.min(col(k)).as("_klo"),
+          org.apache.spark.sql.functions.max(col(k)).as("_khi")))
+          .getOrElse(Nil)
+      val srcAgg = src.agg(aggCols.head, aggCols.tail: _*).head()
       val srcTotal = srcAgg.getLong(0)
       require(srcAgg.getLong(1) == srcTotal, "source has duplicate keys")
+      val srcBounds: Option[(Any, Any)] =
+        if (pk.isDefined && !srcAgg.isNullAt(2))
+          Some((srcAgg.get(2), srcAgg.get(3)))
+        else None
       val keys = src.select(keyCols.map(col): _*).distinct()
 
       val adds = dlog.addActions
@@ -2592,9 +2619,9 @@ final case class DeltaTable(
       // keeps the metrics right when the target holds duplicate rows per
       // key (legal — only the source is checked): rows-based counting
       // over-counted updates and could drive numInserted negative.
-      // phase-1 scan bounded by the source's key range (see
-      // mergeCandidateAdds) — files outside it cannot match
-      val p1Candidates = mergeCandidateAdds(spark, src, keyCols)
+      // phase-1 scan bounded by the source's key range (bounds rode the
+      // srcAgg job above) — files outside it cannot match
+      val p1Candidates = mergeCandidateAddsFromBounds(pk, srcBounds)
       val p1 = scanAddsWithMeta(spark, p1Candidates)
         .drop(DeltaScan.MetaRow)
         .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")
@@ -2746,15 +2773,26 @@ final case class DeltaTable(
       "SET must not touch the merge keys")
     val src = source.cache()
     try {
-      val srcAgg = src.agg(count(lit(1)).as("_n"),
-        count_distinct(struct(keyCols.map(col): _*)).as("_k")).head()
+      // fused single source pass: counts + prunable-key bounds (same
+      // shape as merge() — the bounds otherwise cost a second source job)
+      val pk = mergePrunableKey(keyCols)
+      val aggCols = Seq(count(lit(1)).as("_n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("_k")) ++
+        pk.map(k => Seq(org.apache.spark.sql.functions.min(col(k)).as("_klo"),
+          org.apache.spark.sql.functions.max(col(k)).as("_khi")))
+          .getOrElse(Nil)
+      val srcAgg = src.agg(aggCols.head, aggCols.tail: _*).head()
       require(srcAgg.getLong(1) == srcAgg.getLong(0), "source has duplicate keys")
+      val srcBounds: Option[(Any, Any)] =
+        if (pk.isDefined && !srcAgg.isNullAt(2))
+          Some((srcAgg.get(2), srcAgg.get(3)))
+        else None
       val keys = src.select(keyCols.map(col): _*).distinct()
       val adds = dlog.addActions
       val addByCanonical: Map[String, AddFile] = adds.values.map { a =>
         Location.canonical(Location.resolve(a.path, loc, conf).uri) -> a
       }.toMap
-      val p1Candidates = mergeCandidateAdds(spark, src, keyCols)
+      val p1Candidates = mergeCandidateAddsFromBounds(pk, srcBounds)
       val p1Row = scanAddsWithMeta(spark, p1Candidates)
         .drop(DeltaScan.MetaRow)
         .withColumnRenamed(DeltaScan.MetaPath, "_graft_file")

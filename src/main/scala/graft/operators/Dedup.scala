@@ -137,7 +137,19 @@ object Dedup {
       .filter(col("_df") >= 2 &&
         (if (cap > 0L) col("_df") <= cap else lit(true)))
       .hint("shuffle_hash")
+    // The surviving postings are materialized ONCE, hash-partitioned on
+    // the join key: without this, the self-join's two arms each re-ran
+    // the explode+hash and the df semi-join (r14 stage capture: the
+    // 260k-posting explode stage and the df-aggregate stage both
+    // executed twice — AQE's exchange reuse does not fire across the
+    // arms), and each arm paid its own exchange. The fixed-width
+    // repartition is recorded in the cached plan's output partitioning,
+    // so the self-join consumes BOTH arms exchange-free. MEMORY_AND_DISK
+    // like every operator cache here; postings are (8+8+8) B/row.
     val inv = inv0.join(kept, Seq("_s"), "left_semi")
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     inv.as("x").join(inv.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))

@@ -31,6 +31,28 @@ object OptProbe {
       println(f"OPT $label%-40s ${runs.map(_._1).min}%7.3fs rows=${runs.head._2}")
     }
 
+    if (sections("stages")) {
+      import org.apache.spark.scheduler._
+      val sc = spark.sparkContext
+      sc.addSparkListener(new SparkListener {
+        override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          println(f"STAGE ${i.stageId}%4d tasks=${i.numTasks}%4d " +
+            f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.2fMB " +
+            f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.2fMB " +
+            f"recW=${m.shuffleWriteMetrics.recordsWritten}%9d ${i.name.take(60)}")
+        }
+      })
+      val docs = QueryLib.delta(spark, sfDir, "documents")
+      docs.count()
+      val q = args.lift(2).getOrElse("q20_ngram_jaccard")
+      graft.SparkEntry.queries(q)(spark, sfDir).count() // warm
+      println(s"=== timed run of $q ===")
+      graft.SparkEntry.queries(q)(spark, sfDir).count()
+      org.apache.spark.graftshim.ListenerShim.waitUntilEmpty(sc, 30000)
+    }
+
     if (sections("q20")) {
       val docs = QueryLib.delta(spark, sfDir, "documents")
       docs.count()
