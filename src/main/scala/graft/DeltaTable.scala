@@ -882,7 +882,11 @@ final case class DeltaTable(
       if (touchedAdds.isEmpty) Seq.empty
       else {
         val touchedDF = scanAdds(spark, touchedAdds)
-        val totalTouched = touchedDF.count()
+        // live totals from log stats minus DV cardinality — the identical
+        // number a DV-aware count() scan of the touched files returns
+        // (liveRowCount scans only stat-less foreign files), without the
+        // extra full read of every touched file the count job cost
+        val totalTouched = liveRowCount(spark, touchedAdds)
         val kept = touchedDF.filter(not(coalesce(pred, lit(false))))
         // change data feed: the matched rows of touched files ARE the
         // commit's exact deletes (including rows of fully-dead files).
@@ -2376,7 +2380,9 @@ final case class DeltaTable(
       if (touchedAdds.isEmpty) Seq.empty
       else {
         val touchedDF = scanAdds(spark, touchedAdds)
-        val totalTouched = touchedDF.count()
+        // live totals from log stats (see delete()'s liveRowCount note):
+        // saves the count-job's full re-read of the touched files
+        val totalTouched = liveRowCount(spark, touchedAdds)
         val kept = touchedDF.filter(not(coalesce(predicate, lit(false))))
         val written = writeData(kept, dlog.versionToWrite, dlog.partitionColumns)
         numCopied = written.flatMap(_.stats).map(parseNumRecords).sum
