@@ -915,12 +915,23 @@ object TextAnalysis {
       .select(col(idCol), col("_pr._prev").as("_prev"), col("_pr._tk").as("_tk"))
       .groupBy(col(idCol), col("_prev"), col("_tk"))
       .agg(count(lit(1)).as("_c"))
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("_tk"))
     val big = pairs.groupBy("_prev", "_tk").agg(sum("_c").as("_cb"))
       .hint("shuffle_hash")
     val left = big.groupBy("_prev").agg(sum("_cb").as("_cl"))
       .hint("shuffle_hash")
-    val uni = toks.groupBy(col("_tk")).agg(count(lit(1)).as("_cu"))
+    // unigram counts WITHOUT a second full tokenize pass: every token
+    // occurrence is the second element of exactly one adjacent pair —
+    // except each doc's first token — so corpus unigram frequency =
+    // (per-_tk sum over the pair aggregation, whose exchange AQE reuses
+    // from `pairs`) + (first-token counts, a full-array-free projection).
+    // Exact count arithmetic, oracle-pinned; removes one of the two
+    // corpus tokenize+explode passes (guide §1.2).
+    val seconds = pairs.groupBy(col("_tk")).agg(sum("_c").as("_cu0"))
+    val firsts = df.select(element_at(tokens(col(textCol)), 1).as("_tk"))
+      .filter(col("_tk").isNotNull)
+      .groupBy(col("_tk")).agg(count(lit(1)).cast("long").as("_cu0"))
+    val uni = seconds.unionByName(firsts)
+      .groupBy(col("_tk")).agg(sum("_cu0").as("_cu"))
       .hint("shuffle_hash")
     val total = broadcast(uni.agg(sum("_cu").cast("double").as("_total")))
     // NOTE: lit(1 - lambda) is computed in DOUBLE here and as `1 - λ` in
