@@ -124,17 +124,14 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val cores = Runtime.getRuntime.availableProcessors
     // host-condition fields make a loaded-host capture attributable from
     // the artifact alone (r13's 68.5s driver capture vs 39.9s judge rerun
-    // was pure load noise nothing in the JSON could explain)
-    val host = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cores,"runs":$RUNS,"timing":"median""""
+    // was pure load noise nothing in the JSON could explain). "cpus"
+    // echoes the HONORED core count ($SPARK_GRAFT_CPUS) — r14's c8
+    // capture self-reported availableProcessors=32, which misread as
+    // the env var being ignored; the physical count keeps its own field.
+    val host = s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,"cpus":$cpus,"host_cpus":${Runtime.getRuntime.availableProcessors},"runs":$RUNS,"timing":"median""""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir",$host}"""
-    // the driver captures only the TAIL of stdout, so the full per-query
-    // JSON (2+ kB for 70 queries) lost its head in r8/r9 and parsed null.
-    // Full JSON goes to a file (committed as a round artifact); stdout
-    // gets the same line only when it is short, else a compact summary
-    // line that always fits whole inside the capture window.
     // A FILTERED run (SPARK_GRAFT_BENCH_QUERIES set) must never clobber
     // the committed full capture — it defaults to its own file (the r13
     // gate commit recorded a 2-entry BENCH_FULL.json this way).
@@ -144,13 +141,38 @@ object Bench {
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // DRIVER STDOUT CONTRACT. The driver parses a JSON line out of the
+    // LAST ~2000 chars of stdout (measured from the round artifacts:
+    // r6-r8's ~1.9 kB full lines parsed fine; r9's 2.2 kB line lost its
+    // head at exactly the 2000-char boundary and parsed null — see
+    // BENCH_r09.json's tail). 121 query NAMES alone exceed 2 kB, so one
+    // line can never carry the whole map. The final line therefore
+    // carries the SLOWEST entries that fit a conservative byte budget
+    // (those are the ones a per-query regression gate needs), declares
+    // how many were omitted, and points at the full map in $outPath.
+    // The complete line is also printed first for any consumer that
+    // keeps full stdout. Times in the tail line are 3-decimal (ms)
+    // rounded; "value" stays the exact total of ALL entries.
+    val tailBudget = 1850 // line bytes; leaves room for sbt's [success] trailer inside 2000
+    val meta = s""""unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_total":${results.size},"queries_file":"$outPath","sf":"$sfDir",$host"""
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val byTime = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val fixedLen = s"""{"metric":"total","value":${fmt(total)},"queries_omitted":000,"queries":{},$meta}""".length
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    var used = fixedLen
+    for (e <- byTime if used + e.length + 1 <= tailBudget) {
+      picked += e; used += e.length + 1
+    }
+    val tailLine = s"""{"metric":"total","value":${fmt(total)},"queries_omitted":${results.size - picked.size},"queries":${picked.mkString("{", ",", "}")},$meta}"""
     // stop Spark and flush BOTH streams BEFORE the summary so the
     // driver's tail capture never windows over late executor/streaming
     // log fragments — the JSON line is guaranteed to be stdout's last.
     spark.stop()
     System.err.flush(); System.out.flush()
-    if (full.length <= 1500) println(full)
-    else println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._2 >= 0)},"failed":${results.count(_._2 < 0)},"queries_file":"$outPath","sf":"$sfDir",$host}""")
+    if (full.length <= tailBudget) println(full)
+    else { println(full); println(tailLine) }
     System.out.flush()
   }
 
