@@ -187,7 +187,10 @@ object Similarity {
   private[graft] def trainCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nCells: Int, iters: Int,
       seed: Int): Array[Array[Double]] = {
-    val dim = probeDim(corpus, vecCol)
+    // (no probeDim pre-pass: the update aggregate takes its dimension from
+    // the seed vectors, so the old dimension-probe job — a full feature-
+    // pipeline head() per training call — is not needed; the validity
+    // guard moved below the seed collect)
     // materialize the parsed vectors ONCE: every Lloyd pass differs only
     // in the centroid literals, so iterating over the raw frame would
     // re-run the scan + element-wise double conversion `iters + 1` times
@@ -201,20 +204,25 @@ object Similarity {
       var centroids: Array[Array[Double]] = mat
         .orderBy("_h").limit(nCells)
         .collect().map(_.getSeq[Double](0).toArray)
-      // Lloyd refinement: assign (codegen'd argmax) -> per-(cell, dim) mean
+      require(centroids.nonEmpty && centroids.head.nonEmpty,
+        s"cannot infer embedding dimension from '$vecCol'")
+      // Lloyd refinement: assign + per-(cell, dim) mean FUSED into one
+      // buffer-per-partition aggregate ([[graft.functions.CentroidUpdateAgg]],
+      // result-identical to the posexplode + groupBy(_cell, pos).avg
+      // formulation it replaces — see its scaladoc). The column-algebra
+      // shape materialized dim rows per vector and exchanged a
+      // (cell x dim x mapTasks)-row partial table per iteration; this
+      // exchanges one 2 x cells x dim buffer per map task.
+      import org.apache.spark.sql.graftshim.ColumnShim
       for (_ <- 1 to iters) {
-        val assigned = mat.select(col("_v"))
-          .withColumn("_cell", element_at(nearestCentroids(col("_v"), centroids, 1), 1))
-        val sums = assigned.select(col("_cell"), posexplode(col("_v")))
-          .groupBy("_cell", "pos").agg(avg("col").as("_m"))
-          .collect()
-        val byCell = sums.groupBy(_.getInt(0))
+        val upd = ColumnShim.column(
+          graft.functions.CentroidUpdateAgg(
+            ColumnShim.expression(col("_v")), centroids).toAggregateExpression())
+        val means = mat.select(col("_v")).agg(upd.as("_m"))
+          .head().getSeq[scala.collection.Seq[Double]](0)
         centroids = centroids.indices.map { c =>
-          byCell.get(c).map { rows =>
-            val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-            arr
-          }.getOrElse(centroids(c)) // empty cell keeps its seed
+          Option(means(c)).map(_.toArray)
+            .getOrElse(centroids(c)) // empty cell keeps its seed
         }.toArray
       }
       centroids
