@@ -22,6 +22,48 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Dedup {
 
+  /** Operator caches that must OUTLIVE the operator call: the shingle
+    * frames and the partitioned postings below live inside the returned
+    * lazy DataFrame (they are what lets both self-join arms and repeated
+    * actions reuse one computation), so the operator cannot scope them
+    * with the try/finally-unpersist idiom the driver-terminal operators
+    * use ([[connectedComponents]], [[Similarity.trainCentroids]],
+    * [[Regression.logisticFit]]). They are tracked here instead; a
+    * long-lived session calls [[releasePersistedIndexes]] once it is done
+    * with the returned frames (idempotent; safe while nothing is
+    * consuming them). Without a release call each DISTINCT input plan
+    * pins one MEMORY_AND_DISK entry for the session lifetime —
+    * re-invocations on the same input reuse the existing entry (Spark's
+    * CacheManager keys on the canonicalized plan), so steady-state reuse
+    * costs one entry, not one per call.
+    */
+  private val persistedIndexes =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def trackPersist(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val p = df.persist(level)
+    persistedIndexes.synchronized { persistedIndexes += p }
+    p
+  }
+
+  /** Unpersist every index cache produced by [[ngramJaccardPairs]] /
+    * [[minHashLshPairs]] so far and clear the registry. Callers invoke
+    * this once the returned pair frames are fully consumed; consuming
+    * them again afterwards recomputes (correct, just uncached).
+    *
+    * @return how many tracked caches were released
+    */
+  def releasePersistedIndexes(): Int = {
+    val toFree = persistedIndexes.synchronized {
+      val snapshot = persistedIndexes.toList
+      persistedIndexes.clear()
+      snapshot
+    }
+    toFree.foreach(df => df.unpersist(blocking = false))
+    toFree.size
+  }
+
   /** Exact dedup over `keyCols` (all columns when empty): group on a
     * 128-bit digest of the key, keep the row with the smallest `idCol`.
     * Deterministic winner (unlike `dropDuplicates`, whose survivor is
@@ -95,8 +137,10 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8, maxDocFreq: Long = 0L): DataFrame = {
     // cached: the inverted index feeds BOTH sides of the self-join below
     // (and the doc-frequency guard when enabled) — without the cache the
-    // shingling recomputes per consumer, a measured 7x on the pair stage
-    val sh = shingled(df, idCol, textCol, n).cache()
+    // shingling recomputes per consumer, a measured 7x on the pair stage.
+    // Registered in [[persistedIndexes]] (see the release contract there).
+    val sh = trackPersist(shingled(df, idCol, textCol, n),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // set size rides along the inverted index (8 bytes/row), so |A| and
     // |B| fall out of the pair aggregation itself — no size-lookup joins.
     // The index keys are 64-bit shingle hashes, not the strings: narrower
@@ -144,12 +188,13 @@ object Dedup {
     // executed twice — AQE's exchange reuse does not fire across the
     // arms), and each arm paid its own exchange. The fixed-width
     // repartition is recorded in the cached plan's output partitioning,
-    // so the self-join consumes BOTH arms exchange-free. MEMORY_AND_DISK
-    // like every operator cache here; postings are (8+8+8) B/row.
-    val inv = inv0.join(kept, Seq("_s"), "left_semi")
-      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("_s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // so the self-join consumes BOTH arms exchange-free. Postings are
+    // (8+8+8) B/row; released via [[releasePersistedIndexes]].
+    val inv = trackPersist(
+      inv0.join(kept, Seq("_s"), "left_semi")
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+          col("_s")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     inv.as("x").join(inv.as("y"),
         col("x._s") === col("y._s") && col("x._id") < col("y._id"))
       .groupBy(col("x._id").as("a"), col("y._id").as("b"))
@@ -183,9 +228,11 @@ object Dedup {
     // band join, AND the exact-Jaccard verify all operate on long arrays
     // (8 B/element vs ~25 B strings; array_intersect on longs). Set
     // cardinalities are collision-exact to ~2^-64 per pair.
-    val sh = shingled(df, idCol, textCol, n)
-      .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_sh"))
-      .cache()
+    // registered in [[persistedIndexes]] (see the release contract there)
+    val sh = trackPersist(
+      shingled(df, idCol, textCol, n)
+        .select(col("_id"), transform(col("_sh"), s => xxhash64(s)).as("_sh")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // signature minima via explode + partial aggregation: the combine
     // happens map-side and the shuffle MATERIALIZES the 64 minima — without
     // this barrier, projection collapse would inline the whole signature
