@@ -290,7 +290,11 @@ object TextAnalysis {
         explode(filter(col("_toks"), t => t.isInCollection(terms))).as("_tk"))
       .groupBy(col(idCol), col("_dl"), col("_tk"))
       .agg(count(lit(1)).cast("double").as("_tf"))
-    val dft = tf.groupBy("_tk").agg(count(lit(1)).cast("double").as("_df"))
+    // count(_tf) ≡ count(1) (_tf is a count, never null) — consuming _tf
+    // keeps this arm's partial aggregate identical to tf's so exchange
+    // reuse runs the filtered tokenize + (doc, dl, term) aggregate once
+    // (see [[tfIdfTopTerms]]' dfreq note)
+    val dft = tf.groupBy("_tk").agg(count(col("_tf")).cast("double").as("_df"))
     tf.join(broadcast(dft), "_tk").crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
@@ -346,7 +350,16 @@ object TextAnalysis {
     // token by its aggregate → no extra exchange) instead of a broadcast,
     // which would ship hundreds of millions of terms to every executor
     // on a web corpus.
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // count(tf) ≡ count(1) here — tf is itself a count, never null — but
+    // consuming the tf column keeps THIS arm's partial aggregate
+    // canonically identical to the tf arm's, so exchange reuse executes
+    // the scan + tokenize + (doc, token) partial aggregate ONCE. The
+    // count(1) spelling let the optimizer prune tf's count function on
+    // this arm, the subtrees diverged, and the corpus was tokenized and
+    // aggregated TWICE (r15 plan capture: operators (1)-(5) duplicated
+    // as (7)-(11) in plans/r15/q65_tfidf_before.txt). Same trick as
+    // [[unigramLogProb]]'s freq arm, which consumes _c via sum().
+    val dfreq = tf.groupBy("token").agg(count(col("tf")).as("df"))
       .hint("shuffle_hash")
     val scored = tf.join(dfreq, Seq("token"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
