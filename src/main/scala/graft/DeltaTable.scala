@@ -932,6 +932,14 @@ final case class DeltaTable(
     * numRecords is recorded; the (rare, foreign-written) stat-less files
     * are counted with one DV-aware scan. Metric-grade: a count-only read
     * of the stragglers still beats opening every file.
+    *
+    * Exactness for statted files depends on the WRITER-supplied
+    * numRecords/cardinality being accurate, which the delta protocol
+    * requires of stats it emits; a foreign file carrying a present-but-
+    * wrong numRecords skews only the operation metric derived here, never
+    * the table data (the pre-r14 count() scan was self-correcting on that
+    * point — the accepted trade for removing a full read of the touched
+    * set from every predicate DELETE / REPLACE WHERE).
     */
   private def liveRowCount(spark: SparkSession, adds: Seq[AddFile]): Long = {
     val (statted, statless) =

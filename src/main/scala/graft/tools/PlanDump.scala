@@ -2,11 +2,21 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 /** Dump `.explain("formatted")` of declared queries to files — the
   * optimization-round plan evidence (plans/r14/<query>_{before,after}.txt).
-  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  * Usage: runMain graft.tools.PlanDump <sfDir> <outDir> <suffix> <q1,q2,...> [run]
+  *
+  * With the optional 5th arg `run`, the query is EXECUTED before dumping,
+  * so the dump shows the FINAL adaptive plan — `AQEShuffleRead`s, runtime
+  * join rewrites and `ReusedExchange` nodes that `isFinalPlan=false` dumps
+  * cannot show. Exchange-reuse claims need this mode for their evidence.
+  * The action is `collect()` ON THE DATASET'S OWN QueryExecution (a noop
+  * write or count would execute a different wrapped plan and leave this
+  * one un-finalized); safe here because every declared query's result is
+  * oracle-compared row-for-row, i.e. bounded by design.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, suffix, names) = args.take(4)
+    val runFirst = args.lift(4).contains("run")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,6 +32,7 @@ object PlanDump {
       graft.SparkEntry.queries.get(n) match {
         case Some(fn) =>
           val df = fn(spark, sfDir)
+          if (runFirst) { df.collect(); () }
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
           java.nio.file.Files.write(

@@ -119,6 +119,18 @@ object ScaleProbe {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     docs.count()
 
+    // warm-up round (untimed): the r14 SCALE table's 1x point carried
+    // first-run JIT (10.0 s at 5 k docs vs 6.3 s at 20 k) — exercise both
+    // operators once so the timed curve measures the operators, not the
+    // compiler
+    if (sections("docs")) {
+      val warm = salted(docs, 1).cache()
+      warm.count()
+      Dedup.ngramJaccardPairs(warm, "doc_id", "text").count()
+      Dedup.minHashLshPairs(warm, "doc_id", "text").count()
+      warm.unpersist()
+      Dedup.releasePersistedIndexes()
+    }
     var k = 1
     while (sections("docs") && k <= maxCopies) {
       val corpus = salted(docs, k).cache()
@@ -134,6 +146,10 @@ object ScaleProbe {
       println(f"SCALE docs=$n%6d ngram_jaccard=$jacSec%6.2fs pairs=$jacRows%5d " +
         f"minhash_lsh=$lshSec%6.2fs pairs=$lshRows%5d")
       corpus.unpersist()
+      // free the operators' tracked index caches between sizes — the next
+      // k's corpus is a different plan, so the entries would otherwise
+      // pin MEMORY_AND_DISK blocks for the probe's lifetime
+      Dedup.releasePersistedIndexes()
       k *= 4
     }
 
@@ -586,9 +602,12 @@ object ScaleProbe {
     // connected components: chains of length 64 (diameter stress — 1-hop
     // label propagation would need 64 rounds; star contraction ~log²).
     // Ground truth: edges/63 components, verified each step.
+    // 6.4 M tops the sweep with a second point past the 2^20 small-graph
+    // threshold, so the distributed alternating-star regime gets its own
+    // scaling ratio (the r14 table had exactly one distributed point)
     val chainLen = 64L
     var m = 100000L
-    while (sections("cc") && m <= 1600000L) {
+    while (sections("cc") && m <= 6400000L) {
       val edges = spark.range(m)
         .filter(pmod(col("id"), lit(chainLen)) =!= (chainLen - 1))
         .select(col("id").as("a"), (col("id") + 1L).as("b"))
