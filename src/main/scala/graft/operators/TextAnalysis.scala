@@ -290,11 +290,16 @@ object TextAnalysis {
         explode(filter(col("_toks"), t => t.isInCollection(terms))).as("_tk"))
       .groupBy(col(idCol), col("_dl"), col("_tk"))
       .agg(count(lit(1)).cast("double").as("_tf"))
-    // count(_tf) ≡ count(1) (_tf is a count, never null) — consuming _tf
-    // keeps this arm's partial aggregate identical to tf's so exchange
-    // reuse runs the filtered tokenize + (doc, dl, term) aggregate once
-    // (see [[tfIdfTopTerms]]' dfreq note)
-    val dft = tf.groupBy("_tk").agg(count(col("_tf")).cast("double").as("_df"))
+    // count(when(_tf >= 1, true)) ≡ count(1): _tf is a per-group count,
+    // always >= 1, so the branch is always hit — but the optimizer cannot
+    // prove that, so _tf's own count survives on this arm (NullPropagation
+    // rewrites count(non-nullable) to count(1) and then prunes the inner
+    // aggregate's functions, splitting the subtrees). With _tf consumed,
+    // this arm's partial aggregate is canonically identical to tf's and
+    // exchange reuse runs the filtered tokenize + (doc, dl, term)
+    // aggregate ONCE (see [[tfIdfTopTerms]]' dfreq note).
+    val dft = tf.groupBy("_tk")
+      .agg(count(when(col("_tf") >= 1, lit(true))).cast("double").as("_df"))
     tf.join(broadcast(dft), "_tk").crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
@@ -350,16 +355,21 @@ object TextAnalysis {
     // token by its aggregate → no extra exchange) instead of a broadcast,
     // which would ship hundreds of millions of terms to every executor
     // on a web corpus.
-    // count(tf) ≡ count(1) here — tf is itself a count, never null — but
-    // consuming the tf column keeps THIS arm's partial aggregate
-    // canonically identical to the tf arm's, so exchange reuse executes
-    // the scan + tokenize + (doc, token) partial aggregate ONCE. The
-    // count(1) spelling let the optimizer prune tf's count function on
-    // this arm, the subtrees diverged, and the corpus was tokenized and
-    // aggregated TWICE (r15 plan capture: operators (1)-(5) duplicated
-    // as (7)-(11) in plans/r15/q65_tfidf_before.txt). Same trick as
-    // [[unigramLogProb]]'s freq arm, which consumes _c via sum().
-    val dfreq = tf.groupBy("token").agg(count(col("tf")).as("df"))
+    // count(when(tf >= 1, true)) ≡ count(1) here — tf is a per-group
+    // count, always >= 1, so the branch always yields a non-null — but
+    // the optimizer cannot prove that, so tf's own count survives on this
+    // arm and the partial aggregate stays canonically identical to the tf
+    // arm's: exchange reuse executes the scan + tokenize + (doc, token)
+    // partial aggregate ONCE. Both the plain count(1) spelling AND a bare
+    // count(col) let the optimizer drop tf's count function on this arm
+    // (count(1) never references tf; count(col) is rewritten to count(1)
+    // by NullPropagation because the column is non-nullable), the
+    // subtrees diverged canonically, and the corpus was tokenized and
+    // aggregated TWICE (operators (1)-(5) duplicated as (7)-(11) in
+    // plans/r15/q65_tfidf_before.txt). Same idea as [[unigramLogProb]]'s
+    // freq arm, whose sum(_c) consumes the inner count naturally.
+    val dfreq = tf.groupBy("token")
+      .agg(count(when(col("tf") >= 1, lit(true))).as("df"))
       .hint("shuffle_hash")
     val scored = tf.join(dfreq, Seq("token"))
       .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
