@@ -113,7 +113,7 @@ object Dedup {
   }
 
   /** (id, shingleArray) with distinct word n-gram shingles per doc. */
-  private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int) =
+  private[graft] def shingled(df: DataFrame, idCol: String, textCol: String, n: Int) =
     df.select(col(idCol).as("_id"),
       TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n).as("_sh"))
 

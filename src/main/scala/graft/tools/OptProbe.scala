@@ -80,6 +80,49 @@ object OptProbe {
       time("cc full")(Dedup.connectedComponents(pairs).count())
     }
 
+    if (sections("q151")) {
+      // VERDICT r14 item 8: can the 64 md5-per-component MinHash
+      // signature derive from TWO md5s (Kirsch–Mitzenmacher double
+      // hashing, h_i = h1 + i*h2)? The construction is published and
+      // collision-sound, but the component VALUES differ from the
+      // declared store contract (the oracle replays md5(i || ':' || s)
+      // per component bit-for-bit), so landing it would change q151's
+      // result — this section only MEASURES the forgone win.
+      import org.apache.spark.sql.graftshim.ColumnShim
+      def md5p60(c: org.apache.spark.sql.Column) = ColumnShim.column(
+        graft.functions.Md5Prefix60(ColumnShim.expression(c.cast("binary"))))
+      val docs = QueryLib.delta(spark, sfDir, "documents")
+        .filter(col("doc_id") % 2 === 1)
+      docs.count()
+      val noop = (df: org.apache.spark.sql.DataFrame) => {
+        df.write.format("noop").mode("overwrite").save(); 0L
+      }
+      time("q151 full operator")(
+        Dedup.minHashStoreDedup(spark, QueryLib.minhashStoreDir(spark, sfDir),
+          docs, "doc_id", "text", bands = 16, estThreshold = 0.7).count())
+      time("sigOf 64-md5 (contract)")(
+        noop(Dedup.sigOf(docs, "doc_id", "text", 3, 64)))
+      // double-hash variant, same explode + 64-min-aggregate shape
+      val tok = Dedup.shingled(
+        graft.operators.Par.spread(docs.select(col("doc_id"), col("text"))
+          .filter(size(split(lower(col("text")), " ")) >= 3), "doc_id"),
+        "doc_id", "text", 3)
+        .select(col("_id").as("id"), explode_outer(col("_sh")).as("_s"))
+        .withColumn("_h1", md5p60(concat(lit("0:"), col("_s"))))
+        .withColumn("_h2", md5p60(concat(lit("1:"), col("_s"))))
+      // mixer choice is immaterial for TIMING (any O(1) combine of two
+      // md5-derived 60-bit values); xor+shift avoids ANSI long overflow
+      // that the literal h1 + i*h2 affine form hits at i*h2 > 2^63
+      val mask = (1L << 60) - 1
+      val comps2 = (0 until 64).map(i =>
+        min(col("_h1").bitwiseXOR(shiftleft(col("_h2"), i % 60))
+          .bitwiseAND(lit(mask))).as(s"_c$i"))
+      time("sigOf 2-md5 double-hash")(
+        noop(tok.groupBy("id").agg(comps2.head, comps2.tail: _*)
+          .select(col("id"),
+            array((0 until 64).map(i => col(s"_c$i")): _*).as("sig"))))
+    }
+
     if (sections("open")) {
       val dir = QueryLib.deltaDir(spark, sfDir, "documents")
       time("forPath open+plan")(
